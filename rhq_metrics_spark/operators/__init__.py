@@ -1,0 +1,26 @@
+from rhq_metrics_spark.operators.availability import availability_stats
+from rhq_metrics_spark.operators.distinct import distinct_adjacent
+from rhq_metrics_spark.operators.periods import periods, predicate
+from rhq_metrics_spark.operators.rate import rate, rate_stats
+from rhq_metrics_spark.operators.stacked import pooled_stats, stacked_stats
+from rhq_metrics_spark.operators.stats import (
+    minmax_ts,
+    numeric_bucket_stats,
+    scalar_aggs,
+)
+from rhq_metrics_spark.operators.tagged import tagged_stats
+
+__all__ = [
+    "availability_stats",
+    "distinct_adjacent",
+    "minmax_ts",
+    "numeric_bucket_stats",
+    "periods",
+    "pooled_stats",
+    "predicate",
+    "rate",
+    "rate_stats",
+    "scalar_aggs",
+    "stacked_stats",
+    "tagged_stats",
+]

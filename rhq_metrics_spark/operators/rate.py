@@ -1,0 +1,95 @@
+"""W1: per-minute rate derivation over adjacent point pairs.
+
+Reference: MetricsServiceImpl.findRateData (MetricsServiceImpl.java:857-883):
+
+- pairs are adjacent points in ascending-time order (``buffer(2,1)``;
+  a DESC read reverses each pair back to ascending before computing, so
+  the rate *values* are order-independent — only emission order and the
+  ``limit`` cutoff differ);
+- ``rate = 60_000 * (v2 - v1) / (t2 - t1)`` (per-minute), stamped at the
+  later timestamp ``t2``;
+- counter pairs where the value decreased (counter reset) are dropped
+  *before* the limit is applied (limit cannot be pushed into the scan —
+  same deferral as the reference's ``take`` at the end);
+- ``findRateStats`` = rate ∘ A1 bucket stats (MetricsServiceImpl.java:892-899).
+
+Spark-first: ``lag`` over ``Window.partitionBy(series).orderBy(ts)`` —
+a single shuffle by series key, no self-join.  At scale the window's
+sort is per-series and spills; series keys are high-cardinality so the
+shuffle is well spread.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rhq_metrics_spark.model import Buckets, MetricType
+from rhq_metrics_spark.operators.stats import numeric_bucket_stats
+
+
+def rate(
+    df: DataFrame,
+    metric_type: str = MetricType.GAUGE,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("tenant_id", "metric"),
+    order: str = "asc",
+    limit: int = 0,
+) -> DataFrame:
+    """Per-minute rate between adjacent points of each series.
+
+    Output: ``group_cols… , ts, rate`` (ts = later point of the pair).
+    """
+    if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+        raise ValueError(f"unsupported metric type for rate: {metric_type}")
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+    v = F.col(value_col).cast("double")
+    paired = df.select(
+        *group_cols,
+        F.col(ts_col).alias("ts"),
+        v.alias("_v"),
+        F.lag(v).over(w).alias("_prev_v"),
+        F.lag(F.col(ts_col)).over(w).alias("_prev_ts"),
+    ).filter(F.col("_prev_ts").isNotNull())
+    if metric_type == MetricType.COUNTER:
+        # counter reset: drop pairs where the value decreased
+        # (MetricsServiceImpl.java:871-872)
+        paired = paired.filter(F.col("_v") >= F.col("_prev_v"))
+    out = paired.select(
+        *group_cols,
+        "ts",
+        (
+            F.lit(60_000.0)
+            * (F.col("_v") - F.col("_prev_v"))
+            / (F.col("ts") - F.col("_prev_ts")).cast("double")
+        ).alias("rate"),
+    )
+    ordered = out.orderBy(
+        F.col("ts").asc() if order == "asc" else F.col("ts").desc()
+    )
+    return ordered.limit(limit) if limit and limit > 0 else ordered
+
+
+def rate_stats(
+    df: DataFrame,
+    buckets: Buckets,
+    metric_type: str = MetricType.GAUGE,
+    percentiles: Sequence[float] = (),
+    group_cols: Sequence[str] = ("tenant_id", "metric"),
+    stats_group_cols: Sequence[str] = (),
+    fill_empty: bool = True,
+) -> DataFrame:
+    """W1 ∘ A1: bucketed stats over the derived rate stream."""
+    rates = rate(df, metric_type=metric_type, group_cols=group_cols)
+    return numeric_bucket_stats(
+        rates,
+        buckets,
+        percentiles=percentiles,
+        value_col="rate",
+        group_cols=stats_group_cols,
+        fill_empty=fill_empty,
+    )

@@ -1,0 +1,166 @@
+"""Bucketed numeric statistics (A1), scalar aggregates (A6), min/max ts (A8).
+
+Reference semantics (SURVEY.md §2.4):
+
+- A1 ``NumericBucketPointTransformer`` + ``NumericDataPointCollector``
+  (core/.../transformers/NumericBucketPointTransformer.java:33-54,
+  .../NumericDataPointCollector.java:40-118): group points into a
+  ``Buckets`` grid, per bucket emit min/avg/median/max/sum/samples plus
+  requested percentiles.  Median is always computed (appended last in the
+  reference collector).  Buckets with no points are emitted as *empty*
+  (all-null stats, samples 0) — ``BucketPoint.toList`` fill
+  (core/metrics-model/.../model/BucketPoint.java:70-83).
+- Percentiles are **exact** (``percentile``), matching the reference's
+  test oracle which swaps the production P² estimator for an exact
+  implementation (BaseMetricsITest.java:82,110).  ``approx=True`` opts
+  into ``approx_percentile`` — the analogue of the production P² path.
+- A6 ``Aggregate`` lambdas (core/.../service/Aggregate.java:33-58).
+- A8 ``MinMaxTimestampTransformer``.
+
+Scale notes: the aggregation is a single hash-agg keyed by
+(group_cols…, bucket_idx) — partial/final (map-side combine) comes from
+Catalyst for min/avg/max/sum/count.  Exact percentiles are sort-based
+within each (group, bucket); at 100 TB prefer ``approx=True`` which is
+a mergeable sketch.  The empty-bucket fill joins against a generated
+bucket dimension of ``count`` rows — broadcast, never a shuffle of the
+data side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from rhq_metrics_spark.model import Buckets
+
+#: canonical stat column order for numeric bucket points
+STAT_COLS = ("min", "avg", "median", "max", "sum", "samples")
+
+
+def percentile_col_name(q: float) -> str:
+    """``90`` → ``p90``; ``99.9`` → ``p99_9`` (keeps the original quantile
+    string like the reference's ``Percentile.getOriginalQuantile``)."""
+    text = f"{q:g}"
+    return "p" + text.replace(".", "_").replace("-", "m")
+
+
+def bucket_index(buckets: Buckets, ts_col: str = "ts") -> Column:
+    """Grid cell for a timestamp: ``(ts - start) / step`` (integer div)."""
+    return ((F.col(ts_col) - F.lit(buckets.start)) / F.lit(buckets.step)).cast("long")
+
+
+def in_grid(buckets: Buckets, ts_col: str = "ts") -> Column:
+    """Half-open membership predicate ``start <= ts < grid end``."""
+    return (F.col(ts_col) >= F.lit(buckets.start)) & (F.col(ts_col) < F.lit(buckets.end))
+
+
+def _stat_aggs(
+    value_col: str,
+    percentiles: Sequence[float],
+    approx: bool,
+) -> list[Column]:
+    v = F.col(value_col).cast("double")
+    if approx:
+        med = F.approx_percentile(v, F.lit(0.5))
+        pcts = [
+            F.approx_percentile(v, F.lit(q / 100.0)).alias(percentile_col_name(q))
+            for q in percentiles
+        ]
+    else:
+        med = F.percentile(v, F.lit(0.5))
+        pcts = [
+            F.percentile(v, F.lit(q / 100.0)).alias(percentile_col_name(q))
+            for q in percentiles
+        ]
+    return [
+        F.min(v).alias("min"),
+        F.avg(v).alias("avg"),
+        med.alias("median"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.count(v).alias("samples"),
+        *pcts,
+    ]
+
+
+def bucket_dimension(df_or_spark, buckets: Buckets) -> DataFrame:
+    """Generated dimension with one row per grid cell: (bucket_idx, start, end)."""
+    spark = df_or_spark if not isinstance(df_or_spark, DataFrame) else df_or_spark.sparkSession
+    return spark.range(buckets.count).select(
+        F.col("id").alias("bucket_idx"),
+        (F.lit(buckets.start) + F.col("id") * F.lit(buckets.step)).alias("start"),
+        (F.lit(buckets.start) + (F.col("id") + 1) * F.lit(buckets.step)).alias("end"),
+    )
+
+
+def numeric_bucket_stats(
+    df: DataFrame,
+    buckets: Buckets,
+    percentiles: Sequence[float] = (),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = (),
+    fill_empty: bool = True,
+    approx: bool = False,
+) -> DataFrame:
+    """A1: bucketed min/avg/median/max/sum/samples (+ percentiles).
+
+    Output columns: ``group_cols… , start, end, min, avg, median, max,
+    sum, samples, p<q>…`` — one row per (group, bucket), empty buckets
+    present with null stats and ``samples = 0`` when ``fill_empty``.
+    """
+    group_cols = list(group_cols)
+    stats = (
+        df.filter(in_grid(buckets, ts_col))
+        .withColumn("bucket_idx", bucket_index(buckets, ts_col))
+        .groupBy(*group_cols, "bucket_idx")
+        .agg(*_stat_aggs(value_col, percentiles, approx))
+    )
+    dim = bucket_dimension(df, buckets)
+    if not fill_empty:
+        return stats.join(F.broadcast(dim), "bucket_idx").drop("bucket_idx")
+
+    if group_cols:
+        # one full grid per observed group; the dim side is tiny → broadcast
+        groups = df.select(*group_cols).distinct()
+        dim = groups.crossJoin(F.broadcast(dim))
+        filled = dim.join(stats, [*group_cols, "bucket_idx"], "left")
+    else:
+        filled = F.broadcast(dim).join(stats, "bucket_idx", "left")
+    return filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0))).drop(
+        "bucket_idx"
+    )
+
+
+def scalar_aggs(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A6: whole-range min/max/avg/sum (+ samples) over one scan."""
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.avg(v).alias("avg"),
+        F.sum(v).alias("sum"),
+        F.count(v).alias("samples"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def minmax_ts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("tenant_id", "metric"),
+) -> DataFrame:
+    """A8: per-metric min/max timestamp (definition enrichment)."""
+    return df.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.count(F.lit(1)).alias("samples"),
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the local[32] test harness but expressed so the
+same settings are correct on a multi-executor cluster: AQE on (runtime
+shuffle-partition coalescing + skew-join splitting), broadcast joins
+for small dimensions, Arrow for any pandas exchange, and parquet
+pushdown left at its (enabled) defaults so Catalyst prunes partitions
+and row groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rhq-metrics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster leave it unset and let spark-submit provide it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic time semantics: the engine works in epoch-millis
+        # longs; anything that surfaces as TIMESTAMP is interpreted UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver-generated events table stores TIMESTAMP(NANOS)
+        # which vanilla Spark rejects; read as long (nanos) and convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Adaptive execution: runtime coalescing of shuffle partitions,
+        # skew-join splitting — both essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas_udf / applyInPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small dims (nation/region/metric definitions) broadcast freely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,98 @@
+"""A2 availability bucket stats — duration state machine semantics.
+
+Oracle derived point-by-point from AvailabilityDataPointCollector.java:
+first point back-fills to bucket start, last extends to bucket end,
+uptime_ratio = up_duration/step, not_up_count counts UP→notUP
+transitions (or a not-UP first point), last_not_uptime per :67,77-100.
+"""
+
+import pytest
+
+from rhq_metrics_spark.model import Buckets
+from rhq_metrics_spark.operators import availability_stats
+
+T0 = 1_700_000_000_000
+STEP = 60_000
+
+
+def _stats(factory, rows, count=2):
+    buckets = Buckets.from_step(T0, T0 + count * STEP, STEP)
+    return (
+        availability_stats(factory(rows), buckets)
+        .orderBy("start")
+        .collect()
+    )
+
+
+def test_single_bucket_mixed_states(availability_points_factory):
+    rows = [
+        ("t1", "a", T0 + 10_000, "up"),      # covers [T0, T0+40s) via backfill
+        ("t1", "a", T0 + 40_000, "down"),    # covers [40s, 50s)
+        ("t1", "a", T0 + 50_000, "up"),      # covers [50s, 60s)
+    ]
+    out = _stats(availability_points_factory, rows, count=1)
+    r = out[0]
+    assert r["up_duration"] == 40_000 + 10_000
+    assert r["down_duration"] == 10_000
+    assert r["uptime_ratio"] == pytest.approx(50_000 / STEP)
+    assert r["not_up_count"] == 1
+    # final state is UP → last_not_uptime = ts of the recovery point
+    assert r["last_not_uptime"] == T0 + 50_000
+    assert r["samples"] == 3
+
+
+def test_ends_not_up_extends_to_bucket_end(availability_points_factory):
+    rows = [
+        ("t1", "a", T0 + 30_000, "down"),
+    ]
+    r = _stats(availability_points_factory, rows, count=1)[0]
+    # first point backfills its own state to bucket start AND extends to end
+    assert r["down_duration"] == STEP
+    assert r["up_duration"] == 0
+    assert r["uptime_ratio"] == 0.0
+    assert r["not_up_count"] == 1
+    assert r["last_not_uptime"] == T0 + STEP  # bucket end
+    assert r["samples"] == 1
+
+
+def test_all_up_bucket(availability_points_factory):
+    rows = [("t1", "a", T0 + 10_000, "up"), ("t1", "a", T0 + 30_000, "up")]
+    r = _stats(availability_points_factory, rows, count=1)[0]
+    assert r["up_duration"] == STEP
+    assert r["uptime_ratio"] == pytest.approx(1.0)
+    assert r["not_up_count"] == 0
+    assert r["last_not_uptime"] == 0  # never not-up
+
+
+def test_buckets_are_independent(availability_points_factory):
+    rows = [
+        ("t1", "a", T0 + 50_000, "down"),           # bucket 0 ends down
+        ("t1", "a", T0 + STEP + 10_000, "up"),      # bucket 1: up backfilled
+    ]
+    out = _stats(availability_points_factory, rows, count=2)
+    b0, b1 = out
+    assert b0["down_duration"] == STEP - 50_000 + 50_000  # backfill + extend
+    assert b0["last_not_uptime"] == T0 + STEP
+    # bucket 1 has no carry-in of 'down' from bucket 0 (per-bucket collector)
+    assert b1["up_duration"] == STEP
+    assert b1["not_up_count"] == 0
+
+
+def test_empty_bucket_filled(availability_points_factory):
+    rows = [("t1", "a", T0 + 10_000, "up")]
+    out = _stats(availability_points_factory, rows, count=2)
+    assert len(out) == 2
+    assert out[1]["samples"] == 0
+    assert out[1]["uptime_ratio"] is None
+
+
+def test_unknown_and_admin_states(availability_points_factory):
+    rows = [
+        ("t1", "a", T0 + 20_000, "unknown"),
+        ("t1", "a", T0 + 40_000, "admin"),
+    ]
+    r = _stats(availability_points_factory, rows, count=1)[0]
+    assert r["unknown_duration"] == 40_000
+    assert r["admin_duration"] == 20_000
+    assert r["not_up_count"] == 1  # only the first transition into not-up
+    assert r["last_not_uptime"] == T0 + STEP

@@ -1,0 +1,83 @@
+"""W1 rate derivation — gauge and counter (reset) semantics.
+
+Oracle: per adjacent pair 60000*(v2-v1)/(t2-t1) stamped at t2; counter
+pairs with v2 < v1 dropped (MetricsServiceImpl.java:857-883).
+"""
+
+import pytest
+
+from rhq_metrics_spark.model import Buckets
+from rhq_metrics_spark.operators import rate, rate_stats
+
+T0 = 1_700_000_000_000
+
+
+def test_gauge_rate(gauge_points_factory):
+    rows = [
+        ("t1", "m", T0, 10.0),
+        ("t1", "m", T0 + 30_000, 25.0),
+        ("t1", "m", T0 + 90_000, 10.0),
+    ]
+    out = rate(gauge_points_factory(rows)).orderBy("ts").collect()
+    assert len(out) == 2
+    assert out[0]["ts"] == T0 + 30_000
+    assert out[0]["rate"] == pytest.approx(60_000 * 15.0 / 30_000)  # 30/min
+    assert out[1]["rate"] == pytest.approx(60_000 * -15.0 / 60_000)  # -15/min
+
+
+def test_counter_reset_pairs_dropped(counter_points_factory):
+    rows = [
+        ("t1", "c", T0, 100),
+        ("t1", "c", T0 + 60_000, 160),   # +60/min
+        ("t1", "c", T0 + 120_000, 20),   # reset → pair dropped
+        ("t1", "c", T0 + 180_000, 80),   # +60/min
+    ]
+    out = rate(counter_points_factory(rows), metric_type="counter").orderBy("ts").collect()
+    assert [r["ts"] for r in out] == [T0 + 60_000, T0 + 180_000]
+    for r in out:
+        assert r["rate"] == pytest.approx(60.0)
+
+
+def test_equal_values_not_a_reset(counter_points_factory):
+    rows = [("t1", "c", T0, 5), ("t1", "c", T0 + 60_000, 5)]
+    out = rate(counter_points_factory(rows), metric_type="counter").collect()
+    assert len(out) == 1 and out[0]["rate"] == 0.0
+
+
+def test_desc_order_same_values_limit_from_end(gauge_points_factory):
+    rows = [("t1", "m", T0 + i * 60_000, float(i * i)) for i in range(5)]
+    asc = rate(gauge_points_factory(rows)).orderBy("ts").collect()
+    desc = rate(gauge_points_factory(rows), order="desc", limit=2).collect()
+    # DESC pairs are normalized back to ascending before the rate is
+    # computed — values identical, limit takes from the late end
+    assert [r["rate"] for r in desc] == [asc[-1]["rate"], asc[-2]["rate"]]
+
+
+def test_rate_is_per_series(gauge_points_factory):
+    rows = [
+        ("t1", "a", T0, 0.0),
+        ("t1", "a", T0 + 60_000, 60.0),
+        ("t1", "b", T0 + 30_000, 100.0),
+        ("t1", "b", T0 + 90_000, 40.0),
+    ]
+    out = {
+        (r["metric"]): r["rate"]
+        for r in rate(gauge_points_factory(rows)).collect()
+    }
+    assert out["a"] == pytest.approx(60.0)
+    assert out["b"] == pytest.approx(-60.0)
+
+
+def test_rate_stats_composition(counter_points_factory):
+    rows = [("t1", "c", T0 + i * 10_000, 100 * i) for i in range(12)]
+    buckets = Buckets.from_step(T0, T0 + 120_000, 60_000)
+    out = (
+        rate_stats(counter_points_factory(rows), buckets, metric_type="counter")
+        .orderBy("start")
+        .collect()
+    )
+    # constant slope: 100 per 10s = 600/min everywhere
+    assert len(out) == 2
+    for r in out:
+        assert r["avg"] == pytest.approx(600.0)
+        assert r["min"] == pytest.approx(600.0)
