@@ -1,0 +1,240 @@
+"""MetricsService facade — the reference's service API re-expressed so
+every query *returns a DataFrame* (SURVEY.md §7.1).
+
+Maps one-to-one onto MetricsServiceImpl's public surface
+(core/.../service/MetricsServiceImpl.java): ingest, raw scans, rate,
+bucketed/stacked/tagged stats, availability analysis, periods, tag-query
+metric discovery, and the lifecycle jobs.  Thin dict adapters
+(``*_json``) shape REST-style responses where the reference returns JSON
+(NumericBucketPoint.java:42-50 null-field convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rhq_metrics_spark.model import (
+    METRICS_IDX_SCHEMA,
+    TENANTS_SCHEMA,
+    Buckets,
+    MetricType,
+)
+from rhq_metrics_spark.operators import (
+    availability_stats,
+    distinct_adjacent,
+    minmax_ts,
+    numeric_bucket_stats,
+    periods,
+    pooled_stats,
+    predicate,
+    rate,
+    rate_stats,
+    scalar_aggs,
+    stacked_stats,
+    tagged_stats,
+)
+from rhq_metrics_spark.sources.store import MetricsStore
+from rhq_metrics_spark.tags import find_metric_ids
+
+
+class MetricsService:
+    """create/ingest/query facade over a :class:`MetricsStore`."""
+
+    def __init__(self, spark: SparkSession, store: MetricsStore):
+        self.spark = spark
+        self.store = store
+
+    # -- tenants / definitions ------------------------------------------------
+
+    def create_tenant(self, tenant_id: str, retentions: dict[str, int] | None = None):
+        new = self.spark.createDataFrame([(tenant_id, retentions)], TENANTS_SCHEMA)
+        existing = self.store.tenants()
+        if existing is not None:
+            new = new.unionByName(existing.filter(F.col("id") != tenant_id))
+        self.store.save_tenants(new)
+
+    def create_metric(
+        self,
+        tenant_id: str,
+        metric_type: str,
+        metric: str,
+        tags: dict[str, str] | None = None,
+        data_retention: int | None = None,
+    ) -> None:
+        df = self.spark.createDataFrame(
+            [(tenant_id, MetricType.check(metric_type), metric, tags, data_retention)],
+            METRICS_IDX_SCHEMA,
+        )
+        self.store.upsert_metric_definitions(df)
+
+    def find_metrics(
+        self,
+        tag_expression: str | None = None,
+        simple_tags: dict[str, str] | None = None,
+        id_regex: str | None = None,
+        tenant_id: str | None = None,
+        metric_type: str | None = None,
+        with_timestamps: bool = False,
+    ) -> DataFrame:
+        """§3.2 metric discovery: tag query + id regex over definitions,
+        optionally enriched with data min/max timestamps (A8)."""
+        idx = self.store.metrics_idx()
+        if idx is None:
+            return self.spark.createDataFrame([], METRICS_IDX_SCHEMA)
+        if tenant_id:
+            idx = idx.filter(F.col("tenant_id") == tenant_id)
+        if metric_type:
+            idx = idx.filter(F.col("type") == metric_type)
+        out = find_metric_ids(idx, tag_expression, simple_tags, id_regex)
+        if with_timestamps and metric_type:
+            mm = minmax_ts(self.store.points(metric_type))
+            out = out.join(mm, ["tenant_id", "metric"], "left")
+        return out
+
+    # -- ingest ---------------------------------------------------------------
+
+    def add_data_points(self, metric_type: str, df: DataFrame) -> None:
+        self.store.add_data_points(metric_type, df)
+
+    # -- raw reads (S1-S4) ------------------------------------------------------
+
+    def find_data_points(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        metric: str | list[str] | None,
+        start: int,
+        end: int,
+        limit: int = 0,
+        order: str = "asc",
+        distinct: bool = False,
+    ) -> DataFrame:
+        df = self.store.find_data_points(
+            metric_type, tenant_id, metric, start, end, 0 if distinct else limit, order
+        )
+        if distinct:
+            # A7 distinct-adjacent for availability/string reads
+            df = distinct_adjacent(df).orderBy(
+                F.col("ts").asc() if order == "asc" else F.col("ts").desc()
+            )
+            if limit and limit > 0:
+                df = df.limit(limit)
+        return df
+
+    # -- numeric stats (A1/A3/A4/A5/A6) ----------------------------------------
+
+    def _scan(self, metric_type, tenant_id, metrics, start, end) -> DataFrame:
+        return self.store.find_data_points(metric_type, tenant_id, metrics, start, end)
+
+    def gauge_stats(
+        self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()
+    ) -> DataFrame:
+        pts = self._scan(MetricType.GAUGE, tenant_id, metric, buckets.start, buckets.end)
+        return numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+
+    def counter_stats(
+        self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()
+    ) -> DataFrame:
+        pts = self._scan(MetricType.COUNTER, tenant_id, metric, buckets.start, buckets.end)
+        return numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+
+    def numeric_stats(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        metrics: list[str],
+        buckets: Buckets,
+        percentiles: Sequence[float] = (),
+        stacked: bool = False,
+        is_rate: bool = False,
+    ) -> DataFrame:
+        """§3.3 multi-metric stats: stacked (A3) or pooled (A4), optionally
+        over the derived rate stream (W1) for gauge_rate/counter_rate."""
+        pts = self._scan(metric_type, tenant_id, metrics, buckets.start, buckets.end)
+        if is_rate:
+            pts = rate(pts, metric_type=metric_type).withColumnRenamed("rate", "value")
+        if stacked:
+            return stacked_stats(pts, buckets, percentiles).orderBy("start")
+        return pooled_stats(pts, buckets, percentiles).orderBy("start")
+
+    def tagged_gauge_stats(
+        self,
+        tenant_id: str,
+        metric: str,
+        tag_filters: Mapping[str, str],
+        start: int,
+        end: int,
+        percentiles: Sequence[float] = (),
+    ) -> DataFrame:
+        pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
+        return tagged_stats(pts, tag_filters, percentiles)
+
+    def gauge_aggregates(self, tenant_id, metric, start, end) -> DataFrame:
+        return scalar_aggs(self._scan(MetricType.GAUGE, tenant_id, metric, start, end))
+
+    # -- rate (W1) ---------------------------------------------------------------
+
+    def find_rate_data(
+        self, metric_type, tenant_id, metric, start, end, limit=0, order="asc"
+    ) -> DataFrame:
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return rate(pts, metric_type=metric_type, order=order, limit=limit)
+
+    def find_rate_stats(
+        self, metric_type, tenant_id, metric, buckets, percentiles=()
+    ) -> DataFrame:
+        pts = self._scan(metric_type, tenant_id, metric, buckets.start, buckets.end)
+        return rate_stats(pts, buckets, metric_type=metric_type, percentiles=percentiles)
+
+    # -- availability (A2/A7) -----------------------------------------------------
+
+    def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:
+        pts = self._scan(
+            MetricType.AVAILABILITY, tenant_id, metric, buckets.start, buckets.end
+        )
+        return availability_stats(pts, buckets).orderBy("start")
+
+    # -- periods (W2) --------------------------------------------------------------
+
+    def get_periods(self, tenant_id, metric, op, threshold, start, end) -> DataFrame:
+        pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
+        return periods(pts, predicate(op, threshold))
+
+    # -- lifecycle -----------------------------------------------------------------
+
+    def compact(self, closed_before_ms: int) -> dict[str, list[int]]:
+        return {
+            t: self.store.compact(t, closed_before_ms)
+            for t in MetricType.USER_WRITABLE
+        }
+
+    def apply_retention(self, now_ms: int, default_days: int = 7) -> dict[str, list[int]]:
+        cutoff = now_ms - default_days * 86_400_000
+        return {
+            t: self.store.apply_retention(t, cutoff) for t in MetricType.USER_WRITABLE
+        }
+
+    def delete_tenant(self, tenant_id: str) -> None:
+        self.store.delete_tenant(tenant_id)
+
+
+# -- JSON adapters (REST response shapes) -------------------------------------
+
+
+def bucket_points_json(df: DataFrame) -> list[dict]:
+    """NumericBucketPoint JSON convention: empty buckets carry only
+    start/end/empty (NumericBucketPoint.java:42-50, NaN→null)."""
+    out = []
+    for row in df.orderBy("start").collect():
+        d = row.asDict()
+        empty = d.get("samples", 0) == 0
+        rec = {"start": d["start"], "end": d["end"], "empty": empty}
+        if not empty:
+            for k, v in d.items():
+                if k not in ("start", "end"):
+                    rec[k] = v
+        out.append(rec)
+    return out

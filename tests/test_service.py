@@ -1,0 +1,104 @@
+"""End-to-end service tests — the pytest analogue of the reference's
+service integration suites (GaugeITest / CounterITest / TagsITest /
+AvailabilityITest, SURVEY.md §5 layer 2): insert → query → compare with
+recomputed stats.
+"""
+
+import numpy as np
+import pytest
+
+from rhq_metrics_spark.model import AVAILABILITY_SCHEMA, GAUGE_SCHEMA, Buckets
+from rhq_metrics_spark.service import MetricsService, bucket_points_json
+from rhq_metrics_spark.sources.store import MetricsStore
+
+T0 = 1_700_000_000_000
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    store = MetricsStore(spark, str(tmp_path_factory.mktemp("svc") / "store"))
+    svc = MetricsService(spark, store)
+    rows = [
+        ("t1", "g1", T0 + i * 10_000, float(np.sin(i) * 10 + i), None)
+        for i in range(120)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    avail = [
+        ("t1", "a1", T0 + i * 30_000, "up" if i % 5 else "down", None)
+        for i in range(40)
+    ]
+    svc.add_data_points(
+        "availability", spark.createDataFrame(avail, AVAILABILITY_SCHEMA)
+    )
+    svc.create_tenant("t1", {"gauge": 30})
+    svc.create_metric("t1", "gauge", "g1", tags={"env": "prod", "dc": "dc1"})
+    svc.create_metric("t1", "gauge", "g2", tags={"env": "stage"})
+    svc.create_metric("t1", "availability", "a1", tags={"env": "prod"})
+    return svc
+
+
+def test_gauge_stats_end_to_end(svc):
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 6)
+    out = svc.gauge_stats("t1", "g1", buckets, percentiles=[95]).collect()
+    assert len(out) == 6
+    values = np.array([np.sin(i) * 10 + i for i in range(120)])
+    ts = np.array([T0 + i * 10_000 for i in range(120)])
+    for r in out:
+        mask = (ts >= r["start"]) & (ts < r["end"])
+        assert r["samples"] == mask.sum()
+        assert r["avg"] == pytest.approx(values[mask].mean())
+        assert r["p95"] == pytest.approx(np.percentile(values[mask], 95))
+
+
+def test_find_metrics_by_tag(svc):
+    out = svc.find_metrics("env = prod", tenant_id="t1")
+    assert sorted(r["metric"] for r in out.collect()) == ["a1", "g1"]
+    out = svc.find_metrics("env = prod", tenant_id="t1", metric_type="gauge")
+    assert [r["metric"] for r in out.collect()] == ["g1"]
+
+
+def test_find_metrics_with_timestamps(svc):
+    out = svc.find_metrics(
+        "env = prod", tenant_id="t1", metric_type="gauge", with_timestamps=True
+    ).collect()
+    assert out[0]["min_ts"] == T0 and out[0]["max_ts"] == T0 + 119 * 10_000
+
+
+def test_availability_end_to_end(svc):
+    buckets = Buckets.from_step(T0, T0 + 40 * 30_000, 300_000)
+    out = svc.availability_stats("t1", "a1", buckets).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["up_duration"] + r["down_duration"] == 300_000
+        assert 0.0 <= r["uptime_ratio"] <= 1.0
+
+
+def test_rate_and_periods(svc):
+    out = svc.find_rate_data("gauge", "t1", "g1", T0, T0 + 1_200_000)
+    assert out.count() == 119
+    p = svc.get_periods("t1", "g1", "gt", 100.0, T0, T0 + 1_200_000)
+    assert p.count() >= 1
+
+
+def test_json_adapter_empty_bucket_convention(svc):
+    buckets = Buckets.from_step(T0, T0 + 2_400_000, 1_200_000)
+    js = bucket_points_json(svc.gauge_stats("t1", "g1", buckets))
+    assert js[0]["empty"] is False and "avg" in js[0]
+    assert js[1]["empty"] is True and "avg" not in js[1]
+
+
+def test_stats_query_fanout(svc):
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 4)
+    stacked = svc.numeric_stats(
+        "gauge", "t1", ["g1"], buckets, stacked=True
+    ).collect()
+    pooled = svc.numeric_stats("gauge", "t1", ["g1"], buckets, stacked=False).collect()
+    assert len(stacked) == len(pooled) == 4
+    # single metric: stacked == pooled for avg
+    for s, p in zip(sorted(stacked, key=lambda r: r["start"]),
+                    sorted(pooled, key=lambda r: r["start"])):
+        assert s["avg"] == pytest.approx(p["avg"])
+    rate_pooled = svc.numeric_stats(
+        "gauge", "t1", ["g1"], buckets, stacked=False, is_rate=True
+    )
+    assert rate_pooled.count() == 4

@@ -1,0 +1,112 @@
+"""Layered store: LWW dedup, partition-pruned scans, compaction, retention.
+
+Mirrors the reference's storage semantics: CQL upserts are
+last-write-wins per (metric, ts) (DataAccessImpl.java:215-221); queries
+merge temp + compressed layers with dedup (MetricsServiceImpl.java:680-693);
+the compression job finalizes closed 2h blocks (TempDataCompressor.java).
+"""
+
+import pytest
+
+from rhq_metrics_spark.model import GAUGE_SCHEMA, TWO_HOURS_MS
+from rhq_metrics_spark.sources.store import MetricsStore
+
+T0 = 1_700_000_400_000  # NOT slice-aligned on purpose
+SLICE0 = (T0 // TWO_HOURS_MS) * TWO_HOURS_MS
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return MetricsStore(spark, str(tmp_path / "store"))
+
+
+def _gauge(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r) + (None,) * (5 - len(r)) for r in rows], GAUGE_SCHEMA
+    )
+
+
+def test_write_read_roundtrip(spark, store):
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.5)]))
+    out = store.points("gauge").collect()
+    assert len(out) == 1 and out[0]["value"] == 1.5
+
+
+def test_last_write_wins_across_batches(spark, store):
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 2.0)]))
+    out = store.points("gauge").collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
+
+
+def test_scan_prunes_and_orders(spark, store):
+    rows = [("t1", "m", T0 + i * 60_000, float(i)) for i in range(10)]
+    rows += [("t2", "m", T0, 99.0), ("t1", "other", T0, 98.0)]
+    store.add_data_points("gauge", _gauge(spark, rows))
+    out = store.find_data_points(
+        "gauge", "t1", "m", T0 + 60_000, T0 + 5 * 60_000, order="desc"
+    ).collect()
+    assert [r["value"] for r in out] == [4.0, 3.0, 2.0, 1.0]
+    limited = store.find_data_points(
+        "gauge", "t1", "m", T0, T0 + 10 * 60_000, limit=3
+    ).collect()
+    assert [r["value"] for r in limited] == [0.0, 1.0, 2.0]
+
+
+def test_multi_metric_scan(spark, store):
+    store.add_data_points(
+        "gauge",
+        _gauge(spark, [("t1", "a", T0, 1.0), ("t1", "b", T0 + 1, 2.0), ("t1", "c", T0 + 2, 3.0)]),
+    )
+    out = store.find_data_points("gauge", "t1", ["a", "c"], T0, T0 + 10).collect()
+    assert sorted(r["metric"] for r in out) == ["a", "c"]
+
+
+def test_compaction_moves_closed_slices_and_keeps_lww(spark, store):
+    late_slice_ts = SLICE0 + 3 * TWO_HOURS_MS
+    store.add_data_points(
+        "gauge",
+        _gauge(spark, [("t1", "m", T0, 1.0), ("t1", "m", late_slice_ts, 5.0)]),
+    )
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 2.0)]))  # overwrite
+    done = store.compact("gauge", closed_before_ms=SLICE0 + TWO_HOURS_MS)
+    assert done == [SLICE0]
+    assert store.hot_slices("gauge") == [late_slice_ts // TWO_HOURS_MS * TWO_HOURS_MS]
+    out = {r["ts"]: r["value"] for r in store.points("gauge").collect()}
+    assert out == {T0: 2.0, late_slice_ts: 5.0}
+    # re-ingest into a compacted slice: hot beats cold on read and re-compaction
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 3.0)]))
+    out = {r["ts"]: r["value"] for r in store.points("gauge").collect()}
+    assert out[T0] == 3.0
+    store.compact("gauge", closed_before_ms=SLICE0 + TWO_HOURS_MS)
+    out = {r["ts"]: r["value"] for r in store.points("gauge").collect()}
+    assert out[T0] == 3.0
+
+
+def test_retention_drops_old_slices(spark, store):
+    old_ts = SLICE0 - 10 * TWO_HOURS_MS
+    store.add_data_points(
+        "gauge", _gauge(spark, [("t1", "m", old_ts, 1.0), ("t1", "m", T0, 2.0)])
+    )
+    dropped = store.apply_retention("gauge", cutoff_ms=SLICE0)
+    assert len(dropped) == 1
+    out = store.points("gauge").collect()
+    assert len(out) == 1 and out[0]["ts"] == T0
+
+
+def test_delete_tenant(spark, store):
+    store.add_data_points(
+        "gauge", _gauge(spark, [("t1", "m", T0, 1.0), ("t2", "m", T0, 2.0)])
+    )
+    store.delete_tenant("t1")
+    out = store.points("gauge").collect()
+    assert len(out) == 1 and out[0]["tenant_id"] == "t2"
+
+
+def test_expiration_index(spark, store):
+    store.add_data_points(
+        "gauge",
+        _gauge(spark, [("t1", "m", T0, 1.0), ("t1", "m", T0 + 999, 1.0)]),
+    )
+    row = store.expiration_index("gauge").collect()[0]
+    assert row["last_write_ts"] == T0 + 999

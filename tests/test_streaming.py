@@ -1,0 +1,72 @@
+"""Structured Streaming ingest (B1/B4) — file-source stream into the hot
+layer via the shared batched write path, plus windowed streaming stats.
+"""
+
+import json
+import time
+
+import pytest
+
+from rhq_metrics_spark.model import GAUGE_SCHEMA, TWO_HOURS_MS
+from rhq_metrics_spark.sources.store import MetricsStore
+from rhq_metrics_spark.streaming import start_ingest_stream
+from rhq_metrics_spark.streaming.ingest import windowed_stream_stats
+
+T0 = 1_700_000_400_000
+
+
+def test_stream_ingest_to_hot_layer(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two micro-files; the second contains an LWW overwrite and a late row
+    batch1 = [
+        {"tenant_id": "t1", "metric": "m", "ts": T0, "value": 1.0},
+        {"tenant_id": "t1", "metric": "m", "ts": T0 + 1000, "value": 2.0},
+    ]
+    late_ts = T0 - 5 * TWO_HOURS_MS  # out-of-order: lands in an old slice
+    batch2 = [
+        {"tenant_id": "t1", "metric": "m", "ts": T0, "value": 10.0},
+        {"tenant_id": "t1", "metric": "m", "ts": late_ts, "value": 7.0},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    stream = spark.readStream.schema(GAUGE_SCHEMA).json(str(src))
+    q = start_ingest_stream(
+        stream, store, "gauge", str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 60
+        while store.points("gauge").count() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+        while store.points("gauge").count() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    out = {r["ts"]: r["value"] for r in store.points("gauge").collect()}
+    assert out[T0] == 10.0  # later micro-batch wins (LWW)
+    assert out[T0 + 1000] == 2.0
+    assert out[late_ts] == 7.0  # late row routed to its (old) slice, still visible
+    # the late row landed in a separate date_slice partition
+    assert len(store.hot_slices("gauge")) == 2
+
+
+def test_windowed_stream_stats_schema(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .selectExpr(
+            "'t1' as tenant_id",
+            "concat('m', cast(value % 2 as string)) as metric",
+            "timestamp as event_time",
+            "cast(value as double) as value",
+        )
+    )
+    agg = windowed_stream_stats(stream, "1 minute", "10 seconds")
+    assert set(agg.columns) == {
+        "tenant_id", "metric", "window_start", "window_end",
+        "min", "avg", "max", "sum", "samples",
+    }
+    assert agg.isStreaming
