@@ -1,0 +1,351 @@
+"""Deduplication operators: exact, n-gram Jaccard (exact, index-join),
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+
+- **exact_dedup** — hash-groupBy on a normalized fingerprint; one
+  shuffle on a short hash key.  The canonical survivor is the min id
+  (deterministic).
+- **ngram_jaccard_pairs** — *exact* all-pairs Jaccard ≥ t without the
+  O(N²) cross join: inverted-index join on shared shingles (any pair
+  with J > 0 shares ≥ 1 shingle), counting shared shingles per pair in
+  one aggregation, then Jaccard from |A∩B| / (|A|+|B|-|A∩B|).  An
+  optional prefix filter (keep each doc's ``(1-t)·|d|+1`` globally
+  rarest shingles; standard ppjoin bound) cuts the index size with NO
+  false negatives.  Hot shingles are the skew risk — the prefix filter
+  removes exactly those.
+- **minhash_lsh_pairs** — approximate scale path: per-doc signature of
+  ``num_hashes`` min-hashes (md5-keyed, so the DuckDB oracle can
+  reproduce them bit-for-bit), banded into ``bands``; pairs sharing a
+  band bucket are candidates, then exact-Jaccard verified.  Shuffle is
+  on band-bucket keys.
+- **simhash_pairs** — 64-bit SimHash from token hashes; near-dups =
+  Hamming distance ≤ k found via band rotation (split into 4 16-bit
+  bands → pairs sharing a band, then exact popcount check; guaranteed
+  complete for k ≤ 3).
+- **embedding_near_dup_pairs** — cosine ≥ t over an embedding column,
+  via the same banding idea (random-hyperplane LSH) or brute force for
+  oracle-checkable small inputs.
+
+Everything is built-in column expressions — no Python UDFs in any hot
+path; the md5/xxhash64 calls are JVM intrinsics inside codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from rhq_metrics_spark.pipelines.text import shingles
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content,
+    keeping the smallest id; adds ``dup_count``."""
+    keyed = df.withColumn("_fp", F.md5(_norm_text(text_col)))
+    groups = keyed.groupBy("_fp").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return (
+        keyed.join(groups, "_fp")
+        .filter(F.col(id_col) == F.col("keep_id"))
+        .drop("_fp", "keep_id")
+    )
+
+
+def _shingle_df(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    toks = F.split(_norm_text(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(toks, n)).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_filter: bool = False,
+) -> DataFrame:
+    """EXACT near-duplicate pairs with shingle-set Jaccard ≥ threshold.
+
+    Output: ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count shared shingles per pair, compute Jaccard from set
+    sizes.  With ``prefix_filter`` each doc only indexes its
+    ``floor((1-t)·|d|)+1`` globally rarest shingles — the ppjoin prefix
+    bound: two sets with J ≥ t MUST share a token within their
+    prefixes, so candidate generation stays exact while hot shingles
+    drop out of the join.
+    """
+    sh = _shingle_df(df, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_shingles").alias("_size"))
+    exploded = sh.select("_id", F.explode("_shingles").alias("_sh"))
+
+    if prefix_filter:
+        freq = exploded.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            exploded.join(freq, "_sh")
+            .join(sizes, "_id")
+            .withColumn(
+                "_rank",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy(
+                        F.col("_df").asc(), F.col("_sh").asc()
+                    )
+                ),
+            )
+            .filter(
+                F.col("_rank")
+                <= F.floor((1.0 - threshold) * F.col("_size")).cast("int") + 1
+            )
+        )
+        index = ranked.select("_id", "_sh")
+    else:
+        index = exploded
+
+    pairs = (
+        index.alias("a")
+        .join(index.alias("b"), "_sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared_indexed"))
+    )
+    if prefix_filter:
+        # candidates only — recount the true intersection on full sets
+        full = exploded
+        shared = (
+            full.alias("a")
+            .join(full.alias("b"), "_sh")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        pairs = pairs.select("id_a", "id_b").join(shared, ["id_a", "id_b"])
+    else:
+        pairs = pairs.withColumnRenamed("_shared_indexed", "_shared")
+
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_size", "_sa"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_size", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_shared")
+            / (F.col("_sa") + F.col("_sb") - F.col("_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int
+) -> list[Column]:
+    """MinHash via keyed md5: ``minhash_i = min over shingles of
+    md5(i || ':' || shingle)``.  md5 is identical in Spark and DuckDB,
+    so the driver oracle reproduces signatures exactly."""
+    def _mh(i: int) -> Column:
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(prefix, s)))
+        ).alias(f"mh_{i}")
+
+    return [_mh(i) for i in range(num_hashes)]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
+
+    Output: ``(id_a, id_b, jaccard)`` — candidates that share at least
+    one of ``bands`` band-buckets (rows of ``num_hashes/bands``
+    signature values), filtered to true Jaccard ≥ threshold when
+    ``verify``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sh = _shingle_df(df, id_col, text_col, n)
+    sig = sh.select("_id", "_shingles", *minhash_signature(F.col("_shingles"), num_hashes))
+
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "_bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands.withColumn("jaccard", F.lit(None).cast("double"))
+
+    sets = sh.select(F.col("_id"), F.col("_shingles"))
+    out = (
+        cands.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _token_hash64(tok: Column) -> Column:
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5 → long
+    (same construction castable in DuckDB)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(toks: Column, bits: int = 60) -> Column:
+    """SimHash over a token array: per bit, sign of Σ(±1) across token
+    hashes.  Pure column expressions (transform + aggregate)."""
+    hashes = F.transform(toks, _token_hash64)
+
+    def _vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = [
+        F.when(_vote(b) > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(bits)
+    ]
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Band rotation: split the signature into ``bands`` chunks; any pair
+    within Hamming ≤ bands-1 shares an identical chunk (pigeonhole), so
+    the candidate join is complete for max_hamming ≤ bands - 1.
+    Output: (id_a, id_b, hamming).
+    """
+    toks = F.split(_norm_text(text_col), " ")
+    sigd = df.select(F.col(id_col).alias("_id"), simhash64(toks, bits).alias("_sig"))
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    buckets = sigd.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col("_sig"), b * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "_bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dups: cosine(a, b) ≥ threshold, brute-force
+    pairwise (exact; use :func:`rhq_metrics_spark.pipelines.similarity.
+    lsh_cosine_topk`'s bucketing for the approximate scale path).
+    Output: (id_a, id_b, cosine)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    norm = v.withColumn(
+        "_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    pairs = (
+        norm.alias("a")
+        .join(norm.alias("b"), F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,182 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+pluggable callable — the default is a deterministic fake decoder (bytes
+→ pseudo-pixels via a hash expansion) clearly marked as a stub; wire a
+real library (Pillow/torchaudio/decord) by passing ``decoder=``.  The
+Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+signatures, partition sizing — is real and tested; swapping the stub
+for a real codec changes no plan shape.
+
+Scale notes: media payloads ride as parquet ``binary``; metadata stays
+in typed columns so filters (kind, width, duration) prune row groups
+WITHOUT touching the blobs (parquet column pruning — the scan never
+reads payload bytes for metadata-only queries).  Decode/feature steps
+are ``mapInPandas`` (Arrow-batched); batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it low for
+large blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("feat_mean", StringType(), True),   # stringified for stability
+        StructField("feat_dim", IntegerType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes, out_elems: int = 64) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-pixels from a hash expansion.
+
+    Replace with a real codec (``PIL.Image.open`` / ``soundfile.read``)
+    in production — the surrounding Spark plumbing is unchanged.
+    """
+    if payload is None:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library not present "
+            "in this environment; supply decoder= to media_features()"
+        )
+    h = hashlib.sha256(payload).digest()
+    reps = (out_elems * 4 // len(h)) + 1
+    raw = (h * reps)[: out_elems * 4]
+    return np.frombuffer(raw, dtype=np.uint32).astype(np.float64) / np.iinfo(np.uint32).max
+
+
+def media_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+    feat_dim: int = 64,
+) -> DataFrame:
+    """Decode + feature-extract media payloads via Arrow-batched
+    ``mapInPandas``.  Output: FEATURE_SCHEMA (one row per media item)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, means, shas, nb = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    nb.append(None), means.append(None), shas.append(None)
+                    feats.append(None)
+                    continue
+                arr = decoder(bytes(payload))
+                nb.append(len(payload))
+                means.append(f"{float(arr.mean()):.10f}")
+                shas.append(hashlib.sha256(bytes(payload)).hexdigest())
+                feats.append(len(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.array(nb, dtype="Int32"),
+                    "feat_mean": means,
+                    "feat_dim": pd.array(feats, dtype="Int32"),
+                    "sha256": shas,
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+    ]
+)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expand (media_id, duration) into one
+    row per sampled frame timestamp — pure JVM ``sequence``/``explode``;
+    the per-frame decode then rides :func:`media_features`' path.
+    Sampling the plan before decode keeps the blob reads proportional
+    to frames wanted, not media length."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+) -> DataFrame:
+    """Image resize plumbing: decode → (stub) resample → emit new dims +
+    a deterministic checksum of the 'resized' buffer.  Real resize =
+    swap the two marked lines for PIL ``Image.resize``."""
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("resized_sha", StringType(), True),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    shas.append(None)
+                    continue
+                arr = decoder(bytes(payload))                 # STUB decode
+                resized = np.resize(arr, target_w * target_h)  # STUB resample
+                shas.append(hashlib.sha256(resized.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([target_w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([target_h] * len(pdf), dtype="Int32"),
+                    "resized_sha": shas,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_resize, schema=out_schema)

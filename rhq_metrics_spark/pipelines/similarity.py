@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- **cosine_topk** — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, compute cosine JVM-side
+  (``zip_with`` + ``aggregate`` stay inside codegen), rank with one
+  window.  At 100 TB the corpus side stays partition-parallel and the
+  query side is a broadcast — no corpus shuffle at all; the final
+  top-k is a per-query partial (map-side) top-k under AQE.
+- **lsh_cosine_topk** — the scale path: random-hyperplane LSH.  Each
+  vector gets a ``num_planes``-bit sign signature from deterministic
+  (seeded) hyperplanes; candidates share a signature bucket in at
+  least one of ``tables`` tables; exact cosine re-ranks candidates.
+  Recall is tunable via tables × planes; the bucket join replaces the
+  N×Q cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(vec_col) -> Column:
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _l2norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)`` — ties broken by
+    neighbor id (deterministic).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", _l2norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", _l2norm(F.col("_qv")))
+
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(tables, num_planes, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature of one LSH table: packed int of
+    sign(v · plane_i) bits — pure column arithmetic per plane."""
+    bits = []
+    for i, plane in enumerate(planes):
+        terms = [
+            F.element_at(vec, j + 1) * float(w)
+            for j, w in enumerate(plane)
+            if w != 0.0
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    num_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing + exact
+    re-rank of candidates.  Same output shape as :func:`cosine_topk`
+    (rank is within retrieved candidates)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, tables, seed)
+
+    def bucketed(df: DataFrame, ident: str, idc: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        sigs = [
+            F.concat(F.lit(f"{t}:"), lsh_signature(v, planes[t]).cast("string"))
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(idc).alias(ident),
+            v.alias(f"_{ident}_v"),
+            F.explode(F.array(*sigs)).alias("_bucket"),
+        )
+
+    cb = bucketed(corpus, "neighbor_id", id_col)
+    qb = bucketed(queries, "query_id", query_id_col)
+    cands = (
+        cb.join(F.broadcast(qb), "_bucket")
+        .select("query_id", "neighbor_id", "_neighbor_id_v", "_query_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("_neighbor_id_v"), F.col("_query_id_v"))
+            / (_l2norm(F.col("_neighbor_id_v")) * _l2norm(F.col("_query_id_v")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,162 @@
+"""Text analysis operators for training-data pipelines.
+
+All operators are pure JVM-side column expressions (no Python UDFs):
+whole-stage-codegen keeps them pipeline-fused with the parquet scan at
+100 TB.  Every formula is deliberately expressible in ANSI SQL so the
+driver's DuckDB oracle can recompute it (see __spark_entry__.py).
+
+Operators: token counting (whitespace + BPE-ish word-piece regex),
+quality scoring (length / punctuation / stopword / word-length
+features), language ID (stopword-lexicon n-gram heuristic), document
+fingerprinting (polynomial rolling hash + winnowing-style min-shingle
+fingerprint).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Deliberately tiny, deterministic stopword lexicons (top function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "que", "por"],
+}
+
+#: BPE-ish word-piece pattern: runs of letters, runs of digits, or a
+#: single non-space symbol — a cheap proxy for byte-pair token counts.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_MOD = 1_000_000_007
+_ROLL_BASE = 31
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish token count, char count."""
+    text = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.size(_tokens(text)),
+            # regexp_count is JVM-side; counts BPE-ish word pieces
+            "n_tokens_bpe": F.regexp_count(text, F.lit(BPE_ISH_PATTERN)),
+            "n_chars_measured": F.length(text),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1].
+
+    Features: length band, punctuation ratio, stopword ratio, mean
+    word length band — the standard cheap quality heuristics for
+    pretraining-corpus filtering.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tok > 0, (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok)).otherwise(F.lit(0.0))
+
+    length_ok = (n_tok >= 5) & (n_tok <= 100_000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.25
+        + word_len_ok.cast("double") * 0.25
+        + (punct_ratio <= 0.2).cast("double") * 0.25
+        + (stop_ratio >= 0.05).cast("double") * 0.25
+    )
+    return df.withColumns(
+        {
+            "punct_ratio": punct_ratio.cast("double"),
+            "stopword_ratio": stop_ratio.cast("double"),
+            "mean_word_len": mean_word_len.cast("double"),
+            "quality": score,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-lexicon language ID: score = matched-stopword count per
+    language; argmax with deterministic (alphabetical) tie-break;
+    'und' (undetermined) when nothing matches."""
+    toks = _tokens(F.col(text_col))
+
+    def _score(ws: list[str]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(ws) for lang, ws in STOPWORDS.items()}
+    # deterministic argmax: iterate langs alphabetically, strict '>' keeps first
+    langs = sorted(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("lang_pred", best_lang)
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over characters:
+    ``h = (h*31 + ascii(c)) mod 1e9+7`` — identical arithmetic is
+    expressible in the DuckDB oracle (list_reduce), so fingerprints
+    hash-match across engines."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _ROLL_BASE + F.coalesce(F.ascii(ch), F.lit(0))) % _MOD,
+    )
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Word n-grams as strings from a token array (JVM-side transform).
+
+    Guard: ``sequence(0, -1)`` would generate a *descending* [0, -1] —
+    short docs must yield an empty array instead.
+    """
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Document fingerprints:
+
+    - ``fp_roll``: polynomial rolling hash of the whitespace-normalized
+      lowercased text (exact-dup key, order-sensitive);
+    - ``fp_min_shingle``: winnowing-style minimum md5 over word
+      n-gram shingles (robust to local edits — the classic
+      document-fingerprint selection step).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = F.split(norm, " ")
+    sh = shingles(toks, shingle_n)
+    return df.withColumns(
+        {
+            "fp_roll": rolling_hash(norm),
+            "fp_min_shingle": F.when(
+                F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
+            ).otherwise(F.md5(norm)),
+        }
+    )

@@ -1,0 +1,134 @@
+"""Dedup operators — exact, n-gram Jaccard (vs brute-force python
+oracle), MinHash LSH (candidate completeness on near-identical docs),
+SimHash, embedding near-dup."""
+
+import itertools
+
+import pytest
+
+from rhq_metrics_spark.pipelines.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _jaccard_oracle(rows, n=3, threshold=0.5):
+    def sh(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    sets = {i: sh(t) for i, t in rows}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_exact_dedup(spark):
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),        # dup after normalization
+        (3, "HELLO WORLD"),        # dup
+        (4, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    kept = {r["doc_id"]: r["dup_count"] for r in out}
+    assert kept == {1: 3, 4: 1}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a completely different sentence with other words entirely"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    want = _jaccard_oracle(rows, threshold=0.3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(docs):
+    base = docs.limit(60)
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(base, threshold=0.2, n=2).collect()
+    }
+    filtered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            base, threshold=0.2, n=2, prefix_filter=True
+        ).collect()
+    }
+    assert plain == filtered  # prefix filter must not lose pairs
+
+
+def test_minhash_lsh_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog and then runs away fast"
+    rows = [
+        (1, base),
+        (2, base.replace("fast", "slow")),
+        (3, "totally unrelated words about spark query engines and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, threshold=0.5, num_hashes=12, bands=6)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_verify_threshold(spark):
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "aa bb cc dd ee ff gg hh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, threshold=0.99, n=2).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_near_dups(spark):
+    base = ("spark dataframes give a declarative api for distributed query "
+            "processing over columnar storage with catalyst optimization")
+    rows = [
+        (1, base),
+        (2, base.replace("columnar", "vectorized")),
+        (3, "entirely distinct content about cooking pasta with tomato sauce basil"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_pairs(df, max_hamming=12)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cosine"] == pytest.approx(0.9999, abs=1e-3)

@@ -1,0 +1,79 @@
+"""Similarity search: brute-force cosine top-k (vs numpy oracle) and
+LSH recall on the real embeddings table."""
+
+import numpy as np
+import pytest
+
+from rhq_metrics_spark.pipelines.similarity import cosine_topk, lsh_cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, qidx, k):
+    q = mat[qidx]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(s, i) for s, i in zip(sims, ids) if i != ids[qidx]],
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [(i, s) for s, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    queries = emb.filter("vec_id < 3")
+    out = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        qidx = int(np.where(ids == qid)[0][0])
+        want = _numpy_topk(ids, mat, qidx, 5)
+        assert [r["neighbor_id"] for r in rows] == [w[0] for w in want]
+        for r, w in zip(rows, want):
+            assert r["cosine"] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_lsh_topk_recall(emb, emb_np):
+    ids, mat = emb_np
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    # random embeddings have near-orthogonal neighbors: use short
+    # signatures × many tables for recall (the tables×planes dial)
+    approx = lsh_cosine_topk(emb, queries, k=5, num_planes=4, tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # tunable-recall sanity bound
+
+
+def test_lsh_candidates_are_exactly_scored(emb):
+    queries = emb.filter("vec_id = 0")
+    out = lsh_cosine_topk(emb, queries, k=3, num_planes=4, tables=4).collect()
+    exact = {
+        r["neighbor_id"]: r["cosine"]
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in out:
+        assert r["cosine"] == pytest.approx(exact[r["neighbor_id"]], abs=1e-9)

@@ -1,0 +1,82 @@
+"""Text-analysis operators on the real documents table."""
+
+import pytest
+
+from rhq_metrics_spark.pipelines.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "id int, text string")
+    row = token_stats(df).collect()[0]
+    assert row["n_tokens_ws"] == 4
+    # BPE-ish: Hello , world ! 42 times = 6
+    assert row["n_tokens_bpe"] == 6
+    assert row["n_chars_measured"] == len("Hello, world! 42 times")
+
+
+def test_token_stats_on_real_docs(docs):
+    out = token_stats(docs)
+    rows = out.collect()
+    assert all(r["n_tokens_ws"] > 0 for r in rows)
+    assert all(r["n_chars_measured"] == r["n_chars"] for r in rows)
+
+
+def test_quality_score_components(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away to the hills"
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id int, text string")
+    out = {r["id"]: r for r in quality_score(df).collect()}
+    assert out[1]["quality"] == 1.0
+    # garbage passes only the two band checks (length, word length)
+    assert out[2]["quality"] == 0.5
+    assert out[2]["punct_ratio"] > 0.5
+    # 'the'×3 + 'and' + 'to' = 5 stopwords of 16 tokens
+    assert out[1]["stopword_ratio"] == pytest.approx(5 / 16)
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog in a house is that it for"),
+        (2, "der hund und die katze ist von dem haus nicht"),
+        (3, "le chat et la maison est que pour les chiens"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    rows = [
+        (1, "Hello   World foo bar baz"),
+        (2, "hello world foo bar baz"),      # same after normalization
+        (3, "entirely different text here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in document_fingerprint(df).collect()}
+    assert out[1]["fp_roll"] == out[2]["fp_roll"]
+    assert out[1]["fp_min_shingle"] == out[2]["fp_min_shingle"]
+    assert out[1]["fp_roll"] != out[3]["fp_roll"]
+
+
+def test_fingerprint_python_oracle(spark):
+    text = "abc def"
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    got = document_fingerprint(df).collect()[0]["fp_roll"]
+    h = 0
+    for ch in text:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    assert got == h
