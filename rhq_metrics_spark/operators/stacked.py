@@ -39,6 +39,7 @@ def stacked_stats(
     ts_col: str = "ts",
     metric_cols: Sequence[str] = ("tenant_id", "metric"),
     fill_empty: bool = True,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """A3: per-bucket element-wise sum of per-metric bucket stats."""
     per_metric = numeric_bucket_stats(
@@ -49,6 +50,7 @@ def stacked_stats(
         ts_col=ts_col,
         group_cols=metric_cols,
         fill_empty=False,  # empty per-metric buckets contribute nothing
+        value_scale=value_scale,
     )
     pct_cols = [percentile_col_name(q) for q in percentiles]
     stacked = per_metric.groupBy("start", "end").agg(
@@ -77,6 +79,7 @@ def pooled_stats(
     value_col: str = "value",
     ts_col: str = "ts",
     fill_empty: bool = True,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """A4: all selected metrics pooled into a single bucket-stats pass."""
     return numeric_bucket_stats(
@@ -87,4 +90,5 @@ def pooled_stats(
         ts_col=ts_col,
         group_cols=(),
         fill_empty=fill_empty,
+        value_scale=value_scale,
     )

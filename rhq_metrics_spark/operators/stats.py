@@ -60,7 +60,13 @@ def _stat_aggs(
     value_col: str,
     percentiles: Sequence[float],
     approx: bool,
+    value_scale: int | None = None,
 ) -> list[Column]:
+    """``value_scale`` switches sum/avg to exact integer accumulation of
+    ``round(value * scale)`` — order-independent across partitions (and
+    engines), for inputs with fixed decimal precision.  Floating sums
+    are order-dependent in their last ulps, which matters when a
+    downstream consumer rounds near a decimal boundary."""
     v = F.col(value_col).cast("double")
     if approx:
         med = F.approx_percentile(v, F.lit(0.5))
@@ -74,15 +80,44 @@ def _stat_aggs(
             F.percentile(v, F.lit(q / 100.0)).alias(percentile_col_name(q))
             for q in percentiles
         ]
+    if value_scale:
+        scaled = F.sum(F.round(v * value_scale).cast("long"))
+        sum_col = quantize(scaled, value_scale, 1).alias("sum")
+        avg_col = quantize(scaled, value_scale, F.count(v)).alias("avg")
+    else:
+        sum_col = F.sum(v).alias("sum")
+        avg_col = F.avg(v).alias("avg")
     return [
         F.min(v).alias("min"),
-        F.avg(v).alias("avg"),
+        avg_col,
         med.alias("median"),
         F.max(v).alias("max"),
-        F.sum(v).alias("sum"),
+        sum_col,
         F.count(v).alias("samples"),
         *pcts,
     ]
+
+
+#: output decimal places for quantized (value_scale) sums/averages
+QUANT_DP = 4
+
+
+def quantize(scaled_sum: Column, value_scale: int, denom) -> Column:
+    """Engine-portable 4-dp quantization of ``scaled_sum / scale / denom``.
+
+    Never rounds an inexact decimal: the round() input is an exact
+    integer ratio, whose only rounding boundaries are exactly
+    representable halves — which Spark (BigDecimal HALF_UP) and e.g.
+    DuckDB (half away from zero) treat identically.  Rounding the
+    *divided* double instead trips on shortest-decimal-representation
+    semantics (Spark rounds ``...749999996`` as its repr "…75").
+    """
+    n = 10 ** QUANT_DP
+    if value_scale <= n:
+        x = scaled_sum * float(n // value_scale) / denom
+    else:
+        x = scaled_sum / (float(value_scale // n) * denom)
+    return F.round(x) / n
 
 
 def bucket_dimension(df_or_spark, buckets: Buckets) -> DataFrame:
@@ -104,6 +139,7 @@ def numeric_bucket_stats(
     group_cols: Sequence[str] = (),
     fill_empty: bool = True,
     approx: bool = False,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """A1: bucketed min/avg/median/max/sum/samples (+ percentiles).
 
@@ -116,7 +152,7 @@ def numeric_bucket_stats(
         df.filter(in_grid(buckets, ts_col))
         .withColumn("bucket_idx", bucket_index(buckets, ts_col))
         .groupBy(*group_cols, "bucket_idx")
-        .agg(*_stat_aggs(value_col, percentiles, approx))
+        .agg(*_stat_aggs(value_col, percentiles, approx, value_scale))
     )
     dim = bucket_dimension(df, buckets)
     if not fill_empty:
@@ -138,14 +174,22 @@ def scalar_aggs(
     df: DataFrame,
     value_col: str = "value",
     group_cols: Sequence[str] = (),
+    value_scale: int | None = None,
 ) -> DataFrame:
     """A6: whole-range min/max/avg/sum (+ samples) over one scan."""
     v = F.col(value_col).cast("double")
+    if value_scale:
+        scaled = F.sum(F.round(v * value_scale).cast("long"))
+        sum_col = quantize(scaled, value_scale, 1).alias("sum")
+        avg_col = quantize(scaled, value_scale, F.count(v)).alias("avg")
+    else:
+        sum_col = F.sum(v).alias("sum")
+        avg_col = F.avg(v).alias("avg")
     aggs = [
         F.min(v).alias("min"),
         F.max(v).alias("max"),
-        F.avg(v).alias("avg"),
-        F.sum(v).alias("sum"),
+        avg_col,
+        sum_col,
         F.count(v).alias("samples"),
     ]
     if group_cols:

@@ -44,6 +44,7 @@ def tagged_stats(
     value_col: str = "value",
     tags_col: str = "tags",
     approx: bool = False,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Output: one column ``tag_<key>`` per filter key + A1 stat columns."""
     if not tag_filters:
@@ -57,5 +58,5 @@ def tagged_stats(
     return (
         df.filter(cond)
         .groupBy(*keys)
-        .agg(*_stat_aggs(value_col, percentiles, approx))
+        .agg(*_stat_aggs(value_col, percentiles, approx, value_scale))
     )
