@@ -53,6 +53,11 @@ def main() -> None:
     spark = get_spark(app_name="rhq-metrics-spark-bench")
 
     qs = entry.queries()
+    # warm up the JVM + file listings so fixed session cost isn't charged
+    # to whichever query happens to run first
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -63,11 +63,27 @@ def exact_dedup(
 def _shingle_df(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    toks = F.split(_norm_text(text_col), " ")
-    return df.select(
+    """(id, distinct shingle array) — built through explicit projection
+    boundaries so the normalization/tokenization expression is evaluated
+    ONCE per row.  Referencing an unbound expression from inside
+    ``transform``'s per-position lambda would inline (and re-evaluate)
+    the whole regex pipeline per shingle position — a ~200× slowdown
+    measured at 5k docs.  Also spreads a few-file input across the
+    cluster: shingling is CPU-bound, so partitions = cores, not files.
+    """
+    spark = df.sparkSession
+    toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(toks, n)).alias("_shingles"),
-    ).filter(F.size("_shingles") > 0)
+        F.split(_norm_text(text_col), " ").alias("_toks"),
+    )
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        toks.select(
+            "_id", F.array_distinct(shingles(F.col("_toks"), n)).alias("_shingles")
+        )
+        .filter(F.size("_shingles") > 0)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -90,7 +106,9 @@ def ngram_jaccard_pairs(
     prefixes, so candidate generation stays exact while hot shingles
     drop out of the join.
     """
-    sh = _shingle_df(df, id_col, text_col, n)
+    # shingle sets are reused by several branches (index, sizes, verify):
+    # persist once instead of recomputing the tokenization per branch
+    sh = _shingle_df(df, id_col, text_col, n).persist()
     sizes = sh.select("_id", F.size("_shingles").alias("_size"))
     exploded = sh.select("_id", F.explode("_shingles").alias("_sh"))
 
@@ -112,32 +130,38 @@ def ngram_jaccard_pairs(
                 <= F.floor((1.0 - threshold) * F.col("_size")).cast("int") + 1
             )
         )
-        index = ranked.select("_id", "_sh")
-    else:
-        index = exploded
+        # candidate pairs from the (small) prefix index, then exact
+        # verification via set intersection on the persisted arrays —
+        # never a second full self-join
+        cands = (
+            ranked.select("_id", "_sh").alias("a")
+            .join(ranked.select("_id", "_sh").alias("b"), "_sh")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        sets_a = sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sa"))
+        sets_b = sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sb"))
+        return (
+            cands.join(sets_a, "id_a")
+            .join(sets_b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     pairs = (
-        index.alias("a")
-        .join(index.alias("b"), "_sh")
+        exploded.alias("a")
+        .join(exploded.alias("b"), "_sh")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_shared_indexed"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
     )
-    if prefix_filter:
-        # candidates only — recount the true intersection on full sets
-        full = exploded
-        shared = (
-            full.alias("a")
-            .join(full.alias("b"), "_sh")
-            .filter(F.col("a._id") < F.col("b._id"))
-            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("_shared"))
-        )
-        pairs = pairs.select("id_a", "id_b").join(shared, ["id_a", "id_b"])
-    else:
-        pairs = pairs.withColumnRenamed("_shared_indexed", "_shared")
-
-    out = (
+    return (
         pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_size", "_sa"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_size", "_sb"), "id_b")
         .withColumn(
@@ -148,7 +172,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signature(
@@ -186,7 +209,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sh = _shingle_df(df, id_col, text_col, n)
+    sh = _shingle_df(df, id_col, text_col, n).persist()
     sig = sh.select("_id", "_shingles", *minhash_signature(F.col("_shingles"), num_hashes))
 
     band_cols = [
@@ -274,9 +297,33 @@ def simhash_pairs(
     within Hamming ≤ bands-1 shares an identical chunk (pigeonhole), so
     the candidate join is complete for max_hamming ≤ bands - 1.
     Output: (id_a, id_b, hamming).
+
+    Signature computation is explode → one hash-agg with ``bits``
+    conditional sums — vectorized and codegen'd, unlike per-bit array
+    aggregates which would re-evaluate the token hashing per bit.
     """
-    toks = F.split(_norm_text(text_col), " ")
-    sigd = df.select(F.col(id_col).alias("_id"), simhash64(toks, bits).alias("_sig"))
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(_norm_text(text_col), " ").alias("_toks")
+    )
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    hashes = toks.select("_id", F.explode("_toks").alias("_tk")).select(
+        "_id", _token_hash64(F.col("_tk")).alias("_hv")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = hashes.groupBy("_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    # persisted: the bucket self-join would otherwise evaluate the whole
+    # tokenize→hash→vote pipeline once per join side
+    sigd = agg.select("_id", sig.cast("long").alias("_sig")).persist()
     chunk = bits // bands
     mask = (1 << chunk) - 1
     buckets = sigd.select(

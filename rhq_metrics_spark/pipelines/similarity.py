@@ -118,14 +118,21 @@ def lsh_cosine_topk(
     planes = _hyperplanes(dim, num_planes, tables, seed)
 
     def bucketed(df: DataFrame, ident: str, idc: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
+        # bind the double-cast vector ONCE; the plane signatures reference
+        # the bound attribute (tables × planes × dim element_at terms
+        # would otherwise each inline the cast-transform expression)
+        bound = df.select(
+            F.col(idc).alias(ident),
+            _as_double(F.col(vec_col)).alias(f"_{ident}_v"),
+        )
+        v = F.col(f"_{ident}_v")
         sigs = [
             F.concat(F.lit(f"{t}:"), lsh_signature(v, planes[t]).cast("string"))
             for t in range(tables)
         ]
-        return df.select(
-            F.col(idc).alias(ident),
-            v.alias(f"_{ident}_v"),
+        return bound.select(
+            ident,
+            f"_{ident}_v",
             F.explode(F.array(*sigs)).alias("_bucket"),
         )
 

@@ -149,14 +149,17 @@ def document_fingerprint(
       n-gram shingles (robust to local edits — the classic
       document-fingerprint selection step).
     """
+    # bind norm/toks/grams through projection boundaries so the regex
+    # normalization runs once per row, not once per downstream reference
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    toks = F.split(norm, " ")
-    sh = shingles(toks, shingle_n)
-    return df.withColumns(
+    bound = df.withColumn("_norm", norm).withColumn("_toks", F.split(F.col("_norm"), " "))
+    bound = bound.withColumn("_grams", shingles(F.col("_toks"), shingle_n))
+    return bound.withColumns(
         {
-            "fp_roll": rolling_hash(norm),
+            "fp_roll": rolling_hash(F.col("_norm")),
             "fp_min_shingle": F.when(
-                F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
-            ).otherwise(F.md5(norm)),
+                F.size("_grams") > 0,
+                F.array_min(F.transform(F.col("_grams"), F.md5)),
+            ).otherwise(F.md5(F.col("_norm"))),
         }
-    )
+    ).drop("_norm", "_toks", "_grams")
