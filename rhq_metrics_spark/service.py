@@ -96,7 +96,19 @@ class MetricsService:
 
     # -- ingest ---------------------------------------------------------------
 
-    def add_data_points(self, metric_type: str, df: DataFrame) -> None:
+    def add_data_points(
+        self, metric_type: str, df: DataFrame, max_string_size: int | None = 2048
+    ) -> None:
+        """S5 ingest.  For string metrics, applies the F7 size guard —
+        the reference rejects oversized string values at write time
+        (MetricsServiceImpl.java:196,330-334)."""
+        if metric_type == MetricType.STRING and max_string_size:
+            over = df.filter(F.length("value") > max_string_size).limit(1).collect()
+            if over:
+                raise ValueError(
+                    f"string metric value exceeds max size {max_string_size}: "
+                    f"metric={over[0]['metric']!r}"
+                )
         self.store.add_data_points(metric_type, df)
 
     # -- raw reads (S1-S4) ------------------------------------------------------
@@ -123,6 +135,59 @@ class MetricsService:
             if limit and limit > 0:
                 df = df.limit(limit)
         return df
+
+    def find_data_points_by_tags(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        tag_expression: str,
+        start: int,
+        end: int,
+    ) -> DataFrame:
+        """J1: tag query drives the data scan — matched metric ids
+        broadcast-semi-join the (pruned) point scan
+        (MetricsServiceImpl.java:829-834)."""
+        ids = self.find_metrics(
+            tag_expression, tenant_id=tenant_id, metric_type=metric_type
+        ).select("tenant_id", "metric")
+        pts = self.store.find_data_points(metric_type, tenant_id, None, start, end)
+        return pts.join(F.broadcast(ids), ["tenant_id", "metric"], "left_semi")
+
+    def from_earliest_start(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        metrics: list[str],
+        now_ms: int,
+        default_retention_days: int = 7,
+    ) -> int:
+        """``fromEarliest=true``: derive the query start from the max
+        retention among the selected metrics
+        (api/.../MetricsServiceHandler.java:79-107)."""
+        idx = self.store.metrics_idx()
+        retention = default_retention_days
+        if idx is not None:
+            row = (
+                idx.filter(
+                    (F.col("tenant_id") == tenant_id)
+                    & (F.col("type") == metric_type)
+                    & F.col("metric").isin(metrics)
+                )
+                .agg(F.max("data_retention"))
+                .collect()[0]
+            )
+            if row[0] is not None:
+                retention = max(retention, int(row[0]))
+        tenants = self.store.tenants()
+        if tenants is not None:
+            row = (
+                tenants.filter(F.col("id") == tenant_id)
+                .select(F.col("retentions")[metric_type])
+                .collect()
+            )
+            if row and row[0][0] is not None:
+                retention = max(retention, int(row[0][0]))
+        return now_ms - retention * 86_400_000
 
     # -- numeric stats (A1/A3/A4/A5/A6) ----------------------------------------
 

@@ -102,3 +102,31 @@ def test_stats_query_fanout(svc):
         "gauge", "t1", ["g1"], buckets, stacked=False, is_rate=True
     )
     assert rate_pooled.count() == 4
+
+
+def test_string_size_guard(svc, spark):
+    from rhq_metrics_spark.model import STRING_SCHEMA
+
+    ok = spark.createDataFrame([("t1", "s1", T0, "short", None)], STRING_SCHEMA)
+    svc.add_data_points("string", ok, max_string_size=10)
+    bad = spark.createDataFrame([("t1", "s1", T0 + 1, "x" * 99, None)], STRING_SCHEMA)
+    with pytest.raises(ValueError, match="exceeds max size"):
+        svc.add_data_points("string", bad, max_string_size=10)
+
+
+def test_find_data_points_by_tags(svc):
+    out = svc.find_data_points_by_tags(
+        "gauge", "t1", "env = prod", T0, T0 + 1_200_000
+    )
+    assert out.count() == 120  # only g1 matches env=prod and has data
+    assert out.select("metric").distinct().collect()[0][0] == "g1"
+
+
+def test_from_earliest(svc):
+    now = T0 + 10 * 86_400_000
+    # tenant t1 has gauge retention 30d; metric has no override
+    start = svc.from_earliest_start("gauge", "t1", ["g1"], now)
+    assert start == now - 30 * 86_400_000
+    svc.create_metric("t1", "gauge", "g_ret", tags={}, data_retention=90)
+    start = svc.from_earliest_start("gauge", "t1", ["g_ret"], now)
+    assert start == now - 90 * 86_400_000
