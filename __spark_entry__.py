@@ -55,7 +55,11 @@ from rhq_metrics_spark.pipelines.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from rhq_metrics_spark.pipelines.similarity import cosine_topk, lsh_cosine_topk
+from rhq_metrics_spark.pipelines.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from rhq_metrics_spark.pipelines.text import (
     document_fingerprint,
     language_id,
@@ -1126,6 +1130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_planes=4,
             tables=16,
         ).drop("cosine"),  # rows-only check: seeded hyperplanes, no SQL analogue
+        "embed_ivf_topk": lambda spark, sf: ivf_cosine_topk(
+            _table(spark, sf, "embeddings"),
+            _table(spark, sf, "embeddings").filter(F.col("vec_id") < TOPK_NQ),
+            k=TOPK_K,
+            n_cells=16,
+            n_probe=4,
+        ).drop("cosine"),  # rows-only: sampled k-means centroids
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

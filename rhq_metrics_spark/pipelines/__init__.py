@@ -5,7 +5,11 @@ from rhq_metrics_spark.pipelines.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from rhq_metrics_spark.pipelines.similarity import cosine_topk, lsh_cosine_topk
+from rhq_metrics_spark.pipelines.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from rhq_metrics_spark.pipelines.text import (
     document_fingerprint,
     language_id,
@@ -18,6 +22,7 @@ __all__ = [
     "document_fingerprint",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "ivf_cosine_topk",
     "language_id",
     "lsh_cosine_topk",
     "minhash_lsh_pairs",

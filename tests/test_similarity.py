@@ -77,3 +77,39 @@ def test_lsh_candidates_are_exactly_scored(emb):
     }
     for r in out:
         assert r["cosine"] == pytest.approx(exact[r["neighbor_id"]], abs=1e-9)
+
+
+def test_ivf_topk_recall_and_exact_scores(emb):
+    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if (r["query_id"], r["neighbor_id"]) in exact_scores:
+            # candidates are exact-reranked: scores must match brute force
+            assert r["cosine"] == pytest.approx(
+                exact_scores[(r["query_id"], r["neighbor_id"])], abs=1e-9
+            )
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # n_probe=4/8 cells
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
+
+    queries = emb.filter("vec_id < 3")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    # probing every cell must recover the exact result
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()}
+    assert exact == full

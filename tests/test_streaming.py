@@ -70,3 +70,55 @@ def test_windowed_stream_stats_schema(spark):
         "min", "avg", "max", "sum", "samples",
     }
     assert agg.isStreaming
+
+
+def test_streaming_distinct_adjacent_across_batches(spark, tmp_path):
+    """Custom stateful operator: state carries the last value across
+    micro-batches so a run spanning batches collapses correctly."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.streaming.stateful import streaming_distinct_adjacent
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1 ends with 'up'; batch 2 starts with 'up' (must be dropped)
+    b1 = [
+        {"tenant_id": "t1", "metric": "a", "ts": T0, "value": "up"},
+        {"tenant_id": "t1", "metric": "a", "ts": T0 + 1000, "value": "up"},
+        {"tenant_id": "t1", "metric": "a", "ts": T0 + 2000, "value": "down"},
+        {"tenant_id": "t1", "metric": "a", "ts": T0 + 3000, "value": "up"},
+    ]
+    b2 = [
+        {"tenant_id": "t1", "metric": "a", "ts": T0 + 4000, "value": "up"},
+        {"tenant_id": "t1", "metric": "a", "ts": T0 + 5000, "value": "down"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    schema = "tenant_id string, metric string, ts long, value string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = streaming_distinct_adjacent(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while spark.sql("select * from dedup_out").count() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        while spark.sql("select * from dedup_out").count() < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from dedup_out order by ts").collect()
+    assert [(r["ts"] - T0) // 1000 for r in rows] == [0, 2, 3, 5]
+    assert [r["value"] for r in rows] == ["up", "down", "up", "down"]
