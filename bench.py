@@ -70,6 +70,43 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    # engine KPIs mirroring the reference's harness axes (BASELINE.md):
+    # batch-ingest throughput (JMH InsertBenchmark analogue) and
+    # compaction of the written slices (TempDataCompressor analogue)
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    workdir = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = MetricsStore(spark, workdir)
+        pts = entry._events_points(spark, sf_dir).select(
+            F.lit("bench").alias("tenant_id"),
+            "metric",
+            "ts",
+            "value",
+            F.lit(None).cast("map<string,string>").alias("tags"),
+        )
+        n_pts = pts.count()
+        t0 = time.time()
+        store.add_data_points("gauge", pts)
+        dt = time.time() - t0
+        timings["ingest_points_per_sec"] = round(n_pts / dt, 1)
+        t0 = time.time()
+        done = store.compact("gauge", closed_before_ms=2**62)
+        dt = time.time() - t0
+        timings["compaction_slices_per_sec"] = round(len(done) / dt, 2)
+        print(
+            f"# ingest {n_pts} pts -> {timings['ingest_points_per_sec']}/s; "
+            f"compact {len(done)} slices -> {timings['compaction_slices_per_sec']}/s",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
     print(
         json.dumps(
             {

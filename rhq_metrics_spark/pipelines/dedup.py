@@ -78,11 +78,13 @@ def _shingle_df(
     )
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         toks = toks.repartition(spark.sparkContext.defaultParallelism)
-    return (
-        toks.select(
-            "_id", F.array_distinct(shingles(F.col("_toks"), n)).alias("_shingles")
-        )
-        .filter(F.size("_shingles") > 0)
+    # filter on token count, NOT on size(shingles): a filter over the
+    # shingle alias gets pushed below the repartition exchange with the
+    # whole shingle expression substituted in — re-evaluating the heavy
+    # pipeline on the (possibly single) input partition.  size(_toks) >= n
+    # is equivalent and stays cheap wherever the optimizer moves it.
+    return toks.filter(F.size("_toks") >= n).select(
+        "_id", F.array_distinct(shingles(F.col("_toks"), n)).alias("_shingles")
     )
 
 

@@ -232,61 +232,72 @@ class MetricsStore:
         )
 
     def compact(self, metric_type: str, closed_before_ms: int) -> list[int]:
-        """B2 analogue: for every hot slice strictly older than
-        ``closed_before_ms``, merge hot+cold rows of that slice with
-        last-write-wins, rewrite sorted into cold, drop the hot slice."""
+        """B2 analogue: merge every closed hot slice (strictly older than
+        ``closed_before_ms``) with its cold slice under last-write-wins,
+        rewrite sorted into cold, drop the hot slices.
+
+        All closed slices compact in ONE Spark job (the date_slice
+        partition column splits the output): a backfill with hundreds of
+        slices costs one shuffle, not one job per slice."""
+        closed = [
+            s
+            for s in self.hot_slices(metric_type)
+            if s + self.slice_ms <= closed_before_ms
+        ]
+        if not closed:
+            return []
+        hot = self._read_layer(metric_type, "hot").filter(
+            F.col("date_slice").isin(closed)
+        )
+        cold_layer = self._read_layer(metric_type, "cold")
+        merged = hot
+        if cold_layer is not None:
+            merged = hot.unionByName(
+                cold_layer.filter(F.col("date_slice").isin(closed))
+            )
+        w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+            F.col("_layer_seq").desc()
+        )
+        compacted = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "tenant_id",
+                "metric",
+                "ts",
+                "value",
+                "tags",
+                F.lit(0).cast("long").alias("ingest_seq"),
+                "date_slice",
+                "tenant_bucket",
+            )
+        )
+        staging = self.base / "_staging" / f"{metric_type}_compact"
+        (
+            compacted.repartition("date_slice", "tenant_bucket")
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("date_slice", "tenant_bucket")
+            .parquet(str(staging))
+        )
+        cold_root = self._points_path(metric_type, "cold")
+        cold_root.mkdir(parents=True, exist_ok=True)
         done = []
-        for slice_start in self.hot_slices(metric_type):
-            if slice_start + self.slice_ms > closed_before_ms:
-                continue
-            hot = self._read_layer(metric_type, "hot").filter(
-                F.col("date_slice") == slice_start
-            )
-            cold_layer = self._read_layer(metric_type, "cold")
-            merged = hot
-            if cold_layer is not None:
-                merged = hot.unionByName(
-                    cold_layer.filter(F.col("date_slice") == slice_start)
-                )
-            w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
-                F.col("_layer_seq").desc()
-            )
-            compacted = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(
-                    "tenant_id",
-                    "metric",
-                    "ts",
-                    "value",
-                    "tags",
-                    F.lit(0).cast("long").alias("ingest_seq"),
-                    "date_slice",
-                    "tenant_bucket",
-                )
-            )
-            staging = self.base / "_staging" / f"{metric_type}_{slice_start}"
-            (
-                compacted.repartition("tenant_bucket")
-                .sortWithinPartitions("metric", "ts")
-                .write.mode("overwrite")
-                .option("compression", "zstd")
-                .partitionBy("date_slice", "tenant_bucket")
-                .parquet(str(staging))
-            )
-            cold_root = self._points_path(metric_type, "cold")
-            cold_root.mkdir(parents=True, exist_ok=True)
+        for slice_start in closed:
             src = staging / f"date_slice={slice_start}"
+            if not src.exists():
+                continue
             dst = cold_root / f"date_slice={slice_start}"
             if dst.exists():
                 shutil.rmtree(dst)
             shutil.move(str(src), str(dst))
-            shutil.rmtree(staging, ignore_errors=True)
-            hot_slice_dir = (
-                self._points_path(metric_type, "hot") / f"date_slice={slice_start}"
+            shutil.rmtree(
+                self._points_path(metric_type, "hot") / f"date_slice={slice_start}",
+                ignore_errors=True,
             )
-            shutil.rmtree(hot_slice_dir, ignore_errors=True)
             done.append(slice_start)
+        shutil.rmtree(staging, ignore_errors=True)
         return done
 
     def apply_retention(self, metric_type: str, cutoff_ms: int) -> list[int]:
