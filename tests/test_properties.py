@@ -1,0 +1,186 @@
+"""Property-based tests (hypothesis) for the pure-Python model layer and
+for operator semantics vs brute-force Python oracles.
+
+Spark-facing properties use small row counts (collect-compare) and a
+module-scoped session; the grid/parser properties are pure Python and
+run hundreds of cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rhq_metrics_spark.model import Buckets
+from rhq_metrics_spark.tags.parser import (
+    And,
+    Cmp,
+    Exists,
+    In,
+    Or,
+    parse_tag_query,
+)
+
+# ---------------------------------------------------------------------------
+# Buckets grid arithmetic (reference: Buckets.java:129-172)
+
+
+@given(
+    start=st.integers(min_value=0, max_value=10**12),
+    span=st.integers(min_value=1, max_value=10**10),
+    count=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=300)
+def test_from_count_invariants(start, span, count):
+    end = start + span
+    try:
+        b = Buckets.from_count(start, end, count)
+    except ValueError:
+        assert span // count == 0 or (count - 1) * (span // count + 1) >= span
+        return
+    assert b.count == count
+    q, r = divmod(span, count)
+    # step is the quotient, bumped only under the exact reference rule
+    # (fromCount does NOT guarantee the last bucket covers `end` —
+    # documented in BucketsTest.java)
+    if r != 0 and (count - 1) * (q + 1) < span:
+        assert b.step == q + 1
+    else:
+        assert b.step == q
+    # every ts inside the grid lands in a valid bucket index
+    for ts in (b.start, b.end - 1, b.start + (b.end - b.start) // 2):
+        idx = (ts - b.start) // b.step
+        assert 0 <= idx < b.count
+
+
+@given(
+    start=st.integers(min_value=0, max_value=10**12),
+    span=st.integers(min_value=1, max_value=10**10),
+    step=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300)
+def test_from_step_invariants(start, span, step):
+    end = start + span
+    b = Buckets.from_step(start, end, step)
+    assert b.step == step
+    assert b.start + b.step * b.count >= end
+    if step <= span:
+        # minimal cover: one fewer bucket would not reach end
+        assert b.start + b.step * (b.count - 1) < end
+
+
+# ---------------------------------------------------------------------------
+# Tag-query parser: parse(print(ast)) == ast round trip
+
+
+def _render(node) -> str:
+    if isinstance(node, And):
+        return f"({_render(node.left)} AND {_render(node.right)})"
+    if isinstance(node, Or):
+        return f"({_render(node.left)} OR {_render(node.right)})"
+    if isinstance(node, Cmp):
+        return f"{node.key} {node.op} '{node.value}'"
+    if isinstance(node, In):
+        vals = ", ".join(f"'{v}'" for v in node.values)
+        return f"{node.key} {'NOT IN' if node.negated else 'IN'} [{vals}]"
+    if isinstance(node, Exists):
+        return f"NOT {node.key}" if node.negated else node.key
+    raise TypeError(node)
+
+
+_key = st.from_regex(r"[a-zA-Z_][a-zA-Z_0-9.]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper() not in ("AND", "OR", "NOT", "IN")
+)
+_value = st.text(
+    alphabet=st.characters(blacklist_characters="'\\", min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+)
+
+_leaf = st.one_of(
+    st.builds(lambda k, o, v: Cmp(k, o, v), _key, st.sampled_from(["=", "!=", "~", "!~"]), _value),
+    st.builds(lambda k, vs, n: In(k, tuple(vs), n), _key, st.lists(_value, min_size=1, max_size=4), st.booleans()),
+    st.builds(Exists, _key, st.booleans()),
+)
+
+_ast = st.recursive(
+    _leaf,
+    lambda children: st.one_of(
+        st.builds(And, children, children),
+        st.builds(Or, children, children),
+    ),
+    max_leaves=8,
+)
+
+
+@given(_ast)
+@settings(max_examples=200)
+def test_parser_roundtrip(ast):
+    assert parse_tag_query(_render(ast)) == ast
+
+
+# ---------------------------------------------------------------------------
+# Operator semantics vs Python oracles (small Spark frames)
+
+T0 = 1_700_000_000_000
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # ts offset (sec)
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pts=_series)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rate_matches_python_oracle(spark, pts):
+    from rhq_metrics_spark.operators import rate
+
+    rows = [("t", "m", T0 + off * 1000, float(v)) for off, v in sorted(pts)]
+    df = spark.createDataFrame(rows, "tenant_id string, metric string, ts long, value double")
+    got = {r["ts"]: r["rate"] for r in rate(df).collect()}
+    want = {}
+    for r1, r2 in zip(rows, rows[1:]):
+        want[r2[2]] = 60_000.0 * (r2[3] - r1[3]) / (r2[2] - r1[2])
+    assert set(got) == set(want)
+    for ts, r in want.items():
+        assert got[ts] == pytest.approx(r)
+
+
+@given(pts=_series, threshold=st.floats(min_value=-500, max_value=500, allow_nan=False))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_periods_match_python_oracle(spark, pts, threshold):
+    from rhq_metrics_spark.operators import periods, predicate
+
+    rows = [("t", "m", T0 + off * 1000, float(v)) for off, v in sorted(pts)]
+    df = spark.createDataFrame(rows, "tenant_id string, metric string, ts long, value double")
+    got = [
+        (r["period_start"], r["period_end"])
+        for r in periods(df, predicate("gt", threshold)).orderBy("period_start").collect()
+    ]
+    want, run = [], None
+    prev_ts = None
+    for _, _, ts, v in rows:
+        if v > threshold:
+            if run is None:
+                run = ts
+            prev_ts = ts
+        elif run is not None:
+            want.append((run, prev_ts))
+            run = None
+    if run is not None:
+        want.append((run, prev_ts))
+    assert got == want
