@@ -268,6 +268,74 @@ class MetricsService:
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
         return periods(pts, predicate(op, threshold))
 
+    # -- §3.3 cross-type stats query fan-out -----------------------------------
+
+    def stats_query(
+        self,
+        tenant_id: str,
+        buckets: Buckets,
+        metrics_by_type: Mapping[str, Sequence[str]],
+        percentiles: Sequence[float] = (),
+        stacked: bool = False,
+    ) -> dict[str, dict[str, list[dict]]]:
+        """POST /metrics/stats/query (MetricHandler.java:304-460): fan out
+        per requested type — gauge/counter (optionally the derived
+        gauge_rate/counter_rate), availability — and assemble the nested
+        ``{type: {metric: [bucket points]}}`` response.
+
+        Spark-first: one pruned scan per base type feeds all its
+        variants; per-metric grouping happens in one job per type (the
+        reference's own TODO laments its duplicate scans —
+        MetricHandler.java:368-371).
+        """
+        out: dict[str, dict[str, list[dict]]] = {}
+        for mtype, metrics in metrics_by_type.items():
+            metrics = list(metrics)
+            base = MetricType.GAUGE if "gauge" in mtype else (
+                MetricType.COUNTER if "counter" in mtype else mtype
+            )
+            pts = self._scan(base, tenant_id, metrics, buckets.start, buckets.end)
+            if mtype in (MetricType.GAUGE_RATE, MetricType.COUNTER_RATE):
+                pts = rate(pts, metric_type=base).withColumnRenamed("rate", "value")
+            if mtype == MetricType.AVAILABILITY:
+                per_metric = availability_stats(
+                    pts, buckets, group_cols=["metric"]
+                )
+            elif stacked:
+                # stacked collapses metrics — keyed under '*stacked*'
+                per_metric = stacked_stats(
+                    pts, buckets, percentiles, metric_cols=["metric"]
+                ).withColumn("metric", F.lit("*stacked*"))
+            else:
+                per_metric = numeric_bucket_stats(
+                    pts, buckets, percentiles, group_cols=["metric"]
+                )
+            to_dict = (
+                _availability_point_dict
+                if mtype == MetricType.AVAILABILITY
+                else _bucket_point_dict
+            )
+            grouped: dict[str, list[dict]] = {}
+            for row in per_metric.orderBy("metric", "start").collect():
+                d = row.asDict()
+                name = d.pop("metric")
+                grouped.setdefault(name, []).append(to_dict(d))
+            out[mtype] = grouped
+        return out
+
+    def stats_batch_query(
+        self,
+        tenant_id: str,
+        requests: Mapping[str, tuple[Buckets, Mapping[str, Sequence[str]]]],
+        percentiles: Sequence[float] = (),
+    ) -> dict[str, dict]:
+        """POST /metrics/stats/batch/query: N named stats queries, merged
+        keyed results (MetricHandler.java:321-338)."""
+        return {
+            name: self.stats_query(tenant_id, buckets, by_type, percentiles)
+            for name, (buckets, by_type) in requests.items()
+        }
+
     # -- lifecycle -----------------------------------------------------------------
 
     def compact(self, closed_before_ms: int) -> dict[str, list[int]]:
@@ -289,17 +357,58 @@ class MetricsService:
 # -- JSON adapters (REST response shapes) -------------------------------------
 
 
+def _bucket_point_dict(d: dict) -> dict:
+    empty = d.get("samples", 0) == 0
+    rec = {"start": d["start"], "end": d["end"], "empty": empty}
+    if not empty:
+        for k, v in d.items():
+            if k not in ("start", "end"):
+                rec[k] = v
+    return rec
+
+
 def bucket_points_json(df: DataFrame) -> list[dict]:
     """NumericBucketPoint JSON convention: empty buckets carry only
     start/end/empty (NumericBucketPoint.java:42-50, NaN→null)."""
-    out = []
-    for row in df.orderBy("start").collect():
+    return [_bucket_point_dict(row.asDict()) for row in df.orderBy("start").collect()]
+
+
+def _availability_point_dict(d: dict) -> dict:
+    empty = d.get("samples", 0) == 0
+    rec = {"start": d["start"], "end": d["end"], "empty": empty}
+    if not empty:
+        rec["durationMap"] = {
+            state: d[f"{state}_duration"]
+            for state in ("up", "down", "unknown", "admin")
+            if d.get(f"{state}_duration")
+        }
+        rec["uptimeRatio"] = d["uptime_ratio"]
+        rec["notUpCount"] = d["not_up_count"]
+        rec["lastNotUptime"] = d["last_not_uptime"]
+        rec["samples"] = d["samples"]
+    return rec
+
+
+def availability_points_json(df: DataFrame) -> list[dict]:
+    """AvailabilityBucketPoint shape: durationMap keyed by state,
+    uptimeRatio/notUpCount/lastNotUptime (AvailabilityBucketPoint.java:31-46)."""
+    return [
+        _availability_point_dict(row.asDict()) for row in df.orderBy("start").collect()
+    ]
+
+
+def named_data_points_json(df: DataFrame) -> list[dict]:
+    """NamedDataPoint streaming-result shape: one entry per metric with
+    its points in order (NamedDataPointObserver / S8)."""
+    by_metric: dict[str, list[dict]] = {}
+    for row in df.orderBy("metric", "ts").toLocalIterator():
         d = row.asDict()
-        empty = d.get("samples", 0) == 0
-        rec = {"start": d["start"], "end": d["end"], "empty": empty}
-        if not empty:
-            for k, v in d.items():
-                if k not in ("start", "end"):
-                    rec[k] = v
-        out.append(rec)
-    return out
+        point = {"timestamp": d["ts"]}
+        if "rate" in d:
+            point["value"] = d["rate"]
+        else:
+            point["value"] = d.get("value")
+            if d.get("tags"):
+                point["tags"] = dict(d["tags"])
+        by_metric.setdefault(d["metric"], []).append(point)
+    return [{"id": m, "data": pts} for m, pts in by_metric.items()]

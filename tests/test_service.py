@@ -130,3 +130,64 @@ def test_from_earliest(svc):
     svc.create_metric("t1", "gauge", "g_ret", tags={}, data_retention=90)
     start = svc.from_earliest_start("gauge", "t1", ["g_ret"], now)
     assert start == now - 90 * 86_400_000
+
+
+def test_stats_query_cross_type_fanout(svc):
+    from rhq_metrics_spark.model import Buckets
+
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 4)
+    out = svc.stats_query(
+        "t1",
+        buckets,
+        {"gauge": ["g1"], "gauge_rate": ["g1"], "availability": ["a1"]},
+        percentiles=[90],
+    )
+    assert set(out) == {"gauge", "gauge_rate", "availability"}
+    assert set(out["gauge"]) == {"g1"}
+    assert len(out["gauge"]["g1"]) == 4
+    assert out["gauge"]["g1"][0]["empty"] is False
+    assert "p90" in out["gauge"]["g1"][0]
+    assert "uptimeRatio" in out["availability"]["a1"][0]
+    # rate buckets exist (119 rate points over the range)
+    assert len(out["gauge_rate"]["g1"]) == 4
+
+
+def test_stats_query_stacked_key(svc):
+    from rhq_metrics_spark.model import Buckets
+
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 2)
+    out = svc.stats_query("t1", buckets, {"gauge": ["g1"]}, stacked=True)
+    assert list(out["gauge"]) == ["*stacked*"]
+
+
+def test_stats_batch_query(svc):
+    from rhq_metrics_spark.model import Buckets
+
+    b1 = Buckets.from_count(T0, T0 + 600_000, 2)
+    b2 = Buckets.from_count(T0, T0 + 1_200_000, 4)
+    out = svc.stats_batch_query(
+        "t1",
+        {"q1": (b1, {"gauge": ["g1"]}), "q2": (b2, {"gauge": ["g1"]})},
+    )
+    assert len(out["q1"]["gauge"]["g1"]) == 2
+    assert len(out["q2"]["gauge"]["g1"]) == 4
+
+
+def test_availability_json_adapter(svc):
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import availability_points_json
+
+    buckets = Buckets.from_step(T0, T0 + 40 * 30_000, 300_000)
+    js = availability_points_json(svc.availability_stats("t1", "a1", buckets))
+    assert js[0]["empty"] is False
+    assert "up" in js[0]["durationMap"]
+    assert 0 <= js[0]["uptimeRatio"] <= 1
+
+
+def test_named_data_points_json(svc):
+    from rhq_metrics_spark.service import named_data_points_json
+
+    df = svc.find_data_points("gauge", "t1", ["g1"], T0, T0 + 50_000)
+    js = named_data_points_json(df)
+    assert js[0]["id"] == "g1"
+    assert js[0]["data"][0]["timestamp"] == T0
