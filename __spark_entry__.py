@@ -76,6 +76,10 @@ _NANOS_CONF = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set(*_NANOS_CONF)
+    # timestamp literals (TPC-H date bounds) must resolve in UTC to match
+    # the (naive-timestamp) DuckDB oracle regardless of the driver
+    # session's zone; both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
