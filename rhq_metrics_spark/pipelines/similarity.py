@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -109,18 +110,21 @@ def ivf_train_centroids(
     return centroids
 
 
-def _cell_assignment(vec: Column, centroids: np.ndarray, top: int) -> Column:
+def _cell_assignment_udf(centroids: np.ndarray, top: int):
     """Indices of the ``top`` nearest centroids (by dot product) as an
-    array column — pure column arithmetic, no UDF."""
-    scores = []
-    for ci, c in enumerate(centroids):
-        terms = [F.element_at(vec, j + 1) * float(w) for j, w in enumerate(c)]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
-        scores.append(F.struct(dot.alias("s"), F.lit(ci).alias("c")))
-    ranked = F.reverse(F.array_sort(F.array(*scores)))
-    return F.transform(F.slice(ranked, 1, top), lambda x: x["c"])
+    array column — one Arrow-batched matmul against the broadcast
+    centroid matrix (cells × dim)."""
+    top = min(top, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        sims = mat @ centroids.T  # (batch, cells)
+        # deterministic: sort by (-sim, cell index)
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims), axis=1)
+        return pd.Series(list(order[:, :top].astype(np.int32)))
+
+    return _cells
 
 
 def ivf_cosine_topk(
@@ -144,21 +148,19 @@ def ivf_cosine_topk(
     if centroids is None:
         centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
 
+    assign1 = _cell_assignment_udf(centroids, 1)
+    assignp = _cell_assignment_udf(centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
     c = c.select(
-        "neighbor_id",
-        "_cv",
-        F.explode(_cell_assignment(F.col("_cv"), centroids, 1)).alias("_cell"),
+        "neighbor_id", "_cv", F.explode(assign1(F.col("_cv"))).alias("_cell")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
     )
     q = q.select(
-        "query_id",
-        "_qv",
-        F.explode(_cell_assignment(F.col("_qv"), centroids, n_probe)).alias("_cell"),
+        "query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("_cell")
     )
     cands = c.join(F.broadcast(q), "_cell").drop("_cell")
     if exclude_self:
@@ -183,24 +185,25 @@ def _hyperplanes(dim: int, num_planes: int, tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(tables, num_planes, dim))
 
 
-def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature of one LSH table: packed int of
-    sign(v · plane_i) bits — pure column arithmetic per plane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        terms = [
-            F.element_at(vec, j + 1) * float(w)
-            for j, w in enumerate(plane)
-            if w != 0.0
-        ]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total.cast("long")
+def lsh_signatures_udf(planes: np.ndarray):
+    """All-tables sign-bit signatures as ONE Arrow-vectorized pandas UDF:
+    a (batch × dim) @ (dim × planes) matmul per table, bits packed into a
+    long per table.  Per-plane scalar column expressions would build
+    tables × planes × dim Catalyst nodes — planning/codegen cost grows
+    with the index configuration instead of staying O(1)."""
+    tables, num_planes, _ = planes.shape
+    weights = np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        sigs = np.empty((len(mat), tables), dtype=np.int64)
+        for t in range(tables):
+            bits = (mat @ planes[t].T) >= 0
+            sigs[:, t] = (bits << weights).sum(axis=1)
+        return pd.Series(list(sigs))
+
+    return _sigs
 
 
 def lsh_cosine_topk(
@@ -221,23 +224,22 @@ def lsh_cosine_topk(
     dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, num_planes, tables, seed)
 
+    sigs_udf = lsh_signatures_udf(planes)
+
     def bucketed(df: DataFrame, ident: str, idc: str) -> DataFrame:
-        # bind the double-cast vector ONCE; the plane signatures reference
-        # the bound attribute (tables × planes × dim element_at terms
-        # would otherwise each inline the cast-transform expression)
         bound = df.select(
             F.col(idc).alias(ident),
             _as_double(F.col(vec_col)).alias(f"_{ident}_v"),
-        )
-        v = F.col(f"_{ident}_v")
-        sigs = [
-            F.concat(F.lit(f"{t}:"), lsh_signature(v, planes[t]).cast("string"))
-            for t in range(tables)
-        ]
+        ).withColumn("_sigs", sigs_udf(F.col(f"_{ident}_v")))
         return bound.select(
             ident,
             f"_{ident}_v",
-            F.explode(F.array(*sigs)).alias("_bucket"),
+            F.explode(
+                F.transform(
+                    F.col("_sigs"),
+                    lambda s, i: F.concat(i.cast("string"), F.lit(":"), s.cast("string")),
+                )
+            ).alias("_bucket"),
         )
 
     cb = bucketed(corpus, "neighbor_id", id_col)
