@@ -193,6 +193,28 @@ class TimeRange:
         return cls(s, e)
 
 
+def bucket_config(
+    time_range: TimeRange,
+    buckets: int | None = None,
+    bucket_duration: str | int | None = None,
+) -> Buckets:
+    """REST ``BucketConfig`` semantics (model/param/BucketConfig.java:36-72):
+    exactly one of ``buckets`` (count) or ``bucketDuration`` may be given;
+    both together is a 400-class error in the reference."""
+    if buckets is not None and bucket_duration is not None:
+        raise ValueError("cannot use both the buckets and bucketDuration parameters")
+    if buckets is None and bucket_duration is None:
+        raise ValueError("either buckets or bucketDuration parameter is required")
+    if buckets is not None:
+        return Buckets.from_count(time_range.start, time_range.end, buckets)
+    step = (
+        parse_duration(bucket_duration)
+        if isinstance(bucket_duration, str)
+        else int(bucket_duration)
+    )
+    return Buckets.from_step(time_range.start, time_range.end, step)
+
+
 def time_slice(ts_ms: int, slice_ms: int) -> int:
     """Floor ``ts`` to a multiple of ``slice_ms`` (DateTimeService.java:79-102).
 

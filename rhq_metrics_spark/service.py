@@ -350,6 +350,68 @@ class MetricsService:
             t: self.store.apply_retention(t, cutoff) for t in MetricType.USER_WRITABLE
         }
 
+    def apply_retention_policies(
+        self, now_ms: int, default_days: int = 7
+    ) -> dict[str, dict]:
+        """B6 with the reference's TTL resolution (MetricsServiceImpl.java
+        :1058-1063 + retentions_idx): per series, retention = metric
+        override > tenant per-type retention > default.  Whole slices
+        older than every policy drop at partition level; the remainder is
+        a row-level rewrite of only the affected slices."""
+        idx = self.store.metrics_idx()
+        tenants = self.store.tenants()
+        day = 86_400_000
+        out: dict[str, dict] = {}
+        for mtype in MetricType.USER_WRITABLE:
+            retentions = None
+            if idx is not None:
+                retentions = idx.filter(F.col("type") == mtype).select(
+                    "tenant_id", "metric", F.col("data_retention").alias("_metric_days")
+                )
+            if tenants is not None:
+                tr = tenants.select(
+                    F.col("id").alias("tenant_id"),
+                    F.col("retentions")[mtype].alias("_tenant_days"),
+                )
+                retentions = (
+                    retentions.join(tr, "tenant_id", "left")
+                    if retentions is not None
+                    else None
+                )
+            if retentions is None:
+                dropped = self.store.apply_retention(
+                    mtype, now_ms - default_days * day
+                )
+                out[mtype] = {"dropped_slices": dropped, "rewritten": 0}
+                continue
+            cutoffs = retentions.select(
+                "tenant_id",
+                "metric",
+                (
+                    F.lit(now_ms)
+                    - F.coalesce(
+                        F.col("_metric_days"),
+                        F.col("_tenant_days") if tenants is not None else F.lit(None),
+                        F.lit(default_days),
+                    )
+                    * day
+                ).alias("cutoff_ms"),
+            )
+            max_days_row = retentions.agg(
+                F.max("_metric_days"),
+                F.max("_tenant_days") if tenants is not None else F.lit(None),
+            ).collect()[0]
+            max_days = max(
+                default_days,
+                *(int(v) for v in max_days_row if v is not None),
+            ) if any(v is not None for v in max_days_row) else default_days
+            dropped = self.store.apply_retention(mtype, now_ms - max_days * day)
+            rewritten = self.store.apply_row_retention(
+                mtype, cutoffs, now_ms - default_days * day
+            )
+            out[mtype] = {"dropped_slices": dropped, "rewritten": rewritten}
+        return out
+
     def delete_tenant(self, tenant_id: str) -> None:
         self.store.delete_tenant(tenant_id)
 

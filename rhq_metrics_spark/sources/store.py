@@ -315,6 +315,60 @@ class MetricsStore:
                     dropped.append(slice_start)
         return dropped
 
+    def apply_row_retention(
+        self,
+        metric_type: str,
+        cutoffs: DataFrame,
+        default_cutoff_ms: int,
+    ) -> int:
+        """B6 with per-metric TTLs: ``cutoffs`` is a small frame
+        ``(tenant_id, metric, cutoff_ms)``; rows older than their series'
+        cutoff (or ``default_cutoff_ms``) are removed by rewriting only
+        the slices that can contain them.  Whole-slice drops should be
+        done first via :meth:`apply_retention` (cheaper).  Returns the
+        number of rewritten slice partitions."""
+        max_cutoff_row = cutoffs.agg(F.max("cutoff_ms")).collect()[0][0]
+        max_cutoff = max(default_cutoff_ms, max_cutoff_row or 0)
+        rewritten = 0
+        for layer in _LAYERS:
+            root = self._points_path(metric_type, layer)
+            if not root.exists():
+                continue
+            affected = [
+                int(p.name.split("=", 1)[1])
+                for p in root.glob("date_slice=*")
+                if int(p.name.split("=", 1)[1]) < max_cutoff
+            ]
+            if not affected:
+                continue
+            df = self._read_layer(metric_type, layer).filter(
+                F.col("date_slice").isin(affected)
+            )
+            kept = (
+                df.join(F.broadcast(cutoffs), ["tenant_id", "metric"], "left")
+                .filter(
+                    F.col("ts")
+                    >= F.coalesce(F.col("cutoff_ms"), F.lit(default_cutoff_ms))
+                )
+                .select(
+                    "tenant_id", "metric", "ts", "value", "tags",
+                    "ingest_seq", "date_slice", "tenant_bucket",
+                )
+            )
+            staging = self.base / "_staging" / f"ret_{metric_type}_{layer}"
+            kept.write.mode("overwrite").option("compression", "zstd").partitionBy(
+                "date_slice", "tenant_bucket"
+            ).parquet(str(staging))
+            for slice_start in affected:
+                dst = root / f"date_slice={slice_start}"
+                shutil.rmtree(dst, ignore_errors=True)
+                src = staging / f"date_slice={slice_start}"
+                if src.exists():
+                    shutil.move(str(src), str(dst))
+                rewritten += 1
+            shutil.rmtree(staging, ignore_errors=True)
+        return rewritten
+
     def delete_tenant(self, tenant_id: str) -> None:
         """B7: cascading delete — rewrite affected tenant_bucket partitions
         without the tenant's rows, and scrub the definition tables."""

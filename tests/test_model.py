@@ -82,3 +82,31 @@ class TestTimeParams:
         assert time_slice(two_h + 1, two_h) == two_h
         assert time_slice(two_h, two_h) == two_h
         assert time_slice(two_h - 1, two_h) == 0
+
+
+class TestBucketConfig:
+    """REST BucketConfig contract (BucketConfig.java:36-72, ErrorsITest)."""
+
+    def test_count_path(self):
+        from rhq_metrics_spark.model import bucket_config
+
+        b = bucket_config(TimeRange(0, 600_000), buckets=10)
+        assert b.count == 10
+
+    def test_duration_path(self):
+        from rhq_metrics_spark.model import bucket_config
+
+        b = bucket_config(TimeRange(0, 600_000), bucket_duration="1mn")
+        assert b.step == 60_000 and b.count == 10
+
+    def test_both_rejected(self):
+        from rhq_metrics_spark.model import bucket_config
+
+        with pytest.raises(ValueError, match="both"):
+            bucket_config(TimeRange(0, 1000), buckets=5, bucket_duration="1s")
+
+    def test_neither_rejected(self):
+        from rhq_metrics_spark.model import bucket_config
+
+        with pytest.raises(ValueError, match="required"):
+            bucket_config(TimeRange(0, 1000))

@@ -191,3 +191,28 @@ def test_named_data_points_json(svc):
     js = named_data_points_json(df)
     assert js[0]["id"] == "g1"
     assert js[0]["data"][0]["timestamp"] == T0
+
+
+def test_apply_retention_policies(spark, tmp_path_factory):
+    from rhq_metrics_spark.model import GAUGE_SCHEMA
+    from rhq_metrics_spark.sources.store import MetricsStore
+    from rhq_metrics_spark.service import MetricsService
+
+    day = 86_400_000
+    now = T0 + 200 * day
+    store = MetricsStore(spark, str(tmp_path_factory.mktemp("ret") / "s"))
+    svc = MetricsService(spark, store)
+    svc.create_tenant("t1", {"gauge": 30})
+    svc.create_metric("t1", "gauge", "long_lived", data_retention=90)
+    svc.create_metric("t1", "gauge", "tenant_default")
+    rows = [
+        ("t1", "long_lived", now - 80 * day, 1.0, None),     # within 90d
+        ("t1", "long_lived", now - 95 * day, 2.0, None),     # beyond 90d
+        ("t1", "tenant_default", now - 20 * day, 3.0, None), # within 30d
+        ("t1", "tenant_default", now - 40 * day, 4.0, None), # beyond 30d
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    result = svc.apply_retention_policies(now)
+    assert "gauge" in result
+    out = {(r["metric"], r["value"]) for r in store.points("gauge").collect()}
+    assert out == {("long_lived", 1.0), ("tenant_default", 3.0)}

@@ -110,3 +110,22 @@ def test_expiration_index(spark, store):
     )
     row = store.expiration_index("gauge").collect()[0]
     assert row["last_write_ts"] == T0 + 999
+
+
+def test_row_level_retention_per_series(spark, store):
+    day = 86_400_000
+    now = T0 + 100 * day
+    rows = [
+        ("t1", "keep_long", now - 50 * day, 1.0),   # 90d retention → kept
+        ("t1", "keep_long", now - 95 * day, 2.0),   # older than 90d → dropped
+        ("t1", "short", now - 50 * day, 3.0),       # 7d default → dropped
+        ("t1", "short", now - 1 * day, 4.0),        # recent → kept
+    ]
+    store.add_data_points("gauge", _gauge(spark, rows))
+    cutoffs = spark.createDataFrame(
+        [("t1", "keep_long", now - 90 * day)],
+        "tenant_id string, metric string, cutoff_ms long",
+    )
+    store.apply_row_retention("gauge", cutoffs, default_cutoff_ms=now - 7 * day)
+    out = {(r["metric"], r["value"]) for r in store.points("gauge").collect()}
+    assert out == {("keep_long", 1.0), ("short", 4.0)}
