@@ -131,23 +131,26 @@ def _stats_agg_sql(pcts: list[int], scale: int = 100) -> str:
     sum/avg via integer sums of round(value*scale) — identical across
     engines regardless of partial-aggregation order."""
     c = f"CAST(sum(CAST(round(value * {scale}) AS BIGINT)) AS DOUBLE)"
-    if scale <= 10**4:
-        mult = 10**4 // scale
-        sum_q = f"round({c} * {mult}) / 10000"
-        avg_q = f"round({c} * {mult} / count(*)) / 10000"
-    else:
-        div = scale // 10**4
-        sum_q = f"round({c} / {div}) / 10000"
-        avg_q = f"round({c} / ({div} * count(*))) / 10000"
+
+    def quant(expr: str, denom: str = "1") -> str:
+        # mirror of operators.stats.quantize: 4-dp quantization of an
+        # exact integer ratio (engine-portable rounding)
+        if scale <= 10**4:
+            return f"round(({expr}) * {10**4 // scale} / ({denom})) / 10000"
+        return f"round(({expr}) / ({scale // 10**4} * ({denom}))) / 10000"
+
+    pv = f"CAST(round(value * {scale}) AS BIGINT)"
     cols = [
         "round(min(value), 4) AS min",
-        f"{avg_q} AS avg",
-        "round(quantile_cont(value, 0.5), 4) AS median",
+        f"{quant(c, 'count(*)')} AS avg",
+        f"{quant(f'quantile_cont({pv}, 0.5)')} AS median",
         "round(max(value), 4) AS max",
-        f"{sum_q} AS sum",
+        f"{quant(c)} AS sum",
         "count(*) AS samples",
     ]
-    cols += [f"round(quantile_cont(value, {q / 100.0}), 4) AS p{q}" for q in pcts]
+    cols += [
+        f"{quant(f'quantile_cont({pv}, {q / 100.0})')} AS p{q}" for q in pcts
+    ]
     return ",\n         ".join(cols)
 
 
@@ -428,10 +431,10 @@ pts AS (SELECT metric, (ts - s) // step AS bucket_idx, value
 pm AS (SELECT metric, bucket_idx,
         min(value) AS vmin,
         round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) * 100 / count(*)) / 10000 AS vavg,
-        quantile_cont(value, 0.5) AS vmed,
+        round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 100) / 10000 AS vmed,
         max(value) AS vmax,
         round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) * 100) / 10000 AS vsum,
-        quantile_cont(value, 0.9) AS vp90
+        round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) * 100) / 10000 AS vp90
        FROM pts GROUP BY 1, 2),
 st AS (SELECT bucket_idx,
         round(sum(vmin), 4) AS min, round(sum(vavg), 4) AS avg,
@@ -489,7 +492,8 @@ SQL_A5 = f"""
 WITH ev AS (SELECT value, json_extract_string(props, '$.k') AS tag_k FROM ({EV_SQL}))
 SELECT tag_k, round(min(value), 4) AS min,
        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) * 100 / count(*)) / 10000 AS avg,
-       round(quantile_cont(value, 0.5), 4) AS median, round(max(value), 4) AS max,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 100) / 10000 AS median,
+       round(max(value), 4) AS max,
        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) * 100) / 10000 AS sum,
        count(*) AS samples
 FROM ev WHERE tag_k IS NOT NULL AND regexp_full_match(tag_k, '[0-4].*')

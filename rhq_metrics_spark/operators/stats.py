@@ -74,6 +74,21 @@ def _stat_aggs(
             F.approx_percentile(v, F.lit(q / 100.0)).alias(percentile_col_name(q))
             for q in percentiles
         ]
+    elif value_scale:
+        # percentiles over the scaled INTEGERS, quantized back: linear
+        # interpolation between integers is exact (b-a and a+b both
+        # representable), so different engines'/orders' interpolation
+        # formulas agree bit-for-bit; medians of fixed-decimal data land
+        # on half-boundaries structurally, where raw-double interpolation
+        # diverges in the last ulp.
+        sv = F.round(v * value_scale).cast("long")
+        med = quantize(F.percentile(sv, F.lit(0.5)), value_scale, 1)
+        pcts = [
+            quantize(F.percentile(sv, F.lit(q / 100.0)), value_scale, 1).alias(
+                percentile_col_name(q)
+            )
+            for q in percentiles
+        ]
     else:
         med = F.percentile(v, F.lit(0.5))
         pcts = [
