@@ -1088,6 +1088,55 @@ FROM s
 """
 
 
+
+def q_a1_counter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over a counter-typed series (long values — findCounterStats
+    path); same bucket machinery, integer inputs."""
+    pts = _events_points(spark, sf_dir).filter(F.col("metric") == "signup").select(
+        "metric", "ts", F.floor("value").cast("long").cast("double").alias("value")
+    )
+    s, e = _bounds(pts)
+    buckets = Buckets.from_count(s, e, N_A1)
+    out = numeric_bucket_stats(pts, buckets, percentiles=[95], value_scale=100)
+    return _round4(out, STAT_COLS + ["p95"])
+
+
+SQL_A1C = f"""
+WITH ev AS (SELECT metric, ts, CAST(floor(value) AS DOUBLE) AS value
+            FROM ({EV_SQL}) WHERE metric = 'signup'),
+{_grid_sql(N_A1)},
+pts AS (SELECT (ts - s) // step AS bucket_idx, value
+        FROM ev, g WHERE ts >= s AND ts < s + step * {N_A1}),
+agg AS (SELECT bucket_idx,
+         {_stats_agg_sql([95])}
+        FROM pts GROUP BY bucket_idx),
+dim AS (SELECT i AS bucket_idx, s + i * step AS start, s + (i + 1) * step AS "end"
+        FROM g, range({N_A1}) t(i))
+SELECT dim.start, dim."end", agg.min, agg.avg, agg.median, agg.max, agg.sum,
+       coalesce(agg.samples, 0) AS samples, agg.p95
+FROM dim LEFT JOIN agg USING (bucket_idx)
+"""
+
+
+def q_f4_metric_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: metric-name regex filter (Java full-match anchoring) and its
+    ``!``-negated form, over the documents-derived definitions."""
+    idx = _doc_metrics_idx(spark, sf_dir)
+    pos = find_metric_ids(idx, id_regex="doc1.?").select("metric")
+    neg = find_metric_ids(idx, "lang = en", id_regex="!doc[0-9]{3}").select("metric")
+    return pos.unionByName(neg)
+
+
+SQL_F4 = """
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS metric FROM documents
+WHERE regexp_full_match('doc' || CAST(doc_id AS VARCHAR), 'doc1.?')
+UNION ALL
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS metric FROM documents
+WHERE lang = 'en'
+  AND NOT regexp_full_match('doc' || CAST(doc_id AS VARCHAR), 'doc[0-9]{3}')
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1105,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_raw_scan": q_s1_raw_scan,
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
+        "a1_counter_stats": q_a1_counter_stats,
         "w1_gauge_rate": q_w1_gauge_rate,
         "w1_counter_rate": q_w1_counter_rate,
         "w1_rate_stats": q_w1_rate_stats,
@@ -1116,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_tagged_stats": q_a5_tagged_stats,
         "a6_scalar_aggs": q_a6_scalar_aggs,
         "a8_minmax_ts": q_a8_minmax_ts,
+        "f4_metric_regex": q_f4_metric_regex,
         "s7_tag_query": q_s7_tag_query,
         "s7_tag_query_simple": q_s7_tag_query_simple,
         "b1_slice_rollup": q_b1_slice_rollup,
@@ -1158,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,
+        "a1_counter_stats": SQL_A1C,
         "w1_gauge_rate": SQL_W1,
         "w1_counter_rate": SQL_W1C,
         "w1_rate_stats": SQL_W1S,
@@ -1169,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_tagged_stats": SQL_A5,
         "a6_scalar_aggs": SQL_A6,
         "a8_minmax_ts": SQL_A8,
+        "f4_metric_regex": SQL_F4,
         "s7_tag_query": SQL_S7,
         "s7_tag_query_simple": SQL_S7S,
         "b1_slice_rollup": SQL_B1,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",
+    "embed_ivf_topk",
     "text_quality",
     "doc_fingerprint",
 ]
