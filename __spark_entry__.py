@@ -298,13 +298,6 @@ FROM dim LEFT JOIN agg USING (bucket_idx)
 """
 
 # availability: derive states from event types over 10 per-user series
-_AVAIL_STATE = {
-    "error": "down",
-    "view": "unknown",
-    "click": "admin",
-    "purchase": "up",
-    "signup": "up",
-}
 N_AV = 12
 
 

@@ -263,28 +263,6 @@ def _token_hash64(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
-def simhash64(toks: Column, bits: int = 60) -> Column:
-    """SimHash over a token array: per bit, sign of Σ(±1) across token
-    hashes.  Pure column expressions (transform + aggregate)."""
-    hashes = F.transform(toks, _token_hash64)
-
-    def _vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = [
-        F.when(_vote(b) > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(bits)
-    ]
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total.cast("long")
-
-
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
