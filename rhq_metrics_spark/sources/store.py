@@ -125,33 +125,65 @@ class MetricsStore:
         priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
         return df.withColumn("_layer_seq", priority.cast("long"))
 
-    def points(self, metric_type: str, dedup: bool = True) -> DataFrame:
-        """Unified hot ∪ cold view with last-write-wins per (tenant, metric, ts).
+    def _merged_lww(self, metric_type: str, filter_fn=None) -> DataFrame | None:
+        """hot ∪ cold with last-write-wins, windowing ONLY the slices that
+        actually have hot data.
 
         Replaces SortedMerge + distinctUntilChanged (SortedMerge.java:46-79;
-        MetricsServiceImpl.java:680-693): the union is deduped with one
-        row_number window; ordering is left to the caller's plan so
-        Catalyst can skip the sort when the query doesn't need it.
+        MetricsServiceImpl.java:680-693).  Compacted (cold-only) slices are
+        already deduped — at scale that is almost all of the data, so the
+        LWW ``row_number`` shuffle covers only the few open slices instead
+        of the whole scan.  ``filter_fn`` is applied per layer BEFORE the
+        window so pushdown/pruning reach the parquet scans.
         """
-        layers = [
-            lyr
-            for lyr in (
-                self._read_layer(metric_type, "hot"),
-                self._read_layer(metric_type, "cold"),
-            )
-            if lyr is not None
-        ]
-        if not layers:
+        hot = self._read_layer(metric_type, "hot")
+        cold = self._read_layer(metric_type, "cold")
+        if filter_fn is not None:
+            hot = filter_fn(hot) if hot is not None else None
+            cold = filter_fn(cold) if cold is not None else None
+        if hot is None and cold is None:
+            return None
+        if hot is None:
+            return cold
+        overlap = self.hot_slices(metric_type)
+        clean = None
+        df = hot
+        if cold is not None and overlap:
+            df = df.unionByName(cold.filter(F.col("date_slice").isin(overlap)))
+            clean = cold.filter(~F.col("date_slice").isin(overlap))
+        elif cold is not None:
+            clean = cold
+        w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+            F.col("_layer_seq").desc()
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return df.unionByName(clean) if clean is not None else df
+
+    def points(self, metric_type: str, dedup: bool = True) -> DataFrame:
+        """Unified hot ∪ cold view with last-write-wins per (tenant, metric, ts)."""
+        if not dedup:
+            layers = [
+                lyr
+                for lyr in (
+                    self._read_layer(metric_type, "hot"),
+                    self._read_layer(metric_type, "cold"),
+                )
+                if lyr is not None
+            ]
+            if not layers:
+                return self.spark.createDataFrame([], SCHEMAS[metric_type])
+            df = layers[0]
+            for other in layers[1:]:
+                df = df.unionByName(other)
+            return df.select("tenant_id", "metric", "ts", "value", "tags")
+        merged = self._merged_lww(metric_type)
+        if merged is None:
             return self.spark.createDataFrame([], SCHEMAS[metric_type])
-        df = layers[0]
-        for other in layers[1:]:
-            df = df.unionByName(other)
-        if dedup:
-            w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
-                F.col("_layer_seq").desc()
-            )
-            df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-        return df.select("tenant_id", "metric", "ts", "value", "tags")
+        return merged.select("tenant_id", "metric", "ts", "value", "tags")
 
     def find_data_points(
         self,
@@ -169,18 +201,13 @@ class MetricsStore:
         pruning reaches the parquet scan.
         """
         first_slice = (start // self.slice_ms) * self.slice_ms
-        pruned = []
-        for layer in _LAYERS:
-            df = self._read_layer(metric_type, layer)
-            if df is None:
-                continue
+        bucket = self._tenant_bucket_of(tenant_id)
+
+        def prune(df: DataFrame) -> DataFrame:
             df = df.filter(
                 (F.col("date_slice") >= F.lit(first_slice))
                 & (F.col("date_slice") < F.lit(end))
-                & (
-                    F.col("tenant_bucket")
-                    == F.lit(self._tenant_bucket_of(tenant_id))
-                )
+                & (F.col("tenant_bucket") == F.lit(bucket))
                 & (F.col("tenant_id") == tenant_id)
                 & (F.col("ts") >= start)
                 & (F.col("ts") < end)
@@ -190,20 +217,12 @@ class MetricsStore:
                     df = df.filter(F.col("metric") == metric)
                 else:
                     df = df.filter(F.col("metric").isin(metric))
-            pruned.append(df)
-        if not pruned:
+            return df
+
+        merged = self._merged_lww(metric_type, prune)
+        if merged is None:
             return self.spark.createDataFrame([], SCHEMAS[metric_type])
-        df = pruned[0]
-        for other in pruned[1:]:
-            df = df.unionByName(other)
-        w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
-            F.col("_layer_seq").desc()
-        )
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("tenant_id", "metric", "ts", "value", "tags")
-        )
+        df = merged.select("tenant_id", "metric", "ts", "value", "tags")
         df = df.orderBy(F.col("ts").asc() if order == "asc" else F.col("ts").desc())
         return df.limit(limit) if limit and limit > 0 else df
 
