@@ -244,20 +244,33 @@ def lsh_cosine_topk(
 
     cb = bucketed(corpus, "neighbor_id", id_col)
     qb = bucketed(queries, "query_id", query_id_col)
+    # dedup candidate PAIRS on ids only — shuffling the embedding arrays
+    # through the distinct would move tables× more bytes for nothing
     cands = (
-        cb.join(F.broadcast(qb), "_bucket")
-        .select("query_id", "neighbor_id", "_neighbor_id_v", "_query_id_v")
+        cb.drop("_neighbor_id_v")
+        .join(F.broadcast(qb.drop("_query_id_v")), "_bucket")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.col("_neighbor_id_v"), F.col("_query_id_v"))
-            / (_l2norm(F.col("_neighbor_id_v")) * _l2norm(F.col("_query_id_v")))
-        ).alias("cosine"),
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = (
+        cands.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qv")))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
