@@ -268,6 +268,27 @@ class MetricsService:
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
         return periods(pts, predicate(op, threshold))
 
+    def register_sql_views(self, prefix: str = "metrics") -> list[str]:
+        """Expose the store as Spark SQL temp views so users can query
+        with ``spark.sql``: one ``{prefix}_points_<type>`` view per metric
+        type (deduped hot∪cold) plus ``{prefix}_definitions`` and
+        ``{prefix}_tenants``.  The views are lazy plans — partition
+        pruning and pushdown still apply to SQL over them."""
+        names = []
+        for t in MetricType.USER_WRITABLE:
+            name = f"{prefix}_points_{t}"
+            self.store.points(t).createOrReplaceTempView(name)
+            names.append(name)
+        idx = self.store.metrics_idx()
+        if idx is not None:
+            idx.createOrReplaceTempView(f"{prefix}_definitions")
+            names.append(f"{prefix}_definitions")
+        tenants = self.store.tenants()
+        if tenants is not None:
+            tenants.createOrReplaceTempView(f"{prefix}_tenants")
+            names.append(f"{prefix}_tenants")
+        return names
+
     # -- §3.3 cross-type stats query fan-out -----------------------------------
 
     def stats_query(

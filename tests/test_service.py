@@ -216,3 +216,53 @@ def test_apply_retention_policies(spark, tmp_path_factory):
     assert "gauge" in result
     out = {(r["metric"], r["value"]) for r in store.points("gauge").collect()}
     assert out == {("long_lived", 1.0), ("tenant_default", 3.0)}
+
+
+def test_sql_views(svc, spark):
+    names = svc.register_sql_views()
+    assert "metrics_points_gauge" in names and "metrics_definitions" in names
+    out = spark.sql(
+        """
+        SELECT metric, count(*) AS n, round(avg(value), 2) AS avg
+        FROM metrics_points_gauge
+        WHERE tenant_id = 't1' GROUP BY metric ORDER BY metric
+        """
+    ).collect()
+    assert out[0]["metric"] == "g1" and out[0]["n"] == 120
+    defs = spark.sql(
+        "SELECT metric FROM metrics_definitions WHERE tags['env'] = 'prod'"
+    ).collect()
+    assert sorted(r["metric"] for r in defs) == ["a1", "g1"]
+
+
+def test_mixed_metric_types_coexist(spark, tmp_path_factory):
+    """MixedMetricsITest parity: all four user-writable types under one
+    tenant, isolated per type, queryable independently."""
+    from rhq_metrics_spark.model import (
+        AVAILABILITY_SCHEMA,
+        COUNTER_SCHEMA,
+        GAUGE_SCHEMA,
+        STRING_SCHEMA,
+    )
+    from rhq_metrics_spark.sources.store import MetricsStore
+    from rhq_metrics_spark.service import MetricsService
+
+    store = MetricsStore(spark, str(tmp_path_factory.mktemp("mixed") / "s"))
+    svc = MetricsService(spark, store)
+    svc.add_data_points("gauge", spark.createDataFrame(
+        [("t1", "m", T0, 1.5, None)], GAUGE_SCHEMA))
+    svc.add_data_points("counter", spark.createDataFrame(
+        [("t1", "m", T0, 7, None)], COUNTER_SCHEMA))
+    svc.add_data_points("availability", spark.createDataFrame(
+        [("t1", "m", T0, "up", None)], AVAILABILITY_SCHEMA))
+    svc.add_data_points("string", spark.createDataFrame(
+        [("t1", "m", T0, "hello", None)], STRING_SCHEMA))
+    # same metric name, four types, four isolated stores
+    assert store.points("gauge").collect()[0]["value"] == 1.5
+    assert store.points("counter").collect()[0]["value"] == 7
+    assert store.points("availability").collect()[0]["value"] == "up"
+    assert store.points("string").collect()[0]["value"] == "hello"
+    # deleting the tenant clears every type
+    svc.delete_tenant("t1")
+    for t in ("gauge", "counter", "availability", "string"):
+        assert store.points(t).count() == 0
