@@ -122,3 +122,61 @@ def test_streaming_distinct_adjacent_across_batches(spark, tmp_path):
     rows = spark.sql("select * from dedup_out order by ts").collect()
     assert [(r["ts"] - T0) // 1000 for r in rows] == [0, 2, 3, 5]
     assert [r["value"] for r in rows] == ["up", "down", "up", "down"]
+
+
+def test_windowed_stream_stats_end_to_end(spark, tmp_path):
+    """B1 streaming semantics: file-source stream → watermarked tumbling
+    windows → append sink; closed windows must match batch aggregation."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "win_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"tenant_id": "t1", "metric": "m", "sec": base + 10, "value": 1.0},
+        {"tenant_id": "t1", "metric": "m", "sec": base + 50, "value": 3.0},
+        {"tenant_id": "t1", "metric": "m", "sec": base + 70, "value": 5.0},
+    ]
+    # advancing watermark far beyond the first windows closes them
+    rows2 = [{"tenant_id": "t1", "metric": "m", "sec": base + 10_000, "value": 9.0}]
+    (src / "w1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("tenant_id string, metric string, sec long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.col("sec").cast("timestamp"))
+    )
+    from rhq_metrics_spark.streaming.ingest import windowed_stream_stats
+
+    agg = windowed_stream_stats(stream, "1 minute", "10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        # both early windows close only after the watermark (advanced by
+        # the w2 file) is applied in a subsequent micro-batch
+        while spark.sql("select * from win_out").count() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+            if not (src / "w2.json").exists():
+                (src / "w2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    finally:
+        q.stop()
+
+    out = {
+        r["window_start"].timestamp(): r
+        for r in spark.sql("select * from win_out").collect()
+    }
+    # windows are epoch-aligned: [..980, ..040) holds base+10 only;
+    # [..040, ..100) holds base+50 and base+70
+    w0 = out[(base // 60) * 60]
+    assert w0["samples"] == 1 and w0["sum"] == 1.0
+    w1 = out[(base // 60) * 60 + 60]
+    assert w1["samples"] == 2
+    assert w1["sum"] == 8.0 and w1["min"] == 3.0 and w1["max"] == 5.0

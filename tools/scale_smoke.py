@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Scale smoke: synthesize N points (default 10M) across many series,
+write them through the store's partitioned layout, and time the core
+operators — evidence that the plans hold beyond the sf0.1 testdata.
+
+Usage: python tools/scale_smoke.py [n_points] [n_series]
+Prints one JSON line with per-stage timings.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from rhq_metrics_spark.model import Buckets  # noqa: E402
+from rhq_metrics_spark.operators import (  # noqa: E402
+    numeric_bucket_stats,
+    periods,
+    predicate,
+    rate,
+    stacked_stats,
+)
+from rhq_metrics_spark.session import get_spark  # noqa: E402
+from rhq_metrics_spark.sources.store import MetricsStore  # noqa: E402
+
+T0 = 1_700_000_000_000
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_series = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    spark = get_spark(app_name="scale-smoke")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {out}", file=sys.stderr)
+
+    # deterministic synthetic series: n_series metrics, ~10s cadence,
+    # 48h span, mixed tenants — generated fully distributed (spark.range)
+    span_ms = 48 * 3_600_000
+    pts = spark.range(n_points).select(
+        F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("m"), (F.col("id") % n_series).cast("string")).alias("metric"),
+        (F.lit(T0) + (F.col("id") * span_ms) / n_points).cast("long").alias("ts"),
+        (F.sin(F.col("id") / 1000.0) * 100 + (F.col("id") % 7)).alias("value"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        store = MetricsStore(spark, workdir)
+        timed("ingest", lambda: store.add_data_points("gauge", pts) or n_points)
+        timed("compact_all", lambda: len(store.compact("gauge", 2**62)))
+
+        view = store.points("gauge")
+        buckets = Buckets.from_step(T0, T0 + span_ms, 3_600_000)
+        timed(
+            "bucket_stats_per_series",
+            lambda: numeric_bucket_stats(
+                view, buckets, group_cols=["tenant_id", "metric"], approx=True
+            ).count(),
+        )
+        timed(
+            "stacked_stats",
+            lambda: stacked_stats(view, buckets).count(),
+        )
+        timed("rate_all_series", lambda: rate(view).count())
+        timed(
+            "periods",
+            lambda: periods(view, predicate("gt", 90.0)).count(),
+        )
+        timed(
+            "pruned_single_series_scan",
+            lambda: store.find_data_points(
+                "gauge", "t1", "m101", T0, T0 + 6 * 3_600_000
+            ).count(),
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    print(json.dumps({"n_points": n_points, "n_series": n_series, "timings": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
