@@ -347,11 +347,68 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "exact",
+    num_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dups: cosine(a, b) ≥ threshold, brute-force
-    pairwise (exact; use :func:`rhq_metrics_spark.pipelines.similarity.
-    lsh_cosine_topk`'s bucketing for the approximate scale path).
-    Output: (id_a, id_b, cosine)."""
+    """Embedding near-dups: cosine(a, b) ≥ threshold.
+
+    ``method='exact'``: brute-force pairwise — O(N²), oracle-checkable.
+    ``method='lsh'``: random-hyperplane bucket join generates candidate
+    pairs (recall rises with ``tables``; high-cosine pairs collide with
+    probability ``1-(1-p^planes)^tables``, p = 1-θ/π), each candidate
+    exact-verified — the 100 TB path, no cross join anywhere.
+    Output: (id_a, id_b, cosine).
+    """
+    if method == "lsh":
+        from rhq_metrics_spark.pipelines.similarity import (
+            _hyperplanes,
+            lsh_signatures_udf,
+        )
+
+        dim = len(df.select(vec_col).first()[0])
+        sigs_udf = lsh_signatures_udf(_hyperplanes(dim, num_planes, tables, seed))
+        v = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        buckets = v.withColumn("_sigs", sigs_udf(F.col("_v"))).select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.col("_sigs"),
+                    lambda s, i: F.concat(i.cast("string"), F.lit(":"), s.cast("string")),
+                )
+            ).alias("_bucket"),
+        )
+        cands = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), "_bucket")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        norm = v.withColumn(
+            "_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+        )
+        na = norm.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+        nb = norm.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+        return (
+            cands.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "cosine",
+                F.aggregate(
+                    F.zip_with("_va", "_vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("_na") * F.col("_nb")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

@@ -132,3 +132,24 @@ def test_embedding_near_dup(spark):
     out = embedding_near_dup_pairs(df, threshold=0.95).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
     assert out[0]["cosine"] == pytest.approx(0.9999, abs=1e-3)
+
+
+def test_embedding_near_dup_lsh_path(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.02, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    lsh = embedding_near_dup_pairs(
+        df, threshold=0.95, method="lsh", num_planes=4, tables=16
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in lsh}
+    # near-identical vectors collide with overwhelming probability at
+    # 16 tables; verified cosines must match exact semantics
+    assert got == exact == {(1, 2), (3, 4)}
+    for r in lsh:
+        assert r["cosine"] >= 0.95
