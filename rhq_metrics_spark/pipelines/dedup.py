@@ -433,3 +433,92 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+
+def dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → canonical doc per
+    cluster (the step AFTER pair generation in a dedup pipeline: every
+    document gets a ``cluster_id`` = the smallest doc id reachable through
+    the pair graph, and ``is_canonical`` marks the one row per cluster to
+    keep).
+
+    Distributed hash-min label propagation with **path halving**: each
+    superstep takes the min label over a node's neighborhood ∪ itself
+    (one join + group-by), then resolves that label through the current
+    label table (``label(label(v))``) — so labels hop two levels per
+    superstep and convergence is O(log(longest path)) instead of
+    O(longest path).  Every superstep ends in ``localCheckpoint`` to
+    TRUNCATE LINEAGE — without it the logical plan doubles per iteration
+    and planning itself OOMs (observed at ~12 iterations); a cluster
+    deployment would set a checkpoint dir and use ``checkpoint()`` for
+    fault tolerance.  Per superstep cost: two shuffles of |edges| +
+    |labels| on node id; the loop exits on a converged changed-row
+    counter.  For super-node skew the same loop accepts pre-contracted
+    edges (large-star/small-star), which the near-dup setting doesn't
+    need.
+
+    Singleton documents (no pairs) stay their own cluster.  Output:
+    ``(doc_id, cluster_id, is_canonical)``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["_dst"] == labels["_id"])
+            .groupBy("_src")
+            .agg(F.min("_lab").alias("_nlab"))
+        )
+        cand = (
+            labels.join(neighbor_min, labels["_id"] == neighbor_min["_src"], "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("_lab"), F.coalesce(F.col("_nlab"), F.col("_lab"))
+                ).alias("_cand"),
+            )
+        )
+        # path halving: follow the candidate label one more hop
+        hop = labels.select(
+            F.col("_id").alias("_hid"), F.col("_lab").alias("_hlab")
+        )
+        new_labels = (
+            cand.join(hop, cand["_cand"] == hop["_hid"], "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("_cand"), F.coalesce(F.col("_hlab"), F.col("_cand"))
+                ).alias("_lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._lab") != F.col("o._lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(id_col),
+        F.col("_lab").alias("cluster_id"),
+        (F.col("_lab") == F.col("_id")).alias("is_canonical"),
+    )

@@ -1,0 +1,75 @@
+"""As-of join (union + last-value window strategy).
+
+Oracle semantics: backward as-of — latest right row with
+``right.ts <= left.ts`` per key (DuckDB ASOF JOIN / pandas merge_asof
+defaults); left-join on no match; tolerance drops stale matches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rhq_metrics_spark.operators.asof import asof_join
+
+T0 = 1_700_000_000_000
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", T0 + 100, 1.0),
+            ("u1", T0 + 200, 2.0),
+            ("u1", T0 + 50, 0.5),   # before any right row
+            ("u2", T0 + 100, 9.0),  # key with no right rows at all
+        ],
+        "key string, ts long, lval double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", T0 + 60, 10.0),
+            ("u1", T0 + 100, 20.0),  # equal-ts with a left row
+            ("u1", T0 + 150, 30.0),
+        ],
+        "key string, ts long, rval double",
+    )
+    return left, right
+
+
+def test_backward_match_and_left_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r["ts"]: r
+        for r in asof_join(left, right, on=["key"]).collect()
+        if r["key"] == "u1"
+    }
+    # equal timestamp matches (right.ts <= left.ts)
+    assert out[T0 + 100]["rval_right"] == 20.0
+    assert out[T0 + 100]["ts_right"] == T0 + 100
+    # latest earlier row wins
+    assert out[T0 + 200]["rval_right"] == 30.0
+    # left row before all right rows -> null
+    assert out[T0 + 50]["rval_right"] is None
+
+
+def test_unmatched_key_is_null(spark):
+    left, right = _frames(spark)
+    u2 = asof_join(left, right, on=["key"]).filter(F.col("key") == "u2").collect()
+    assert len(u2) == 1 and u2[0]["rval_right"] is None
+
+
+def test_tolerance_drops_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r["ts"]: r
+        for r in asof_join(left, right, on=["key"], tolerance_ms=40).collect()
+        if r["key"] == "u1"
+    }
+    # ts=200 best match is 150 (50ms old) -> outside 40ms tolerance
+    assert out[T0 + 200]["rval_right"] is None
+    # ts=100 matches its own timestamp (0ms old)
+    assert out[T0 + 100]["rval_right"] == 20.0
+
+
+def test_row_count_preserved(spark):
+    left, right = _frames(spark)
+    assert asof_join(left, right, on=["key"]).count() == left.count()

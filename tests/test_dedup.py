@@ -153,3 +153,30 @@ def test_embedding_near_dup_lsh_path(spark):
     assert got == exact == {(1, 2), (3, 4)}
     for r in lsh:
         assert r["cosine"] >= 0.95
+
+
+def test_dup_clusters_connected_components(spark):
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3,4} via chain 4-3, 3-2, 2-1; {5,6}; {7} singleton
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in dup_clusters(ids, pairs).collect()}
+    assert len(out) == 7
+    assert [out[i]["cluster_id"] for i in range(1, 8)] == [1, 1, 1, 1, 5, 5, 7]
+    canon = {i for i, r in out.items() if r["is_canonical"]}
+    assert canon == {1, 5, 7}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dup_clusters(ids, pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
