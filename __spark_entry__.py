@@ -48,7 +48,10 @@ from rhq_metrics_spark.operators import (
     stacked_stats,
     tagged_stats,
 )
+from rhq_metrics_spark.operators.asof import asof_join
+from rhq_metrics_spark.operators.sessions import session_stats
 from rhq_metrics_spark.pipelines.dedup import (
+    dup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1130,6 +1133,100 @@ WHERE lang = 'en'
 """
 
 
+def q_j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: backward as-of join — each purchase event picks up the latest
+    view event (per user) at-or-before its timestamp.  Implemented as
+    union + last-value window (operators/asof.py): one keyed shuffle, no
+    range-join explosion.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _events_points(spark, sf_dir)
+    left = ev.filter(F.col("metric") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    right = ev.filter(F.col("metric") == "view").select("user_id", "ts", "value")
+    out = asof_join(left, right, on=["user_id"], right_cols=["value"], suffix="_view")
+    return out.select(
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_view").alias("view_ts"),
+        F.round("value_view", 4).alias("view_value"),
+    )
+
+
+SQL_J5 = f"""
+WITH ev AS ({EV_SQL}),
+l AS (SELECT user_id, ts, round(value, 4) AS purchase_value FROM ev WHERE metric = 'purchase'),
+r AS (SELECT user_id, ts, value FROM ev WHERE metric = 'view')
+SELECT l.user_id, l.ts, l.purchase_value,
+       r.ts AS view_ts, round(r.value, 4) AS view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+SESSION_GAP_MS = 43_200_000  # 12h — events median per-user gap is ~7.3h
+
+
+def q_w4_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: gap-based sessionization of the event stream per user
+    (operators/sessions.py) — batch analogue of Structured Streaming's
+    session_window; both windows + rollup share one Exchange."""
+    ev = _events_points(spark, sf_dir).select("user_id", "ts")
+    out = session_stats(ev, on=["user_id"], gap_ms=SESSION_GAP_MS)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_ms",
+    )
+
+
+SQL_W4 = f"""
+WITH ev AS ({EV_SQL}),
+d AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS st
+      FROM ev),
+s AS (SELECT user_id, ts,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, max(ts) - min(ts) AS duration_ms
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs → canonical
+    document per cluster (pipelines/dedup.py dup_clusters).  The pair
+    generator is the md5-keyed MinHash query (byte-identical in DuckDB),
+    so the full pairs→clusters pipeline is oracle-checked: the oracle
+    computes min-reachable-id per doc with a recursive CTE."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=MH_T
+    )
+    return dup_clusters(docs.select("doc_id"), pairs)
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id,
+       (min(lab) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1163,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_tag_query": q_s7_tag_query,
         "s7_tag_query_simple": q_s7_tag_query_simple,
         "b1_slice_rollup": q_b1_slice_rollup,
+        "j5_asof_join": q_j5_asof_join,
+        "w4_sessions": q_w4_sessions,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1173,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embed_near_dup": q_embed_near_dup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_topk": lambda spark, sf: lsh_cosine_topk(
@@ -1218,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_tag_query": SQL_S7,
         "s7_tag_query_simple": SQL_S7S,
         "b1_slice_rollup": SQL_B1,
+        "j5_asof_join": SQL_J5,
+        "w4_sessions": SQL_W4,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
@@ -1226,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": _clusters_sql(),
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_cosine_topk": SQL_TOPK,
         "text_token_stats": SQL_TEXT_TOKENS,

@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "a3_stacked_stats",
     "a5_tagged_stats",
     "b1_slice_rollup",
+    "j5_asof_join",
+    "w4_sessions",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
