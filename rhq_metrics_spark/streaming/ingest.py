@@ -96,3 +96,36 @@ def windowed_stream_stats(
             "samples",
         )
     )
+
+
+def session_stream_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — the
+    streaming twin of ``operators/sessions.py`` (same semantics: a
+    session extends while consecutive events are <= gap apart).
+
+    State per open session is one (start, end, count, key) tuple; the
+    watermark closes sessions whose end + gap is past the watermark, so
+    state is bounded by the number of concurrently-open sessions, not by
+    history.  Emits per (tenant, metric, session) start/end/n_events
+    once the session finalizes (append mode).
+    """
+    return (
+        stream_df.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.col("tenant_id"),
+            F.col("metric"),
+            F.session_window("event_time", gap).alias("sess"),
+        )
+        .agg(F.count("value").alias("n_events"))
+        .select(
+            "tenant_id",
+            "metric",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )

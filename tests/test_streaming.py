@@ -180,3 +180,56 @@ def test_windowed_stream_stats_end_to_end(spark, tmp_path):
     w1 = out[(base // 60) * 60 + 60]
     assert w1["samples"] == 2
     assert w1["sum"] == 8.0 and w1["min"] == 3.0 and w1["max"] == 5.0
+
+
+def test_session_stream_stats_end_to_end(spark, tmp_path):
+    """W4 streaming twin: session_window with watermark — a session
+    closes (and is emitted in append mode) once the watermark passes its
+    end + gap; bounds are [first_event, last_event + gap)."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.streaming.ingest import session_stream_stats
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [  # one session: events at +0, +5, +8 (gap 10s keeps them together)
+        {"tenant_id": "t1", "metric": "m", "sec": base, "value": 1.0},
+        {"tenant_id": "t1", "metric": "m", "sec": base + 5, "value": 2.0},
+        {"tenant_id": "t1", "metric": "m", "sec": base + 8, "value": 3.0},
+    ]
+    # far-future event advances the watermark past session 1's end
+    rows2 = [{"tenant_id": "t1", "metric": "m", "sec": base + 300, "value": 9.0}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    schema = "tenant_id string, metric string, sec long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    out = session_stream_stats(stream, gap="10 seconds", watermark_delay="5 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while spark.sql("select * from sess_out").count() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from sess_out").collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["n_events"] == 3
+    assert int(s["session_start"].timestamp()) == base
+    assert int(s["session_end"].timestamp()) == base + 8 + 10
