@@ -64,10 +64,12 @@ from rhq_metrics_spark.pipelines.similarity import (
     lsh_cosine_topk,
 )
 from rhq_metrics_spark.pipelines.text import (
+    contamination_check,
     document_fingerprint,
     language_id,
     quality_score,
     token_stats,
+    vocab_stats,
 )
 from rhq_metrics_spark.tags import find_metric_ids
 
@@ -1227,6 +1229,55 @@ FROM reach GROUP BY id
 """
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (term/document frequency) — the pre-BPE counting
+    pass (pipelines/text.py vocab_stats)."""
+    docs = _table(spark, sf_dir, "documents")
+    return vocab_stats(docs, min_count=2)
+
+
+SQL_TEXT_VOCAB = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+             FROM documents)
+SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: docs with doc_id % 10 == 0 act as
+    the eval set, the rest as training corpus; per-eval-doc distinct
+    3-gram overlap fraction (pipelines/text.py contamination_check)."""
+    docs = _table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_check(train, eval_df, shingle_n=3)
+
+
+SQL_TEXT_CONTAM = f"""
+WITH toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) - 2 > 0
+              THEN list_distinct(list_transform(range(1, len(t) - 2 + 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [] END AS s
+       FROM toks),
+tr AS (SELECT DISTINCT md5(g) AS gh
+       FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0)),
+ev AS (SELECT doc_id, md5(unnest(s)) AS gh FROM sh WHERE doc_id % 10 = 0),
+hits AS (SELECT e.doc_id, count(*) AS n_grams, count(t.gh) AS n_matched
+         FROM ev e LEFT JOIN tr t USING (gh) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0) AS n_grams,
+       coalesce(h.n_matched, 0) AS n_matched,
+       round(CASE WHEN coalesce(h.n_grams, 0) > 0
+                  THEN h.n_matched / CAST(h.n_grams AS DOUBLE) ELSE 0.0 END, 6)
+         AS contamination_rate
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1292,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
     }
     return qs
@@ -1334,6 +1387,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
+        "text_vocab": SQL_TEXT_VOCAB,
+        "text_contamination": SQL_TEXT_CONTAM,
         "doc_fingerprint": SQL_DOC_FP,
         # "embed_lsh_topk": rows-only (seeded hyperplanes)
     }

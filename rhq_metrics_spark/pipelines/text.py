@@ -163,3 +163,97 @@ def document_fingerprint(
             ).otherwise(F.md5(F.col("_norm"))),
         }
     ).drop("_norm", "_toks", "_grams")
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: per-token term frequency and document
+    frequency — the counting pass that seeds BPE/vocab training.
+
+    explode → group-by is the canonical Spark shape: partial (map-side)
+    aggregation collapses each partition's token multiset before the
+    shuffle, so skewed head tokens ("the") move one partial row per
+    partition, not one row per occurrence.  ``count(DISTINCT doc)`` is
+    exact here (two-phase agg); at extreme scale swap for
+    ``approx_count_distinct`` — same plan shape.
+    Output: ``(token, term_freq, doc_freq)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.count_distinct(F.col("_id")).alias("doc_freq"),
+        )
+        .filter(F.col("term_freq") >= min_count)
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every eval document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    training corpus (the standard n-gram-overlap decontamination test).
+
+    Plan at scale: the train side reduces to a DISTINCT md5(shingle) set
+    (one shuffle, fixed-width keys instead of raw n-gram strings); the
+    eval side explodes its per-doc distinct shingles and shuffle-joins
+    on the hash; the per-doc rollup then groups on already-co-located
+    doc ids.  Eval docs too short to produce a shingle survive with
+    ``n_grams = 0`` via the final left join.
+    Output: ``(doc_id, n_grams, n_matched, contamination_rate)``.
+    """
+    def _grams(df: DataFrame) -> DataFrame:
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        b = df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        b = b.withColumn("_toks", F.split(F.col("_norm"), " "))
+        return b.select(
+            "_id", F.array_distinct(shingles(F.col("_toks"), shingle_n)).alias("_grams")
+        )
+
+    tr = (
+        _grams(train)
+        .select(F.explode("_grams").alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    ev = _grams(eval_df)
+    ev_ex = ev.select("_id", F.explode("_grams").alias("_g")).select(
+        "_id", F.md5("_g").alias("_gh")
+    )
+    per = (
+        ev_ex.join(tr, "_gh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_m").alias("n_matched"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("long"))
+    n_matched = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    return (
+        ev.select("_id")
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            n_grams.alias("n_grams"),
+            n_matched.alias("n_matched"),
+            F.round(
+                F.when(n_grams > 0, n_matched / n_grams.cast("double")).otherwise(0.0),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )

@@ -80,3 +80,40 @@ def test_fingerprint_python_oracle(spark):
     for ch in text:
         h = (h * 31 + ord(ch)) % 1_000_000_007
     assert got == h
+
+
+def test_vocab_stats_counts(spark):
+    from rhq_metrics_spark.pipelines.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat  sat"), (2, "THE dog"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in vocab_stats(df).collect()}
+    assert out["the"]["term_freq"] == 2 and out["the"]["doc_freq"] == 2
+    assert out["cat"]["term_freq"] == 1
+    assert "" not in out  # empty doc contributes nothing
+    assert vocab_stats(df, min_count=2).count() == 1  # only "the"
+
+
+def test_contamination_check_rates(spark):
+    from rhq_metrics_spark.pipelines.text import contamination_check
+
+    train = spark.createDataFrame(
+        [(10, "a b c d e")], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),   # shingles: {a b c, b c x, c x y} -> 1/3 match
+            (2, "a b c d"),     # {a b c, b c d} -> 2/2
+            (3, "zz qq"),       # too short for 3-grams -> 0 grams
+            (4, "p q r s"),     # {p q r, q r s} -> 0/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(train, eval_df).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_matched"] == 1
+    assert out[1]["contamination_rate"] == round(1 / 3, 6)
+    assert out[2]["contamination_rate"] == 1.0
+    assert (out[3]["n_grams"], out[3]["contamination_rate"]) == (0, 0.0)
+    assert out[4]["n_matched"] == 0
