@@ -607,6 +607,100 @@ FROM ev GROUP BY 1, 2
 """
 
 # -- TPC-H-ish relational queries (join/agg showcase + bench headliners) -----
+# q4/q12/q22 are adapted to the synthetic schema (no l_commitdate /
+# l_receiptdate / l_shipmode columns): q4 keeps the EXISTS semi-join
+# shape via a late-shipment proxy, q12 keeps the conditional-aggregation
+# shape over o_orderpriority, q22 keeps the NOT-EXISTS anti-join shape.
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts over orders having at least one
+    late-shipped lineitem — LEFT SEMI join with a non-equi residual
+    (shipped > orderdate + 60d); Catalyst plans the equi part as the
+    join key and keeps the residual as a join condition."""
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-returnflag conditional counts of high/low
+    priority orders for 1997 shipments (CASE-sum inside one hash agg)."""
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with no order since 2000-01-01, counted
+    per nation — LEFT ANTI join on custkey (the filter is pushed into the
+    orders scan, so the anti build side is only recent orders), nation
+    broadcast."""
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    recent = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"))
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT n_name, count(*) AS numcust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+"""
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,8 +1410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q22": q_tpch_q22,
         # training-data pipelines
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1375,8 +1472,11 @@ def oracle_sql() -> dict[str, str]:
         "w4_sessions": SQL_W4,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q4": SQL_TPCH_Q4,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q22": SQL_TPCH_Q22,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _minhash_sql(),

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "w4_sessions",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "dedup_exact",
