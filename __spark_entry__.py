@@ -58,6 +58,10 @@ from rhq_metrics_spark.pipelines.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from rhq_metrics_spark.pipelines.multimodal import (
+    media_features,
+    media_from_documents,
+)
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
     ivf_cosine_topk,
@@ -1372,6 +1376,48 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns: metadata + binary ops over the
+    synthesized media table (pipelines/multimodal.py).  The payload is a
+    REAL binary column on the Spark side (byte length, byte-slice
+    header, digest of the canonical hex form); the oracle recomputes the
+    same values in the hex-string domain (DuckDB hashes/slices only
+    VARCHARs).  The kind filter shows metadata-driven pruning: parquet
+    would skip payload pages for rows filtered out by typed columns."""
+    docs = _table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    hexpay = F.lower(F.hex(F.col("payload")))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.conv(F.substring(hexpay, 1, 8), 16, 10).cast("long").alias("header_u32"),
+        F.md5(hexpay).alias("payload_digest"),
+    )
+
+
+SQL_MM_META = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(64 + doc_id % 512 AS INTEGER) AS width,
+       CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
+       CAST(len(md5(text)) / 2 AS INTEGER) AS n_bytes,
+       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS header_u32,
+       md5(md5(text)) AS payload_digest
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over the synthesized
+    media table (stub decoder — rows-only check: sha256-of-bytes has no
+    DuckDB analogue, and the decode is explicitly a fake)."""
+    docs = _table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return media_features(media).drop("feat_mean", "sha256")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1443,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
+        "mm_meta": q_mm_meta,
+        "mm_features": q_mm_features,  # rows-only: stub decoder, sha of raw bytes
     }
     return qs
 
@@ -1490,5 +1538,6 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab": SQL_TEXT_VOCAB,
         "text_contamination": SQL_TEXT_CONTAM,
         "doc_fingerprint": SQL_DOC_FP,
+        "mm_meta": SQL_MM_META,
         # "embed_lsh_topk": rows-only (seeded hyperplanes)
     }

@@ -180,3 +180,27 @@ def resize_plan(
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(_resize, schema=out_schema)
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table synthesized from a text corpus (the
+    container ships no media testdata): payload = unhex(md5(text)) as a
+    real ``binary`` column, kind cycles image/audio/video by id, and
+    typed metadata is derived arithmetically.  Gives every binary-column
+    code path a reproducible input that a SQL oracle can recompute in
+    the hex domain."""
+    did = F.col(id_col)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (did % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        did.alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(F.md5(F.col(text_col))).alias("payload"),
+        F.when(kind == "image", (64 + did % 512).cast("int")).alias("width"),
+        F.when(kind == "image", (64 + (did * 7) % 512).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16_000)).cast("int").alias("sample_rate"),
+        F.when(kind != "image", (did % 60 + 1) * 1000).cast("long").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )

@@ -66,3 +66,22 @@ def test_metadata_filter_prunes_payload_read(media, spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
     assert "ReadSchema" in plan
+
+
+def test_media_from_documents_binary_roundtrip(spark):
+    import hashlib
+
+    from rhq_metrics_spark.pipelines.multimodal import media_from_documents
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: r for r in media_from_documents(docs).collect()}
+    assert [rows[i]["kind"] for i in range(3)] == ["image", "audio", "video"]
+    # payload is the real md5 digest bytes of the text
+    assert bytes(rows[0]["payload"]) == hashlib.md5(b"alpha").digest()
+    assert len(bytes(rows[1]["payload"])) == 16
+    # typed metadata only where the kind warrants it
+    assert rows[0]["width"] == 64 and rows[0]["duration_ms"] is None
+    assert rows[1]["sample_rate"] == 16_000 and rows[1]["width"] is None
+    assert rows[2]["duration_ms"] == 3000
