@@ -103,6 +103,18 @@ def main() -> None:
         done = store.compact("gauge", closed_before_ms=2**62)
         dt = time.time() - t0
         timings["compaction_slices_per_sec"] = round(len(done) / dt, 2)
+        # storage efficiency (Gorilla-compression axis, SURVEY §4): bytes
+        # per point in the compacted cold layer (ZSTD parquet w/ sorted
+        # ts per series — delta/dictionary encodings do the Gorilla job)
+        import pathlib
+
+        cold_bytes = sum(
+            f.stat().st_size
+            for f in pathlib.Path(workdir).rglob("*.parquet")
+            if "/cold/" in str(f)
+        )
+        if cold_bytes:
+            timings["cold_bytes_per_point"] = round(cold_bytes / n_pts, 2)
         print(
             f"# ingest {n_pts} pts -> {timings['ingest_points_per_sec']}/s; "
             f"compact {len(done)} slices -> {timings['compaction_slices_per_sec']}/s",

@@ -363,12 +363,10 @@ def embedding_near_dup_pairs(
     """
     if method == "lsh":
         from rhq_metrics_spark.pipelines.similarity import (
-            _hyperplanes,
-            lsh_signatures_udf,
+            lsh_signatures_udf_seeded,
         )
 
-        dim = len(df.select(vec_col).first()[0])
-        sigs_udf = lsh_signatures_udf(_hyperplanes(dim, num_planes, tables, seed))
+        sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
         v = df.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

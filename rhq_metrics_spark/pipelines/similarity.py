@@ -206,6 +206,29 @@ def lsh_signatures_udf(planes: np.ndarray):
     return _sigs
 
 
+def lsh_signatures_udf_seeded(num_planes: int, tables: int, seed: int):
+    """Like :func:`lsh_signatures_udf` but the hyperplanes are derived
+    from ``(seed, dim)`` INSIDE the UDF, with dim read off the first
+    Arrow batch — avoids the driver-side ``first()`` probe job that a
+    pre-built plane matrix needs.  Deterministic: every batch (and every
+    executor) regenerates the identical planes from the same seed."""
+    weights = np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        planes = np.random.RandomState(seed).normal(
+            size=(tables, num_planes, mat.shape[1])
+        )
+        sigs = np.empty((len(mat), tables), dtype=np.int64)
+        for t in range(tables):
+            bits = (mat @ planes[t].T) >= 0
+            sigs[:, t] = (bits << weights).sum(axis=1)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,10 +244,7 @@ def lsh_cosine_topk(
     """Approximate top-k via random-hyperplane LSH bucketing + exact
     re-rank of candidates.  Same output shape as :func:`cosine_topk`
     (rank is within retrieved candidates)."""
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_planes, tables, seed)
-
-    sigs_udf = lsh_signatures_udf(planes)
+    sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
 
     def bucketed(df: DataFrame, ident: str, idc: str) -> DataFrame:
         bound = df.select(

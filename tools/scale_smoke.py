@@ -87,6 +87,54 @@ def main() -> None:
                 "gauge", "t1", "m101", T0, T0 + 6 * 3_600_000
             ).count(),
         )
+
+        # dense-slice storage efficiency (Gorilla axis): bytes per point
+        # in the compacted cold layer — here each 2h slice holds
+        # ~n_points/24 rows, so parquet encoding, not per-file overhead,
+        # dominates (contrast with bench.py's sparse-backfill number)
+        cold_bytes = sum(
+            f.stat().st_size
+            for f in Path(workdir).rglob("*.parquet")
+            if "/cold/" in str(f)
+        )
+        timings["cold_bytes_per_point"] = round(cold_bytes / n_points, 3)
+        print(f"# cold_bytes_per_point: {timings['cold_bytes_per_point']}", file=sys.stderr)
+
+        # as-of alignment across ALL series (2×n_points rows through the
+        # single keyed shuffle of operators/asof.py)
+        from rhq_metrics_spark.operators.asof import asof_join  # noqa: E402
+        from rhq_metrics_spark.operators.sessions import session_stats  # noqa: E402
+
+        left = view.select("tenant_id", "metric", "ts", "value")
+        right = view.select(
+            "tenant_id", "metric", (F.col("ts") - 1).alias("ts"),
+            F.col("value").alias("prev_value"),
+        )
+        # count the MATCHED column (not plain count()) — otherwise column
+        # pruning elides the last-value window and the timing is a lie
+        timed(
+            "asof_join_all_series",
+            lambda: asof_join(
+                left, right, on=["tenant_id", "metric"], right_cols=["prev_value"]
+            )
+            .agg(F.count("prev_value_right"))
+            .collect()[0][0],
+        )
+        # realistic: gap > the ~173s series cadence -> one session/series
+        timed(
+            "sessionize_all_series",
+            lambda: session_stats(
+                left, on=["tenant_id", "metric"], gap_ms=200_000
+            ).count(),
+        )
+        # sessionization with gap < cadence -> every point its own
+        # session: worst-case session cardinality through the rollup
+        timed(
+            "sessionize_worst_case",
+            lambda: session_stats(
+                left, on=["tenant_id", "metric"], gap_ms=100_000
+            ).count(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
