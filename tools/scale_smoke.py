@@ -105,8 +105,13 @@ def main() -> None:
         from rhq_metrics_spark.operators.asof import asof_join  # noqa: E402
         from rhq_metrics_spark.operators.sessions import session_stats  # noqa: E402
 
-        left = view.select("tenant_id", "metric", "ts", "value")
-        right = view.select(
+        # both asof sides derive from the same store view — persist it
+        # once (as a real pipeline would) so the LWW read doesn't run
+        # twice inside the join
+        base = view.select("tenant_id", "metric", "ts", "value").persist()
+        timed("points_cache_materialize", lambda: base.count())
+        left = base
+        right = base.select(
             "tenant_id", "metric", (F.col("ts") - 1).alias("ts"),
             F.col("value").alias("prev_value"),
         )
