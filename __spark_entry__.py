@@ -62,6 +62,10 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_features,
     media_from_documents,
 )
+from rhq_metrics_spark.pipelines.sampling import (
+    cap_per_group,
+    hash_split,
+)
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
     ivf_cosine_topk,
@@ -1418,6 +1422,48 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media).drop("feat_mean", "sha256")
 
 
+#: DuckDB twin of pipelines.sampling.hash_fraction (60-bit md5 prefix)
+HF_SQL = (
+    "CAST(concat('0x', substr(md5(concat('{salt}', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " / CAST(1152921504606846976 AS DOUBLE)"
+)
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over documents
+    (pipelines/sampling.py hash_split) — stable under corpus growth; the
+    oracle recomputes the identical md5 thresholding."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+SQL_SAMPLE_SPLIT = f"""
+WITH f AS (SELECT doc_id, {HF_SQL.format(salt="split")} AS frac FROM documents)
+SELECT doc_id,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM f
+"""
+
+
+def q_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (pipelines/sampling.py cap_per_group):
+    at most 40 docs per lang, chosen by hash order — one window shuffle
+    on the group key."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(docs, ["lang"], k=40)
+
+
+SQL_SAMPLE_CAP = f"""
+WITH f AS (SELECT doc_id, lang, {HF_SQL.format(salt="cap")} AS frac FROM documents),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY frac ASC, doc_id ASC) AS rn
+      FROM f)
+SELECT doc_id, lang FROM r WHERE rn <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1491,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,  # rows-only: stub decoder, sha of raw bytes
+        "sample_split": q_sample_split,
+        "sample_cap": q_sample_cap,
     }
     return qs
 
@@ -1539,5 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": SQL_TEXT_CONTAM,
         "doc_fingerprint": SQL_DOC_FP,
         "mm_meta": SQL_MM_META,
+        "sample_split": SQL_SAMPLE_SPLIT,
+        "sample_cap": SQL_SAMPLE_CAP,
         # "embed_lsh_topk": rows-only (seeded hyperplanes)
     }

@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting for training-data curation.
+
+All decisions are pure functions of ``md5(salt || id)`` — no RNG state,
+no ``rand()``: a row's split/sample fate is reproducible across runs,
+engines, partitionings, and cluster sizes (the property a 100 TB corpus
+refresh needs: re-running the pipeline after appending data must not
+reshuffle existing rows between train and test).  Everything is a
+JVM-side column expression — filters fuse with the scan, no shuffle for
+split/sample, one window shuffle for per-group caps.
+
+- ``hash_fraction``: uniform [0, 1) per row from the first 60 bits of
+  the md5 — the shared primitive.
+- ``deterministic_sample``: keep rows with fraction < p.
+- ``hash_split``: assign train/val/test (any weights) by threshold.
+- ``cap_per_group``: at most k rows per group, chosen by hash order
+  (stable "max documents per domain" dedup-adjacent curation rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: 60 bits of md5 (15 hex chars) — fits a signed long exactly, matching
+#: DuckDB's CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)
+_HASH_BITS = 60
+_HASH_DENOM = float(1 << _HASH_BITS)
+
+
+def hash_fraction(id_col: Column, salt: str = "") -> Column:
+    """Uniform pseudo-random fraction in [0, 1), deterministic in
+    ``(salt, id)``.  Byte-identical md5 arithmetic exists in DuckDB, so
+    sampling decisions are oracle-checkable."""
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, _HASH_BITS // 4), 16, 10).cast("long") / F.lit(
+        _HASH_DENOM
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows (by id hash).  Appending new
+    rows later never changes which existing rows are kept."""
+    return df.filter(hash_fraction(F.col(id_col), salt) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float] | Sequence[tuple[str, float]],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with the given weights (need not
+    sum to 1 — they are normalized).  Thresholding one hash keeps the
+    assignment stable under data growth; iteration order of ``weights``
+    fixes which side of a boundary each label owns."""
+    items = list(weights.items()) if isinstance(weights, Mapping) else list(weights)
+    total = sum(w for _, w in items)
+    frac = hash_fraction(F.col(id_col), salt)
+    expr = F.lit(items[-1][0])
+    acc = 0.0
+    bounds = []
+    for name, w in items[:-1]:
+        acc += w / total
+        bounds.append((name, acc))
+    for name, b in reversed(bounds):
+        expr = F.when(frac < b, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``k`` rows per group, selected by hash order (ties broken
+    by id) — the stable per-source document cap.  One window shuffle on
+    the group key; the hash order makes the kept set independent of
+    physical row order."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_fraction(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,61 @@
+"""Deterministic sampling/splitting — stability is the contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rhq_metrics_spark.pipelines.sampling import (
+    cap_per_group,
+    deterministic_sample,
+    hash_fraction,
+    hash_split,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("domain"),
+    )
+
+
+def test_hash_fraction_uniform_and_deterministic(spark):
+    df = _docs(spark).withColumn("f", hash_fraction(F.col("doc_id"), "s"))
+    rows = df.collect()
+    fs = [r["f"] for r in rows]
+    assert all(0.0 <= f < 1.0 for f in fs)
+    assert abs(sum(fs) / len(fs) - 0.5) < 0.06  # roughly uniform
+    again = {r["doc_id"]: r["f"] for r in df.collect()}
+    assert all(again[r["doc_id"]] == r["f"] for r in rows)  # stable
+
+
+def test_sample_stable_under_growth(spark):
+    small = deterministic_sample(_docs(spark, 200), 0.3, salt="x")
+    big = deterministic_sample(_docs(spark, 400), 0.3, salt="x")
+    kept_small = {r["doc_id"] for r in small.collect()}
+    kept_big = {r["doc_id"] for r in big.collect()}
+    # appending rows never evicts previously-kept rows
+    assert kept_small == {i for i in kept_big if i < 200}
+    assert 0.2 < len(kept_big) / 400 < 0.4
+
+
+def test_hash_split_weights_and_partition(spark):
+    out = hash_split(_docs(spark), {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 400  # exact partition of the corpus
+
+
+def test_cap_per_group(spark):
+    out = cap_per_group(_docs(spark), ["domain"], k=5)
+    sizes = [r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()]
+    assert sizes == [5, 5, 5, 5]
+    # stable: same rows kept on re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in cap_per_group(_docs(spark), ["domain"], k=5).collect()}
+    assert a == b
+    # physical order doesn't matter: shuffled input keeps the same set
+    shuffled = _docs(spark).orderBy(F.rand(7))
+    c = {r["doc_id"] for r in cap_per_group(shuffled, ["domain"], k=5).collect()}
+    assert a == c
