@@ -40,16 +40,23 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``right`` onto ``left``.
+    """As-of join of ``right`` onto ``left``.
 
     Returns all ``left`` columns plus, for each of ``right_cols`` (default:
     every non-key, non-ts column of ``right``), a ``<col><suffix>`` column
-    from the latest right row with ``right.ts <= left.ts`` (same key),
-    plus ``ts<suffix>`` (the matched right timestamp).  Unmatched left
-    rows keep nulls (left-join semantics).  ``tolerance_ms`` drops matches
-    older than ``left.ts - tolerance_ms``.
+    from the matched right row (same key), plus ``ts<suffix>`` (the matched
+    right timestamp).  ``direction="backward"`` (default) matches the
+    latest right row with ``right.ts <= left.ts``; ``"forward"`` matches
+    the earliest right row with ``right.ts >= left.ts`` (same sorted-merge
+    plan, reversed sort order).  Unmatched left rows keep nulls (left-join
+    semantics).  ``tolerance_ms`` bounds the match distance
+    (``left.ts - tolerance_ms`` backward, ``left.ts + tolerance_ms``
+    forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, ts_col)]
@@ -70,22 +77,26 @@ def asof_join(
     )
     unified = l_part.unionByName(r_part, allowMissingColumns=True)
 
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unified.withColumn(
         "_match", F.last("_rpay", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)
     if tolerance_ms is not None:
+        mts = F.col(f"_match.{ts_col}{suffix}")
+        in_range = (
+            mts >= F.col("_asof_ts") - F.lit(tolerance_ms)
+            if direction == "backward"
+            else mts <= F.col("_asof_ts") + F.lit(tolerance_ms)
+        )
         matched = matched.withColumn(
-            "_match",
-            F.when(
-                F.col(f"_match.{ts_col}{suffix}")
-                >= F.col("_asof_ts") - F.lit(tolerance_ms),
-                F.col("_match"),
-            ),
+            "_match", F.when(in_range, F.col("_match"))
         )
     out_cols = [c for c in left.columns] + [
         F.col(f"_match.{ts_col}{suffix}").alias(f"{ts_col}{suffix}")

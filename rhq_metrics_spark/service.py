@@ -268,6 +268,52 @@ class MetricsService:
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
         return periods(pts, predicate(op, threshold))
 
+    # -- alignment / sessions (J5/W4, beyond the reference) -----------------------
+
+    def align_asof(
+        self,
+        tenant_id,
+        left_metric,
+        right_metric,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        tolerance_ms=None,
+        direction="backward",
+    ) -> DataFrame:
+        """Each ``left_metric`` point annotated with the as-of value of
+        ``right_metric`` (operators/asof.py): ``(ts, value, ts_right,
+        value_right)``."""
+        from rhq_metrics_spark.operators.asof import asof_join
+
+        left = self._scan(metric_type, tenant_id, left_metric, start, end).select(
+            "tenant_id", "ts", "value"
+        )
+        right = self._scan(metric_type, tenant_id, right_metric, start, end).select(
+            "tenant_id", "ts", "value"
+        )
+        return asof_join(
+            left,
+            right,
+            on=["tenant_id"],
+            right_cols=["value"],
+            tolerance_ms=tolerance_ms,
+            direction=direction,
+        ).drop("tenant_id")
+
+    def get_sessions(
+        self, tenant_id, metric, gap_ms, start, end, metric_type=MetricType.GAUGE
+    ) -> DataFrame:
+        """Gap-based sessions of one series (operators/sessions.py):
+        ``(session_id, session_start, session_end, n_events,
+        duration_ms)``."""
+        from rhq_metrics_spark.operators.sessions import session_stats
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return session_stats(
+            pts, on=["tenant_id", "metric"], gap_ms=gap_ms
+        ).drop("tenant_id", "metric")
+
     def register_sql_views(self, prefix: str = "metrics") -> list[str]:
         """Expose the store as Spark SQL temp views so users can query
         with ``spark.sql``: one ``{prefix}_points_<type>`` view per metric

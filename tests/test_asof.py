@@ -73,3 +73,65 @@ def test_tolerance_drops_stale_matches(spark):
 def test_row_count_preserved(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, on=["key"]).count() == left.count()
+
+
+def test_forward_direction(spark):
+    left, right = _frames(spark)
+    out = {
+        r["ts"]: r
+        for r in asof_join(left, right, on=["key"], direction="forward").collect()
+        if r["key"] == "u1"
+    }
+    # earliest right row at-or-after each left ts
+    assert out[T0 + 50]["rval_right"] == 10.0   # next right is at +60
+    assert out[T0 + 100]["rval_right"] == 20.0  # equal ts matches
+    assert out[T0 + 200]["rval_right"] is None  # nothing after +150
+
+
+def test_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["ts"]: r
+        for r in asof_join(
+            left, right, on=["key"], direction="forward", tolerance_ms=5
+        ).collect()
+        if r["key"] == "u1"
+    }
+    assert out[T0 + 50]["rval_right"] is None  # +60 is 10ms away > 5ms
+    assert out[T0 + 100]["rval_right"] == 20.0
+
+
+def test_forward_matches_duckdb_asof(spark):
+    """Cross-engine check on real data: forward asof == DuckDB ASOF with
+    l.ts <= r.ts."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.expr("ts div 1000000").alias("ts"), "event_type", "value"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    got = {
+        (r["user_id"], r["ts"]): (r["ts_right"], r["value_right"])
+        for r in asof_join(left, right, on=["user_id"], direction="forward").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT user_id, epoch_ms(ts) AS ts, event_type, value "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    )
+    exp = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            """
+            WITH l AS (SELECT user_id, ts FROM ev WHERE event_type='purchase'),
+                 r AS (SELECT user_id, ts, value FROM ev WHERE event_type='view')
+            SELECT l.user_id, l.ts, r.ts, r.value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+            """
+        ).fetchall()
+    }
+    assert got == exp

@@ -266,3 +266,31 @@ def test_mixed_metric_types_coexist(spark, tmp_path_factory):
     svc.delete_tenant("t1")
     for t in ("gauge", "counter", "availability", "string"):
         assert store.points(t).count() == 0
+
+
+def test_align_asof_and_sessions(svc):
+    import pyspark.sql.functions as F
+
+    T = 1_700_000_000_000
+    rows = [
+        ("t1", "cpu", T + 0, 1.0),
+        ("t1", "cpu", T + 10_000, 2.0),
+        ("t1", "mem", T + 4_000, 50.0),
+        ("t1", "mem", T + 9_000, 60.0),
+    ]
+    pts = svc.spark.createDataFrame(
+        [r + (None,) for r in rows],
+        "tenant_id string, metric string, ts long, value double, tags map<string,string>",
+    )
+    svc.add_data_points("gauge", pts)
+
+    out = {
+        r["ts"]: r
+        for r in svc.align_asof("t1", "cpu", "mem", T, T + 60_000).collect()
+    }
+    assert out[T]["value_right"] is None            # no mem yet
+    assert out[T + 10_000]["value_right"] == 60.0   # latest mem at +9s
+
+    sess = svc.get_sessions("t1", "cpu", gap_ms=5_000, start=T, end=T + 60_000).collect()
+    assert len(sess) == 2  # 10s gap > 5s threshold splits the two points
+    assert {s["n_events"] for s in sess} == {1}
