@@ -1,6 +1,8 @@
+from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.availability import availability_stats
 from rhq_metrics_spark.operators.distinct import distinct_adjacent
 from rhq_metrics_spark.operators.periods import periods, predicate
+from rhq_metrics_spark.operators.sessions import session_stats, sessionize
 from rhq_metrics_spark.operators.rate import rate, rate_stats
 from rhq_metrics_spark.operators.stacked import pooled_stats, stacked_stats
 from rhq_metrics_spark.operators.stats import (
@@ -11,8 +13,11 @@ from rhq_metrics_spark.operators.stats import (
 from rhq_metrics_spark.operators.tagged import tagged_stats
 
 __all__ = [
+    "asof_join",
     "availability_stats",
     "distinct_adjacent",
+    "session_stats",
+    "sessionize",
     "minmax_ts",
     "numeric_bucket_stats",
     "periods",
