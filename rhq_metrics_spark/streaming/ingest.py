@@ -129,3 +129,35 @@ def session_stream_stats(
             "n_events",
         )
     )
+
+
+def start_rollup_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    window_duration: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous aggregate: maintain a parquet rollup table of
+    per-(tenant, metric, window) stats as the stream arrives — the
+    downsampling companion to retention (raw points expire via
+    ``apply_retention``; rollups are what long-range queries read).
+
+    Append mode + watermark means ONLY finalized windows are written —
+    each window lands exactly once, so the rollup table needs no
+    last-write-wins machinery.  At scale the sink is just another
+    partitioned parquet table: long-range dashboards scan years of 2h
+    rollups (≈ samples/7200 rows per series-second) instead of raw
+    points, and the same bucket-stats operators run on either.
+    """
+    agg = windowed_stream_stats(stream_df, window_duration, watermark_delay)
+    writer = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(path))
+        .option("checkpointLocation", str(checkpoint_dir))
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -233,3 +233,60 @@ def test_session_stream_stats_end_to_end(spark, tmp_path):
     assert s["n_events"] == 3
     assert int(s["session_start"].timestamp()) == base
     assert int(s["session_end"].timestamp()) == base + 8 + 10
+
+
+def test_rollup_stream_persists_closed_windows(spark, tmp_path):
+    """Continuous aggregate: finalized windows land in the parquet
+    rollup table exactly once and match batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.streaming.ingest import start_rollup_stream
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    base = 1_699_999_980  # aligned to a minute boundary for '1 minute' windows
+    rows1 = [
+        {"tenant_id": "t1", "metric": "m", "sec": base + 5, "value": 1.0},
+        {"tenant_id": "t1", "metric": "m", "sec": base + 20, "value": 3.0},
+    ]
+    rows2 = [{"tenant_id": "t1", "metric": "m", "sec": base + 600, "value": 9.0}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    schema = "tenant_id string, metric string, sec long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    rollup_dir = tmp_path / "rollup"
+    q = start_rollup_stream(
+        stream,
+        str(rollup_dir),
+        str(tmp_path / "roll_ckpt"),
+        window_duration="1 minute",
+        watermark_delay="5 seconds",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+        def rolled():
+            try:
+                return spark.read.parquet(str(rollup_dir)).count()
+            except Exception:
+                return 0
+
+        while rolled() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(rollup_dir)).collect()
+    closed = [r for r in out if int(r["window_start"].timestamp()) == base]
+    assert len(closed) == 1  # the base..base+60 window, exactly once
+    r = closed[0]
+    assert (r["min"], r["max"], r["sum"], r["samples"]) == (1.0, 3.0, 4.0, 2)
+    assert r["avg"] == 2.0
