@@ -49,6 +49,7 @@ from rhq_metrics_spark.operators import (
     tagged_stats,
 )
 from rhq_metrics_spark.operators.asof import asof_join
+from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.sessions import session_stats
 from rhq_metrics_spark.pipelines.dedup import (
     dup_clusters,
@@ -1464,6 +1465,68 @@ SELECT doc_id, lang FROM r WHERE rn <= 40
 """
 
 
+N_GF, GF_TOPK = 48, 50
+
+
+def q_a1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling (operators/gapfill.py): bucket stats of the top-50
+    error spikes over the full error-series grid — most buckets are
+    empty; ``avg`` is linearly interpolated (integer-exact lerp), ``min``
+    / ``max`` carried forward (locf); ``samples`` stays 0 on filled rows."""
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "error")
+    s, e = _bounds(ev)
+    top = ev.orderBy(F.col("value").desc(), F.col("ts").asc()).limit(GF_TOPK)
+    buckets = Buckets.from_count(s, e, N_GF)
+    stats = numeric_bucket_stats(top, buckets, percentiles=[], value_scale=100)
+    stats = _round4(stats, STAT_COLS)
+    filled = fill_gaps(stats, ["avg"], method="linear")
+    filled = fill_gaps(filled, ["min", "max"], method="locf")
+    return filled.select("start", "end", "min", "avg", "max", "samples")
+
+
+def _gapfill_sql() -> str:
+    lerp = """
+CAST(round(pv * 10000) AS BIGINT)
+ + (CASE WHEN p < 0 THEN -1 ELSE 1 END) * ((2 * abs(p) + q) // (2 * q))
+"""
+    return f"""
+WITH ev AS (SELECT ts, value FROM ({EV_SQL}) WHERE metric = 'error'),
+top AS (SELECT * FROM ev ORDER BY value DESC, ts ASC LIMIT {GF_TOPK}),
+{_grid_sql(N_GF, "ev")},
+pts AS (SELECT (ts - s) // step AS bucket_idx, value
+        FROM top, g WHERE ts >= s AND ts < s + step * {N_GF}),
+agg AS (SELECT bucket_idx, {_stats_agg_sql([])}
+        FROM pts GROUP BY bucket_idx),
+dim AS (SELECT i AS bucket_idx, s + i * step AS start, s + (i + 1) * step AS "end"
+        FROM g, range({N_GF}) t(i)),
+grid AS (SELECT dim.start, dim."end", agg.min, agg.avg, agg.max,
+                coalesce(agg.samples, 0) AS samples
+         FROM dim LEFT JOIN agg USING (bucket_idx)),
+w AS (SELECT start, "end", samples,
+        min, max, avg,
+        last_value(min IGNORE NULLS) OVER (ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_locf,
+        last_value(max IGNORE NULLS) OVER (ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_locf,
+        last_value(avg IGNORE NULLS) OVER (ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(avg IGNORE NULLS) OVER (ORDER BY start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN avg IS NOT NULL THEN start END IGNORE NULLS)
+          OVER (ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CASE WHEN avg IS NOT NULL THEN start END IGNORE NULLS)
+          OVER (ORDER BY start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid),
+l AS (SELECT start, "end", samples, min_locf AS min, max_locf AS max,
+        avg, pv, nv, pt, nt,
+        (CAST(round(nv * 10000) AS BIGINT) - CAST(round(pv * 10000) AS BIGINT)) * (start - pt) AS p,
+        nt - pt AS q
+      FROM w)
+SELECT start, "end", min, max, samples,
+       CASE WHEN avg IS NOT NULL THEN avg
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE ({lerp}) / 10000.0 END AS avg
+FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1482,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
         "a1_counter_stats": q_a1_counter_stats,
+        "a1_gapfill": q_a1_gapfill,
         "w1_gauge_rate": q_w1_gauge_rate,
         "w1_counter_rate": q_w1_counter_rate,
         "w1_rate_stats": q_w1_rate_stats,
@@ -1549,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,
         "a1_counter_stats": SQL_A1C,
+        "a1_gapfill": _gapfill_sql(),
         "w1_gauge_rate": SQL_W1,
         "w1_counter_rate": SQL_W1C,
         "w1_rate_stats": SQL_W1S,
