@@ -1,6 +1,7 @@
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.availability import availability_stats
 from rhq_metrics_spark.operators.distinct import distinct_adjacent
+from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.periods import periods, predicate
 from rhq_metrics_spark.operators.sessions import session_stats, sessionize
 from rhq_metrics_spark.operators.rate import rate, rate_stats
@@ -16,6 +17,7 @@ __all__ = [
     "asof_join",
     "availability_stats",
     "distinct_adjacent",
+    "fill_gaps",
     "session_stats",
     "sessionize",
     "minmax_ts",

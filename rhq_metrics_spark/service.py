@@ -195,10 +195,23 @@ class MetricsService:
         return self.store.find_data_points(metric_type, tenant_id, metrics, start, end)
 
     def gauge_stats(
-        self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()
+        self,
+        tenant_id,
+        metric,
+        buckets: Buckets,
+        percentiles: Sequence[float] = (),
+        fill: str | None = None,
     ) -> DataFrame:
+        """A1 bucket stats; ``fill='locf'|'linear'`` interpolates the
+        empty buckets' min/avg/max (operators/gapfill.py) while
+        ``samples`` stays 0 so callers can tell fill from data."""
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, buckets.start, buckets.end)
-        return numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+        out = numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+        if fill is not None:
+            from rhq_metrics_spark.operators.gapfill import fill_gaps
+
+            out = fill_gaps(out, ["min", "avg", "max"], method=fill)
+        return out
 
     def counter_stats(
         self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()

@@ -294,3 +294,21 @@ def test_align_asof_and_sessions(svc):
     sess = svc.get_sessions("t1", "cpu", gap_ms=5_000, start=T, end=T + 60_000).collect()
     assert len(sess) == 2  # 10s gap > 5s threshold splits the two points
     assert {s["n_events"] for s in sess} == {1}
+
+
+def test_gauge_stats_fill(svc):
+    from rhq_metrics_spark.model import Buckets
+
+    T = 1_700_100_000_000
+    rows = [("t1", "sparse", T + 500, 10.0), ("t1", "sparse", T + 3_500, 30.0)]
+    pts = svc.spark.createDataFrame(
+        [r + (None,) for r in rows],
+        "tenant_id string, metric string, ts long, value double, tags map<string,string>",
+    )
+    svc.add_data_points("gauge", pts)
+    buckets = Buckets.from_step(T, T + 4_000, 1_000)  # 4 buckets, middle two empty
+    out = {r["start"]: r for r in svc.gauge_stats("t1", "sparse", buckets, fill="linear").collect()}
+    assert out[T + 1_000]["samples"] == 0 and out[T + 1_000]["avg"] is not None
+    assert abs(out[T + 1_000]["avg"] - (10.0 + 20.0 / 3)) < 0.001
+    raw = {r["start"]: r for r in svc.gauge_stats("t1", "sparse", buckets).collect()}
+    assert raw[T + 1_000]["avg"] is None  # default unchanged
