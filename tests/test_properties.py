@@ -189,3 +189,57 @@ def test_periods_match_python_oracle(spark, pts, threshold):
     if run is not None:
         want.append((run, prev_ts))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# gapfill linear interpolation vs a pure-Python integer oracle
+
+
+def _lerp_oracle(series: list[tuple[int, float | None]], scale: int = 10**4):
+    """Reference implementation of operators/gapfill.py linear fill."""
+    obs = [(t, v) for t, v in series if v is not None]
+    out = {}
+    for t, v in series:
+        if v is not None:
+            out[t] = v
+            continue
+        prev = max(((tt, vv) for tt, vv in obs if tt <= t), default=None)
+        nxt = min(((tt, vv) for tt, vv in obs if tt >= t), default=None)
+        if prev is None and nxt is None:
+            out[t] = None
+        elif prev is None:
+            out[t] = nxt[1]
+        elif nxt is None:
+            out[t] = prev[1]
+        else:
+            pi, ni = round(prev[1] * scale), round(nxt[1] * scale)
+            p, q = (ni - pi) * (t - prev[0]), nxt[0] - prev[0]
+            sign = -1 if p < 0 else 1
+            out[t] = (pi + sign * ((2 * abs(p) + q) // (2 * q))) / scale
+    return out
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-10**6, max_value=10**6, places=4, allow_nan=False
+            ).map(float),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    step=st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_linear_fill_matches_python_oracle(spark, vals, step):
+    from rhq_metrics_spark.operators.gapfill import fill_gaps
+
+    series = [(i * step, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in series], "start long, avg double"
+    )
+    got = {r["start"]: r["avg"] for r in fill_gaps(df, ["avg"], "linear").collect()}
+    want = _lerp_oracle(series)
+    assert got == want
