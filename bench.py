@@ -26,6 +26,7 @@ from rhq_metrics_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "s1_raw_scan",
     "a1_bucket_stats",
+    "a1_gapfill",
     "w1_gauge_rate",
     "w1_rate_stats",
     "a2_availability_stats",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "text_quality",
+    "text_contamination",
     "doc_fingerprint",
 ]
 
