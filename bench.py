@@ -100,7 +100,25 @@ def main() -> None:
         t0 = time.time()
         store.add_data_points("gauge", pts)
         dt = time.time() - t0
-        timings["ingest_points_per_sec"] = round(n_pts / dt, 1)
+        # the events table is a 30-day span -> ~360 2h slices: this is the
+        # sparse-backfill scenario (per-slice commit overhead dominates)
+        timings["ingest_backfill_points_per_sec"] = round(n_pts / dt, 1)
+        timings["ingest_points_per_sec"] = timings["ingest_backfill_points_per_sec"]
+        # steady-state scenario: same rows remapped into a 4h window
+        # (2-3 slices), the shape a live ingest stream actually has —
+        # separate store dir so compaction KPIs below stay backfill-only
+        lo = pts.agg(F.min("ts")).collect()[0][0]
+        dense = pts.withColumn(
+            "ts", (F.lit(lo) + (F.col("ts") - lo) % (4 * 3_600_000)).cast("long")
+        )
+        dense_dir = tempfile.mkdtemp(prefix="bench_store_dense_")
+        try:
+            t0 = time.time()
+            MetricsStore(spark, dense_dir).add_data_points("gauge", dense)
+            dt = time.time() - t0
+            timings["ingest_dense_points_per_sec"] = round(n_pts / dt, 1)
+        finally:
+            shutil.rmtree(dense_dir, ignore_errors=True)
         t0 = time.time()
         done = store.compact("gauge", closed_before_ms=2**62)
         dt = time.time() - t0
