@@ -18,9 +18,12 @@ Conventions keeping Spark and DuckDB hash-identical:
 - md5-keyed MinHash / SimHash / fingerprints use byte-identical md5 in
   both engines, so even the approximate dedup operators hash-match.
 
-Queries with no oracle entry (streaming ingest, LSH similarity with
-seeded hyperplanes) get the driver's weaker rows-only check and are
-covered by tests/ instead.
+Every query has an oracle entry: approximate operators are made
+oracle-checkable by deterministic construction — LSH uses md5-derived
+integer plane weights (signatures engine-identical bit-for-bit), IVF is
+checked at full probe (must equal brute force), and the multimodal stub
+decoder's hash expansion is recomputed in SQL.  ANN *quality* is itself
+an oracled query (embed_lsh_recall) plus recall assertions in tests/.
 """
 
 from __future__ import annotations
@@ -71,6 +74,7 @@ from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    lsh_plane_sql,
 )
 from rhq_metrics_spark.pipelines.text import (
     contamination_check,
@@ -1024,26 +1028,57 @@ FROM cands WHERE bit_count(xor(sa, sb)) <= {SH_HAMMING}
 
 
 EMB_T = 0.4
+EMB_DIM = 64  # testdata embeddings are 64-dim float32
+
+
+def _lsh_sigs_cte(tables: int, planes: int, seed: int = 42, dim: int = EMB_DIM) -> str:
+    """DuckDB CTE chain reproducing similarity.lsh_signatures_udf_md5
+    bit-for-bit: fixed-point embeddings (floor(v * 2^20) — exact for
+    float32 input) dotted against md5-derived int64 plane weights; the
+    integer dots make every signature bit engine-identical (no float
+    summation-order hazard)."""
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ei AS (SELECT vec_id, d, CAST(floor(e[d + 1] * {1 << 20}) AS BIGINT) AS x
+       FROM v CROSS JOIN range({dim}) rd(d)),
+pl AS ({lsh_plane_sql(tables, planes, dim, seed)}),
+dots AS (SELECT ei.vec_id, pl.t, pl.p, SUM(ei.x * pl.w) AS dp
+         FROM ei JOIN pl USING (d) GROUP BY ei.vec_id, pl.t, pl.p),
+sigs AS (SELECT vec_id, t,
+                CAST(SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+         FROM dots GROUP BY vec_id, t)"""
+
+
+#: embed_near_dup LSH index shape (dedup.embedding_near_dup_pairs defaults)
+EMBND_TABLES, EMBND_PLANES = 8, 8
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, exact)."""
+    """Embedding-cosine near-dup pairs via the DEFAULT scale path:
+    md5-plane LSH bucketing + exact verification of candidates — no
+    cross join anywhere in the plan.  The oracle reproduces the integer
+    signatures, the bucket join, and the cosine verify, so the verified
+    pair set (a deterministic subset of the exact pairs) hash-matches."""
     emb = _table(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(emb, threshold=EMB_T)
     return out.withColumn("cosine", F.round("cosine", 5))
 
 
 SQL_EMB_NEAR = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.e, b.e) /
-             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 5) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e) /
-      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {EMB_T}
+WITH {_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)},
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+scored AS (SELECT cand.id_a, cand.id_b,
+             list_dot_product(x.e, y.e) /
+             (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS c
+           FROM cand JOIN v x ON x.vec_id = cand.id_a
+                     JOIN v y ON y.vec_id = cand.id_b)
+SELECT id_a, id_b, round(c, 5) AS cosine FROM scored WHERE c >= {EMB_T}
 """
 
 TOPK_K, TOPK_NQ = 5, 10
+#: embed_lsh_topk index shape: short signatures × many tables (the
+#: recall dial for near-orthogonal random embeddings)
+LSHK_TABLES, LSHK_PLANES = 16, 4
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,6 +1102,112 @@ ranked AS (SELECT query_id, neighbor_id, c,
 SELECT query_id, neighbor_id, round(c, 5) AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_K}
 """
+
+
+def q_embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via md5-plane LSH (integer-exact signatures) +
+    exact re-rank — fully SQL-oracle-able: the oracle recomputes the
+    same signatures, bucket join, and re-rank."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    out = lsh_cosine_topk(
+        emb, queries, k=TOPK_K, num_planes=LSHK_PLANES, tables=LSHK_TABLES
+    )
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
+SQL_LSH_TOPK = f"""
+WITH {_lsh_sigs_cte(LSHK_TABLES, LSHK_PLANES)},
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         WHERE q.vec_id < {TOPK_NQ} AND c.vec_id <> q.vec_id),
+scored AS (SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(b.e, a.e) /
+             (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(a.e, a.e))) AS c
+           FROM cand JOIN v a ON a.vec_id = cand.query_id
+                     JOIN v b ON b.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, round(c, 5) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class oracled metric: recall@k of the LSH
+    top-k against brute-force ground truth, per query.  Both the truth
+    set and the approximate set are deterministic, so the oracle
+    recomputes the identical recall fractions."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    truth = cosine_topk(emb, queries, k=TOPK_K).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(
+        emb, queries, k=TOPK_K, num_planes=LSHK_PLANES, tables=LSHK_TABLES
+    ).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0)) / F.col("k")).alias("recall"),
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH {_lsh_sigs_cte(LSHK_TABLES, LSHK_PLANES)},
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {TOPK_NQ}),
+t_scored AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+               list_dot_product(v.e, q.qe) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+             FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+truth AS (SELECT query_id, neighbor_id FROM
+            (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS r
+             FROM t_scored) WHERE r <= {TOPK_K}),
+cand AS (SELECT DISTINCT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+         FROM sigs s1 JOIN sigs s2 ON s1.t = s2.t AND s1.sig = s2.sig
+         WHERE s1.vec_id < {TOPK_NQ} AND s2.vec_id <> s1.vec_id),
+a_scored AS (SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(b.e, a.e) /
+               (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(a.e, a.e))) AS c
+             FROM cand JOIN v a ON a.vec_id = cand.query_id
+                       JOIN v b ON b.vec_id = cand.neighbor_id),
+approx AS (SELECT query_id, neighbor_id FROM
+             (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS r
+              FROM a_scored) WHERE r <= {TOPK_K}),
+hits AS (SELECT t.query_id, COUNT(*) AS h
+         FROM truth t JOIN approx a
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         GROUP BY t.query_id),
+perq AS (SELECT query_id, COUNT(*) AS k FROM truth GROUP BY query_id)
+SELECT perq.query_id,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits,
+       COALESCE(hits.h, 0) / perq.k AS recall
+FROM perq LEFT JOIN hits ON hits.query_id = perq.query_id
+"""
+
+IVF_CELLS = 16
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probe (n_probe == n_cells): exercises the whole
+    machinery — sample k-means training, broadcast-centroid cell
+    assignment, probe join, exact re-rank — and must recover exactly the
+    brute-force top-k, so the oracle is the brute-force SQL.  Partial
+    probe (the latency/recall dial) is covered by recall tests in
+    tests/test_similarity.py."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    out = ivf_cosine_topk(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_CELLS
+    )
+    return out.withColumn("cosine", F.round("cosine", 5))
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,11 +1557,36 @@ FROM documents WHERE doc_id % 3 = 0
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the synthesized
-    media table (stub decoder — rows-only check: sha256-of-bytes has no
-    DuckDB analogue, and the decode is explicitly a fake)."""
+    media table.  The stub decoder is deterministic (sha256-of-hex
+    expansion → uint32 pseudo-pixels), so the oracle recomputes the
+    digest, the little-endian word sum, and the dims in pure SQL —
+    upgrading this from a rows-only check to a full hash match.
+    ``feat_mean`` (a float mean of the pseudo-pixels) stays API-side
+    only: its numpy pairwise summation has no portable SQL twin."""
     docs = _table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
-    return media_features(media).drop("feat_mean", "sha256")
+    return media_features(media).drop("feat_mean")
+
+
+#: feat_sum oracle: digest bytes b (hex pairs) contribute b << (8*(pos%4))
+#: as little-endian uint32 words; the 32-byte digest tiles 8x into the
+#: 64-element expansion, hence the final * 8 (multimodal.fake_decode)
+SQL_MM_FEAT = """
+WITH m AS (SELECT doc_id AS media_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  sha256(md5(text)) AS dig
+           FROM documents),
+w AS (SELECT media_id,
+             SUM((('0x' || substr(dig, 2 * b + 1, 2))::BIGINT) * (1::BIGINT << (8 * (b % 4)))) AS s
+      FROM m CROSS JOIN range(32) rb(b)
+      GROUP BY media_id)
+SELECT m.media_id, m.kind,
+       CAST(16 AS INTEGER) AS n_bytes,
+       CAST(8 * w.s AS BIGINT) AS feat_sum,
+       CAST(64 AS INTEGER) AS feat_dim,
+       m.dig AS sha256
+FROM m JOIN w USING (media_id)
+"""
 
 
 #: DuckDB twin of pipelines.sampling.hash_fraction (60-bit md5 prefix)
@@ -1579,20 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embed_near_dup": q_embed_near_dup,
         "embed_cosine_topk": q_embed_cosine_topk,
-        "embed_lsh_topk": lambda spark, sf: lsh_cosine_topk(
-            _table(spark, sf, "embeddings"),
-            _table(spark, sf, "embeddings").filter(F.col("vec_id") < TOPK_NQ),
-            k=TOPK_K,
-            num_planes=4,
-            tables=16,
-        ).drop("cosine"),  # rows-only check: seeded hyperplanes, no SQL analogue
-        "embed_ivf_topk": lambda spark, sf: ivf_cosine_topk(
-            _table(spark, sf, "embeddings"),
-            _table(spark, sf, "embeddings").filter(F.col("vec_id") < TOPK_NQ),
-            k=TOPK_K,
-            n_cells=16,
-            n_probe=4,
-        ).drop("cosine"),  # rows-only: sampled k-means centroids
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1600,7 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
-        "mm_features": q_mm_features,  # rows-only: stub decoder, sha of raw bytes
+        "mm_features": q_mm_features,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
     }
@@ -1645,6 +1800,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _clusters_sql(),
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_cosine_topk": SQL_TOPK,
+        "embed_lsh_topk": SQL_LSH_TOPK,
+        "embed_lsh_recall": SQL_LSH_RECALL,
+        "embed_ivf_topk": SQL_TOPK,  # full probe must equal brute force
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
@@ -1652,7 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": SQL_TEXT_CONTAM,
         "doc_fingerprint": SQL_DOC_FP,
         "mm_meta": SQL_MM_META,
+        "mm_features": SQL_MM_FEAT,
         "sample_split": SQL_SAMPLE_SPLIT,
         "sample_cap": SQL_SAMPLE_CAP,
-        # "embed_lsh_topk": rows-only (seeded hyperplanes)
     }

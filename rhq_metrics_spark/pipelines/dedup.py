@@ -347,26 +347,38 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "exact",
+    method: str = "lsh",
     num_planes: int = 8,
     tables: int = 8,
     seed: int = 42,
+    plane_gen: str = "md5",
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-dups: cosine(a, b) ≥ threshold.
 
-    ``method='exact'``: brute-force pairwise — O(N²), oracle-checkable.
-    ``method='lsh'``: random-hyperplane bucket join generates candidate
-    pairs (recall rises with ``tables``; high-cosine pairs collide with
-    probability ``1-(1-p^planes)^tables``, p = 1-θ/π), each candidate
-    exact-verified — the 100 TB path, no cross join anywhere.
+    ``method='lsh'`` (default): random-hyperplane bucket join generates
+    candidate pairs (recall rises with ``tables``; high-cosine pairs
+    collide with probability ``1-(1-p^planes)^tables``, p = 1-θ/π), each
+    candidate exact-verified — the 100 TB path, no cross join anywhere.
+    With ``plane_gen='md5'`` the planes are integer-exact md5-derived, so
+    the verified-pair set is SQL-oracle-able (a deterministic subset of
+    the exact pairs).
+    ``method='exact'``: brute-force pairwise — O(N²); guarded by
+    ``max_exact_rows`` so a default-ish call can't launch a triangular
+    cross product over a real corpus (pass ``max_exact_rows=None`` to
+    bypass when you know N is small).
     Output: (id_a, id_b, cosine).
     """
     if method == "lsh":
         from rhq_metrics_spark.pipelines.similarity import (
+            lsh_signatures_udf_md5,
             lsh_signatures_udf_seeded,
         )
 
-        sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
+        if plane_gen == "md5":
+            sigs_udf = lsh_signatures_udf_md5(num_planes, tables, seed)
+        else:
+            sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
         v = df.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -407,6 +419,16 @@ def embedding_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}: use 'lsh' or 'exact'")
+    if max_exact_rows is not None:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"method='exact' is O(N^2) and the corpus has {n} rows "
+                f"(> max_exact_rows={max_exact_rows}); use method='lsh' "
+                "or raise/disable max_exact_rows explicitly"
+            )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

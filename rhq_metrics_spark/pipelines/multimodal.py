@@ -54,6 +54,7 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", IntegerType(), True),
         StructField("feat_mean", StringType(), True),   # stringified for stability
+        StructField("feat_sum", LongType(), True),      # exact integer checksum
         StructField("feat_dim", IntegerType(), True),
         StructField("sha256", StringType(), True),
     ]
@@ -63,18 +64,23 @@ FEATURE_SCHEMA = StructType(
 def fake_decode(payload: bytes, out_elems: int = 64) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from a hash expansion.
 
-    Replace with a real codec (``PIL.Image.open`` / ``soundfile.read``)
-    in production — the surrounding Spark plumbing is unchanged.
+    Hashes the canonical lowercase-hex form of the payload (not the raw
+    bytes) so engines whose hash functions only take VARCHAR — DuckDB —
+    can reproduce the expansion for oracle checks; the pseudo-pixels are
+    the digest's little-endian uint32 words tiled to ``out_elems`` and
+    scaled to [0, 1].  Replace with a real codec (``PIL.Image.open`` /
+    ``soundfile.read``) in production — the surrounding Spark plumbing
+    is unchanged.
     """
     if payload is None:
         raise NotImplementedError(
             "real media decoding requires an image/audio library not present "
             "in this environment; supply decoder= to media_features()"
         )
-    h = hashlib.sha256(payload).digest()
+    h = hashlib.sha256(payload.hex().encode()).digest()
     reps = (out_elems * 4 // len(h)) + 1
     raw = (h * reps)[: out_elems * 4]
-    return np.frombuffer(raw, dtype=np.uint32).astype(np.float64) / np.iinfo(np.uint32).max
+    return np.frombuffer(raw, dtype="<u4").astype(np.float64) / np.iinfo(np.uint32).max
 
 
 def media_features(
@@ -85,18 +91,26 @@ def media_features(
     """Decode + feature-extract media payloads via Arrow-batched
     ``mapInPandas``.  Output: FEATURE_SCHEMA (one row per media item)."""
 
+    _u32max = int(np.iinfo(np.uint32).max)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, means, shas, nb = [], [], [], []
+            feats, means, sums, shas, nb = [], [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     nb.append(None), means.append(None), shas.append(None)
-                    feats.append(None)
+                    feats.append(None), sums.append(None)
                     continue
                 arr = decoder(bytes(payload))
                 nb.append(len(payload))
                 means.append(f"{float(arr.mean()):.10f}")
-                shas.append(hashlib.sha256(bytes(payload)).hexdigest())
+                # exact integer checksum: de-quantize back to uint32 words
+                # (exact for quantized decoders like the stub; a stable
+                # rounded checksum for real ones) and sum in int64
+                sums.append(int(np.rint(arr * _u32max).astype(np.int64).sum()))
+                # checksum of the canonical hex form — reproducible by
+                # VARCHAR-only hash functions (same convention as mm_meta)
+                shas.append(hashlib.sha256(bytes(payload).hex().encode()).hexdigest())
                 feats.append(len(arr))
             yield pd.DataFrame(
                 {
@@ -104,6 +118,7 @@ def media_features(
                     "kind": pdf["kind"],
                     "n_bytes": pd.array(nb, dtype="Int32"),
                     "feat_mean": means,
+                    "feat_sum": pd.array(sums, dtype="Int64"),
                     "feat_dim": pd.array(feats, dtype="Int32"),
                     "sha256": shas,
                 }

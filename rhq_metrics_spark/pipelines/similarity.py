@@ -16,10 +16,20 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+#: fixed-point scale for integer-exact signature dots: float32 inputs
+#: times 2^20 are exactly representable, so ``floor(v * EMB_SCALE)`` is
+#: bit-identical in numpy and in any SQL engine reading the same parquet
+EMB_SCALE = 1 << 20
+#: md5-derived plane weights use the first 7 hex chars -> [0, 16^7)
+PLANE_HEX = 7
+PLANE_MOD = 16 ** PLANE_HEX
 
 
 def _as_double(vec_col) -> Column:
@@ -229,6 +239,61 @@ def lsh_signatures_udf_seeded(num_planes: int, tables: int, seed: int):
     return _sigs
 
 
+def md5_plane_weights(tables: int, num_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Integer hyperplane weights derived from md5 — engine-portable:
+    ``w[t,p,d] = 2 * int(md5(f"lsh:{seed}:{t}:{p}:{d}")[:7], 16) - 16^7``
+    is reproducible bit-for-bit in DuckDB SQL
+    (``2*('0x'||substr(md5(...),1,7))::BIGINT - 268435456``), so sign-LSH
+    signatures computed from these planes can be oracle-checked.  The
+    weights are i.i.d. symmetric around ~0, which is all random-projection
+    LSH needs."""
+    w = np.empty((tables, num_planes, dim), dtype=np.int64)
+    for t in range(tables):
+        for p in range(num_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"lsh:{seed}:{t}:{p}:{d}".encode()).hexdigest()
+                w[t, p, d] = 2 * int(h[:PLANE_HEX], 16) - PLANE_MOD
+    return w
+
+
+def lsh_signatures_udf_md5(num_planes: int, tables: int, seed: int):
+    """Sign-LSH signatures with **integer-exact** dots: embeddings are
+    fixed-point quantized (``floor(v * 2^20)``, exact for float32 input)
+    and planes are md5-derived int64 weights, so the sign of every dot —
+    hence every signature bit — is identical in numpy and in a SQL
+    oracle, with no float-summation-order hazard.  Max |term| is
+    2^21 * 2^28 = 2^49; at dim ≤ 4096 the sum stays far inside int64."""
+    weights = np.arange(num_planes, dtype=np.int64)
+    cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        dim = mat.shape[1]
+        if dim not in cache:
+            cache[dim] = md5_plane_weights(tables, num_planes, dim, seed)
+        planes = cache[dim]
+        ints = np.floor(mat * EMB_SCALE).astype(np.int64)
+        sigs = np.empty((len(mat), tables), dtype=np.int64)
+        for t in range(tables):
+            bits = (ints @ planes[t].T) >= 0
+            sigs[:, t] = (bits << weights).sum(axis=1)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
+def lsh_plane_sql(tables: int, num_planes: int, dim: int, seed: int) -> str:
+    """DuckDB CTE body reproducing :func:`md5_plane_weights` — one row
+    per (t, p, d) with the identical int64 weight."""
+    return (
+        f"SELECT t, p, d, 2*(('0x'||substr(md5('lsh:{seed}:'||CAST(t AS VARCHAR)"
+        f"||':'||CAST(p AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,{PLANE_HEX}))::BIGINT)"
+        f" - {PLANE_MOD} AS w\n"
+        f"      FROM range({tables}) rt(t), range({num_planes}) rp(p), range({dim}) rd(d)"
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,11 +305,19 @@ def lsh_cosine_topk(
     tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    plane_gen: str = "md5",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing + exact
     re-rank of candidates.  Same output shape as :func:`cosine_topk`
-    (rank is within retrieved candidates)."""
-    sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
+    (rank is within retrieved candidates).
+
+    ``plane_gen='md5'`` (default) uses integer-exact md5-derived planes —
+    deterministic across engines, so the whole query is SQL-oracle-able;
+    ``'seeded'`` keeps the float Gaussian planes."""
+    if plane_gen == "md5":
+        sigs_udf = lsh_signatures_udf_md5(num_planes, tables, seed)
+    else:
+        sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
 
     def bucketed(df: DataFrame, ident: str, idc: str) -> DataFrame:
         bound = df.select(

@@ -143,7 +143,7 @@ def test_embedding_near_dup_lsh_path(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     exact = {(r["id_a"], r["id_b"]) for r in
-             embedding_near_dup_pairs(df, threshold=0.95).collect()}
+             embedding_near_dup_pairs(df, threshold=0.95, method="exact").collect()}
     lsh = embedding_near_dup_pairs(
         df, threshold=0.95, method="lsh", num_planes=4, tables=16
     ).collect()
@@ -153,6 +153,26 @@ def test_embedding_near_dup_lsh_path(spark):
     assert got == exact == {(1, 2), (3, 4)}
     for r in lsh:
         assert r["cosine"] >= 0.95
+
+
+def test_embedding_near_dup_default_has_no_cross_join(spark):
+    """The DEFAULT path must be the bucketed LSH plan — a triangular
+    cross product with default args was the one scale-killer flagged in
+    round 1."""
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = embedding_near_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_exact_guard(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        embedding_near_dup_pairs(df, method="exact", max_exact_rows=10)
+    # small corpora pass the guard
+    assert embedding_near_dup_pairs(df, method="exact", max_exact_rows=100).count() >= 0
 
 
 def test_dup_clusters_connected_components(spark):

@@ -28,9 +28,17 @@ def media(spark):
 
 def test_media_features_deterministic(spark, media):
     out = {r["media_id"]: r for r in media_features(media).collect()}
-    assert out[1]["sha256"] == hashlib.sha256(b"\x89PNG fake bytes 1").hexdigest()
+    # checksums live in the canonical hex domain (mm_meta convention) so
+    # VARCHAR-only SQL engines can reproduce them for oracle checks
+    hx = b"\x89PNG fake bytes 1".hex().encode()
+    assert out[1]["sha256"] == hashlib.sha256(hx).hexdigest()
     assert out[1]["feat_dim"] == 64
     assert out[1]["feat_mean"] is not None
+    # feat_sum is the exact integer sum of the decoded uint32 words: the
+    # 32-byte digest tiles 8x into 64 elements -> 8 * sum(LE words)
+    dig = hashlib.sha256(hx).digest()
+    words = [int.from_bytes(dig[i : i + 4], "little") for i in range(0, 32, 4)]
+    assert out[1]["feat_sum"] == 8 * sum(words)
     assert out[5]["sha256"] is None  # null payload propagates, no crash
     # determinism across runs
     again = {r["media_id"]: r for r in media_features(media).collect()}

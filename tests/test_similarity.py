@@ -65,7 +65,9 @@ def test_lsh_topk_recall(emb, emb_np):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5  # tunable-recall sanity bound
+    # driver config (16 tables x 4 planes, md5 planes): measured 0.88 at
+    # sf0.001 / 0.92 at sf0.01 — assert with margin
+    assert sum(recalls) / len(recalls) >= 0.8
 
 
 def test_lsh_candidates_are_exactly_scored(emb):
@@ -101,6 +103,44 @@ def test_ivf_topk_recall_and_exact_scores(emb):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5  # n_probe=4/8 cells
+
+
+def test_lsh_md5_signatures_match_sql_formula(emb, spark):
+    """The md5-plane signatures must be reproducible from the documented
+    integer formula (floor(v * 2^20) dotted with md5-derived weights) —
+    this is what makes the LSH queries SQL-oracle-able."""
+    import hashlib
+
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.similarity import (
+        EMB_SCALE,
+        PLANE_HEX,
+        PLANE_MOD,
+        lsh_signatures_udf_md5,
+        md5_plane_weights,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = (
+        emb.filter("vec_id < 5")
+        .select("vec_id", lsh_signatures_udf_md5(4, 2, 42)(
+            F.transform("embedding", lambda x: x.cast("double"))).alias("sigs"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.filter("vec_id < 5").collect()}
+    planes = md5_plane_weights(2, 4, 64, 42)
+    # independent recompute, pure python
+    h = hashlib.md5(b"lsh:42:0:0:0").hexdigest()
+    assert planes[0, 0, 0] == 2 * int(h[:PLANE_HEX], 16) - PLANE_MOD
+    for r in rows:
+        ints = np.floor(np.array(vecs[r["vec_id"]], dtype=np.float64) * EMB_SCALE)
+        for t in range(2):
+            sig = sum(
+                (1 << p) for p in range(4) if float(ints @ planes[t, p]) >= 0
+            )
+            assert r["sigs"][t] == sig
 
 
 def test_ivf_full_probe_equals_bruteforce(emb):
