@@ -13,6 +13,7 @@ Design blueprint: SURVEY.md (with file:line citations into the
 reference at /root/reference).
 """
 
+from rhq_metrics_spark.maintenance import MaintenanceRunner
 from rhq_metrics_spark.model import (
     AvailabilityType,
     Buckets,
@@ -24,6 +25,7 @@ from rhq_metrics_spark.session import get_spark
 __all__ = [
     "AvailabilityType",
     "Buckets",
+    "MaintenanceRunner",
     "MetricType",
     "TimeRange",
     "get_spark",

@@ -1,0 +1,106 @@
+"""Driver-side maintenance orchestration — the B8 (job scheduler) analogue.
+
+The reference runs compression and retention on a distributed job
+scheduler (job-scheduler/.../SchedulerImpl.java) with the compression
+job scheduled shortly after each 2h slice closes
+(TempDataCompressor.java:40-98).  A Spark deployment doesn't need a
+cluster-wide scheduler for this: the store's lifecycle jobs are
+idempotent and serialize on the store's maintenance lock, so "the
+scheduler" is any driver-side loop — a cron'd spark-submit, an Airflow
+task, or the streaming hook below.  This module gives that loop a
+first-class, testable object:
+
+- :meth:`MaintenanceRunner.run_once` — one full pass: compact closed
+  slices, apply retention policies, refresh the expiration index.
+- :meth:`MaintenanceRunner.on_event_time` — the streaming hook: ingest
+  calls it with the stream's event-time high-water mark; when the
+  high-water crosses a 2h slice boundary the newly-closed slice is
+  compacted (the TempDataCompressor cadence, driven by event time so
+  tests and replays behave deterministically).
+- :meth:`MaintenanceRunner.run_loop` — the wall-clock cron loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+from rhq_metrics_spark.model import MetricType
+
+
+class MaintenanceRunner:
+    """Periodic store upkeep bound to a :class:`~rhq_metrics_spark.service.MetricsService`.
+
+    ``compaction_grace_ms`` delays compaction past the slice close (the
+    reference waits for late writers too); ``default_retention_days``
+    feeds the retention-policy resolution (metric override > tenant
+    policy > default).
+    """
+
+    def __init__(
+        self,
+        service,
+        default_retention_days: int = 7,
+        compaction_grace_ms: int = 600_000,
+    ):
+        self.service = service
+        self.default_retention_days = default_retention_days
+        self.compaction_grace_ms = compaction_grace_ms
+        self._last_closed: dict[str, int] = {}
+
+    # -- one full pass (cron-style) ---------------------------------------
+
+    def run_once(self, now_ms: int) -> dict:
+        """Compact everything closed as of ``now_ms`` (minus grace), apply
+        retention policies, refresh the persisted expiration index.
+        Returns a report dict per job."""
+        compacted = self.service.compact(now_ms - self.compaction_grace_ms)
+        retention = self.service.apply_retention_policies(
+            now_ms, self.default_retention_days
+        )
+        expiration = {
+            t: self.service.store.refresh_expiration_index(t)
+            for t in MetricType.USER_WRITABLE
+        }
+        return {
+            "compacted": compacted,
+            "retention": retention,
+            "expiration_rows": expiration,
+        }
+
+    # -- streaming hook (event-time driven) --------------------------------
+
+    def on_event_time(self, metric_type: str, high_water_ms: int) -> list[int]:
+        """Called by streaming ingest with the event-time high-water mark
+        after each micro-batch.  Compacts hot slices that the advancing
+        event time has closed — i.e. every slice strictly before the one
+        containing ``high_water_ms`` (minus grace).  No-op until the
+        high-water crosses into a new slice, so the per-batch cost is one
+        directory listing."""
+        slice_ms = self.service.store.slice_ms
+        closed_before = (
+            (high_water_ms - self.compaction_grace_ms) // slice_ms
+        ) * slice_ms
+        if closed_before <= self._last_closed.get(metric_type, -(2**62)):
+            return []
+        done = self.service.store.compact(metric_type, closed_before)
+        self._last_closed[metric_type] = closed_before
+        return done
+
+    # -- wall-clock loop ----------------------------------------------------
+
+    def run_loop(
+        self,
+        interval_ms: int,
+        iterations: int | None = None,
+        now_fn=lambda: time.time_ns() // 1_000_000,
+        sleep_fn=time.sleep,
+    ) -> None:
+        """The ~cron loop: ``run_once`` every ``interval_ms``.  ``now_fn``
+        and ``sleep_fn`` are injectable so tests can drive virtual time;
+        ``iterations=None`` runs until interrupted."""
+        done = 0
+        while iterations is None or done < iterations:
+            self.run_once(now_fn())
+            done += 1
+            if iterations is None or done < iterations:
+                sleep_fn(interval_ms / 1000.0)

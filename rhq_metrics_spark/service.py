@@ -495,6 +495,19 @@ class MetricsService:
     def delete_tenant(self, tenant_id: str) -> None:
         self.store.delete_tenant(tenant_id)
 
+    def run_maintenance(
+        self, now_ms: int, default_retention_days: int = 7
+    ) -> dict:
+        """One full maintenance pass (B8 analogue): compact closed slices,
+        apply retention policies, refresh the expiration index.  See
+        :class:`rhq_metrics_spark.maintenance.MaintenanceRunner` for the
+        scheduled/streaming-driven forms."""
+        from rhq_metrics_spark.maintenance import MaintenanceRunner
+
+        return MaintenanceRunner(
+            self, default_retention_days=default_retention_days
+        ).run_once(now_ms)
+
 
 # -- JSON adapters (REST response shapes) -------------------------------------
 

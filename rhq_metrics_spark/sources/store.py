@@ -24,10 +24,22 @@ Scale design:
   hashed ``tenant_bucket`` — time-range + tenant predicates prune
   partitions; individual metric predicates prune via parquet min/max on the
   sorted ``metric`` column within each file.
-- writes append to hot with a monotonically increasing ``ingest_seq``;
-  reads union hot+cold and apply **last-write-wins per (tenant, metric,
+- writes append to hot with an ``ingest_seq`` that is the **wall-clock
+  microsecond write timestamp** (monotonic-bumped within a process) —
+  exactly Cassandra's client-timestamp LWW: correct across process
+  restarts and concurrent writers to clock-sync precision, with no
+  driver-side state to recover.  Seq ties (same microsecond, or
+  duplicate keys within one batch) break deterministically by larger
+  ``value``, Cassandra's documented cell tie-break.
+- reads union hot+cold and apply **last-write-wins per (tenant, metric,
   ts)** — the CQL-upsert semantics (DataAccessImpl.java:215-221) — via one
   ``row_number`` window (S2/S3 merge+dedup collapses into this).
+- maintenance ops (compaction/retention/deletes) serialize on a
+  ``flock``-based store lock and publish slice rewrites with two atomic
+  renames (old → trash, staging → live), so concurrent maintainers can't
+  interleave rewrites.  On object storage (no atomic rename) this layer
+  should sit on a table format (Delta/Iceberg) instead — the query and
+  LWW semantics above are unchanged by that swap.
 - compaction (B2 analogue, TempDataCompressor.java:40-98) rewrites closed
   slices: dedup → sort by (metric, ts) → cold, then drops the hot slice.
   Queries never see Gorilla blocks; they see sorted, ZSTD-Parquet row
@@ -38,7 +50,12 @@ Scale design:
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
+import os
 import shutil
+import time
+import uuid
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -55,6 +72,68 @@ from rhq_metrics_spark.model import (
 
 _LAYERS = ("hot", "cold")
 
+# -- pure-Python XXH64 (public algorithm; github.com/Cyan4973/xxHash spec) --
+# Matches Spark's ``xxhash64`` expression on string input (UTF-8 bytes,
+# seed 42) so tenant buckets can be computed driver-side without a job.
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XP2) & _M64
+    return (_rotl64(acc, 31) * _XP1) & _M64
+
+
+def _xxhash64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
 
 class MetricsStore:
     """Filesystem-backed layered store with last-write-wins semantics."""
@@ -70,7 +149,7 @@ class MetricsStore:
         self.base = Path(base_path)
         self.slice_ms = slice_ms
         self.tenant_buckets = tenant_buckets
-        self._seq = 0
+        self._last_seq = 0
 
     # -- paths -------------------------------------------------------------
 
@@ -80,19 +159,32 @@ class MetricsStore:
 
     # -- write path (S5) -----------------------------------------------------
 
+    def _next_seq(self) -> int:
+        """Per-batch write timestamp: wall-clock microseconds, bumped to
+        stay strictly monotonic within this process.  Mirrors Cassandra
+        client timestamps (CQL ``USING TIMESTAMP`` microseconds,
+        DataAccessImpl.java:215-221): a reopened store or a second
+        concurrent writer keeps winning LWW without recovering any state
+        from disk."""
+        self._last_seq = max(self._last_seq + 1, time.time_ns() // 1_000)
+        return self._last_seq
+
     def _stamp(self, df: DataFrame) -> DataFrame:
         """Add storage columns: date_slice partition, tenant bucket, ingest seq."""
-        self._seq += 1
         return (
             df.withColumn(
+                # integer floor (not truncation): negative epoch-millis
+                # must land in the slice the read path (model.time_slice,
+                # find_data_points) computes with floor division
                 "date_slice",
-                (F.col("ts") / F.lit(self.slice_ms)).cast("long") * F.lit(self.slice_ms),
+                F.floor(F.col("ts") / F.lit(self.slice_ms)).cast("long")
+                * F.lit(self.slice_ms),
             )
             .withColumn(
                 "tenant_bucket",
                 F.pmod(F.xxhash64("tenant_id"), F.lit(self.tenant_buckets)).cast("int"),
             )
-            .withColumn("ingest_seq", F.lit(self._seq))
+            .withColumn("ingest_seq", F.lit(self._next_seq()))
         )
 
     def add_data_points(self, metric_type: str, df: DataFrame) -> None:
@@ -153,8 +245,10 @@ class MetricsStore:
             clean = cold.filter(~F.col("date_slice").isin(overlap))
         elif cold is not None:
             clean = cold
+        # seq ties (same-microsecond writers, duplicate keys in one batch)
+        # break by larger value — Cassandra's deterministic cell tie-break
         w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
-            F.col("_layer_seq").desc()
+            F.col("_layer_seq").desc(), F.col("value").desc_nulls_last()
         )
         df = (
             df.withColumn("_rn", F.row_number().over(w))
@@ -227,21 +321,52 @@ class MetricsStore:
         return df.limit(limit) if limit and limit > 0 else df
 
     def _tenant_bucket_of(self, tenant_id: str) -> int:
-        row = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(F.lit(tenant_id)), F.lit(self.tenant_buckets)).alias(
-                    "b"
-                )
-            )
-            .collect()[0]
-        )
-        return int(row["b"])
+        """Driver-side twin of the ``pmod(xxhash64(tenant_id), buckets)``
+        stamp — pure Python, no 1-row Spark job per service call."""
+        h = _xxhash64(tenant_id.encode("utf-8"), seed=42)
+        if h >= 1 << 63:  # Spark's xxhash64 returns a signed long
+            h -= 1 << 64
+        return h % self.tenant_buckets
+
+    # -- maintenance serialization --------------------------------------------
+
+    @contextlib.contextmanager
+    def _maintenance_lock(self):
+        """Cross-process mutex for maintenance ops (compaction, retention,
+        deletes): two maintainers must not interleave slice rewrites.
+        ``flock`` on local/NFS filesystems; on object storage replace the
+        whole publish layer with a table format (module docstring)."""
+        self.base.mkdir(parents=True, exist_ok=True)
+        fd = os.open(str(self.base / "_maintenance.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _swap_in(self, src: Path, dst: Path) -> None:
+        """Publish a rewritten partition with two atomic renames: live →
+        trash, staging → live.  Readers racing the swap see either the
+        old or the new data (or, in the instant between renames, neither)
+        — never a half-written mix; the trash dir is dropped last."""
+        trash = dst.parent / f"_trash-{uuid.uuid4().hex}"
+        if dst.exists():
+            os.rename(dst, trash)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        os.rename(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
 
     # -- lifecycle jobs (B2/B6/B7) -------------------------------------------
 
     def hot_slices(self, metric_type: str) -> list[int]:
-        path = self._points_path(metric_type, "hot")
+        return self._layer_slices(metric_type, "hot")
+
+    def cold_slices(self, metric_type: str) -> list[int]:
+        return self._layer_slices(metric_type, "cold")
+
+    def _layer_slices(self, metric_type: str, layer: str) -> list[int]:
+        path = self._points_path(metric_type, layer)
         if not path.exists():
             return []
         return sorted(
@@ -258,6 +383,10 @@ class MetricsStore:
         All closed slices compact in ONE Spark job (the date_slice
         partition column splits the output): a backfill with hundreds of
         slices costs one shuffle, not one job per slice."""
+        with self._maintenance_lock():
+            return self._compact_locked(metric_type, closed_before_ms)
+
+    def _compact_locked(self, metric_type: str, closed_before_ms: int) -> list[int]:
         closed = [
             s
             for s in self.hot_slices(metric_type)
@@ -275,7 +404,7 @@ class MetricsStore:
                 cold_layer.filter(F.col("date_slice").isin(closed))
             )
         w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
-            F.col("_layer_seq").desc()
+            F.col("_layer_seq").desc(), F.col("value").desc_nulls_last()
         )
         compacted = (
             merged.withColumn("_rn", F.row_number().over(w))
@@ -307,14 +436,16 @@ class MetricsStore:
             src = staging / f"date_slice={slice_start}"
             if not src.exists():
                 continue
-            dst = cold_root / f"date_slice={slice_start}"
-            if dst.exists():
-                shutil.rmtree(dst)
-            shutil.move(str(src), str(dst))
-            shutil.rmtree(
-                self._points_path(metric_type, "hot") / f"date_slice={slice_start}",
-                ignore_errors=True,
+            self._swap_in(src, cold_root / f"date_slice={slice_start}")
+            # retire the hot slice: atomic rename out of the readable
+            # tree first, then delete at leisure
+            hot_slice = (
+                self._points_path(metric_type, "hot") / f"date_slice={slice_start}"
             )
+            if hot_slice.exists():
+                retired = hot_slice.parent / f"_trash-{uuid.uuid4().hex}"
+                os.rename(hot_slice, retired)
+                shutil.rmtree(retired, ignore_errors=True)
             done.append(slice_start)
         shutil.rmtree(staging, ignore_errors=True)
         return done
@@ -323,15 +454,18 @@ class MetricsStore:
         """B6: drop whole slices whose every point is older than cutoff —
         a partition-level delete, no data rewrite."""
         dropped = []
-        for layer in _LAYERS:
-            root = self._points_path(metric_type, layer)
-            if not root.exists():
-                continue
-            for p in sorted(root.glob("date_slice=*")):
-                slice_start = int(p.name.split("=", 1)[1])
-                if slice_start + self.slice_ms <= cutoff_ms:
-                    shutil.rmtree(p)
-                    dropped.append(slice_start)
+        with self._maintenance_lock():
+            for layer in _LAYERS:
+                root = self._points_path(metric_type, layer)
+                if not root.exists():
+                    continue
+                for p in sorted(root.glob("date_slice=*")):
+                    slice_start = int(p.name.split("=", 1)[1])
+                    if slice_start + self.slice_ms <= cutoff_ms:
+                        retired = root / f"_trash-{uuid.uuid4().hex}"
+                        os.rename(p, retired)
+                        shutil.rmtree(retired, ignore_errors=True)
+                        dropped.append(slice_start)
         return dropped
 
     def apply_row_retention(
@@ -346,6 +480,17 @@ class MetricsStore:
         the slices that can contain them.  Whole-slice drops should be
         done first via :meth:`apply_retention` (cheaper).  Returns the
         number of rewritten slice partitions."""
+        with self._maintenance_lock():
+            return self._apply_row_retention_locked(
+                metric_type, cutoffs, default_cutoff_ms
+            )
+
+    def _apply_row_retention_locked(
+        self,
+        metric_type: str,
+        cutoffs: DataFrame,
+        default_cutoff_ms: int,
+    ) -> int:
         max_cutoff_row = cutoffs.agg(F.max("cutoff_ms")).collect()[0][0]
         max_cutoff = max(default_cutoff_ms, max_cutoff_row or 0)
         rewritten = 0
@@ -380,17 +525,26 @@ class MetricsStore:
             ).parquet(str(staging))
             for slice_start in affected:
                 dst = root / f"date_slice={slice_start}"
-                shutil.rmtree(dst, ignore_errors=True)
                 src = staging / f"date_slice={slice_start}"
                 if src.exists():
-                    shutil.move(str(src), str(dst))
+                    self._swap_in(src, dst)
+                elif dst.exists():  # every row in the slice expired
+                    retired = root / f"_trash-{uuid.uuid4().hex}"
+                    os.rename(dst, retired)
+                    shutil.rmtree(retired, ignore_errors=True)
                 rewritten += 1
             shutil.rmtree(staging, ignore_errors=True)
         return rewritten
 
     def delete_tenant(self, tenant_id: str) -> None:
         """B7: cascading delete — rewrite affected tenant_bucket partitions
-        without the tenant's rows, and scrub the definition tables."""
+        without the tenant's rows, and scrub the definition tables
+        *including* the tenant row itself (DeleteTenant.java:53,103-104 —
+        a re-created tenant must not inherit stale retention policies)."""
+        with self._maintenance_lock():
+            self._delete_tenant_locked(tenant_id)
+
+    def _delete_tenant_locked(self, tenant_id: str) -> None:
         bucket = self._tenant_bucket_of(tenant_id)
         for metric_type in MetricType.USER_WRITABLE:
             for layer in _LAYERS:
@@ -425,6 +579,9 @@ class MetricsStore:
         idx = self.metrics_idx()
         if idx is not None:
             self.save_metrics_idx(idx.filter(F.col("tenant_id") != tenant_id))
+        tenants = self.tenants()
+        if tenants is not None:
+            self.save_tenants(tenants.filter(F.col("id") != tenant_id))
 
     # -- definition tables (metrics_idx / tenants) ---------------------------
 
@@ -437,10 +594,7 @@ class MetricsStore:
     def save_metrics_idx(self, df: DataFrame) -> None:
         staging = self.base / "_staging" / "metrics_idx"
         df.coalesce(1).write.mode("overwrite").parquet(str(staging))
-        target = self.base / "metrics_idx"
-        if target.exists():
-            shutil.rmtree(target)
-        shutil.move(str(staging), str(target))
+        self._swap_in(staging, self.base / "metrics_idx")
 
     def upsert_metric_definitions(self, df: DataFrame) -> None:
         """Create-or-replace metric definitions keyed by (tenant, type, metric)."""
@@ -466,10 +620,7 @@ class MetricsStore:
     def save_tenants(self, df: DataFrame) -> None:
         staging = self.base / "_staging" / "tenants"
         df.coalesce(1).write.mode("overwrite").parquet(str(staging))
-        target = self.base / "tenants"
-        if target.exists():
-            shutil.rmtree(target)
-        shutil.move(str(staging), str(target))
+        self._swap_in(staging, self.base / "tenants")
 
     # -- expiration index analogue (B9) ---------------------------------------
 
@@ -481,3 +632,23 @@ class MetricsStore:
             .groupBy("tenant_id", "metric")
             .agg(F.max("ts").alias("last_write_ts"))
         )
+
+    def refresh_expiration_index(self, metric_type: str) -> int:
+        """Persist a snapshot of :meth:`expiration_index` (the reference
+        maintains metrics_expiration_idx as a table; here the maintenance
+        pass materializes it so expiration queries don't rescan points).
+        Returns the row count of the refreshed snapshot."""
+        df = self.expiration_index(metric_type)
+        staging = self.base / "_staging" / f"expiration_idx_{metric_type}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        target = self.base / "expiration_idx" / metric_type
+        self._swap_in(staging, target)
+        return self.spark.read.parquet(str(target)).count()
+
+    def expiration_index_snapshot(self, metric_type: str) -> DataFrame | None:
+        """The last persisted expiration index, or None if maintenance has
+        never run for this type."""
+        path = self.base / "expiration_idx" / metric_type
+        if not path.exists():
+            return None
+        return self.spark.read.parquet(str(path))

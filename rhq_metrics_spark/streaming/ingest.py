@@ -15,13 +15,22 @@ bus (S9, MetricsService.java:366) falls out for free: any number of
 downstream ``readStream`` consumers can subscribe to the same source or
 to the hot-layer directory.
 
-A watermark is attached when ``late_after`` is given: rows later than
-the watermark are *still written* (routed via the ``is_late`` flag to the
-out-of-order accounting), mirroring the reference's route-don't-drop
-behavior rather than Spark's default drop.
+Late-data accounting mirrors the reference's route-don't-drop behavior:
+when ``late_after_ms`` is given, rows older than the stream's event-time
+high-water mark minus ``late_after_ms`` are *still written* (they land
+in their older slice), and the count is reported per batch via
+``on_late`` — the accounting side of the out-of-order table without a
+separate physical path.
+
+A :class:`~rhq_metrics_spark.maintenance.MaintenanceRunner` can be
+attached: after each batch the runner sees the event-time high-water
+mark and compacts slices the stream has moved past (window-close-driven
+compaction, the TempDataCompressor cadence).
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -36,6 +45,9 @@ def start_ingest_stream(
     metric_type: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    maintenance=None,
+    late_after_ms: int | None = None,
+    on_late: Callable[[int, int], None] | None = None,
 ) -> StreamingQuery:
     """Start streaming ingest of a canonical points stream
     ``(tenant_id, metric, ts, value, tags)`` into the store's hot layer.
@@ -43,12 +55,38 @@ def start_ingest_stream(
     Each micro-batch goes through the same batched write path as batch
     ingest (stamping date_slice / tenant_bucket / ingest_seq), so
     last-write-wins and compaction behave identically for both paths.
+
+    ``maintenance``: a MaintenanceRunner; gets the event-time high-water
+    mark after each batch and compacts newly-closed slices.
+    ``late_after_ms`` + ``on_late(batch_id, n_late)``: count (never drop)
+    rows arriving more than ``late_after_ms`` behind the high-water mark.
     """
+    state = {"high_water": None}
+    track = maintenance is not None or late_after_ms is not None
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         store.add_data_points(metric_type, batch_df)
+        if not track:
+            return
+        aggs = [F.max("ts").alias("_mx")]
+        if late_after_ms is not None and state["high_water"] is not None:
+            bound = state["high_water"] - late_after_ms
+            aggs.append(
+                F.count(F.when(F.col("ts") < F.lit(bound), 1)).alias("_late")
+            )
+        row = batch_df.agg(*aggs).collect()[0].asDict()
+        if late_after_ms is not None and on_late is not None:
+            n_late = int(row.get("_late") or 0)
+            if n_late:
+                on_late(batch_id, n_late)
+        mx = row["_mx"]
+        if mx is not None:
+            hw = state["high_water"]
+            state["high_water"] = mx if hw is None else max(hw, mx)
+        if maintenance is not None and state["high_water"] is not None:
+            maintenance.on_event_time(metric_type, state["high_water"])
 
     writer = stream_df.writeStream.foreachBatch(_write_batch).option(
         "checkpointLocation", checkpoint_dir

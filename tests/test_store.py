@@ -129,3 +129,83 @@ def test_row_level_retention_per_series(spark, store):
     store.apply_row_retention("gauge", cutoffs, default_cutoff_ms=now - 7 * day)
     out = {(r["metric"], r["value"]) for r in store.points("gauge").collect()}
     assert out == {("keep_long", 1.0), ("short", 4.0)}
+
+
+def test_lww_survives_store_reopen(spark, tmp_path):
+    """ingest_seq is a wall-clock write timestamp (Cassandra client-ts
+    semantics): a fresh store instance over an existing base_path — a
+    process restart or a second writer — keeps winning LWW with no state
+    recovered from disk."""
+    path = str(tmp_path / "store")
+    first = MetricsStore(spark, path)
+    for v in (1.0, 2.0, 3.0):  # push the old instance's seq well along
+        first.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, v)]))
+    reopened = MetricsStore(spark, path)
+    reopened.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 42.0)]))
+    out = reopened.points("gauge").collect()
+    assert len(out) == 1 and out[0]["value"] == 42.0
+    # and the original instance keeps working after the interleave
+    first.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 43.0)]))
+    assert first.points("gauge").collect()[0]["value"] == 43.0
+
+
+def test_lww_across_two_concurrent_writers(spark, tmp_path):
+    """Two writer instances (two processes in production) interleave
+    writes to the same key; wall-clock seqs give wall-clock LWW."""
+    path = str(tmp_path / "store")
+    a, b = MetricsStore(spark, path), MetricsStore(spark, path)
+    a.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    b.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 2.0)]))
+    a.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 3.0)]))
+    out = a.points("gauge").collect()
+    assert len(out) == 1 and out[0]["value"] == 3.0
+
+
+def test_same_batch_duplicate_key_is_deterministic(spark, store):
+    """Duplicate (tenant, metric, ts) within ONE batch share a seq; the
+    tie breaks by larger value — Cassandra's cell tie-break."""
+    store.add_data_points(
+        "gauge",
+        _gauge(spark, [("t1", "m", T0, 5.0), ("t1", "m", T0, 9.0), ("t1", "m", T0, 7.0)]),
+    )
+    out = store.points("gauge").collect()
+    assert len(out) == 1 and out[0]["value"] == 9.0
+
+
+def test_negative_timestamp_slice_routing(spark, store):
+    """Write-path date_slice uses floor division: pre-epoch timestamps
+    land in the slice the read path computes (truncation would be off by
+    one slice and pruned scans would miss the rows)."""
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", -1, 1.0)]))
+    out = store.find_data_points("gauge", "t1", "m", -10, 10).collect()
+    assert len(out) == 1 and out[0]["ts"] == -1
+
+
+def test_tenant_bucket_of_matches_stamp(spark, store):
+    """Driver-side xxhash64 twin must agree with the Spark expression the
+    write path stamps — otherwise pruned scans read the wrong bucket."""
+    import pyspark.sql.functions as F
+
+    tenants = ["t1", "acme-corp", "Ω-tenant", "x" * 40]
+    df = spark.createDataFrame([(t,) for t in tenants], "tenant_id string").select(
+        "tenant_id",
+        F.pmod(F.xxhash64("tenant_id"), F.lit(store.tenant_buckets)).cast("int").alias("b"),
+    )
+    want = {r["tenant_id"]: r["b"] for r in df.collect()}
+    for t in tenants:
+        assert store._tenant_bucket_of(t) == want[t]
+
+
+def test_delete_tenant_removes_tenant_row(spark, store):
+    """DeleteTenant.java:53,103-104: the tenant row (and its retention
+    policies) must go too, or a re-created tenant inherits stale policy."""
+    from rhq_metrics_spark.service import MetricsService
+
+    svc = MetricsService(spark, store)
+    svc.create_tenant("t1", {"gauge": 30})
+    svc.create_tenant("t2", {"gauge": 7})
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    store.delete_tenant("t1")
+    remaining = [r["id"] for r in store.tenants().collect()]
+    assert remaining == ["t2"]
+    assert store.points("gauge").filter("tenant_id = 't1'").count() == 0
