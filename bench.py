@@ -41,16 +41,86 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q12",   # semi/anti-join shapes perf-tracked, not just correct
+    "tpch_q22",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",  # iterative connected components
     "embed_cosine_topk",
+    "embed_lsh_topk",
     "embed_ivf_topk",
     "text_quality",
     "text_contamination",
     "doc_fingerprint",
 ]
+
+
+def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) -> None:
+    """BASELINE.md KPI table (rows 2-4): single-metric stats latency
+    (p50/p95, 8h window, 60 buckets, percentiles 90/95/99), 100-metric
+    stacked + unstacked stats, and an expression tag query (2 ANDs, 1
+    regex) over 10k metric definitions.  Runs against the compacted
+    dense store — the steady-state read path."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+
+    store.compact("gauge", closed_before_ms=2**62)
+    svc = MetricsService(spark, store)
+    sources = sorted(
+        r["metric"] for r in store.points("gauge")
+        .select(F.split("metric", "_")[0].alias("metric")).distinct().collect()
+    )
+    metrics = [f"{s}_{i}" for s in sources for i in range(20)]
+    bks = Buckets.from_count(lo, lo + window_ms, 60)
+
+    lat = []
+    for i in range(20):
+        t0 = time.time()
+        svc.gauge_stats(
+            "bench", metrics[(i * 7) % len(metrics)], bks, percentiles=(90, 95, 99)
+        ).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["stats_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+    timings["stats_latency_p95_ms"] = round(lat[18] * 1000, 1)
+
+    t0 = time.time()
+    svc.stats_query("bench", bks, {"gauge": metrics}, stacked=True)
+    timings["stats_query_100m_stacked_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    svc.stats_query("bench", bks, {"gauge": metrics}, stacked=False)
+    timings["stats_query_100m_sec"] = round(time.time() - t0, 3)
+
+    # 10k definitions with 3 tag dimensions; expression = 2 ANDs + regex
+    roles = ["web", "db", "cache", "batch", "edge"]
+    idx = spark.range(10_000).select(
+        F.lit("bench").alias("tenant_id"),
+        F.lit("gauge").alias("type"),
+        F.concat(F.lit("m"), F.col("id")).alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("dc"), F.lit("role"), F.lit("host")),
+            F.array(
+                F.concat(F.lit("dc"), (F.col("id") % 8).cast("string")),
+                F.element_at(
+                    F.array(*[F.lit(r) for r in roles]),
+                    (F.col("id") % 5 + 1).cast("int"),
+                ),
+                F.concat(F.lit("host-"), F.col("id")),
+            ),
+        ).alias("tags"),
+        F.lit(None).cast("long").alias("data_retention"),
+    )
+    store.save_metrics_idx(idx)
+    t0 = time.time()
+    n = svc.find_metrics(
+        tag_expression="dc = dc3 AND role = web AND host ~ 'host-12.*'"
+    ).count()
+    timings["tag_query_10k_defs_ms"] = round((time.time() - t0) * 1000, 1)
+    print(f"# tag query over 10k defs: {n} matches", file=sys.stderr)
 
 
 def main() -> None:
@@ -104,19 +174,27 @@ def main() -> None:
         # sparse-backfill scenario (per-slice commit overhead dominates)
         timings["ingest_backfill_points_per_sec"] = round(n_pts / dt, 1)
         timings["ingest_points_per_sec"] = timings["ingest_backfill_points_per_sec"]
-        # steady-state scenario: same rows remapped into a 4h window
-        # (2-3 slices), the shape a live ingest stream actually has —
-        # separate store dir so compaction KPIs below stay backfill-only
+        # steady-state scenario: same rows remapped into an 8h window
+        # (4-5 slices), the shape a live ingest stream actually has —
+        # separate store dir so compaction KPIs below stay backfill-only.
+        # Metrics fan out x20 (5 sources -> 100 series) so the same store
+        # serves the BASELINE.md query-latency KPIs below.
         lo = pts.agg(F.min("ts")).collect()[0][0]
+        window_ms = 8 * 3_600_000
         dense = pts.withColumn(
-            "ts", (F.lit(lo) + (F.col("ts") - lo) % (4 * 3_600_000)).cast("long")
+            "ts", (F.lit(lo) + (F.col("ts") - lo) % window_ms).cast("long")
+        ).withColumn(
+            "metric",
+            F.concat(F.col("metric"), F.lit("_"), (F.col("ts") % 20).cast("string")),
         )
         dense_dir = tempfile.mkdtemp(prefix="bench_store_dense_")
         try:
+            dense_store = MetricsStore(spark, dense_dir)
             t0 = time.time()
-            MetricsStore(spark, dense_dir).add_data_points("gauge", dense)
+            dense_store.add_data_points("gauge", dense)
             dt = time.time() - t0
             timings["ingest_dense_points_per_sec"] = round(n_pts / dt, 1)
+            _query_latency_kpis(spark, dense_store, lo, window_ms, timings)
         finally:
             shutil.rmtree(dense_dir, ignore_errors=True)
         t0 = time.time()

@@ -33,10 +33,90 @@ path; the md5/xxhash64 calls are JVM intrinsics inside codegen.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from rhq_metrics_spark.pipelines.text import shingles
+
+_LOG = logging.getLogger(__name__)
+
+#: default LSH bucket-size cap: boilerplate-heavy corpora produce a few
+#: giant band buckets whose all-pairs join is O(B²) — the classic
+#: dedup-at-scale straggler.  Buckets over the cap degrade to hub (star)
+#: pairing; see :func:`_bucket_join_pairs`.
+DEFAULT_MAX_BUCKET_SIZE = 2000
+
+
+def _bucket_join_pairs(
+    buckets: DataFrame,
+    payload: tuple[str, ...] = (),
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    label: str = "lsh",
+) -> DataFrame:
+    """Candidate id pairs from a ``(_id, _bucket[, payload...])`` frame.
+
+    Buckets at or under ``max_bucket_size`` do the normal all-pairs
+    self-join (``B²/2`` pairs).  Larger buckets switch to **hub pairing**:
+    every member pairs with the bucket's min-id member only — ``B-1``
+    pairs, so one hot bucket can't go quadratic and stall the stage.
+    Near-identical groups stay fully recoverable: the verify step accepts
+    the hub edges and connected-components clustering (:func:`dup_clusters`)
+    reassembles the whole group through the hub.  Oversize buckets are
+    counted and LOGGED (warning) — never silently truncated.  Output:
+    ``(id_a, id_b[, <payload>_a, <payload>_b...])``, id_a < id_b.
+    """
+
+    def _sel(side: str, idname: str):
+        cols = [F.col(f"{side}._id").alias(idname)]
+        cols += [F.col(f"{side}.{p}").alias(f"{p}{idname[2:]}") for p in payload]
+        return cols
+
+    def _all_pairs(b: DataFrame) -> DataFrame:
+        return (
+            b.alias("a")
+            .join(b.alias("b"), "_bucket")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(*_sel("a", "id_a"), *_sel("b", "id_b"))
+        )
+
+    if max_bucket_size is None:
+        return _all_pairs(buckets).distinct()
+
+    w = Window.partitionBy("_bucket")
+    sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    big = sized.filter(F.col("_bsz") > max_bucket_size)
+    # one tiny agg job to account for the degraded buckets (callers keep
+    # the signature frame persisted, so this doesn't recompute the
+    # expensive pipeline); "no silent truncation"
+    stats = big.agg(
+        F.countDistinct("_bucket").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    if stats["n_buckets"]:
+        _LOG.warning(
+            "%s: %d band bucket(s) over max_bucket_size=%d (%d member rows) "
+            "degraded from all-pairs to hub pairing; raise max_bucket_size "
+            "or pass max_bucket_size=None to force all-pairs",
+            label,
+            stats["n_buckets"],
+            max_bucket_size,
+            stats["n_rows"],
+        )
+    hub = F.min(F.struct(F.col("_id"), *[F.col(p) for p in payload])).over(w)
+    stars = (
+        big.withColumn("_hub", hub)
+        .filter(F.col("_id") != F.col("_hub._id"))
+        .select(
+            F.col("_hub._id").alias("id_a"),
+            *[F.col(f"_hub.{p}").alias(f"{p}_a") for p in payload],
+            F.col("_id").alias("id_b"),
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+    )
+    return _all_pairs(small).unionByName(stars).distinct()
 
 
 def _norm_text(text_col: str) -> Column:
@@ -200,13 +280,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     verify: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
 
     Output: ``(id_a, id_b, jaccard)`` — candidates that share at least
     one of ``bands`` band-buckets (rows of ``num_hashes/bands``
     signature values), filtered to true Jaccard ≥ threshold when
-    ``verify``.
+    ``verify``.  Buckets over ``max_bucket_size`` degrade to hub pairing
+    (:func:`_bucket_join_pairs`) so boilerplate-heavy corpora can't go
+    quadratic.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -232,12 +315,8 @@ def minhash_lsh_pairs(
             )
         ).alias("_bucket"),
     )
-    cands = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), "_bucket")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    cands = _bucket_join_pairs(
+        buckets, max_bucket_size=max_bucket_size, label="minhash_lsh"
     )
     if not verify:
         return cands.withColumn("jaccard", F.lit(None).cast("double"))
@@ -270,6 +349,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ max_hamming.
 
@@ -323,20 +403,16 @@ def simhash_pairs(
             )
         ).alias("_bucket"),
     )
-    cands = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), "_bucket")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
-        )
-        .distinct()
+    cands = _bucket_join_pairs(
+        buckets,
+        payload=("_sig",),
+        max_bucket_size=max_bucket_size,
+        label="simhash",
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -353,6 +429,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     plane_gen: str = "md5",
     max_exact_rows: int = 100_000,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding near-dups: cosine(a, b) ≥ threshold.
 
@@ -383,6 +460,9 @@ def embedding_near_dup_pairs(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
+        # persisted: the capped bucket join references this frame from
+        # several branches (size accounting, small-bucket pairs, hub
+        # stars) — without persist each branch re-runs the signature UDF
         buckets = v.withColumn("_sigs", sigs_udf(F.col("_v"))).select(
             "_id",
             F.explode(
@@ -391,13 +471,9 @@ def embedding_near_dup_pairs(
                     lambda s, i: F.concat(i.cast("string"), F.lit(":"), s.cast("string")),
                 )
             ).alias("_bucket"),
-        )
-        cands = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), "_bucket")
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct()
+        ).persist()
+        cands = _bucket_join_pairs(
+            buckets, max_bucket_size=max_bucket_size, label="embed_near_dup"
         )
         norm = v.withColumn(
             "_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))

@@ -4,6 +4,7 @@ SimHash, embedding near-dup."""
 
 import itertools
 
+import pyspark.sql.functions as F
 import pytest
 
 from rhq_metrics_spark.pipelines.dedup import (
@@ -200,3 +201,41 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     out = dup_clusters(ids, pairs).collect()
     assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_hot_bucket_cap_degrades_to_hub_pairs(spark):
+    """Degenerate corpus (1k identical docs): every band bucket holds all
+    1000 docs.  With the cap, candidate generation is linear (hub stars),
+    the verify step still accepts every edge (jaccard 1.0), and
+    connected components recover the single 1000-doc group — no O(B^2)
+    straggler task anywhere."""
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears everywhere").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=50)
+    rows = pairs.collect()
+    # hub pairing: every doc pairs with the bucket min (id 0) exactly once
+    assert len(rows) == 999
+    assert {r["id_a"] for r in rows} == {0}
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    sizes = clusters.groupBy("cluster_id").count().collect()
+    assert len(sizes) == 1 and sizes[0]["count"] == 1000
+
+
+def test_hot_bucket_cap_preserves_results_below_cap(spark):
+    """Corpora whose buckets fit under the cap must be byte-identical to
+    the uncapped join (the oracle-checked path)."""
+    from rhq_metrics_spark.pipelines.dedup import simhash_pairs
+
+    rows = [(i, f"document number {i} with shared base text") for i in range(40)]
+    rows += [(100 + i, "document number 7 with shared base text") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_pairs(docs, max_bucket_size=50).collect()}
+    uncapped = {(r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_pairs(docs, max_bucket_size=None).collect()}
+    assert capped == uncapped and len(capped) > 0
