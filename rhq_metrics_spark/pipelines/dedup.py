@@ -55,38 +55,60 @@ def _bucket_join_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     label: str = "lsh",
 ) -> DataFrame:
-    """Candidate id pairs from a ``(_id, _bucket[, payload...])`` frame.
+    """Candidate id pairs from a ``(_id, _bucket[, _refine][, payload...])``
+    frame.
 
     Buckets at or under ``max_bucket_size`` do the normal all-pairs
-    self-join (``B²/2`` pairs).  Larger buckets switch to **hub pairing**:
-    every member pairs with the bucket's min-id member only — ``B-1``
-    pairs, so one hot bucket can't go quadratic and stall the stage.
-    Near-identical groups stay fully recoverable: the verify step accepts
-    the hub edges and connected-components clustering (:func:`dup_clusters`)
-    reassembles the whole group through the hub.  Oversize buckets are
-    counted and LOGGED (warning) — never silently truncated.  Output:
-    ``(id_a, id_b[, <payload>_a, <payload>_b...])``, id_a < id_b.
+    self-join (``B²/2`` pairs).  Larger buckets are **refined**: members
+    are sub-grouped by the optional ``_refine`` column — a *finer* key
+    than the band (the full signature) — because an oversize bucket means
+    the band was too coarse to separate groups.  Within each refine
+    group: all-pairs if it fits the cap, else hub stars (every member
+    pairs with the group's min-id member — safe, since identical full
+    signatures are near-certain duplicates and survive verification).
+    Each refine group's hub additionally pairs with the bucket's global
+    hub, preserving cross-group connectivity for the verify step to
+    adjudicate.  Without a ``_refine`` column oversize buckets go
+    straight to bucket-level hub stars.
+
+    Net effect: one hot bucket can't go quadratic (pair count per bucket
+    is ≤ cap·B + #groups instead of B²), while distinct duplicate groups
+    that share a coarse band signature keep their intra-group pairs.
+    Oversize buckets are counted and LOGGED (warning) — never silently
+    truncated.  Output: ``(id_a, id_b[, <payload>_a, <payload>_b...])``,
+    id_a < id_b.
     """
+    refined = "_refine" in buckets.columns
 
     def _sel(side: str, idname: str):
         cols = [F.col(f"{side}._id").alias(idname)]
         cols += [F.col(f"{side}.{p}").alias(f"{p}{idname[2:]}") for p in payload]
         return cols
 
-    def _all_pairs(b: DataFrame) -> DataFrame:
+    def _all_pairs(b: DataFrame, key: str = "_bucket") -> DataFrame:
         return (
             b.alias("a")
-            .join(b.alias("b"), "_bucket")
+            .join(b.alias("b"), key)
             .filter(F.col("a._id") < F.col("b._id"))
             .select(*_sel("a", "id_a"), *_sel("b", "id_b"))
         )
 
+    def _stars(b: DataFrame, hub_col: str) -> DataFrame:
+        return b.filter(F.col("_id") != F.col(f"{hub_col}._id")).select(
+            F.col(f"{hub_col}._id").alias("id_a"),
+            *[F.col(f"{hub_col}.{p}").alias(f"{p}_a") for p in payload],
+            F.col("_id").alias("id_b"),
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+
     if max_bucket_size is None:
-        return _all_pairs(buckets).distinct()
+        return _all_pairs(buckets.drop("_refine") if refined else buckets).distinct()
 
     w = Window.partitionBy("_bucket")
     sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
     small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    if refined:
+        small = small.drop("_refine")
     big = sized.filter(F.col("_bsz") > max_bucket_size)
     # one tiny agg job to account for the degraded buckets (callers keep
     # the signature frame persisted, so this doesn't recompute the
@@ -98,25 +120,43 @@ def _bucket_join_pairs(
     if stats["n_buckets"]:
         _LOG.warning(
             "%s: %d band bucket(s) over max_bucket_size=%d (%d member rows) "
-            "degraded from all-pairs to hub pairing; raise max_bucket_size "
-            "or pass max_bucket_size=None to force all-pairs",
+            "degraded from all-pairs to refined/hub pairing; raise "
+            "max_bucket_size or pass max_bucket_size=None to force all-pairs",
             label,
             stats["n_buckets"],
             max_bucket_size,
             stats["n_rows"],
         )
-    hub = F.min(F.struct(F.col("_id"), *[F.col(p) for p in payload])).over(w)
-    stars = (
-        big.withColumn("_hub", hub)
-        .filter(F.col("_id") != F.col("_hub._id"))
-        .select(
-            F.col("_hub._id").alias("id_a"),
-            *[F.col(f"_hub.{p}").alias(f"{p}_a") for p in payload],
-            F.col("_id").alias("id_b"),
-            *[F.col(p).alias(f"{p}_b") for p in payload],
-        )
+    hub_struct = F.struct(F.col("_id"), *[F.col(p) for p in payload])
+    bhub = F.min(hub_struct).over(w)
+    if not refined:
+        stars = _stars(big.withColumn("_bhub", bhub), "_bhub")
+        return _all_pairs(small).unionByName(stars).distinct()
+
+    wr = Window.partitionBy("_bucket", "_refine")
+    big = (
+        big.withColumn("_rsz", F.count(F.lit(1)).over(wr))
+        .withColumn("_rhub", F.min(hub_struct).over(wr))
+        .withColumn("_bhub", bhub)
     )
-    return _all_pairs(small).unionByName(stars).distinct()
+    # refine groups that fit the cap: all-pairs on the composite key
+    rsmall = big.filter(F.col("_rsz") <= max_bucket_size).withColumn(
+        "_rkey", F.concat(F.col("_bucket"), F.lit("#"), F.col("_refine"))
+    )
+    rsmall_pairs = _all_pairs(rsmall, "_rkey")
+    # refine groups still over the cap: hub stars within the group
+    rbig_stars = _stars(big.filter(F.col("_rsz") > max_bucket_size), "_rhub")
+    # cross-group connectivity: each refine hub pairs with the bucket hub
+    cross = _stars(
+        big.filter(F.col("_id") == F.col("_rhub._id")), "_bhub"
+    )
+    return (
+        _all_pairs(small)
+        .unionByName(rsmall_pairs)
+        .unionByName(rbig_stars)
+        .unionByName(cross)
+        .distinct()
+    )
 
 
 def _norm_text(text_col: str) -> Column:
@@ -303,9 +343,18 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select("_id", *band_cols)
+    banded = sig.select(
+        "_id",
+        *band_cols,
+        # full-signature refinement key for oversize buckets: docs whose
+        # whole 12-hash signature matches are near-certain duplicates
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(num_hashes)])
+        ).alias("_refine"),
+    )
     buckets = banded.select(
         "_id",
+        "_refine",
         F.explode(
             F.array(
                 *[
@@ -389,6 +438,7 @@ def simhash_pairs(
     buckets = sigd.select(
         "_id",
         "_sig",
+        F.col("_sig").cast("string").alias("_refine"),  # full-sig refinement
         F.explode(
             F.array(
                 *[
@@ -465,6 +515,12 @@ def embedding_near_dup_pairs(
         # stars) — without persist each branch re-runs the signature UDF
         buckets = v.withColumn("_sigs", sigs_udf(F.col("_v"))).select(
             "_id",
+            # all-tables signature as the refinement key
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("_sigs"), lambda s: s.cast("string"))
+                )
+            ).alias("_refine"),
             F.explode(
                 F.transform(
                     F.col("_sigs"),
