@@ -77,11 +77,18 @@ from rhq_metrics_spark.pipelines.similarity import (
     lsh_plane_sql,
 )
 from rhq_metrics_spark.pipelines.text import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    URL_PATTERN,
     contamination_check,
     document_fingerprint,
     language_id,
+    pii_from_documents,
+    pii_scan,
     quality_score,
+    repetition_stats,
     token_stats,
+    url_domain_stats,
     vocab_stats,
 )
 from rhq_metrics_spark.tags import find_metric_ids
@@ -1330,6 +1337,94 @@ FROM s
 """
 
 
+#: DuckDB twin of text.pii_from_documents (deterministic PII synthesis)
+PII_CORPUS_SQL = """
+SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN ' visit https://site' || CAST(doc_id % 13 AS VARCHAR)
+       || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the synthesized PII-bearing corpus —
+    counts AND the redacted text itself are oracle-compared (Java regex
+    and RE2 agree on these lookaround-free patterns)."""
+    docs = _table(spark, sf_dir, "documents")
+    return pii_scan(pii_from_documents(docs))
+
+
+SQL_TEXT_PII = (
+    "WITH p AS (" + PII_CORPUS_SQL + ")\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '" + EMAIL_PATTERN + "')) AS INTEGER) AS n_emails,\n"
+    "  CAST(len(regexp_extract_all(text, '" + URL_PATTERN + "')) AS INTEGER) AS n_urls,\n"
+    "  CAST(len(regexp_extract_all(text, '" + IPV4_PATTERN + "')) AS INTEGER) AS n_ips,\n"
+    "  (len(regexp_extract_all(text, '" + EMAIL_PATTERN + "')) > 0\n"
+    "   OR len(regexp_extract_all(text, '" + IPV4_PATTERN + "')) > 0) AS has_pii,\n"
+    "  regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "    '" + URL_PATTERN + "', '<URL>', 'g'),\n"
+    "    '" + EMAIL_PATTERN + "', '<EMAIL>', 'g'),\n"
+    "    '" + IPV4_PATTERN + "', '<IP>', 'g') AS redacted\n"
+    "FROM p"
+)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    docs = _table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(list_zip(toks[1:len(toks)-1], toks[2:]),
+                         x -> x[1] || ' ' || x[2])
+        ELSE [] END AS g2,
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:]),
+                         x -> x[1] || ' ' || x[2] || ' ' || x[3])
+        ELSE [] END AS g3
+      FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_words,
+  round(CASE WHEN len(toks) > 0
+             THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+  round(CASE WHEN len(g2) > 0
+             THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+             THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM g
+"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats over the synthesized PII corpus — the view
+    behind per-source caps and domain blocklists."""
+    docs = _table(spark, sf_dir, "documents")
+    return url_domain_stats(pii_from_documents(docs))
+
+
+SQL_URL_DOMAINS = (
+    "WITH p AS (" + PII_CORPUS_SQL + "),\n"
+    "u AS (SELECT doc_id, unnest(regexp_extract_all(text, '" + URL_PATTERN + "')) AS url FROM p),\n"
+    "d AS (SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u)\n"
+    "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,\n"
+    "       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs\n"
+    "FROM d GROUP BY domain"
+)
+
+
 
 def q_a1_counter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 over a counter-typed series (long values — findCounterStats
@@ -1753,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_vocab": q_text_vocab,
         "text_contamination": q_text_contamination,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
@@ -1808,6 +1906,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": SQL_TEXT_LANGID,
         "text_vocab": SQL_TEXT_VOCAB,
         "text_contamination": SQL_TEXT_CONTAM,
+        "text_pii": SQL_TEXT_PII,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "url_domains": SQL_URL_DOMAINS,
         "doc_fingerprint": SQL_DOC_FP,
         "mm_meta": SQL_MM_META,
         "mm_features": SQL_MM_FEAT,

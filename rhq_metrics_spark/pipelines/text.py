@@ -257,3 +257,142 @@ def contamination_check(
             ).alias("contamination_rate"),
         )
     )
+
+
+# -- PII detection / redaction + URL analysis ---------------------------------
+
+#: portable regexes — valid under both Java regex (Spark) and RE2
+#: (DuckDB/ripgrep-class engines), no lookaround/backrefs
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+IPV4_PATTERN = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scan + redaction for training-data hygiene: per-doc counts of
+    emails / URLs / IPv4 literals and a ``redacted`` text with
+    placeholders substituted (URLs first so an address inside a URL
+    isn't double-counted by the later passes).  Pure JVM regex — no UDFs;
+    at 100 TB this is a narrow projection over the text column only.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, URL_PATTERN, "<URL>"),
+            EMAIL_PATTERN,
+            "<EMAIL>",
+        ),
+        IPV4_PATTERN,
+        "<IP>",
+    )
+    return df.select(
+        id_col,
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(text, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.regexp_count(text, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        (
+            (F.regexp_count(text, F.lit(EMAIL_PATTERN)) > 0)
+            | (F.regexp_count(text, F.lit(IPV4_PATTERN)) > 0)
+        ).alias("has_pii"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate words /
+    2-grams / 3-grams per document (high values flag boilerplate and
+    degenerate generations).  All JVM array expressions."""
+    toks = _tokens(F.col(text_col))
+
+    def dup_frac(col: Column) -> Column:
+        n = F.size(col)
+        return F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct(col)) / n.cast("double"),
+            ).otherwise(0.0),
+            6,
+        )
+
+    bound = df.select(F.col(id_col), toks.alias("_toks"))
+    return bound.select(
+        id_col,
+        F.size(F.col("_toks")).alias("n_words"),
+        dup_frac(F.col("_toks")).alias("dup_word_frac"),
+        dup_frac(shingles(F.col("_toks"), 2)).alias("dup_2gram_frac"),
+        dup_frac(shingles(F.col("_toks"), 3)).alias("dup_3gram_frac"),
+    )
+
+
+def url_domain_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain URL statistics — the corpus-curation view behind
+    per-source caps and domain blocklists: ``(domain, n_urls, n_docs)``.
+    One explode + one groupBy on the (short) domain key; head domains
+    are absorbed by map-side partial aggregation."""
+    urls = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias(
+            "_url"
+        ),
+    )
+    return (
+        urls.select(
+            "_id",
+            F.regexp_extract(F.col("_url"), r"https?://([A-Za-z0-9.-]+)", 1).alias(
+                "domain"
+            ),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+    )
+
+
+def pii_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PII-bearing corpus synthesized from a clean text
+    table (the shipped testdata contains no addresses/URLs): appends
+    arithmetic-derived emails, URLs, and IPv4s to a subset of docs so the
+    scan/redaction/domain operators have reproducible nonzero work that
+    a SQL oracle can recompute."""
+    did = F.col(id_col)
+    sid = did.cast("string")
+    extra = F.concat(
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), sid, F.lit("@example"),
+                (did % 7).cast("string"), F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" visit https://site"), (did % 13).cast("string"),
+                F.lit(".example.org/p/"), sid,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 254 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn(text_col, F.concat(F.col(text_col), extra))

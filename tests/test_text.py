@@ -117,3 +117,48 @@ def test_contamination_check_rates(spark):
     assert out[2]["contamination_rate"] == 1.0
     assert (out[3]["n_grams"], out[3]["contamination_rate"]) == (0, 0.0)
     assert out[4]["n_matched"] == 0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from rhq_metrics_spark.pipelines.text import pii_scan
+
+    rows = [
+        (1, "mail me at jo.doe@corp.io or visit https://a.example.com/x now"),
+        (2, "server at 10.0.0.7 fell over"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"], out[1]["n_ips"]) == (1, 1, 0)
+    assert out[1]["redacted"] == "mail me at <EMAIL> or visit <URL> now"
+    assert out[2]["n_ips"] == 1 and out[2]["has_pii"]
+    assert out[2]["redacted"] == "server at <IP> fell over"
+    assert not out[3]["has_pii"] and out[3]["redacted"] == rows[2][1]
+
+
+def test_repetition_stats(spark):
+    from rhq_metrics_spark.pipelines.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),                 # 1 distinct word of 4; 1 distinct 2-gram of 3
+        (2, "w x y z"),                 # no repetition at all
+        (3, "ab"),                      # too short for 2/3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["dup_word_frac"] == 0.75
+    assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0  # empty gram array, no crash
+
+
+def test_url_domain_stats(spark):
+    from rhq_metrics_spark.pipelines.text import url_domain_stats
+
+    rows = [
+        (1, "see https://a.io/x and https://a.io/y and https://b.net/z"),
+        (2, "more from https://a.io/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in url_domain_stats(df).collect()}
+    assert out == {"a.io": (3, 2), "b.net": (1, 1)}
