@@ -1,3 +1,4 @@
+from rhq_metrics_spark.streaming.dedup import streaming_exact_dedup
 from rhq_metrics_spark.streaming.ingest import start_ingest_stream
 
-__all__ = ["start_ingest_stream"]
+__all__ = ["start_ingest_stream", "streaming_exact_dedup"]

@@ -5,6 +5,7 @@ layer via the shared batched write path, plus windowed streaming stats.
 import json
 import time
 
+import pyspark.sql.functions as F
 import pytest
 
 from rhq_metrics_spark.model import GAUGE_SCHEMA, TWO_HOURS_MS
@@ -290,3 +291,70 @@ def test_rollup_stream_persists_closed_windows(spark, tmp_path):
     r = closed[0]
     assert (r["min"], r["max"], r["sum"], r["samples"]) == (1.0, 3.0, 4.0, 2)
     assert r["avg"] == 2.0
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First-seen-wins content dedup across micro-batches: a duplicate
+    arriving in a LATER batch is dropped; normalization matches the
+    batch exact_dedup fingerprint."""
+    from rhq_metrics_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out_dir = tmp_path / "docs_out"
+    b1 = [
+        {"doc_id": 1, "text": "Hello   World"},
+        {"doc_id": 2, "text": "something else"},
+    ]
+    b2 = [
+        {"doc_id": 3, "text": "hello world"},   # dup of 1 after normalization
+        {"doc_id": 4, "text": "fresh content"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+        while rows() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        time.sleep(2)  # allow a further trigger: doc 3 must NOT appear
+    finally:
+        q.stop()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect())
+    assert ids == [1, 2, 4]
+
+
+def test_streaming_dedup_watermark_bounds_state(spark):
+    """The event-time form must compile to dropDuplicatesWithinWatermark
+    (watermark-pruned state), not a global dedup."""
+    from rhq_metrics_spark.streaming.dedup import streaming_exact_dedup
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    docs = rate.select(
+        F.col("timestamp"), F.concat(F.lit("doc "), F.col("value")).alias("text")
+    )
+    out = streaming_exact_dedup(docs, event_time_col="timestamp", within="10 minutes")
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    assert "EventTimeWatermark" in plan
