@@ -146,6 +146,18 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    # the oracled embed_ivf_topk is full-probe (== brute force, for the
+    # correctness gate); track the real ANN dial (n_probe=4/16) here so
+    # the approximate path's latency stays an honest, separate number
+    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    ivf_cosine_topk(
+        emb, emb.filter("vec_id < 10"), k=5, n_cells=16, n_probe=4
+    ).count()
+    timings["embed_ivf_partial_probe_sec"] = round(time.time() - t0, 3)
+
     # engine KPIs mirroring the reference's harness axes (BASELINE.md):
     # batch-ingest throughput (JMH InsertBenchmark analogue) and
     # compaction of the written slices (TempDataCompressor analogue)
