@@ -1,0 +1,91 @@
+"""Physical-plan regression guards: the properties PLANS.md documents
+must stay true — broadcast joins for small dims, no cartesian products
+anywhere, filters pushed into the parquet scan.  A refactor that
+silently degrades one of these passes the correctness gate but dies at
+100 TB; these tests fail it at sf0.001."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: no query in the driver surface may plan a cartesian/nested-loop join
+NO_CROSS = [
+    "tpch_q5",
+    "tpch_q12",
+    "tpch_q22",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embed_near_dup",
+    "embed_lsh_topk",
+    "embed_ivf_topk",
+]
+
+
+@pytest.mark.parametrize("name", NO_CROSS)
+def test_no_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    # cosine_topk legitimately broadcasts a tiny query set as a nested
+    # loop; everything listed here must not
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Five-table star join: every dimension should broadcast — a
+    sort-merge join here means a dimension outgrew the threshold or a
+    filter stopped pushing."""
+    plan = _plan(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_a1_pushes_filters_and_prunes_columns(spark):
+    """The bucket-stats scan must push the metric/time predicates into
+    parquet and read only the needed columns."""
+    plan = _plan(spark, "a1_bucket_stats")
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the wide payload/text columns never appear
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "value" in read_schema and "payload" not in read_schema
+
+
+def test_lsh_queries_have_no_python_row_udf(spark):
+    """Signatures must ride Arrow (pandas UDF / ArrowEvalPython), never
+    row-at-a-time BatchEvalPython."""
+    for name in ("embed_lsh_topk", "embed_near_dup"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_store_scan_prunes_partitions(spark, tmp_path):
+    """find_data_points must reach the scan with date_slice/tenant_bucket
+    PartitionFilters (partition pruning, not post-scan filtering)."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    rows = [("t1", "m", 1_700_000_000_000 + i * 3_600_000, float(i), None) for i in range(8)]
+    store.add_data_points(
+        "gauge",
+        spark.createDataFrame(
+            rows, "tenant_id string, metric string, ts long, value double, tags map<string,string>"
+        ),
+    )
+    df = store.find_data_points(
+        "gauge", "t1", "m", 1_700_000_000_000, 1_700_000_000_000 + 2 * 3_600_000
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "date_slice" in pf and "tenant_bucket" in pf
