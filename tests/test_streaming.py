@@ -358,3 +358,67 @@ def test_streaming_dedup_watermark_bounds_state(spark):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_streaming_rate_matches_batch(spark, tmp_path):
+    """Streaming rate across micro-batches must equal the batch rate()
+    over the same points — including the cross-batch pair and counter
+    resets (the reset is dropped but becomes the new baseline)."""
+    from rhq_metrics_spark.operators import rate
+    from rhq_metrics_spark.streaming.rate import streaming_rate
+
+    src = tmp_path / "rate_in"
+    src.mkdir()
+    out_dir = tmp_path / "rate_out"
+    T = 1_700_000_000_000
+    b1 = [
+        {"tenant_id": "t", "metric": "c", "ts": T, "value": 10.0},
+        {"tenant_id": "t", "metric": "c", "ts": T + 30_000, "value": 40.0},
+    ]
+    b2 = [
+        {"tenant_id": "t", "metric": "c", "ts": T + 60_000, "value": 70.0},  # cross-batch pair
+        {"tenant_id": "t", "metric": "c", "ts": T + 90_000, "value": 5.0},   # reset: dropped
+        {"tenant_id": "t", "metric": "c", "ts": T + 120_000, "value": 65.0}, # vs reset baseline
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    schema = "tenant_id string, metric string, ts long, value double"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    q = (
+        streaming_rate(stream, metric_type="counter")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+        while rows() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        r["ts"]: r["rate"]
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], schema
+    )
+    want = {
+        r["ts"]: r["rate"]
+        for r in rate(batch_df, metric_type="counter").collect()
+    }
+    assert got == want
+    assert T + 90_000 not in got          # the reset pair is dropped
+    assert got[T + 120_000] == pytest.approx(60_000.0 * 60.0 / 30_000.0)
