@@ -243,3 +243,74 @@ def test_linear_fill_matches_python_oracle(spark, vals, step):
     got = {r["start"]: r["avg"] for r in fill_gaps(df, ["avg"], "linear").collect()}
     want = _lerp_oracle(series)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PII regex portability + repetition fractions vs pure-Python oracles
+
+_PII_ALPHABET = st.sampled_from(
+    list("abc XY9.-_@/:") + ["@example.com", "https://a.io/p", "10.0.0.1", "  "]
+)
+_pii_text = st.lists(_PII_ALPHABET, min_size=0, max_size=25).map("".join)
+
+
+@given(texts=st.lists(_pii_text, min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pii_scan_matches_python_re(spark, texts):
+    """Java regex (Spark) must agree with Python re for the PII patterns
+    on adversarial text — the same property the DuckDB (RE2) oracle
+    relies on.  Counts AND the redacted string are compared."""
+    import re
+
+    from rhq_metrics_spark.pipelines.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        URL_PATTERN,
+        pii_scan,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i]["n_emails"] == len(re.findall(EMAIL_PATTERN, t)), t
+        assert got[i]["n_urls"] == len(re.findall(URL_PATTERN, t)), t
+        assert got[i]["n_ips"] == len(re.findall(IPV4_PATTERN, t)), t
+        want_red = re.sub(
+            IPV4_PATTERN,
+            "<IP>",
+            re.sub(
+                EMAIL_PATTERN, "<EMAIL>", re.sub(URL_PATTERN, "<URL>", t)
+            ),
+        )
+        assert got[i]["redacted"] == want_red, t
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_stats_match_python(spark, texts):
+    from rhq_metrics_spark.pipelines.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        # mirror Spark split on \s+ of trimmed text: empty text -> [""]
+        toks = t.strip().lower().split() if t.strip() else [""]
+
+        def grams(n):
+            return [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+
+        def dup_frac(xs):
+            return round(1.0 - len(set(xs)) / len(xs), 6) if xs else 0.0
+
+        assert got[i]["n_words"] == len(toks), t
+        assert got[i]["dup_word_frac"] == pytest.approx(dup_frac(toks), abs=1e-9), t
+        assert got[i]["dup_2gram_frac"] == pytest.approx(dup_frac(grams(2)), abs=1e-9), t
+        assert got[i]["dup_3gram_frac"] == pytest.approx(dup_frac(grams(3)), abs=1e-9), t
