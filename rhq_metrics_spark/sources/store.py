@@ -426,6 +426,9 @@ class MetricsStore:
             .sortWithinPartitions("metric", "ts")
             .write.mode("overwrite")
             .option("compression", "zstd")
+            # v2 data pages: DELTA_BINARY_PACKED on the sorted ts column
+            # (the Gorilla delta-of-delta axis) — ~10% smaller cold files
+            .option("parquet.writer.version", "v2")
             .partitionBy("date_slice", "tenant_bucket")
             .parquet(str(staging))
         )
