@@ -145,6 +145,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # per-query isolation: operators persist intermediate frames
+        # (signatures, shingle sets); without a reset those accumulate
+        # across 30 queries and evict each other mid-plan, so later
+        # queries pay their expensive pipelines several times over
+        spark.catalog.clearCache()
 
     # the oracled embed_ivf_topk is full-probe (== brute force, for the
     # correctness gate); track the real ANN dial (n_probe=4/16) here so

@@ -18,7 +18,9 @@ Scale design notes (the point of each variant):
   ``num_hashes`` min-hashes (md5-keyed, so the DuckDB oracle can
   reproduce them bit-for-bit), banded into ``bands``; pairs sharing a
   band bucket are candidates, then exact-Jaccard verified.  Shuffle is
-  on band-bucket keys.
+  on band-bucket keys.  Buckets over ``max_bucket_size`` refine by full
+  signature (:func:`_bucket_join_pairs`) so boilerplate-heavy corpora
+  stay linear instead of O(B²).
 - **simhash_pairs** — 64-bit SimHash from token hashes; near-dups =
   Hamming distance ≤ k found via band rotation (split into 4 16-bit
   bands → pairs sharing a band, then exact popcount check; guaranteed
@@ -101,32 +103,55 @@ def _bucket_join_pairs(
             *[F.col(p).alias(f"{p}_b") for p in payload],
         )
 
+    plain = buckets.drop("_refine") if refined else buckets
     if max_bucket_size is None:
-        return _all_pairs(buckets.drop("_refine") if refined else buckets).distinct()
+        return _all_pairs(plain).distinct()
+
+    # The bucket frame is narrow (id + short keys — never the documents)
+    # but its lineage holds the whole signature pipeline; persist it so
+    # the accounting pass below materializes the signatures exactly once
+    # and every later branch (all-pairs sides, refinement) reads the
+    # cached rows instead of recomputing the pipeline per reference.
+    buckets = buckets.persist()
+    plain = buckets.drop("_refine") if refined else buckets
+
+    # account for oversize buckets with ONE small aggregation (exact
+    # counts for the log — "no silent truncation").  The common case —
+    # no hot buckets — then takes the plain all-pairs plan with zero
+    # window machinery; the windowed refinement below only ever runs
+    # over the oversized subset, which the tiny broadcast list selects.
+    hot = (
+        buckets.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .collect()
+    )
+    if not hot:
+        return _all_pairs(plain).distinct()
+    _LOG.warning(
+        "%s: %d band bucket(s) over max_bucket_size=%d (%d member rows) "
+        "degraded from all-pairs to refined/hub pairing; raise "
+        "max_bucket_size or pass max_bucket_size=None to force all-pairs",
+        label,
+        len(hot),
+        max_bucket_size,
+        sum(r["_bsz"] for r in hot),
+    )
+    hot_list = [r["_bucket"] for r in hot]
+    if len(hot_list) <= 1000:
+        small = plain.filter(~F.col("_bucket").isin(hot_list))
+        big = buckets.filter(F.col("_bucket").isin(hot_list))
+    else:  # pathological corpus: broadcast-join the hot list instead of
+        # inlining a giant IN into the plan
+        hot_df = F.broadcast(
+            buckets.sparkSession.createDataFrame(
+                [(b,) for b in hot_list], "_bucket string"
+            )
+        )
+        small = plain.join(hot_df, "_bucket", "left_anti")
+        big = buckets.join(hot_df, "_bucket", "left_semi")
 
     w = Window.partitionBy("_bucket")
-    sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
-    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    if refined:
-        small = small.drop("_refine")
-    big = sized.filter(F.col("_bsz") > max_bucket_size)
-    # one tiny agg job to account for the degraded buckets (callers keep
-    # the signature frame persisted, so this doesn't recompute the
-    # expensive pipeline); "no silent truncation"
-    stats = big.agg(
-        F.countDistinct("_bucket").alias("n_buckets"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).collect()[0]
-    if stats["n_buckets"]:
-        _LOG.warning(
-            "%s: %d band bucket(s) over max_bucket_size=%d (%d member rows) "
-            "degraded from all-pairs to refined/hub pairing; raise "
-            "max_bucket_size or pass max_bucket_size=None to force all-pairs",
-            label,
-            stats["n_buckets"],
-            max_bucket_size,
-            stats["n_rows"],
-        )
     hub_struct = F.struct(F.col("_id"), *[F.col(p) for p in payload])
     bhub = F.min(hub_struct).over(w)
     if not refined:
@@ -510,9 +535,7 @@ def embedding_near_dup_pairs(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
-        # persisted: the capped bucket join references this frame from
-        # several branches (size accounting, small-bucket pairs, hub
-        # stars) — without persist each branch re-runs the signature UDF
+        # (_bucket_join_pairs persists this frame when capping)
         buckets = v.withColumn("_sigs", sigs_udf(F.col("_v"))).select(
             "_id",
             # all-tables signature as the refinement key
@@ -527,7 +550,7 @@ def embedding_near_dup_pairs(
                     lambda s, i: F.concat(i.cast("string"), F.lit(":"), s.cast("string")),
                 )
             ).alias("_bucket"),
-        ).persist()
+        )
         cands = _bucket_join_pairs(
             buckets, max_bucket_size=max_bucket_size, label="embed_near_dup"
         )
