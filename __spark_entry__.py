@@ -722,6 +722,233 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 GROUP BY n_name
 """
 
+#: exact 2-dp revenue: integer accumulation of round(x*10000), then
+#: 2-dp quantization — order-independent, identical across engines
+def _rev(expr):
+    return (
+        F.round(F.sum(F.round(expr * 10000).cast("long")).cast("double") / 100) / 100
+    )
+
+
+_REV_SQL = (
+    "round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))"
+    " AS DOUBLE) / 100) / 100"
+)
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two nations by
+    ship year — supplier and customer sides resolve nationality via
+    broadcast joins; the only big shuffle is lineitem↔orders."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_rev(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter — exact integer revenue makes the top-k cut deterministic
+    (ties broken by custkey)."""
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional revenue over a
+    broadcast part join; the share is computed by integer floor division
+    in basis points so both engines agree bit-for-bit."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_int = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo_int = F.when(F.col("p_type") == "PROMO", rev_int).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo_int).alias("_p"),
+            F.sum(rev_int).alias("_t"),
+        )
+        .select(
+            F.expr("_p * 10000 div _t").alias("promo_share_bp"),
+            (F.round(F.col("_p").cast("double") / 100) / 100).alias("promo_revenue"),
+            (F.round(F.col("_t").cast("double") / 100) / 100).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH s AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS p,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS t
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+SELECT CAST(p * 10000 // t AS BIGINT) AS promo_share_bp,
+       round(CAST(p AS DOUBLE) / 100) / 100 AS promo_revenue,
+       round(CAST(t AS DOUBLE) / 100) / 100 AS total_revenue
+FROM s
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING over a lineitem
+    rollup feeds a semi-join back to orders/customer — the group-filter
+    runs BEFORE the joins, so only qualifying orderkeys shuffle."""
+    li = _table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 140)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of brand/size/quantity conjunct groups —
+    the disjunction involves both sides of the part join, so only the
+    common bounds push into the scans; exercises complex predicate
+    handling without falling back to a cartesian plan."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    return j.filter(cond).agg(
+        _rev(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {_REV_SQL} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
@@ -1830,7 +2057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         # training-data pipelines
         "dedup_exact": q_dedup_exact,
@@ -1889,7 +2121,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q10": SQL_TPCH_Q10,
         "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q18": SQL_TPCH_Q18,
+        "tpch_q19": SQL_TPCH_Q19,
         "tpch_q22": SQL_TPCH_Q22,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
