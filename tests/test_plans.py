@@ -19,7 +19,11 @@ def _plan(spark, name: str) -> str:
 #: no query in the driver surface may plan a cartesian/nested-loop join
 NO_CROSS = [
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q10",
     "tpch_q12",
+    "tpch_q18",
+    "tpch_q19",
     "tpch_q22",
     "dedup_minhash_lsh",
     "dedup_simhash",
