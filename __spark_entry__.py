@@ -950,6 +950,507 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 """
 
 
+# q2/q11/q16/q20/q21 are adapted to the synthetic schema: there is no
+# partsupp table and no l_commitdate/l_receiptdate, so lineitem acts as
+# the part<->supplier bridge (observed offers) and "kept waiting" is
+# re-expressed over l_shipdate.  Each keeps the reference query's PLAN
+# shape (correlated min, global-threshold HAVING, NOT-IN anti-join,
+# nested semi-join, EXISTS/NOT-EXISTS) — see BaseITest.java test queries.
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per-part minimum unit price as
+    a correlated-min subquery — the offer table aggregates once, the
+    per-part min re-joins on (partkey, best==min).  Unit price is integer
+    cents floor-divided by integral quantity, exact in both engines."""
+    li = _table(spark, sf_dir, "lineitem")
+    unit_cents = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " div greatest(CAST(round(l_quantity) AS BIGINT), 1L)"
+    )
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("best_cents"))
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("best_cents").alias("min_cents")
+    )
+    part = _table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_name")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        offer.join(
+            best,
+            (F.col("l_partkey") == F.col("bk"))
+            & (F.col("best_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(part), offer.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), offer.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("best_cents").alias("unit_cents"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)
+             // greatest(CAST(round(l_quantity) AS BIGINT), 1)) AS best_cents
+  FROM lineitem GROUP BY 1, 2),
+best AS (SELECT l_partkey, min(best_cents) AS min_cents FROM offer GROUP BY 1)
+SELECT p_partkey, p_name, s_name, n_name, best_cents AS unit_cents
+FROM offer
+JOIN best ON offer.l_partkey = best.l_partkey AND offer.best_cents = best.min_cents
+JOIN part ON p_partkey = offer.l_partkey
+JOIN supplier ON s_suppkey = offer.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'SMALL' AND p_size <= 25
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one wide join tree — part,
+    supplier-nation, customer-nation-region all broadcast; share computed
+    as an integer basis-point ratio so both engines agree exactly."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    rev_i = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    nat_i = F.when(F.col("supp_nation") == "NATION_2", rev_i).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(nat_i).alias("_n"), F.sum(rev_i).alias("_t"))
+        .select(
+            "o_year",
+            F.expr("_n * 10000 div _t").alias("mkt_share_bp"),
+            (F.round(F.col("_n").cast("double") / 100) / 100).alias("nation_revenue"),
+            (F.round(F.col("_t").cast("double") / 100) / 100).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_i,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_i ELSE 0 END) AS BIGINT)
+            * 10000 // CAST(sum(rev_i) AS BIGINT) AS BIGINT) AS mkt_share_bp,
+       round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_i ELSE 0 END) AS BIGINT) AS DOUBLE) / 100) / 100 AS nation_revenue,
+       round(CAST(CAST(sum(rev_i) AS BIGINT) AS DOUBLE) / 100) / 100 AS total_revenue
+FROM flat GROUP BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year): LIKE
+    filter on p_name, profit = revenue minus a retail-price cost proxy
+    (no partsupp in the synthetic schema), all at integer scale 1e4."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    nation = _table(spark, sf_dir, "nation")
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount_i = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        - F.round(F.col("p_retailprice") * 10).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.round(F.sum(amount_i).cast("double") / 100) / 100).alias("sum_profit")
+        )
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(CAST(sum(
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+         - CAST(round(p_retailprice * 10) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)
+       ) AS BIGINT) AS DOUBLE) / 100) / 100 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-key value vs a global-total
+    threshold — the scalar total is broadcast into the filter; the
+    threshold is scale-free (1.5x the mean part value) and compared by
+    integer cross-multiplication, so it is exact at any SF."""
+    li = _table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("value_cents"))
+    )
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") * 2 > F.col("total_cents") * 3)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.round(F.col("value_cents").cast("double")) / 100).alias("part_value"),
+        )
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents, count(*) AS n_parts FROM pv)
+SELECT l_partkey AS p_partkey,
+       round(CAST(value_cents AS DOUBLE)) / 100 AS part_value
+FROM pv, tot
+WHERE value_cents * n_parts * 2 > total_cents * 3
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join
+    with the filter on the join's right side (not a WHERE), then a
+    two-level aggregation — customers with zero orders stay as c_count=0."""
+    cust = _table(spark, sf_dir, "customer").select("c_custkey")
+    orders = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue per supplier in a quarter,
+    kept only where it equals the broadcast global max — the view +
+    scalar-subquery shape, with exact integer revenue so ties are real."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("rev_i")
+        )
+    )
+    mx = srev.agg(F.max("rev_i").alias("max_i"))
+    supp = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_i") == F.col("max_i"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.round(F.col("rev_i").cast("double") / 100) / 100).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_i
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1),
+mx AS (SELECT max(rev_i) AS max_i FROM srev)
+SELECT s_suppkey, s_name,
+       round(CAST(rev_i AS DOUBLE) / 100) / 100 AS total_revenue
+FROM srev JOIN supplier ON s_suppkey = l_suppkey, mx
+WHERE rev_i = max_i
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attrs): DISTINCT count
+    over the part-supplier bridge with a NOT-IN exclusion subquery —
+    planned as a broadcast anti-join against the excluded suppliers."""
+    li = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 7, 14, 21, 28, 35, 42, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = _table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2000
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): correlated per-part
+    average as an aggregate-then-rejoin; the qty < 0.2*avg predicate is
+    cross-multiplied to integers (qty*5*cnt < sum_qty) — no division."""
+    li = _table(spark, sf_dir, "lineitem")
+    pq = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(
+            F.round("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long"))
+                    .cast("double") / 7 / 100
+                ) / 100
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT round(CAST(CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 7 / 100) / 100 AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq ON pk = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_qty
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-share suppliers): nested semi-join —
+    suppliers who shipped over half a qualifying part's 1997 volume;
+    per-pair and per-part aggregates compare by integer cross-multiply,
+    then DISTINCT project supplier/nation."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty_ps"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("pk2")).agg(
+        F.sum("qty_ps").alias("qty_total")
+    )
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    nation = _table(spark, sf_dir, "nation")
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        ps.join(pt, ps.l_partkey == pt.pk2)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .filter(F.col("qty_ps") * 2 > F.col("qty_total"))
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_ps
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2),
+pt AS (SELECT l_partkey AS pk2, CAST(sum(qty_ps) AS BIGINT) AS qty_total
+       FROM ps GROUP BY 1)
+SELECT DISTINCT s_name, n_name
+FROM ps
+JOIN pt ON l_partkey = pk2
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'small%' AND qty_ps * 2 > qty_total
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the supplier
+    whose line is the unique last-shipped in a multi-supplier finished
+    order — EXISTS (another supplier in the order) via LEFT SEMI join and
+    NOT EXISTS (another supplier also shipped last) via LEFT ANTI join,
+    exactly the reference's double-correlated shape re-expressed over
+    l_shipdate (no l_receiptdate in the synthetic schema)."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    mx = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    orders = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.join(mx, li.l_orderkey == mx.ok)
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "max_ship")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_shipdate").alias("ship2"),
+    )
+    exists_other = l1.join(
+        l2,
+        (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+        "left_semi",
+    )
+    not_exists_tied = exists_other.join(
+        l2,
+        (exists_other.l_orderkey == l2.ok2)
+        & (exists_other.l_suppkey != l2.sk2)
+        & (exists_other.max_ship == l2.ship2),
+        "left_anti",
+    )
+    supp = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        not_exists_tied.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH mx AS (
+  SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1)
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN mx ON l1.l_orderkey = mx.ok
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate = mx.max_ship
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate = mx.max_ship)
+GROUP BY s_name
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
 
@@ -2053,16 +2554,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sessions": q_w4_sessions,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         # training-data pipelines
         "dedup_exact": q_dedup_exact,
@@ -2117,16 +2628,26 @@ def oracle_sql() -> dict[str, str]:
         "j5_asof_join": SQL_J5,
         "w4_sessions": SQL_W4,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q2": SQL_TPCH_Q2,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q8": SQL_TPCH_Q8,
+        "tpch_q9": SQL_TPCH_Q9,
         "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q11": SQL_TPCH_Q11,
         "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q13": SQL_TPCH_Q13,
         "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q15": SQL_TPCH_Q15,
+        "tpch_q16": SQL_TPCH_Q16,
+        "tpch_q17": SQL_TPCH_Q17,
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q19": SQL_TPCH_Q19,
+        "tpch_q20": SQL_TPCH_Q20,
+        "tpch_q21": SQL_TPCH_Q21,
         "tpch_q22": SQL_TPCH_Q22,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,

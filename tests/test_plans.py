@@ -18,12 +18,20 @@ def _plan(spark, name: str) -> str:
 
 #: no query in the driver surface may plan a cartesian/nested-loop join
 NO_CROSS = [
+    "tpch_q2",
     "tpch_q5",
     "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -50,6 +58,24 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     plan = _plan(spark, "tpch_q5")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_plans_semi_and_anti_joins(spark):
+    """The EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti hash
+    joins (never a count-based rewrite or a nested loop)."""
+    plan = _plan(spark, "tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_correlated_min_stays_copartitioned(spark):
+    """q2's offer->min-per-part rejoin must not plan a cartesian and must
+    keep the aggregate pair on the partkey axis (no extra repartition of
+    the offer side beyond the two grouping exchanges)."""
+    plan = _plan(spark, "tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims all broadcast at this SF
 
 
 def test_a1_pushes_filters_and_prunes_columns(spark):
