@@ -41,7 +41,10 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",    # widest broadcast join tree (part+supplier+nation+orders)
     "tpch_q12",   # semi/anti-join shapes perf-tracked, not just correct
+    "tpch_q13",   # left-outer histogram (two-level agg over the big side)
+    "tpch_q21",   # lineitem triple self-join: max-window + semi + anti
     "tpch_q22",
     "dedup_exact",
     "dedup_ngram_jaccard",
