@@ -66,9 +66,11 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_features,
     media_from_documents,
 )
+from rhq_metrics_spark.pipelines.packing import pack_chunks
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
+    mixture_sample,
 )
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
@@ -80,6 +82,7 @@ from rhq_metrics_spark.pipelines.text import (
     EMAIL_PATTERN,
     IPV4_PATTERN,
     URL_PATTERN,
+    bm25_score,
     contamination_check,
     document_fingerprint,
     language_id,
@@ -87,6 +90,7 @@ from rhq_metrics_spark.pipelines.text import (
     pii_scan,
     quality_score,
     repetition_stats,
+    tfidf_top_terms,
     token_stats,
     url_domain_stats,
     vocab_stats,
@@ -2454,6 +2458,132 @@ SELECT doc_id, lang FROM r WHERE rn <= 40
 """
 
 
+MIX_RATES = {"en": 0.9, "zh": 0.25, "de": 0.5}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture re-weighting (pipelines/sampling.py
+    mixture_sample): per-lang keep rates, md5-thresholded — a pure
+    filter fused with the scan, stable under corpus growth."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, MIX_RATES, "lang", default_rate=0.1)
+
+
+SQL_SAMPLE_MIXTURE = f"""
+WITH f AS (SELECT doc_id, lang, {HF_SQL.format(salt="mix")} AS frac FROM documents)
+SELECT doc_id, lang FROM f
+WHERE frac < (CASE WHEN lang = 'en' THEN 0.9
+                   WHEN lang = 'zh' THEN 0.25
+                   WHEN lang = 'de' THEN 0.5
+                   ELSE 0.1 END)
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (pipelines/text.py tfidf_top_terms) with the engine-portable
+    integer idf variant ``N * 10000 div df``."""
+    docs = _table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TEXT_TFIDF = r"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         n_docs * 10000 // df AS idf_bp,
+         tf * (n_docs * 10000 // df) AS score_bp
+  FROM tf JOIN dfreq USING (term), n)
+SELECT doc_id, term, tf, df, idf_bp, score_bp, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_bp DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over documents for a fixed query term set
+    (pipelines/text.py bm25_score) — integer idf, fixed-order floating
+    ops, so scores are bit-identical across engines."""
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_score(docs, BM25_TERMS, top_k=50)
+
+
+# mirrors bm25_score's expression tree operation-for-operation: same
+# literals, same parenthesization, same left-to-right partial-score sum
+SQL_TEXT_BM25 = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents),
+toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+gstats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+part AS (
+  SELECT tf.doc_id, tf.term, base.dl,
+         (n_docs * 10000 // df)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * (CAST(base.dl * n_docs AS DOUBLE) / sum_dl)))
+           AS pscore
+  FROM tf JOIN dfreq USING (term) JOIN base ON tf.doc_id = base.doc_id, gstats),
+agg AS (
+  SELECT doc_id, dl,
+         coalesce(max(CASE WHEN term = 'spark' THEN pscore END), 0.0) AS s0,
+         coalesce(max(CASE WHEN term = 'join' THEN pscore END), 0.0) AS s1,
+         coalesce(max(CASE WHEN term = 'window' THEN pscore END), 0.0) AS s2
+  FROM part GROUP BY doc_id, dl)
+SELECT doc_id, dl, score FROM (
+  SELECT doc_id, dl, 0.0 + s0 + s1 + s2 AS score FROM agg)
+WHERE score > 0.0
+ORDER BY score DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+PACK_BUDGET, PACK_SHARDS = 256, 4
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipelines/packing.py
+    pack_chunks): sharded deterministic shuffle order + windowed running
+    token sum; every doc's training-sequence span at budget 256."""
+    docs = _table(spark, sf_dir, "documents")
+    return pack_chunks(docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+
+
+SQL_PACK_CHUNKS = r"""
+WITH st AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('pack', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+         md5(concat('pack:ord', ':', CAST(doc_id AS VARCHAR))) AS ord_key
+  FROM documents),
+o AS (SELECT doc_id, shard, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY ord_key ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS "offset"
+      FROM st)
+SELECT doc_id, shard, n_tokens, "offset",
+       "offset" // 256 AS first_seq,
+       ("offset" + greatest(n_tokens - 1, 0)) // 256 AS last_seq,
+       (("offset" + greatest(n_tokens - 1, 0)) // 256) - ("offset" // 256) + 1 AS n_seqs
+FROM o
+"""
+
+
 N_GF, GF_TOPK = 48, 50
 
 
@@ -2599,6 +2729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "pack_chunks": q_pack_chunks,
     }
     return qs
 
@@ -2672,4 +2806,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": SQL_MM_FEAT,
         "sample_split": SQL_SAMPLE_SPLIT,
         "sample_cap": SQL_SAMPLE_CAP,
+        "sample_mixture": SQL_SAMPLE_MIXTURE,
+        "text_tfidf": SQL_TEXT_TFIDF,
+        "text_bm25": SQL_TEXT_BM25,
+        "pack_chunks": SQL_PACK_CHUNKS,
     }

@@ -12,10 +12,12 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_from_documents,
     resize_plan,
 )
+from rhq_metrics_spark.pipelines.packing import pack_chunks
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     deterministic_sample,
     hash_split,
+    mixture_sample,
 )
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
@@ -23,15 +25,18 @@ from rhq_metrics_spark.pipelines.similarity import (
     lsh_cosine_topk,
 )
 from rhq_metrics_spark.pipelines.text import (
+    bm25_score,
     contamination_check,
     document_fingerprint,
     language_id,
     quality_score,
+    tfidf_top_terms,
     token_stats,
     vocab_stats,
 )
 
 __all__ = [
+    "bm25_score",
     "cap_per_group",
     "contamination_check",
     "cosine_topk",
@@ -48,10 +53,13 @@ __all__ = [
     "media_features",
     "media_from_documents",
     "minhash_lsh_pairs",
+    "mixture_sample",
     "ngram_jaccard_pairs",
+    "pack_chunks",
     "quality_score",
     "resize_plan",
     "simhash_pairs",
+    "tfidf_top_terms",
     "token_stats",
     "vocab_stats",
 ]

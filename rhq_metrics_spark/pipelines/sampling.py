@@ -72,6 +72,27 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source mixture weighting: keep each row with its group's
+    sampling rate (e.g. ``{"web": 0.5, "code": 1.0}`` re-weights a
+    pretraining mixture).  One hash threshold per row — a pure filter
+    that fuses with the scan, no shuffle; deterministic and stable under
+    corpus growth like every sampler here.  Groups absent from ``rates``
+    fall back to ``default_rate`` (0 drops them)."""
+    frac = hash_fraction(F.col(id_col), salt)
+    rate = F.lit(float(default_rate))
+    for g, r in reversed(list(rates.items())):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.filter(frac < rate)
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

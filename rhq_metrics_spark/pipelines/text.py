@@ -15,7 +15,7 @@ fingerprint).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Deliberately tiny, deterministic stopword lexicons (top function words).
 STOPWORDS = {
@@ -193,6 +193,135 @@ def vocab_stats(
             F.count_distinct(F.col("_id")).alias("doc_freq"),
         )
         .filter(F.col("term_freq") >= min_count)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    Uses the engine-portable idf variant ``idf_bp = N * 10000 div df``
+    (integer basis points of the inverse document frequency) instead of
+    ``ln(N/df)``: it is the same monotone-in-1/df ordering for ranking,
+    but stays in exact integer arithmetic, so the ranking and scores are
+    bit-identical across engines — ``ln`` is not IEEE-correctly-rounded
+    and can differ in the last ulp between runtimes.
+
+    Plan shape at scale: explode → (doc, term) count (map-side partials
+    absorb head-token skew) → term-keyed df aggregation joins back on
+    the same key, then one window shuffle on the doc id for the top-k.
+    The global doc count rides a broadcast.
+    Output: ``(id, term, tf, df, idf_bp, score_bp, rank)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf_bp", F.expr("n_docs * 10000 div df"))
+        .withColumn("score_bp", F.col("tf") * F.col("idf_bp"))
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_bp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term", "tf", "df", "idf_bp", "score_bp", "rank",
+        )
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 retrieval score of every document against a fixed term set;
+    returns the ``top_k`` by score (ties broken by id).
+
+    Engine-portable by construction: idf is the integer variant
+    ``N * 10000 div df``; every floating step (length normalization,
+    saturation) is a single correctly-rounded IEEE operation over exact
+    integers, applied in a fixed written order — per-term partial scores
+    are materialized as columns and added left-to-right, never via an
+    unordered SUM, so two engines produce bit-identical doubles.
+
+    Plan shape at scale: tokens are filtered to the query terms BEFORE
+    the (doc, term) aggregation, so the shuffle carries only matching
+    postings; df/N/avgdl ride one broadcast row; final top-k is a sort
+    + limit (TakeOrdered), not a single-partition window.
+    """
+    text = F.col(text_col)
+    dl = F.size(F.filter(_tokens(text), lambda t: t != "")).cast("long")
+    base = df.select(F.col(id_col).alias("_id"), dl.alias("dl"))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(text)).alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # per-(doc, term) partial score; (dl*N)/sum_dl == dl/avgdl with the
+    # division done once over exact integers
+    part = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(base, "_id")
+        .crossJoin(F.broadcast(glob))
+        .withColumn("idf_bp", F.expr("n_docs * 10000 div df"))
+        .withColumn(
+            "pscore",
+            F.col("idf_bp")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    (1 - b)
+                    + b
+                    * (
+                        (F.col("dl") * F.col("n_docs")).cast("double")
+                        / F.col("sum_dl")
+                    )
+                )
+            ),
+        )
+    )
+    # fixed-order sum: one column per query term, added left-to-right
+    per_term = part.groupBy("_id", "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("pscore"))), F.lit(0.0)
+            ).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        score = score + F.col(f"_s{i}")
+    return (
+        per_term.withColumn("score", score)
+        .filter(F.col("score") > 0.0)
+        .select(F.col("_id").alias(id_col), "dl", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
     )
 
 

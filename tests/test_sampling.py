@@ -59,3 +59,24 @@ def test_cap_per_group(spark):
     shuffled = _docs(spark).orderBy(F.rand(7))
     c = {r["doc_id"] for r in cap_per_group(shuffled, ["domain"], k=5).collect()}
     assert a == c
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from rhq_metrics_spark.pipelines.sampling import mixture_sample
+
+    docs = _docs(spark, 2000)
+    out = mixture_sample(
+        docs, {"0": 1.0, "1": 0.5, "2": 0.0}, "domain", default_rate=0.25
+    )
+    by = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by["0"] == 500          # rate 1.0 keeps everything
+    assert "2" not in by           # rate 0.0 drops the group
+    assert 200 < by.get("1", 0) < 300   # ~0.5 of 500
+    assert 80 < by.get("3", 0) < 170    # default 0.25 of 500
+    # stability: kept set is identical on recompute
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }

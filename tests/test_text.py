@@ -162,3 +162,40 @@ def test_url_domain_stats(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in url_domain_stats(df).collect()}
     assert out == {"a.io": (3, 2), "b.net": (1, 1)}
+
+
+def test_tfidf_top_terms(spark):
+    from rhq_metrics_spark.pipelines.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple common common"),
+            (1, "banana banana common common"),
+            (2, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # the doc-unique term always outranks the corpus-wide one
+    assert top == {0: "apple", 1: "banana", 2: "cherry"}
+    r0 = next(r for r in out if r["doc_id"] == 0)
+    assert r0["df"] == 1 and r0["idf_bp"] == 30000 and r0["score_bp"] == 90000
+
+
+def test_bm25_score_ranks_matching_docs(spark):
+    from rhq_metrics_spark.pipelines.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark runs fast"),
+            (1, "spark appears once here with many extra padding words now"),
+            (2, "no relevant terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_score(docs, ["spark"], top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 0            # higher tf, shorter doc wins
+    assert 2 not in ids           # non-matching doc filtered
+    assert all(r["score"] > 0 for r in out)
