@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_contamination",
     "doc_fingerprint",
+    "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
+    "pack_chunks",   # sharded running-sum window (packing throughput)
 ]
 
 

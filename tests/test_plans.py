@@ -78,6 +78,42 @@ def test_tpch_q2_correlated_min_stays_copartitioned(spark):
     assert "SortMergeJoin" not in plan  # dims all broadcast at this SF
 
 
+def test_sample_mixture_is_scan_fused(spark):
+    """Mixture weighting must stay a pure filter fused with the scan —
+    zero exchanges, zero joins; at 100 TB this is the difference between
+    a pass-through and a shuffle of the whole corpus."""
+    plan = _plan(spark, "sample_mixture")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Sequence packing = one shard-hash exchange feeding one window;
+    a second exchange means the running sum stopped reusing the shard
+    partitioning."""
+    plan = _plan(spark, "pack_chunks")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25 top-k must plan as TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort; corpus stats must broadcast."""
+    plan = _plan(spark, "text_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_no_smj_no_cartesian(spark):
+    """tf-idf's term-keyed df rejoin shares the term axis; the global
+    doc count rides a 1-row broadcast (BNLJ allowed for that one)."""
+    plan = _plan(spark, "text_tfidf")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_a1_pushes_filters_and_prunes_columns(spark):
     """The bucket-stats scan must push the metric/time predicates into
     parquet and read only the needed columns."""
