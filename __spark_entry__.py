@@ -60,13 +60,16 @@ from rhq_metrics_spark.pipelines.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_pairs,
 )
 from rhq_metrics_spark.pipelines.multimodal import (
     media_features,
     media_from_documents,
 )
+from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
 from rhq_metrics_spark.pipelines.packing import pack_chunks
+from rhq_metrics_spark.pipelines.sketches import kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -2584,6 +2587,103 @@ FROM o
 """
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup (pipelines/dedup.py segment_dedup):
+    every 10-token segment keeps only its globally first occurrence;
+    winner selection is a min-aggregation over a packed (doc, idx) key,
+    never a window — hot boilerplate segments stay in map-side partials."""
+    docs = _table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=10)
+
+
+SQL_DEDUP_SEGMENTS = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+x AS (SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i FROM t),
+s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(toks[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS seg
+      FROM x),
+k AS (SELECT *, md5(seg) AS fp, doc_id*1048576+seg_idx AS wkey FROM s),
+w AS (SELECT fp, min(wkey) AS keep FROM k GROUP BY 1)
+SELECT doc_id, count(*) AS n_segs,
+       sum(CASE WHEN wkey = keep THEN 1 ELSE 0 END) AS n_kept,
+       coalesce(string_agg(CASE WHEN wkey = keep THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
+FROM k JOIN w USING (fp)
+GROUP BY doc_id
+"""
+
+
+KMV_K, KMV_SALTS = 64, 16
+
+
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token cardinality per language (pipelines/
+    sketches.py kmv_distinct): exact bottom-k of portable md5 hash
+    fractions via two-level salted ranking (parallel within a group),
+    estimate = (k-1)/h_k — deterministic, unlike HLL registers."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return kmv_distinct(toks, "lang", "tok", k=KMV_K, n_salts=KMV_SALTS)
+
+
+SQL_SKETCH_KMV = r"""
+WITH toks AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+dv AS (SELECT DISTINCT lang AS grp, tok AS val FROM toks WHERE tok <> ''),
+h AS (SELECT grp, val,
+        CAST(concat('0x', substr(md5(concat('kmv', ':', val)), 1, 15)) AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) AS h,
+        CAST(concat('0x', substr(md5(concat('kmv', ':b:', val)), 1, 8)) AS BIGINT) % 16 AS bucket
+      FROM dv),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY grp, bucket ORDER BY h ASC, val ASC) AS r1 FROM h),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h ASC, val ASC) AS r2 FROM r1 WHERE r1 <= 64),
+bk AS (SELECT * FROM r2 WHERE r2 <= 64)
+SELECT grp AS lang, count(*) AS k_used, max(h) AS hk,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) ELSE 63.0 / max(h) END AS est
+FROM bk GROUP BY 1
+"""
+
+
+RP_DIM, RP_SEED = 16, 7
+
+
+def q_embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection reduction of every embedding to 16 integer
+    components (pipelines/embeddings.py rp_reduce): one Arrow matmul
+    against broadcast md5-derived int64 planes; exact int64 output."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return rp_reduce(emb, out_dim=RP_DIM, seed=RP_SEED)
+
+
+SQL_EMBED_RP = f"""
+WITH planes AS (
+  SELECT p, d, 2*(('0x'||substr(md5('lsh:{RP_SEED}:0:'||CAST(p AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,7))::BIGINT) - 268435456 AS w
+  FROM range({RP_DIM}) rp(p), range(64) rd(d)),
+e AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1)-1 AS d FROM embeddings),
+i AS (SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT) AS xi FROM e)
+SELECT vec_id, p AS dim_idx, CAST(sum(xi*w) AS BIGINT) AS component
+FROM i JOIN planes USING (d) GROUP BY 1, 2
+"""
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (pipelines/embeddings.py
+    quantize_int8): all-JVM transform/aggregate expressions, zero
+    shuffles — fuses with the parquet scan."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
+
+
+SQL_EMBED_QUANTIZE = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1)-1 AS dim_idx FROM embeddings),
+i AS (SELECT vec_id, dim_idx, CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT) AS xi FROM e),
+m AS (SELECT vec_id, max(abs(xi)) AS scale FROM i GROUP BY 1)
+SELECT vec_id, dim_idx, CASE WHEN scale=0 THEN 0 ELSE CAST(floor(xi*127.0/scale) AS BIGINT) END AS q, scale
+FROM i JOIN m USING (vec_id)
+"""
+
+
 N_GF, GF_TOPK = 48, 50
 
 
@@ -2733,6 +2833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
+        "sketch_kmv": q_sketch_kmv,
+        "embed_rp_reduce": q_embed_rp_reduce,
+        "embed_quantize": q_embed_quantize,
     }
     return qs
 
@@ -2810,4 +2914,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": SQL_TEXT_TFIDF,
         "text_bm25": SQL_TEXT_BM25,
         "pack_chunks": SQL_PACK_CHUNKS,
+        "dedup_segments": SQL_DEDUP_SEGMENTS,
+        "sketch_kmv": SQL_SKETCH_KMV,
+        "embed_rp_reduce": SQL_EMBED_RP,
+        "embed_quantize": SQL_EMBED_QUANTIZE,
     }

@@ -4,6 +4,7 @@ from rhq_metrics_spark.pipelines.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_pairs,
 )
 from rhq_metrics_spark.pipelines.multimodal import (
@@ -12,7 +13,9 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_from_documents,
     resize_plan,
 )
+from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
 from rhq_metrics_spark.pipelines.packing import pack_chunks
+from rhq_metrics_spark.pipelines.sketches import kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -48,6 +51,7 @@ __all__ = [
     "frame_sample_plan",
     "hash_split",
     "ivf_cosine_topk",
+    "kmv_distinct",
     "language_id",
     "lsh_cosine_topk",
     "media_features",
@@ -57,7 +61,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_chunks",
     "quality_score",
+    "quantize_int8",
     "resize_plan",
+    "rp_reduce",
+    "segment_dedup",
     "simhash_pairs",
     "tfidf_top_terms",
     "token_stats",

@@ -205,6 +205,80 @@ def exact_dedup(
     )
 
 
+#: segment winner key packs (doc_id, seg_idx) into one long; 2^20
+#: segments per doc is ~10M tokens — far above any real document
+_SEG_IDX_BITS = 20
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """C4-style segment-level dedup: split every document into
+    segments, keep only the globally FIRST occurrence of each distinct
+    segment (by ``(doc_id, seg_idx)``), and rebuild each document from
+    its surviving segments (C4 does this with lines; the segmenter here
+    chunks ``seg_tokens`` consecutive tokens because the synthetic
+    corpus is single-line — swap the chunker for ``split('\\n')`` on
+    real corpora).
+
+    Scale shape: the first-occurrence winner per segment fingerprint is
+    a ``min`` AGGREGATION over a packed ``(doc_id, seg_idx)`` long —
+    map-side partials absorb boilerplate-segment skew, where a
+    row_number window would funnel every copy of a hot segment through
+    one task.  One explode, one fingerprint-keyed agg + join (AQE
+    handles residual skew), one per-doc regroup.
+
+    Output: ``(id, n_segs, n_kept, kept_text)``.
+    """
+    w = seg_tokens
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(_norm_text(text_col), " ").alias("_toks"),
+    )
+    n_segs = F.ceil(F.size("_toks") / F.lit(w)).cast("int")
+    segs = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice("_toks", i * w + 1, w), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    segs = segs.withColumn("_fp", F.md5("seg")).withColumn(
+        "_wkey",
+        F.col("_id") * F.lit(1 << _SEG_IDX_BITS) + F.col("seg_idx"),
+    )
+    winners = segs.groupBy("_fp").agg(F.min("_wkey").alias("_keep"))
+    marked = segs.join(winners, "_fp").withColumn(
+        "_kept", (F.col("_wkey") == F.col("_keep")).cast("long")
+    )
+    return (
+        marked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("_kept").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
 def _shingle_df(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

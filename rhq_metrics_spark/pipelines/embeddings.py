@@ -1,0 +1,113 @@
+"""Embedding-column transforms for training-data pipelines: random-
+projection dimensionality reduction and int8 quantization.
+
+Both are engine-portable by construction (the repo's oracle convention):
+embeddings are fixed-point quantized (``floor(v * 2^20)`` — exact for
+float32 input), projection weights are md5-derived int64, and every
+floating step is a single correctly-rounded IEEE operation — so outputs
+are bit-identical between Spark and a SQL oracle.
+
+Both emit FLAT rows (one per vector component), not arrays: flat longs
+hash-compare across engines without array-serialization hazards, and
+downstream consumers (a feature store, a quantized index builder)
+re-assemble with one ``groupBy(id)`` when they need vectors back.
+
+Scale shape: reduction is one Arrow-batched matmul against a broadcast
+(out_dim × dim) weight matrix — no shuffle until the caller aggregates;
+quantization is pure per-row column expressions fused with the scan.
+
+Reference parity: the reference has no embedding ops (it is a metrics
+engine); these extend the engine for LLM-corpus work per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rhq_metrics_spark.pipelines.similarity import (
+    EMB_SCALE,
+    md5_plane_weights,
+)
+
+
+def rp_reduce(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-projection (Johnson–Lindenstrauss) reduction to
+    ``out_dim`` integer components: ``y[p] = Σ_d floor(v[d]*2^20) *
+    w[p,d]`` with md5-derived int64 weights (``similarity.
+    md5_plane_weights``, table 0).  Exact int64 arithmetic end-to-end:
+    |term| ≤ 2^21 · 2^28 = 2^49, so dim ≤ 4096 stays far inside int64.
+
+    One pandas UDF does the whole (batch × dim) @ (dim × out_dim)
+    matmul per Arrow batch; per-component scalar expressions would
+    build out_dim × dim Catalyst nodes instead.  Output: one row per
+    ``(id, dim_idx)`` with the int64 ``component``.
+    """
+    cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("array<long>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        dim = mat.shape[1]
+        if dim not in cache:
+            cache[dim] = md5_plane_weights(1, out_dim, dim, seed)[0]
+        ints = np.floor(mat * EMB_SCALE).astype(np.int64)
+        return pd.Series(list(ints @ cache[dim].T))
+
+    reduced = df.select(
+        F.col(id_col), _project(F.col(vec_col)).alias("_y")
+    )
+    return reduced.select(
+        id_col, F.posexplode("_y").alias("dim_idx", "component")
+    ).select(id_col, F.col("dim_idx").cast("long"), "component")
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[d] = floor(xi[d] *
+    127.0 / maxabs)`` over the fixed-point components ``xi = floor(v *
+    2^20)``; ``maxabs`` is the vector's largest |xi| (the scale, emitted
+    so a consumer can dequantize).  ``xi * 127`` ≤ 2^28 is exactly
+    representable, the division is one correctly-rounded IEEE op, and
+    ``floor`` is exact — bit-identical across engines.
+
+    All-JVM column expressions (``transform``/``aggregate`` inside
+    codegen), zero shuffles — fuses with the scan.  ``maxabs`` is
+    projected to a concrete column BEFORE the per-element lambda uses
+    it: referencing the unbound aggregate expression inside
+    ``transform`` would inline (re-evaluate) the whole reduction per
+    element (documented Catalyst trap, see dedup._shingle_df).
+    Output: one row per ``(id, dim_idx)`` with ``q`` and ``scale``.
+    """
+    ints = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * EMB_SCALE)
+    )
+    base = df.select(F.col(id_col), ints.alias("_xi"))
+    base = base.withColumn(
+        "_maxabs",
+        F.aggregate(
+            "_xi", F.lit(0).cast("long"), lambda a, x: F.greatest(a, F.abs(x))
+        ),
+    )
+    q = F.transform(
+        F.col("_xi"),
+        lambda x: F.when(F.col("_maxabs") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * F.lit(127.0) / F.col("_maxabs"))
+        ),
+    )
+    return (
+        base.withColumn("_q", q)
+        .select(id_col, F.col("_maxabs").alias("scale"), F.posexplode("_q").alias("dim_idx", "q"))
+        .select(id_col, F.col("dim_idx").cast("long"), "q", "scale")
+    )

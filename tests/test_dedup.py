@@ -239,3 +239,42 @@ def test_hot_bucket_cap_preserves_results_below_cap(spark):
     uncapped = {(r["id_a"], r["id_b"], r["hamming"])
                 for r in simhash_pairs(docs, max_bucket_size=None).collect()}
     assert capped == uncapped and len(capped) > 0
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    """A segment appearing in two documents survives only in the one
+    with the smaller (doc_id, seg_idx); unique segments all survive."""
+    from rhq_metrics_spark.pipelines.dedup import segment_dedup
+
+    seg_a = "a b c"              # 3 tokens -> one segment at w=3
+    seg_b = "x y z"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{seg_a} {seg_b}"),       # segs: [a b c, x y z]
+            (1, f"{seg_b} p q r"),         # x y z is a dup of doc0 seg1? no:
+            (2, seg_a),                    # a b c dups doc0 seg0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=3).collect()}
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["kept_text"] == f"{seg_a} {seg_b}"
+    # doc1's first segment "x y z" loses to doc0's seg_idx=1 occurrence
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "p q r"
+    assert out[2]["n_segs"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["kept_text"] == ""
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    """The trailing short segment is its own unit and dedups like any
+    other."""
+    from rhq_metrics_spark.pipelines.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "d e")],  # w=3: doc0 -> [a b c, d e]; doc1 -> [d e]
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=3).collect()}
+    assert out[0]["n_kept"] == 2
+    assert out[1]["n_kept"] == 0 and out[1]["kept_text"] == ""

@@ -1,0 +1,81 @@
+"""Unit tests for pipelines/embeddings.py (random projection + int8
+quantization) and pipelines/sketches.py (KMV cardinality)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
+from rhq_metrics_spark.pipelines.sketches import kmv_distinct
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_int8_range_and_scale(spark):
+    out = quantize_int8(_vecs(spark, [(0, [1.0, -0.5, 0.25, 0.0])])).collect()
+    by = {r["dim_idx"]: r for r in out}
+    scale = by[0]["scale"]
+    assert scale == 1 << 20  # maxabs of floor(v * 2^20)
+    assert by[0]["q"] == 127          # the max component hits +127
+    assert by[1]["q"] == -64          # floor(-0.5 * 127) = -64
+    assert by[2]["q"] == 31           # floor(0.25 * 127) = 31
+    assert by[3]["q"] == 0
+    assert all(-128 <= r["q"] <= 127 for r in out)
+
+
+def test_quantize_int8_zero_vector(spark):
+    out = quantize_int8(_vecs(spark, [(1, [0.0, 0.0])])).collect()
+    assert [r["q"] for r in out] == [0, 0]
+    assert all(r["scale"] == 0 for r in out)
+
+
+def test_rp_reduce_shape_and_determinism(spark):
+    df = _vecs(spark, [(i, [0.1 * ((i + d) % 7 - 3) for d in range(8)]) for i in range(5)])
+    a = rp_reduce(df, out_dim=4, seed=3).collect()
+    b = rp_reduce(df, out_dim=4, seed=3).collect()
+    assert len(a) == 5 * 4
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    c = rp_reduce(df, out_dim=4, seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
+
+
+def test_rp_reduce_is_linear(spark):
+    # projection of 2x must be exactly 2 * projection of x when the
+    # fixed-point components double exactly
+    df = _vecs(spark, [(0, [0.25, -0.5]), (1, [0.5, -1.0])])
+    out = rp_reduce(df, out_dim=3, seed=1).collect()
+    a = {r["dim_idx"]: r["component"] for r in out if r["vec_id"] == 0}
+    b = {r["dim_idx"]: r["component"] for r in out if r["vec_id"] == 1}
+    assert all(b[d] == 2 * a[d] for d in a)
+
+
+def test_kmv_exact_below_k(spark):
+    rows = [("a", f"v{i}") for i in range(10)] * 3  # 10 distinct, repeated
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = kmv_distinct(df, "grp", "val", k=64, n_salts=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k_used"] == 10 and r["est"] == 10.0
+
+
+def test_kmv_estimate_above_k(spark):
+    n = 2000
+    df = spark.createDataFrame(
+        [("a", f"value-{i}") for i in range(n)], "grp string, val string"
+    )
+    r = kmv_distinct(df, "grp", "val", k=128, n_salts=8).collect()[0]
+    assert r["k_used"] == 128
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 9%; allow 4 sigma
+    assert abs(r["est"] - n) / n < 4 / math.sqrt(126)
+
+
+def test_kmv_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [("g", f"tok{i}") for i in range(500)], "grp string, val string"
+    )
+    a = kmv_distinct(df, "grp", "val", k=32).collect()[0]
+    b = kmv_distinct(df.repartition(13), "grp", "val", k=32).collect()[0]
+    assert a["hk"] == b["hk"] and a["est"] == b["est"]
