@@ -115,12 +115,27 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts_millis(df: DataFrame, col: str = "ts"):
+    """Epoch-millis expression for ``col`` regardless of how the parquet
+    writer encoded it: TIMESTAMP(NANOS) surfaces as ``long`` nanos under
+    ``nanosAsLong``; TIMESTAMP(MICROS) surfaces as ``timestamp`` /
+    ``timestamp_ntz``.  All paths floor to epoch-millis, matching
+    DuckDB's ``epoch_ms(ts)``."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{col} div 1000000")
+    # session zone is pinned to UTC in _table(), so NTZ -> TIMESTAMP is a
+    # zone-free reinterpretation and unix_micros is exact.
+    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000")
+
+
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical metric-point view of the events table:
     metric=event_type, ts=epoch-millis, value=double."""
-    return _table(spark, sf_dir, "events").select(
+    ev = _table(spark, sf_dir, "events")
+    return ev.select(
         F.col("event_type").alias("metric"),
-        F.expr("ts div 1000000").alias("ts"),
+        _ts_millis(ev).alias("ts"),
         F.col("value").cast("double").alias("value"),
         F.col("user_id"),
         F.col("props"),

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Adaptive execution: runtime coalescing of shuffle partitions,
         # skew-join splitting — both essential at 100 TB.
+        # Readers race compaction's atomic swap (store._swap_in publishes
+        # cold BEFORE retiring hot, so a scan holding a stale hot listing
+        # can only skip rows that are already served from cold under LWW
+        # — never lose data).  Without a manifest-based table format this
+        # is the standard file-source guard.
+        .config("spark.sql.files.ignoreMissingFiles", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

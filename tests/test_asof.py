@@ -109,9 +109,15 @@ def test_forward_matches_duckdb_asof(spark):
 
     sf = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "user_id", F.expr("ts div 1000000").alias("ts"), "event_type", "value"
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    # ts is long nanos under nanosAsLong for TIMESTAMP(NANOS) files, a
+    # timestamp(_ntz) for TIMESTAMP(MICROS) files; both floor to millis.
+    ts_ms = (
+        F.expr("ts div 1000000")
+        if dict(ev_raw.dtypes)["ts"] in ("bigint", "long")
+        else F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     )
+    ev = ev_raw.select("user_id", ts_ms.alias("ts"), "event_type", "value")
     left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     got = {
