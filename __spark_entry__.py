@@ -35,7 +35,7 @@ from collections.abc import Callable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from rhq_metrics_spark.model import Buckets
 from rhq_metrics_spark.operators import (
@@ -51,7 +51,11 @@ from rhq_metrics_spark.operators import (
     stacked_stats,
     tagged_stats,
 )
+from rhq_metrics_spark.operators.anomaly import rolling_zscore
 from rhq_metrics_spark.operators.asof import asof_join
+from rhq_metrics_spark.operators.interval import interval_join
+from rhq_metrics_spark.operators.rollup import time_rollup
+from rhq_metrics_spark.pipelines.classify import hashed_weights, linear_score
 from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.sessions import session_stats
 from rhq_metrics_spark.pipelines.dedup import (
@@ -2762,6 +2766,198 @@ FROM l
 
 
 # ---------------------------------------------------------------------------
+# round-3 operators: interval join, multi-grain rollup, rolling z-score,
+# top-k per group, linear classifier scoring
+
+
+def q_j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: bucketed interval (point-in-range) join
+    (operators/interval.py) — view events matched into the purchase
+    sessions of the same user.  The equi-join key is (user_id,
+    time-bucket), never user_id alone, so a hot user's timeline spreads
+    across the shuffle instead of landing on one task."""
+    ev = _events_points(spark, sf_dir)
+    purchases = ev.filter(F.col("metric") == "purchase").select("user_id", "ts")
+    sess = session_stats(purchases, on=["user_id"], gap_ms=SESSION_GAP_MS).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_start").alias("start"),
+        # session_end is the last point's ts (inclusive); interval_join
+        # is half-open, so widen by 1ms to keep that point in range
+        (F.col("session_end") + 1).alias("end"),
+    )
+    views = ev.filter(F.col("metric") == "view").select(
+        "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    return interval_join(views, sess, on=["user_id"], bucket_ms=SESSION_GAP_MS)
+
+
+SQL_J6 = f"""
+WITH ev AS ({EV_SQL}),
+p AS (SELECT user_id, ts FROM ev WHERE metric = 'purchase'),
+d AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS st
+      FROM p),
+s AS (SELECT user_id, ts,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+iv AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+              min(ts) AS start, max(ts) + 1 AS "end"
+       FROM s GROUP BY user_id, sid),
+v AS (SELECT user_id, ts, round(value, 4) AS value FROM ev WHERE metric = 'view')
+SELECT v.user_id, v.ts, v.value, iv.session_id, iv.start, iv."end"
+FROM v JOIN iv ON v.user_id = iv.user_id
+              AND v.ts >= iv.start AND v.ts < iv."end"
+"""
+
+
+def q_a9_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+: hour/day/total stats for every metric in ONE aggregation via
+    GROUPING SETS (operators/rollup.py) — one scan + one Expand instead
+    of three bucketed-stats passes."""
+    return time_rollup(_events_points(spark, sf_dir))
+
+
+SQL_A9R = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT metric,
+        (ts // 3600000) * 3600000 AS hour_start,
+        (ts // 86400000) * 86400000 AS day_start,
+        value
+      FROM ev),
+g AS (SELECT metric, day_start, hour_start,
+        count(value) AS n,
+        round(sum(value), 4) AS sum, round(min(value), 4) AS min,
+        round(max(value), 4) AS max, round(avg(value), 4) AS avg
+      FROM b
+      GROUP BY GROUPING SETS ((metric, day_start, hour_start),
+                              (metric, day_start), (metric)))
+SELECT metric,
+  CASE WHEN hour_start IS NOT NULL THEN 'hour'
+       WHEN day_start IS NOT NULL THEN 'day' ELSE 'total' END AS grain,
+  CASE WHEN hour_start IS NOT NULL THEN hour_start
+       WHEN day_start IS NOT NULL THEN day_start END AS bucket_start,
+  n, sum, min, max, avg
+FROM g
+"""
+
+
+Z_WINDOW_N, Z_MIN_N, Z_THRESHOLD = 20, 5, 2.0
+
+
+def q_w5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: per-series rolling z-score anomaly flags
+    (operators/anomaly.py).  Values are quantized to integer centiunits
+    so the sum / sum-of-squares window arithmetic is exact and the z
+    doubles are bit-identical across engines."""
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "click")
+    q = ev.select(
+        "metric", "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = rolling_zscore(
+        q, on=["metric", "user_id"], order=["ts", "v100"], value_col="v100",
+        window_n=Z_WINDOW_N, min_n=Z_MIN_N, threshold=Z_THRESHOLD,
+    )
+    return out.select("metric", "ts", "user_id", "v100",
+                      "base_mean", "base_std", "z", "is_anomaly")
+
+
+SQL_W5 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, user_id,
+        CAST(round(value * 100, 0) AS BIGINT) AS v100
+      FROM ev WHERE metric = 'click'),
+w AS (SELECT metric, ts, user_id, v100,
+        count(v100) OVER fr AS n,
+        sum(CAST(v100 AS DOUBLE)) OVER fr AS s,
+        sum(CAST(v100 AS DOUBLE) * CAST(v100 AS DOUBLE)) OVER fr AS sq
+      FROM q
+      WINDOW fr AS (PARTITION BY metric, user_id ORDER BY ts, v100
+                    ROWS BETWEEN {Z_WINDOW_N} PRECEDING AND 1 PRECEDING)),
+m AS (SELECT *, s / n AS mean,
+        sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS std
+      FROM w),
+z AS (SELECT *,
+        round(CASE WHEN n >= {Z_MIN_N} AND std > 0
+                   THEN (CAST(v100 AS DOUBLE) - mean) / std END, 4) AS z
+      FROM m)
+SELECT metric, ts, user_id, v100,
+       round(mean, 4) AS base_mean, round(std, 4) AS base_std, z,
+       coalesce(abs(z) > {Z_THRESHOLD}, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+TOPK_PER_GROUP = 5
+
+
+def q_o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-k points by value per metric.  A rank-filter window that
+    Spark's WindowGroupLimit rewrite turns into a map-side partial
+    top-k (each task keeps k rows per group before the shuffle), so the
+    exchange carries O(groups * k), not the full table."""
+    ev = _events_points(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("user_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_GROUP)
+        .select("metric", F.col("rk").cast("long").alias("rk"), "ts",
+                "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_O4 = f"""
+WITH ev AS ({EV_SQL}),
+r AS (SELECT metric, ts, user_id, value,
+        row_number() OVER (PARTITION BY metric
+                           ORDER BY value DESC, ts ASC, user_id ASC) AS rk
+      FROM ev)
+SELECT metric, CAST(rk AS BIGINT) AS rk, ts, user_id,
+       round(value, 4) AS value
+FROM r WHERE rk <= {TOPK_PER_GROUP}
+"""
+
+
+CLF_DIM = 256
+
+
+def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier scoring over documents with the hashing trick
+    (pipelines/classify.py): md5-bucketed token counts dotted with a
+    broadcast integer weight table — the 'apply a quality model to
+    every document' pipeline stage, all JVM."""
+    docs = _table(spark, sf_dir, "documents")
+    return linear_score(docs, hashed_weights(spark, dim=CLF_DIM),
+                        dim=CLF_DIM)
+
+
+SQL_CLF = f"""
+WITH tok AS (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+             FROM documents),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+b AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+             % {CLF_DIM} AS INTEGER) AS bucket
+      FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+wt AS (SELECT CAST(i AS INTEGER) AS bucket,
+         CAST(concat('0x', substr(md5(concat('clf-v1:', CAST(i AS VARCHAR))),
+                                  1, 8)) AS BIGINT) % 100 - 50 AS weight
+       FROM range({CLF_DIM}) r(i)),
+s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        CAST(sum(cnt * weight) AS BIGINT) AS score
+      FROM c JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, score, score > 0 AS label FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -2797,6 +2993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_slice_rollup": q_b1_slice_rollup,
         "j5_asof_join": q_j5_asof_join,
         "w4_sessions": q_w4_sessions,
+        "j6_interval_join": q_j6_interval_join,
+        "a9_time_rollup": q_a9_time_rollup,
+        "w5_rolling_zscore": q_w5_rolling_zscore,
+        "o4_topk_per_group": q_o4_topk_per_group,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -2847,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
         "pack_chunks": q_pack_chunks,
         "dedup_segments": q_dedup_segments,
         "sketch_kmv": q_sketch_kmv,
@@ -2880,6 +3081,11 @@ def oracle_sql() -> dict[str, str]:
         "b1_slice_rollup": SQL_B1,
         "j5_asof_join": SQL_J5,
         "w4_sessions": SQL_W4,
+        "j6_interval_join": SQL_J6,
+        "a9_time_rollup": SQL_A9R,
+        "w5_rolling_zscore": SQL_W5,
+        "o4_topk_per_group": SQL_O4,
+        "text_classify": SQL_CLF,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q2": SQL_TPCH_Q2,
         "tpch_q3": SQL_TPCH_Q3,

@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "b1_slice_rollup",
     "j5_asof_join",
     "w4_sessions",
+    "j6_interval_join",   # bucketed range join
+    "a9_time_rollup",     # GROUPING SETS multi-grain downsample
+    "w5_rolling_zscore",  # trailing-window anomaly flags
+    "o4_topk_per_group",  # WindowGroupLimit partial top-k
+    "text_classify",      # hashed-feature broadcast model scoring
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",

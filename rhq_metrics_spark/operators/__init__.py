@@ -1,10 +1,13 @@
+from rhq_metrics_spark.operators.anomaly import rolling_zscore
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.availability import availability_stats
 from rhq_metrics_spark.operators.distinct import distinct_adjacent
 from rhq_metrics_spark.operators.gapfill import fill_gaps
+from rhq_metrics_spark.operators.interval import interval_join
 from rhq_metrics_spark.operators.periods import periods, predicate
 from rhq_metrics_spark.operators.sessions import session_stats, sessionize
 from rhq_metrics_spark.operators.rate import rate, rate_stats
+from rhq_metrics_spark.operators.rollup import time_rollup
 from rhq_metrics_spark.operators.stacked import pooled_stats, stacked_stats
 from rhq_metrics_spark.operators.stats import (
     minmax_ts,
@@ -15,6 +18,9 @@ from rhq_metrics_spark.operators.tagged import tagged_stats
 
 __all__ = [
     "asof_join",
+    "rolling_zscore",
+    "interval_join",
+    "time_rollup",
     "availability_stats",
     "distinct_adjacent",
     "fill_gaps",

@@ -1,0 +1,64 @@
+"""Rolling z-score anomaly detection over ordered per-series points.
+
+Monitoring-side analytics the reference leaves to its consumers
+(hawkular-alerts evaluated conditions point-at-a-time over the REST
+stream); expressed here as pure window aggregation so it runs inside
+whole-stage codegen at any scale: ONE shuffle on the series key, then
+each row's trailing-window mean/std come from frame aggregates over the
+previous ``window_n`` points — no Python, no state store.
+
+The variance is computed from explicit sum / sum-of-squares rather than
+``stddev`` so the arithmetic is a fixed sequence of IEEE ops: with
+integer-quantized inputs (the oracled query feeds value*10000 longs)
+every intermediate is exact and the final doubles are bit-identical
+across engines (same trick as BM25's integer idf, text.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def rolling_zscore(
+    df: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    value_col: str = "value",
+    window_n: int = 20,
+    min_n: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Add ``base_mean``, ``base_std``, ``z`` (rounded to 4) and
+    ``is_anomaly`` columns; the baseline frame is the ``window_n``
+    points strictly BEFORE the current one (so a spike doesn't inflate
+    its own baseline).  Rows with fewer than ``min_n`` trailing points
+    or zero variance get null z / false flag.
+    """
+    on, order = list(on), list(order)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(-window_n, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w)
+    s = F.sum(v).over(w)
+    sq = F.sum(v * v).over(w)
+    mean = s / n
+    # population variance of the trailing frame; max(0) soaks the tiny
+    # negative residue exact-integer inputs never produce but doubles can
+    var = F.greatest(sq / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when((n >= min_n) & (std > 0), (v - mean) / std)
+    out = (
+        df.withColumn("base_mean", F.round(mean, 4))
+        .withColumn("base_std", F.round(std, 4))
+        .withColumn("z", F.round(z, 4))
+    )
+    return out.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False)),
+    )

@@ -1,0 +1,88 @@
+"""Interval (point-in-range) join: match points ``(key, ts)`` to
+intervals ``(key, start, end)`` with ``start <= ts < end``.
+
+The reference expresses this shape as client-side filtering over raw
+reads (e.g. matching availability points into condition periods,
+MetricsServiceImpl.java's period post-processing); Spark has no native
+range-join operator, and the naive formulation
+
+    points JOIN intervals ON key AND ts >= start AND ts < end
+
+equi-joins on ``key`` alone, then filters — each key's full |points| x
+|intervals| cross product materializes in the join, a scale-killer when
+one key carries millions of rows.
+
+Scale path (the standard bucketed range join, cf. Databricks' range
+join hint): quantize time into fixed ``bucket_ms`` buckets; each point
+falls in exactly ONE bucket, each interval explodes into the buckets it
+overlaps, and the join becomes an equi-join on ``(key, bucket)`` plus
+the exact residual predicate.  Each matching pair is produced exactly
+once (via the point's unique bucket), so no post-dedup.  Shuffle keys
+gain time locality — a key's timeline spreads over many buckets, which
+also absorbs per-key skew.  Cost: intervals replicate by
+``ceil(span / bucket_ms)``; pick ``bucket_ms`` near the typical
+interval span so replication stays O(1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    bucket_ms: int,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval of the same key that contains
+    it (``start <= ts < end``, half-open like TimeRange).
+
+    ``how='inner'`` keeps matched points; ``'left'`` keeps unmatched
+    points with null interval columns (both sides of the bucket join
+    stay equi-joined — Catalyst still gets a hash join).
+    """
+    on = list(on)
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be positive")
+
+    pt = points.withColumn("_b", (F.col(ts_col) / bucket_ms).cast("long"))
+    first_b = (F.col(start_col) / bucket_ms).cast("long")
+    # end is exclusive: an interval touching a bucket boundary does not
+    # extend into the next bucket.
+    last_b = ((F.col(end_col) - 1) / bucket_ms).cast("long")
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(first_b, last_b))
+    )
+
+    cond = [pt["_b"] == iv["_b"]] + [pt[c] == iv[c] for c in on]
+    residual = (pt[ts_col] >= iv[start_col]) & (pt[ts_col] < iv[end_col])
+
+    if how == "inner":
+        joined = pt.join(iv, cond + [residual], "inner")
+        keep = [pt[c] for c in points.columns] + [
+            iv[c] for c in intervals.columns if c not in on
+        ]
+        return joined.select(*keep)
+    if how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    # left: run the inner bucket join, then add back unmatched points via
+    # a left anti join on the (cheap, already-bucketed) same condition.
+    inner = interval_join(points, intervals, on, bucket_ms, ts_col,
+                          start_col, end_col, "inner")
+    extra = [c for c in intervals.columns if c not in on]
+    unmatched = pt.join(iv, cond + [residual], "left_anti").select(
+        *[pt[c] for c in points.columns]
+    )
+    for c in extra:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c])
+        )
+    return inner.unionByName(unmatched)

@@ -1,0 +1,72 @@
+"""Multi-granularity time rollup: hour / day / total stats in ONE pass.
+
+The reference serves each granularity with a separate bucketed-stats
+request (BucketedOutputMapper re-runs per bucketDuration); a
+downsampling pipeline at 100 TB wants all grains from one scan.
+GROUPING SETS gives Catalyst a single Expand + one shuffle: partial
+aggregation happens map-side per grain before the exchange, so the
+added grains cost one extra Expand row per input row, not extra scans.
+
+Portability note: the grain is reported via ``grouping_id``-derived
+labels (identical semantics in DuckDB's GROUPING()), and the grain
+columns are epoch-millis longs floored with integer division — no
+timezone/date functions to diverge on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+
+def time_rollup(
+    points: DataFrame,
+    group_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per ``group_col``: hourly, daily, and all-time stats in one
+    aggregation.
+
+    Output: ``(metric, grain, bucket_start, n, sum, min, max, avg)``
+    where ``grain`` in ('hour','day','total') and ``bucket_start`` is
+    the epoch-millis floor of the grain (null for 'total').
+    """
+    base = points.select(
+        F.col(group_col).alias("metric"),
+        (F.floor(F.col(ts_col) / HOUR_MS) * HOUR_MS).alias("hour_start"),
+        (F.floor(F.col(ts_col) / DAY_MS) * DAY_MS).alias("day_start"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    rolled = base.groupingSets(
+        [["metric", "day_start", "hour_start"], ["metric", "day_start"],
+         ["metric"]],
+        "metric", "day_start", "hour_start",
+    ).agg(
+        F.grouping("hour_start").alias("_g_hour"),
+        F.grouping("day_start").alias("_g_day"),
+        F.count("value").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum"),
+        F.round(F.min("value"), 4).alias("min"),
+        F.round(F.max("value"), 4).alias("max"),
+        F.round(F.avg("value"), 4).alias("avg"),
+    )
+    grain = (
+        F.when(F.col("_g_hour") == 0, F.lit("hour"))
+        .when(F.col("_g_day") == 0, F.lit("day"))
+        .otherwise(F.lit("total"))
+    )
+    bucket_start = (
+        F.when(F.col("_g_hour") == 0, F.col("hour_start"))
+        .when(F.col("_g_day") == 0, F.col("day_start"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return rolled.select(
+        "metric",
+        grain.alias("grain"),
+        bucket_start.alias("bucket_start"),
+        "n", "sum", "min", "max", "avg",
+    )

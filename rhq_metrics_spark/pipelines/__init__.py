@@ -1,3 +1,4 @@
+from rhq_metrics_spark.pipelines.classify import hashed_weights, linear_score
 from rhq_metrics_spark.pipelines.dedup import (
     dup_clusters,
     embedding_near_dup_pairs,
@@ -50,6 +51,8 @@ __all__ = [
     "exact_dedup",
     "frame_sample_plan",
     "hash_split",
+    "hashed_weights",
+    "linear_score",
     "ivf_cosine_topk",
     "kmv_distinct",
     "language_id",

@@ -39,6 +39,8 @@ NO_CROSS = [
     "embed_near_dup",
     "embed_lsh_topk",
     "embed_ivf_topk",
+    "j6_interval_join",
+    "text_classify",
 ]
 
 
@@ -155,3 +157,26 @@ def test_store_scan_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters")[1][:300]
     assert "date_slice" in pf and "tenant_bucket" in pf
+
+
+def test_o4_topk_uses_window_group_limit(spark):
+    """The rank-filter must trigger Spark's WindowGroupLimit rewrite:
+    each task keeps k rows per group BEFORE the shuffle, so the
+    exchange carries O(groups * k) rows, not the whole table."""
+    plan = _plan(spark, "o4_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_j6_interval_join_is_hash_join_on_buckets(spark):
+    """The range join must plan as an equi-join on (key, bucket) — a
+    key-only join with a range filter re-materializes each key's full
+    cross product."""
+    plan = _plan(spark, "j6_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_a9_rollup_is_one_expand_one_scan(spark):
+    plan = _plan(spark, "a9_time_rollup")
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
