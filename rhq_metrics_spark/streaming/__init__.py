@@ -1,5 +1,11 @@
+from rhq_metrics_spark.streaming.anomaly import streaming_zscore
 from rhq_metrics_spark.streaming.dedup import streaming_exact_dedup
 from rhq_metrics_spark.streaming.ingest import start_ingest_stream
 from rhq_metrics_spark.streaming.rate import streaming_rate
 
-__all__ = ["start_ingest_stream", "streaming_exact_dedup", "streaming_rate"]
+__all__ = [
+    "start_ingest_stream",
+    "streaming_exact_dedup",
+    "streaming_rate",
+    "streaming_zscore",
+]
