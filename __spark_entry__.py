@@ -72,11 +72,12 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_from_documents,
 )
 from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
-from rhq_metrics_spark.pipelines.packing import pack_chunks
+from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
 from rhq_metrics_spark.pipelines.sketches import kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
+    leakage_safe_split,
     mixture_sample,
 )
 from rhq_metrics_spark.pipelines.similarity import (
@@ -2923,6 +2924,69 @@ FROM r WHERE rk <= {TOPK_PER_GROUP}
 """
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 40, 30
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap
+    (pipelines/packing.py chunk_documents): per-row array work only —
+    fuses with the scan, no shuffle."""
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
+SQL_CHUNK = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+        CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+             ELSE ((len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE}) + 1 END AS n_chunks
+      FROM t),
+e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c),
+s AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS ck
+      FROM e)
+SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+       array_to_string(ck, ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split
+    (pipelines/sampling.py leakage_safe_split): the split hash keys on
+    the near-dup cluster id, so no near-duplicate pair straddles the
+    train/test boundary."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=MH_T
+    )
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    out = leakage_safe_split(
+        docs.select("doc_id"), clusters,
+        weights={"train": 0.9, "test": 0.1},
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+def _leakage_split_sql() -> str:
+    frac = (
+        "CAST(concat('0x', substr(md5(concat('split', ':', "
+        "CAST(cluster_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        " / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    return f"""
+WITH clusters AS ({_clusters_sql()}),
+f AS (SELECT doc_id, cluster_id, {frac} AS frac FROM clusters)
+SELECT doc_id, cluster_id,
+       CASE WHEN frac < 0.9 THEN 'train' ELSE 'test' END AS split
+FROM f
+"""
+
+
 CLF_DIM = 256
 
 
@@ -3048,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
         "pack_chunks": q_pack_chunks,
         "dedup_segments": q_dedup_segments,
         "sketch_kmv": q_sketch_kmv,
@@ -3086,6 +3152,8 @@ def oracle_sql() -> dict[str, str]:
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "text_classify": SQL_CLF,
+        "chunk_docs": SQL_CHUNK,
+        "split_leakage_safe": _leakage_split_sql(),
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q2": SQL_TPCH_Q2,
         "tpch_q3": SQL_TPCH_Q3,

@@ -15,9 +15,10 @@ from rhq_metrics_spark.pipelines.multimodal import (
     resize_plan,
 )
 from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
-from rhq_metrics_spark.pipelines.packing import pack_chunks
+from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
 from rhq_metrics_spark.pipelines.sketches import kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
+    leakage_safe_split,
     cap_per_group,
     deterministic_sample,
     hash_split,
@@ -63,6 +64,8 @@ __all__ = [
     "mixture_sample",
     "ngram_jaccard_pairs",
     "pack_chunks",
+    "chunk_documents",
+    "leakage_safe_split",
     "quality_score",
     "quantize_int8",
     "resize_plan",

@@ -82,3 +82,51 @@ def pack_chunks(
         .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + 1)
         .drop("_ord")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    windows of ``chunk_tokens`` whitespace tokens, stepping ``stride``
+    tokens (default = no overlap).  The context-window preparation step
+    that precedes embedding/packing in an LLM data pipeline.
+
+    Output: one row per ``(doc, chunk_id)`` with ``chunk_text`` and its
+    ``n_tokens``.  Purely per-row array work (split → slice per start
+    offset → posexplode) — fuses with the scan, no shuffle, trivially
+    parallel at any corpus size.  Chunk count per doc is
+    ``1 + ceil((n - chunk)/stride)`` so the tail tokens always land in a
+    final (possibly short) chunk.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    n = F.size("_toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride) + 1
+    ).cast("int")
+    chunks = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_id", "_chunk"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

@@ -112,3 +112,34 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: Mapping[str, float] | Sequence[tuple[str, float]],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/test split that can't leak near-duplicates across the
+    boundary: the split hash is keyed on the document's dup-CLUSTER id
+    (``dup_clusters`` output), so every member of a near-dup cluster
+    lands in the same split.  Docs without a cluster row fall back to
+    their own id — identical to :func:`hash_split` for singletons.
+    """
+    j = docs.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "left"
+    )
+    key = F.coalesce(
+        F.col(cluster_col).cast("string"), F.col(id_col).cast("string")
+    )
+    out = hash_split(
+        j.withColumn("_split_key", key),
+        weights,
+        id_col="_split_key",
+        salt=salt,
+        out_col=out_col,
+    )
+    return out.drop("_split_key")

@@ -44,3 +44,54 @@ def test_packing_is_deterministic(spark):
     a = {r["doc_id"]: (r["shard"], r["offset"]) for r in pack_chunks(_docs(spark)).collect()}
     b = {r["doc_id"]: (r["shard"], r["offset"]) for r in pack_chunks(_docs(spark)).collect()}
     assert a == b
+
+
+def test_chunk_documents_windows(spark):
+    from rhq_metrics_spark.pipelines.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,3,6 -> full; last chunk is the tail (9)
+    assert [rows[(1, i)]["chunk_text"] for i in range(3)] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    # n=10, chunk=4, stride=3 -> 1+ceil(6/3)=3 chunks
+    assert max(i for d, i in rows if d == 1) == 2
+    assert all(rows[(1, i)]["n_tokens"] == 4 for i in range(3))
+    # short doc: one (short) chunk
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    assert rows[(2, 0)]["n_tokens"] == 2
+    # whitespace-only doc emits nothing
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_documents_tail_partial(spark):
+    from rhq_metrics_spark.pipelines.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    out = {r["chunk_id"]: r for r in
+           chunk_documents(docs, chunk_tokens=4, stride=3).collect()}
+    # n=11 -> 1+ceil(7/3)=4 chunks; last starts at 9, has 2 tokens
+    assert len(out) == 4
+    assert out[3]["chunk_text"] == "t9 t10"
+    assert out[3]["n_tokens"] == 2
+    # every token is covered by at least one chunk
+    covered = set()
+    for r in out.values():
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(11)}
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from rhq_metrics_spark.pipelines.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

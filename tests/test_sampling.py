@@ -80,3 +80,30 @@ def test_mixture_sample_rates_and_stability(spark):
     assert {r["doc_id"] for r in out.collect()} == {
         r["doc_id"] for r in out.collect()
     }
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from rhq_metrics_spark.pipelines.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # 100 clusters of 2: doc 2k and 2k+1 share cluster id 2k
+    clusters = spark.createDataFrame(
+        [(i, (i // 2) * 2) for i in range(200)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(
+        docs, clusters, weights={"train": 0.8, "test": 0.2}
+    ).collect()
+    by_doc = {r["doc_id"]: r["split"] for r in out}
+    assert len(by_doc) == 200
+    for k in range(100):
+        assert by_doc[2 * k] == by_doc[2 * k + 1], k
+    assert set(by_doc.values()) == {"train", "test"}
+
+    # singleton clusters degrade to plain hash_split on the doc id
+    singles = spark.createDataFrame([(i, i) for i in range(200)],
+                                    "doc_id long, cluster_id long")
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, singles, weights={"train": 0.8, "test": 0.2}).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, {"train": 0.8, "test": 0.2}).collect()}
+    assert a == b
