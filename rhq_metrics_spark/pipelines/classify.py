@@ -69,16 +69,17 @@ def linear_score(
         (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
          % dim).cast("int"),
     )
-    # token counts collapse map-side before the (broadcast) weight join
-    counts = bucketed.groupBy(id_col, "bucket").agg(
-        F.count("*").alias("cnt")
-    )
+    # ONE shuffle: the weight join is broadcast (no exchange), and the
+    # per-doc sum partial-aggregates map-side — tokens of a doc sit in
+    # its scan split, so the exchange carries one row per (doc,
+    # partial), not per token.  A groupBy(doc, bucket) pre-count would
+    # add a second full shuffle for nothing.
     scored = (
-        counts.join(F.broadcast(weights), "bucket")
+        bucketed.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("weight")).alias("score"),
+            F.count("*").alias("n_tokens"),
+            F.sum("weight").alias("score"),
         )
     )
     return scored.select(
