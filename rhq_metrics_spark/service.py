@@ -70,6 +70,126 @@ class MetricsService:
         )
         self.store.upsert_metric_definitions(df)
 
+    def get_tenants(self) -> DataFrame:
+        """Reference ``getTenants`` (MetricsServiceImpl.java:432): every
+        tenant id — explicit tenant rows unioned with tenants that only
+        exist through metric definitions."""
+        frames = []
+        tenants = self.store.tenants()
+        if tenants is not None:
+            frames.append(tenants.select(F.col("id")))
+        idx = self.store.metrics_idx()
+        if idx is not None:
+            frames.append(idx.select(F.col("tenant_id").alias("id")))
+        if not frames:
+            return self.spark.createDataFrame([], "id string")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
+
+    def _definition_row(self, tenant_id, metric_type, metric):
+        idx = self.store.metrics_idx()
+        if idx is None:
+            return None
+        rows = (
+            idx.filter(
+                (F.col("tenant_id") == tenant_id)
+                & (F.col("type") == metric_type)
+                & (F.col("metric") == metric)
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def add_tags(
+        self, tenant_id: str, metric_type: str, metric: str, tags: dict[str, str]
+    ) -> None:
+        """Reference ``addTags`` (MetricsServiceImpl.java:608-616): merge
+        into the definition's tag map, new values winning; creates the
+        definition if absent (tag-only metrics exist in the reference's
+        tags index)."""
+        row = self._definition_row(tenant_id, metric_type, metric)
+        merged = {**((row["tags"] if row else None) or {}), **tags}
+        retention = row["data_retention"] if row else None
+        self.create_metric(
+            tenant_id, metric_type, metric, tags=merged, data_retention=retention
+        )
+
+    def delete_tags(
+        self, tenant_id: str, metric_type: str, metric: str, tag_keys
+    ) -> None:
+        """Reference ``deleteTags`` (MetricsServiceImpl.java:621-628):
+        drop the named keys from the definition's tag map."""
+        row = self._definition_row(tenant_id, metric_type, metric)
+        if row is None:
+            return
+        kept = {
+            k: v for k, v in (row["tags"] or {}).items() if k not in set(tag_keys)
+        }
+        self.create_metric(
+            tenant_id, metric_type, metric,
+            tags=kept or None, data_retention=row["data_retention"],
+        )
+
+    def get_tag_values(
+        self,
+        tag_patterns: dict[str, str],
+        tenant_id: str | None = None,
+        metric_type: str | None = None,
+    ) -> DataFrame:
+        """Reference ``getTagValues`` (MetricsServiceImpl.java:586-588 →
+        TagQueryParser.getTagValues): distinct ``(tag, value)`` pairs
+        over definitions where the value matches the per-tag regex
+        (``'*'`` wildcard = any value).  One explode + filter over the
+        (small) definitions table."""
+        idx = self.store.metrics_idx()
+        if idx is None:
+            return self.spark.createDataFrame([], "tag string, value string")
+        if tenant_id:
+            idx = idx.filter(F.col("tenant_id") == tenant_id)
+        if metric_type:
+            idx = idx.filter(F.col("type") == metric_type)
+        pairs = idx.select(F.explode("tags").alias("tag", "value"))
+        conds = []
+        for name, pattern in tag_patterns.items():
+            cond = F.col("tag") == name
+            if pattern not in ("*", None):
+                cond = cond & F.col("value").rlike(f"^(?:{pattern})$")
+            conds.append(cond)
+        keep = conds[0]
+        for c in conds[1:]:
+            keep = keep | c
+        return pairs.filter(keep).distinct()
+
+    def delete_metric(
+        self,
+        tenant_id: str,
+        metric_type: str,
+        metric: str,
+        include_cold: bool = False,
+    ) -> int:
+        """Reference ``deleteMetric`` (MetricsServiceImpl.java:1086-1097):
+        remove the definition (metrics + tags + retention indexes are one
+        table here) and the raw hot-layer rows; cold stays unless
+        ``include_cold`` (the reference keeps compressed data, :1087)."""
+        rewritten = self.store.delete_metric(
+            metric_type, tenant_id, metric, include_cold=include_cold
+        )
+        idx = self.store.metrics_idx()
+        if idx is not None:
+            self.store.save_metrics_idx(
+                idx.filter(
+                    ~(
+                        (F.col("tenant_id") == tenant_id)
+                        & (F.col("type") == metric_type)
+                        & (F.col("metric") == metric)
+                    )
+                )
+            )
+        return rewritten
+
     def find_metrics(
         self,
         tag_expression: str | None = None,

@@ -586,6 +586,71 @@ class MetricsStore:
         if tenants is not None:
             self.save_tenants(tenants.filter(F.col("id") != tenant_id))
 
+    def delete_metric(
+        self,
+        metric_type: str,
+        tenant_id: str,
+        metric: str,
+        include_cold: bool = False,
+    ) -> int:
+        """Reference ``deleteMetric`` (MetricsServiceImpl.java:1086-1097):
+        purge the metric's raw (hot-layer) rows.  The reference leaves
+        compressed data in place ("compressed data is not deleted due to
+        using TWCS", :1087) and lets retention expire it; ``include_cold``
+        opts into a full purge.  Returns rewritten partition count."""
+        with self._maintenance_lock():
+            return self._delete_metric_locked(
+                metric_type, tenant_id, metric, include_cold
+            )
+
+    def _delete_metric_locked(
+        self, metric_type: str, tenant_id: str, metric: str, include_cold: bool
+    ) -> int:
+        bucket = self._tenant_bucket_of(tenant_id)
+        target = (
+            (F.col("tenant_bucket") == bucket)
+            & (F.col("tenant_id") == tenant_id)
+            & (F.col("metric") == metric)
+        )
+        rewritten = 0
+        for layer in _LAYERS if include_cold else ("hot",):
+            root = self._points_path(metric_type, layer)
+            if not root.exists():
+                continue
+            df = self._read_layer(metric_type, layer)
+            # one pruned scan lists the slices that actually hold the
+            # metric — only those partitions get rewritten
+            affected = [
+                r["date_slice"]
+                for r in df.filter(target).select("date_slice").distinct().collect()
+            ]
+            if not affected:
+                continue
+            kept = df.filter(
+                F.col("date_slice").isin(affected)
+                & (F.col("tenant_bucket") == bucket)
+                & ~((F.col("tenant_id") == tenant_id) & (F.col("metric") == metric))
+            ).select(
+                "tenant_id", "metric", "ts", "value", "tags",
+                "ingest_seq", "date_slice", "tenant_bucket",
+            )
+            staging = self.base / "_staging" / f"delm_{metric_type}_{layer}"
+            kept.write.mode("overwrite").option("compression", "zstd").partitionBy(
+                "date_slice", "tenant_bucket"
+            ).parquet(str(staging))
+            for slice_start in affected:
+                part = f"date_slice={slice_start}/tenant_bucket={bucket}"
+                src, dst = staging / part, root / part
+                if src.exists():
+                    self._swap_in(src, dst)
+                elif dst.exists():  # the metric was the bucket's only data
+                    retired = root / f"_trash-{uuid.uuid4().hex}"
+                    os.rename(dst, retired)
+                    shutil.rmtree(retired, ignore_errors=True)
+                rewritten += 1
+            shutil.rmtree(staging, ignore_errors=True)
+        return rewritten
+
     # -- definition tables (metrics_idx / tenants) ---------------------------
 
     def metrics_idx(self) -> DataFrame | None:

@@ -312,3 +312,80 @@ def test_gauge_stats_fill(svc):
     assert abs(out[T + 1_000]["avg"] - (10.0 + 20.0 / 3)) < 0.001
     raw = {r["start"]: r for r in svc.gauge_stats("t1", "sparse", buckets).collect()}
     assert raw[T + 1_000]["avg"] is None  # default unchanged
+
+
+def test_tag_crud_and_tag_values(spark, tmp_path):
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    svc.create_metric("t1", "gauge", "cpu", tags={"env": "prod", "dc": "us"})
+    svc.create_metric("t1", "gauge", "mem", tags={"env": "qa"})
+
+    svc.add_tags("t1", "gauge", "cpu", {"env": "stage", "team": "core"})
+    row = svc._definition_row("t1", "gauge", "cpu")
+    assert row["tags"] == {"env": "stage", "dc": "us", "team": "core"}
+
+    svc.delete_tags("t1", "gauge", "cpu", ["dc", "nope"])
+    row = svc._definition_row("t1", "gauge", "cpu")
+    assert row["tags"] == {"env": "stage", "team": "core"}
+
+    # add_tags on a missing definition creates it (tag-only metrics)
+    svc.add_tags("t1", "counter", "reqs", {"env": "prod"})
+    assert svc._definition_row("t1", "counter", "reqs")["tags"] == {"env": "prod"}
+
+    vals = {
+        (r["tag"], r["value"])
+        for r in svc.get_tag_values({"env": "prod|qa"}, tenant_id="t1").collect()
+    }
+    assert vals == {("env", "prod"), ("env", "qa")}
+    all_env = {
+        r["value"] for r in svc.get_tag_values({"env": "*"}, tenant_id="t1").collect()
+    }
+    assert all_env == {"prod", "qa", "stage"}
+
+
+def test_get_tenants_unions_index(spark, tmp_path):
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    svc.create_tenant("explicit")
+    svc.create_metric("implicit", "gauge", "cpu")
+    assert {r["id"] for r in svc.get_tenants().collect()} == {"explicit", "implicit"}
+
+
+def test_delete_metric_purges_hot_keeps_cold(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    T = 1_700_000_000_000
+    H = 3_600_000
+    # first 10 points in one 2h slice, the rest 3h later (next slice)
+    rows = [
+        ("t1", m, T + (i * 60_000 if i < 10 else 3 * H + i * 60_000), float(i), None)
+        for m in ("die", "live") for i in range(20)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc.create_metric("t1", "gauge", "die")
+
+    # compact the first slice into cold, keep the later one hot
+    assert svc.store.compact("gauge", closed_before_ms=T + 3 * H)
+
+    n = svc.delete_metric("t1", "gauge", "die")
+    assert n > 0
+    pts = svc.find_data_points("gauge", "t1", "die", T, T + 10**9)
+    # hot rows gone; compacted rows remain (reference keeps compressed
+    # data, MetricsServiceImpl.java:1087) and are all pre-compaction
+    remaining = pts.agg(F.max("ts")).collect()[0][0]
+    assert remaining is not None and remaining < T + 3 * H
+    assert svc._definition_row("t1", "gauge", "die") is None
+    # full purge with include_cold
+    svc.delete_metric("t1", "gauge", "die", include_cold=True)
+    assert svc.find_data_points("gauge", "t1", "die", T, T + 10**9).count() == 0
+    # the other metric is untouched
+    assert svc.find_data_points("gauge", "t1", "live", T, T + 10**9).count() == 20
