@@ -7,7 +7,7 @@ from rhq_metrics_spark.operators.interval import interval_join
 from rhq_metrics_spark.operators.periods import periods, predicate
 from rhq_metrics_spark.operators.sessions import session_stats, sessionize
 from rhq_metrics_spark.operators.rate import rate, rate_stats
-from rhq_metrics_spark.operators.rollup import time_rollup
+from rhq_metrics_spark.operators.rollup import stats_from_rollup, time_rollup
 from rhq_metrics_spark.operators.stacked import pooled_stats, stacked_stats
 from rhq_metrics_spark.operators.stats import (
     minmax_ts,
@@ -21,6 +21,7 @@ __all__ = [
     "rolling_zscore",
     "interval_join",
     "time_rollup",
+    "stats_from_rollup",
     "availability_stats",
     "distinct_adjacent",
     "fill_gaps",

@@ -70,3 +70,72 @@ def time_rollup(
         bucket_start.alias("bucket_start"),
         "n", "sum", "min", "max", "avg",
     )
+
+
+def stats_from_rollup(
+    rollup: DataFrame,
+    buckets,
+    tenant_id: str | None = None,
+    metric: str | None = None,
+) -> DataFrame:
+    """Serve bucket stats FROM the continuous-aggregate table instead of
+    raw points (the long-range-dashboard read path: years of 2h rollups
+    instead of billions of raw rows).
+
+    ``rollup`` is the ``start_rollup_stream`` sink — one row per
+    (tenant, metric, window) with mergeable stats (min/max/sum/samples).
+    Requires the bucket grid to be rollup-aligned: ``buckets.step`` a
+    multiple of the window length and ``buckets.start`` on a window
+    boundary — raises ``ValueError`` otherwise so callers fall back to
+    the raw path (``service.numeric_stats``) rather than silently
+    serving wrong numbers.  avg is re-derived as sum/samples (avg of
+    avgs would be wrong for uneven windows).
+    """
+    win_ms = F.unix_millis(F.col("window_end")) - F.unix_millis(
+        F.col("window_start")
+    )
+    df = rollup
+    if tenant_id is not None:
+        df = df.filter(F.col("tenant_id") == tenant_id)
+    if metric is not None:
+        df = df.filter(F.col("metric") == metric)
+    start_ms = F.unix_millis(F.col("window_start"))
+    end_ms = F.unix_millis(F.col("window_end"))
+
+    # the grid defines the query range: windows outside it are other
+    # time periods, not errors
+    grid_end = buckets.start + buckets.step * buckets.count
+    df = df.filter((start_ms >= buckets.start) & (end_ms <= grid_end))
+
+    # alignment guard: window length divides the step and windows sit on
+    # the window grid relative to the bucket origin — together that
+    # means every window falls wholly inside exactly one bucket
+    bad = df.filter(
+        (buckets.step % win_ms != 0)
+        | ((start_ms - buckets.start) % win_ms != 0)
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "rollup windows do not tile the requested bucket grid; "
+            "serve this query from raw points instead"
+        )
+    bucketed = df.withColumn(
+        "bucket", ((start_ms - buckets.start) / buckets.step).cast("long")
+    )
+    return (
+        bucketed.groupBy("tenant_id", "metric", "bucket")
+        .agg(
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.sum("samples").alias("samples"),
+        )
+        .withColumn("avg", F.col("sum") / F.col("samples"))
+        .withColumn(
+            "bucket_start", buckets.start + F.col("bucket") * buckets.step
+        )
+        .select(
+            "tenant_id", "metric", "bucket", "bucket_start",
+            "min", "avg", "max", "sum", "samples",
+        )
+    )

@@ -42,3 +42,89 @@ def test_single_shuffle_plan(spark):
     # one Expand feeding one aggregation — not a union of three scans
     assert plan.count("Expand") == 1
     assert "Union" not in plan
+
+
+def _fake_rollup(spark, T, n_windows, win_ms=600_000):
+    """Batch-built twin of the start_rollup_stream sink."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for w in range(n_windows):
+        for i in range(4):
+            rows.append(("t", "m", T + w * win_ms + i * 60_000, float(w * 10 + i)))
+    pts = spark.createDataFrame(rows, "tenant_id string, metric string, ts long, value double")
+    roll = (
+        pts.groupBy(
+            "tenant_id", "metric",
+            F.window(F.timestamp_millis(F.col("ts")), f"{win_ms // 1000} seconds").alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"), F.avg("value").alias("avg"),
+            F.max("value").alias("max"), F.sum("value").alias("sum"),
+            F.count("value").alias("samples"),
+        )
+        .select("tenant_id", "metric",
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+    )
+    return pts, roll
+
+
+def test_stats_from_rollup_matches_raw(spark):
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.rollup import stats_from_rollup
+
+    T = 1_700_000_000_000  # on a 10-minute boundary? ensure via floor
+    T -= T % 1_200_000
+    pts, roll = _fake_rollup(spark, T, n_windows=8)
+    b = Buckets.from_step(T, T + 8 * 600_000, 1_200_000)  # 2 windows/bucket
+    got = {r["bucket"]: r for r in stats_from_rollup(roll, b, "t", "m").collect()}
+    exp = {
+        r["bucket"]: r
+        for r in pts.withColumn("bucket", F.floor((F.col("ts") - T) / 1_200_000))
+        .groupBy("bucket")
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .collect()
+    }
+    assert set(got) == set(exp) == {0, 1, 2, 3}
+    for k in exp:
+        for c in ("min", "avg", "max", "sum", "samples"):
+            assert got[k][c] == exp[k][c], (k, c)
+        assert got[k]["bucket_start"] == T + k * 1_200_000
+
+
+def test_stats_from_rollup_rejects_misaligned(spark):
+    import pytest
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.rollup import stats_from_rollup
+
+    T = 1_700_000_000_000
+    T -= T % 1_200_000
+    _, roll = _fake_rollup(spark, T, n_windows=4)
+    # step not a multiple of the window length
+    with pytest.raises(ValueError):
+        stats_from_rollup(roll, Buckets.from_step(T, T + 2_400_000, 900_000)).collect()
+    # origin off the window grid
+    with pytest.raises(ValueError):
+        stats_from_rollup(
+            roll, Buckets.from_step(T + 60_000, T + 2_460_000, 1_200_000)
+        ).collect()
+
+
+def test_stats_from_rollup_filters_out_of_range(spark):
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.rollup import stats_from_rollup
+
+    T = 1_700_000_000_000
+    T -= T % 1_200_000
+    _, roll = _fake_rollup(spark, T, n_windows=8)
+    # grid covers only the middle: outside windows are filtered, not errors
+    b = Buckets.from_step(T + 1_200_000, T + 3_600_000, 1_200_000)
+    out = stats_from_rollup(roll, b, "t", "m").collect()
+    assert {r["bucket"] for r in out} == {0, 1}
