@@ -11,6 +11,12 @@ Conventions keeping Spark and DuckDB hash-identical:
   (``nanosAsLong``) and floors to epoch-millis (``ts div 1_000_000``);
   DuckDB's ``epoch_ms(ts)`` truncates identically.
 - every float output column is ``round(x, 4)`` (ratios 6) on BOTH sides;
+  CAVEAT: for a value EXACTLY on a round boundary (5th decimal = 5) the
+  engines disagree — Spark rounds the double's shortest decimal repr
+  (``BigDecimal.valueOf``), DuckDB rounds the binary value.  Where the
+  data can hit boundaries (e.g. avg = integer-sum/8), emit a
+  floor-divided fixed-point integer instead (``b11_rollup_serving``'s
+  ``avg_e6``);
 - bucket grids use the reference's ``Buckets.fromCount`` arithmetic
   (Buckets.java:129-145) — reproduced literally in the oracle SQL;
 - aggregates of integers are cast back to BIGINT in DuckDB (its SUM on
@@ -54,7 +60,7 @@ from rhq_metrics_spark.operators import (
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
-from rhq_metrics_spark.operators.rollup import time_rollup
+from rhq_metrics_spark.operators.rollup import stats_from_rollup, time_rollup
 from rhq_metrics_spark.pipelines.classify import hashed_weights, linear_score
 from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.sessions import session_stats
@@ -2924,6 +2930,77 @@ FROM r WHERE rk <= {TOPK_PER_GROUP}
 """
 
 
+ROLLUP_WIN_MS, ROLLUP_STEP_MS = 3_600_000, 7_200_000
+
+
+def q_b11_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11b: serve 2h bucket stats FROM a 1h continuous-aggregate table
+    (operators/rollup.py stats_from_rollup) — the long-range read path
+    that scans rollups instead of raw points.  The oracle aggregates the
+    raw points directly into the same grid, so the whole
+    rollup-then-merge pipeline is verified end-to-end."""
+    # integer-valued doubles (value*10^4): double sums of integers are
+    # EXACT regardless of association order, so windowed-partial sums
+    # merge to bit-identical results in any engine (the README's
+    # value_scale trick); rescaled on output
+    pts = _events_points(spark, sf_dir).select(
+        F.lit("t").alias("tenant_id"), "metric", "ts",
+        F.round(F.col("value") * 10_000).alias("value"),
+    )
+    s, e = _bounds(pts)
+    b0 = s - s % ROLLUP_STEP_MS
+    buckets = Buckets.from_step(b0, e, ROLLUP_STEP_MS)
+    roll = (
+        pts.groupBy(
+            "tenant_id", "metric",
+            F.window(
+                F.timestamp_millis(F.col("ts")), f"{ROLLUP_WIN_MS // 1000} seconds"
+            ).alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"), F.avg("value").alias("avg"),
+            F.max("value").alias("max"), F.sum("value").alias("sum"),
+            F.count("value").alias("samples"),
+        )
+        .select(
+            "tenant_id", "metric",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "min", "avg", "max", "sum", "samples",
+        )
+    )
+    out = stats_from_rollup(roll, buckets)
+    # avg as a floor-divided 1e-6 fixed-point integer: true averages can
+    # land exactly on a round-4 boundary, where Spark (rounds the
+    # shortest decimal repr) and DuckDB (rounds the binary value)
+    # disagree; floor of an identical IEEE division is engine-exact
+    return out.select(
+        "tenant_id", "metric", "bucket", "bucket_start",
+        F.round(F.col("min") / 10_000, 4).alias("min"),
+        F.floor(F.col("sum") * 100 / F.col("samples")).cast("long").alias("avg_e6"),
+        F.round(F.col("max") / 10_000, 4).alias("max"),
+        F.round(F.col("sum") / 10_000, 4).alias("sum"),
+        "samples",
+    )
+
+
+SQL_B11 = f"""
+WITH ev0 AS ({EV_SQL}),
+ev AS (SELECT metric, ts, round(value * 10000, 0) AS value FROM ev0),
+g AS (SELECT min(ts) - min(ts) % {ROLLUP_STEP_MS} AS b0 FROM ev)
+SELECT 't' AS tenant_id, metric,
+       (ts - b0) // {ROLLUP_STEP_MS} AS bucket,
+       b0 + ((ts - b0) // {ROLLUP_STEP_MS}) * {ROLLUP_STEP_MS} AS bucket_start,
+       round(min(value) / 10000, 4) AS min,
+       CAST(floor(sum(value) * 100 / count(value)) AS BIGINT) AS avg_e6,
+       round(max(value) / 10000, 4) AS max,
+       round(sum(value) / 10000, 4) AS sum,
+       count(value) AS samples
+FROM ev, g
+GROUP BY metric, b0, (ts - b0) // {ROLLUP_STEP_MS}
+"""
+
+
 CHUNK_TOKENS, CHUNK_STRIDE = 40, 30
 
 
@@ -3061,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_time_rollup": q_a9_time_rollup,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
+        "b11_rollup_serving": q_b11_rollup_serving,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -3151,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_time_rollup": SQL_A9R,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
+        "b11_rollup_serving": SQL_B11,
         "text_classify": SQL_CLF,
         "chunk_docs": SQL_CHUNK,
         "split_leakage_safe": _leakage_split_sql(),

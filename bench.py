@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "a9_time_rollup",     # GROUPING SETS multi-grain downsample
     "w5_rolling_zscore",  # trailing-window anomaly flags
     "o4_topk_per_group",  # WindowGroupLimit partial top-k
+    "b11_rollup_serving", # continuous-aggregate read path
     "text_classify",      # hashed-feature broadcast model scoring
     "tpch_q1",
     "tpch_q3",
