@@ -41,6 +41,7 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     how: str = "inner",
+    max_span_buckets: int = 100_000,
 ) -> DataFrame:
     """Join each point to every interval of the same key that contains
     it (``start <= ts < end``, half-open like TimeRange).
@@ -58,9 +59,27 @@ def interval_join(
     # end is exclusive: an interval touching a bucket boundary does not
     # extend into the next bucket.
     last_b = ((F.col(end_col) - 1) / bucket_ms).cast("long")
-    iv = intervals.withColumn(
-        "_b", F.explode(F.sequence(first_b, last_b))
+    # scale guard: one open-ended/garbage interval (end = +inf sentinel)
+    # would explode into span/bucket_ms rows and OOM an executor long
+    # before any join runs.  Fail loudly at execution instead — callers
+    # with genuinely huge intervals should pick a coarser bucket_ms.
+    span_ok = F.assert_true(
+        (last_b - first_b) < F.lit(int(max_span_buckets)),
+        F.concat(
+            F.lit(
+                f"interval_join: interval spans more than {max_span_buckets}"
+                " buckets (start="
+            ),
+            F.col(start_col).cast("string"),
+            F.lit(", end="),
+            F.col(end_col).cast("string"),
+            F.lit(f", bucket_ms={bucket_ms}); raise bucket_ms"),
+        ),
     )
+    # fold the assertion into the sequence bound (assert_true yields
+    # NULL on success → +0) so column pruning can't eliminate it
+    guarded_last = last_b + F.coalesce(span_ok.cast("long"), F.lit(0))
+    iv = intervals.withColumn("_b", F.explode(F.sequence(first_b, guarded_last)))
 
     cond = [pt["_b"] == iv["_b"]] + [pt[c] == iv[c] for c in on]
     residual = (pt[ts_col] >= iv[start_col]) & (pt[ts_col] < iv[end_col])
@@ -76,7 +95,7 @@ def interval_join(
     # left: run the inner bucket join, then add back unmatched points via
     # a left anti join on the (cheap, already-bucketed) same condition.
     inner = interval_join(points, intervals, on, bucket_ms, ts_col,
-                          start_col, end_col, "inner")
+                          start_col, end_col, "inner", max_span_buckets)
     extra = [c for c in intervals.columns if c not in on]
     unmatched = pt.join(iv, cond + [residual], "left_anti").select(
         *[pt[c] for c in points.columns]

@@ -63,3 +63,20 @@ def test_no_cartesian_in_plan(spark):
     plan = interval_join(pts, iv, on=["key"], bucket_ms=10)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runaway_interval_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    pts = spark.createDataFrame([("a", 5, 1.0)], "key string, ts long, value double")
+    iv = spark.createDataFrame(
+        [("a", 0, 10**15, "open-ended")],  # effectively infinite interval
+        "key string, start long, end long, iv_id string",
+    )
+    with pytest.raises(Exception) as exc:
+        interval_join(pts, iv, on=["key"], bucket_ms=1000).collect()
+    assert "spans more than" in str(exc.value)
+    # a coarser bucket keeps the same interval workable
+    got = interval_join(pts, iv, on=["key"], bucket_ms=10**12).collect()
+    assert len(got) == 1
