@@ -26,6 +26,8 @@ from rhq_metrics_spark.pipelines.sampling import (
 )
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
+    ivf_build_index,
+    ivf_query_index,
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
@@ -55,6 +57,8 @@ __all__ = [
     "hashed_weights",
     "linear_score",
     "ivf_cosine_topk",
+    "ivf_build_index",
+    "ivf_query_index",
     "kmv_distinct",
     "language_id",
     "lsh_cosine_topk",

@@ -21,7 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 #: fixed-point scale for integer-exact signature dots: float32 inputs
 #: times 2^20 are exactly representable, so ``floor(v * EMB_SCALE)`` is
@@ -364,6 +364,92 @@ def lsh_cosine_topk(
                 / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qv")))
             ).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: centroids + the corpus PARTITIONED BY CELL.
+
+    The expensive full-corpus pass (cell assignment, one Arrow matmul
+    per batch) runs exactly once at build time; the layout makes every
+    later query a *partition-pruned* read — probing 4 of 64 cells scans
+    4/64ths of the bytes, which is the entire point of IVF on a 100 TB
+    corpus.  Returns the trained centroids."""
+    spark = corpus.sparkSession
+    centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    assign1 = _cell_assignment_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    c = c.select(
+        "vec_id", "vec", F.explode(assign1(F.col("vec"))).alias("cell")
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    rows.sort(key=lambda r: r["cell"])
+    return np.array([r["centroid"] for r in rows])
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k over a persisted IVF index.  The probed cell set (≤
+    n_cells values) is resolved driver-side so the cell filter is a
+    literal IN-list — Catalyst prunes the unprobed partitions and the
+    scan never touches them."""
+    centroids = ivf_load_centroids(spark, path)
+    assignp = _cell_assignment_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).select("query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("cell"))
+    q = q.persist()
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("_cv"), "cell")
+    )
+    cands = c.join(F.broadcast(q), "cell").drop("cell")
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("_cv"), F.col("_qv"))
+            / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qv")))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

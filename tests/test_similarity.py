@@ -153,3 +153,30 @@ def test_ivf_full_probe_equals_bruteforce(emb):
     full = {(r["query_id"], r["rank"]): r["neighbor_id"]
             for r in ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()}
     assert exact == full
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    from rhq_metrics_spark.pipelines.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    centroids = ivf_build_index(emb, path, n_cells=8)
+    queries = emb.filter("vec_id < 5")
+
+    got = ivf_query_index(spark, path, queries, k=5, n_probe=3)
+    # identical results to the in-memory path with the same centroids
+    exp = ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=3,
+                          centroids=centroids)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+    # the probed-cell filter must prune partitions at the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, "cell filter did not reach PartitionFilters"
