@@ -66,6 +66,7 @@ from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.sessions import session_stats
 from rhq_metrics_spark.pipelines.dedup import (
     dup_clusters,
+    embed_cross_near_dup,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1843,6 +1844,36 @@ scored AS (SELECT cand.id_a, cand.id_b,
 SELECT id_a, id_b, round(c, 5) AS cosine FROM scored WHERE c >= {EMB_T}
 """
 
+EMBX_T, EMBX_MOD = 0.35, 20
+
+
+def q_embed_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: eval vectors (vec_id % {EMBX_MOD} == 0)
+    near-dup against the training corpus at the embedding level
+    (pipelines/dedup.py embed_cross_near_dup) — LSH bucket join LEFT ×
+    RIGHT only, exact cosine verify, md5 planes so the verified pair
+    set is SQL-reproducible."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % EMBX_MOD == 0)
+    tr = emb.filter(F.col("vec_id") % EMBX_MOD != 0)
+    out = embed_cross_near_dup(ev, tr, threshold=EMBX_T)
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
+SQL_EMB_CROSS = f"""
+WITH {{sigs_cte}},
+cand AS (SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+         FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+         WHERE l.vec_id % {EMBX_MOD} = 0 AND r.vec_id % {EMBX_MOD} <> 0),
+scored AS (SELECT cand.left_id, cand.right_id,
+             list_dot_product(x.e, y.e) /
+             (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS c
+           FROM cand JOIN v x ON x.vec_id = cand.left_id
+                     JOIN v y ON y.vec_id = cand.right_id)
+SELECT left_id, right_id, round(c, 5) AS cosine FROM scored WHERE c >= {EMBX_T}
+"""
+
+
 TOPK_K, TOPK_NQ = 5, 10
 #: embed_lsh_topk index shape: short signatures × many tables (the
 #: recall dial for near-orthogonal random embeddings)
@@ -3169,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "embed_near_dup": q_embed_near_dup,
+        "embed_contamination": q_embed_contamination,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_lsh_recall": q_embed_lsh_recall,
@@ -3261,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": _clusters_sql(),
         "embed_near_dup": SQL_EMB_NEAR,
+        "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,
         "embed_lsh_topk": SQL_LSH_TOPK,
         "embed_lsh_recall": SQL_LSH_RECALL,

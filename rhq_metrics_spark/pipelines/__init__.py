@@ -1,6 +1,7 @@
 from rhq_metrics_spark.pipelines.classify import hashed_weights, linear_score
 from rhq_metrics_spark.pipelines.dedup import (
     dup_clusters,
+    embed_cross_near_dup,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -54,6 +55,7 @@ __all__ = [
     "exact_dedup",
     "frame_sample_plan",
     "hash_split",
+    "embed_cross_near_dup",
     "hashed_weights",
     "linear_score",
     "ivf_cosine_topk",

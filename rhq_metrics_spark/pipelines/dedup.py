@@ -771,3 +771,104 @@ def dup_clusters(
         F.col("_lab").alias("cluster_id"),
         (F.col("_lab") == F.col("_id")).alias("is_canonical"),
     )
+
+
+def embed_cross_near_dup(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    plane_gen: str = "md5",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup: pairs (left, right) with
+    cosine ≥ threshold — semantic decontamination (eval set vs training
+    corpus) at the embedding level, the vector-space twin of
+    ``contamination_check``'s n-gram overlap.
+
+    Same LSH machinery as :func:`embedding_near_dup_pairs` but the
+    bucket join is LEFT × RIGHT only (never within a corpus, no self
+    pairs).  Hot right-side buckets over ``max_bucket_size`` are
+    dropped with a LOGGED count — a boilerplate bucket pairs every eval
+    doc with everything, which is a recall-free candidate explosion.
+    Output: ``(left_id, right_id, cosine)``.
+    """
+    from rhq_metrics_spark.pipelines.similarity import (
+        lsh_signatures_udf_md5,
+        lsh_signatures_udf_seeded,
+    )
+
+    if plane_gen == "md5":
+        sigs_udf = lsh_signatures_udf_md5(num_planes, tables, seed)
+    else:
+        sigs_udf = lsh_signatures_udf_seeded(num_planes, tables, seed)
+
+    def prep(df: DataFrame, ident: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(ident),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(f"_v_{ident}"),
+        )
+        return v.withColumn("_sigs", sigs_udf(F.col(f"_v_{ident}"))).select(
+            ident,
+            f"_v_{ident}",
+            F.explode(
+                F.transform(
+                    F.col("_sigs"),
+                    lambda s, i: F.concat(
+                        i.cast("string"), F.lit(":"), s.cast("string")
+                    ),
+                )
+            ).alias("_bucket"),
+        )
+
+    lb = prep(left, "left_id")
+    rb = prep(right, "right_id").persist()
+    if max_bucket_size is not None:
+        sizes = rb.groupBy("_bucket").agg(F.count("*").alias("_bsz"))
+        hot = sizes.filter(F.col("_bsz") > max_bucket_size)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embed_cross_near_dup: dropping %d hot right-side buckets "
+                "(> %d members) from candidate generation",
+                n_hot, max_bucket_size,
+            )
+            rb = rb.join(
+                F.broadcast(hot.select("_bucket")), "_bucket", "left_anti"
+            )
+    cands = (
+        lb.select("left_id", "_bucket")
+        .join(rb.select("right_id", "_bucket"), "_bucket")
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    norms = lambda df, ident: df.select(  # noqa: E731
+        F.col(ident),
+        F.col(f"_v_{ident}").alias(f"_v{ident[0]}"),
+        F.sqrt(
+            F.aggregate(f"_v_{ident}", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias(f"_n{ident[0]}"),
+    ).dropDuplicates([ident])
+    la = norms(lb, "left_id")
+    ra = norms(rb, "right_id")
+    return (
+        cands.join(la, "left_id")
+        .join(ra, "right_id")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_vl", "_vr", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("_nl") * F.col("_nr")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -278,3 +278,30 @@ def test_segment_dedup_partial_tail_segment(spark):
     out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=3).collect()}
     assert out[0]["n_kept"] == 2
     assert out[1]["n_kept"] == 0 and out[1]["kept_text"] == ""
+
+
+def test_embed_cross_near_dup_no_self_pairs(spark):
+    from rhq_metrics_spark.pipelines.dedup import embed_cross_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.filter("vec_id % 10 = 0")
+    right = emb.filter("vec_id % 10 <> 0")
+    out = embed_cross_near_dup(left, right, threshold=0.3).collect()
+    assert out, "expected at least one cross pair at low threshold"
+    for r in out:
+        assert r["left_id"] % 10 == 0
+        assert r["right_id"] % 10 != 0
+        assert r["cosine"] >= 0.3
+
+
+def test_embed_cross_near_dup_drops_hot_buckets_loudly(spark, caplog):
+    import logging
+
+    from rhq_metrics_spark.pipelines.dedup import embed_cross_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.filter("vec_id % 10 = 0")
+    right = emb.filter("vec_id % 10 <> 0")
+    with caplog.at_level(logging.WARNING):
+        embed_cross_near_dup(left, right, threshold=0.3, max_bucket_size=2).collect()
+    assert any("hot right-side buckets" in m for m in caplog.messages)
