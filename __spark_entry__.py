@@ -2916,7 +2916,8 @@ w AS (SELECT metric, ts, user_id, v100,
       WINDOW fr AS (PARTITION BY metric, user_id ORDER BY ts, v100
                     ROWS BETWEEN {Z_WINDOW_N} PRECEDING AND 1 PRECEDING)),
 m AS (SELECT *, s / n AS mean,
-        sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS std
+        CASE WHEN n > 0
+             THEN sqrt(greatest(sq / n - (s / n) * (s / n), 0)) END AS std
       FROM w),
 z AS (SELECT *,
         round(CASE WHEN n >= {Z_MIN_N} AND std > 0

@@ -51,7 +51,9 @@ def rolling_zscore(
     # population variance of the trailing frame; max(0) soaks the tiny
     # negative residue exact-integer inputs never produce but doubles can
     var = F.greatest(sq / n - mean * mean, F.lit(0.0))
-    std = F.sqrt(var)
+    # empty frame → null std (greatest ignores the null difference and
+    # would otherwise report a spurious 0.0 baseline spread)
+    std = F.when(n > 0, F.sqrt(var))
     z = F.when((n >= min_n) & (std > 0), (v - mean) / std)
     out = (
         df.withColumn("base_mean", F.round(mean, 4))

@@ -314,3 +314,129 @@ def test_repetition_stats_match_python(spark, texts):
         assert got[i]["dup_word_frac"] == pytest.approx(dup_frac(toks), abs=1e-9), t
         assert got[i]["dup_2gram_frac"] == pytest.approx(dup_frac(grams(2)), abs=1e-9), t
         assert got[i]["dup_3gram_frac"] == pytest.approx(dup_frac(grams(3)), abs=1e-9), t
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators vs brute-force Python oracles
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500)),
+        min_size=1, max_size=40,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 500),
+            st.integers(1, 200),
+        ),
+        min_size=1, max_size=15,
+    ),
+    bucket_ms=st.sampled_from([1, 7, 64, 1000]),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_bruteforce(spark, pts, ivs, bucket_ms):
+    from rhq_metrics_spark.operators.interval import interval_join
+
+    pdf = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(pts)],
+        "key string, ts long, value double",
+    )
+    idf = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivs)],
+        "key string, start long, end long, iv_id long",
+    )
+    got = {
+        (r["key"], r["ts"], r["value"], r["iv_id"])
+        for r in interval_join(pdf, idf, on=["key"], bucket_ms=bucket_ms).collect()
+    }
+    exp = {
+        (k, t, float(i), j)
+        for i, (k, t) in enumerate(pts)
+        for j, (k2, s, d) in enumerate(ivs)
+        if k == k2 and s <= t < s + d
+    }
+    assert got == exp
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    window_n=st.sampled_from([3, 5, 10]),
+    min_n=st.sampled_from([2, 3]),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rolling_zscore_matches_python(spark, vals, window_n, min_n):
+    import math
+
+    from rhq_metrics_spark.operators.anomaly import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in enumerate(vals)],
+        "key string, ts long, value double",
+    )
+    got = {
+        r["ts"]: (r["base_mean"], r["base_std"], r["z"])
+        for r in rolling_zscore(
+            df, on=["key"], order=["ts"], value_col="value",
+            window_n=window_n, min_n=min_n,
+        ).collect()
+    }
+    for t in range(len(vals)):
+        frame = [float(v) for v in vals[max(0, t - window_n):t]]
+        if not frame:
+            assert got[t] == (None, None, None), t
+            continue
+        n = len(frame)
+        mean = sum(frame) / n
+        var = max(sum(v * v for v in frame) / n - mean * mean, 0.0)
+        std = math.sqrt(var)
+        z = (
+            round((vals[t] - mean) / std, 4)
+            if n >= min_n and std > 0
+            else None
+        )
+        assert got[t] == (round(mean, 4), round(std, 4), z), t
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.sampled_from([1, 3, 8]),
+    stride=st.sampled_from([1, 2, 8]),
+)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_documents_covers_every_token_once_per_window(
+    spark, n_tokens, chunk, stride
+):
+    from rhq_metrics_spark.pipelines.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    )
+    if n_tokens == 0:
+        assert out == []
+        return
+    # expected: windows at 0, stride, 2*stride ... covering the tail
+    exp = []
+    i = 0
+    starts = [0] if n_tokens <= chunk else list(
+        range(0, n_tokens - chunk + stride, stride)
+    )
+    # python twin of 1 + ceil((n-chunk)/stride) windows
+    n_chunks = 1 if n_tokens <= chunk else -(-(n_tokens - chunk) // stride) + 1
+    starts = [s * stride for s in range(n_chunks)]
+    for ci, s in enumerate(starts):
+        exp.append((ci, " ".join(f"t{j}" for j in range(s, min(s + chunk, n_tokens)))))
+    assert out == exp
