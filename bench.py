@@ -146,12 +146,22 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # one broken query must cost its own number, never the whole
+        # round's bench (round-2 lesson: a testdata schema change killed
+        # query #1 and zeroed every metric)
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -167,12 +177,15 @@ def main() -> None:
     # the approximate path's latency stays an honest, separate number
     from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    ivf_cosine_topk(
-        emb, emb.filter("vec_id < 10"), k=5, n_cells=16, n_probe=4
-    ).count()
-    timings["embed_ivf_partial_probe_sec"] = round(time.time() - t0, 3)
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        ivf_cosine_topk(
+            emb, emb.filter("vec_id < 10"), k=5, n_cells=16, n_probe=4
+        ).count()
+        timings["embed_ivf_partial_probe_sec"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["embed_ivf_partial_probe"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # engine KPIs mirroring the reference's harness axes (BASELINE.md):
     # batch-ingest throughput (JMH InsertBenchmark analogue) and
@@ -185,7 +198,7 @@ def main() -> None:
     from rhq_metrics_spark.sources.store import MetricsStore
 
     workdir = tempfile.mkdtemp(prefix="bench_store_")
-    try:
+    try:  # noqa: SIM105 — KPI failures must not zero the query timings
         store = MetricsStore(spark, workdir)
         pts = entry._events_points(spark, sf_dir).select(
             F.lit("bench").alias("tenant_id"),
@@ -246,6 +259,9 @@ def main() -> None:
             f"compact {len(done)} slices -> {timings['compaction_slices_per_sec']}/s",
             file=sys.stderr,
         )
+    except Exception as exc:  # noqa: BLE001
+        errors["store_kpis"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# store KPIs: ERROR {errors['store_kpis']}", file=sys.stderr)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -256,6 +272,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
