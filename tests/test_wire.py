@@ -101,3 +101,48 @@ def test_parse_is_all_jvm(spark):
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_wire_stream_feeds_store_ingest(spark, tmp_path):
+    """End-to-end REST-shaped continuous ingest: wire JSONL landing dir →
+    parse_wire stream → start_ingest_stream → store hot layer →
+    service query. The full reference write path, streaming."""
+    import json as _json
+    import time
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore, read_wire_stream
+    from rhq_metrics_spark.streaming.ingest import start_ingest_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    T = 1_700_000_000_000
+    payload = {
+        "id": "cpu", "tenantId": "acme",
+        "data": [{"timestamp": T + i * 1000, "value": float(i)} for i in range(40)],
+    }
+    (landing / "b1.jsonl").write_text(_json.dumps(payload))
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    points, _rejects = read_wire_stream(spark, str(landing), "gauge")
+    q = start_ingest_stream(
+        points, store, "gauge", str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        svc = MetricsService(spark, store)
+        deadline = time.time() + 90
+        count = 0
+        while count < 40 and time.time() < deadline:
+            try:
+                count = svc.find_data_points("gauge", "acme", "cpu", 0, 2**62).count()
+            except Exception:
+                count = 0
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert count == 40
+    stats = svc.gauge_stats("acme", "cpu", Buckets.from_count(T, T + 40_000, 4))
+    rows = stats.collect()
+    assert len(rows) == 4 and all(r["samples"] == 10 for r in rows)
