@@ -76,3 +76,98 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     assert got == expected
     # the spike at index 7 crosses a micro-batch boundary and must flag
     assert got[T + 7000][1] is True
+
+
+def test_streaming_segments_match_batch_lag_pairs(spark, tmp_path):
+    """Segments emitted across micro-batches must equal the batch lag
+    pairs over a replay — including the pair that straddles the batch
+    boundary; uptime aggregated from the segments matches the
+    duration-weighted math."""
+    import json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rhq_metrics_spark.streaming.availability import streaming_state_segments
+
+    T = 1_700_000_000_000
+    seq = ["up", "up", "down", "up", "down", "down", "up"]
+    pts = [
+        {"tenant_id": "t", "metric": "web", "ts": T + i * 10_000, "value": s}
+        for i, s in enumerate(seq)
+    ]
+    src = tmp_path / "av_in"
+    src.mkdir()
+    out_dir = tmp_path / "av_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:4]))
+
+    schema = "tenant_id string, metric string, ts long, value string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_state_segments(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "av_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in pts[4:]))
+        while rows() < len(pts) - 1 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["seg_start"], r["seg_end"], r["state"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch = spark.createDataFrame(
+        [(p["tenant_id"], p["metric"], p["ts"], p["value"]) for p in pts], schema
+    )
+    w = Window.partitionBy("tenant_id", "metric").orderBy("ts")
+    exp = {
+        (r["seg_start"], r["seg_end"], r["state"])
+        for r in batch.select(
+            F.lag("ts").over(w).alias("seg_start"),
+            F.col("ts").alias("seg_end"),
+            F.lag("value").over(w).alias("state"),
+        )
+        .filter(F.col("seg_start").isNotNull())
+        .collect()
+    }
+    assert got == exp and len(got) == len(pts) - 1
+
+    # duration-weighted uptime from the segments (plain JVM aggregation)
+    segs = spark.read.parquet(str(out_dir))
+    up_ms = (
+        segs.withColumn("dur", F.col("seg_end") - F.col("seg_start"))
+        .groupBy("metric")
+        .agg(
+            (
+                F.sum(F.when(F.col("state") == "up", F.col("dur")).otherwise(0))
+                / F.sum("dur")
+            ).alias("uptime_ratio")
+        )
+        .collect()[0]["uptime_ratio"]
+    )
+    # segment states (the earlier point's): up,up,down,up,down,down ->
+    # 3 of 6 equal-length segments are up
+    assert abs(up_ms - 0.5) < 1e-9
