@@ -2962,6 +2962,33 @@ FROM r WHERE rk <= {TOPK_PER_GROUP}
 """
 
 
+def q_s10_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: REST wire-format round trip (sources/wire.py) — serialize
+    the canonical points to the reference's GET .../raw JSON shape, then
+    parse them back with the POST-body parser.  The oracle is the
+    identity over the raw points: ANY loss in the JSON round trip
+    (double formatting, tag handling, DESC data ordering) hash-fails."""
+    from rhq_metrics_spark.sources.wire import parse_wire, to_wire_json
+
+    pts = _events_points(spark, sf_dir).select(
+        F.lit("acme").alias("tenant_id"), "metric", "ts", "value",
+        F.lit(None).cast("map<string,string>").alias("tags"),
+    )
+    wire = to_wire_json(pts)
+    good, _bad = parse_wire(
+        wire.select(F.col("json").alias("value")), "gauge"
+    )
+    return good.select(
+        "tenant_id", "metric", "ts", F.round("value", 4).alias("value")
+    )
+
+
+SQL_S10 = f"""
+WITH ev AS ({EV_SQL})
+SELECT 'acme' AS tenant_id, metric, ts, round(value, 4) AS value FROM ev
+"""
+
+
 ROLLUP_WIN_MS, ROLLUP_STEP_MS = 3_600_000, 7_200_000
 
 
@@ -3171,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -3263,6 +3291,7 @@ def oracle_sql() -> dict[str, str]:
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
+        "s10_wire_roundtrip": SQL_S10,
         "text_classify": SQL_CLF,
         "chunk_docs": SQL_CHUNK,
         "split_leakage_safe": _leakage_split_sql(),
