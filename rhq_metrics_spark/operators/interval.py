@@ -49,7 +49,16 @@ def interval_join(
     ``how='inner'`` keeps matched points; ``'left'`` keeps unmatched
     points with null interval columns (both sides of the bucket join
     stay equi-joined — Catalyst still gets a hash join).
+
+    Non-key column names must not collide between ``points`` and
+    ``intervals`` (the output carries both sides' columns unprefixed).
     """
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(overlap)}; "
+            "rename one side before joining"
+        )
     on = list(on)
     if bucket_ms <= 0:
         raise ValueError("bucket_ms must be positive")

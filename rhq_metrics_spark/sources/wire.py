@@ -72,9 +72,12 @@ def parse_wire(
 
     ``points`` has the canonical ``(tenant_id, metric, ts, value, tags)``
     schema (point-level tags win over metric-level, DataPoint.java:59);
-    ``rejects`` carries the raw line + a reason for every record that
-    failed to parse or lacked required fields (id, timestamp) —
-    ingest-side validation the reference does in ApiUtils.badRequest.
+    ``rejects`` carries the raw line + a reason for every RECORD that
+    failed to parse or lacked required fields (id, data) — ingest-side
+    validation the reference does in ApiUtils.badRequest.  Individual
+    data points with a null timestamp inside an otherwise-valid record
+    are dropped (the reference 400s the whole request,
+    DataPoint.java:52; a pipeline keeps the valid siblings).
     """
     parsed = lines.select(
         F.col(json_col).alias("_raw"),
