@@ -4,6 +4,7 @@ from rhq_metrics_spark.operators.availability import availability_stats
 from rhq_metrics_spark.operators.distinct import distinct_adjacent
 from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.interval import interval_join
+from rhq_metrics_spark.operators.percentile import P2Estimator, p2_percentiles
 from rhq_metrics_spark.operators.periods import periods, predicate
 from rhq_metrics_spark.operators.sessions import session_stats, sessionize
 from rhq_metrics_spark.operators.rate import rate, rate_stats
@@ -30,6 +31,8 @@ __all__ = [
     "minmax_ts",
     "numeric_bucket_stats",
     "periods",
+    "P2Estimator",
+    "p2_percentiles",
     "pooled_stats",
     "predicate",
     "rate",
