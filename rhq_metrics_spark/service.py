@@ -36,6 +36,7 @@ from rhq_metrics_spark.operators import (
     stacked_stats,
     tagged_stats,
 )
+from rhq_metrics_spark.operators.stats import percentile_col_name
 from rhq_metrics_spark.sources.store import MetricsStore
 from rhq_metrics_spark.tags import find_metric_ids
 
@@ -321,12 +322,46 @@ class MetricsService:
         buckets: Buckets,
         percentiles: Sequence[float] = (),
         fill: str | None = None,
+        percentile_impl: str = "exact",
     ) -> DataFrame:
         """A1 bucket stats; ``fill='locf'|'linear'`` interpolates the
         empty buckets' min/avg/max (operators/gapfill.py) while
-        ``samples`` stays 0 so callers can tell fill from data."""
+        ``samples`` stays 0 so callers can tell fill from data.
+
+        ``percentile_impl``: ``'exact'`` (the reference's test
+        convention, default), ``'approx'`` (sketches, the 100 TB dial),
+        or ``'p2'`` (the reference's PRODUCTION estimator,
+        NumericDataPointCollector.java:45-61 — P² fed in time order,
+        operators/percentile.py)."""
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, buckets.start, buckets.end)
-        out = numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+        if percentile_impl == "p2" and percentiles:
+            from rhq_metrics_spark.operators.percentile import p2_percentiles
+            from rhq_metrics_spark.operators.stats import bucket_index, in_grid
+
+            base = numeric_bucket_stats(pts, buckets, ())
+            p2 = p2_percentiles(
+                pts.filter(in_grid(buckets))
+                .withColumn("start", F.lit(buckets.start)
+                            + bucket_index(buckets) * F.lit(buckets.step)),
+                group_cols=["start"],
+                order_cols=["ts", "value"],
+                percentiles=[50, *percentiles],
+            ).select(
+                "start",
+                F.col("p50").alias("median"),
+                *[
+                    F.col(percentile_col_name(q))
+                    for q in percentiles
+                    if percentile_col_name(q) != "p50"
+                ],
+            )
+            out = base.drop("median").join(p2, "start", "left").orderBy("start")
+        elif percentile_impl == "approx":
+            out = numeric_bucket_stats(
+                pts, buckets, percentiles, approx=True
+            ).orderBy("start")
+        else:
+            out = numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
         if fill is not None:
             from rhq_metrics_spark.operators.gapfill import fill_gaps
 

@@ -65,3 +65,44 @@ def test_spark_groups_match_python_twin(spark):
             e50.add(v)
             e95.add(v)
         assert got[k] == (300, e50.result(), e95.result()), k
+
+
+def test_service_p2_impl_end_to_end(spark, tmp_path):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    T = 1_700_000_000_000
+    rng = random.Random(3)
+    rows = [("t", "cpu", T + i * 1000, rng.random() * 100, None) for i in range(400)]
+    svc.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    b = Buckets.from_count(T, T + 400_000, 2)
+
+    p2 = {r["start"]: r for r in svc.gauge_stats(
+        "t", "cpu", b, percentiles=[90], percentile_impl="p2").collect()}
+    exact = {r["start"]: r for r in svc.gauge_stats(
+        "t", "cpu", b, percentiles=[90]).collect()}
+    assert set(p2) == set(exact) and len(p2) == 2
+    for s in p2:
+        # non-percentile stats identical; P2 estimate near the exact one
+        for c in ("min", "max", "sum", "samples", "avg"):
+            assert p2[s][c] == exact[s][c], (s, c)
+        assert abs(p2[s]["p90"] - exact[s]["p90"]) < 10.0
+        assert abs(p2[s]["median"] - exact[s]["median"]) < 10.0
+
+    # the P2 path matches the pure-Python twin fed in the same order
+    from rhq_metrics_spark.operators.percentile import P2Estimator
+
+    per_bucket = {}
+    for _, _, ts, v, _ in rows:
+        per_bucket.setdefault(T + ((ts - T) // 200_000) * 200_000, []).append((ts, v))
+    for s, tv in per_bucket.items():
+        e = P2Estimator(0.9)
+        for _, v in sorted(tv):
+            e.add(v)
+        assert p2[s]["p90"] == e.result(), s
