@@ -134,6 +134,38 @@ class MetricsService:
             tags=kept or None, data_retention=row["data_retention"],
         )
 
+    def get_metric(self, tenant_id: str, metric_type: str, metric: str):
+        """Reference ``findMetric``: one definition row (Row or None)."""
+        return self._definition_row(tenant_id, metric_type, metric)
+
+    def get_metric_tags(
+        self, tenant_id: str, metric_type: str, metric: str
+    ) -> dict[str, str]:
+        """Reference ``getMetricTags``: the definition's tag map ({} if
+        the metric has no definition or no tags)."""
+        row = self._definition_row(tenant_id, metric_type, metric)
+        return dict(row["tags"]) if row is not None and row["tags"] else {}
+
+    def get_tag_names(
+        self,
+        filter_regex: str | None = None,
+        tenant_id: str | None = None,
+        metric_type: str | None = None,
+    ) -> DataFrame:
+        """Reference ``getTagNames`` (TagQueryParser.getTagNames):
+        distinct tag KEYS across definitions, optionally regex-filtered."""
+        idx = self.store.metrics_idx()
+        if idx is None:
+            return self.spark.createDataFrame([], "tag string")
+        if tenant_id:
+            idx = idx.filter(F.col("tenant_id") == tenant_id)
+        if metric_type:
+            idx = idx.filter(F.col("type") == metric_type)
+        names = idx.select(F.explode(F.map_keys("tags")).alias("tag"))
+        if filter_regex:
+            names = names.filter(F.col("tag").rlike(f"^(?:{filter_regex})$"))
+        return names.distinct()
+
     def get_tag_values(
         self,
         tag_patterns: dict[str, str],

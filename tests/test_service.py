@@ -389,3 +389,24 @@ def test_delete_metric_purges_hot_keeps_cold(spark, tmp_path):
     assert svc.find_data_points("gauge", "t1", "die", T, T + 10**9).count() == 0
     # the other metric is untouched
     assert svc.find_data_points("gauge", "t1", "live", T, T + 10**9).count() == 20
+
+
+def test_get_metric_tags_and_names(spark, tmp_path):
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    svc.create_metric("t1", "gauge", "cpu", tags={"env": "prod", "dc": "us"})
+    svc.create_metric("t1", "counter", "reqs", tags={"env": "qa", "host": "h1"})
+
+    assert svc.get_metric_tags("t1", "gauge", "cpu") == {"env": "prod", "dc": "us"}
+    assert svc.get_metric_tags("t1", "gauge", "nope") == {}
+    assert svc.get_metric("t1", "counter", "reqs")["metric"] == "reqs"
+    assert svc.get_metric("t2", "counter", "reqs") is None
+
+    names = {r["tag"] for r in svc.get_tag_names(tenant_id="t1").collect()}
+    assert names == {"env", "dc", "host"}
+    filtered = {r["tag"] for r in svc.get_tag_names(filter_regex="e.*|d.*").collect()}
+    assert filtered == {"env", "dc"}
+    only_gauge = {r["tag"] for r in svc.get_tag_names(metric_type="gauge").collect()}
+    assert only_gauge == {"env", "dc"}
