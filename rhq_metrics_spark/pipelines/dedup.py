@@ -692,6 +692,7 @@ def dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → canonical doc per
     cluster (the step AFTER pair generation in a dedup pipeline: every
@@ -725,6 +726,45 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # hybrid execution: a near-dup edge set is normally a tiny fraction
+    # of the corpus (pairs, not points) — when it fits the driver, a
+    # union-find beats ~10 shuffle supersteps by an order of magnitude.
+    # The distributed loop below is the path for pathological graphs;
+    # both produce cluster_id = min reachable id, bit-identically.
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = find(row["_src"]), find(row["_dst"])
+            if a != b:
+                # min-id wins so the representative IS the cluster id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = ids.sparkSession
+        id_type = dict(ids.dtypes)[id_col]
+        if mapping:
+            mdf = spark.createDataFrame(
+                mapping, f"`{id_col}` {id_type}, _root {id_type}"
+            )
+            out = ids.join(F.broadcast(mdf), id_col, "left")
+        else:
+            out = ids.withColumn("_root", F.lit(None).cast(id_type))
+        return out.select(
+            id_col,
+            F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("_root"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
     labels = ids.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
     ).localCheckpoint(eager=True)

@@ -305,3 +305,26 @@ def test_embed_cross_near_dup_drops_hot_buckets_loudly(spark, caplog):
     with caplog.at_level(logging.WARNING):
         embed_cross_near_dup(left, right, threshold=0.3, max_bucket_size=2).collect()
     assert any("hot right-side buckets" in m for m in caplog.messages)
+
+
+def test_dup_clusters_distributed_path_matches_driver_shortcut(spark):
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    # chains, a cycle, singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 10)]          # chain 0..10
+        + [(20, 21), (21, 22), (22, 20)]            # cycle
+        + [(30, 40), (40, 50)],                     # long-range links
+        "id_a long, id_b long",
+    )
+    fast = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in dup_clusters(ids, pairs).collect()}
+    dist = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in dup_clusters(ids, pairs, driver_threshold=0).collect()}
+    assert fast == dist
+    lookup = {d: c for d, c, _ in fast}
+    assert all(lookup[i] == 0 for i in range(11))
+    assert lookup[20] == lookup[21] == lookup[22] == 20
+    assert lookup[30] == lookup[40] == lookup[50] == 30
+    assert lookup[59] == 59  # singleton

@@ -43,7 +43,9 @@ def main() -> None:
     n_pairs = pairs.count()
 
     t0 = time.time()
-    out = dup_clusters(ids, pairs, max_iters=30)
+    # force the DISTRIBUTED loop — this smoke exists to prove the
+    # superstep path converges at scale, not the driver shortcut
+    out = dup_clusters(ids, pairs, max_iters=30, driver_threshold=0)
     n_clusters = out.select("cluster_id").distinct().count()
     dt = round(time.time() - t0, 2)
 
