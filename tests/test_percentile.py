@@ -106,3 +106,69 @@ def test_service_p2_impl_end_to_end(spark, tmp_path):
         for _, v in sorted(tv):
             e.add(v)
         assert p2[s]["p90"] == e.result(), s
+
+
+def test_streaming_p2_matches_batch_estimator(spark, tmp_path):
+    """Running P² estimates across micro-batches must equal the batch
+    estimator fed the same points in the same order — the marker state
+    survives the batch boundary (including the pre-warm < 5 phase)."""
+    import json
+    import time
+
+    from rhq_metrics_spark.streaming.percentile import streaming_p2
+
+    T = 1_700_000_000_000
+    rng = random.Random(11)
+    vals = [round(rng.random() * 100, 3) for _ in range(30)]
+    pts = [
+        {"tenant_id": "t", "metric": "m", "ts": T + i * 1000, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "p2_in"
+    src.mkdir()
+    out_dir = tmp_path / "p2_out"
+    # first batch ends mid-warmup (3 points), second finishes the stream
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:3]))
+
+    schema = "tenant_id string, metric string, ts long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_p2(stream, percentiles=[50, 95])
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "p2_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in pts[3:]))
+        while rows() < len(pts) and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        r["ts"]: (r["p50"], r["p95"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert len(got) == len(pts)
+    e50, e95 = P2Estimator(0.5), P2Estimator(0.95)
+    for i, v in enumerate(vals):
+        e50.add(v)
+        e95.add(v)
+        assert got[T + i * 1000] == (e50.result(), e95.result()), i
