@@ -62,13 +62,17 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_tpch_q21_plans_semi_and_anti_joins(spark):
-    """The EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti hash
-    joins (never a count-based rewrite or a nested loop)."""
+def test_tpch_q21_single_lineitem_pass(spark):
+    """Both correlated EXISTS conditions are answered by collect_set
+    windows sharing ONE exchange — lineitem must be scanned once, not
+    three times, and no self-join shapes remain."""
     plan = _plan(spark, "tpch_q21")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("l_shipdate") >= 1
+    import re
+    scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert scans == 1, f"lineitem scanned {scans}x"
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_tpch_q2_correlated_min_stays_copartitioned(spark):
