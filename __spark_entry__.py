@@ -1318,19 +1318,24 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     average as an aggregate-then-rejoin; the qty < 0.2*avg predicate is
     cross-multiplied to integers (qty*5*cnt < sum_qty) — no division."""
     li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    # the correlated per-part average only ranges over parts the outer
+    # query selects, so the broadcast semi-join goes BELOW the pre-agg:
+    # its input shrinks by the brand selectivity before any shuffle
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+    )
     pq = (
-        li.groupBy(F.col("l_partkey").alias("pk"))
+        branded.groupBy(F.col("l_partkey").alias("pk"))
         .agg(
             F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
-    part = _table(spark, sf_dir, "part").filter(
-        F.col("p_brand") == "Brand#2"
-    ).select("p_partkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(pq, li.l_partkey == pq.pk)
+        branded.join(pq, branded.l_partkey == pq.pk)
         .filter(
             F.round("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
         )
