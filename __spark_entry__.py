@@ -75,6 +75,7 @@ from rhq_metrics_spark.pipelines.dedup import (
     simhash_pairs,
 )
 from rhq_metrics_spark.pipelines.multimodal import (
+    frame_sample_plan,
     media_features,
     media_from_documents,
 )
@@ -2445,6 +2446,28 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+FRAME_EVERY_MS = 500
+
+
+def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pipelines/multimodal.py
+    frame_sample_plan): expand (media_id, duration) into sampled frame
+    timestamps with pure JVM sequence/explode — the step that keeps
+    blob reads proportional to frames wanted, not media length."""
+    docs = _table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return frame_sample_plan(media, every_ms=FRAME_EVERY_MS)
+
+
+SQL_MM_FRAME = f"""
+WITH v AS (SELECT doc_id AS media_id, (doc_id % 60 + 1) * 1000 AS duration_ms
+           FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id,
+       unnest(range(0, greatest(duration_ms - 1, 0) + 1, {FRAME_EVERY_MS})) AS frame_ts_ms
+FROM v
+"""
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the synthesized
     media table.  The stub decoder is deterministic (sha256-of-hex
@@ -3247,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
+        "mm_frame_plan": q_mm_frame_plan,
         "mm_features": q_mm_features,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -3341,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "url_domains": SQL_URL_DOMAINS,
         "doc_fingerprint": SQL_DOC_FP,
         "mm_meta": SQL_MM_META,
+        "mm_frame_plan": SQL_MM_FRAME,
         "mm_features": SQL_MM_FEAT,
         "sample_split": SQL_SAMPLE_SPLIT,
         "sample_cap": SQL_SAMPLE_CAP,
