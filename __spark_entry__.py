@@ -1446,15 +1446,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey"))
         ).over(w),
     )
-    cand = (
-        a.filter(
-            (F.col("l_shipdate") == F.col("max_ship"))
-            & (F.size("last_set") == 1)
-            & (F.size("supp_set") > 1)
-        )
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates()
-    )
+    # No dedup: the oracle's l1 counts one row PER lineitem line at the
+    # max ship date, so a supplier with 2+ lines at that date contributes
+    # each line to numwait.  The pre-dedup cand rows are exactly those l1
+    # rows (ADVICE r3: dropDuplicates() here diverged on that case).
+    cand = a.filter(
+        (F.col("l_shipdate") == F.col("max_ship"))
+        & (F.size("last_set") == 1)
+        & (F.size("supp_set") > 1)
+    ).select("l_orderkey", "l_suppkey")
     orders = _table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")

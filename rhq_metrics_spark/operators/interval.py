@@ -93,24 +93,14 @@ def interval_join(
     cond = [pt["_b"] == iv["_b"]] + [pt[c] == iv[c] for c in on]
     residual = (pt[ts_col] >= iv[start_col]) & (pt[ts_col] < iv[end_col])
 
-    if how == "inner":
-        joined = pt.join(iv, cond + [residual], "inner")
-        keep = [pt[c] for c in points.columns] + [
-            iv[c] for c in intervals.columns if c not in on
-        ]
-        return joined.select(*keep)
-    if how != "left":
+    if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    # left: run the inner bucket join, then add back unmatched points via
-    # a left anti join on the (cheap, already-bucketed) same condition.
-    inner = interval_join(points, intervals, on, bucket_ms, ts_col,
-                          start_col, end_col, "inner", max_span_buckets)
-    extra = [c for c in intervals.columns if c not in on]
-    unmatched = pt.join(iv, cond + [residual], "left_anti").select(
-        *[pt[c] for c in points.columns]
-    )
-    for c in extra:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
-        )
-    return inner.unionByName(unmatched)
+    # One pass for both modes: each point carries exactly ONE bucket row,
+    # so a left outer join on cond+residual emits every matched pair once
+    # and every unmatched point exactly once with null interval columns —
+    # no second anti-join pass over the exploded side (ADVICE r3).
+    joined = pt.join(iv, cond + [residual], how)
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in on
+    ]
+    return joined.select(*keep)

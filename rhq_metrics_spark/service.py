@@ -185,6 +185,10 @@ class MetricsService:
         if metric_type:
             idx = idx.filter(F.col("type") == metric_type)
         pairs = idx.select(F.explode("tags").alias("tag", "value"))
+        if not tag_patterns:
+            # No patterns = every distinct (tag, value) pair; also avoids
+            # indexing an empty conds list (ADVICE r3).
+            return pairs.distinct()
         conds = []
         for name, pattern in tag_patterns.items():
             cond = F.col("tag") == name
@@ -371,22 +375,34 @@ class MetricsService:
             from rhq_metrics_spark.operators.stats import bucket_index, in_grid
 
             base = numeric_bucket_stats(pts, buckets, ())
+            # Dedupe by column name: a caller-requested 50 (or 50.0) would
+            # otherwise collide with the implicit median's p50 field and
+            # break the applyInPandas schema (ADVICE r3).
+            p2_qs: list[float] = [50]
+            seen_cols = {"p50"}
+            for q in percentiles:
+                col = percentile_col_name(q)
+                if col not in seen_cols:
+                    seen_cols.add(col)
+                    p2_qs.append(q)
             p2 = p2_percentiles(
                 pts.filter(in_grid(buckets))
                 .withColumn("start", F.lit(buckets.start)
                             + bucket_index(buckets) * F.lit(buckets.step)),
                 group_cols=["start"],
                 order_cols=["ts", "value"],
-                percentiles=[50, *percentiles],
-            ).select(
-                "start",
-                F.col("p50").alias("median"),
-                *[
-                    F.col(percentile_col_name(q))
-                    for q in percentiles
-                    if percentile_col_name(q) != "p50"
-                ],
+                percentiles=p2_qs,
             )
+            out_cols = [F.col("start"), F.col("p50").alias("median")]
+            emitted = set()
+            for q in percentiles:
+                col = percentile_col_name(q)
+                if col not in emitted:
+                    emitted.add(col)
+                    # an explicit 50 re-emits the median's field as p50,
+                    # matching the exact path's output columns
+                    out_cols.append(F.col(col))
+            p2 = p2.select(*out_cols)
             out = base.drop("median").join(p2, "start", "left").orderBy("start")
         elif percentile_impl == "approx":
             out = numeric_bucket_stats(

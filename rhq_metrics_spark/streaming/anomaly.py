@@ -66,11 +66,20 @@ def _make_anomaly_fn(window_n: int, min_n: int, threshold: float):
             last_ts, ring = None, []
 
         out: dict[str, list] = {"ts": [], "value": [], "z": [], "flag": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # Replay guard = the state's last_ts AT BATCH ENTRY: points from
+        # prior micro-batches are late/replayed (batch path owns them),
+        # but distinct points sharing a ts WITHIN this batch are all
+        # processed, in the batch window's (ts, value) order (ADVICE r3).
+        # Residual contract gap: a same-ts pair SPLIT ACROSS two
+        # micro-batches still drops the later arrival.
+        entry_ts = last_ts
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            merged = merged.sort_values(["ts", "value"])
+            for ts, value in zip(merged["ts"], merged["value"]):
                 ts, value = int(ts), float(value)
-                if last_ts is not None and ts <= last_ts:
+                if entry_ts is not None and ts <= entry_ts:
                     continue  # late/replayed — batch path owns history
                 z = None
                 n = len(ring)

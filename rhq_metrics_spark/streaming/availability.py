@@ -57,11 +57,20 @@ def _segments_group(
         last_ts, last_state = None, None
 
     out: dict[str, list] = {"state": [], "start": [], "end": []}
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
+    # Replay guard = last_ts at batch entry; distinct same-ts points
+    # within this batch are processed in deterministic (ts, value) order
+    # (the batch lag orders by ts alone, leaving ties unspecified — the
+    # streaming path pins them; ADVICE r3).  Same-ts segments are
+    # zero-length and duration-free downstream.  A same-ts pair split
+    # across micro-batches still drops the later arrival.
+    entry_ts = last_ts
+    frames = list(pdfs)
+    merged = pd.concat(frames) if frames else pd.DataFrame()
+    if len(merged):
+        merged = merged.sort_values(["ts", "value"])
+        for ts, value in zip(merged["ts"], merged["value"]):
             ts = int(ts)
-            if last_ts is not None and ts <= last_ts:
+            if entry_ts is not None and ts <= entry_ts:
                 continue  # late/replayed — batch path owns history
             if last_ts is not None:
                 out["state"].append(last_state)

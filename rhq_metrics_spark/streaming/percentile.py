@@ -60,6 +60,50 @@ def _unpack(flat: list[float], qs: list[float]) -> list[P2Estimator]:
     return ests
 
 
+def _make_p2_fn(qs: list[float], cols: list[str]):
+    def _group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tenant_id, metric = key
+        if state.exists:
+            last_ts, flat = state.get
+            ests = _unpack(list(flat or []), qs)
+        else:
+            last_ts, ests = None, [P2Estimator(q) for q in qs]
+
+        out: dict[str, list] = {"ts": [], "value": []}
+        for c in cols:
+            out[c] = []
+        # Replay guard = last_ts at batch entry; same-ts points within
+        # this batch all feed the estimators in (ts, value) order —
+        # matching the batch p2 order_cols (ADVICE r3).  A same-ts pair
+        # split across micro-batches still drops the later arrival.
+        entry_ts = last_ts
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            merged = merged.sort_values(["ts", "value"])
+            for ts, value in zip(merged["ts"], merged["value"]):
+                ts, value = int(ts), float(value)
+                if entry_ts is not None and ts <= entry_ts:
+                    continue  # late/replayed — batch path owns history
+                for e in ests:
+                    e.add(value)
+                out["ts"].append(ts)
+                out["value"].append(value)
+                for c, e in zip(cols, ests):
+                    out[c].append(e.result())
+                last_ts = ts
+
+        state.update((last_ts, _pack(ests)))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {"tenant_id": tenant_id, "metric": metric, **out}
+            )
+
+    return _group
+
+
 def streaming_p2(
     stream_df: DataFrame,
     percentiles: Sequence[float],
@@ -86,41 +130,8 @@ def streaming_p2(
         ]
     )
 
-    def _group(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        tenant_id, metric = key
-        if state.exists:
-            last_ts, flat = state.get
-            ests = _unpack(list(flat or []), qs)
-        else:
-            last_ts, ests = None, [P2Estimator(q) for q in qs]
-
-        out: dict[str, list] = {"ts": [], "value": []}
-        for c in cols:
-            out[c] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                ts, value = int(ts), float(value)
-                if last_ts is not None and ts <= last_ts:
-                    continue  # late/replayed — batch path owns history
-                for e in ests:
-                    e.add(value)
-                out["ts"].append(ts)
-                out["value"].append(value)
-                for c, e in zip(cols, ests):
-                    out[c].append(e.result())
-                last_ts = ts
-
-        state.update((last_ts, _pack(ests)))
-        if out["ts"]:
-            yield pd.DataFrame(
-                {"tenant_id": tenant_id, "metric": metric, **out}
-            )
-
     return stream_df.groupBy("tenant_id", "metric").applyInPandasWithState(
-        _group,
+        _make_p2_fn(qs, cols),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -71,7 +71,12 @@ def _make_rate_fn(counter: bool):
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts, value = int(ts), float(value)
                 if last_ts is not None and ts <= last_ts:
-                    continue  # late/replayed — batch path owns history
+                    # Late/replayed — batch path owns history.  Unlike the
+                    # other streaming twins, EQUAL-ts points stay out of
+                    # contract here by design: the rate delta/(ts-last_ts)
+                    # is undefined at zero elapsed time (the batch lag
+                    # path would divide by zero too).
+                    continue
                 if last_ts is not None:
                     if not (counter and value < last_value):
                         out_ts.append(ts)

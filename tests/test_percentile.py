@@ -107,6 +107,15 @@ def test_service_p2_impl_end_to_end(spark, tmp_path):
             e.add(v)
         assert p2[s]["p90"] == e.result(), s
 
+    # requesting 50 explicitly must not collide with the implicit median
+    # (ADVICE r3: duplicate p50 field broke the applyInPandas schema)
+    p2_50 = {r["start"]: r for r in svc.gauge_stats(
+        "t", "cpu", b, percentiles=[50, 90], percentile_impl="p2").collect()}
+    for s in p2_50:
+        assert p2_50[s]["median"] == p2[s]["median"]
+        assert p2_50[s]["p50"] == p2_50[s]["median"]
+        assert p2_50[s]["p90"] == p2[s]["p90"]
+
 
 def test_streaming_p2_matches_batch_estimator(spark, tmp_path):
     """Running P² estimates across micro-batches must equal the batch

@@ -344,6 +344,14 @@ def test_tag_crud_and_tag_values(spark, tmp_path):
     }
     assert all_env == {"prod", "qa", "stage"}
 
+    # empty pattern dict = every distinct (tag, value) pair (ADVICE r3:
+    # this used to raise IndexError)
+    everything = {
+        (r["tag"], r["value"])
+        for r in svc.get_tag_values({}, tenant_id="t1").collect()
+    }
+    assert ("team", "core") in everything and ("env", "prod") in everything
+
 
 def test_get_tenants_unions_index(spark, tmp_path):
     from rhq_metrics_spark.service import MetricsService

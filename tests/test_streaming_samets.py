@@ -1,0 +1,130 @@
+"""Same-timestamp contract of the streaming twins (ADVICE r3).
+
+Two DISTINCT points sharing a ts inside one micro-batch must both be
+processed, in the batch path's (ts, value) order; points at-or-before
+the state's last_ts from a PRIOR batch stay skipped (replay guard).
+Drives the applyInPandasWithState group functions directly with a fake
+GroupState — no streaming query, so the parity cases stay fast.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+class FakeState:
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows)
+
+
+def test_zscore_same_ts_within_batch_processed():
+    from rhq_metrics_spark.streaming.anomaly import _make_anomaly_fn
+
+    fn = _make_anomaly_fn(window_n=5, min_n=1, threshold=3.0)
+    T = 1_000_000
+    batch = _pdf(
+        {
+            "ts": [T, T + 1000, T + 1000, T + 2000],
+            "value": [10.0, 12.0, 11.0, 13.0],
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(fn(("t", "m"), iter([batch]), state)))
+    # all four points emitted; the same-ts pair ordered by value (11 then 12)
+    assert list(out["ts"]) == [T, T + 1000, T + 1000, T + 2000]
+    assert list(out["value"]) == [10.0, 11.0, 12.0, 13.0]
+    # ring state advanced through every point
+    last_ts, ring = state.get
+    assert last_ts == T + 2000 and list(ring) == [10.0, 11.0, 12.0, 13.0]
+
+
+def test_zscore_prior_batch_replay_still_skipped():
+    from rhq_metrics_spark.streaming.anomaly import _make_anomaly_fn
+
+    fn = _make_anomaly_fn(window_n=5, min_n=1, threshold=3.0)
+    T = 1_000_000
+    state = FakeState((T + 1000, [10.0, 12.0]))
+    batch = _pdf({"ts": [T + 1000, T + 2000], "value": [99.0, 13.0]})
+    out = pd.concat(list(fn(("t", "m"), iter([batch]), state)))
+    # the ts == last_ts point from a prior batch is a replay: skipped
+    assert list(out["ts"]) == [T + 2000]
+    assert state.get[0] == T + 2000
+
+
+def test_zscore_multiple_chunks_sorted_globally():
+    """applyInPandasWithState may deliver one group as several chunks;
+    they must be merged and sorted before processing."""
+    from rhq_metrics_spark.streaming.anomaly import _make_anomaly_fn
+
+    fn = _make_anomaly_fn(window_n=5, min_n=1, threshold=3.0)
+    T = 1_000_000
+    c1 = _pdf({"ts": [T + 2000], "value": [13.0]})
+    c2 = _pdf({"ts": [T, T + 1000], "value": [10.0, 12.0]})
+    state = FakeState()
+    out = pd.concat(list(fn(("t", "m"), iter([c1, c2]), state)))
+    assert list(out["ts"]) == [T, T + 1000, T + 2000]
+
+
+def test_segments_same_ts_within_batch():
+    from rhq_metrics_spark.streaming.availability import _segments_group
+
+    T = 1_000_000
+    batch = _pdf(
+        {
+            "ts": [T, T + 1000, T + 1000, T + 2000],
+            "value": ["up", "down", "admin", "up"],
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(_segments_group(("t", "m"), iter([batch]), state)))
+    segs = list(zip(out["seg_start"], out["seg_end"], out["state"]))
+    # same-ts pair ordered by value: admin < down, so up→admin (len 1000),
+    # admin→down (len 0), down→up (len 1000)
+    assert segs == [
+        (T, T + 1000, "up"),
+        (T + 1000, T + 1000, "admin"),
+        (T + 1000, T + 2000, "down"),
+    ]
+    assert state.get == (T + 2000, "up")
+
+
+def test_p2_same_ts_within_batch_feeds_estimator():
+    from rhq_metrics_spark.operators.percentile import P2Estimator
+    from rhq_metrics_spark.streaming.percentile import _make_p2_fn
+
+    fn = _make_p2_fn([0.5], ["p50"])
+    T = 1_000_000
+    vals = [10.0, 12.0, 11.0, 13.0, 9.0, 14.0]
+    batch = _pdf(
+        {
+            "ts": [T, T + 1000, T + 1000, T + 2000, T + 2000, T + 3000],
+            "value": vals,
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(fn(("t", "m"), iter([batch]), state)))
+    assert len(out) == len(vals)  # both same-ts pairs processed
+    # running estimates equal the batch estimator fed in (ts, value) order
+    ref = P2Estimator(0.5)
+    expected = []
+    for v in sorted(
+        zip(batch["ts"], batch["value"]), key=lambda p: (p[0], p[1])
+    ):
+        ref.add(float(v[1]))
+        expected.append(ref.result())
+    assert list(out["p50"]) == expected
