@@ -2502,6 +2502,63 @@ FROM m JOIN w USING (media_id)
 """
 
 
+def q_mm_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec round trip (pipelines/codecs.py): per document,
+    synthesize a 4x4 grayscale PNG and an 8-sample 16-bit WAV from the
+    md5 digest bytes, then run the real encoders + decoders (stdlib
+    zlib/wave + numpy — full PNG filter/CRC handling) inside an
+    Arrow-batched ``mapInPandas``.  The decoded pixel/sample sums are
+    exact integers the oracle recomputes from the hex digest — so the
+    codec itself (not a fixture) is under the cross-engine gate."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    import hashlib as _hl
+
+    from rhq_metrics_spark.pipelines.codecs import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    def _rt(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ps, ws = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                dig = _hl.md5(str(text).encode()).digest()
+                img = np.frombuffer(dig, dtype=np.uint8).reshape(4, 4)
+                dec = decode_png(encode_png(img))
+                wdec, _rate = decode_wav(
+                    encode_wav(np.frombuffer(dig, dtype="<i2"), 16_000)
+                )
+                ids.append(int(did))
+                ps.append(int(dec.astype(np.int64).sum()))
+                # decoded floats are int16/32768 (exact in binary); undo
+                ws.append(int(np.rint(wdec * 32768.0).astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": ids, "pix_sum": ps, "wav_sum": ws})
+
+    return docs.mapInPandas(_rt, schema="media_id long, pix_sum long, wav_sum long")
+
+
+SQL_MM_REAL_ROUNDTRIP = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+b AS (SELECT media_id,
+        SUM(('0x' || substr(hx, 2 * i + 1, 2))::BIGINT) AS pix_sum
+      FROM m CROSS JOIN range(16) t(i) GROUP BY media_id),
+w AS (SELECT media_id,
+        SUM(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS wav_sum
+      FROM (SELECT media_id,
+              ('0x' || substr(hx, 4 * s + 1, 2))::BIGINT
+            + 256 * ('0x' || substr(hx, 4 * s + 3, 2))::BIGINT AS v
+            FROM m CROSS JOIN range(8) t(s)) GROUP BY media_id)
+SELECT media_id, CAST(pix_sum AS BIGINT) AS pix_sum,
+       CAST(wav_sum AS BIGINT) AS wav_sum
+FROM b JOIN w USING (media_id)
+"""
+
+
 #: DuckDB twin of pipelines.sampling.hash_fraction (60-bit md5 prefix)
 HF_SQL = (
     "CAST(concat('0x', substr(md5(concat('{salt}', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -3272,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_frame_plan": q_mm_frame_plan,
         "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
         "sample_mixture": q_sample_mixture,
@@ -3367,6 +3425,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_meta": SQL_MM_META,
         "mm_frame_plan": SQL_MM_FRAME,
         "mm_features": SQL_MM_FEAT,
+        "mm_real_roundtrip": SQL_MM_REAL_ROUNDTRIP,
         "sample_split": SQL_SAMPLE_SPLIT,
         "sample_cap": SQL_SAMPLE_CAP,
         "sample_mixture": SQL_SAMPLE_MIXTURE,

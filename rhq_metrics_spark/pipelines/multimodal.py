@@ -1,12 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-pluggable callable — the default is a deterministic fake decoder (bytes
-→ pseudo-pixels via a hash expansion) clearly marked as a stub; wire a
-real library (Pillow/torchaudio/decord) by passing ``decoder=``.  The
-Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested; swapping the stub
-for a real codec changes no plan shape.
+The *decode* step is a pluggable callable with two shipped
+implementations:
+
+- :func:`rhq_metrics_spark.pipelines.codecs.real_decode` — a REAL
+  decoder: PNG (pure stdlib zlib + numpy, all filter types, CRC-checked)
+  and PCM WAV (stdlib ``wave``); Pillow is picked up automatically when
+  importable for other image formats.  Unsupported codecs raise with
+  the library that would handle them — no silent fakes.
+- :func:`fake_decode` — a deterministic hash-expansion pseudo-decoder,
+  kept as the ORACLE FIXTURE: DuckDB can recompute its output in the
+  hex domain, so the mm_* correctness rows stay cross-engine checkable
+  (real pixels would need the same codec on both sides).
+
+The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+signatures, partition sizing — is identical under either decoder;
+swapping changes no plan shape.
 
 Scale notes: media payloads ride as parquet ``binary``; metadata stays
 in typed columns so filters (kind, width, duration) prune row groups
@@ -74,8 +83,9 @@ def fake_decode(payload: bytes, out_elems: int = 64) -> np.ndarray:
     """
     if payload is None:
         raise NotImplementedError(
-            "real media decoding requires an image/audio library not present "
-            "in this environment; supply decoder= to media_features()"
+            "fake_decode got a null payload; for real media bytes use "
+            "pipelines.codecs.real_decode (PNG/WAV built in, Pillow when "
+            "importable) via media_features(decoder=real_decode)"
         )
     h = hashlib.sha256(payload.hex().encode()).digest()
     reps = (out_elems * 4 // len(h)) + 1
@@ -161,10 +171,16 @@ def resize_plan(
     target_w: int,
     target_h: int,
     decoder: Callable[[bytes], np.ndarray] = fake_decode,
+    real: bool = False,
 ) -> DataFrame:
-    """Image resize plumbing: decode → (stub) resample → emit new dims +
-    a deterministic checksum of the 'resized' buffer.  Real resize =
-    swap the two marked lines for PIL ``Image.resize``."""
+    """Image resize: decode → resample → emit new dims + a deterministic
+    checksum of the resized buffer.
+
+    ``real=True`` runs the REAL path: :func:`codecs.decode_image`
+    (pure-Python PNG or Pillow) then nearest-neighbor resampling
+    (:func:`codecs.resize_nearest`) over actual pixels.  The default
+    keeps the hash-expansion fixture whose checksum a SQL oracle can
+    recompute.  Same ``mapInPandas`` plan either way."""
 
     out_schema = StructType(
         [
@@ -176,14 +192,25 @@ def resize_plan(
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real:
+            from rhq_metrics_spark.pipelines.codecs import (
+                decode_image,
+                resize_nearest,
+            )
         for pdf in batches:
             shas = []
             for payload in pdf["payload"]:
                 if payload is None:
                     shas.append(None)
                     continue
-                arr = decoder(bytes(payload))                 # STUB decode
-                resized = np.resize(arr, target_w * target_h)  # STUB resample
+                if real:
+                    img = decode_image(bytes(payload))
+                    resized = np.ascontiguousarray(
+                        resize_nearest(img, target_w, target_h)
+                    )
+                else:
+                    arr = decoder(bytes(payload))                  # fixture
+                    resized = np.resize(arr, target_w * target_h)  # fixture
                 shas.append(hashlib.sha256(resized.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
