@@ -34,12 +34,16 @@ Scale design:
 - reads union hot+cold and apply **last-write-wins per (tenant, metric,
   ts)** — the CQL-upsert semantics (DataAccessImpl.java:215-221) — via one
   ``row_number`` window (S2/S3 merge+dedup collapses into this).
-- maintenance ops (compaction/retention/deletes) serialize on a
-  ``flock``-based store lock and publish slice rewrites with two atomic
-  renames (old → trash, staging → live), so concurrent maintainers can't
-  interleave rewrites.  On object storage (no atomic rename) this layer
-  should sit on a table format (Delta/Iceberg) instead — the query and
-  LWW semantics above are unchanged by that swap.
+- publish layer, two protocols (``commit_protocol=``): ``rename`` —
+  maintenance serializes on a ``flock`` store lock and publishes slice
+  rewrites with two atomic renames (old → trash, staging → live);
+  single-host.  ``manifest`` — immutable segment/version dirs + a
+  versioned JSON manifest committed by O_EXCL CAS
+  (sources/manifest.py): multiple independent hosts may ingest and run
+  maintenance concurrently, readers resolve one snapshot per query, and
+  the commit primitive maps to conditional PUT on object storage (the
+  Iceberg/Delta model, minimally).  Query and LWW semantics identical
+  under both.
 - compaction (B2 analogue, TempDataCompressor.java:40-98) rewrites closed
   slices: dedup → sort by (metric, ts) → cold, then drops the hot slice.
   Queries never see Gorilla blocks; they see sorted, ZSTD-Parquet row
@@ -69,6 +73,7 @@ from rhq_metrics_spark.model import (
     TWO_HOURS_MS,
     MetricType,
 )
+from rhq_metrics_spark.sources.manifest import ManifestLog, new_id
 
 _LAYERS = ("hot", "cold")
 
@@ -144,11 +149,27 @@ class MetricsStore:
         base_path: str,
         slice_ms: int = TWO_HOURS_MS,
         tenant_buckets: int = 16,
+        commit_protocol: str = "rename",
     ):
+        """``commit_protocol``:
+
+        - ``'rename'`` (default): flock-serialized maintenance + atomic
+          directory renames.  Single-host (or single-maintainer) stores
+          on POSIX filesystems.
+        - ``'manifest'``: versioned-manifest snapshots + O_EXCL CAS
+          commits (sources/manifest.py) — multiple independent processes
+          may ingest and run maintenance concurrently; readers see only
+          committed snapshots.  The protocol maps to conditional PUT on
+          object storage.  Run :meth:`vacuum` periodically to collect
+          superseded files.
+        """
+        if commit_protocol not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
         self.spark = spark
         self.base = Path(base_path)
         self.slice_ms = slice_ms
         self.tenant_buckets = tenant_buckets
+        self.manifest = ManifestLog(self.base) if commit_protocol == "manifest" else None
         self._last_seq = 0
 
     # -- paths -------------------------------------------------------------
@@ -189,6 +210,8 @@ class MetricsStore:
 
     def add_data_points(self, metric_type: str, df: DataFrame) -> None:
         """Batch ingest into the hot layer (append; LWW applied at read)."""
+        if self.manifest is not None:
+            return self._add_data_points_manifest(metric_type, df)
         out = self._stamp(df)
         (
             out.repartition("date_slice", "tenant_bucket")
@@ -199,9 +222,65 @@ class MetricsStore:
             .parquet(str(self._points_path(metric_type, "hot")))
         )
 
+    def _add_data_points_manifest(self, metric_type: str, df: DataFrame) -> None:
+        """Manifest-mode ingest: write one immutable SEGMENT directory in
+        staging (no shared dirs → no Spark `_temporary` collisions between
+        concurrent writer processes), atomically move it under the hot
+        root, then CAS-commit it into the manifest.  Readers resolve
+        manifests, so nothing is visible before the commit.
+
+        date_slice/tenant_bucket ride as REAL data columns (duplicated
+        into ``_ds``/``_tb`` for the directory split): no Hive partition
+        inference — slice pruning happens manifest-side (path selection)
+        and file-side (constant-column min/max stats), the Iceberg model.
+        """
+        out = self._stamp(df)
+        staging = self.base / "_staging" / new_id("ingest")
+        (
+            out.withColumn("_ds", F.col("date_slice"))
+            .withColumn("_tb", F.col("tenant_bucket"))
+            .repartition("_ds", "_tb")
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("_ds", "_tb")
+            .parquet(str(staging))
+        )
+        slices = sorted(
+            int(p.name.split("=", 1)[1]) for p in staging.glob("_ds=*")
+        )
+        if not slices:
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        seg = new_id("seg")
+        hot_root = self._points_path(metric_type, "hot")
+        hot_root.mkdir(parents=True, exist_ok=True)
+        os.rename(staging, hot_root / seg)
+
+        def mutate(state: dict) -> dict:
+            entry = ManifestLog.points_entry(state, metric_type, "hot")
+            for s in slices:
+                entry.setdefault(str(s), []).append(seg)
+            return state
+
+        self.manifest.commit(mutate)
+
     # -- read path (S1-S4, S6) ----------------------------------------------
 
-    def _read_layer(self, metric_type: str, layer: str) -> DataFrame | None:
+    def _read_layer(
+        self,
+        metric_type: str,
+        layer: str,
+        snap: dict | None = None,
+        slices=None,
+    ) -> DataFrame | None:
+        """``snap``/``slices`` apply in manifest mode only: ``snap`` pins
+        one manifest snapshot across multiple reads; ``slices`` is a
+        list, or a half-open ``(lo, hi)`` tuple, used for manifest-side
+        path pruning (rename mode gets the same pruning from Hive
+        partition dirs + the caller's column filters)."""
+        if self.manifest is not None:
+            return self._read_layer_manifest(metric_type, layer, snap, slices)
         path = self._points_path(metric_type, layer)
         if not path.exists() or not any(path.iterdir()):
             return None
@@ -217,7 +296,51 @@ class MetricsStore:
         priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
         return df.withColumn("_layer_seq", priority.cast("long"))
 
-    def _merged_lww(self, metric_type: str, filter_fn=None) -> DataFrame | None:
+    @staticmethod
+    def _want_slice(s: int, slices) -> bool:
+        if slices is None:
+            return True
+        if isinstance(slices, tuple):
+            return slices[0] <= s < slices[1]
+        return s in slices
+
+    def _read_layer_manifest(
+        self, metric_type: str, layer: str, snap: dict | None, slices
+    ) -> DataFrame | None:
+        if snap is None:
+            snap = self.manifest.current()[1]
+        entry = (
+            snap.get("points", {}).get(metric_type, {}).get(layer, {})
+        )
+        root = self._points_path(metric_type, layer)
+        paths: list[str] = []
+        if layer == "hot":
+            for s, segs in entry.items():
+                if self._want_slice(int(s), slices):
+                    paths += [str(root / seg / f"_ds={s}") for seg in segs]
+        else:
+            for s, vdir in entry.items():
+                if self._want_slice(int(s), slices):
+                    paths.append(str(root / f"s-{s}" / vdir))
+        if not paths:
+            return None
+        schema = StructType(list(SCHEMAS[metric_type].fields))
+        schema = (
+            schema.add("ingest_seq", LongType())
+            .add("date_slice", LongType())
+            .add("tenant_bucket", IntegerType())
+        )
+        df = (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+        priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
+        return df.withColumn("_layer_seq", priority.cast("long"))
+
+    def _merged_lww(
+        self, metric_type: str, filter_fn=None, slices=None
+    ) -> DataFrame | None:
         """hot ∪ cold with last-write-wins, windowing ONLY the slices that
         actually have hot data.
 
@@ -227,9 +350,14 @@ class MetricsStore:
         LWW ``row_number`` shuffle covers only the few open slices instead
         of the whole scan.  ``filter_fn`` is applied per layer BEFORE the
         window so pushdown/pruning reach the parquet scans.
+
+        In manifest mode the whole merge resolves ONE snapshot — a
+        compaction committing mid-query can't show (or hide) a slice in
+        one layer but not the other.
         """
-        hot = self._read_layer(metric_type, "hot")
-        cold = self._read_layer(metric_type, "cold")
+        snap = self.manifest.current()[1] if self.manifest is not None else None
+        hot = self._read_layer(metric_type, "hot", snap=snap, slices=slices)
+        cold = self._read_layer(metric_type, "cold", snap=snap, slices=slices)
         if filter_fn is not None:
             hot = filter_fn(hot) if hot is not None else None
             cold = filter_fn(cold) if cold is not None else None
@@ -237,7 +365,7 @@ class MetricsStore:
             return None
         if hot is None:
             return cold
-        overlap = self.hot_slices(metric_type)
+        overlap = self._layer_slices(metric_type, "hot", snap=snap)
         clean = None
         df = hot
         if cold is not None and overlap:
@@ -313,7 +441,7 @@ class MetricsStore:
                     df = df.filter(F.col("metric").isin(metric))
             return df
 
-        merged = self._merged_lww(metric_type, prune)
+        merged = self._merged_lww(metric_type, prune, slices=(first_slice, end))
         if merged is None:
             return self.spark.createDataFrame([], SCHEMAS[metric_type])
         df = merged.select("tenant_id", "metric", "ts", "value", "tags")
@@ -365,7 +493,14 @@ class MetricsStore:
     def cold_slices(self, metric_type: str) -> list[int]:
         return self._layer_slices(metric_type, "cold")
 
-    def _layer_slices(self, metric_type: str, layer: str) -> list[int]:
+    def _layer_slices(
+        self, metric_type: str, layer: str, snap: dict | None = None
+    ) -> list[int]:
+        if self.manifest is not None:
+            if snap is None:
+                snap = self.manifest.current()[1]
+            entry = snap.get("points", {}).get(metric_type, {}).get(layer, {})
+            return sorted(int(s) for s in entry)
         path = self._points_path(metric_type, layer)
         if not path.exists():
             return []
@@ -383,8 +518,94 @@ class MetricsStore:
         All closed slices compact in ONE Spark job (the date_slice
         partition column splits the output): a backfill with hundreds of
         slices costs one shuffle, not one job per slice."""
+        if self.manifest is not None:
+            # no flock: the manifest CAS is the (multi-host) serialization;
+            # racing compactors each win some slices, losers' output is
+            # unreferenced and vacuumed
+            return self._compact_manifest(metric_type, closed_before_ms)
         with self._maintenance_lock():
             return self._compact_locked(metric_type, closed_before_ms)
+
+    def _compact_manifest(self, metric_type: str, closed_before_ms: int) -> list[int]:
+        log = self.manifest
+        _, snap = log.current()
+        hot_entry = snap.get("points", {}).get(metric_type, {}).get("hot", {})
+        cold_entry = snap.get("points", {}).get(metric_type, {}).get("cold", {})
+        closed = [
+            int(s) for s in hot_entry if int(s) + self.slice_ms <= closed_before_ms
+        ]
+        if not closed:
+            return []
+        hot = self._read_layer(metric_type, "hot", snap=snap, slices=closed)
+        cold = self._read_layer(metric_type, "cold", snap=snap, slices=closed)
+        merged = hot if cold is None else hot.unionByName(cold)
+        w = Window.partitionBy("tenant_id", "metric", "ts").orderBy(
+            F.col("_layer_seq").desc(), F.col("value").desc_nulls_last()
+        )
+        compacted = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "tenant_id",
+                "metric",
+                "ts",
+                "value",
+                "tags",
+                F.lit(0).cast("long").alias("ingest_seq"),
+                "date_slice",
+                "tenant_bucket",
+            )
+        )
+        staging = self.base / "_staging" / new_id("compact")
+        (
+            compacted.withColumn("_ds", F.col("date_slice"))
+            .withColumn("_tb", F.col("tenant_bucket"))
+            .repartition("_ds", "_tb")
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("_ds", "_tb")
+            .parquet(str(staging))
+        )
+        cold_root = self._points_path(metric_type, "cold")
+        vmap: dict[int, str] = {}
+        for slice_start in closed:
+            src = staging / f"_ds={slice_start}"
+            if not src.exists():
+                continue
+            vdir = new_id("v")
+            dst = cold_root / f"s-{slice_start}" / vdir
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            os.rename(src, dst)
+            vmap[slice_start] = vdir
+        shutil.rmtree(staging, ignore_errors=True)
+
+        def mutate(state: dict) -> dict | None:
+            cur_hot = ManifestLog.points_entry(state, metric_type, "hot")
+            cur_cold = ManifestLog.points_entry(state, metric_type, "cold")
+            changed = False
+            for s in list(vmap):
+                key = str(s)
+                if cur_cold.get(key) != cold_entry.get(key):
+                    # a racing compactor republished this slice after our
+                    # snapshot: our rewrite is stale — leave theirs
+                    vmap.pop(s)
+                    continue
+                snap_segs = set(hot_entry.get(key, []))
+                remaining = [g for g in cur_hot.get(key, []) if g not in snap_segs]
+                if remaining:
+                    # segments ingested after our snapshot stay hot; the
+                    # next compaction merges them (their seq > cold's -1)
+                    cur_hot[key] = remaining
+                else:
+                    cur_hot.pop(key, None)
+                cur_cold[key] = vmap[s]
+                changed = True
+            return state if changed else None
+
+        log.commit(mutate)
+        return sorted(vmap)
 
     def _compact_locked(self, metric_type: str, closed_before_ms: int) -> list[int]:
         closed = [
@@ -456,6 +677,21 @@ class MetricsStore:
     def apply_retention(self, metric_type: str, cutoff_ms: int) -> list[int]:
         """B6: drop whole slices whose every point is older than cutoff —
         a partition-level delete, no data rewrite."""
+        if self.manifest is not None:
+            dropped: list[int] = []
+
+            def mutate(state: dict) -> dict | None:
+                dropped.clear()
+                for layer in _LAYERS:
+                    entry = ManifestLog.points_entry(state, metric_type, layer)
+                    for key in list(entry):
+                        if int(key) + self.slice_ms <= cutoff_ms:
+                            entry.pop(key)
+                            dropped.append(int(key))
+                return state if dropped else None
+
+            self.manifest.commit(mutate)
+            return sorted(set(dropped))
         dropped = []
         with self._maintenance_lock():
             for layer in _LAYERS:
@@ -483,10 +719,119 @@ class MetricsStore:
         the slices that can contain them.  Whole-slice drops should be
         done first via :meth:`apply_retention` (cheaper).  Returns the
         number of rewritten slice partitions."""
+        if self.manifest is not None:
+            max_cutoff_row = cutoffs.agg(F.max("cutoff_ms")).collect()[0][0]
+            max_cutoff = max(default_cutoff_ms, max_cutoff_row or 0)
+
+            def keep(df: DataFrame) -> DataFrame:
+                return df.join(
+                    F.broadcast(cutoffs), ["tenant_id", "metric"], "left"
+                ).filter(
+                    F.col("ts")
+                    >= F.coalesce(F.col("cutoff_ms"), F.lit(default_cutoff_ms))
+                )
+
+            rewritten = 0
+            for layer in _LAYERS:
+                rewritten += len(
+                    self._rewrite_slices_manifest(
+                        metric_type, layer, (0, max_cutoff), keep
+                    )
+                )
+            return rewritten
         with self._maintenance_lock():
             return self._apply_row_retention_locked(
                 metric_type, cutoffs, default_cutoff_ms
             )
+
+    def _rewrite_slices_manifest(
+        self, metric_type: str, layer: str, slices, keep_fn
+    ) -> list[int]:
+        """Manifest-mode slice rewrite: read the affected slices from one
+        snapshot, keep ``keep_fn(df)``'s rows (original ``ingest_seq``
+        preserved so LWW ranks are unchanged), publish as a new hot
+        segment / new cold slice versions, CAS-commit the swap.  Slices
+        whose cold version moved under us are skipped (the racing
+        maintainer's rewrite wins; ours is vacuumed).  Returns the slice
+        ids actually swapped."""
+        log = self.manifest
+        _, snap = log.current()
+        entry = snap.get("points", {}).get(metric_type, {}).get(layer, {})
+        affected = [s for s in map(int, entry) if self._want_slice(s, slices)]
+        if not affected:
+            return []
+        df = self._read_layer(metric_type, layer, snap=snap, slices=affected)
+        kept = keep_fn(df).select(
+            "tenant_id", "metric", "ts", "value", "tags",
+            "ingest_seq", "date_slice", "tenant_bucket",
+        )
+        staging = self.base / "_staging" / new_id("rewrite")
+        (
+            kept.withColumn("_ds", F.col("date_slice"))
+            .withColumn("_tb", F.col("tenant_bucket"))
+            .repartition("_ds", "_tb")
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("_ds", "_tb")
+            .parquet(str(staging))
+        )
+        root = self._points_path(metric_type, layer)
+        out_slices = {
+            int(p.name.split("=", 1)[1]) for p in staging.glob("_ds=*")
+        }
+        seg = None
+        vmap: dict[int, str] = {}
+        if layer == "hot":
+            if out_slices:
+                seg = new_id("seg")
+                os.rename(staging, root / seg)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+        else:
+            for s in sorted(out_slices):
+                vdir = new_id("v")
+                dst = root / f"s-{s}" / vdir
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                os.rename(staging / f"_ds={s}", dst)
+                vmap[s] = vdir
+            shutil.rmtree(staging, ignore_errors=True)
+
+        swapped: list[int] = []
+
+        def mutate(state: dict) -> dict | None:
+            swapped.clear()
+            cur = ManifestLog.points_entry(state, metric_type, layer)
+            for s in affected:
+                key = str(s)
+                if layer == "hot":
+                    snap_segs = set(entry.get(key, []))
+                    cur_list = cur.get(key, [])
+                    if not snap_segs <= set(cur_list):
+                        # a racing compactor/rewriter consumed some of our
+                        # input segments — re-adding our rewrite could
+                        # resurrect rows it moved to cold; skip the slice
+                        continue
+                    remaining = [g for g in cur_list if g not in snap_segs]
+                    if seg is not None and s in out_slices:
+                        remaining.append(seg)
+                    if remaining:
+                        cur[key] = remaining
+                    else:
+                        cur.pop(key, None)
+                    swapped.append(s)
+                else:
+                    if cur.get(key) != entry.get(key):
+                        continue  # racing rewrite won this slice
+                    if s in vmap:
+                        cur[key] = vmap[s]
+                    else:
+                        cur.pop(key, None)
+                    swapped.append(s)
+            return state if swapped else None
+
+        log.commit(mutate)
+        return sorted(swapped)
 
     def _apply_row_retention_locked(
         self,
@@ -544,6 +889,35 @@ class MetricsStore:
         without the tenant's rows, and scrub the definition tables
         *including* the tenant row itself (DeleteTenant.java:53,103-104 —
         a re-created tenant must not inherit stale retention policies)."""
+        if self.manifest is not None:
+            for metric_type in MetricType.USER_WRITABLE:
+                for layer in _LAYERS:
+                    df = self._read_layer(metric_type, layer)
+                    if df is None:
+                        continue
+                    # pruned scan → only slices that hold the tenant's rows
+                    affected = [
+                        r["date_slice"]
+                        for r in df.filter(F.col("tenant_id") == tenant_id)
+                        .select("date_slice")
+                        .distinct()
+                        .collect()
+                    ]
+                    if not affected:
+                        continue
+                    self._rewrite_slices_manifest(
+                        metric_type,
+                        layer,
+                        affected,
+                        lambda d: d.filter(F.col("tenant_id") != tenant_id),
+                    )
+            idx = self.metrics_idx()
+            if idx is not None:
+                self.save_metrics_idx(idx.filter(F.col("tenant_id") != tenant_id))
+            tenants = self.tenants()
+            if tenants is not None:
+                self.save_tenants(tenants.filter(F.col("id") != tenant_id))
+            return
         with self._maintenance_lock():
             self._delete_tenant_locked(tenant_id)
 
@@ -598,6 +972,33 @@ class MetricsStore:
         compressed data in place ("compressed data is not deleted due to
         using TWCS", :1087) and lets retention expire it; ``include_cold``
         opts into a full purge.  Returns rewritten partition count."""
+        if self.manifest is not None:
+            target_rows = (
+                (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
+            )
+            rewritten = 0
+            for layer in _LAYERS if include_cold else ("hot",):
+                # one pruned scan lists the slices that actually hold the
+                # metric — only those get rewritten
+                df = self._read_layer(metric_type, layer)
+                if df is None:
+                    continue
+                affected = [
+                    r["date_slice"]
+                    for r in df.filter(target_rows)
+                    .select("date_slice")
+                    .distinct()
+                    .collect()
+                ]
+                if not affected:
+                    continue
+                rewritten += len(
+                    self._rewrite_slices_manifest(
+                        metric_type, layer, affected,
+                        lambda d: d.filter(~target_rows),
+                    )
+                )
+            return rewritten
         with self._maintenance_lock():
             return self._delete_metric_locked(
                 metric_type, tenant_id, metric, include_cold
@@ -653,16 +1054,49 @@ class MetricsStore:
 
     # -- definition tables (metrics_idx / tenants) ---------------------------
 
+    def _table_read(self, key: str, schema=None) -> DataFrame | None:
+        """Manifest-aware read of a versioned side table."""
+        if self.manifest is not None:
+            vdir = self.manifest.current()[1].get("tables", {}).get(key)
+            if vdir is None:
+                return None
+            path = self.base / key / vdir
+        else:
+            path = self.base / key
+            if not path.exists():
+                return None
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(str(path))
+
+    def _table_save(self, key: str, df: DataFrame) -> None:
+        """Manifest-aware overwrite of a versioned side table (new
+        immutable version dir + CAS pointer swap; rename mode keeps the
+        two-rename publish)."""
+        if self.manifest is not None:
+            staging = self.base / "_staging" / new_id("tbl")
+            df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+            vdir = new_id("v")
+            dst = self.base / key / vdir
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            os.rename(staging, dst)
+
+            def mutate(state: dict) -> dict:
+                state.setdefault("tables", {})[key] = vdir
+                return state
+
+            self.manifest.commit(mutate)
+            return
+        staging = self.base / "_staging" / key.replace("/", "_")
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        self._swap_in(staging, self.base / key)
+
     def metrics_idx(self) -> DataFrame | None:
-        path = self.base / "metrics_idx"
-        if not path.exists():
-            return None
-        return self.spark.read.schema(METRICS_IDX_SCHEMA).parquet(str(path))
+        return self._table_read("metrics_idx", METRICS_IDX_SCHEMA)
 
     def save_metrics_idx(self, df: DataFrame) -> None:
-        staging = self.base / "_staging" / "metrics_idx"
-        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
-        self._swap_in(staging, self.base / "metrics_idx")
+        self._table_save("metrics_idx", df)
 
     def upsert_metric_definitions(self, df: DataFrame) -> None:
         """Create-or-replace metric definitions keyed by (tenant, type, metric)."""
@@ -680,15 +1114,10 @@ class MetricsStore:
         self.save_metrics_idx(merged)
 
     def tenants(self) -> DataFrame | None:
-        path = self.base / "tenants"
-        if not path.exists():
-            return None
-        return self.spark.read.schema(TENANTS_SCHEMA).parquet(str(path))
+        return self._table_read("tenants", TENANTS_SCHEMA)
 
     def save_tenants(self, df: DataFrame) -> None:
-        staging = self.base / "_staging" / "tenants"
-        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
-        self._swap_in(staging, self.base / "tenants")
+        self._table_save("tenants", df)
 
     # -- expiration index analogue (B9) ---------------------------------------
 
@@ -707,6 +1136,10 @@ class MetricsStore:
         pass materializes it so expiration queries don't rescan points).
         Returns the row count of the refreshed snapshot."""
         df = self.expiration_index(metric_type)
+        key = f"expiration_idx/{metric_type}"
+        if self.manifest is not None:
+            self._table_save(key, df)
+            return self.expiration_index_snapshot(metric_type).count()
         staging = self.base / "_staging" / f"expiration_idx_{metric_type}"
         df.coalesce(1).write.mode("overwrite").parquet(str(staging))
         target = self.base / "expiration_idx" / metric_type
@@ -716,7 +1149,66 @@ class MetricsStore:
     def expiration_index_snapshot(self, metric_type: str) -> DataFrame | None:
         """The last persisted expiration index, or None if maintenance has
         never run for this type."""
-        path = self.base / "expiration_idx" / metric_type
-        if not path.exists():
-            return None
-        return self.spark.read.parquet(str(path))
+        return self._table_read(f"expiration_idx/{metric_type}")
+
+    # -- garbage collection (manifest mode) -----------------------------------
+
+    def vacuum(self, keep_manifests: int = 3) -> int:
+        """Manifest-mode GC: delete every segment / cold-version / table
+        dir unreferenced by the newest ``keep_manifests`` manifests, then
+        prune older manifests.  Keep enough history to cover in-flight
+        snapshot readers.  Returns the number of dirs removed."""
+        if self.manifest is None:
+            return 0
+        mdir = self.manifest.dir
+        versions = self.manifest._versions()
+        kept = versions[-keep_manifests:] if keep_manifests > 0 else versions[-1:]
+        import json as _json
+
+        states = [
+            _json.loads((mdir / f"v{v:012d}.json").read_text()) for v in kept
+        ]
+        if not states:
+            return 0
+        live_segs: set[tuple[str, str, str]] = set()   # (type, layer, dir)
+        live_cold: set[tuple[str, str, str]] = set()   # (type, slicekey, vdir)
+        live_tables: set[tuple[str, str]] = set()      # (key, vdir)
+        for st in states:
+            for mt, layers in st.get("points", {}).items():
+                for s, segs in layers.get("hot", {}).items():
+                    for seg in segs:
+                        live_segs.add((mt, "hot", seg))
+                for s, vdir in layers.get("cold", {}).items():
+                    live_cold.add((mt, f"s-{s}", vdir))
+            for key, vdir in st.get("tables", {}).items():
+                live_tables.add((key, vdir))
+        removed = 0
+        for mt in MetricType.USER_WRITABLE:
+            hot_root = self._points_path(mt, "hot")
+            if hot_root.exists():
+                for p in hot_root.glob("seg-*"):
+                    if (mt, "hot", p.name) not in live_segs:
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed += 1
+            cold_root = self._points_path(mt, "cold")
+            if cold_root.exists():
+                for sdir in cold_root.glob("s-*"):
+                    for p in sdir.glob("v-*"):
+                        if (mt, sdir.name, p.name) not in live_cold:
+                            shutil.rmtree(p, ignore_errors=True)
+                            removed += 1
+                    if not any(sdir.iterdir()):
+                        sdir.rmdir()
+        table_keys = {k for k, _ in live_tables} | {
+            "metrics_idx", "tenants",
+        } | {f"expiration_idx/{mt}" for mt in MetricType.USER_WRITABLE}
+        for key in table_keys:
+            root = self.base / key
+            if not root.exists():
+                continue
+            for p in root.glob("v-*"):
+                if (key, p.name) not in live_tables:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+        self.manifest.prune(keep_manifests)
+        return removed

@@ -1,0 +1,171 @@
+"""Multi-host publish layer (VERDICT r3 item 2): the manifest commit
+protocol under real concurrency.
+
+- CAS: many processes hammering ``ManifestLog.commit`` lose no updates.
+- Store: two independent MetricsStore PROCESSES (separate Spark JVMs)
+  ingest while a third compacts in a loop; a concurrent reader resolves
+  only committed snapshots — every read succeeds (no torn file lists)
+  and no committed point is ever lost or duplicated.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+from rhq_metrics_spark.sources.manifest import ManifestLog
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _bump(base: str, n: int) -> None:
+    log = ManifestLog(base)
+    for _ in range(n):
+        def mutate(state):
+            state["n"] = state.get("n", 0) + 1
+            return state
+        log.commit(mutate)
+
+
+def test_cas_commit_loses_no_updates(tmp_path):
+    procs = [
+        mp.Process(target=_bump, args=(str(tmp_path), 25)) for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    version, state = ManifestLog(str(tmp_path)).current()
+    assert state["n"] == 100
+    assert version == 100  # one manifest version per successful commit
+
+
+def test_manifest_prune_and_current(tmp_path):
+    log = ManifestLog(str(tmp_path))
+    for i in range(5):
+        log.commit(lambda s, i=i: {**s, "i": i})
+    assert log.current()[0] == 5
+    dropped = log.prune(keep=2)
+    assert dropped == [1, 2, 3]
+    assert log.current() == (5, {"i": 4, "points": {}, "tables": {}})
+
+
+_WRITER = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from rhq_metrics_spark.session import get_spark
+from rhq_metrics_spark.sources.store import MetricsStore
+from rhq_metrics_spark.model import GAUGE_SCHEMA
+
+tag, base = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name="w-" + tag, master="local[2]", shuffle_partitions=4)
+store = MetricsStore(spark, base, commit_protocol="manifest")
+T0 = 1_700_000_000_000
+SLICE = 7_200_000
+for b in range(6):
+    rows = [
+        (tag, f"m{{i}}", T0 + (b % 3) * SLICE + b * 1000 + i, float(b * 100 + i), None)
+        for i in range(50)
+    ]
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    time.sleep(0.1)
+open(base + "/.done-" + tag, "w").close()
+print("WRITER_DONE", tag)
+"""
+
+_COMPACTOR = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from rhq_metrics_spark.session import get_spark
+from rhq_metrics_spark.sources.store import MetricsStore
+
+import os
+
+base = sys.argv[1]
+spark = get_spark(app_name="compactor", master="local[2]", shuffle_partitions=4)
+store = MetricsStore(spark, base, commit_protocol="manifest")
+FUTURE = 2_000_000_000_000
+deadline = time.time() + 180
+# keep compacting WHILE the writers race us; one final pass after both
+# finish so the run always ends with compacted slices
+while time.time() < deadline:
+    store.compact("gauge", FUTURE)
+    store.vacuum(keep_manifests=10)
+    if all(os.path.exists(base + "/.done-" + t) for t in ("wA", "wB")):
+        break
+    time.sleep(0.3)
+assert store.compact("gauge", FUTURE) or store.cold_slices("gauge")
+print("COMPACTOR_DONE")
+"""
+
+
+def test_two_process_ingest_with_concurrent_compaction(spark, tmp_path):
+    base = str(tmp_path / "shared_store")
+    scripts = tmp_path / "scripts"
+    scripts.mkdir()
+    (scripts / "writer.py").write_text(_WRITER.format(repo=str(REPO)))
+    (scripts / "compactor.py").write_text(_COMPACTOR.format(repo=str(REPO)))
+
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    reader = MetricsStore(spark, base, commit_protocol="manifest")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(scripts / "writer.py"), tag, base],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for tag in ("wA", "wB")
+    ] + [
+        subprocess.Popen(
+            [sys.executable, str(scripts / "compactor.py"), base],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+    ]
+
+    # concurrent reader: every snapshot read must succeed and count only
+    # whole committed batches (each batch = 50 points)
+    seen_counts = []
+    deadline = time.time() + 240
+    try:
+        while any(p.poll() is None for p in procs) and time.time() < deadline:
+            n = reader.points("gauge").count()
+            assert n % 50 == 0, f"torn read: {n} is not a whole number of batches"
+            seen_counts.append(n)
+            time.sleep(0.5)
+    finally:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=max(1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+    for out, expect in zip(outs, ("WRITER_DONE wA", "WRITER_DONE wB", "COMPACTOR_DONE")):
+        assert expect in out, f"subprocess failed:\n{out[-3000:]}"
+
+    # final state: every committed point exactly once, LWW intact
+    final = reader.points("gauge")
+    assert final.count() == 2 * 6 * 50
+    import pyspark.sql.functions as F
+
+    dups = (
+        final.groupBy("tenant_id", "metric", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+    # compaction really ran: cold layer holds slices
+    assert reader.cold_slices("gauge")
+    # reader watched the store grow through concurrent commits
+    assert seen_counts and seen_counts[-1] >= seen_counts[0]
+    # manifest log is consistent json all the way down
+    v, state = reader.manifest.current()
+    assert v > 0 and json.dumps(state)

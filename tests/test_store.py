@@ -15,9 +15,13 @@ T0 = 1_700_000_400_000  # NOT slice-aligned on purpose
 SLICE0 = (T0 // TWO_HOURS_MS) * TWO_HOURS_MS
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return MetricsStore(spark, str(tmp_path / "store"))
+@pytest.fixture(params=["rename", "manifest"])
+def store(spark, tmp_path, request):
+    """Every store test runs under BOTH publish protocols — semantics
+    must be identical (commit_protocol only changes visibility rules)."""
+    return MetricsStore(
+        spark, str(tmp_path / "store"), commit_protocol=request.param
+    )
 
 
 def _gauge(spark, rows):
