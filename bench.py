@@ -74,6 +74,7 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     stacked + unstacked stats, and an expression tag query (2 ANDs, 1
     regex) over 10k metric definitions.  Runs against the compacted
     dense store — the steady-state read path."""
+    import shutil
     import pyspark.sql.functions as F
 
     from rhq_metrics_spark.model import Buckets
@@ -98,6 +99,56 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     lat.sort()
     timings["stats_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
     timings["stats_latency_p95_ms"] = round(lat[18] * 1000, 1)
+
+    # routed fast path: build the continuous aggregate once (batch twin
+    # of start_rollup_stream, 10-min windows), attach, measure the same
+    # stats call served from rollup parquet (no raw scan, no percentiles
+    # — the long-range-dashboard shape)
+    import tempfile as _tf
+
+    rollup_win = 600_000
+    rollup_dir = _tf.mkdtemp(prefix="bench_rollup_")
+    (
+        store.points("gauge")
+        .groupBy(
+            "tenant_id", "metric",
+            F.window(
+                F.timestamp_millis(F.col("ts")), f"{rollup_win // 1000} seconds"
+            ).alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"), F.avg("value").alias("avg"),
+            F.max("value").alias("max"), F.sum("value").alias("sum"),
+            F.count("value").alias("samples"),
+        )
+        .select(
+            "tenant_id", "metric",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "min", "avg", "max", "sum", "samples",
+        )
+        .write.mode("overwrite").parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, rollup_win)
+    # routed grid: 30-min buckets on the window grid, inside the
+    # finalized range (ceil-aligned start, 6h span < the 8h of data)
+    step = 1_800_000
+    rlo = lo if lo % step == 0 else lo - (lo % step) + step
+    routed_bks = Buckets.from_step(rlo, rlo + 12 * step, step)
+    lat = []
+    for i in range(20):
+        t0 = time.time()
+        out = svc.gauge_stats(
+            "bench", metrics[(i * 7) % len(metrics)], routed_bks,
+            include_median=False,
+        )
+        out.collect()
+        lat.append(time.time() - t0)
+    assert not any("points" in f for f in out.inputFiles()), "not routed"
+    lat.sort()
+    timings["stats_rollup_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+    timings["stats_rollup_latency_p95_ms"] = round(lat[18] * 1000, 1)
+    shutil.rmtree(rollup_dir, ignore_errors=True)
 
     t0 = time.time()
     svc.stats_query("bench", bks, {"gauge": metrics}, stacked=True)

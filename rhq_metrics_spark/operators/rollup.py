@@ -77,6 +77,7 @@ def stats_from_rollup(
     buckets,
     tenant_id: str | None = None,
     metric: str | None = None,
+    check_alignment: bool = True,
 ) -> DataFrame:
     """Serve bucket stats FROM the continuous-aggregate table instead of
     raw points (the long-range-dashboard read path: years of 2h rollups
@@ -109,16 +110,20 @@ def stats_from_rollup(
 
     # alignment guard: window length divides the step and windows sit on
     # the window grid relative to the bucket origin — together that
-    # means every window falls wholly inside exactly one bucket
-    bad = df.filter(
-        (buckets.step % win_ms != 0)
-        | ((start_ms - buckets.start) % win_ms != 0)
-    )
-    if bad.limit(1).count() > 0:
-        raise ValueError(
-            "rollup windows do not tile the requested bucket grid; "
-            "serve this query from raw points instead"
+    # means every window falls wholly inside exactly one bucket.
+    # ``check_alignment=False`` skips the per-call job when the caller
+    # has already proven it (service.attach_rollup validates the table
+    # once and checks the grid arithmetic driver-side per query).
+    if check_alignment:
+        bad = df.filter(
+            (buckets.step % win_ms != 0)
+            | ((start_ms - buckets.start) % win_ms != 0)
         )
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                "rollup windows do not tile the requested bucket grid; "
+                "serve this query from raw points instead"
+            )
     bucketed = df.withColumn(
         "bucket", ((start_ms - buckets.start) / buckets.step).cast("long")
     )

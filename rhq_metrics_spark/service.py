@@ -47,6 +47,9 @@ class MetricsService:
     def __init__(self, spark: SparkSession, store: MetricsStore):
         self.spark = spark
         self.store = store
+        # metric_type -> (rollup DataFrame, window_ms): continuous
+        # aggregates registered for read routing (attach_rollup)
+        self._rollups: dict[str, tuple[DataFrame, int]] = {}
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -351,6 +354,96 @@ class MetricsService:
     def _scan(self, metric_type, tenant_id, metrics, start, end) -> DataFrame:
         return self.store.find_data_points(metric_type, tenant_id, metrics, start, end)
 
+    def attach_rollup(self, metric_type: str, rollup, window_ms: int) -> None:
+        """Register a continuous-aggregate table (the
+        ``streaming.ingest.start_rollup_stream`` sink, or any frame with
+        its schema) as the serving fast path for bucket stats.
+
+        Mirrors the reference's compressed-read fast path
+        (MetricsServiceImpl.java:662-677: reads route to the compressed
+        table when the range allows): once attached, :meth:`gauge_stats`
+        transparently serves aligned long-range queries from the rollup
+        parquet instead of scanning raw points.  ``rollup`` may be a
+        DataFrame or a parquet path.
+
+        Validates ONCE here (one job) that every window is an
+        epoch-aligned ``window_ms`` tumbling window, and caches the
+        finality watermark ``max(window_end)`` — so a routed query costs
+        zero extra jobs.  The cached watermark only ever causes a
+        conservative fall-back to raw for ranges newer than the attach;
+        call :meth:`refresh_rollup_watermark` after the sink advances."""
+        df = (
+            self.spark.read.parquet(rollup)
+            if isinstance(rollup, str)
+            else rollup
+        )
+        window_ms = int(window_ms)
+        start_ms = F.unix_millis(F.col("window_start"))
+        end_ms = F.unix_millis(F.col("window_end"))
+        bad = df.filter(
+            (start_ms % window_ms != 0) | (end_ms - start_ms != window_ms)
+        )
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"rollup windows are not epoch-aligned {window_ms}ms "
+                "tumbling windows"
+            )
+        hi = df.agg(F.max(end_ms).alias("hi")).collect()[0]["hi"]
+        self._rollups[MetricType.check(metric_type)] = (df, window_ms, hi)
+
+    def refresh_rollup_watermark(self, metric_type: str) -> int | None:
+        """Re-read the attached rollup's finality watermark (the rollup
+        sink appends finalized windows over time); returns the new one."""
+        entry = self._rollups.get(MetricType.check(metric_type))
+        if entry is None:
+            return None
+        df, window_ms, _ = entry
+        hi = df.agg(
+            F.max(F.unix_millis(F.col("window_end"))).alias("hi")
+        ).collect()[0]["hi"]
+        self._rollups[metric_type] = (df, window_ms, hi)
+        return hi
+
+    def _rollup_routed_stats(
+        self, metric_type: str, tenant_id, metric, buckets: Buckets
+    ) -> DataFrame | None:
+        """Serve A1 bucket stats from an attached rollup when that is
+        provably equivalent to the raw scan; None → caller falls back.
+
+        Routing requires (a) grid alignment — ``step`` a multiple of the
+        rollup window and ``start`` on the window grid (windows are
+        epoch-aligned; validated once at attach), and (b) finality — the
+        range must end at or before the newest finalized window (cached
+        at attach): the rollup sink appends a window only once the
+        watermark passes it, so a range reaching past ``max(window_end)``
+        could have raw points not yet rolled up.  Both checks are pure
+        driver arithmetic — a routed query launches no extra jobs."""
+        entry = self._rollups.get(metric_type)
+        if entry is None:
+            return None
+        rollup, win_ms, hi = entry
+        if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
+            return None
+        if hi is None or buckets.end > hi:
+            return None
+        from rhq_metrics_spark.operators.rollup import stats_from_rollup
+        from rhq_metrics_spark.operators.stats import bucket_dimension
+
+        rolled = stats_from_rollup(
+            rollup, buckets, tenant_id=tenant_id, metric=metric,
+            check_alignment=False,
+        ).select(
+            F.col("bucket").alias("bucket_idx"),
+            "min", "avg", "max", "sum", "samples",
+        )
+        dim = bucket_dimension(self.spark, buckets)
+        filled = F.broadcast(dim).join(rolled, "bucket_idx", "left")
+        return (
+            filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0)))
+            .drop("bucket_idx")
+            .select("start", "end", "min", "avg", "max", "sum", "samples")
+        )
+
     def gauge_stats(
         self,
         tenant_id,
@@ -359,6 +452,8 @@ class MetricsService:
         percentiles: Sequence[float] = (),
         fill: str | None = None,
         percentile_impl: str = "exact",
+        include_median: bool = True,
+        use_rollup: bool = True,
     ) -> DataFrame:
         """A1 bucket stats; ``fill='locf'|'linear'`` interpolates the
         empty buckets' min/avg/max (operators/gapfill.py) while
@@ -368,7 +463,31 @@ class MetricsService:
         convention, default), ``'approx'`` (sketches, the 100 TB dial),
         or ``'p2'`` (the reference's PRODUCTION estimator,
         NumericDataPointCollector.java:45-61 — P² fed in time order,
-        operators/percentile.py)."""
+        operators/percentile.py).
+
+        Routing: with a rollup attached (:meth:`attach_rollup`) and a
+        query the rollup can answer exactly — no percentiles, no median
+        (``include_median=False``: min/avg/max/sum/samples are mergeable
+        across windows, rank statistics are not), aligned grid, range
+        within finalized windows — the stats are served FROM the rollup
+        parquet, never touching raw points.  ``use_rollup=False`` forces
+        the raw path."""
+        if (
+            use_rollup
+            and not percentiles
+            and not include_median
+            and percentile_impl == "exact"
+        ):
+            routed = self._rollup_routed_stats(
+                MetricType.GAUGE, tenant_id, metric, buckets
+            )
+            if routed is not None:
+                out = routed.orderBy("start")
+                if fill is not None:
+                    from rhq_metrics_spark.operators.gapfill import fill_gaps
+
+                    out = fill_gaps(out, ["min", "avg", "max"], method=fill)
+                return out
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, buckets.start, buckets.end)
         if percentile_impl == "p2" and percentiles:
             from rhq_metrics_spark.operators.percentile import p2_percentiles
@@ -410,6 +529,8 @@ class MetricsService:
             ).orderBy("start")
         else:
             out = numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+        if not include_median:
+            out = out.drop("median")
         if fill is not None:
             from rhq_metrics_spark.operators.gapfill import fill_gaps
 

@@ -13,17 +13,31 @@ Reference layout (bootstrap.groovy:101-147; DataAccessImpl.java:100-196):
 
 Layout here::
 
-    {base}/points/{type}/hot/date_slice=<2h-floor-ms>/tenant_bucket=<n>/*.parquet
+    {base}/points/{type}/hot/seg-<hex>/*.parquet + _slices.json   (L0 segments)
     {base}/points/{type}/cold/date_slice=.../tenant_bucket=.../*.parquet
     {base}/metrics_idx/*.parquet
     {base}/tenants/*.parquet
 
 Scale design:
 
-- partition by ``date_slice`` (2h floor, DateTimeService.java:79-122) and a
-  hashed ``tenant_bucket`` — time-range + tenant predicates prune
-  partitions; individual metric predicates prune via parquet min/max on the
-  sorted ``metric`` column within each file.
+- **LSM-shaped write path**: each ingest batch lands as ONE immutable
+  plain-parquet hot *segment* (sorted by ``date_slice, tenant_bucket,
+  metric, ts``; slice/bucket ride as data columns) — file count is
+  O(shuffle tasks), NOT O(slices touched).  A sparse 30-day backfill
+  writes a handful of files instead of ~360 Hive partition dirs, which
+  is ~10x faster locally and avoids the small-file explosion on object
+  storage.  A ``_slices.json`` sidecar (written before the atomic
+  segment rename, so it is always present) records the exact distinct
+  (slice, bucket) set — captured for free during the write via
+  ``Dataset.observe`` — giving maintenance and the read path exact
+  slice pruning without listing or footer scans.
+- compaction folds closed slices from the L0 segments into the *cold*
+  layout, which IS partitioned by ``date_slice`` (2h floor,
+  DateTimeService.java:79-122) and a hashed ``tenant_bucket`` —
+  time-range + tenant predicates prune partitions; individual metric
+  predicates prune via parquet min/max on the sorted ``metric`` column
+  within each file.  Hot segments prune by sidecar (path level) and by
+  row-group min/max on the sorted leading ``date_slice`` column.
 - writes append to hot with an ``ingest_seq`` that is the **wall-clock
   microsecond write timestamp** (monotonic-bumped within a process) —
   exactly Cassandra's client-timestamp LWW: correct across process
@@ -56,6 +70,7 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import json
 import os
 import shutil
 import time
@@ -63,7 +78,7 @@ import uuid
 from pathlib import Path
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql.types import IntegerType, LongType, StructType
 
 from rhq_metrics_spark.model import (
@@ -76,6 +91,7 @@ from rhq_metrics_spark.model import (
 from rhq_metrics_spark.sources.manifest import ManifestLog, new_id
 
 _LAYERS = ("hot", "cold")
+SEG_SIDECAR = "_slices.json"
 
 # -- pure-Python XXH64 (public algorithm; github.com/Cyan4973/xxHash spec) --
 # Matches Spark's ``xxhash64`` expression on string input (UTF-8 bytes,
@@ -208,54 +224,130 @@ class MetricsStore:
             .withColumn("ingest_seq", F.lit(self._next_seq()))
         )
 
+    def _write_segment_staging(
+        self, stamped: DataFrame, staging: Path
+    ) -> set[tuple[int, int]]:
+        """Write one immutable plain-parquet segment into ``staging``:
+        hash-clustered by (date_slice, tenant_bucket) so AQE sizes the
+        output files to the data (a small micro-batch → one file; a huge
+        backfill → many slice-clustered files), sorted so ``date_slice``
+        row-group min/max prune reads.  The distinct (slice, bucket) set
+        is captured during the SAME job via ``Dataset.observe`` (an
+        accumulator — no second scan, no driver-side data read); its size
+        is bounded by #slices x #buckets, never by row count."""
+        obs = Observation()
+        (
+            stamped.repartition("date_slice", "tenant_bucket")
+            .sortWithinPartitions("date_slice", "tenant_bucket", "metric", "ts")
+            .observe(
+                obs,
+                F.collect_set(F.struct("date_slice", "tenant_bucket")).alias("sb"),
+            )
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(str(staging))
+        )
+        return {
+            (r["date_slice"], r["tenant_bucket"]) for r in obs.get["sb"]
+        }
+
+    def _publish_segment(
+        self, staging: Path, root: Path, pairs: set[tuple[int, int]]
+    ) -> str | None:
+        """Atomically move a staged segment under ``root`` with its
+        ``_slices.json`` sidecar (underscore prefix → invisible to Spark
+        file listing).  Returns the segment name, or None for an empty
+        batch."""
+        if not pairs:
+            shutil.rmtree(staging, ignore_errors=True)
+            return None
+        (staging / SEG_SIDECAR).write_text(
+            json.dumps(
+                {
+                    "slices": sorted({p[0] for p in pairs}),
+                    "buckets": sorted({p[1] for p in pairs}),
+                }
+            )
+        )
+        seg = new_id("seg")
+        root.mkdir(parents=True, exist_ok=True)
+        os.rename(staging, root / seg)
+        return seg
+
+    def _hot_segments(self, metric_type: str) -> list[Path]:
+        root = self._points_path(metric_type, "hot")
+        if not root.exists():
+            return []
+        return sorted(p for p in root.glob("seg-*") if p.is_dir())
+
+    def _seg_meta(self, segdir: Path) -> dict:
+        """Sidecar of a hot segment.  The sidecar is written before the
+        atomic publish rename so it is always present; the fallback scan
+        (one tiny columnar job) covers hand-built or damaged stores."""
+        try:
+            return json.loads((segdir / SEG_SIDECAR).read_text())
+        except (OSError, ValueError):
+            rows = (
+                self.spark.read.parquet(str(segdir))
+                .select("date_slice", "tenant_bucket")
+                .distinct()
+                .collect()
+            )
+            return {
+                "slices": sorted({r["date_slice"] for r in rows}),
+                "buckets": sorted({r["tenant_bucket"] for r in rows}),
+            }
+
+    def _read_segment_paths(
+        self, metric_type: str, segs: list[Path]
+    ) -> DataFrame | None:
+        """Read an explicit list of hot segments (all storage columns are
+        real data columns — no Hive inference)."""
+        if not segs:
+            return None
+        schema = StructType(list(SCHEMAS[metric_type].fields))
+        schema = (
+            schema.add("ingest_seq", LongType())
+            .add("date_slice", LongType())
+            .add("tenant_bucket", IntegerType())
+        )
+        df = (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*[str(s) for s in segs])
+        )
+        return df.withColumn("_layer_seq", F.col("ingest_seq").cast("long"))
+
     def add_data_points(self, metric_type: str, df: DataFrame) -> None:
-        """Batch ingest into the hot layer (append; LWW applied at read)."""
+        """Batch ingest: write ONE immutable L0 segment (append; LWW
+        applied at read).  No locks — publish is a single atomic rename,
+        so ingest never contends with maintenance or other writers."""
         if self.manifest is not None:
             return self._add_data_points_manifest(metric_type, df)
         out = self._stamp(df)
-        (
-            out.repartition("date_slice", "tenant_bucket")
-            .sortWithinPartitions("metric", "ts")
-            .write.mode("append")
-            .option("compression", "zstd")
-            .partitionBy("date_slice", "tenant_bucket")
-            .parquet(str(self._points_path(metric_type, "hot")))
+        staging = self.base / "_staging" / new_id("ingest")
+        pairs = self._write_segment_staging(out, staging)
+        self._publish_segment(
+            staging, self._points_path(metric_type, "hot"), pairs
         )
 
     def _add_data_points_manifest(self, metric_type: str, df: DataFrame) -> None:
-        """Manifest-mode ingest: write one immutable SEGMENT directory in
-        staging (no shared dirs → no Spark `_temporary` collisions between
-        concurrent writer processes), atomically move it under the hot
-        root, then CAS-commit it into the manifest.  Readers resolve
-        manifests, so nothing is visible before the commit.
-
-        date_slice/tenant_bucket ride as REAL data columns (duplicated
-        into ``_ds``/``_tb`` for the directory split): no Hive partition
-        inference — slice pruning happens manifest-side (path selection)
-        and file-side (constant-column min/max stats), the Iceberg model.
-        """
+        """Manifest-mode ingest: stage one immutable segment (private dir
+        → no Spark `_temporary` collisions between concurrent writer
+        processes), atomically move it under the hot root, then
+        CAS-commit it into the manifest.  Readers resolve manifests, so
+        nothing is visible before the commit.  Slice pruning happens
+        manifest-side (segment selection by slice set) and file-side
+        (sorted-column min/max stats), the Iceberg model."""
         out = self._stamp(df)
         staging = self.base / "_staging" / new_id("ingest")
-        (
-            out.withColumn("_ds", F.col("date_slice"))
-            .withColumn("_tb", F.col("tenant_bucket"))
-            .repartition("_ds", "_tb")
-            .sortWithinPartitions("metric", "ts")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .partitionBy("_ds", "_tb")
-            .parquet(str(staging))
+        pairs = self._write_segment_staging(out, staging)
+        seg = self._publish_segment(
+            staging, self._points_path(metric_type, "hot"), pairs
         )
-        slices = sorted(
-            int(p.name.split("=", 1)[1]) for p in staging.glob("_ds=*")
-        )
-        if not slices:
-            shutil.rmtree(staging, ignore_errors=True)
+        if seg is None:
             return
-        seg = new_id("seg")
-        hot_root = self._points_path(metric_type, "hot")
-        hot_root.mkdir(parents=True, exist_ok=True)
-        os.rename(staging, hot_root / seg)
+        slices = sorted({p[0] for p in pairs})
 
         def mutate(state: dict) -> dict:
             entry = ManifestLog.points_entry(state, metric_type, "hot")
@@ -281,6 +373,24 @@ class MetricsStore:
         partition dirs + the caller's column filters)."""
         if self.manifest is not None:
             return self._read_layer_manifest(metric_type, layer, snap, slices)
+        if layer == "hot":
+            segs = self._hot_segments(metric_type)
+            if slices is not None:
+                segs = [
+                    s
+                    for s in segs
+                    if any(
+                        self._want_slice(x, slices)
+                        for x in self._seg_meta(s)["slices"]
+                    )
+                ]
+            df = self._read_segment_paths(metric_type, segs)
+            if df is not None and slices is not None:
+                # belt-and-braces: path pruning is segment-granular, the
+                # column filter makes the selection slice-exact (pushed
+                # to the scan; sorted date_slice → row-group skipping)
+                df = df.filter(self._slice_pred(slices))
+            return df
         path = self._points_path(metric_type, layer)
         if not path.exists() or not any(path.iterdir()):
             return None
@@ -293,8 +403,7 @@ class MetricsStore:
         )
         df = self.spark.read.schema(schema).parquet(str(path))
         # cold rows outrank nothing; hot rows with higher ingest_seq win.
-        priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
-        return df.withColumn("_layer_seq", priority.cast("long"))
+        return df.withColumn("_layer_seq", F.lit(-1).cast("long"))
 
     @staticmethod
     def _want_slice(s: int, slices) -> bool:
@@ -303,6 +412,14 @@ class MetricsStore:
         if isinstance(slices, tuple):
             return slices[0] <= s < slices[1]
         return s in slices
+
+    @staticmethod
+    def _slice_pred(slices):
+        if isinstance(slices, tuple):
+            return (F.col("date_slice") >= F.lit(slices[0])) & (
+                F.col("date_slice") < F.lit(slices[1])
+            )
+        return F.col("date_slice").isin(list(slices))
 
     def _read_layer_manifest(
         self, metric_type: str, layer: str, snap: dict | None, slices
@@ -313,15 +430,35 @@ class MetricsStore:
             snap.get("points", {}).get(metric_type, {}).get(layer, {})
         )
         root = self._points_path(metric_type, layer)
-        paths: list[str] = []
         if layer == "hot":
+            # A segment is LIVE only for the slices that still reference
+            # it: compaction/rewrites retire a segment slice-by-slice, so
+            # a straddling segment can physically hold rows for a slice
+            # that has since been folded into cold (or row-deleted).
+            # Reading those dead rows back would resurrect them — group
+            # segments by live-slice set and filter each group exactly.
+            seg_live: dict[str, set[int]] = {}
             for s, segs in entry.items():
                 if self._want_slice(int(s), slices):
-                    paths += [str(root / seg / f"_ds={s}") for seg in segs]
-        else:
-            for s, vdir in entry.items():
-                if self._want_slice(int(s), slices):
-                    paths.append(str(root / f"s-{s}" / vdir))
+                    for seg in segs:
+                        seg_live.setdefault(seg, set()).add(int(s))
+            if not seg_live:
+                return None
+            groups: dict[frozenset, list[str]] = {}
+            for seg, live in seg_live.items():
+                groups.setdefault(frozenset(live), []).append(seg)
+            out = None
+            for live, segs in groups.items():
+                df = self._read_segment_paths(
+                    metric_type, [root / seg for seg in segs]
+                ).filter(F.col("date_slice").isin(sorted(live)))
+                out = df if out is None else out.unionByName(df)
+            return out
+        paths = [
+            str(root / f"s-{s}" / vdir)
+            for s, vdir in entry.items()
+            if self._want_slice(int(s), slices)
+        ]
         if not paths:
             return None
         schema = StructType(list(SCHEMAS[metric_type].fields))
@@ -335,8 +472,7 @@ class MetricsStore:
             .option("recursiveFileLookup", "true")
             .parquet(*paths)
         )
-        priority = F.col("ingest_seq") if layer == "hot" else F.lit(-1)
-        return df.withColumn("_layer_seq", priority.cast("long"))
+        return df.withColumn("_layer_seq", F.lit(-1).cast("long"))
 
     def _merged_lww(
         self, metric_type: str, filter_fn=None, slices=None
@@ -501,6 +637,11 @@ class MetricsStore:
                 snap = self.manifest.current()[1]
             entry = snap.get("points", {}).get(metric_type, {}).get(layer, {})
             return sorted(int(s) for s in entry)
+        if layer == "hot":
+            out: set[int] = set()
+            for seg in self._hot_segments(metric_type):
+                out.update(self._seg_meta(seg)["slices"])
+            return sorted(out)
         path = self._points_path(metric_type, layer)
         if not path.exists():
             return []
@@ -608,14 +749,21 @@ class MetricsStore:
         return sorted(vmap)
 
     def _compact_locked(self, metric_type: str, closed_before_ms: int) -> list[int]:
-        closed = [
+        # capture the segment list ONCE: a segment published after this
+        # point is untouched (read from a stable path list, retired from
+        # the same list) — concurrent ingest never loses data
+        segs = self._hot_segments(metric_type)
+        metas = {seg: set(self._seg_meta(seg)["slices"]) for seg in segs}
+        closed_set = {
             s
-            for s in self.hot_slices(metric_type)
+            for sl in metas.values()
+            for s in sl
             if s + self.slice_ms <= closed_before_ms
-        ]
+        }
+        closed = sorted(closed_set)
         if not closed:
             return []
-        hot = self._read_layer(metric_type, "hot").filter(
+        hot = self._read_segment_paths(metric_type, segs).filter(
             F.col("date_slice").isin(closed)
         )
         cold_layer = self._read_layer(metric_type, "cold")
@@ -661,17 +809,34 @@ class MetricsStore:
             if not src.exists():
                 continue
             self._swap_in(src, cold_root / f"date_slice={slice_start}")
-            # retire the hot slice: atomic rename out of the readable
-            # tree first, then delete at leisure
-            hot_slice = (
-                self._points_path(metric_type, "hot") / f"date_slice={slice_start}"
-            )
-            if hot_slice.exists():
-                retired = hot_slice.parent / f"_trash-{uuid.uuid4().hex}"
-                os.rename(hot_slice, retired)
-                shutil.rmtree(retired, ignore_errors=True)
             done.append(slice_start)
         shutil.rmtree(staging, ignore_errors=True)
+        # retire the consumed hot segments.  Straddlers (segments that
+        # also hold still-open slices) are first rewritten to their
+        # surviving rows and published as a NEW segment — publish before
+        # retire, so a racing reader sees the rows in old+new (identical
+        # (seq, value) duplicates that the LWW window collapses), never
+        # a gap.
+        straddlers = [
+            seg for seg, sl in metas.items() if sl - closed_set and sl & closed_set
+        ]
+        if straddlers:
+            rem = self._read_segment_paths(metric_type, straddlers).filter(
+                ~F.col("date_slice").isin(closed)
+            ).select(
+                "tenant_id", "metric", "ts", "value", "tags",
+                "ingest_seq", "date_slice", "tenant_bucket",
+            )
+            rem_staging = self.base / "_staging" / new_id("remainder")
+            pairs = self._write_segment_staging(rem, rem_staging)
+            self._publish_segment(
+                rem_staging, self._points_path(metric_type, "hot"), pairs
+            )
+        for seg in segs:
+            if metas[seg] & closed_set:
+                retired = seg.parent / f"_trash-{uuid.uuid4().hex}"
+                os.rename(seg, retired)
+                shutil.rmtree(retired, ignore_errors=True)
         return done
 
     def apply_retention(self, metric_type: str, cutoff_ms: int) -> list[int]:
@@ -692,12 +857,43 @@ class MetricsStore:
 
             self.manifest.commit(mutate)
             return sorted(set(dropped))
-        dropped = []
+        dropped: list[int] = []
         with self._maintenance_lock():
-            for layer in _LAYERS:
-                root = self._points_path(metric_type, layer)
-                if not root.exists():
-                    continue
+            # hot: drop wholly-expired segments; rewrite straddlers down
+            # to their surviving slices (publish-then-retire, as in
+            # compaction).  Segment-granular, no Hive dirs.
+            segs = self._hot_segments(metric_type)
+            metas = {seg: set(self._seg_meta(seg)["slices"]) for seg in segs}
+            expired = {
+                s
+                for sl in metas.values()
+                for s in sl
+                if s + self.slice_ms <= cutoff_ms
+            }
+            dropped.extend(expired)
+            straddlers = [
+                seg for seg, sl in metas.items() if sl - expired and sl & expired
+            ]
+            if straddlers:
+                kept = self._read_segment_paths(metric_type, straddlers).filter(
+                    F.col("date_slice") + F.lit(self.slice_ms) > F.lit(cutoff_ms)
+                ).select(
+                    "tenant_id", "metric", "ts", "value", "tags",
+                    "ingest_seq", "date_slice", "tenant_bucket",
+                )
+                staging = self.base / "_staging" / new_id("retention")
+                pairs = self._write_segment_staging(kept, staging)
+                self._publish_segment(
+                    staging, self._points_path(metric_type, "hot"), pairs
+                )
+            for seg in segs:
+                if metas[seg] & expired:
+                    retired = seg.parent / f"_trash-{uuid.uuid4().hex}"
+                    os.rename(seg, retired)
+                    shutil.rmtree(retired, ignore_errors=True)
+            # cold: partition-level drop, no rewrite
+            root = self._points_path(metric_type, "cold")
+            if root.exists():
                 for p in sorted(root.glob("date_slice=*")):
                     slice_start = int(p.name.split("=", 1)[1])
                     if slice_start + self.slice_ms <= cutoff_ms:
@@ -705,7 +901,7 @@ class MetricsStore:
                         os.rename(p, retired)
                         shutil.rmtree(retired, ignore_errors=True)
                         dropped.append(slice_start)
-        return dropped
+        return sorted(set(dropped))
 
     def apply_row_retention(
         self,
@@ -765,30 +961,29 @@ class MetricsStore:
             "tenant_id", "metric", "ts", "value", "tags",
             "ingest_seq", "date_slice", "tenant_bucket",
         )
-        staging = self.base / "_staging" / new_id("rewrite")
-        (
-            kept.withColumn("_ds", F.col("date_slice"))
-            .withColumn("_tb", F.col("tenant_bucket"))
-            .repartition("_ds", "_tb")
-            .sortWithinPartitions("metric", "ts")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .partitionBy("_ds", "_tb")
-            .parquet(str(staging))
-        )
         root = self._points_path(metric_type, layer)
-        out_slices = {
-            int(p.name.split("=", 1)[1]) for p in staging.glob("_ds=*")
-        }
+        staging = self.base / "_staging" / new_id("rewrite")
         seg = None
         vmap: dict[int, str] = {}
+        out_slices: set[int] = set()
         if layer == "hot":
-            if out_slices:
-                seg = new_id("seg")
-                os.rename(staging, root / seg)
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
+            pairs = self._write_segment_staging(kept, staging)
+            out_slices = {p[0] for p in pairs}
+            seg = self._publish_segment(staging, root, pairs)
         else:
+            (
+                kept.withColumn("_ds", F.col("date_slice"))
+                .withColumn("_tb", F.col("tenant_bucket"))
+                .repartition("_ds", "_tb")
+                .sortWithinPartitions("metric", "ts")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("_ds", "_tb")
+                .parquet(str(staging))
+            )
+            out_slices = {
+                int(p.name.split("=", 1)[1]) for p in staging.glob("_ds=*")
+            }
             for s in sorted(out_slices):
                 vdir = new_id("v")
                 dst = root / f"s-{s}" / vdir
@@ -841,22 +1036,9 @@ class MetricsStore:
     ) -> int:
         max_cutoff_row = cutoffs.agg(F.max("cutoff_ms")).collect()[0][0]
         max_cutoff = max(default_cutoff_ms, max_cutoff_row or 0)
-        rewritten = 0
-        for layer in _LAYERS:
-            root = self._points_path(metric_type, layer)
-            if not root.exists():
-                continue
-            affected = [
-                int(p.name.split("=", 1)[1])
-                for p in root.glob("date_slice=*")
-                if int(p.name.split("=", 1)[1]) < max_cutoff
-            ]
-            if not affected:
-                continue
-            df = self._read_layer(metric_type, layer).filter(
-                F.col("date_slice").isin(affected)
-            )
-            kept = (
+
+        def keep(df: DataFrame) -> DataFrame:
+            return (
                 df.join(F.broadcast(cutoffs), ["tenant_id", "metric"], "left")
                 .filter(
                     F.col("ts")
@@ -867,21 +1049,56 @@ class MetricsStore:
                     "ingest_seq", "date_slice", "tenant_bucket",
                 )
             )
-            staging = self.base / "_staging" / f"ret_{metric_type}_{layer}"
-            kept.write.mode("overwrite").option("compression", "zstd").partitionBy(
-                "date_slice", "tenant_bucket"
-            ).parquet(str(staging))
-            for slice_start in affected:
-                dst = root / f"date_slice={slice_start}"
-                src = staging / f"date_slice={slice_start}"
-                if src.exists():
-                    self._swap_in(src, dst)
-                elif dst.exists():  # every row in the slice expired
-                    retired = root / f"_trash-{uuid.uuid4().hex}"
-                    os.rename(dst, retired)
-                    shutil.rmtree(retired, ignore_errors=True)
-                rewritten += 1
-            shutil.rmtree(staging, ignore_errors=True)
+
+        rewritten = 0
+        # hot: rewrite only the segments that hold affected slices — all
+        # of them in ONE job, published as one new segment
+        segs = self._hot_segments(metric_type)
+        metas = {seg: set(self._seg_meta(seg)["slices"]) for seg in segs}
+        hot_affected = {
+            s for sl in metas.values() for s in sl if s < max_cutoff
+        }
+        touched = [seg for seg, sl in metas.items() if sl & hot_affected]
+        if touched:
+            kept_hot = keep(self._read_segment_paths(metric_type, touched))
+            staging = self.base / "_staging" / new_id("rowret")
+            pairs = self._write_segment_staging(kept_hot, staging)
+            self._publish_segment(
+                staging, self._points_path(metric_type, "hot"), pairs
+            )
+            for seg in touched:
+                retired = seg.parent / f"_trash-{uuid.uuid4().hex}"
+                os.rename(seg, retired)
+                shutil.rmtree(retired, ignore_errors=True)
+            rewritten += len(hot_affected)
+        # cold: per-slice partition swap
+        root = self._points_path(metric_type, "cold")
+        if root.exists():
+            affected = [
+                int(p.name.split("=", 1)[1])
+                for p in root.glob("date_slice=*")
+                if int(p.name.split("=", 1)[1]) < max_cutoff
+            ]
+            if affected:
+                df = self._read_layer(metric_type, "cold").filter(
+                    F.col("date_slice").isin(affected)
+                )
+                kept = keep(df)
+                staging = self.base / "_staging" / f"ret_{metric_type}_cold"
+                kept.write.mode("overwrite").option(
+                    "compression", "zstd"
+                ).partitionBy("date_slice", "tenant_bucket").parquet(str(staging))
+                for slice_start in affected:
+                    dst = root / f"date_slice={slice_start}"
+                    src = staging / f"date_slice={slice_start}"
+                    if src.exists():
+                        self._swap_in(src, dst)
+                    elif dst.exists():  # every row in the slice expired
+                        retired = root / f"_trash-{uuid.uuid4().hex}"
+                        os.rename(dst, retired)
+                        shutil.rmtree(retired, ignore_errors=True)
+                    rewritten += 1
+                shutil.rmtree(staging, ignore_errors=True)
         return rewritten
 
     def delete_tenant(self, tenant_id: str) -> None:
@@ -921,37 +1138,71 @@ class MetricsStore:
         with self._maintenance_lock():
             self._delete_tenant_locked(tenant_id)
 
+    def _rewrite_hot_segments_locked(
+        self, metric_type: str, touched: list[Path], keep_fn
+    ) -> None:
+        """Rewrite the given hot segments through ``keep_fn`` as ONE new
+        segment (original ``ingest_seq`` preserved so LWW ranks are
+        unchanged), publish it, then retire the old segments."""
+        if not touched:
+            return
+        kept = keep_fn(self._read_segment_paths(metric_type, touched)).select(
+            "tenant_id", "metric", "ts", "value", "tags",
+            "ingest_seq", "date_slice", "tenant_bucket",
+        )
+        staging = self.base / "_staging" / new_id("rewrite")
+        pairs = self._write_segment_staging(kept, staging)
+        self._publish_segment(
+            staging, self._points_path(metric_type, "hot"), pairs
+        )
+        for seg in touched:
+            retired = seg.parent / f"_trash-{uuid.uuid4().hex}"
+            os.rename(seg, retired)
+            shutil.rmtree(retired, ignore_errors=True)
+
     def _delete_tenant_locked(self, tenant_id: str) -> None:
         bucket = self._tenant_bucket_of(tenant_id)
         for metric_type in MetricType.USER_WRITABLE:
-            for layer in _LAYERS:
-                root = self._points_path(metric_type, layer)
-                if not root.exists():
-                    continue
-                matches = list(root.glob(f"date_slice=*/tenant_bucket={bucket}"))
-                if not matches:
-                    continue
-                df = self._read_layer(metric_type, layer)
-                kept = df.filter(
-                    (F.col("tenant_bucket") == bucket)
-                    & (F.col("tenant_id") != tenant_id)
-                ).select(
-                    "tenant_id", "metric", "ts", "value", "tags",
-                    "ingest_seq", "date_slice", "tenant_bucket",
-                )
-                staging = self.base / "_staging" / f"del_{metric_type}_{layer}"
-                kept.write.mode("overwrite").partitionBy(
-                    "date_slice", "tenant_bucket"
-                ).parquet(str(staging))
-                for m in matches:
-                    shutil.rmtree(m)
-                for sdir in Path(staging).glob(
-                    f"date_slice=*/tenant_bucket={bucket}"
-                ):
-                    dst = root / sdir.parent.name / sdir.name
-                    dst.parent.mkdir(parents=True, exist_ok=True)
-                    shutil.move(str(sdir), str(dst))
-                shutil.rmtree(staging, ignore_errors=True)
+            # hot: rewrite only the segments whose bucket set can hold
+            # the tenant (sidecar-pruned)
+            touched = [
+                seg
+                for seg in self._hot_segments(metric_type)
+                if bucket in self._seg_meta(seg).get("buckets", [bucket])
+            ]
+            self._rewrite_hot_segments_locked(
+                metric_type,
+                touched,
+                lambda d: d.filter(F.col("tenant_id") != tenant_id),
+            )
+            # cold: bucket-dir-granular rewrite
+            root = self._points_path(metric_type, "cold")
+            if not root.exists():
+                continue
+            matches = list(root.glob(f"date_slice=*/tenant_bucket={bucket}"))
+            if not matches:
+                continue
+            df = self._read_layer(metric_type, "cold")
+            kept = df.filter(
+                (F.col("tenant_bucket") == bucket)
+                & (F.col("tenant_id") != tenant_id)
+            ).select(
+                "tenant_id", "metric", "ts", "value", "tags",
+                "ingest_seq", "date_slice", "tenant_bucket",
+            )
+            staging = self.base / "_staging" / f"del_{metric_type}_cold"
+            kept.write.mode("overwrite").partitionBy(
+                "date_slice", "tenant_bucket"
+            ).parquet(str(staging))
+            for m in matches:
+                shutil.rmtree(m)
+            for sdir in Path(staging).glob(
+                f"date_slice=*/tenant_bucket={bucket}"
+            ):
+                dst = root / sdir.parent.name / sdir.name
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.move(str(sdir), str(dst))
+            shutil.rmtree(staging, ignore_errors=True)
         # definitions
         idx = self.metrics_idx()
         if idx is not None:
@@ -1014,42 +1265,66 @@ class MetricsStore:
             & (F.col("metric") == metric)
         )
         rewritten = 0
-        for layer in _LAYERS if include_cold else ("hot",):
-            root = self._points_path(metric_type, layer)
-            if not root.exists():
-                continue
-            df = self._read_layer(metric_type, layer)
-            # one pruned scan lists the slices that actually hold the
-            # metric — only those partitions get rewritten
+        # hot: segments whose bucket set can hold the tenant, narrowed by
+        # one pruned scan to those that actually hold the metric's rows
+        candidates = [
+            seg
+            for seg in self._hot_segments(metric_type)
+            if bucket in self._seg_meta(seg).get("buckets", [bucket])
+        ]
+        if candidates:
+            df = self._read_segment_paths(metric_type, candidates)
             affected = [
                 r["date_slice"]
                 for r in df.filter(target).select("date_slice").distinct().collect()
             ]
-            if not affected:
-                continue
-            kept = df.filter(
-                F.col("date_slice").isin(affected)
-                & (F.col("tenant_bucket") == bucket)
-                & ~((F.col("tenant_id") == tenant_id) & (F.col("metric") == metric))
-            ).select(
-                "tenant_id", "metric", "ts", "value", "tags",
-                "ingest_seq", "date_slice", "tenant_bucket",
-            )
-            staging = self.base / "_staging" / f"delm_{metric_type}_{layer}"
-            kept.write.mode("overwrite").option("compression", "zstd").partitionBy(
-                "date_slice", "tenant_bucket"
-            ).parquet(str(staging))
-            for slice_start in affected:
-                part = f"date_slice={slice_start}/tenant_bucket={bucket}"
-                src, dst = staging / part, root / part
-                if src.exists():
-                    self._swap_in(src, dst)
-                elif dst.exists():  # the metric was the bucket's only data
-                    retired = root / f"_trash-{uuid.uuid4().hex}"
-                    os.rename(dst, retired)
-                    shutil.rmtree(retired, ignore_errors=True)
-                rewritten += 1
-            shutil.rmtree(staging, ignore_errors=True)
+            if affected:
+                touched = [
+                    seg
+                    for seg in candidates
+                    if set(self._seg_meta(seg)["slices"]) & set(affected)
+                ]
+                self._rewrite_hot_segments_locked(
+                    metric_type, touched, lambda d: d.filter(~target)
+                )
+                rewritten += len(affected)
+        if not include_cold:
+            return rewritten
+        root = self._points_path(metric_type, "cold")
+        if not root.exists():
+            return rewritten
+        df = self._read_layer(metric_type, "cold")
+        # one pruned scan lists the slices that actually hold the
+        # metric — only those partitions get rewritten
+        affected = [
+            r["date_slice"]
+            for r in df.filter(target).select("date_slice").distinct().collect()
+        ]
+        if not affected:
+            return rewritten
+        kept = df.filter(
+            F.col("date_slice").isin(affected)
+            & (F.col("tenant_bucket") == bucket)
+            & ~((F.col("tenant_id") == tenant_id) & (F.col("metric") == metric))
+        ).select(
+            "tenant_id", "metric", "ts", "value", "tags",
+            "ingest_seq", "date_slice", "tenant_bucket",
+        )
+        staging = self.base / "_staging" / f"delm_{metric_type}_cold"
+        kept.write.mode("overwrite").option("compression", "zstd").partitionBy(
+            "date_slice", "tenant_bucket"
+        ).parquet(str(staging))
+        for slice_start in affected:
+            part = f"date_slice={slice_start}/tenant_bucket={bucket}"
+            src, dst = staging / part, root / part
+            if src.exists():
+                self._swap_in(src, dst)
+            elif dst.exists():  # the metric was the bucket's only data
+                retired = root / f"_trash-{uuid.uuid4().hex}"
+                os.rename(dst, retired)
+                shutil.rmtree(retired, ignore_errors=True)
+            rewritten += 1
+        shutil.rmtree(staging, ignore_errors=True)
         return rewritten
 
     # -- definition tables (metrics_idx / tenants) ---------------------------

@@ -128,3 +128,79 @@ def test_stats_from_rollup_filters_out_of_range(spark):
     b = Buckets.from_step(T + 1_200_000, T + 3_600_000, 1_200_000)
     out = stats_from_rollup(roll, b, "t", "m").collect()
     assert {r["bucket"] for r in out} == {0, 1}
+
+
+def test_service_routes_aligned_stats_to_rollup(spark, tmp_path):
+    """Facade routing: with a rollup attached, an aligned finalized-range
+    gauge_stats call is served FROM the rollup parquet (plan-asserted:
+    no raw-points scan) and equals the raw path; misaligned or
+    not-yet-final ranges fall back to raw."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win_ms = 600_000
+    T = 1_700_000_000_000 - (1_700_000_000_000 % 1_200_000)
+    rows = []
+    for w in range(8):
+        for i in range(4):
+            rows.append(("t", "m", T + w * win_ms + i * 60_000, float(w * 10 + i), None))
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points(
+        "gauge", spark.createDataFrame(rows, GAUGE_SCHEMA)
+    )
+    svc = MetricsService(spark, store)
+
+    rollup_path = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy(
+            "tenant_id", "metric",
+            F.window(F.timestamp_millis(F.col("ts")), f"{win_ms // 1000} seconds").alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"), F.avg("value").alias("avg"),
+            F.max("value").alias("max"), F.sum("value").alias("sum"),
+            F.count("value").alias("samples"),
+        )
+        .select("tenant_id", "metric",
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_path)
+    )
+    svc.attach_rollup("gauge", rollup_path, win_ms)
+
+    b = Buckets.from_step(T, T + 8 * win_ms, 1_200_000)
+    routed = svc.gauge_stats("t", "m", b, include_median=False)
+    raw = svc.gauge_stats("t", "m", b, include_median=False, use_rollup=False)
+
+    files = routed.inputFiles()
+    assert files and all("rollup" in f for f in files), files
+    assert not any("points" in f for f in files), files
+    raw_files = raw.inputFiles()
+    assert any("points" in f for f in raw_files), raw_files
+
+    assert routed.columns == raw.columns
+    got = {r["start"]: r for r in routed.collect()}
+    exp = {r["start"]: r for r in raw.collect()}
+    assert set(got) == set(exp) and len(got) == 4
+    for k in exp:
+        assert got[k]["samples"] == exp[k]["samples"]
+        for c in ("min", "avg", "max", "sum"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+
+    # fallbacks: misaligned origin; range past the newest final window;
+    # median requested — each must read raw points
+    for bad in (
+        Buckets.from_step(T + 60_000, T + 60_000 + 2_400_000, 1_200_000),
+        Buckets.from_step(T, T + 10 * win_ms, 1_200_000),
+    ):
+        fb = svc.gauge_stats("t", "m", bad, include_median=False).inputFiles()
+        assert any("points" in f for f in fb), fb
+    fb = svc.gauge_stats("t", "m", b).inputFiles()
+    assert any("points" in f for f in fb), fb
