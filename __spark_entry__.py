@@ -1880,8 +1880,10 @@ SELECT left_id, right_id, round(c, 5) AS cosine FROM scored WHERE c >= {EMBX_T}
 
 TOPK_K, TOPK_NQ = 5, 10
 #: embed_lsh_topk index shape: short signatures × many tables (the
-#: recall dial for near-orthogonal random embeddings)
-LSHK_TABLES, LSHK_PLANES = 16, 4
+#: recall dial for near-orthogonal random embeddings).  24 tables keeps
+#: measured recall@5 >= 0.9 with margin at sf0.1 (16 sat exactly at
+#: 0.90); similarity.lsh_tables_for_recall is the closed-form sizer.
+LSHK_TABLES, LSHK_PLANES = 24, 4
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,16 +225,47 @@ def main() -> None:
 
     # the oracled embed_ivf_topk is full-probe (== brute force, for the
     # correctness gate); track the real ANN dial (n_probe=4/16) here so
-    # the approximate path's latency stays an honest, separate number
-    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
+    # the approximate path's latency stays an honest, separate number —
+    # and record recall@k at THIS scale factor for both ANN families as
+    # first-class KPIs (a fast search that misses neighbors isn't done)
+    from rhq_metrics_spark.pipelines.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        topk_recall,
+    )
 
     try:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter("vec_id < 10")
         t0 = time.time()
-        ivf_cosine_topk(
-            emb, emb.filter("vec_id < 10"), k=5, n_cells=16, n_probe=4
-        ).count()
+        ivf4 = ivf_cosine_topk(emb, qs, k=5, n_cells=16, n_probe=4)
+        ivf4 = ivf4.persist()
+        ivf4.count()
         timings["embed_ivf_partial_probe_sec"] = round(time.time() - t0, 3)
+        truth = cosine_topk(emb, qs, k=5).persist()
+        truth.count()
+        timings["embed_ivf_recall_probe4of16"] = round(
+            topk_recall(truth, ivf4), 3
+        )
+        timings["embed_ivf_recall_probe8of16"] = round(
+            topk_recall(
+                truth, ivf_cosine_topk(emb, qs, k=5, n_cells=16, n_probe=8)
+            ),
+            3,
+        )
+        timings["embed_lsh_recall_default"] = round(
+            topk_recall(
+                truth,
+                lsh_cosine_topk(
+                    emb, qs, k=5,
+                    num_planes=entry.LSHK_PLANES, tables=entry.LSHK_TABLES,
+                ),
+            ),
+            3,
+        )
+        truth.unpersist()
+        ivf4.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["embed_ivf_partial_probe"] = f"{type(exc).__name__}: {exc}"[:300]
 

@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -459,3 +460,85 @@ def ivf_query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- recall measurement & sizing (the target-recall dial) --------------------
+
+
+def topk_recall(truth: DataFrame, approx: DataFrame) -> float:
+    """Mean recall@k of an approximate top-k result against brute-force
+    ground truth (both in the ``cosine_topk`` output shape).  One
+    semi-join + two tiny aggregates — corpus-size independent given the
+    result frames."""
+    t = truth.select("query_id", "neighbor_id")
+    hits = t.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    denom = t.count()
+    return hits / denom if denom else 1.0
+
+
+def lsh_tables_for_recall(
+    target_recall: float, cosine: float, num_planes: int
+) -> int:
+    """Size the LSH index for a recall target: the smallest number of
+    hash tables such that a neighbor at similarity ``cosine`` becomes a
+    candidate with probability >= ``target_recall``.
+
+    Random-hyperplane LSH (Charikar, STOC'02): two vectors at angle
+    theta agree on one sign bit with probability ``1 - theta/pi``, so a
+    ``p``-plane table matches with ``s**p`` and ``T`` independent tables
+    with ``1 - (1 - s**p)**T`` — solve for ``T``.  More planes → smaller
+    buckets (cheaper join) but more tables for the same recall."""
+    if not 0 < target_recall < 1:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not -1.0 <= cosine <= 1.0:
+        raise ValueError("cosine must be in [-1, 1]")
+    s = 1.0 - math.acos(cosine) / math.pi
+    p_table = s**num_planes
+    if p_table >= 1.0:
+        return 1
+    if p_table <= 0.0:
+        raise ValueError("zero table-match probability; reduce num_planes")
+    return max(1, math.ceil(math.log1p(-target_recall) / math.log1p(-p_table)))
+
+
+def ivf_probe_for_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    target_recall: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[int, float]:
+    """Empirically size ``n_probe`` for an IVF index: measure recall@k
+    of partial-probe against brute force on the given query sample,
+    doubling ``n_probe`` until the target is met (IVF recall depends on
+    the data's cell structure, so unlike LSH there is no closed form).
+    Returns ``(n_probe, measured_recall)``; run on a bounded query
+    sample — cost is one partial-probe search per doubling, ~log2(cells)
+    rounds worst case."""
+    truth = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    truth = truth.persist()
+    truth.count()
+    centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    n_probe, best = 1, 0.0
+    try:
+        while True:
+            approx = ivf_cosine_topk(
+                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, n_cells=n_cells, n_probe=n_probe,
+                seed=seed, centroids=centroids,
+            )
+            best = topk_recall(truth, approx)
+            if best >= target_recall or n_probe >= n_cells:
+                return n_probe, best
+            n_probe = min(n_cells, n_probe * 2)
+    finally:
+        truth.unpersist()

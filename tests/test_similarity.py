@@ -180,3 +180,56 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
     assert m, "cell filter did not reach PartitionFilters"
+
+
+def test_lsh_tables_for_recall_formula():
+    import math
+
+    from rhq_metrics_spark.pipelines.similarity import lsh_tables_for_recall
+
+    # closed form sanity: T tables of p planes give recall
+    # 1-(1-s^p)^T with s = 1 - acos(c)/pi; the sizer must be the
+    # smallest T meeting the target
+    for target, cos, p in [(0.9, 0.5, 4), (0.95, 0.7, 8), (0.99, 0.6, 6)]:
+        t = lsh_tables_for_recall(target, cos, p)
+        s = 1 - math.acos(cos) / math.pi
+        assert 1 - (1 - s**p) ** t >= target
+        assert t == 1 or 1 - (1 - s**p) ** (t - 1) < target
+    # monotonicity: higher recall or more planes need more tables
+    assert lsh_tables_for_recall(0.99, 0.5, 4) > lsh_tables_for_recall(0.9, 0.5, 4)
+    assert lsh_tables_for_recall(0.9, 0.5, 8) > lsh_tables_for_recall(0.9, 0.5, 4)
+    with pytest.raises(ValueError):
+        lsh_tables_for_recall(1.5, 0.5, 4)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.1"])
+def test_default_lsh_recall_at_bench_scale(spark, sf_dir):
+    """The verdict-level guarantee: the DEFAULT LSH config (the one
+    embed_lsh_topk ships with) keeps recall@5 >= 0.9 at sf0.1."""
+    import os
+
+    import __spark_entry__ as entry
+    from rhq_metrics_spark.pipelines.similarity import topk_recall
+
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter("vec_id < 10")
+    truth = cosine_topk(emb, qs, k=5)
+    approx = lsh_cosine_topk(
+        emb, qs, k=5, num_planes=entry.LSHK_PLANES, tables=entry.LSHK_TABLES
+    )
+    assert topk_recall(truth, approx) >= 0.9
+
+
+def test_ivf_probe_for_recall_sizer(emb):
+    from rhq_metrics_spark.pipelines.similarity import ivf_probe_for_recall
+
+    qs = emb.filter("vec_id < 8")
+    n_probe, measured = ivf_probe_for_recall(
+        emb, qs, k=5, n_cells=8, target_recall=0.9
+    )
+    assert 1 <= n_probe <= 8
+    assert measured >= 0.9 or n_probe == 8  # full probe == brute force
+    if n_probe == 8:
+        assert measured == 1.0
