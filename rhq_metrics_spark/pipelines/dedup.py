@@ -685,6 +685,77 @@ def embedding_near_dup_pairs(
 
 
 
+def _star_contract_labels(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the super-node-safe path: the state is the EDGE
+    set itself (monotonically shrinking toward stars rooted at each
+    component's minimum), every step is a map-side-combinable min
+    aggregation, and a 100k-degree hub never meets a growing label
+    table — AQE splits its skewed join partition, and the hub collapses
+    into its root within the first rounds.
+
+    ``edges`` must be the symmetric (both directions) pair set.
+    Returns ``(_id, _lab)`` for every node that appears in an edge.
+    """
+    cur = edges
+    for _ in range(max_iters):
+        before = cur
+        # large-star: every neighbor v > u re-attaches to
+        # m(u) = min(neighborhood(u) ∪ {u})
+        m = cur.groupBy("_src").agg(
+            F.least(F.min("_dst"), F.first("_src")).alias("_m")
+        )
+        large = (
+            cur.filter(F.col("_dst") > F.col("_src"))
+            .join(m, "_src")
+            .select(F.col("_dst").alias("_a"), F.col("_m").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+        )
+        cur = (
+            large.select(F.col("_a").alias("_src"), F.col("_b").alias("_dst"))
+            .unionByName(
+                large.select(F.col("_b").alias("_src"), F.col("_a").alias("_dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        # small-star: every neighbor v <= u (and u itself) re-attaches
+        # to the round's m(u)
+        m = cur.groupBy("_src").agg(
+            F.least(F.min("_dst"), F.first("_src")).alias("_m")
+        )
+        small = (
+            cur.filter(F.col("_dst") <= F.col("_src"))
+            .select("_src", "_dst")
+            .unionByName(
+                cur.select("_src", F.col("_src").alias("_dst")).distinct()
+            )
+            .join(m, "_src")
+            .select(F.col("_dst").alias("_a"), F.col("_m").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+        )
+        cur = (
+            small.select(F.col("_a").alias("_src"), F.col("_b").alias("_dst"))
+            .unionByName(
+                small.select(F.col("_b").alias("_src"), F.col("_a").alias("_dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if cur.exceptAll(before).limit(1).count() == 0:
+            break
+    # converged: stars — every edge points child <-> root (min id).
+    # Roots label themselves.
+    child = cur.filter(F.col("_dst") < F.col("_src")).select(
+        F.col("_src").alias("_id"), F.col("_dst").alias("_lab")
+    )
+    roots = cur.select(F.least("_src", "_dst").alias("_id")).distinct().select(
+        "_id", F.col("_id").alias("_lab")
+    )
+    return child.unionByName(roots).distinct()
+
+
 def dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
@@ -693,6 +764,7 @@ def dup_clusters(
     b_col: str = "id_b",
     max_iters: int = 25,
     driver_threshold: int = 1_000_000,
+    super_node_degree: int = 50_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → canonical doc per
     cluster (the step AFTER pair generation in a dedup pipeline: every
@@ -711,9 +783,11 @@ def dup_clusters(
     deployment would set a checkpoint dir and use ``checkpoint()`` for
     fault tolerance.  Per superstep cost: two shuffles of |edges| +
     |labels| on node id; the loop exits on a converged changed-row
-    counter.  For super-node skew the same loop accepts pre-contracted
-    edges (large-star/small-star), which the near-dup setting doesn't
-    need.
+    counter.  Super-node skew (a node over ``super_node_degree``)
+    routes automatically to large-star/small-star edge contraction
+    (:func:`_star_contract_labels`) instead — same min-id cluster
+    labels, but the iteration state is the shrinking edge set, which a
+    power-law hub cannot blow up.
 
     Singleton documents (no pairs) stay their own cluster.  Output:
     ``(doc_id, cluster_id, is_canonical)``.
@@ -762,6 +836,26 @@ def dup_clusters(
             id_col,
             F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id"),
             (F.coalesce(F.col("_root"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    # super-node routing: hash-min label propagation joins each node's
+    # full neighborhood against the label table every superstep — fine
+    # for near-dup graphs, hostile for a power-law hub.  Above the
+    # degree threshold, switch to large-star/small-star edge
+    # contraction, whose per-round state is the shrinking edge set.
+    max_deg = (
+        edges.groupBy("_src").count().agg(F.max("count").alias("d")).collect()
+    )[0]["d"] or 0
+    if max_deg > super_node_degree:
+        star = _star_contract_labels(edges, max_iters)
+        out = ids.join(
+            star.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        return out.select(
+            id_col,
+            F.coalesce(F.col("_lab"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("_lab"), F.col(id_col)) == F.col(id_col)).alias(
                 "is_canonical"
             ),
         )

@@ -328,3 +328,54 @@ def test_dup_clusters_distributed_path_matches_driver_shortcut(spark):
     assert lookup[20] == lookup[21] == lookup[22] == 20
     assert lookup[30] == lookup[40] == lookup[50] == 30
     assert lookup[59] == 59  # singleton
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Property check of the super-node path: large-star/small-star
+    contraction produces the identical min-id labeling as the driver
+    union-find on random graphs (chains, stars, forests, dense blobs)."""
+    import random
+
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+        n_edges = rng.randint(0, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = (
+            spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+            .filter("id_a <> id_b")
+        )
+        exact = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(ids, pairs).collect()
+        }
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(
+                ids, pairs, driver_threshold=0, super_node_degree=0
+            ).collect()
+        }
+        assert star == exact, (seed, {k: (exact[k], star[k]) for k in exact if exact[k] != star[k]})
+
+
+def test_dup_clusters_routes_hub_to_star_contraction(spark):
+    """A hub above super_node_degree takes the contraction path and
+    still gets the right single cluster."""
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+
+    hub_deg = 500
+    ids = spark.range(hub_deg + 1).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(1, hub_deg + 1).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    out = dup_clusters(
+        ids, pairs, driver_threshold=0, super_node_degree=100
+    ).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
