@@ -265,7 +265,9 @@ class MetricsService:
         if metric_type == MetricType.STRING and max_string_size:
             over = df.filter(F.length("value") > max_string_size).limit(1).collect()
             if over:
-                raise ValueError(
+                from rhq_metrics_spark.errors import BadRequest
+
+                raise BadRequest(
                     f"string metric value exceeds max size {max_string_size}: "
                     f"metric={over[0]['metric']!r}"
                 )
@@ -536,6 +538,47 @@ class MetricsService:
 
             out = fill_gaps(out, ["min", "avg", "max"], method=fill)
         return out
+
+    def stats_params(
+        self,
+        start=None,
+        end=None,
+        buckets: int | None = None,
+        bucket_duration: str | int | None = None,
+        now_ms: int | None = None,
+    ) -> Buckets:
+        """REST query-parameter validation with the wire error contract:
+        relative/absolute time range with the 8h default
+        (TimeRange.java:32-63), buckets XOR bucketDuration
+        (BucketConfig.java:36-72) — every invalid combination raises
+        :class:`~rhq_metrics_spark.errors.BadRequest` (status 400),
+        matching the cases ErrorsITest pins (unparseable or oversized
+        counts, both params, inverted ranges)."""
+        from rhq_metrics_spark.errors import api_errors
+        from rhq_metrics_spark.model import TimeRange, bucket_config
+
+        with api_errors():
+            if buckets is not None:
+                buckets = int(buckets)
+            tr = TimeRange.of(start, end, now_ms=now_ms)
+            return bucket_config(tr, buckets, bucket_duration)
+
+    def gauge_stats_query(
+        self,
+        tenant_id,
+        metric,
+        start=None,
+        end=None,
+        buckets: int | None = None,
+        bucket_duration: str | int | None = None,
+        percentiles: Sequence[float] = (),
+        **kwargs,
+    ) -> DataFrame:
+        """Handler-shaped twin of ``GET /gauges/{id}/stats``
+        (GaugeHandler.findGaugeStats): raw query parameters in, typed
+        wire errors out, then the same plan as :meth:`gauge_stats`."""
+        bks = self.stats_params(start, end, buckets, bucket_duration)
+        return self.gauge_stats(tenant_id, metric, bks, percentiles, **kwargs)
 
     def counter_stats(
         self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()
