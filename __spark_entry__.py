@@ -2939,8 +2939,11 @@ FROM v JOIN iv ON v.user_id = iv.user_id
 def q_a9_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9+: hour/day/total stats for every metric in ONE aggregation via
     GROUPING SETS (operators/rollup.py) — one scan + one Expand instead
-    of three bucketed-stats passes."""
-    return time_rollup(_events_points(spark, sf_dir))
+    of three bucketed-stats passes.  value_scale=100 (events values are
+    2-dp) makes sum/avg order-independent: the 'total' grain sums ~1M
+    doubles per metric at sf0.1, where float summation order flips 4-dp
+    rounding boundaries between engines."""
+    return time_rollup(_events_points(spark, sf_dir), value_scale=100)
 
 
 SQL_A9R = f"""
@@ -2952,8 +2955,15 @@ b AS (SELECT metric,
       FROM ev),
 g AS (SELECT metric, day_start, hour_start,
         count(value) AS n,
-        round(sum(value), 4) AS sum, round(min(value), 4) AS min,
-        round(max(value), 4) AS max, round(avg(value), 4) AS avg
+        -- integer-scaled accumulation (mirror of time_rollup's
+        -- value_scale=100 + operators.stats.quantize): exact integer
+        -- sums, engine-portable 4-dp quantization
+        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+              * 100) / 10000 AS sum,
+        round(min(value), 4) AS min,
+        round(max(value), 4) AS max,
+        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+              * 100 / count(value)) / 10000 AS avg
       FROM b
       GROUP BY GROUPING SETS ((metric, day_start, hour_start),
                               (metric, day_start), (metric)))

@@ -27,6 +27,7 @@ def time_rollup(
     group_col: str = "metric",
     ts_col: str = "ts",
     value_col: str = "value",
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Per ``group_col``: hourly, daily, and all-time stats in one
     aggregation.
@@ -34,6 +35,12 @@ def time_rollup(
     Output: ``(metric, grain, bucket_start, n, sum, min, max, avg)``
     where ``grain`` in ('hour','day','total') and ``bucket_start`` is
     the epoch-millis floor of the grain (null for 'total').
+
+    ``value_scale`` (see :func:`operators.stats._stat_aggs`) switches
+    sum/avg to exact integer accumulation of ``round(value * scale)`` —
+    order-independent across partitions and engines.  Large grains
+    ('total' sums millions of doubles) otherwise diverge in the last
+    ulps by summation order, which flips a 4-dp rounding boundary.
     """
     base = points.select(
         F.col(group_col).alias("metric"),
@@ -41,6 +48,15 @@ def time_rollup(
         (F.floor(F.col(ts_col) / DAY_MS) * DAY_MS).alias("day_start"),
         F.col(value_col).cast("double").alias("value"),
     )
+    if value_scale:
+        from rhq_metrics_spark.operators.stats import quantize
+
+        scaled = F.sum(F.round(F.col("value") * value_scale).cast("long"))
+        sum_col = quantize(scaled, value_scale, 1).alias("sum")
+        avg_col = quantize(scaled, value_scale, F.count("value")).alias("avg")
+    else:
+        sum_col = F.round(F.sum("value"), 4).alias("sum")
+        avg_col = F.round(F.avg("value"), 4).alias("avg")
     rolled = base.groupingSets(
         [["metric", "day_start", "hour_start"], ["metric", "day_start"],
          ["metric"]],
@@ -49,10 +65,10 @@ def time_rollup(
         F.grouping("hour_start").alias("_g_hour"),
         F.grouping("day_start").alias("_g_day"),
         F.count("value").alias("n"),
-        F.round(F.sum("value"), 4).alias("sum"),
+        sum_col,
         F.round(F.min("value"), 4).alias("min"),
         F.round(F.max("value"), 4).alias("max"),
-        F.round(F.avg("value"), 4).alias("avg"),
+        avg_col,
     )
     grain = (
         F.when(F.col("_g_hour") == 0, F.lit("hour"))
