@@ -80,6 +80,28 @@ class ManifestLog:
         v = versions[-1]
         return v, json.loads((self.dir / f"v{v:012d}.json").read_text())
 
+    def versions(self) -> list[int]:
+        """Committed manifest versions still on disk (ascending) — the
+        snapshots :meth:`at` can time-travel to."""
+        return self._versions()
+
+    def at(self, version: int) -> tuple[int, dict]:
+        """(version, state) of a SPECIFIC committed manifest — the
+        time-travel read primitive.  Version 0 is the empty pre-commit
+        store; raises ``LookupError`` for a version that was never
+        committed or has been pruned/vacuumed away."""
+        if version == 0:
+            return 0, {"points": {}, "tables": {}}
+        path = self.dir / f"v{version:012d}.json"
+        try:
+            return version, json.loads(path.read_text())
+        except FileNotFoundError:
+            raise LookupError(
+                f"manifest v{version} not found — never committed, or "
+                f"outside the retained window (see vacuum/prune); "
+                f"available: {self._versions() or '[]'}"
+            ) from None
+
     # -- write -----------------------------------------------------------
 
     def _try_commit(self, version: int, state: dict) -> bool:

@@ -187,6 +187,59 @@ class MetricsStore:
         self.tenant_buckets = tenant_buckets
         self.manifest = ManifestLog(self.base) if commit_protocol == "manifest" else None
         self._last_seq = 0
+        # read-side snapshot pin (see as_of): None = read latest
+        self._read_pin: dict | None = None
+
+    # -- snapshot reads (time travel; manifest mode) -------------------------
+
+    def snapshot_version(self) -> int:
+        """Current committed manifest version — capture this at the start
+        of a reproducible run and pass it to :meth:`as_of` later."""
+        if self.manifest is None:
+            raise ValueError("snapshots require commit_protocol='manifest'")
+        return self.manifest.current()[0]
+
+    def snapshot_versions(self) -> list[int]:
+        """Versions still readable via :meth:`as_of` (ascending)."""
+        if self.manifest is None:
+            raise ValueError("snapshots require commit_protocol='manifest'")
+        return self.manifest.versions()
+
+    @contextlib.contextmanager
+    def as_of(self, version: int):
+        """Pin every read inside the block to manifest ``version`` —
+        the Delta/Iceberg ``versionAsOf`` capability on this store's
+        manifest log.  A training run records ``snapshot_version()`` at
+        kickoff and re-reads the exact same corpus months later (to the
+        extent :meth:`vacuum`'s retained window allows; a collected
+        version raises ``LookupError`` instead of silently reading
+        drifted data).  Reads only: mutating ops inside the block raise,
+        because writers must act on the CURRENT state, and maintenance
+        rewrites planned against a stale snapshot would be lost (or
+        resurrect deleted rows) on commit."""
+        if self.manifest is None:
+            raise ValueError("time travel requires commit_protocol='manifest'")
+        prev = self._read_pin
+        self._read_pin = self.manifest.at(version)[1]
+        try:
+            yield self
+        finally:
+            self._read_pin = prev
+
+    def _read_snap(self) -> dict | None:
+        """Snapshot for read paths: the as_of pin, else latest."""
+        if self.manifest is None:
+            return None
+        if self._read_pin is not None:
+            return self._read_pin
+        return self.manifest.current()[1]
+
+    def _assert_not_pinned(self, op: str) -> None:
+        if self._read_pin is not None:
+            raise ValueError(
+                f"{op} is not allowed inside as_of(): writes and "
+                "maintenance must run against the current snapshot"
+            )
 
     # -- paths -------------------------------------------------------------
 
@@ -322,6 +375,7 @@ class MetricsStore:
         """Batch ingest: write ONE immutable L0 segment (append; LWW
         applied at read).  No locks — publish is a single atomic rename,
         so ingest never contends with maintenance or other writers."""
+        self._assert_not_pinned("add_data_points")
         if self.manifest is not None:
             return self._add_data_points_manifest(metric_type, df)
         out = self._stamp(df)
@@ -425,7 +479,7 @@ class MetricsStore:
         self, metric_type: str, layer: str, snap: dict | None, slices
     ) -> DataFrame | None:
         if snap is None:
-            snap = self.manifest.current()[1]
+            snap = self._read_snap()
         entry = (
             snap.get("points", {}).get(metric_type, {}).get(layer, {})
         )
@@ -491,7 +545,7 @@ class MetricsStore:
         compaction committing mid-query can't show (or hide) a slice in
         one layer but not the other.
         """
-        snap = self.manifest.current()[1] if self.manifest is not None else None
+        snap = self._read_snap()
         hot = self._read_layer(metric_type, "hot", snap=snap, slices=slices)
         cold = self._read_layer(metric_type, "cold", snap=snap, slices=slices)
         if filter_fn is not None:
@@ -634,7 +688,7 @@ class MetricsStore:
     ) -> list[int]:
         if self.manifest is not None:
             if snap is None:
-                snap = self.manifest.current()[1]
+                snap = self._read_snap()
             entry = snap.get("points", {}).get(metric_type, {}).get(layer, {})
             return sorted(int(s) for s in entry)
         if layer == "hot":
@@ -659,6 +713,7 @@ class MetricsStore:
         All closed slices compact in ONE Spark job (the date_slice
         partition column splits the output): a backfill with hundreds of
         slices costs one shuffle, not one job per slice."""
+        self._assert_not_pinned("compact")
         if self.manifest is not None:
             # no flock: the manifest CAS is the (multi-host) serialization;
             # racing compactors each win some slices, losers' output is
@@ -842,6 +897,7 @@ class MetricsStore:
     def apply_retention(self, metric_type: str, cutoff_ms: int) -> list[int]:
         """B6: drop whole slices whose every point is older than cutoff —
         a partition-level delete, no data rewrite."""
+        self._assert_not_pinned("apply_retention")
         if self.manifest is not None:
             dropped: list[int] = []
 
@@ -915,6 +971,7 @@ class MetricsStore:
         the slices that can contain them.  Whole-slice drops should be
         done first via :meth:`apply_retention` (cheaper).  Returns the
         number of rewritten slice partitions."""
+        self._assert_not_pinned("apply_row_retention")
         if self.manifest is not None:
             max_cutoff_row = cutoffs.agg(F.max("cutoff_ms")).collect()[0][0]
             max_cutoff = max(default_cutoff_ms, max_cutoff_row or 0)
@@ -1106,6 +1163,7 @@ class MetricsStore:
         without the tenant's rows, and scrub the definition tables
         *including* the tenant row itself (DeleteTenant.java:53,103-104 —
         a re-created tenant must not inherit stale retention policies)."""
+        self._assert_not_pinned("delete_tenant")
         if self.manifest is not None:
             for metric_type in MetricType.USER_WRITABLE:
                 for layer in _LAYERS:
@@ -1223,6 +1281,7 @@ class MetricsStore:
         compressed data in place ("compressed data is not deleted due to
         using TWCS", :1087) and lets retention expire it; ``include_cold``
         opts into a full purge.  Returns rewritten partition count."""
+        self._assert_not_pinned("delete_metric")
         if self.manifest is not None:
             target_rows = (
                 (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
@@ -1332,7 +1391,7 @@ class MetricsStore:
     def _table_read(self, key: str, schema=None) -> DataFrame | None:
         """Manifest-aware read of a versioned side table."""
         if self.manifest is not None:
-            vdir = self.manifest.current()[1].get("tables", {}).get(key)
+            vdir = self._read_snap().get("tables", {}).get(key)
             if vdir is None:
                 return None
             path = self.base / key / vdir
@@ -1349,6 +1408,7 @@ class MetricsStore:
         """Manifest-aware overwrite of a versioned side table (new
         immutable version dir + CAS pointer swap; rename mode keeps the
         two-rename publish)."""
+        self._assert_not_pinned("table save")
         if self.manifest is not None:
             staging = self.base / "_staging" / new_id("tbl")
             df.coalesce(1).write.mode("overwrite").parquet(str(staging))
@@ -1433,6 +1493,7 @@ class MetricsStore:
         dir unreferenced by the newest ``keep_manifests`` manifests, then
         prune older manifests.  Keep enough history to cover in-flight
         snapshot readers.  Returns the number of dirs removed."""
+        self._assert_not_pinned("vacuum")
         if self.manifest is None:
             return 0
         mdir = self.manifest.dir

@@ -169,3 +169,65 @@ def test_two_process_ingest_with_concurrent_compaction(spark, tmp_path):
     # manifest log is consistent json all the way down
     v, state = reader.manifest.current()
     assert v > 0 and json.dumps(state)
+
+
+def test_as_of_time_travel(spark, tmp_path):
+    """snapshot_version + as_of pin reads to a committed manifest:
+    a training run re-reads the exact corpus it started from, through
+    later ingests, compaction, and deletes — and a vacuumed-away
+    version fails loudly instead of silently reading drifted data."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "tt"), commit_protocol="manifest")
+    batch1 = [("t", "m", ts, float(ts), None) for ts in range(0, 4)]
+    store.add_data_points("gauge", spark.createDataFrame(batch1, GAUGE_SCHEMA))
+    v1 = store.snapshot_version()
+    assert v1 >= 1
+
+    batch2 = [("t", "m", ts, float(ts), None) for ts in range(100, 104)]
+    store.add_data_points("gauge", spark.createDataFrame(batch2, GAUGE_SCHEMA))
+    # overwrite one batch1 key AFTER v1 — as_of must show the OLD value
+    store.add_data_points(
+        "gauge", spark.createDataFrame([("t", "m", 0, -1.0, None)], GAUGE_SCHEMA)
+    )
+    store.compact("gauge", closed_before_ms=2**62)
+
+    latest = store.points("gauge")
+    assert latest.count() == 8
+    assert latest.filter((F.col("ts") == 0) & (F.col("value") == -1.0)).count() == 1
+
+    with store.as_of(v1):
+        pinned = store.points("gauge")
+        assert pinned.count() == 4
+        # pre-overwrite value, even though compaction rewrote the files
+        assert pinned.filter((F.col("ts") == 0) & (F.col("value") == 0.0)).count() == 1
+        # find_data_points goes through the same pin
+        assert store.find_data_points("gauge", "t", "m", 0, 10**9).count() == 4
+        # mutations are rejected inside the pin
+        with pytest.raises(ValueError, match="as_of"):
+            store.add_data_points(
+                "gauge",
+                spark.createDataFrame([("t", "m", 9, 9.0, None)], GAUGE_SCHEMA),
+            )
+        with pytest.raises(ValueError, match="as_of"):
+            store.compact("gauge", closed_before_ms=2**62)
+    # pin is released
+    assert store.points("gauge").count() == 8
+
+    # version 0 = the empty pre-commit store
+    with store.as_of(0):
+        assert store.points("gauge").count() == 0
+
+    # vacuum retains only the newest manifest -> v1 is gone, loudly
+    store.vacuum(keep_manifests=1)
+    with pytest.raises(LookupError, match="vacuum"):
+        with store.as_of(v1):
+            pass
+    # never-committed versions also fail loudly
+    with pytest.raises(LookupError):
+        with store.as_of(10**6):
+            pass
