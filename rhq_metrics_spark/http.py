@@ -1,0 +1,487 @@
+"""WSGI REST surface over :class:`~rhq_metrics_spark.service.MetricsService`
+— the reference's JAX-RS API layer (api/metrics-api-jaxrs), stdlib-only.
+
+One class, :class:`MetricsApp`, is a WSGI callable: test it in-process
+(no socket) or serve it with ``wsgiref.simple_server`` via
+:func:`serve` — or any production WSGI server.  The handlers are thin:
+parse request → facade call → JSON adapter; every behavior the
+reference's REST tests pin flows through the already-tested pieces
+(``errors.py`` contract, ``service.stats_params`` validation,
+``sources/wire.py`` payload parsing, ``service.*_json`` adapters).
+
+Endpoint parity (reference handler file:line):
+
+- ``GET  /``                      BaseHandler.java:51 (no tenant required)
+- ``GET  /status``                StatusHandler.java:44 (no tenant)
+- ``GET|POST /tenants``           TenantsHandler (no tenant header)
+- ``GET  /metrics?type=&tags=``   MetricHandler.java:122 cross-type query
+- ``GET  /metrics/tags/{tags}``   MetricHandler.java:171 tag-value query
+- ``POST /{type}s``               GaugeHandler.java:101 create (201 +
+  Location; 400 on type mismatch, GaugeHandler.java:124)
+- ``GET  /{type}s``               GaugeHandler.java:132 list definitions
+- ``GET|DELETE /{type}s/{id}``    GaugeHandler.java:176,192
+- ``GET|PUT /{type}s/{id}/tags``  GaugeHandler.java:223,240
+- ``DELETE /{type}s/{id}/tags/{keys}``  GaugeHandler.java:256
+- ``POST /{type}s/raw``           GaugeHandler.java:307 multi-metric ingest
+- ``POST /{type}s/{id}/raw``      GaugeHandler.java:274 single-metric ingest
+- ``GET  /{type}s/{id}/raw``      raw read (?start&end&limit&order)
+- ``GET  /{type}s/{id}/stats``    GaugeHandler.java:~500 bucketed stats
+  (?start&end&buckets|bucketDuration&percentiles&fromEarliest);
+  availability gets AvailabilityBucketPoint output
+- ``GET  /gauges/{id}/periods``   GaugeHandler.java:710 (?op&threshold)
+- ``GET  /{type}s/{id}/rate``     GaugeHandler.java:775
+- ``GET  /{type}s/{id}/rate/stats``  GaugeHandler.java:807
+
+Wire conventions carried over exactly:
+
+- tenant comes from the ``Hawkular-Tenant`` header; missing →  400 with
+  the reference's message (TenantFilter.java:43-51; /tenants, /status
+  and the base path are exempt, TenantFilter.filter)
+- empty result collections → 204 No Content (ApiUtils.java:38-40)
+- empty POST payload → 400 "Payload is empty" (ApiUtils.java:69-71)
+- errors are ``{"errorMsg": ...}`` with the ApiError status
+  (model/ApiError.java:32-41) — 405 wrong method, 415 wrong
+  Content-Type, 406 unacceptable Accept, 404 unknown type segment
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from urllib.parse import parse_qs
+
+from rhq_metrics_spark.errors import (
+    ApiError,
+    BadRequest,
+    MethodNotAllowed,
+    NotAcceptable,
+    NotFound,
+    UnsupportedMediaType,
+    api_errors,
+    check_type_match,
+    metric_type_from_path,
+)
+from rhq_metrics_spark.model import MetricType
+from rhq_metrics_spark.service import (
+    availability_points_json,
+    bucket_points_json,
+    named_data_points_json,
+)
+from rhq_metrics_spark.sources.wire import parse_wire
+
+_STATUS_TEXT = {
+    200: "200 OK", 201: "201 Created", 204: "204 No Content",
+    400: "400 Bad Request", 404: "404 Not Found",
+    405: "405 Method Not Allowed", 406: "406 Not Acceptable",
+    415: "415 Unsupported Media Type", 500: "500 Internal Server Error",
+}
+
+MISSING_TENANT_MSG = (
+    "Tenant is not specified. Use 'Hawkular-Tenant' header."
+)
+
+
+class _Response(Exception):
+    """Early-exit response (non-error shortcut, e.g. 204)."""
+
+    def __init__(self, status: int, body=None):
+        self.status = status
+        self.body = body
+
+
+def _collection(body) -> _Response:
+    """ApiUtils.collectionToResponse: empty → 204, else 200."""
+    return _Response(204 if not body else 200, body or None)
+
+
+class MetricsApp:
+    """WSGI application exposing the reference's REST API over a
+    :class:`MetricsService`.  Stateless per request; safe to share."""
+
+    def __init__(self, service, base_path: str = "/hawkular/metrics"):
+        self.service = service
+        self.base = base_path.rstrip("/")
+
+    # -- WSGI ---------------------------------------------------------------
+
+    def __call__(self, environ, start_response):
+        try:
+            status, body = self._handle(environ)
+        except _Response as r:
+            status, body = r.status, r.body
+        except ApiError as e:
+            status, body = e.status, e.as_json()
+        except Exception as e:  # noqa: BLE001 — ApiUtils.serverError
+            status, body = 500, {"errorMsg": str(e) or "No details"}
+        payload = b"" if body is None else json.dumps(body).encode()
+        headers = [("Content-Length", str(len(payload)))]
+        if payload:
+            headers.insert(0, ("Content-Type", "application/json"))
+        start_response(_STATUS_TEXT[status], headers)
+        return [payload]
+
+    # -- request plumbing ---------------------------------------------------
+
+    def _handle(self, environ) -> tuple[int, dict | list | None]:
+        path = environ.get("PATH_INFO", "/")
+        if self.base and path.startswith(self.base):
+            path = path[len(self.base):] or "/"
+        method = environ.get("REQUEST_METHOD", "GET").upper()
+        qs = {
+            k: v[-1]
+            for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+        }
+
+        accept = environ.get("HTTP_ACCEPT", "*/*")
+        if accept and "application/json" not in accept and "*/*" not in accept:
+            raise NotAcceptable(f"Cannot produce {accept}")
+
+        segs = [s for s in path.split("/") if s]
+
+        # tenant-exempt routes (TenantFilter.filter)
+        if not segs:
+            self._require(method, {"GET"})
+            return 200, {"name": "rhq-metrics-spark"}
+        if segs[0] == "status":
+            self._require(method, {"GET"})
+            return 200, {"MetricsService": "STARTED"}
+        if segs[0] == "tenants":
+            return self._tenants(method, environ)
+
+        tenant = environ.get("HTTP_HAWKULAR_TENANT", "").strip()
+        if not tenant:
+            raise BadRequest(MISSING_TENANT_MSG)
+
+        if segs[0] == "metrics":
+            return self._metrics(method, segs, qs, tenant)
+
+        mt = metric_type_from_path(segs[0])
+        rest = segs[1:]
+        if not rest:
+            if method == "POST":
+                return self._create_metric(mt, tenant, environ)
+            self._require(method, {"GET", "POST"})
+            return self._list_metrics(mt, tenant, qs)
+        if rest == ["raw"]:
+            self._require(method, {"POST"})
+            return self._ingest(mt, tenant, environ)
+        metric_id = rest[0]
+        sub = rest[1:]
+        if not sub:
+            if method == "DELETE":
+                with api_errors():
+                    self.service.delete_metric(tenant, mt, metric_id)
+                return 200, None
+            self._require(method, {"GET", "DELETE"})
+            return self._get_metric(mt, tenant, metric_id)
+        if sub == ["raw"]:
+            if method == "POST":
+                return self._ingest(mt, tenant, environ, metric_id=metric_id)
+            self._require(method, {"GET", "POST"})
+            return self._raw(mt, tenant, metric_id, qs)
+        if sub == ["stats"]:
+            self._require(method, {"GET"})
+            return self._stats(mt, tenant, metric_id, qs)
+        if sub == ["tags"]:
+            if method == "PUT":
+                tags = self._json_body(environ)
+                if not isinstance(tags, dict) or not tags:
+                    raise BadRequest("Payload is empty")
+                with api_errors():
+                    self.service.add_tags(tenant, mt, metric_id, tags)
+                return 200, None
+            self._require(method, {"GET", "PUT"})
+            with api_errors():
+                tags = self.service.get_metric_tags(tenant, mt, metric_id)
+            raise _collection(tags)
+        if len(sub) == 2 and sub[0] == "tags":
+            self._require(method, {"DELETE"})
+            with api_errors():
+                self.service.delete_tags(
+                    tenant, mt, metric_id, sub[1].split(",")
+                )
+            return 200, None
+        if sub == ["periods"]:
+            self._require(method, {"GET"})
+            return self._periods(mt, tenant, metric_id, qs)
+        if sub == ["rate"]:
+            self._require(method, {"GET"})
+            return self._rate(mt, tenant, metric_id, qs)
+        if sub == ["rate", "stats"]:
+            self._require(method, {"GET"})
+            return self._rate_stats(mt, tenant, metric_id, qs)
+        raise NotFound(f"no such resource: {path}")
+
+    @staticmethod
+    def _require(method: str, allowed: set[str]) -> None:
+        if method not in allowed:
+            raise MethodNotAllowed(
+                f"HTTP method {method} is not allowed here"
+            )
+
+    def _json_body(self, environ):
+        ctype = environ.get("CONTENT_TYPE", "")
+        if ctype and "application/json" not in ctype:
+            raise UnsupportedMediaType(f"Cannot consume {ctype}")
+        try:
+            n = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            n = 0
+        raw = environ["wsgi.input"].read(n) if n else b""
+        if not raw:
+            raise BadRequest("Payload is empty")
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise BadRequest(f"Invalid JSON payload: {e}") from None
+
+    # -- handlers -----------------------------------------------------------
+
+    def _tenants(self, method, environ):
+        if method == "POST":
+            body = self._json_body(environ)
+            if not isinstance(body, dict) or not body.get("id"):
+                raise BadRequest("Payload is empty")
+            with api_errors():
+                self.service.create_tenant(
+                    body["id"], body.get("retentions")
+                )
+            return 201, None
+        self._require(method, {"GET", "POST"})
+        rows = self.service.get_tenants().collect()
+        raise _collection([{"id": r["id"]} for r in rows])
+
+    def _metrics(self, method, segs, qs, tenant):
+        self._require(method, {"GET"})
+        if len(segs) == 3 and segs[1] == "tags":
+            with api_errors():
+                df = self.service.get_tag_values(
+                    dict(
+                        kv.split(":", 1) for kv in segs[2].split(",")
+                    ),
+                    tenant_id=tenant,
+                )
+            out: dict[str, list[str]] = {}
+            for r in df.collect():
+                out.setdefault(r["tag"], []).append(r["value"])
+            raise _collection({k: sorted(v) for k, v in out.items()})
+        if len(segs) != 1:
+            raise NotFound("no such resource")
+        mt = qs.get("type")
+        if mt is not None:
+            with api_errors():
+                MetricType.check(mt)
+        return self._list_metrics(mt, tenant, qs)
+
+    def _list_metrics(self, metric_type, tenant, qs):
+        with api_errors():
+            df = self.service.find_metrics(
+                tag_expression=qs.get("tags"),
+                id_regex=qs.get("id"),
+                tenant_id=tenant,
+                metric_type=metric_type,
+            )
+        raise _collection([self._definition_json(r) for r in df.collect()])
+
+    @staticmethod
+    def _definition_json(row) -> dict:
+        d = row.asDict()
+        out = {"id": d["metric"], "type": d["type"], "tenantId": d["tenant_id"]}
+        if d.get("tags"):
+            out["tags"] = dict(d["tags"])
+        if d.get("data_retention") is not None:
+            out["dataRetention"] = d["data_retention"]
+        return out
+
+    def _create_metric(self, metric_type, tenant, environ):
+        body = self._json_body(environ)
+        if not isinstance(body, dict) or not body.get("id"):
+            raise BadRequest("Payload is empty")
+        check_type_match(metric_type, body.get("type"))
+        with api_errors():
+            self.service.create_metric(
+                tenant, metric_type, body["id"],
+                tags=body.get("tags"),
+                data_retention=body.get("dataRetention"),
+            )
+        return 201, None
+
+    def _get_metric(self, metric_type, tenant, metric_id):
+        with api_errors():
+            row = self.service.get_metric(tenant, metric_type, metric_id)
+        if row is None:
+            raise NotFound(f"No metric found with id [{metric_id}]")
+        return 200, self._definition_json(row)
+
+    # -- ingest -------------------------------------------------------------
+
+    def _ingest(self, metric_type, tenant, environ, metric_id=None):
+        body = self._json_body(environ)
+        if not isinstance(body, list) or not body:
+            raise BadRequest("Payload is empty")
+        if metric_id is not None:
+            # POST /{type}s/{id}/raw: body is the data-point list
+            body = [{"id": metric_id, "data": body}]
+        lines = self.service.spark.createDataFrame(
+            [(json.dumps(m),) for m in body], "value string"
+        )
+        points, rejects = parse_wire(
+            lines, metric_type, default_tenant=tenant
+        )
+        bad = rejects.limit(1).collect()
+        if bad:
+            raise BadRequest(
+                f"Invalid metric payload ({bad[0]['reason']}): "
+                f"{bad[0]['_raw'][:200]}"
+            )
+        with api_errors():
+            self.service.add_data_points(metric_type, points)
+        return 200, None
+
+    # -- reads --------------------------------------------------------------
+
+    @staticmethod
+    def _int(qs, key, default=None):
+        v = qs.get(key)
+        if v is None:
+            return default
+        try:
+            return int(v)
+        except ValueError:
+            raise BadRequest(f"Invalid {key} parameter: {v!r}") from None
+
+    def _time_range(self, qs):
+        from rhq_metrics_spark.model import TimeRange
+
+        with api_errors():
+            tr = TimeRange.of(qs.get("start"), qs.get("end"))
+        return tr.start, tr.end
+
+    def _raw(self, metric_type, tenant, metric_id, qs):
+        start, end = self._time_range(qs)
+        limit = self._int(qs, "limit", 0)
+        order = qs.get("order", "desc" if limit else "asc").lower()
+        if order not in ("asc", "desc"):
+            raise BadRequest(f"Invalid order parameter: {order!r}")
+        with api_errors():
+            df = self.service.find_data_points(
+                metric_type, tenant, metric_id, start, end,
+                limit=limit, order=order,
+                distinct=qs.get("distinct", "").lower() == "true",
+            )
+            groups = named_data_points_json(df)
+        pts = groups[0]["data"] if groups else []
+        if order == "desc":
+            pts = sorted(pts, key=lambda p: -p["timestamp"])
+        raise _collection(pts)
+
+    def _buckets(self, metric_type, tenant, metric_id, qs):
+        if qs.get("fromEarliest", "").lower() == "true":
+            if "start" in qs or "end" in qs:
+                raise BadRequest(
+                    "fromEarliest can only be used without start & end"
+                )
+            if "buckets" not in qs and "bucketDuration" not in qs:
+                raise BadRequest(
+                    "fromEarliest can only be used with bucketed results"
+                )
+            now = int(time.time() * 1000)
+            start = self.service.from_earliest_start(
+                metric_type, tenant, [metric_id], now
+            )
+            return self.service.stats_params(
+                start, now, self._int(qs, "buckets"), qs.get("bucketDuration")
+            )
+        return self.service.stats_params(
+            qs.get("start"), qs.get("end"),
+            self._int(qs, "buckets"), qs.get("bucketDuration"),
+        )
+
+    @staticmethod
+    def _percentiles(qs) -> list[float]:
+        raw = qs.get("percentiles")
+        if not raw:
+            return []
+        try:
+            return [float(p) for p in raw.split(",") if p]
+        except ValueError:
+            raise BadRequest(
+                f"Invalid percentiles parameter: {raw!r}"
+            ) from None
+
+    def _stats(self, metric_type, tenant, metric_id, qs):
+        bks = self._buckets(metric_type, tenant, metric_id, qs)
+        if metric_type == MetricType.AVAILABILITY:
+            with api_errors():
+                df = self.service.availability_stats(tenant, metric_id, bks)
+            raise _collection(availability_points_json(df))
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        with api_errors():
+            df = self.service.numeric_stats(
+                metric_type, tenant, [metric_id], bks,
+                percentiles=self._percentiles(qs),
+            )
+        raise _collection(bucket_points_json(df))
+
+    def _periods(self, metric_type, tenant, metric_id, qs):
+        if metric_type != MetricType.GAUGE:
+            raise NotFound("periods exist for gauges only")
+        op = qs.get("op")
+        thr = qs.get("threshold")
+        if not op or thr is None:
+            raise BadRequest("op and threshold parameters are required")
+        try:
+            threshold = float(thr)
+        except ValueError:
+            raise BadRequest(f"Invalid threshold parameter: {thr!r}") from None
+        start, end = self._time_range(qs)
+        with api_errors():
+            df = self.service.get_periods(
+                tenant, metric_id, op, threshold, start, end
+            )
+        raise _collection(
+            [
+                [r["period_start"], r["period_end"]]
+                for r in df.orderBy("period_start").collect()
+            ]
+        )
+
+    def _rate(self, metric_type, tenant, metric_id, qs):
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        start, end = self._time_range(qs)
+        with api_errors():
+            df = self.service.find_rate_data(
+                metric_type, tenant, metric_id, start, end,
+                limit=self._int(qs, "limit", 0),
+                order=qs.get("order", "asc"),
+            )
+        pts = [
+            {"timestamp": r["ts"], "value": r["rate"]}
+            for r in df.orderBy("ts").collect()
+        ]
+        raise _collection(pts)
+
+    def _rate_stats(self, metric_type, tenant, metric_id, qs):
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        bks = self._buckets(metric_type, tenant, metric_id, qs)
+        with api_errors():
+            df = self.service.find_rate_stats(
+                metric_type, tenant, metric_id, bks,
+                percentiles=self._percentiles(qs),
+            )
+        raise _collection(bucket_points_json(df))
+
+
+def serve(service, host: str = "127.0.0.1", port: int = 8080,
+          base_path: str = "/hawkular/metrics"):
+    """Blocking dev server (wsgiref).  Production deployments mount
+    :class:`MetricsApp` on any WSGI server."""
+    from wsgiref.simple_server import make_server
+
+    app = MetricsApp(service, base_path=base_path)
+    with make_server(host, port, app) as srv:
+        print(f"serving on http://{host}:{srv.server_port}{base_path}")
+        srv.serve_forever()

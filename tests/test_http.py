@@ -1,0 +1,335 @@
+"""REST surface tests — the wire behaviors the reference's REST suite
+pins (rest-tests-jaxrs ErrorsITest.groovy and the handler contracts),
+exercised through the WSGI app both in-process and over a real socket.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from wsgiref.simple_server import WSGIRequestHandler, make_server
+
+import pytest
+
+from rhq_metrics_spark.http import MISSING_TENANT_MSG, MetricsApp
+from rhq_metrics_spark.service import MetricsService
+from rhq_metrics_spark.sources.store import MetricsStore
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("http_store")
+    svc = MetricsService(spark, MetricsStore(spark, str(base)))
+    return MetricsApp(svc, base_path="/hawkular/metrics")
+
+
+def call(app, method, path, body=None, tenant="t1", headers=None):
+    """In-process WSGI request; returns (status_code, parsed_json|None)."""
+    payload = b"" if body is None else json.dumps(body).encode()
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path.split("?")[0],
+        "QUERY_STRING": path.split("?", 1)[1] if "?" in path else "",
+        "CONTENT_TYPE": "application/json",
+        "CONTENT_LENGTH": str(len(payload)),
+        "wsgi.input": io.BytesIO(payload),
+    }
+    if tenant is not None:
+        environ["HTTP_HAWKULAR_TENANT"] = tenant
+    for k, v in (headers or {}).items():
+        environ["HTTP_" + k.upper().replace("-", "_")] = v
+    out = {}
+
+    def start_response(status, response_headers):
+        out["status"] = int(status.split()[0])
+
+    chunks = app(environ, start_response)
+    raw = b"".join(chunks)
+    return out["status"], (json.loads(raw) if raw else None)
+
+
+P = "/hawkular/metrics"
+
+
+def test_base_and_status_need_no_tenant(app):
+    assert call(app, "GET", f"{P}/status", tenant=None) == (
+        200, {"MetricsService": "STARTED"},
+    )
+    code, body = call(app, "GET", f"{P}/", tenant=None)
+    assert code == 200 and "name" in body
+
+
+def test_missing_tenant_is_400_with_reference_message(app):
+    code, body = call(app, "GET", f"{P}/gauges", tenant=None)
+    assert code == 400
+    assert body == {"errorMsg": MISSING_TENANT_MSG}
+
+
+def test_unknown_type_segment_is_404(app):
+    # ErrorsITest.testNotFoundException: GET /gaugesssss/...
+    code, body = call(app, "GET", f"{P}/gaugesssss/m1/raw")
+    assert code == 404 and "errorMsg" in body
+
+
+def test_method_not_allowed_is_405(app):
+    code, body = call(app, "DELETE", f"{P}/status", tenant=None)
+    assert code == 405 and "errorMsg" in body
+
+
+def test_not_acceptable_is_406(app):
+    code, body = call(
+        app, "GET", f"{P}/gauges", headers={"Accept": "text/xml"}
+    )
+    assert code == 406
+
+
+def test_wrong_content_type_is_415(app):
+    payload = json.dumps([{"id": "m", "data": [{"timestamp": 1, "value": 1.0}]}])
+    environ = {
+        "REQUEST_METHOD": "POST",
+        "PATH_INFO": f"{P}/gauges/raw",
+        "QUERY_STRING": "",
+        "CONTENT_TYPE": "application/xml",
+        "CONTENT_LENGTH": str(len(payload)),
+        "wsgi.input": io.BytesIO(payload.encode()),
+        "HTTP_HAWKULAR_TENANT": "t1",
+    }
+    out = {}
+    app(environ, lambda s, h: out.update(status=int(s.split()[0])))
+    assert out["status"] == 415
+
+
+def test_empty_payload_is_400(app):
+    code, body = call(app, "POST", f"{P}/gauges/raw", body=[])
+    assert (code, body) == (400, {"errorMsg": "Payload is empty"})
+
+
+def test_create_metric_type_mismatch_400_and_created_201(app):
+    code, body = call(
+        app, "POST", f"{P}/gauges", body={"id": "g1", "type": "counter"}
+    )
+    assert code == 400 and "does not match" in body["errorMsg"]
+    code, _ = call(
+        app, "POST", f"{P}/gauges",
+        body={"id": "g1", "tags": {"dc": "us"}, "dataRetention": 7},
+    )
+    assert code == 201
+    code, body = call(app, "GET", f"{P}/gauges/g1")
+    assert code == 200
+    assert body == {
+        "id": "g1", "type": "gauge", "tenantId": "t1",
+        "tags": {"dc": "us"}, "dataRetention": 7,
+    }
+
+
+def test_get_unknown_metric_is_404(app):
+    code, body = call(app, "GET", f"{P}/gauges/never-created")
+    assert code == 404
+
+
+def test_ingest_read_roundtrip_and_204_on_empty(app):
+    data = [
+        {"id": "m-rt", "data": [
+            {"timestamp": 1000, "value": 1.5},
+            {"timestamp": 2000, "value": 2.5, "tags": {"q": "a"}},
+        ]},
+    ]
+    code, _ = call(app, "POST", f"{P}/gauges/raw", body=data)
+    assert code == 200
+    code, pts = call(
+        app, "GET", f"{P}/gauges/m-rt/raw?start=0&end=10000&order=asc"
+    )
+    assert code == 200
+    assert pts == [
+        {"timestamp": 1000, "value": 1.5},
+        {"timestamp": 2000, "value": 2.5, "tags": {"q": "a"}},
+    ]
+    # no data in range -> 204 (ApiUtils.collectionToResponse)
+    code, body = call(
+        app, "GET", f"{P}/gauges/m-rt/raw?start=50000&end=60000"
+    )
+    assert (code, body) == (204, None)
+
+
+def test_single_metric_post_and_desc_limit(app):
+    pts = [{"timestamp": t, "value": float(t)} for t in (1, 2, 3)]
+    code, _ = call(app, "POST", f"{P}/gauges/m-one/raw", body=pts)
+    assert code == 200
+    code, got = call(
+        app, "GET", f"{P}/gauges/m-one/raw?start=0&end=10&limit=2&order=desc"
+    )
+    assert code == 200
+    assert [p["timestamp"] for p in got] == [3, 2]
+
+
+def test_malformed_ingest_payload_is_400(app):
+    code, body = call(app, "POST", f"{P}/gauges/raw", body=[{"noid": True}])
+    assert code == 400 and "Invalid metric payload" in body["errorMsg"]
+
+
+def test_stats_param_validation_and_results(app):
+    data = [{"id": "m-st", "data": [
+        {"timestamp": t, "value": float(v)}
+        for t, v in ((0, 1), (500, 3), (1500, 5))
+    ]}]
+    assert call(app, "POST", f"{P}/gauges/raw", body=data)[0] == 200
+
+    # buckets XOR bucketDuration (BucketConfig.java:36-72)
+    code, body = call(
+        app, "GET",
+        f"{P}/gauges/m-st/stats?start=0&end=2000&buckets=2&bucketDuration=1s",
+    )
+    assert code == 400
+    code, body = call(app, "GET", f"{P}/gauges/m-st/stats?start=0&end=2000")
+    assert code == 400
+    # unparseable count (ErrorsITest.testNumberFormatException)
+    code, body = call(
+        app, "GET", f"{P}/gauges/m-st/stats?start=0&end=2000&buckets=x"
+    )
+    assert code == 400
+    # inverted range
+    code, body = call(
+        app, "GET", f"{P}/gauges/m-st/stats?start=2000&end=0&buckets=2"
+    )
+    assert code == 400
+
+    code, got = call(
+        app, "GET", f"{P}/gauges/m-st/stats?start=0&end=2000&buckets=2"
+    )
+    assert code == 200 and len(got) == 2
+    b0, b1 = got
+    assert (b0["start"], b0["end"], b0["empty"]) == (0, 1000, False)
+    assert b0["min"] == 1.0 and b0["max"] == 3.0 and b0["samples"] == 2
+    assert b1["avg"] == 5.0
+    # fromEarliest + explicit range is 400 (GaugeHandler.java:~450)
+    code, _ = call(
+        app, "GET",
+        f"{P}/gauges/m-st/stats?fromEarliest=true&start=0&buckets=2",
+    )
+    assert code == 400
+
+
+def test_tags_crud_and_tag_value_query(app):
+    assert call(
+        app, "POST", f"{P}/counters", body={"id": "c1", "tags": {"env": "prod"}}
+    )[0] == 201
+    assert call(
+        app, "PUT", f"{P}/counters/c1/tags", body={"team": "infra"}
+    )[0] == 200
+    code, tags = call(app, "GET", f"{P}/counters/c1/tags")
+    assert code == 200 and tags == {"env": "prod", "team": "infra"}
+    code, vals = call(app, "GET", f"{P}/metrics/tags/env:*")
+    assert code == 200 and vals == {"env": ["prod"]}
+    assert call(app, "DELETE", f"{P}/counters/c1/tags/team")[0] == 200
+    code, tags = call(app, "GET", f"{P}/counters/c1/tags")
+    assert tags == {"env": "prod"}
+
+
+def test_metric_listing_and_cross_type_query(app):
+    code, defs = call(app, "GET", f"{P}/metrics?type=counter")
+    assert code == 200 and any(d["id"] == "c1" for d in defs)
+    code, _ = call(app, "GET", f"{P}/metrics?type=nope")
+    assert code == 400
+    code, defs = call(app, "GET", f"{P}/gauges?tags=dc=us")
+    assert code == 200 and [d["id"] for d in defs] == ["g1"]
+
+
+def test_tenants_endpoints(app):
+    assert call(
+        app, "POST", f"{P}/tenants", tenant=None,
+        body={"id": "t-new", "retentions": {"gauge": 14}},
+    )[0] == 201
+    code, tenants = call(app, "GET", f"{P}/tenants", tenant=None)
+    assert code == 200 and {"id": "t-new"} in tenants
+
+
+def test_rate_and_periods(app):
+    # counters carry integer values on the wire (LongType; a float here
+    # is a 400, which test_malformed_ingest_payload_is_400 covers)
+    data = [{"id": "m-rate", "data": [
+        {"timestamp": 0, "value": 0},
+        {"timestamp": 60_000, "value": 60},
+        {"timestamp": 120_000, "value": 180},
+    ]}]
+    assert call(app, "POST", f"{P}/counters/raw", body=data)[0] == 200
+    code, pts = call(
+        app, "GET", f"{P}/counters/m-rate/rate?start=0&end=200000"
+    )
+    assert code == 200
+    # per-minute rate stamped at the later point (W1)
+    assert [p["value"] for p in pts] == [60.0, 120.0]
+
+    gdata = [{"id": "m-per", "data": [
+        {"timestamp": t * 1000, "value": v}
+        for t, v in ((0, 1.0), (1, 9.0), (2, 9.0), (3, 1.0))
+    ]}]
+    assert call(app, "POST", f"{P}/gauges/raw", body=gdata)[0] == 200
+    code, per = call(
+        app, "GET",
+        f"{P}/gauges/m-per/periods?op=gt&threshold=5&start=0&end=10000",
+    )
+    assert code == 200 and per == [[1000, 2000]]
+    code, _ = call(app, "GET", f"{P}/gauges/m-per/periods?start=0&end=1")
+    assert code == 400
+
+
+def test_delete_metric(app):
+    assert call(app, "POST", f"{P}/gauges", body={"id": "g-del"})[0] == 201
+    assert call(app, "DELETE", f"{P}/gauges/g-del")[0] == 200
+    assert call(app, "GET", f"{P}/gauges/g-del")[0] == 404
+
+
+class _Quiet(WSGIRequestHandler):
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+
+def test_real_http_server_end_to_end(app):
+    """The same app over an actual socket: urllib client, real headers,
+    real status lines — the full transport path."""
+    srv = make_server("127.0.0.1", 0, app, handler_class=_Quiet)
+    port = srv.server_port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}{P}"
+        with urllib.request.urlopen(f"{base}/status") as r:
+            assert r.status == 200
+            assert json.load(r) == {"MetricsService": "STARTED"}
+
+        body = json.dumps(
+            [{"id": "m-http", "data": [{"timestamp": 7, "value": 7.0}]}]
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/gauges/raw", data=body, method="POST",
+            headers={"Content-Type": "application/json",
+                     "Hawkular-Tenant": "t-http"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+
+        req = urllib.request.Request(
+            f"{base}/gauges/m-http/raw?start=0&end=100",
+            headers={"Hawkular-Tenant": "t-http"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r) == [{"timestamp": 7, "value": 7.0}]
+
+        # tenant isolation over the wire: other tenant sees no data (204)
+        req = urllib.request.Request(
+            f"{base}/gauges/m-http/raw?start=0&end=100",
+            headers={"Hawkular-Tenant": "someone-else"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{base}/gauges")  # no tenant header
+        assert err.value.code == 400
+        assert json.load(err.value) == {"errorMsg": MISSING_TENANT_MSG}
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
