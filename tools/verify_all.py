@@ -3,9 +3,11 @@
 optionally the bench), with a single PASS/FAIL verdict line.
 
 Usage:
-    python tools/verify_all.py            # tests + oracle gate (~10 min)
-    python tools/verify_all.py --bench    # also run bench.py at sf0.1
-    python tools/verify_all.py --quick    # tests -x only (~5 min)
+    python tools/verify_all.py             # tests + oracle gates at
+                                           #   sf0.01 AND sf0.1 (~25 min)
+    python tools/verify_all.py --sf01-only # skip the sf0.1 gate
+    python tools/verify_all.py --bench     # also run bench.py at sf0.1
+    python tools/verify_all.py --quick     # tests -x only (~5 min)
 """
 
 from __future__ import annotations
@@ -43,13 +45,20 @@ def main() -> int:
     results.append(run("pytest", pytest_cmd, 900))
 
     if not quick:
-        ok, msg = run(
-            "oracle-gate",
-            [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"],
-            900,
-        )
-        # the gate exits 0 only when every query matches
-        results.append((ok, msg))
+        # both scale factors: float-summation-order bugs only show where
+        # groups are big enough to flip a rounding boundary (sf0.1 caught
+        # the a9_time_rollup divergence that sf0.01 missed)
+        sfs = ["/root/testdata/sf0.01"]
+        if "--sf01-only" not in sys.argv:
+            sfs.append("/root/testdata/sf0.1")
+        for sf in sfs:
+            ok, msg = run(
+                f"oracle-gate {sf.rsplit('/', 1)[-1]}",
+                [sys.executable, "tools/check_correctness.py", sf],
+                1800,
+            )
+            # the gate exits 0 only when every query matches
+            results.append((ok, msg))
 
     if with_bench:
         results.append(run("bench", [sys.executable, "bench.py"], 900))
