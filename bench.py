@@ -195,6 +195,20 @@ def main() -> None:
     # to whichever query happens to run first
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # ... and the Python/Arrow worker pool: the first pandas_udf job in a
+    # session forks one worker per core (~1s at local[32]) — engine
+    # startup, not any single query's cost
+    import pandas as _pd
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf("double")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s * 1.0
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 100, 1, cores).select(
+        _warm(_F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -506,9 +506,16 @@ def simhash_pairs(
     the candidate join is complete for max_hamming ≤ bands - 1.
     Output: (id_a, id_b, hamming).
 
-    Signature computation is explode → one hash-agg with ``bits``
-    conditional sums — vectorized and codegen'd, unlike per-bit array
-    aggregates which would re-evaluate the token hashing per bit.
+    Signature computation is explode → one hash-agg over **lane-packed
+    longs**: each token row packs 4 of its ``bits`` into 16-bit lanes of
+    ``ceil(bits/4)`` longs, so the per-group aggregate is 15 plain long
+    sums (plus a count) instead of ``bits`` conditional sums — 4× less
+    aggregate width/codegen and far fewer driver-side expression builds.
+    The per-bit popcount is recovered from the lane (``ones_b``), and the
+    majority vote ``2*ones_b > n`` is exactly the reference ±1-vote rule.
+    Lanes bound documents at 65535 tokens (a 16-bit lane would overflow
+    silently past that) — guarded with ``raise_error``, chunk longer
+    texts upstream.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -519,16 +526,38 @@ def simhash_pairs(
     hashes = toks.select("_id", F.explode("_toks").alias("_tk")).select(
         "_id", _token_hash64(F.col("_tk")).alias("_hv")
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
-        for b in range(bits)
-    ]
-    agg = hashes.groupBy("_id").agg(*votes)
-    sig = F.lit(0).cast("long")
+    lanes = 4
+    n_packed = -(-bits // lanes)
+    packed_cols = []
+    for c in range(n_packed):
+        terms = [
+            f"shiftleft(shiftright(_hv, {c * lanes + l}) & 1, {16 * l})"
+            for l in range(lanes)
+            if c * lanes + l < bits
+        ]
+        packed_cols.append(F.expr(" + ".join(terms)).alias(f"_p{c}"))
+    agg = (
+        hashes.select("_id", *packed_cols)
+        .groupBy("_id")
+        .agg(
+            *[F.expr(f"sum(_p{c})").alias(f"_s{c}") for c in range(n_packed)],
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    sig_terms = []
     for b in range(bits):
-        sig = sig + F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        c, lane = b // lanes, b % lanes
+        ones = f"(shiftright(_s{c}, {16 * lane}) & 65535)"
+        sig_terms.append(f"IF(2 * {ones} > _n, {1 << b}L, 0L)")
+    sig = F.when(
+        F.col("_n") > 65535,
+        F.raise_error(
+            F.lit(
+                "simhash: document exceeds 65535 tokens (16-bit lane bound)"
+                " - chunk the text upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.expr(" + ".join(sig_terms)))
     # persisted: the bucket self-join would otherwise evaluate the whole
     # tokenize→hash→vote pipeline once per join side
     sigd = agg.select("_id", sig.cast("long").alias("_sig")).persist()
