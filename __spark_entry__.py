@@ -58,6 +58,7 @@ from rhq_metrics_spark.operators import (
     tagged_stats,
 )
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
+from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
 from rhq_metrics_spark.operators.rollup import stats_from_rollup, time_rollup
@@ -2977,6 +2978,87 @@ FROM g
 """
 
 
+def q_a10_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+: pairwise Pearson correlation between metric series over
+    hourly-aligned bucket sums (operators/correlate.py) — one bucket
+    aggregation, one bucket-aligned self-join, one pair aggregation.
+    All accumulators are exact integers (value_scale=100 fixed-point in
+    decimal(38,0)), so r is bit-identical across engines."""
+    return metric_correlation(_events_points(spark, sf_dir), bucket_ms=3_600_000)
+
+
+SQL_A10 = f"""
+WITH ev AS ({EV_SQL}),
+pb AS (SELECT metric AS g, (ts // 3600000) * 3600000 AS b,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS x
+       FROM ev GROUP BY 1, 2),
+p AS (SELECT a.g AS metric_a, b.g AS metric_b, a.x AS xa, b.x AS xb
+      FROM pb a JOIN pb b ON a.b = b.b AND a.g < b.g),
+s AS (SELECT metric_a, metric_b, count(*) AS n,
+        sum(CAST(xa AS HUGEINT)) AS sx, sum(CAST(xb AS HUGEINT)) AS sy,
+        sum(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS sxy,
+        sum(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS sxx,
+        sum(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS syy
+      FROM p GROUP BY 1, 2),
+d AS (SELECT metric_a, metric_b, n,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+      FROM s WHERE n >= 3)
+SELECT metric_a, metric_b, n AS n_buckets,
+       floor((num / den) * 1000000.0) / 1000000.0 AS corr
+FROM d WHERE den > 0
+"""
+
+
+TREND_HORIZON = 24
+
+
+def q_w6_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+: per-series least-squares trend of hourly bucket sums plus a
+    24-bucket-ahead forecast (operators/correlate.py linear_trend) —
+    closed-form sums, no iteration; exact decimal accumulators make the
+    slope/intercept/forecast doubles engine-portable."""
+    return linear_trend(
+        _events_points(spark, sf_dir),
+        bucket_ms=3_600_000,
+        horizon_buckets=TREND_HORIZON,
+    )
+
+
+SQL_W6 = f"""
+WITH ev AS ({EV_SQL}),
+pb AS (SELECT metric AS g, ts // 3600000 AS t,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS x
+       FROM ev GROUP BY 1, 2),
+r AS (SELECT g, t - min(t) OVER (PARTITION BY g) AS t, x FROM pb),
+s AS (SELECT g, count(*) AS n, max(t) AS tmax,
+        sum(CAST(t AS HUGEINT)) AS st, sum(CAST(x AS HUGEINT)) AS sx,
+        sum(CAST(t AS HUGEINT) * CAST(x AS HUGEINT)) AS stx,
+        sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt
+      FROM r GROUP BY g),
+f AS (SELECT g, n, tmax,
+        (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+         - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+        CAST(sx AS DOUBLE) AS sxd, CAST(st AS DOUBLE) AS std
+      FROM s WHERE n >= 2),
+o AS (SELECT g, n, slope,
+        (sxd - slope * std) / CAST(n AS DOUBLE) AS intercept, tmax
+      FROM f)
+SELECT g AS metric, n AS n_buckets,
+       floor((slope / 100) * 10000.0) / 10000.0 AS slope_per_bucket,
+       floor((intercept / 100) * 10000.0) / 10000.0 AS intercept,
+       floor(((intercept + slope * (tmax + {TREND_HORIZON})) / 100) * 10000.0)
+         / 10000.0 AS forecast
+FROM o
+"""
+
+
 Z_WINDOW_N, Z_MIN_N, Z_THRESHOLD = 20, 5, 2.0
 
 
@@ -3290,6 +3372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sessions": q_w4_sessions,
         "j6_interval_join": q_j6_interval_join,
         "a9_time_rollup": q_a9_time_rollup,
+        "a10_correlation": q_a10_correlation,
+        "w6_trend": q_w6_trend,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3385,6 +3469,8 @@ def oracle_sql() -> dict[str, str]:
         "w4_sessions": SQL_W4,
         "j6_interval_join": SQL_J6,
         "a9_time_rollup": SQL_A9R,
+        "a10_correlation": SQL_A10,
+        "w6_trend": SQL_W6,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
