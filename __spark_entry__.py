@@ -58,6 +58,7 @@ from rhq_metrics_spark.operators import (
     tagged_stats,
 )
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
+from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
@@ -3014,6 +3015,26 @@ FROM d WHERE den > 0
 """
 
 
+def q_b12_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12+: exact distinct-user cardinality per metric per day AND per
+    metric overall in one GROUPING SETS aggregation
+    (operators/cardinality.py).  The mergeable scale path (per-slice HLL
+    sketch partials, hll_union_agg at query grain) is pytest-covered
+    against this exact path; the oracle checks the exact path."""
+    return distinct_rollup(_events_points(spark, sf_dir), grain_ms=86_400_000)
+
+
+SQL_B12 = f"""
+WITH ev AS ({EV_SQL}),
+base AS (SELECT metric, (ts // 86400000) * 86400000 AS bkt, user_id FROM ev)
+SELECT metric,
+  CASE WHEN bkt IS NOT NULL THEN 'bucket' ELSE 'total' END AS grain,
+  bkt AS bucket_start,
+  count(DISTINCT user_id) AS n_distinct
+FROM base GROUP BY GROUPING SETS ((metric, bkt), (metric))
+"""
+
+
 TREND_HORIZON = 24
 
 
@@ -3374,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_time_rollup": q_a9_time_rollup,
         "a10_correlation": q_a10_correlation,
         "w6_trend": q_w6_trend,
+        "b12_distinct_rollup": q_b12_distinct_rollup,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3471,6 +3493,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_time_rollup": SQL_A9R,
         "a10_correlation": SQL_A10,
         "w6_trend": SQL_W6,
+        "b12_distinct_rollup": SQL_B12,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
