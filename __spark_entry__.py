@@ -59,6 +59,7 @@ from rhq_metrics_spark.operators import (
 )
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
+from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
@@ -3015,6 +3016,27 @@ FROM d WHERE den > 0
 """
 
 
+def q_fz_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FZ+: all part-name vocabulary pairs within Levenshtein distance 2
+    via the SymSpell deletion-neighborhood join (pipelines/fuzzy.py) —
+    complete candidate generation (shared depth-2 deletion key) + exact
+    JVM levenshtein verify on candidates only, never all-pairs.  The
+    oracle brute-forces the tiny vocabulary; the Spark plan is the
+    linear-scale shape."""
+    part = _table(spark, sf_dir, "part")
+    words = part.select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+    return fuzzy_self_join(words, "w", max_distance=2)
+
+
+SQL_FZ = """
+WITH v AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part)
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS INTEGER) AS distance
+FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+"""
+
+
 def q_b12_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12+: exact distinct-user cardinality per metric per day AND per
     metric overall in one GROUPING SETS aggregation
@@ -3396,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_correlation": q_a10_correlation,
         "w6_trend": q_w6_trend,
         "b12_distinct_rollup": q_b12_distinct_rollup,
+        "fz_vocab_pairs": q_fz_vocab_pairs,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3494,6 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         "a10_correlation": SQL_A10,
         "w6_trend": SQL_W6,
         "b12_distinct_rollup": SQL_B12,
+        "fz_vocab_pairs": SQL_FZ,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
