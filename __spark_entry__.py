@@ -60,6 +60,7 @@ from rhq_metrics_spark.operators import (
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
+from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
 from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
@@ -2700,6 +2701,62 @@ LIMIT 50
 """
 
 
+HY_QUERY_VEC, HY_DEPTH, HY_K, HY_RRF_K = 7, 50, 20, 60
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HY+: hybrid retrieval — BM25 lexical ranking (fixed term set)
+    fused with a cosine vector ranking (query vec {HY_QUERY_VEC}) by
+    Reciprocal Rank Fusion (pipelines/hybrid.py rrf_fuse).  Both mode
+    rankings are the existing bit-exact constructions; the fused score
+    is a fixed-order sum of 1/(60+rank) terms, so the whole pipeline
+    hash-matches the oracle."""
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    lex50 = bm25_score(docs, BM25_TERMS, top_k=HY_DEPTH)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex50.select("doc_id", F.row_number().over(wl).alias("rank"))
+    vec = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == HY_QUERY_VEC), k=HY_DEPTH)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, rrf_k=HY_RRF_K, top_k=HY_K)
+
+
+SQL_HYBRID = (
+    "WITH lexbase AS ("
+    + SQL_TEXT_BM25
+    + f"""),
+lex AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+            AS lex_rank
+        FROM lexbase),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e AS qe FROM v WHERE vec_id = {HY_QUERY_VEC}),
+scored AS (SELECT v.vec_id AS doc_id,
+             list_dot_product(v.e, qv.qe) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qv.qe, qv.qe))) AS c
+           FROM v CROSS JOIN qv WHERE v.vec_id <> {HY_QUERY_VEC}),
+vec AS (SELECT doc_id, CAST(vr AS INTEGER) AS vec_rank FROM (
+          SELECT doc_id,
+            row_number() OVER (ORDER BY c DESC, doc_id ASC) AS vr
+          FROM scored)
+        WHERE vr <= {HY_DEPTH}),
+fused AS (SELECT coalesce(l.doc_id, vv.doc_id) AS doc_id, l.lex_rank, vv.vec_rank
+          FROM lex l FULL OUTER JOIN vec vv ON l.doc_id = vv.doc_id),
+s AS (SELECT doc_id, lex_rank, vec_rank,
+        coalesce(1.0/({HY_RRF_K} + lex_rank), 0.0)
+          + coalesce(1.0/({HY_RRF_K} + vec_rank), 0.0) AS rrf_score
+      FROM fused)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT doc_id, lex_rank, vec_rank, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rk
+  FROM s)
+WHERE rk <= {HY_K}
+"""
+)
+
+
 PACK_BUDGET, PACK_SHARDS = 256, 4
 
 
@@ -3419,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_trend": q_w6_trend,
         "b12_distinct_rollup": q_b12_distinct_rollup,
         "fz_vocab_pairs": q_fz_vocab_pairs,
+        "hybrid_topk": q_hybrid_topk,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3518,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "w6_trend": SQL_W6,
         "b12_distinct_rollup": SQL_B12,
         "fz_vocab_pairs": SQL_FZ,
+        "hybrid_topk": SQL_HYBRID,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
