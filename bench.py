@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
     "pack_chunks",   # sharded running-sum window (packing throughput)
+    "a10_correlation",     # bucket-aligned self-join, exact decimal sums
+    "w6_trend",            # closed-form least squares per series
+    "b12_distinct_rollup", # GROUPING SETS distinct cardinality
+    "fz_vocab_pairs",      # SymSpell deletion-neighborhood fuzzy join
+    "hybrid_topk",         # BM25 + cosine fused by RRF
 ]
 
 
@@ -245,6 +250,7 @@ def main() -> None:
     from rhq_metrics_spark.pipelines.similarity import (
         cosine_topk,
         ivf_cosine_topk,
+        ivf_probe_for_recall,
         lsh_cosine_topk,
         topk_recall,
     )
@@ -268,6 +274,12 @@ def main() -> None:
             ),
             3,
         )
+        # the sizer is the production dial: smallest probe count whose
+        # measured recall meets 0.9 on this data (fixed probes above are
+        # the raw curve)
+        n_probe, r = ivf_probe_for_recall(emb, qs, k=5, n_cells=16, target_recall=0.9)
+        timings["embed_ivf_probe_for_r90"] = n_probe
+        timings["embed_ivf_recall_at_sized_probe"] = round(r, 3)
         timings["embed_lsh_recall_default"] = round(
             topk_recall(
                 truth,

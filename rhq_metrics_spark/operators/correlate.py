@@ -81,13 +81,19 @@ def metric_correlation(
         .groupBy("_g", "_b")
         .agg(F.sum("_x").alias("_x"))
     )
-    lhs = per_bucket.select(
-        F.col("_g").alias("metric_a"), "_b", F.col("_x").alias("_xa")
+    # self-join via aliases of the SAME plan so canonicalization lets
+    # ReuseExchange serve both sides from one bucket aggregation
+    a, bb = per_bucket.alias("a"), per_bucket.alias("b")
+    pairs = (
+        a.join(bb, F.col("a._b") == F.col("b._b"))
+        .filter(F.col("a._g") < F.col("b._g"))
+        .select(
+            F.col("a._g").alias("metric_a"),
+            F.col("b._g").alias("metric_b"),
+            F.col("a._x").alias("_xa"),
+            F.col("b._x").alias("_xb"),
+        )
     )
-    rhs = per_bucket.select(
-        F.col("_g").alias("metric_b"), "_b", F.col("_x").alias("_xb")
-    )
-    pairs = lhs.join(rhs, "_b").filter(F.col("metric_a") < F.col("metric_b"))
     agg = pairs.groupBy("metric_a", "metric_b").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_xa").cast(DEC)).alias("_sx"),
@@ -151,9 +157,17 @@ def linear_trend(
         .groupBy("_g", "_t")
         .agg(F.sum("_x").alias("_x"))
     )
-    w = per_bucket.groupBy("_g").agg(F.min("_t").alias("_t0"))
-    rel = per_bucket.join(F.broadcast(w), "_g").select(
-        "_g", (F.col("_t") - F.col("_t0")).alias("_t"), "_x"
+    # per-series first bucket via a window over the same _g partitioning
+    # the final aggregation needs — one scan, and Catalyst plans the agg
+    # shuffle-free on the window's exchange (vs. a second scan + join
+    # for a groupBy-min variant)
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy("_g")
+    rel = per_bucket.select(
+        "_g",
+        (F.col("_t") - F.min("_t").over(w0)).alias("_t"),
+        "_x",
     )
     agg = rel.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
