@@ -85,7 +85,7 @@ from rhq_metrics_spark.pipelines.multimodal import (
 )
 from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
 from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
-from rhq_metrics_spark.pipelines.sketches import kmv_distinct
+from rhq_metrics_spark.pipelines.sketches import heavy_hitters, kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -2701,6 +2701,34 @@ LIMIT 50
 """
 
 
+HH_PHI = 0.034
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HH+: exact tokens above frequency {HH_PHI} via the Misra-Gries
+    candidate pass + exact recount (pipelines/sketches.py heavy_hitters)
+    — O(1/phi) state per task, candidates-only shuffle, output exactly
+    {{v : count > phi*n}} (the MG union is a complete candidate set, the
+    recount removes false positives).  The oracle brute-counts."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return heavy_hitters(toks, "token", phi=HH_PHI)
+
+
+SQL_HH = rf"""
+WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token AS value, count(*) AS cnt
+FROM toks, tot
+GROUP BY token, n
+HAVING count(*) > {HH_PHI}::DOUBLE * CAST(n AS DOUBLE)
+ORDER BY cnt DESC, value ASC
+"""
+
+
 HY_QUERY_VEC, HY_DEPTH, HY_K, HY_RRF_K = 7, 50, 20, 60
 
 
@@ -3477,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b12_distinct_rollup": q_b12_distinct_rollup,
         "fz_vocab_pairs": q_fz_vocab_pairs,
         "hybrid_topk": q_hybrid_topk,
+        "text_heavy_hitters": q_text_heavy_hitters,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3577,6 +3606,7 @@ def oracle_sql() -> dict[str, str]:
         "b12_distinct_rollup": SQL_B12,
         "fz_vocab_pairs": SQL_FZ,
         "hybrid_topk": SQL_HYBRID,
+        "text_heavy_hitters": SQL_HH,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,

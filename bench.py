@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "b12_distinct_rollup", # GROUPING SETS distinct cardinality
     "fz_vocab_pairs",      # SymSpell deletion-neighborhood fuzzy join
     "hybrid_topk",         # BM25 + cosine fused by RRF
+    "text_heavy_hitters",  # MG candidate pass + exact recount
 ]
 
 

@@ -86,3 +86,91 @@ def kmv_distinct(
             ),
         )
     )
+
+
+def heavy_hitters(
+    values: DataFrame,
+    col: str,
+    phi: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items above frequency ``phi`` without a full-vocab
+    shuffle: a per-partition Misra-Gries candidate pass, then an exact
+    recount of candidates only.
+
+    Guarantee (the pigeonhole form of the MG bound): if an item's global
+    count exceeds ``n / (capacity+1)`` then some partition holds it at
+    local frequency above ``n_p / (capacity+1)``, where it survives that
+    partition's MG summary — so the UNION of per-partition summaries is
+    a complete candidate set for threshold ``phi`` when
+    ``capacity >= 1/phi``.  The exact second pass then removes every
+    false positive; the output is exactly ``{v : count(v) > phi * n}``,
+    no approximation.
+
+    Scale shape: pass 1 is ``mapInPandas`` with O(capacity) state per
+    task emitting ≤ tasks × capacity candidate rows (plus one row of
+    partition-count accounting) — nothing shuffles; pass 2 recounts ONLY
+    candidates (broadcast membership filter pushed into the scan), so
+    the aggregation shuffles candidates × partitions partial rows
+    instead of the whole vocabulary.  Contrast with a naive
+    explode→groupBy→filter, which shuffles every distinct value.
+
+    Output: ``(value, cnt)`` with cnt the exact count, descending.
+    """
+    import math
+
+    import pandas as pd
+
+    if not 0 < phi < 1:
+        raise ValueError("phi must be in (0, 1)")
+    k = capacity or math.ceil(1.0 / phi)
+
+    def _mg(batches):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            n_rows += int(pdf[col].count())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # batched MG decrement: subtracting the (k+1)-th largest
+                # from everyone zeroes at least len-k items; each unit
+                # removed from a survivor is matched across >= k+1 items,
+                # preserving the n_p/(k+1) undercount bound
+                delta = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - delta for v, c in counters.items() if c > delta
+                }
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "part_rows": [0] * len(counters) + [n_rows],
+            }
+        )
+
+    summary = values.select(F.col(col).alias(col)).mapInPandas(
+        _mg, "value string, part_rows long"
+    ).collect()
+    total = sum(r["part_rows"] for r in summary if r["value"] is None)
+    cands = sorted({r["value"] for r in summary if r["value"] is not None})
+    if not cands or total == 0:
+        spark = values.sparkSession
+        return spark.createDataFrame([], "value string, cnt long")
+    threshold = phi * total
+    if len(cands) <= 1000:
+        member = F.col(col).isin(cands)
+        counted = values.filter(member)
+    else:
+        cdf = F.broadcast(
+            values.sparkSession.createDataFrame(
+                [(c,) for c in cands], f"`{col}` string"
+            )
+        )
+        counted = values.join(cdf, col, "left_semi")
+    return (
+        counted.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > threshold)
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+    )

@@ -1,0 +1,65 @@
+"""Tests for pipelines/sketches.py heavy_hitters — MG candidate pass +
+exact recount must equal brute force exactly."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from rhq_metrics_spark.pipelines.sketches import heavy_hitters
+
+
+def _df(spark, vals, partitions=8):
+    return spark.createDataFrame(
+        [(v,) for v in vals], "t string"
+    ).repartition(partitions)
+
+
+def _brute(vals, phi):
+    n = len(vals)
+    return {v: c for v, c in Counter(vals).items() if c > phi * n}
+
+
+def test_exact_output_matches_brute_force(spark):
+    rng = random.Random(5)
+    # skewed: a few hot values + a long tail
+    vals = (
+        ["hot1"] * 500 + ["hot2"] * 300 + ["warm"] * 120
+        + [f"tail{rng.randint(0, 2000)}" for _ in range(2000)]
+    )
+    rng.shuffle(vals)
+    for phi in (0.05, 0.1, 0.02):
+        got = {
+            r["value"]: r["cnt"]
+            for r in heavy_hitters(_df(spark, vals), "t", phi).collect()
+        }
+        assert got == _brute(vals, phi), f"phi={phi}"
+
+
+def test_spread_evenly_across_partitions_still_complete(spark):
+    # the adversarial case for per-partition summaries: the heavy item
+    # is spread thinly over every partition
+    vals = ["spread"] * 200 + [f"u{i}" for i in range(1800)]
+    df = _df(spark, vals, partitions=16)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "t", 0.05).collect()}
+    assert got == {"spread": 200}  # 200/2000 = 0.1 > 0.05
+
+
+def test_no_qualifying_items(spark):
+    vals = [f"u{i}" for i in range(500)]
+    assert heavy_hitters(_df(spark, vals), "t", 0.01).count() == 0
+
+
+def test_threshold_is_strict(spark):
+    vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 85
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(_df(spark, vals), "t", 0.1).collect()}
+    # a is exactly 10% -> strict > excludes it
+    assert got == {"c": 85}
+
+
+def test_phi_validation(spark):
+    df = _df(spark, ["x"])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "t", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "t", 1.0)
