@@ -281,16 +281,26 @@ class MetricsStore:
         self, stamped: DataFrame, staging: Path
     ) -> set[tuple[int, int]]:
         """Write one immutable plain-parquet segment into ``staging``:
-        hash-clustered by (date_slice, tenant_bucket) so AQE sizes the
-        output files to the data (a small micro-batch → one file; a huge
-        backfill → many slice-clustered files), sorted so ``date_slice``
-        row-group min/max prune reads.  The distinct (slice, bucket) set
-        is captured during the SAME job via ``Dataset.observe`` (an
-        accumulator — no second scan, no driver-side data read); its size
-        is bounded by #slices x #buckets, never by row count."""
+        RANGE-partitioned on the full sort key with an EXPLICIT partition
+        count (cluster parallelism): every task writes one contiguous
+        (slice, bucket, metric, ts) span — files carry tight
+        ``date_slice`` min/max for row-group pruning — and parallelism
+        never depends on the batch's key shape (hash-partitioning by
+        slice capped a dense batch at #distinct-slices tasks, halving
+        steady-state ingest; AQE coalescing collapsed small batches to
+        one task).  Files per batch are bounded by the explicit count;
+        compaction folds micro-batch files into the per-slice cold
+        layout.  Range sampling costs one extra light job per batch.
+        The distinct (slice, bucket) set is captured during the SAME
+        write job via ``Dataset.observe`` (an accumulator — no second
+        scan, no driver-side data read); its size is bounded by
+        #slices x #buckets, never by row count."""
         obs = Observation()
+        n_tasks = self.spark.sparkContext.defaultParallelism
         (
-            stamped.repartition("date_slice", "tenant_bucket")
+            stamped.repartitionByRange(
+                n_tasks, "date_slice", "tenant_bucket", "metric", "ts"
+            )
             .sortWithinPartitions("date_slice", "tenant_bucket", "metric", "ts")
             .observe(
                 obs,
