@@ -3428,6 +3428,67 @@ FROM f
 """
 
 
+PIPE_QUALITY_MIN = 0.75
+
+
+def q_pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE+: the end-to-end curation pipeline as ONE composed query —
+    quality gate (quality_score >= {PIPE_QUALITY_MIN}) → MinHash near-dup
+    clustering over the survivors → keep canonical docs only →
+    leakage-safe train/test split keyed on the dup-cluster id.  Every
+    stage is an already-oracled operator; this query checks their
+    COMPOSITION end-to-end (the shape a real training-data run has).
+    Output: (doc_id, cluster_id, quality, split)."""
+    docs = _table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(
+        q.filter(F.col("quality") >= PIPE_QUALITY_MIN), "doc_id"
+    )
+    pairs = minhash_lsh_pairs(
+        kept, n=3, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=MH_T
+    )
+    clusters = dup_clusters(kept.select("doc_id"), pairs)
+    canon = clusters.filter(F.col("is_canonical"))
+    out = leakage_safe_split(
+        canon.select("doc_id"), clusters, weights={"train": 0.9, "test": 0.1}
+    )
+    return out.join(q, "doc_id").select("doc_id", "cluster_id", "quality", "split")
+
+
+def _pipe_curation_sql() -> str:
+    mh = _minhash_sql().strip()
+    assert mh.startswith("WITH ")
+    # re-point the pair generator at the quality-filtered subset; the
+    # nested WITH keeps its CTE names scoped
+    mh_body = mh[len("WITH "):].replace("FROM documents", "FROM qd")
+    frac = (
+        "CAST(concat('0x', substr(md5(concat('split', ':', "
+        "CAST(cluster_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        " / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    return f"""
+WITH RECURSIVE
+tq AS ({SQL_TEXT_QUALITY}),
+qd AS (SELECT d.doc_id, d.text, tq.quality
+       FROM documents d JOIN tq ON d.doc_id = tq.doc_id
+       WHERE tq.quality >= {PIPE_QUALITY_MIN}),
+pairs AS (WITH {mh_body}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM qd
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+clusters AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY id),
+canon AS (SELECT doc_id, cluster_id FROM clusters WHERE doc_id = cluster_id),
+f AS (SELECT doc_id, cluster_id, {frac} AS frac FROM canon)
+SELECT f.doc_id, f.cluster_id, qd.quality,
+       CASE WHEN frac < 0.9 THEN 'train' ELSE 'test' END AS split
+FROM f JOIN qd ON qd.doc_id = f.doc_id
+"""
+
+
 CLF_DIM = 256
 
 
@@ -3506,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fz_vocab_pairs": q_fz_vocab_pairs,
         "hybrid_topk": q_hybrid_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
+        "pipe_curation": q_pipe_curation,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3607,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
         "fz_vocab_pairs": SQL_FZ,
         "hybrid_topk": SQL_HYBRID,
         "text_heavy_hitters": SQL_HH,
+        "pipe_curation": _pipe_curation_sql(),
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
