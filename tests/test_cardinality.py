@@ -77,3 +77,68 @@ def test_sketch_column_is_persistable_binary(spark, tmp_path):
     # 30 hourly users span two days: 24 in day 0, 6 in day 1
     assert est[0] == pytest.approx(24, rel=0.05)
     assert est[DAY] == pytest.approx(6, rel=0.05)
+
+
+def test_streaming_distinct_rollup_matches_batch(spark, tmp_path):
+    """B12 streaming twin: finalized windows carry the exact batch
+    distinct counts (dedup-within-watermark -> windowed count)."""
+    import json
+    import time
+
+    from rhq_metrics_spark.streaming.cardinality import streaming_distinct_rollup
+
+    src = tmp_path / "card_in"
+    src.mkdir()
+    base = 1_700_000_000  # seconds
+    rows1 = [
+        {"metric": "m", "sec": base + i, "user_id": f"u{i % 7}" } for i in range(30)
+    ] + [
+        {"metric": "n", "sec": base + i, "user_id": f"v{i % 3}"} for i in range(10)
+    ]
+    # far-future row advances the watermark past the first hour window
+    rows2 = [{"metric": "m", "sec": base + 7200, "user_id": "late"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("metric string, sec long, user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    out = streaming_distinct_rollup(
+        stream, grain="1 hour", watermark_delay="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("card_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "card_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql("select * from card_out").count() < 2
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["metric"], int(r["bucket_start"].timestamp())): r["n_distinct"]
+        for r in spark.sql("select * from card_out").collect()
+    }
+    # batch reference over the same rows, same hourly grain
+    batch = spark.createDataFrame(
+        [(r["metric"], r["sec"] * 1000, r["user_id"]) for r in rows1],
+        "metric string, ts long, user_id string",
+    )
+    want = {
+        (r["metric"], r["bucket_start"] // 1000): r["n_distinct"]
+        for r in distinct_rollup(batch, HOUR).filter("grain = 'bucket'").collect()
+    }
+    assert got == want  # every finalized window, exact counts
