@@ -203,14 +203,11 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     # ... and the Python/Arrow worker pool: the first pandas_udf job in a
     # session forks one worker per core (~1s at local[32]) — engine
-    # startup, not any single query's cost
-    import pandas as _pd
+    # startup, not any single query's cost.  (Functional form: decorator
+    # type hints can't resolve a function-local import alias.)
     import pyspark.sql.functions as _F
 
-    @_F.pandas_udf("double")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s * 1.0
-
+    _warm = _F.pandas_udf(lambda s: s * 1.0, "double")
     cores = spark.sparkContext.defaultParallelism
     spark.range(0, cores * 100, 1, cores).select(
         _warm(_F.col("id").cast("double"))

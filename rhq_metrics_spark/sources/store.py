@@ -281,26 +281,27 @@ class MetricsStore:
         self, stamped: DataFrame, staging: Path
     ) -> set[tuple[int, int]]:
         """Write one immutable plain-parquet segment into ``staging``:
-        RANGE-partitioned on the full sort key with an EXPLICIT partition
-        count (cluster parallelism): every task writes one contiguous
-        (slice, bucket, metric, ts) span — files carry tight
-        ``date_slice`` min/max for row-group pruning — and parallelism
-        never depends on the batch's key shape (hash-partitioning by
-        slice capped a dense batch at #distinct-slices tasks, halving
-        steady-state ingest; AQE coalescing collapsed small batches to
-        one task).  Files per batch are bounded by the explicit count;
-        compaction folds micro-batch files into the per-slice cold
-        layout.  Range sampling costs one extra light job per batch.
-        The distinct (slice, bucket) set is captured during the SAME
-        write job via ``Dataset.observe`` (an accumulator — no second
-        scan, no driver-side data read); its size is bounded by
+        ROUND-ROBIN repartitioned to cluster parallelism, then sorted
+        within each partition: write throughput is flat in the batch's
+        key shape (hash-on-slice capped a dense batch at #distinct-slices
+        tasks; AQE rebalance/range collapsed small batches to one task —
+        both cost ~2× on steady-state micro-batches), and every task
+        carries an even slice of the rows regardless of upstream
+        partitioning or skew.  Each file then holds sorted
+        (slice, bucket, metric, ts) RUNS, so parquet row-group min/max
+        still prunes slice- and metric-filtered reads; file-level slice
+        overlap is fine at this layer — readers prune SEGMENTS by the
+        exact-slice sidecar, and compaction builds the strictly
+        slice-partitioned cold layout.  Files per batch = cluster
+        parallelism, independent of slice count.  The distinct
+        (slice, bucket) set is captured during the SAME write job via
+        ``Dataset.observe`` (an accumulator — no second scan, no
+        driver-side data read); its size is bounded by
         #slices x #buckets, never by row count."""
         obs = Observation()
         n_tasks = self.spark.sparkContext.defaultParallelism
         (
-            stamped.repartitionByRange(
-                n_tasks, "date_slice", "tenant_bucket", "metric", "ts"
-            )
+            stamped.repartition(n_tasks)
             .sortWithinPartitions("date_slice", "tenant_bucket", "metric", "ts")
             .observe(
                 obs,
