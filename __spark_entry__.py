@@ -62,6 +62,10 @@ from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
 from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
+from rhq_metrics_spark.operators.downsample import (
+    minmax_downsample,
+    value_histogram,
+)
 from rhq_metrics_spark.operators.asof import asof_join
 from rhq_metrics_spark.operators.interval import interval_join
 from rhq_metrics_spark.operators.rollup import stats_from_rollup, time_rollup
@@ -2701,6 +2705,55 @@ LIMIT 50
 """
 
 
+DS_BUCKET_MS = 6 * 3_600_000
+
+
+def q_o5_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5+: chart-faithful decimation — per (series, 6h bucket) the
+    actual min-value and max-value POINTS (operators/downsample.py),
+    arg-extremes via one lexicographic struct min/max aggregation, no
+    window; value ties resolve to the earliest timestamp."""
+    return minmax_downsample(_events_points(spark, sf_dir), bucket_ms=DS_BUCKET_MS)
+
+
+SQL_O5 = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT metric, (ts // {DS_BUCKET_MS}) * {DS_BUCKET_MS} AS bucket_start,
+             ts, value FROM ev),
+r AS (SELECT metric, bucket_start, ts, value,
+        row_number() OVER (PARTITION BY metric, bucket_start
+                           ORDER BY value ASC, ts ASC) AS rlo,
+        row_number() OVER (PARTITION BY metric, bucket_start
+                           ORDER BY value DESC, ts ASC) AS rhi
+      FROM b)
+SELECT metric, bucket_start, ts, value, 'min' AS kind FROM r WHERE rlo = 1
+UNION ALL
+SELECT metric, bucket_start, ts, value, 'max' AS kind FROM r WHERE rhi = 1
+"""
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 512.0, 16  # width 32.0: exact binary
+
+
+def q_a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+: per-series value histogram (operators/downsample.py
+    value_histogram) — the heatmap backing store; exact-binary bin width
+    so the floor binning is engine-identical."""
+    return value_histogram(
+        _events_points(spark, sf_dir), lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+
+
+SQL_A11 = f"""
+WITH ev AS ({EV_SQL}),
+bi AS (SELECT metric,
+         CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS INTEGER) AS bin
+       FROM ev)
+SELECT metric, bin, 0.0 + bin * 32.0 AS bin_lo, count(*) AS count
+FROM bi GROUP BY 1, 2
+"""
+
+
 HH_PHI = 0.034
 
 
@@ -3568,6 +3621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
         "pipe_curation": q_pipe_curation,
+        "o5_minmax_downsample": q_o5_minmax_downsample,
+        "a11_histogram": q_a11_histogram,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3670,6 +3725,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": SQL_HYBRID,
         "text_heavy_hitters": SQL_HH,
         "pipe_curation": _pipe_curation_sql(),
+        "o5_minmax_downsample": SQL_O5,
+        "a11_histogram": SQL_A11,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,

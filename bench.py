@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "fz_vocab_pairs",      # SymSpell deletion-neighborhood fuzzy join
     "hybrid_topk",         # BM25 + cosine fused by RRF
     "text_heavy_hitters",  # MG candidate pass + exact recount
+    "o5_minmax_downsample",  # arg-extreme struct aggregation
+    "a11_histogram",         # value distribution binning
 ]
 
 
