@@ -58,6 +58,7 @@ from rhq_metrics_spark.operators import (
     tagged_stats,
 )
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
+from rhq_metrics_spark.operators.rate import bucket_increase
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
@@ -2705,6 +2706,30 @@ LIMIT 50
 """
 
 
+def q_w7_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7+: Prometheus-style per-bucket increase() with counter-reset
+    handling (operators/rate.py bucket_increase) — adjacent-pair deltas
+    quantized to exact integers, so the per-bucket sum is
+    order-independent; a reset contributes the restarted counter's
+    value."""
+    return bucket_increase(_events_points(spark, sf_dir), bucket_ms=3_600_000)
+
+
+SQL_W7 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev),
+l AS (SELECT metric, ts, v,
+        lag(v) OVER (PARTITION BY metric ORDER BY ts ASC, v ASC) AS pv
+      FROM q),
+p AS (SELECT metric, (ts // 3600000) * 3600000 AS bucket_start,
+        CASE WHEN v >= pv THEN v - pv ELSE v END AS c
+      FROM l WHERE pv IS NOT NULL)
+SELECT metric, bucket_start, count(*) AS n_pairs,
+       sum(c) / 100.0 AS increase
+FROM p GROUP BY 1, 2
+"""
+
+
 DS_BUCKET_MS = 6 * 3_600_000
 
 
@@ -3623,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_curation": q_pipe_curation,
         "o5_minmax_downsample": q_o5_minmax_downsample,
         "a11_histogram": q_a11_histogram,
+        "w7_increase": q_w7_increase,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3727,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_curation": _pipe_curation_sql(),
         "o5_minmax_downsample": SQL_O5,
         "a11_histogram": SQL_A11,
+        "w7_increase": SQL_W7,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,

@@ -93,3 +93,59 @@ def rate_stats(
         group_cols=stats_group_cols,
         fill_empty=fill_empty,
     )
+
+
+def bucket_increase(
+    df: DataFrame,
+    bucket_ms: int,
+    value_scale: int = 100,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("metric",),
+    counter: bool = True,
+) -> DataFrame:
+    """W7: per-(series, bucket) ``increase`` / ``delta`` over adjacent
+    pairs — the windowed companion to :func:`rate` (Prometheus-style
+    ``increase()``/``delta()`` at a fixed grid).
+
+    Each adjacent pair contributes ``v2 - v1`` stamped at the LATER
+    point's bucket (the same convention rate uses).  ``counter=True``
+    treats a decrease as a counter reset and contributes ``v2`` — the
+    restarted counter's accumulation since reset (Prometheus increase
+    semantics); ``counter=False`` is plain delta, resets included as
+    negative contributions.
+
+    Determinism: contributions are quantized to ``value_scale``
+    integers, so the per-bucket SUM is exact long arithmetic —
+    order-independent across partitions and engines; the output divides
+    once at the end.  One shuffle on the series key (lag window), then a
+    map-side-combinable aggregation.
+
+    Output: ``(group_cols..., bucket_start, n_pairs, increase)``.
+    """
+    gcols = list(group_cols)
+    v = F.round(F.col(value_col) * value_scale).cast("long")
+    # tie-break equal timestamps on the quantized value so the pairing
+    # is total-ordered and engine-identical
+    w = Window.partitionBy(*gcols).orderBy(F.col("_t").asc(), F.col("_v").asc())
+    cur = df.select(
+        *gcols,
+        F.col(ts_col).alias("_t"),
+        v.alias("_v"),
+    ).withColumn("_pv", F.lag("_v").over(w))
+    pair = cur.filter(F.col("_pv").isNotNull())
+    if counter:
+        contrib = F.when(
+            F.col("_v") >= F.col("_pv"), F.col("_v") - F.col("_pv")
+        ).otherwise(F.col("_v"))
+    else:
+        contrib = F.col("_v") - F.col("_pv")
+    b = F.floor(F.col("_t") / bucket_ms) * bucket_ms
+    return (
+        pair.select(*gcols, b.alias("bucket_start"), contrib.alias("_c"))
+        .groupBy(*gcols, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum("_c") / float(value_scale)).alias("increase"),
+        )
+    )

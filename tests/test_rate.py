@@ -81,3 +81,42 @@ def test_rate_stats_composition(counter_points_factory):
     for r in out:
         assert r["avg"] == pytest.approx(600.0)
         assert r["min"] == pytest.approx(600.0)
+
+
+def test_bucket_increase_counter_and_delta(spark):
+    """W7: adjacent-pair increase per bucket — counter resets contribute
+    the restarted value; delta mode keeps them negative."""
+    from rhq_metrics_spark.operators.rate import bucket_increase
+
+    HOUR = 3_600_000
+    rows = [
+        ("c", 0, 10.0), ("c", 1000, 15.0),        # +5 in bucket 0
+        ("c", HOUR + 1, 3.0),                      # reset: contributes 3
+        ("c", HOUR + 2000, 9.0),                   # +6
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {
+        r["bucket_start"]: (r["n_pairs"], r["increase"])
+        for r in bucket_increase(df, HOUR).collect()
+    }
+    assert out[0] == (1, 5.0)
+    assert out[HOUR] == (2, 9.0)  # reset 3 + rise 6
+    plain = {
+        r["bucket_start"]: r["increase"]
+        for r in bucket_increase(df, HOUR, counter=False).collect()
+    }
+    assert plain[HOUR] == pytest.approx(-6.0)  # reset -12, then +6
+
+
+def test_bucket_increase_pair_straddles_bucket_boundary(spark):
+    """A pair spanning two buckets lands in the LATER point's bucket
+    (the rate stamping convention)."""
+    from rhq_metrics_spark.operators.rate import bucket_increase
+
+    HOUR = 3_600_000
+    rows = [("m", HOUR - 1, 1.0), ("m", HOUR + 1, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = bucket_increase(df, HOUR).collect()
+    assert len(out) == 1
+    assert out[0]["bucket_start"] == HOUR
+    assert out[0]["increase"] == 3.0
