@@ -694,6 +694,120 @@ class MetricsService:
             pts, on=["tenant_id", "metric"], gap_ms=gap_ms
         ).drop("tenant_id", "metric")
 
+    def correlate(
+        self,
+        tenant_id,
+        metrics,
+        start,
+        end,
+        bucket_ms,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+        min_overlap: int = 3,
+    ) -> DataFrame:
+        """Pairwise Pearson correlation between the given series over
+        aligned bucket sums (operators/correlate.py): ``(metric_a,
+        metric_b, n_buckets, corr)``.  Takes an explicit metric list —
+        the same curated-set contract as :meth:`stats_query`."""
+        from rhq_metrics_spark.operators.correlate import metric_correlation
+
+        pts = self._scan(metric_type, tenant_id, list(metrics), start, end)
+        return metric_correlation(
+            pts, bucket_ms, value_scale=value_scale, min_overlap=min_overlap
+        )
+
+    def trend(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        bucket_ms,
+        horizon_buckets: int = 24,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """Least-squares trend + forecast of one-or-more series
+        (operators/correlate.py linear_trend): ``(metric, n_buckets,
+        slope_per_bucket, intercept, forecast)``."""
+        from rhq_metrics_spark.operators.correlate import linear_trend
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return linear_trend(
+            pts, bucket_ms, horizon_buckets=horizon_buckets, value_scale=value_scale
+        )
+
+    def downsample(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        n_points: int = 1000,
+        method: str = "lttb",
+        metric_type=MetricType.GAUGE,
+    ) -> DataFrame:
+        """Chart-faithful decimation of one series
+        (operators/downsample.py).  ``method='lttb'`` returns ``(ts,
+        value)`` — n_points visually-optimal picks; ``'minmax'`` returns
+        the per-bucket extreme points (``n_points`` buckets over the
+        range, ≤ 2 rows each)."""
+        from rhq_metrics_spark.operators.downsample import (
+            lttb,
+            minmax_downsample,
+        )
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        if method == "lttb":
+            return lttb(pts, n_points).drop("metric")
+        if method == "minmax":
+            bucket_ms = max((end - start) // max(n_points, 1), 1)
+            return minmax_downsample(pts, bucket_ms).drop("metric")
+        raise ValueError(f"unknown downsample method: {method!r}")
+
+    def histogram(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        lo: float,
+        hi: float,
+        n_bins: int,
+        metric_type=MetricType.GAUGE,
+    ) -> DataFrame:
+        """Value distribution of one series over [lo, hi)
+        (operators/downsample.py value_histogram): ``(bin, bin_lo,
+        count)``."""
+        from rhq_metrics_spark.operators.downsample import value_histogram
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return value_histogram(pts, lo, hi, n_bins).drop("metric")
+
+    def increase(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        bucket_ms,
+        metric_type=MetricType.COUNTER,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """Per-bucket accumulated increase of a counter (or delta of a
+        gauge) — operators/rate.py bucket_increase: ``(bucket_start,
+        n_pairs, increase)``.  Counter semantics (reset contributes the
+        restarted value) when ``metric_type='counter'``."""
+        from rhq_metrics_spark.operators.rate import bucket_increase
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return bucket_increase(
+            pts,
+            bucket_ms,
+            value_scale=value_scale,
+            counter=(metric_type == MetricType.COUNTER),
+        ).drop("metric")
+
     def register_sql_views(self, prefix: str = "metrics") -> list[str]:
         """Expose the store as Spark SQL temp views so users can query
         with ``spark.sql``: one ``{prefix}_points_<type>`` view per metric

@@ -418,3 +418,60 @@ def test_get_metric_tags_and_names(spark, tmp_path):
     assert filtered == {"env", "dc"}
     only_gauge = {r["tag"] for r in svc.get_tag_names(metric_type="gauge").collect()}
     assert only_gauge == {"env", "dc"}
+
+
+def test_analytics_facade_round4(spark, tmp_path):
+    """Correlate / trend / downsample / histogram / increase through the
+    service facade — the round-4 analytics reachable from the same API
+    surface as the reference's stats calls."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import MetricType
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "st")))
+    HOUR = 3_600_000
+    rows = []
+    for t in range(24):
+        rows.append(("t1", "cpu", t * HOUR + 5, float(t), None))
+        rows.append(("t1", "load", t * HOUR + 7, float(2 * t + 1), None))
+    pts = spark.createDataFrame(
+        rows,
+        "tenant_id string, metric string, ts long, value double, "
+        "tags map<string,string>",
+    )
+    svc.add_data_points(MetricType.GAUGE, pts)
+    start, end = 0, 24 * HOUR
+
+    corr = svc.correlate("t1", ["cpu", "load"], start, end, HOUR).collect()
+    assert len(corr) == 1 and corr[0]["corr"] in (1.0, 0.999999)
+
+    tr = {r["metric"]: r for r in svc.trend("t1", ["cpu", "load"], start, end, HOUR,
+                                            horizon_buckets=1).collect()}
+    assert tr["cpu"]["slope_per_bucket"] == pytest.approx(1.0, abs=1e-4)
+    assert tr["load"]["slope_per_bucket"] == pytest.approx(2.0, abs=1e-4)
+    assert tr["cpu"]["forecast"] == pytest.approx(24.0, abs=1e-4)
+
+    ds = svc.downsample("t1", "cpu", start, end, n_points=6, method="lttb").collect()
+    assert len(ds) == 6 and {r["ts"] for r in ds} <= {t * HOUR + 5 for t in range(24)}
+    mm = svc.downsample("t1", "cpu", start, end, n_points=4, method="minmax")
+    assert {r["kind"] for r in mm.collect()} == {"min", "max"}
+
+    h = {r["bin"]: r["count"] for r in
+         svc.histogram("t1", "cpu", start, end, 0.0, 24.0, 4).collect()}
+    assert sum(h.values()) == 24 and h[0] == 6
+
+    # counter with one reset: 5 -> 9 (+4), then 2 (reset: +2), then 8 (+6)
+    crows = [("t1", "reqs", i * 1000, v, None)
+             for i, v in enumerate([5, 9, 2, 8])]
+    svc.add_data_points(
+        MetricType.COUNTER,
+        spark.createDataFrame(
+            crows,
+            "tenant_id string, metric string, ts long, value long, "
+            "tags map<string,string>",
+        ),
+    )
+    inc = svc.increase("t1", "reqs", 0, HOUR, HOUR).collect()
+    assert len(inc) == 1 and inc[0]["increase"] == 12.0 and inc[0]["n_pairs"] == 3
