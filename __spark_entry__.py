@@ -64,6 +64,8 @@ from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
 from rhq_metrics_spark.operators.correlate import linear_trend, metric_correlation
 from rhq_metrics_spark.operators.downsample import (
+    histogram_quantile,
+    histogram_rollup,
     minmax_downsample,
     value_histogram,
 )
@@ -2706,6 +2708,48 @@ LIMIT 50
 """
 
 
+HQ_Q = 0.95
+
+
+def q_b13_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13+: p95 per (series, day) served from MERGEABLE per-2h-slice
+    histogram partials (operators/downsample.py histogram_rollup +
+    histogram_quantile) — the Prometheus histogram_quantile() model:
+    rank statistics over any range from #slices × #bins integer rows,
+    never a raw re-scan.  Exact-binary bin width + integer counts make
+    the interpolation engine-identical."""
+    pts = _events_points(spark, sf_dir)
+    hists = histogram_rollup(
+        pts, slice_ms=7_200_000, lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+    return histogram_quantile(
+        hists, grain_ms=86_400_000, q=HQ_Q,
+        lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS,
+    )
+
+
+SQL_B13 = f"""
+WITH ev AS ({EV_SQL}),
+h AS (SELECT metric, (ts // 7200000) * 7200000 AS slice_start,
+        CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS INTEGER) AS bin,
+        count(*) AS count
+      FROM ev GROUP BY 1, 2, 3),
+m AS (SELECT metric, (slice_start // 86400000) * 86400000 AS bucket_start,
+        bin, sum(count) AS c
+      FROM h GROUP BY 1, 2, 3),
+cum AS (SELECT metric, bucket_start, bin, c,
+          sum(c) OVER (PARTITION BY metric, bucket_start ORDER BY bin) AS cm,
+          sum(c) OVER (PARTITION BY metric, bucket_start) AS total
+        FROM m),
+t AS (SELECT metric, bucket_start, bin, c, cm, total,
+        cm - c AS prev, CAST({HQ_Q} AS DOUBLE) * total AS target
+      FROM cum)
+SELECT metric, bucket_start, total,
+       0.0 + bin * 32.0 + 32.0 * (target - prev) / c AS qvalue
+FROM t WHERE cm >= target AND prev < target
+"""
+
+
 def q_w7_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7+: Prometheus-style per-bucket increase() with counter-reset
     handling (operators/rate.py bucket_increase) — adjacent-pair deltas
@@ -3649,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_minmax_downsample": q_o5_minmax_downsample,
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
+        "b13_hist_quantile": q_b13_hist_quantile,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
@@ -3754,6 +3799,7 @@ def oracle_sql() -> dict[str, str]:
         "o5_minmax_downsample": SQL_O5,
         "a11_histogram": SQL_A11,
         "w7_increase": SQL_W7,
+        "b13_hist_quantile": SQL_B13,
         "w5_rolling_zscore": SQL_W5,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,

@@ -36,7 +36,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["minmax_downsample", "lttb", "value_histogram"]
+__all__ = [
+    "minmax_downsample",
+    "lttb",
+    "value_histogram",
+    "histogram_rollup",
+    "histogram_quantile",
+]
 
 
 def minmax_downsample(
@@ -181,4 +187,87 @@ def value_histogram(
         .agg(F.count(F.lit(1)).alias("count"))
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(w))
         .select(group_col, "bin", "bin_lo", "count")
+    )
+
+
+def histogram_rollup(
+    points: DataFrame,
+    slice_ms: int,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(series, slice) fixed-bin histogram partials — the MERGEABLE
+    state behind rank statistics at scale (the Prometheus native-
+    histogram idea): written once per slice at compaction time, any
+    coarser range's quantiles are then answered from #slices × #bins
+    integer rows, never the raw points.  Output: ``(metric, slice_start,
+    bin, count)``."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    w = (hi - lo) / n_bins
+    s = F.floor(F.col(ts_col) / slice_ms) * slice_ms
+    raw = F.floor((F.col(value_col) - lo) / w)
+    bin_i = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        points.select(
+            F.col(group_col).alias(group_col), s.alias("slice_start"), bin_i.alias("bin")
+        )
+        .groupBy(group_col, "slice_start", "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def histogram_quantile(
+    hists: DataFrame,
+    grain_ms: int,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_col: str = "metric",
+) -> DataFrame:
+    """Quantile estimate per (series, ``grain_ms`` bucket) from
+    :func:`histogram_rollup` partials: merge slice histograms into the
+    coarser bucket (one integer sum), then linearly interpolate inside
+    the bin where the cumulative count crosses ``q × total`` —
+    ``histogram_quantile()`` semantics.  Error is bounded by the bin
+    width; every arithmetic step is a fixed IEEE op over exact integer
+    counts, so estimates are engine-identical.  Output: ``(metric,
+    bucket_start, total, qvalue)``."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    b = F.floor(F.col("slice_start") / grain_ms) * grain_ms
+    merged = (
+        hists.select(group_col, b.alias("bucket_start"), "bin", "count")
+        .groupBy(group_col, "bucket_start", "bin")
+        .agg(F.sum("count").alias("_c"))
+    )
+    win = Window.partitionBy(group_col, "bucket_start").orderBy("bin")
+    tot = Window.partitionBy(group_col, "bucket_start")
+    cur = (
+        merged.withColumn("_cum", F.sum("_c").over(win))
+        .withColumn("_total", F.sum("_c").over(tot))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+        .withColumn("_target", F.lit(q) * F.col("_total"))
+    )
+    picked = cur.filter(
+        (F.col("_cum") >= F.col("_target")) & (F.col("_prev") < F.col("_target"))
+    )
+    est = (
+        F.lit(lo)
+        + F.col("bin") * F.lit(w)
+        + F.lit(w) * (F.col("_target") - F.col("_prev")) / F.col("_c")
+    )
+    return picked.select(
+        group_col,
+        "bucket_start",
+        F.col("_total").alias("total"),
+        est.alias("qvalue"),
     )

@@ -123,3 +123,61 @@ def test_histogram_validation(spark):
         value_histogram(df, 0.0, 0.0, 4)
     with pytest.raises(ValueError):
         value_histogram(df, 0.0, 1.0, 0)
+
+
+def test_histogram_quantile_within_bin_width_of_exact(spark):
+    """The merged-histogram quantile is within one bin width of the true
+    percentile, and merging slice partials equals one global histogram."""
+    import numpy as np
+
+    from rhq_metrics_spark.operators.downsample import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    rng = np.random.RandomState(21)
+    vals = rng.uniform(0, 500, 4000)
+    DAY = 86_400_000
+    rows = [("m", int(i * (DAY / 4000)), float(v)) for i, v in enumerate(vals)]
+    pts = _pts(spark, rows)
+    hists = histogram_rollup(pts, slice_ms=2 * HOUR, lo=0.0, hi=512.0, n_bins=64)
+    out = histogram_quantile(
+        hists, grain_ms=DAY, q=0.95, lo=0.0, hi=512.0, n_bins=64
+    ).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert got["total"] == 4000
+    true_p95 = float(np.percentile(vals, 95))
+    assert abs(got["qvalue"] - true_p95) <= 512.0 / 64  # one bin width
+
+
+def test_histogram_quantile_merge_equals_global(spark):
+    from rhq_metrics_spark.operators.downsample import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    rows = [("m", i * 60_000, float(i % 97)) for i in range(5000)]
+    pts = _pts(spark, rows)
+    DAY = 86_400_000
+    fine = histogram_rollup(pts, slice_ms=HOUR, lo=0.0, hi=128.0, n_bins=32)
+    coarse = histogram_rollup(pts, slice_ms=DAY, lo=0.0, hi=128.0, n_bins=32)
+    q_fine = histogram_quantile(fine, DAY, 0.5, 0.0, 128.0, 32).collect()
+    q_coarse = histogram_quantile(coarse, DAY, 0.5, 0.0, 128.0, 32).collect()
+    kf = {(r["metric"], r["bucket_start"]): r["qvalue"] for r in q_fine}
+    kc = {(r["metric"], r["bucket_start"]): r["qvalue"] for r in q_coarse}
+    assert kf == kc  # merging partials == one global histogram
+
+
+def test_histogram_quantile_validation(spark):
+    from rhq_metrics_spark.operators.downsample import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    pts = _pts(spark, [("m", 0, 1.0)])
+    h = histogram_rollup(pts, HOUR, 0.0, 10.0, 4)
+    with pytest.raises(ValueError):
+        histogram_quantile(h, HOUR, 0.0, 0.0, 10.0, 4)
+    with pytest.raises(ValueError):
+        histogram_rollup(pts, HOUR, 5.0, 5.0, 4)
