@@ -181,3 +181,71 @@ def test_histogram_quantile_validation(spark):
         histogram_quantile(h, HOUR, 0.0, 0.0, 10.0, 4)
     with pytest.raises(ValueError):
         histogram_rollup(pts, HOUR, 5.0, 5.0, 4)
+
+
+def test_streaming_histogram_rollup_matches_batch(spark, tmp_path):
+    """B13 streaming twin: finalized slices carry exactly the batch
+    histogram partials (and feed histogram_quantile unchanged)."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.operators.downsample import histogram_rollup
+    from rhq_metrics_spark.streaming.histogram import streaming_histogram_rollup
+
+    src = tmp_path / "hist_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"metric": "m", "sec": base + i * 60, "value": float((i * 37) % 500)}
+        for i in range(40)
+    ]
+    rows2 = [{"metric": "m", "sec": base + 7200, "value": 1.0}]  # watermark push
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("metric string, sec long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    batch = spark.createDataFrame(
+        [(r["metric"], r["sec"] * 1000, r["value"]) for r in rows1],
+        "metric string, ts long, value double",
+    )
+    want = {
+        (r["metric"], r["slice_start"], r["bin"]): r["count"]
+        for r in histogram_rollup(batch, 30 * 60_000, 0.0, 512.0, 16).collect()
+    }
+
+    out = streaming_histogram_rollup(
+        stream, "30 minutes", 0.0, 512.0, 16, watermark_delay="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hist_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql("select * from hist_out").count() < len(want)
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["metric"], int(r["slice_start"].timestamp()) * 1000, r["bin"]): r["count"]
+        for r in spark.sql("select * from hist_out").collect()
+    }
+    # every finalized slice (all of rows1's slices are finalized by the
+    # watermark push) matches the batch partials exactly
+    assert got == want
