@@ -57,7 +57,7 @@ from rhq_metrics_spark.operators import (
     stacked_stats,
     tagged_stats,
 )
-from rhq_metrics_spark.operators.anomaly import rolling_zscore
+from rhq_metrics_spark.operators.anomaly import rolling_quantile, rolling_zscore
 from rhq_metrics_spark.operators.rate import bucket_increase
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
@@ -3309,6 +3309,41 @@ FROM o
 """
 
 
+RQ_WINDOW_N = 20
+
+
+def q_w8_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8+: per-series trailing-{RQ_WINDOW_N} rolling MEDIAN of the
+    centi-quantized values (operators/anomaly.py rolling_quantile) — the
+    robust baseline for anomaly detection; integer inputs make the
+    median interpolation (a+b)/2 engine-exact."""
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "click")
+    qdf = ev.select(
+        "metric", "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = rolling_quantile(
+        qdf, on=["metric", "user_id"], order=["ts", "v100"],
+        value_col="v100", q=0.5, window_n=RQ_WINDOW_N,
+    )
+    return out.select("metric", "ts", "user_id", "v100",
+                      F.col("rolling_q").alias("rolling_median"))
+
+
+SQL_W8 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, user_id,
+        CAST(round(value * 100, 0) AS BIGINT) AS v100
+      FROM ev WHERE metric = 'click')
+SELECT metric, ts, user_id, v100,
+       quantile_cont(v100, 0.5) OVER (
+         PARTITION BY metric, user_id ORDER BY ts ASC, v100 ASC
+         ROWS BETWEEN {RQ_WINDOW_N - 1} PRECEDING AND CURRENT ROW
+       ) AS rolling_median
+FROM q
+"""
+
+
 Z_WINDOW_N, Z_MIN_N, Z_THRESHOLD = 20, 5, 2.0
 
 
@@ -3695,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_increase": q_w7_increase,
         "b13_hist_quantile": q_b13_hist_quantile,
         "w5_rolling_zscore": q_w5_rolling_zscore,
+        "w8_rolling_median": q_w8_rolling_median,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
@@ -3801,6 +3837,7 @@ def oracle_sql() -> dict[str, str]:
         "w7_increase": SQL_W7,
         "b13_hist_quantile": SQL_B13,
         "w5_rolling_zscore": SQL_W5,
+        "w8_rolling_median": SQL_W8,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
         "s10_wire_roundtrip": SQL_S10,

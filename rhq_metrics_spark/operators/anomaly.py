@@ -64,3 +64,38 @@ def rolling_zscore(
         "is_anomaly",
         F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False)),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    q: float = 0.5,
+    window_n: int = 20,
+    min_n: int = 1,
+    out_col: str = "rolling_q",
+) -> DataFrame:
+    """W8: exact trailing-window quantile per series — the ROBUST
+    baseline companion to :func:`rolling_zscore` (a rolling median
+    shrugs off the very outliers a rolling mean chases).
+
+    Spark evaluates ``percentile`` as a true window aggregate, so this
+    is one shuffle on the series key and an O(window_n) per-row frame —
+    no self-join, no applyInPandas.  Rows with fewer than ``min_n``
+    frame members get null.  For cross-engine determinism use
+    integer-quantized values with ``q=0.5``: the median interpolation
+    ``(a+b)/2`` over exact integers is bit-identical regardless of each
+    engine's interpolation expression shape; non-dyadic q over raw
+    doubles may differ in the last ulp between engines.
+    """
+    if not 0 < q < 1:
+        raise ValueError("q must be in (0, 1)")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(-(window_n - 1), 0)
+    )
+    cnt = F.count(value_col).over(w)
+    rq = F.percentile(F.col(value_col), F.lit(q)).over(w)
+    return df.withColumn(out_col, F.when(cnt >= min_n, rq))

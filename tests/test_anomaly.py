@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from rhq_metrics_spark.operators.anomaly import rolling_zscore
 
 
@@ -57,3 +59,50 @@ def test_partitions_independent(spark):
     assert all(r["z"] is None for r in b_rows)  # constant series
     a_flagged = [r for r in out if r["key"] == "a" and r["is_anomaly"]]
     assert a_flagged == []  # linear ramp never exceeds 3 sigma of its window
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    """W8: trailing-window quantile equals pandas rolling().quantile
+    with linear interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    from rhq_metrics_spark.operators.anomaly import rolling_quantile
+
+    rng = np.random.RandomState(13)
+    vals = rng.randint(0, 1000, 60).astype(float)
+    rows = [("m", "u", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, user_id string, ts long, v double")
+    for q in (0.5, 0.9):
+        out = (
+            rolling_quantile(df, on=["metric", "user_id"], order=["ts"],
+                             value_col="v", q=q, window_n=10)
+            .orderBy("ts").collect()
+        )
+        want = pd.Series(vals).rolling(10, min_periods=1).quantile(q, interpolation="linear")
+        got = [r["rolling_q"] for r in out]
+        assert got == pytest.approx(list(want), abs=1e-9), q
+
+
+def test_rolling_quantile_min_n_and_robustness(spark):
+    from rhq_metrics_spark.operators.anomaly import rolling_quantile
+
+    rows = [("m", "u", i, 10.0 if i != 5 else 10_000.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "metric string, user_id string, ts long, v double")
+    out = (
+        rolling_quantile(df, on=["metric", "user_id"], order=["ts"],
+                         value_col="v", q=0.5, window_n=5, min_n=3)
+        .orderBy("ts").collect()
+    )
+    assert out[0]["rolling_q"] is None and out[1]["rolling_q"] is None
+    # the single spike never moves the median (robust baseline)
+    assert all(r["rolling_q"] == 10.0 for r in out[2:])
+
+
+def test_rolling_quantile_validation(spark):
+    from rhq_metrics_spark.operators.anomaly import rolling_quantile
+
+    df = spark.createDataFrame([("m", "u", 0, 1.0)],
+                               "metric string, user_id string, ts long, v double")
+    with pytest.raises(ValueError):
+        rolling_quantile(df, on=["metric"], order=["ts"], value_col="v", q=1.5)
