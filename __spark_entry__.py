@@ -58,7 +58,7 @@ from rhq_metrics_spark.operators import (
     tagged_stats,
 )
 from rhq_metrics_spark.operators.anomaly import rolling_quantile, rolling_zscore
-from rhq_metrics_spark.operators.rate import bucket_increase
+from rhq_metrics_spark.operators.rate import bucket_increase, time_weighted_avg
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
@@ -2708,6 +2708,30 @@ LIMIT 50
 """
 
 
+def q_a12_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+: time-weighted average per (series, hour) — the correct mean
+    under irregular sampling (operators/rate.py time_weighted_avg):
+    left-continuous step interpolation, exact decimal value×duration
+    products so the bucket sums are order-independent."""
+    return time_weighted_avg(_events_points(spark, sf_dir), bucket_ms=3_600_000)
+
+
+SQL_A12 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev),
+l AS (SELECT metric, ts, v,
+        lag(v) OVER w AS pv, lag(ts) OVER w AS pt
+      FROM q WINDOW w AS (PARTITION BY metric ORDER BY ts ASC, v ASC)),
+p AS (SELECT metric, (ts // 3600000) * 3600000 AS bucket_start,
+        CAST(pv AS HUGEINT) * CAST(ts - pt AS HUGEINT) AS c, ts - pt AS dt
+      FROM l WHERE pv IS NOT NULL AND ts > pt)
+SELECT metric, bucket_start, count(*) AS n_pairs,
+       CAST(sum(dt) AS BIGINT) AS held_ms,
+       CAST(sum(c) AS DOUBLE) / (sum(dt) * 100.0) AS twa
+FROM p GROUP BY 1, 2
+"""
+
+
 HQ_Q = 0.95
 
 
@@ -3729,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
         "b13_hist_quantile": q_b13_hist_quantile,
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "w8_rolling_median": q_w8_rolling_median,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -3836,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "a11_histogram": SQL_A11,
         "w7_increase": SQL_W7,
         "b13_hist_quantile": SQL_B13,
+        "a12_time_weighted_avg": SQL_A12,
         "w5_rolling_zscore": SQL_W5,
         "w8_rolling_median": SQL_W8,
         "o4_topk_per_group": SQL_O4,

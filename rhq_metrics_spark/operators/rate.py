@@ -149,3 +149,59 @@ def bucket_increase(
             (F.sum("_c") / float(value_scale)).alias("increase"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_ms: int,
+    value_scale: int = 100,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("metric",),
+    max_gap_ms: int | None = None,
+) -> DataFrame:
+    """A12: time-weighted average per (series, bucket) — the correct
+    mean under IRREGULAR sampling, where the plain avg over-weights
+    bursts of closely-spaced points.  Each adjacent pair contributes its
+    earlier value held for the pair's duration (left-continuous step
+    interpolation, the Prometheus/RRD convention), stamped into the
+    LATER point's bucket like :func:`rate`; pairs further apart than
+    ``max_gap_ms`` are dropped (a series that went silent shouldn't
+    smear its last value across the gap).
+
+    Determinism: weights are exact integer millis, values exact
+    ``value_scale`` integers, and each pair's product is carried in
+    decimal(38,0) — the per-bucket sums are order-independent, and the
+    single final division is one IEEE op.  One lag window + one
+    aggregation.  Output: ``(group..., bucket_start, n_pairs, held_ms,
+    twa)``.
+    """
+    gcols = list(group_cols)
+    v = F.round(F.col(value_col) * value_scale).cast("long")
+    w = Window.partitionBy(*gcols).orderBy(F.col("_t").asc(), F.col("_v").asc())
+    cur = (
+        df.select(*gcols, F.col(ts_col).alias("_t"), v.alias("_v"))
+        .withColumn("_pv", F.lag("_v").over(w))
+        .withColumn("_pt", F.lag("_t").over(w))
+    )
+    pair = cur.filter(F.col("_pv").isNotNull() & (F.col("_t") > F.col("_pt")))
+    if max_gap_ms is not None:
+        pair = pair.filter(F.col("_t") - F.col("_pt") <= max_gap_ms)
+    dt = F.col("_t") - F.col("_pt")
+    b = F.floor(F.col("_t") / bucket_ms) * bucket_ms
+    contrib = F.col("_pv").cast("decimal(18,0)") * dt.cast("decimal(18,0)")
+    return (
+        pair.select(
+            *gcols, b.alias("bucket_start"),
+            contrib.alias("_c"), dt.alias("_dt"),
+        )
+        .groupBy(*gcols, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_dt").alias("held_ms"),
+            (
+                F.sum(F.col("_c")).cast("double")
+                / (F.sum("_dt") * float(value_scale))
+            ).alias("twa"),
+        )
+    )

@@ -120,3 +120,32 @@ def test_bucket_increase_pair_straddles_bucket_boundary(spark):
     assert len(out) == 1
     assert out[0]["bucket_start"] == HOUR
     assert out[0]["increase"] == 3.0
+
+
+def test_time_weighted_avg_known_answer(spark):
+    """A12: value held for its duration — irregular bursts don't skew
+    the mean; max_gap drops silent-period smears."""
+    from rhq_metrics_spark.operators.rate import time_weighted_avg
+
+    HOUR = 3_600_000
+    # value 10 held 900s, then a burst of 3 points at 30 within 2s,
+    # then back to 10 for the rest: plain avg of points = (10+30*3+10)/5
+    # = 18; time-weighted is dominated by the held 10s
+    rows = [
+        ("m", 0, 10.0),
+        ("m", 900_000, 30.0),     # 10 held 900s
+        ("m", 901_000, 30.0),     # 30 held 1s
+        ("m", 902_000, 30.0),     # 30 held 1s
+        ("m", 1_800_000, 10.0),   # 30 held 898s
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = time_weighted_avg(df, HOUR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 4 and r["held_ms"] == 1_800_000
+    want = (10.0 * 900_000 + 30.0 * 1_000 + 30.0 * 1_000 + 30.0 * 898_000) / 1_800_000
+    assert r["twa"] == pytest.approx(want)
+    # with a max gap of 10s the long holds drop; only the burst remains
+    g = time_weighted_avg(df, HOUR, max_gap_ms=10_000).collect()[0]
+    assert g["n_pairs"] == 2 and g["held_ms"] == 2_000
+    assert g["twa"] == pytest.approx(30.0)
