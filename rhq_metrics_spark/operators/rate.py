@@ -170,9 +170,11 @@ def time_weighted_avg(
     smear its last value across the gap).
 
     Determinism: weights are exact integer millis, values exact
-    ``value_scale`` integers, and each pair's product is carried in
-    decimal(38,0) — the per-bucket sums are order-independent, and the
-    single final division is one IEEE op.  One lag window + one
+    ``value_scale`` integers, and each pair's product is formed as
+    decimal(18,0)×decimal(18,0) → exact decimal(37,0) (operands cast
+    BEFORE multiplying so nothing wraps; exact for any |scaled value|
+    and |gap| under 1e18) — the per-bucket sums are order-independent,
+    and the single final division is one IEEE op.  One lag window + one
     aggregation.  Output: ``(group..., bucket_start, n_pairs, held_ms,
     twa)``.
     """

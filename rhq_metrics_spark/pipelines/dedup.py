@@ -515,15 +515,18 @@ def simhash_pairs(
     Output: (id_a, id_b, hamming).
 
     Signature computation is explode → one hash-agg over **lane-packed
-    longs**: each token row packs 4 of its ``bits`` into 16-bit lanes of
-    ``ceil(bits/4)`` longs, so the per-group aggregate is 15 plain long
-    sums (plus a count) instead of ``bits`` conditional sums — 4× less
+    longs**: each token row packs 3 of its ``bits`` into 16-bit lanes of
+    ``ceil(bits/3)`` longs, so the per-group aggregate is 20 plain long
+    sums (plus a count) instead of ``bits`` conditional sums — 3× less
     aggregate width/codegen and far fewer driver-side expression builds.
     The per-bit popcount is recovered from the lane (``ones_b``), and the
     majority vote ``2*ones_b > n`` is exactly the reference ±1-vote rule.
+    Three lanes, not four: the top lane's sum peaks at 65535 << 32 —
+    far inside a signed long — whereas a fourth lane at shift 48 would
+    cross 2^63 and ANSI-overflow the sum for large-but-legal documents.
     Lanes bound documents at 65535 tokens (a 16-bit lane would overflow
-    silently past that) — guarded with ``raise_error``, chunk longer
-    texts upstream.
+    past that) — guarded with ``raise_error``, chunk longer texts
+    upstream.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -534,7 +537,7 @@ def simhash_pairs(
     hashes = toks.select("_id", F.explode("_toks").alias("_tk")).select(
         "_id", _token_hash64(F.col("_tk")).alias("_hv")
     )
-    lanes = 4
+    lanes = 3
     n_packed = -(-bits // lanes)
     packed_cols = []
     for c in range(n_packed):

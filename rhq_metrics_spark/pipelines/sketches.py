@@ -115,7 +115,13 @@ def heavy_hitters(
     instead of the whole vocabulary.  Contrast with a naive
     explode→groupBy→filter, which shuffles every distinct value.
 
-    Output: ``(value, cnt)`` with cnt the exact count, descending.
+    Accepts string / integral / boolean value columns (the discrete
+    domains frequency analysis makes sense over); other types raise —
+    their Python-vs-JVM string forms diverge, which would silently break
+    the candidate membership filter.
+
+    Output: ``(value, cnt)`` with cnt the exact count (value cast to
+    string), descending.
     """
     import math
 
@@ -123,6 +129,12 @@ def heavy_hitters(
 
     if not 0 < phi < 1:
         raise ValueError("phi must be in (0, 1)")
+    dt = values.schema[col].dataType.simpleString()
+    if dt not in ("string", "tinyint", "smallint", "int", "bigint", "boolean"):
+        raise TypeError(
+            f"heavy_hitters needs a string/integral/boolean column, got "
+            f"{col}: {dt} — cast it to string explicitly first"
+        )
     k = capacity or math.ceil(1.0 / phi)
 
     def _mg(batches):
@@ -144,7 +156,10 @@ def heavy_hitters(
                 }
         yield pd.DataFrame(
             {
-                "value": list(counters) + [None],
+                # stringify: candidate keys round-trip through one fixed
+                # Arrow schema regardless of the input column's type (the
+                # recount below compares on the same cast)
+                "value": [str(v) for v in counters] + [None],
                 "part_rows": [0] * len(counters) + [n_rows],
             }
         )
@@ -158,18 +173,18 @@ def heavy_hitters(
         spark = values.sparkSession
         return spark.createDataFrame([], "value string, cnt long")
     threshold = phi * total
+    svals = values.select(F.col(col).cast("string").alias("_v"))
     if len(cands) <= 1000:
-        member = F.col(col).isin(cands)
-        counted = values.filter(member)
+        counted = svals.filter(F.col("_v").isin(cands))
     else:
         cdf = F.broadcast(
             values.sparkSession.createDataFrame(
-                [(c,) for c in cands], f"`{col}` string"
+                [(c,) for c in cands], "_v string"
             )
         )
-        counted = values.join(cdf, col, "left_semi")
+        counted = svals.join(cdf, "_v", "left_semi")
     return (
-        counted.groupBy(F.col(col).alias("value"))
+        counted.groupBy(F.col("_v").alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > threshold)
         .orderBy(F.col("cnt").desc(), F.col("value").asc())

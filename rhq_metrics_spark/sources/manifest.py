@@ -110,17 +110,19 @@ class ManifestLog:
         tmp.write_text(json.dumps(state, sort_keys=True))
         target = self.dir / f"v{version:012d}.json"
         try:
-            # O_EXCL create is the CAS: exactly one process can own each
-            # version number.  (Object-store analogue: conditional PUT.)
-            fd = os.open(str(target), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # hard-link of the FULLY-WRITTEN tmp file is both the CAS
+            # (link fails with EEXIST if another process owns this
+            # version) and atomic publication — a reader can never
+            # observe an empty or partial manifest, and a crash here
+            # leaves at most an orphan tmp file, never a wedged version.
+            # (An O_EXCL-create-then-write scheme had both failure
+            # modes.)  Object-store analogue: conditional PUT of the
+            # complete body.
+            os.link(tmp, target)
         except FileExistsError:
-            tmp.unlink(missing_ok=True)
             return False
-        try:
-            os.write(fd, tmp.read_bytes())
         finally:
-            os.close(fd)
-        tmp.unlink(missing_ok=True)
+            tmp.unlink(missing_ok=True)
         return True
 
     def commit(

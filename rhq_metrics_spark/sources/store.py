@@ -800,6 +800,14 @@ class MetricsStore:
                     vmap.pop(s)
                     continue
                 snap_segs = set(hot_entry.get(key, []))
+                if not snap_segs <= set(cur_hot.get(key, [])):
+                    # a racing retention / tenant- or metric-delete /
+                    # slice rewrite REMOVED hot segments we compacted:
+                    # publishing our output would resurrect the deleted
+                    # rows into cold.  Drop the slice — the next
+                    # compaction run rebuilds it from the current state.
+                    vmap.pop(s)
+                    continue
                 remaining = [g for g in cur_hot.get(key, []) if g not in snap_segs]
                 if remaining:
                     # segments ingested after our snapshot stay hot; the
@@ -1499,21 +1507,36 @@ class MetricsStore:
 
     # -- garbage collection (manifest mode) -----------------------------------
 
-    def vacuum(self, keep_manifests: int = 3) -> int:
+    def vacuum(self, keep_manifests: int = 3, grace_s: float = 600.0) -> int:
         """Manifest-mode GC: delete every segment / cold-version / table
         dir unreferenced by the newest ``keep_manifests`` manifests, then
         prune older manifests.  Keep enough history to cover in-flight
-        snapshot readers.  Returns the number of dirs removed."""
+        snapshot readers.
+
+        ``grace_s``: dirs younger than this are NEVER collected — a
+        concurrent writer publishes its dir first and CAS-commits the
+        manifest reference second, so a just-renamed dir is legitimately
+        unreferenced for a moment; deleting it would let the writer's
+        commit succeed while pointing at nothing (silent data loss).
+        Set high enough to cover a publish→commit gap incl. retries
+        (Delta/Iceberg ship the same retention guard on their vacuums).
+        Returns the number of dirs removed."""
         self._assert_not_pinned("vacuum")
         if self.manifest is None:
             return 0
         mdir = self.manifest.dir
         versions = self.manifest._versions()
         kept = versions[-keep_manifests:] if keep_manifests > 0 else versions[-1:]
-        import json as _json
+        now = time.time()
+
+        def _young(p: Path) -> bool:
+            try:
+                return now - p.stat().st_mtime < grace_s
+            except OSError:  # already gone
+                return True
 
         states = [
-            _json.loads((mdir / f"v{v:012d}.json").read_text()) for v in kept
+            json.loads((mdir / f"v{v:012d}.json").read_text()) for v in kept
         ]
         if not states:
             return 0
@@ -1534,14 +1557,14 @@ class MetricsStore:
             hot_root = self._points_path(mt, "hot")
             if hot_root.exists():
                 for p in hot_root.glob("seg-*"):
-                    if (mt, "hot", p.name) not in live_segs:
+                    if (mt, "hot", p.name) not in live_segs and not _young(p):
                         shutil.rmtree(p, ignore_errors=True)
                         removed += 1
             cold_root = self._points_path(mt, "cold")
             if cold_root.exists():
                 for sdir in cold_root.glob("s-*"):
                     for p in sdir.glob("v-*"):
-                        if (mt, sdir.name, p.name) not in live_cold:
+                        if (mt, sdir.name, p.name) not in live_cold and not _young(p):
                             shutil.rmtree(p, ignore_errors=True)
                             removed += 1
                     if not any(sdir.iterdir()):
@@ -1554,7 +1577,7 @@ class MetricsStore:
             if not root.exists():
                 continue
             for p in root.glob("v-*"):
-                if (key, p.name) not in live_tables:
+                if (key, p.name) not in live_tables and not _young(p):
                     shutil.rmtree(p, ignore_errors=True)
                     removed += 1
         self.manifest.prune(keep_manifests)

@@ -3,11 +3,14 @@ entities per (group, window) over a live stream.
 
 Two stages, both built-in Structured Streaming operators:
 
-1. ``dropDuplicatesWithinWatermark`` on (group, window-floor, entity) —
-   each entity contributes its first row per bucket; state is one key
-   per DISTINCT (group, bucket, entity) inside the watermark horizon and
-   is pruned as the watermark passes, so memory is bounded by the live
-   window's cardinality, not the stream's history.
+1. ``dropDuplicates`` on (group, window, entity) with the WINDOW struct
+   as the key's event time — each entity contributes its first row per
+   bucket, and the dedup state for a key lives until the watermark
+   passes its window's END, i.e. exactly the bucket's lifetime.  (A
+   within-watermark dedup would evict mid-bucket once the delay —
+   minutes — elapsed inside a day-long bucket, and a recurring entity
+   would count twice.)  Memory is bounded by the live windows'
+   cardinality, not the stream's history.
 2. a windowed count in append mode — a bucket is emitted exactly once,
    when the watermark finalizes it.
 
@@ -40,14 +43,16 @@ def streaming_distinct_rollup(
     Output: ``(metric, bucket_start, bucket_end, n_distinct)`` with
     bucket bounds as timestamps.
     """
-    w = F.window(F.col(event_time_col), grain)
     deduped = (
         stream_df.withWatermark(event_time_col, watermark_delay)
-        .withColumn("_bucket", w.getField("start"))
-        .dropDuplicatesWithinWatermark([group_col, "_bucket", entity_col])
+        .withColumn("_w", F.window(F.col(event_time_col), grain))
+        # the window struct is an event-time column: dedup state for a
+        # (group, window, entity) key is kept until the watermark passes
+        # the window end — never evicted mid-bucket
+        .dropDuplicates([group_col, "_w", entity_col])
     )
     return (
-        deduped.groupBy(F.col(group_col), F.window(event_time_col, grain).alias("_w"))
+        deduped.groupBy(F.col(group_col), F.col("_w"))
         .agg(F.count(F.lit(1)).alias("n_distinct"))
         .select(
             group_col,

@@ -95,6 +95,14 @@ def test_streaming_distinct_rollup_matches_batch(spark, tmp_path):
     ] + [
         {"metric": "n", "sec": base + i, "user_id": f"v{i % 3}"} for i in range(10)
     ]
+    # SECOND micro-batch, same bucket, recurring users minutes later —
+    # the watermark (seconds) has LONG passed their first events, so a
+    # within-watermark dedup would evict state and double-count; the
+    # window-keyed dedup must still drop them
+    rows1b = [
+        {"metric": "m", "sec": base + 900 + i, "user_id": f"u{i % 7}"}
+        for i in range(14)
+    ]
     # far-future row advances the watermark past the first hour window
     rows2 = [{"metric": "m", "sec": base + 7200, "user_id": "late"}]
     (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
@@ -119,6 +127,8 @@ def test_streaming_distinct_rollup_matches_batch(spark, tmp_path):
     try:
         deadline = time.time() + 90
         time.sleep(3)
+        (src / "b1b.json").write_text("\n".join(json.dumps(r) for r in rows1b))
+        time.sleep(3)
         (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
         while (
             spark.sql("select * from card_out").count() < 2
@@ -134,7 +144,7 @@ def test_streaming_distinct_rollup_matches_batch(spark, tmp_path):
     }
     # batch reference over the same rows, same hourly grain
     batch = spark.createDataFrame(
-        [(r["metric"], r["sec"] * 1000, r["user_id"]) for r in rows1],
+        [(r["metric"], r["sec"] * 1000, r["user_id"]) for r in rows1 + rows1b],
         "metric string, ts long, user_id string",
     )
     want = {

@@ -379,3 +379,33 @@ def test_dup_clusters_routes_hub_to_star_contraction(spark):
     ).collect()
     assert all(r["cluster_id"] == 0 for r in out)
     assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_simhash_large_doc_within_lane_bound(spark):
+    """A document between 2^15 and 2^16 tokens is inside the documented
+    65535-token bound and must not overflow the lane sums (regression:
+    4x16-bit lanes put the top lane at shift 48, crossing 2^63 around
+    32768 same-bit tokens)."""
+    from rhq_metrics_spark.pipelines.dedup import simhash_pairs
+
+    words = " ".join(f"w{i % 701}" for i in range(40_000))
+    df = spark.createDataFrame(
+        [(1, words), (2, words), (3, "something else entirely")],
+        "doc_id long, text string",
+    )
+    out = simhash_pairs(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got  # identical huge docs pair up, no overflow
+
+
+def test_simhash_over_lane_bound_raises(spark):
+    from pyspark.sql.utils import PythonException
+
+    from rhq_metrics_spark.pipelines.dedup import simhash_pairs
+
+    words = " ".join(f"w{i}" for i in range(65_600))
+    df = spark.createDataFrame([(1, words), (2, words)], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="65535 tokens"):
+        simhash_pairs(df, max_hamming=3).collect()

@@ -63,3 +63,15 @@ def test_phi_validation(spark):
         heavy_hitters(df, "t", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "t", 1.0)
+
+
+def test_integer_column_works_and_float_rejected(spark):
+    vals = [7] * 50 + list(range(100, 400))
+    df = spark.createDataFrame([(v,) for v in vals], "t long").repartition(4)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "t", 0.1).collect()}
+    assert got == {"7": 50}
+    fdf = spark.createDataFrame([(1.5,)], "t double")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="string/integral"):
+        heavy_hitters(fdf, "t", 0.1)
