@@ -2768,7 +2768,7 @@ cum AS (SELECT metric, bucket_start, bin, c,
 t AS (SELECT metric, bucket_start, bin, c, cm, total,
         cm - c AS prev, CAST({HQ_Q} AS DOUBLE) * total AS target
       FROM cum)
-SELECT metric, bucket_start, total,
+SELECT metric, bucket_start, CAST(total AS BIGINT) AS total,
        0.0 + bin * 32.0 + 32.0 * (target - prev) / c AS qvalue
 FROM t WHERE cm >= target AND prev < target
 """
@@ -2982,7 +2982,7 @@ s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
 k AS (SELECT *, md5(seg) AS fp, doc_id*1048576+seg_idx AS wkey FROM s),
 w AS (SELECT fp, min(wkey) AS keep FROM k GROUP BY 1)
 SELECT doc_id, count(*) AS n_segs,
-       sum(CASE WHEN wkey = keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN wkey = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN wkey = keep THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
 FROM k JOIN w USING (fp)
 GROUP BY doc_id

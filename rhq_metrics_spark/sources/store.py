@@ -277,23 +277,61 @@ class MetricsStore:
             .withColumn("ingest_seq", F.lit(self._next_seq()))
         )
 
+    # A single L0 input partition larger than this (plan-estimated)
+    # triggers a spreading shuffle; below it, natural partitioning wins.
+    L0_SPREAD_BYTES_PER_TASK = 128 << 20
+
+    def _l0_partitioned(self, stamped: DataFrame, n_tasks: int) -> DataFrame:
+        """Pick the L0 write partitioning per batch — NO SHUFFLE unless
+        the batch shape forces one.  Ingest is append-only and readers
+        prune by the exact-slice sidecar, so row placement across files
+        is free: a shuffle here buys nothing at 100 TB except a full
+        extra pass over every ingested byte (and Spark's round-robin
+        repartition additionally binary-sorts every row for determinism).
+        Measured at sf0.1: natural partitioning ~220k pts/s on BOTH the
+        360-slice backfill and the dense 8h shape vs ~130-180k for every
+        shuffle variant (round-robin / hash-on-key / range).
+
+        - small batch (plan-estimated bytes under one spread-unit): write
+          as-is, probe nothing — partitioning cannot matter and the
+          steady-state micro-batch path stays zero-overhead.
+        - large batch, many input partitions (> 4x parallelism):
+          ``coalesce`` down — narrow, shuffle-free, caps files-per-batch.
+        - large batch in few partitions (a 10 GB batch arriving as one
+          gzip partition): round-robin spread, the only case where the
+          shuffle pays for itself.
+
+        The probes are driver-only and cheap (logical-plan stats ~10 ms;
+        JVM-side RDD partition count ~60 ms, paid only on large batches).
+        """
+        try:
+            est = int(
+                stamped._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — stats are advisory
+            est = 0
+        if est <= self.L0_SPREAD_BYTES_PER_TASK:
+            return stamped
+        n_in = stamped._jdf.rdd().getNumPartitions()
+        if n_in > n_tasks * 4:
+            return stamped.coalesce(n_tasks)
+        if n_in < n_tasks and est > max(n_in, 1) * self.L0_SPREAD_BYTES_PER_TASK:
+            return stamped.repartition(n_tasks)
+        return stamped
+
     def _write_segment_staging(
         self, stamped: DataFrame, staging: Path
     ) -> set[tuple[int, int]]:
-        """Write one immutable plain-parquet segment into ``staging``:
-        ROUND-ROBIN repartitioned to cluster parallelism, then sorted
-        within each partition: write throughput is flat in the batch's
-        key shape (hash-on-slice capped a dense batch at #distinct-slices
-        tasks; AQE rebalance/range collapsed small batches to one task —
-        both cost ~2× on steady-state micro-batches), and every task
-        carries an even slice of the rows regardless of upstream
-        partitioning or skew.  Each file then holds sorted
+        """Write one immutable plain-parquet segment into ``staging``,
+        partitioned by :meth:`_l0_partitioned` (shuffle-free unless the
+        batch arrives as few-but-huge partitions), then sorted within
+        each partition: each file holds sorted
         (slice, bucket, metric, ts) RUNS, so parquet row-group min/max
         still prunes slice- and metric-filtered reads; file-level slice
         overlap is fine at this layer — readers prune SEGMENTS by the
         exact-slice sidecar, and compaction builds the strictly
-        slice-partitioned cold layout.  Files per batch = cluster
-        parallelism, independent of slice count.  The distinct
+        slice-partitioned cold layout.  Files per batch ≤
+        max(input partitions, 4x parallelism).  The distinct
         (slice, bucket) set is captured during the SAME write job via
         ``Dataset.observe`` (an accumulator — no second scan, no
         driver-side data read); its size is bounded by
@@ -301,7 +339,7 @@ class MetricsStore:
         obs = Observation()
         n_tasks = self.spark.sparkContext.defaultParallelism
         (
-            stamped.repartition(n_tasks)
+            self._l0_partitioned(stamped, n_tasks)
             .sortWithinPartitions("date_slice", "tenant_bucket", "metric", "ts")
             .observe(
                 obs,

@@ -37,6 +37,55 @@ def _norm_cell(v):
     return v
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    hasher distinguishes: integer vs float vs bool vs datetime vs other.
+
+    DuckDB HUGEINT/DECIMAL sums come back as float64/object where Spark
+    emits int64 — the driver's value-hash sees ``67.0`` vs ``67`` and
+    fails even when every value is numerically identical.  Compare kinds
+    so the local gate catches exactly that class of oracle-typing bug
+    (the r4 ``b13_hist_quantile`` escape)."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "other"
+
+
+def compare_frames(sdf, odf) -> list[str]:
+    """Driver-parity compare: row count, sorted column names, per-column
+    dtype kind, then an order-insensitive 6-dp value compare.  Returns a
+    list of human-readable mismatch descriptions (empty == match)."""
+    status: list[str] = []
+    scols, srows = _frame_to_rows(sdf)
+    ocols, orows = _frame_to_rows(odf)
+    if len(srows) != len(orows):
+        status.append(f"rowcount {len(srows)} != {len(orows)}")
+    if scols != ocols:
+        status.append(f"columns {scols} != {ocols}")
+        return status
+    for c in scols:
+        sk, ok = _dtype_kind(sdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if sk != ok and "other" not in (sk, ok):
+            status.append(
+                f"dtype[{c}] {sdf[c].dtype}({sk}) != {odf[c].dtype}({ok})")
+    if not status:
+        mismatches = sum(1 for a, b in zip(srows, orows) if a != b)
+        if mismatches:
+            status.append(f"{mismatches}/{len(srows)} row mismatches")
+            for a, b in zip(srows, orows):
+                if a != b:
+                    print(f"    spark : {a}\n    oracle: {b}")
+                    break
+    return status
+
+
 def _frame_to_rows(df) -> tuple[list[str], list[tuple]]:
     cols = sorted(df.columns)
     rows = [tuple(_norm_cell(r[c]) for c in cols) for r in df.to_dict("records")]
@@ -84,26 +133,12 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
             continue
-        scols, srows = _frame_to_rows(sdf)
-        ocols, orows = _frame_to_rows(odf)
-        status = []
-        if len(srows) != len(orows):
-            status.append(f"rowcount {len(srows)} != {len(orows)}")
-        if scols != ocols:
-            status.append(f"columns {scols} != {ocols}")
-        if not status:
-            mismatches = sum(1 for a, b in zip(srows, orows) if a != b)
-            if mismatches:
-                status.append(f"{mismatches}/{len(srows)} row mismatches")
-                for a, b in zip(srows, orows):
-                    if a != b:
-                        print(f"    spark : {a}\n    oracle: {b}")
-                        break
+        status = compare_frames(sdf, odf)
         if status:
             print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
             failures.append(name)
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
     print()
     if failures:
