@@ -135,7 +135,19 @@ def heavy_hitters(
             f"heavy_hitters needs a string/integral/boolean column, got "
             f"{col}: {dt} — cast it to string explicitly first"
         )
-    k = capacity or math.ceil(1.0 / phi)
+    min_cap = math.ceil(1.0 / phi)
+    if capacity is not None and capacity < min_cap:
+        raise ValueError(
+            f"capacity={capacity} voids the Misra-Gries completeness bound "
+            f"for phi={phi}: need capacity >= ceil(1/phi) = {min_cap}"
+        )
+    k = capacity or min_cap
+    # Cast to string JVM-SIDE before the pandas pass: Arrow converts a
+    # nullable bigint to float64 (str() -> '7.0') and Python booleans to
+    # 'True', neither of which matches Spark's cast-to-string form in
+    # the recount ('7', 'true') — candidates would silently never match.
+    # One canonical string form on both passes removes the divergence.
+    values = values.select(F.col(col).cast("string").alias(col))
 
     def _mg(batches):
         counters: dict = {}
@@ -156,15 +168,13 @@ def heavy_hitters(
                 }
         yield pd.DataFrame(
             {
-                # stringify: candidate keys round-trip through one fixed
-                # Arrow schema regardless of the input column's type (the
-                # recount below compares on the same cast)
-                "value": [str(v) for v in counters] + [None],
+                # keys are already Spark-canonical strings (cast above)
+                "value": list(counters) + [None],
                 "part_rows": [0] * len(counters) + [n_rows],
             }
         )
 
-    summary = values.select(F.col(col).alias(col)).mapInPandas(
+    summary = values.mapInPandas(
         _mg, "value string, part_rows long"
     ).collect()
     total = sum(r["part_rows"] for r in summary if r["value"] is None)

@@ -747,11 +747,13 @@ class MetricsService:
         method: str = "lttb",
         metric_type=MetricType.GAUGE,
     ) -> DataFrame:
-        """Chart-faithful decimation of one series
-        (operators/downsample.py).  ``method='lttb'`` returns ``(ts,
-        value)`` — n_points visually-optimal picks; ``'minmax'`` returns
-        the per-bucket extreme points (``n_points`` buckets over the
-        range, ≤ 2 rows each)."""
+        """Chart-faithful decimation (operators/downsample.py).
+        ``method='lttb'`` returns ``(metric, ts, value)`` — n_points
+        visually-optimal picks per series; ``'minmax'`` returns the
+        per-bucket extreme points (``n_points`` buckets over the range,
+        ≤ 2 rows each).  The metric column stays in the output: a
+        multi-series scan (metric list / regex resolution) would
+        otherwise interleave indistinguishable (ts, value) pairs."""
         from rhq_metrics_spark.operators.downsample import (
             lttb,
             minmax_downsample,
@@ -759,10 +761,10 @@ class MetricsService:
 
         pts = self._scan(metric_type, tenant_id, metric, start, end)
         if method == "lttb":
-            return lttb(pts, n_points).drop("metric")
+            return lttb(pts, n_points)
         if method == "minmax":
             bucket_ms = max((end - start) // max(n_points, 1), 1)
-            return minmax_downsample(pts, bucket_ms).drop("metric")
+            return minmax_downsample(pts, bucket_ms)
         raise ValueError(f"unknown downsample method: {method!r}")
 
     def histogram(
@@ -776,13 +778,13 @@ class MetricsService:
         n_bins: int,
         metric_type=MetricType.GAUGE,
     ) -> DataFrame:
-        """Value distribution of one series over [lo, hi)
-        (operators/downsample.py value_histogram): ``(bin, bin_lo,
-        count)``."""
+        """Value distribution over [lo, hi) (operators/downsample.py
+        value_histogram): ``(metric, bin, bin_lo, count)`` — per-series
+        bins, so a multi-series scan stays distinguishable."""
         from rhq_metrics_spark.operators.downsample import value_histogram
 
         pts = self._scan(metric_type, tenant_id, metric, start, end)
-        return value_histogram(pts, lo, hi, n_bins).drop("metric")
+        return value_histogram(pts, lo, hi, n_bins)
 
     def increase(
         self,

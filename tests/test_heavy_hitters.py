@@ -75,3 +75,29 @@ def test_integer_column_works_and_float_rejected(spark):
 
     with _pytest.raises(TypeError, match="string/integral"):
         heavy_hitters(fdf, "t", 0.1)
+
+
+def test_boolean_column(spark):
+    # regression: Python str(True)='True' never matched Spark's 'true',
+    # silently returning empty — the cast now happens JVM-side
+    vals = [True] * 70 + [False] * 30
+    df = spark.createDataFrame([(v,) for v in vals], "t boolean").repartition(4)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "t", 0.5).collect()}
+    assert got == {"true": 70}
+
+
+def test_nullable_int_column(spark):
+    # regression: Arrow turns nullable int64 into float64 ('7.0' vs '7')
+    vals = [7] * 60 + [None] * 20 + list(range(100, 140))
+    df = spark.createDataFrame([(v,) for v in vals], "t long").repartition(4)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "t", 0.3).collect()}
+    # nulls are excluded from both n and the counts: 60/100 non-null = 0.6
+    assert got == {"7": 60}
+
+
+def test_capacity_below_bound_rejected(spark):
+    df = _df(spark, ["x"] * 10)
+    with pytest.raises(ValueError, match="completeness"):
+        heavy_hitters(df, "t", 0.1, capacity=5)
+    # at the bound it is accepted
+    assert heavy_hitters(df, "t", 0.1, capacity=10).count() == 1

@@ -455,8 +455,13 @@ def test_analytics_facade_round4(spark, tmp_path):
 
     ds = svc.downsample("t1", "cpu", start, end, n_points=6, method="lttb").collect()
     assert len(ds) == 6 and {r["ts"] for r in ds} <= {t * HOUR + 5 for t in range(24)}
+    # the series identity survives decimation (multi-series scans would
+    # otherwise interleave indistinguishable pairs)
+    assert {r["metric"] for r in ds} == {"cpu"}
     mm = svc.downsample("t1", "cpu", start, end, n_points=4, method="minmax")
-    assert {r["kind"] for r in mm.collect()} == {"min", "max"}
+    mrows = mm.collect()
+    assert {r["kind"] for r in mrows} == {"min", "max"}
+    assert {r["metric"] for r in mrows} == {"cpu"}
 
     h = {r["bin"]: r["count"] for r in
          svc.histogram("t1", "cpu", start, end, 0.0, 24.0, 4).collect()}
