@@ -1562,7 +1562,6 @@ class MetricsStore:
         self._assert_not_pinned("vacuum")
         if self.manifest is None:
             return 0
-        mdir = self.manifest.dir
         versions = self.manifest._versions()
         kept = versions[-keep_manifests:] if keep_manifests > 0 else versions[-1:]
         now = time.time()
@@ -1573,9 +1572,7 @@ class MetricsStore:
             except OSError:  # already gone
                 return True
 
-        states = [
-            json.loads((mdir / f"v{v:012d}.json").read_text()) for v in kept
-        ]
+        states = [self.manifest.at(v)[1] for v in kept]
         if not states:
             return 0
         live_segs: set[tuple[str, str, str]] = set()   # (type, layer, dir)
