@@ -417,10 +417,22 @@ class MetricsApp:
             raise _collection(availability_points_json(df))
         if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
             raise BadRequest(f"Metric type does not match {metric_type}")
+        percentiles = self._percentiles(qs)
         with api_errors():
+            # rollup fast path: a single-metric gauge stats request with
+            # no percentiles is exactly what an attached rollup can serve
+            # without touching raw points (service.try_routed_stats —
+            # alignment + finality checked there; the routed response
+            # omits `median`, which doesn't merge across windows)
+            if metric_type == MetricType.GAUGE and not percentiles:
+                routed = self.service.try_routed_stats(
+                    MetricType.GAUGE, tenant, metric_id, bks
+                )
+                if routed is not None:
+                    raise _collection(bucket_points_json(routed))
             df = self.service.numeric_stats(
                 metric_type, tenant, [metric_id], bks,
-                percentiles=self._percentiles(qs),
+                percentiles=percentiles,
             )
         raise _collection(bucket_points_json(df))
 

@@ -211,7 +211,13 @@ def _try_pillow(payload: bytes) -> np.ndarray | None:
         from PIL import Image  # optional, not baked into this container
     except ImportError:
         return None
-    return np.asarray(Image.open(io.BytesIO(payload)))
+    try:
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except Exception:  # noqa: BLE001 — unidentifiable/corrupt payload:
+        # fall through so the caller raises ITS contract error (the
+        # pure decoder's named failure, or UnsupportedMediaError) rather
+        # than a Pillow internal
+        return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -111,3 +111,39 @@ def quantize_int8(
         .select(id_col, F.col("_maxabs").alias("scale"), F.posexplode("_q").alias("dim_idx", "q"))
         .select(id_col, F.col("dim_idx").cast("long"), "q", "scale")
     )
+
+
+def synthetic_clustered_embeddings(
+    spark,
+    n: int = 8000,
+    dim: int = 64,
+    n_clusters: int = 64,
+    sigma: float = 0.1,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embedding corpus — the
+    clusterable fixture IVF needs to demonstrate its partial-probe
+    contract (on uniform random vectors NO coarse quantizer can beat a
+    full probe: there is no cluster structure to exploit, which is why
+    the uniform-corpus KPI reports probe_for_r90 == n_cells).
+
+    Cluster c's centroid is a random unit vector; members are centroid +
+    N(0, sigma^2) per dim.  At dim=64/sigma=0.1, within-cluster cosine
+    ~0.6 vs ~0 across clusters — separated, so a trained coarse
+    quantizer recovers the mixture and few probes suffice.  Vectors are
+    generated driver-side with one seeded RandomState (a fixture, not a
+    data path: n*dim doubles, megabytes) and parallelized; schema
+    matches the embeddings table (vec_id, embedding, label=true
+    cluster)."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    vecs = cents[labels] + sigma * rng.randn(n, dim)
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(spark.sparkContext.defaultParallelism)

@@ -446,6 +446,20 @@ class MetricsService:
             .select("start", "end", "min", "avg", "max", "sum", "samples")
         )
 
+    def try_routed_stats(
+        self, metric_type: str, tenant_id, metric, buckets: Buckets
+    ) -> DataFrame | None:
+        """Public routing probe for presentation layers (the REST stats
+        handler): the rollup-served A1 stats when an attached rollup can
+        answer this exact query, else None (caller falls back to the raw
+        path).  The routed frame carries the mergeable columns only
+        (min/avg/max/sum/samples — no median/percentiles: rank
+        statistics don't merge across windows)."""
+        if metric_type != MetricType.GAUGE:
+            return None
+        routed = self._rollup_routed_stats(metric_type, tenant_id, metric, buckets)
+        return None if routed is None else routed.orderBy("start")
+
     def gauge_stats(
         self,
         tenant_id,

@@ -237,3 +237,80 @@ def test_resize_plan_real(spark):
     expected = np.ascontiguousarray(resize_nearest(img, 4, 4))
     assert row["resized_sha"] == hashlib.sha256(expected.tobytes()).hexdigest()
     assert (row["width"], row["height"]) == (4, 4)
+
+
+# -- Pillow integration (VERDICT r4 item 5) ---------------------------------
+# The container ships without Pillow; these split into (a) glue tests
+# that fake the PIL module so the preference/fallback wiring always
+# runs, and (b) real-Pillow tests that skip-without / run-with.
+
+
+def _fake_pil(monkeypatch, array):
+    import sys
+    import types
+
+    image_mod = types.SimpleNamespace(open=lambda fh: array)
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_pillow_preferred_when_importable(monkeypatch):
+    from rhq_metrics_spark.pipelines import codecs
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    _fake_pil(monkeypatch, img)
+    # decode_image returns the Pillow result even for non-PNG payloads
+    assert np.array_equal(codecs.decode_image(b"\xff\xd8not-a-png"), img)
+    # real_decode scales the Pillow pixels to [0, 1]
+    flat = codecs.real_decode(b"\xff\xd8not-a-png")
+    assert np.allclose(flat, img.astype(np.float64).ravel() / 255.0)
+
+
+def test_pillow_failure_falls_back_to_contract_error(monkeypatch):
+    import sys
+    import types
+
+    from rhq_metrics_spark.pipelines import codecs
+    from rhq_metrics_spark.pipelines.codecs import UnsupportedMediaError
+
+    def boom(fh):
+        raise OSError("cannot identify image file")
+
+    image_mod = types.SimpleNamespace(open=boom)
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    # a Pillow that can't identify the payload must surface OUR error,
+    # not a PIL internal
+    with pytest.raises(UnsupportedMediaError, match="install Pillow"):
+        codecs.real_decode(b"garbage-payload-no-magic")
+
+
+def test_real_pillow_png_matches_pure_decoder():
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — runs where installed
+    from rhq_metrics_spark.pipelines import codecs
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    payload = codecs.encode_png(img)
+    via_pillow = codecs._try_pillow(payload)
+    assert via_pillow is not None
+    assert np.array_equal(via_pillow, codecs.decode_png(payload))
+
+
+def test_real_pillow_jpeg_decodes():
+    PIL = pytest.importorskip("PIL")
+    import io as _io
+
+    from PIL import Image
+
+    from rhq_metrics_spark.pipelines import codecs
+
+    img = Image.new("RGB", (8, 8), (200, 30, 90))
+    buf = _io.BytesIO()
+    img.save(buf, format="JPEG")
+    flat = codecs.real_decode(buf.getvalue())
+    assert flat.shape == (8 * 8 * 3,) and 0.0 <= flat.min() <= flat.max() <= 1.0

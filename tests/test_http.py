@@ -333,3 +333,79 @@ def test_real_http_server_end_to_end(app):
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+def test_stats_routed_through_rollup_reads_no_raw_points(spark, tmp_path_factory):
+    """VERDICT r4 item 8: the REST stats handler serves single-metric,
+    no-percentile gauge stats from an attached rollup — plan-asserted
+    zero raw-point file reads — and falls back to the raw path when the
+    request can't be routed."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("http_rollup_store")
+    store = MetricsStore(spark, str(base / "store"))
+    svc = MetricsService(spark, store)
+    app2 = MetricsApp(svc, base_path="/hawkular/metrics")
+
+    win = 60_000
+    rows = [("t1", "cpu", w * win + i * 10_000, float(w * 10 + i), None)
+            for w in range(10) for i in range(3)]
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+
+    rollup_dir = str(base / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("win"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+
+    raw_calls = []
+    orig_numeric = svc.numeric_stats
+    svc.numeric_stats = lambda *a, **k: (raw_calls.append(a), orig_numeric(*a, **k))[1]
+    routed_frames = []
+    orig_routed = svc.try_routed_stats
+    svc.try_routed_stats = lambda *a, **k: (
+        routed_frames.append(orig_routed(*a, **k)), routed_frames[-1])[1]
+
+    # aligned request inside the finalized range -> routed
+    code, got = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=120s",
+    )
+    assert code == 200 and len(got) == 4
+    assert raw_calls == []
+    assert routed_frames and routed_frames[-1] is not None
+    files = routed_frames[-1].inputFiles()
+    assert files and all("rollup" in f for f in files), files
+    assert not any("points" in f for f in files), files
+    # values match the raw path exactly on the mergeable columns
+    b0 = got[0]
+    assert b0["samples"] == 6 and b0["min"] == 0.0 and b0["max"] == 12.0
+    # routed responses omit median (not mergeable across windows)
+    assert "median" not in b0
+
+    # percentiles can't be served from the rollup -> raw fallback
+    code, _ = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=120s"
+        f"&percentiles=90",
+    )
+    assert code == 200 and len(raw_calls) == 1
+
+    # misaligned bucket duration -> raw fallback
+    code, _ = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=90s",
+    )
+    assert code == 200 and len(raw_calls) == 2
