@@ -2875,6 +2875,29 @@ ORDER BY cnt DESC, value ASC
 """
 
 
+def q_hh_int_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HH+: heavy hitters over an INTEGER-typed column (document
+    length-in-hectochars) — pins the r5 fix where non-string key domains
+    (nullable bigint via Arrow float64, booleans) silently produced
+    empty results; the key is now canonicalized JVM-side before the
+    Misra-Gries pass (pipelines/sketches.py heavy_hitters)."""
+    docs = _table(spark, sf_dir, "documents")
+    vals = docs.select(
+        (F.length("text") / F.lit(100)).cast("long").alias("lenb")
+    )
+    return heavy_hitters(vals, "lenb", phi=0.1)
+
+
+SQL_HH_INT = """
+WITH b AS (SELECT CAST(length(text) // 100 AS BIGINT) AS lenb FROM documents),
+tot AS (SELECT count(*) AS n FROM b)
+SELECT lenb::VARCHAR AS value, count(*) AS cnt
+FROM b, tot
+GROUP BY lenb, n
+HAVING count(*) > 0.1 * CAST(n AS DOUBLE)
+"""
+
+
 HY_QUERY_VEC, HY_DEPTH, HY_K, HY_RRF_K = 7, 50, 20, 60
 
 
@@ -3748,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fz_vocab_pairs": q_fz_vocab_pairs,
         "hybrid_topk": q_hybrid_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
+        "hh_int_values": q_hh_int_values,
         "pipe_curation": q_pipe_curation,
         "o5_minmax_downsample": q_o5_minmax_downsample,
         "a11_histogram": q_a11_histogram,
@@ -3856,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "fz_vocab_pairs": SQL_FZ,
         "hybrid_topk": SQL_HYBRID,
         "text_heavy_hitters": SQL_HH,
+        "hh_int_values": SQL_HH_INT,
         "pipe_curation": _pipe_curation_sql(),
         "o5_minmax_downsample": SQL_O5,
         "a11_histogram": SQL_A11,

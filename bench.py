@@ -181,6 +181,34 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     lat.sort()
     timings["stats_rollup_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
     timings["stats_rollup_latency_p95_ms"] = round(lat[18] * 1000, 1)
+
+    # percentile serving from histogram partials (percentile_impl='hist'):
+    # the same stats call WITH percentiles 90/95/99, rank columns from
+    # the mergeable histogram rollup + base columns from the stats
+    # rollup — the scalable twin of the exact stats_latency_* KPI above
+    hist_dir = _tf.mkdtemp(prefix="bench_hist_")
+    lo_v, hi_v, n_bins = 0.0, 250.0, 125
+    svc.build_histogram_rollup(
+        "gauge", rollup_win, lo_v, hi_v, n_bins
+    ).write.mode("overwrite").parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, rollup_win, lo_v, hi_v, n_bins)
+    probe = svc.gauge_stats(
+        "bench", metrics[0], routed_bks, percentiles=(90, 95, 99),
+        percentile_impl="hist",
+    )
+    assert not any("points" in f for f in probe.inputFiles()), "hist not routed"
+    lat = []
+    for i in range(20):
+        t0 = time.time()
+        svc.gauge_stats(
+            "bench", metrics[(i * 7) % len(metrics)], routed_bks,
+            percentiles=(90, 95, 99), percentile_impl="hist",
+        ).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["stats_pct_hist_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+    timings["stats_pct_hist_latency_p95_ms"] = round(lat[18] * 1000, 1)
+    shutil.rmtree(hist_dir, ignore_errors=True)
     shutil.rmtree(rollup_dir, ignore_errors=True)
 
     t0 = time.time()

@@ -196,7 +196,7 @@ def histogram_rollup(
     lo: float,
     hi: float,
     n_bins: int,
-    group_col: str = "metric",
+    group_col: str | list[str] = "metric",
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
@@ -204,19 +204,21 @@ def histogram_rollup(
     state behind rank statistics at scale (the Prometheus native-
     histogram idea): written once per slice at compaction time, any
     coarser range's quantiles are then answered from #slices × #bins
-    integer rows, never the raw points.  Output: ``(metric, slice_start,
-    bin, count)``."""
+    integer rows, never the raw points.  ``group_col`` may be a list
+    (e.g. ``["tenant_id", "metric"]`` for a store-level rollup).
+    Output: ``(*group_cols, slice_start, bin, count)``."""
     if n_bins < 1 or not hi > lo:
         raise ValueError("need n_bins >= 1 and hi > lo")
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     w = (hi - lo) / n_bins
     s = F.floor(F.col(ts_col) / slice_ms) * slice_ms
     raw = F.floor((F.col(value_col) - lo) / w)
     bin_i = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
         points.select(
-            F.col(group_col).alias(group_col), s.alias("slice_start"), bin_i.alias("bin")
+            *gcols, s.alias("slice_start"), bin_i.alias("bin")
         )
-        .groupBy(group_col, "slice_start", "bin")
+        .groupBy(*gcols, "slice_start", "bin")
         .agg(F.count(F.lit(1)).alias("count"))
     )
 
@@ -228,7 +230,7 @@ def histogram_quantile(
     lo: float,
     hi: float,
     n_bins: int,
-    group_col: str = "metric",
+    group_col: str | list[str] = "metric",
 ) -> DataFrame:
     """Quantile estimate per (series, ``grain_ms`` bucket) from
     :func:`histogram_rollup` partials: merge slice histograms into the
@@ -236,21 +238,22 @@ def histogram_quantile(
     the bin where the cumulative count crosses ``q × total`` —
     ``histogram_quantile()`` semantics.  Error is bounded by the bin
     width; every arithmetic step is a fixed IEEE op over exact integer
-    counts, so estimates are engine-identical.  Output: ``(metric,
-    bucket_start, total, qvalue)``."""
+    counts, so estimates are engine-identical.  ``group_col`` may be a
+    list.  Output: ``(*group_cols, bucket_start, total, qvalue)``."""
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
     from pyspark.sql import Window
 
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     w = (hi - lo) / n_bins
     b = F.floor(F.col("slice_start") / grain_ms) * grain_ms
     merged = (
-        hists.select(group_col, b.alias("bucket_start"), "bin", "count")
-        .groupBy(group_col, "bucket_start", "bin")
+        hists.select(*gcols, b.alias("bucket_start"), "bin", "count")
+        .groupBy(*gcols, "bucket_start", "bin")
         .agg(F.sum("count").alias("_c"))
     )
-    win = Window.partitionBy(group_col, "bucket_start").orderBy("bin")
-    tot = Window.partitionBy(group_col, "bucket_start")
+    win = Window.partitionBy(*gcols, "bucket_start").orderBy("bin")
+    tot = Window.partitionBy(*gcols, "bucket_start")
     cur = (
         merged.withColumn("_cum", F.sum("_c").over(win))
         .withColumn("_total", F.sum("_c").over(tot))
@@ -266,7 +269,7 @@ def histogram_quantile(
         + F.lit(w) * (F.col("_target") - F.col("_prev")) / F.col("_c")
     )
     return picked.select(
-        group_col,
+        *gcols,
         "bucket_start",
         F.col("_total").alias("total"),
         est.alias("qvalue"),

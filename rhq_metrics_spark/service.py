@@ -50,6 +50,7 @@ class MetricsService:
         # metric_type -> (rollup DataFrame, window_ms): continuous
         # aggregates registered for read routing (attach_rollup)
         self._rollups: dict[str, tuple[DataFrame, int]] = {}
+        self._hist_rollups: dict[str, tuple] = {}
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -446,6 +447,155 @@ class MetricsService:
             .select("start", "end", "min", "avg", "max", "sum", "samples")
         )
 
+    def build_histogram_rollup(
+        self, metric_type: str, slice_ms: int, lo: float, hi: float, n_bins: int
+    ) -> DataFrame:
+        """Store-level fixed-bin histogram partials — the MERGEABLE
+        state behind rank statistics at scale (operators/downsample.py
+        histogram_rollup over every series): one row per (tenant,
+        metric, slice, bin), integer counts.  Write these once per
+        closed slice (compaction time) and any coarser range's
+        percentiles are answered from partials, never raw points."""
+        from rhq_metrics_spark.operators.downsample import histogram_rollup
+
+        return histogram_rollup(
+            self.store.points(metric_type), slice_ms, lo, hi, n_bins,
+            group_col=["tenant_id", "metric"],
+        )
+
+    def attach_histogram_rollup(
+        self, metric_type: str, hists, slice_ms: int,
+        lo: float, hi: float, n_bins: int,
+    ) -> None:
+        """Register histogram partials (:meth:`build_histogram_rollup`'s
+        schema, DataFrame or parquet path) as the serving fast path for
+        PERCENTILE stats — the piece the mergeable min/avg/max/sum
+        rollup can't carry (rank statistics don't merge).  Estimates are
+        bin-width-bounded approximations (documented, opt-in via
+        ``percentile_impl='hist'``).  Caches the finality watermark
+        ``max(slice_start) + slice_ms`` — routed queries cost no extra
+        jobs."""
+        df = (
+            self.spark.read.parquet(hists) if isinstance(hists, str) else hists
+        )
+        slice_ms = int(slice_ms)
+        bad = df.filter(
+            (F.col("slice_start") % slice_ms != 0)
+            | (F.col("bin") < 0) | (F.col("bin") >= n_bins)
+        )
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"histogram partials are not aligned {slice_ms}ms slices "
+                f"with bins in [0, {n_bins})"
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._hist_rollups[MetricType.check(metric_type)] = (
+            df, slice_ms, float(lo), float(hi), int(n_bins), watermark
+        )
+
+    def percentiles_from_rollup(
+        self,
+        metric_type: str,
+        tenant_id,
+        metric,
+        buckets: Buckets,
+        percentiles: Sequence[float],
+    ) -> DataFrame | None:
+        """Per-bucket approximate percentiles served from attached
+        histogram partials; None when the request can't be routed (no
+        attach, off-grid buckets, or range past the newest finalized
+        slice — same alignment/finality rules as the stats rollup).
+        Output: ``(start, end, p<q>...)`` with the exact path's column
+        names; empty buckets carry nulls.  Error ≤ one bin width."""
+        entry = self._hist_rollups.get(MetricType.check(metric_type))
+        if entry is None or not percentiles:
+            return None
+        hists, slice_ms, lo, hi, n_bins, watermark = entry
+        if buckets.step % slice_ms != 0 or buckets.start % slice_ms != 0:
+            return None
+        if watermark is None or buckets.end > watermark:
+            return None
+        from rhq_metrics_spark.operators.downsample import histogram_quantile
+        from rhq_metrics_spark.operators.stats import (
+            bucket_dimension,
+            percentile_col_name,
+        )
+
+        mine = hists.filter(
+            (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
+            & (F.col("slice_start") >= buckets.start)
+            & (F.col("slice_start") < buckets.end)
+        )
+        out = None
+        seen = set()
+        for q in percentiles:
+            col = percentile_col_name(q)
+            if col in seen:
+                continue
+            seen.add(col)
+            qd = histogram_quantile(
+                mine, buckets.step, q / 100.0, lo, hi, n_bins,
+                group_col=["tenant_id", "metric"],
+            ).select("bucket_start", F.col("qvalue").alias(col))
+            out = qd if out is None else out.join(qd, "bucket_start", "outer")
+        dim = bucket_dimension(self.spark, buckets).withColumn(
+            "bucket_start",
+            F.lit(buckets.start) + F.col("bucket_idx") * F.lit(buckets.step),
+        )
+        return (
+            F.broadcast(dim)
+            .join(out, "bucket_start", "left")
+            .drop("bucket_idx", "bucket_start")
+            .orderBy("start")
+        )
+
+    def _hist_routed_stats(
+        self, tenant_id, metric, buckets: Buckets,
+        percentiles: Sequence[float], include_median: bool, use_rollup: bool,
+    ) -> DataFrame | None:
+        """``percentile_impl='hist'`` assembly: percentile columns from
+        the attached histogram partials, the mergeable base columns from
+        the stats rollup when it routes (zero raw-point reads end to
+        end) or the raw scan otherwise.  None when the histogram rollup
+        can't route — the caller falls back to exact.  Column order
+        matches the exact path exactly."""
+        qs = list(percentiles)
+        if include_median:
+            qs = [50.0, *qs]
+        pct = self.percentiles_from_rollup(
+            MetricType.GAUGE, tenant_id, metric, buckets, qs
+        )
+        if pct is None:
+            return None
+        from rhq_metrics_spark.operators.stats import percentile_col_name
+
+        base = None
+        if use_rollup:
+            base = self._rollup_routed_stats(
+                MetricType.GAUGE, tenant_id, metric, buckets
+            )
+        if base is None:
+            base = numeric_bucket_stats(
+                self._scan(
+                    MetricType.GAUGE, tenant_id, metric,
+                    buckets.start, buckets.end,
+                ),
+                buckets, (),
+            ).drop("median")
+        out = base.join(pct.drop("end"), "start", "left")
+        cols = [F.col("start"), F.col("end"), F.col("min"), F.col("avg")]
+        if include_median:
+            cols.append(F.col("p50").alias("median"))
+        cols += [F.col("max"), F.col("sum"), F.col("samples")]
+        emitted = set()
+        for q in percentiles:
+            col = percentile_col_name(q)
+            if col not in emitted:
+                emitted.add(col)
+                cols.append(F.col(col))
+        return out.select(*cols).orderBy("start")
+
     def try_routed_stats(
         self, metric_type: str, tenant_id, metric, buckets: Buckets
     ) -> DataFrame | None:
@@ -504,6 +654,22 @@ class MetricsService:
 
                     out = fill_gaps(out, ["min", "avg", "max"], method=fill)
                 return out
+        if percentile_impl == "hist" and percentiles:
+            hist_out = self._hist_routed_stats(
+                tenant_id, metric, buckets, percentiles,
+                include_median=include_median, use_rollup=use_rollup,
+            )
+            if hist_out is not None:
+                if fill is not None:
+                    from rhq_metrics_spark.operators.gapfill import fill_gaps
+
+                    hist_out = fill_gaps(
+                        hist_out, ["min", "avg", "max"], method=fill
+                    )
+                return hist_out
+            # unroutable → exact percentiles (strictly more accurate
+            # than the requested approximation; never silently weaker)
+            percentile_impl = "exact"
         pts = self._scan(MetricType.GAUGE, tenant_id, metric, buckets.start, buckets.end)
         if percentile_impl == "p2" and percentiles:
             from rhq_metrics_spark.operators.percentile import p2_percentiles

@@ -204,3 +204,82 @@ def test_service_routes_aligned_stats_to_rollup(spark, tmp_path):
         assert any("points" in f for f in fb), fb
     fb = svc.gauge_stats("t", "m", b).inputFiles()
     assert any("points" in f for f in fb), fb
+
+
+def test_hist_rollup_percentile_serving(spark, tmp_path):
+    """percentile_impl='hist': rank statistics served from attached
+    histogram partials (bin-width-bounded error), with the mergeable
+    base columns from the stats rollup — zero raw-point reads when both
+    rollups route, exact fallback when the histogram can't."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    GAUGE_SCHEMA = (
+        "tenant_id string, metric string, ts long, value double, "
+        "tags map<string,string>"
+    )
+    win = 60_000
+    # 8 windows x 30 points spanning values [0, 120)
+    rows = [("t", "m", w * win + i * 2_000, float((w * 7 + i * 4) % 120), None)
+            for w in range(8) for i in range(30)]
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+
+    lo_v, hi_v, n_bins = 0.0, 120.0, 60  # bin width 2.0
+    hist_dir = str(tmp_path / "hists")
+    svc.build_histogram_rollup("gauge", win, lo_v, hi_v, n_bins) \
+        .write.parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, win, lo_v, hi_v, n_bins)
+
+    b = Buckets.from_step(0, 8 * win, 2 * win)
+    exact = svc.gauge_stats("t", "m", b, percentiles=(90, 99))
+    approx = svc.gauge_stats("t", "m", b, percentiles=(90, 99),
+                             percentile_impl="hist")
+    assert approx.columns == exact.columns
+    got = {r["start"]: r for r in approx.collect()}
+    exp = {r["start"]: r for r in exact.collect()}
+    assert set(got) == set(exp) and len(got) == 4
+    for k in exp:
+        # base columns exact, rank columns within one bin width
+        for c in ("min", "avg", "max", "sum", "samples"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+        for c in ("median", "p90", "p99"):
+            assert abs(got[k][c] - exp[k][c]) <= 2.0 + 1e-9, (k, c, got[k][c], exp[k][c])
+
+    # with the stats rollup ALSO attached, the hist path reads zero raw
+    # point files
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+    routed = svc.gauge_stats("t", "m", b, percentiles=(90,),
+                             percentile_impl="hist")
+    files = routed.inputFiles()
+    assert files and not any("points" in f for f in files), files
+    assert {r["start"]: round(r["p90"], 6) for r in routed.collect()} == \
+        {k: round(v["p90"], 6) for k, v in got.items()}
+
+    # misaligned buckets -> exact fallback (raw scan, exact values)
+    b_off = Buckets.from_step(10_000, 10_000 + 4 * win, win)
+    fb = svc.gauge_stats("t", "m", b_off, percentiles=(90,),
+                         percentile_impl="hist")
+    fb_exact = svc.gauge_stats("t", "m", b_off, percentiles=(90,))
+    assert [r.asDict() for r in fb.collect()] == \
+        [r.asDict() for r in fb_exact.collect()]
