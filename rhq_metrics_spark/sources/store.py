@@ -310,6 +310,11 @@ class MetricsStore:
             )
         except Exception:  # noqa: BLE001 — stats are advisory
             est = 0
+        if est >= 1 << 50:
+            # Catalyst reports defaultSizeInBytes (~Long.MaxValue) for
+            # plans it can't size (some streaming/foreachBatch frames);
+            # treat unknown as small — no shuffle is the safe default
+            est = 0
         if est <= self.L0_SPREAD_BYTES_PER_TASK:
             return stamped
         n_in = stamped._jdf.rdd().getNumPartitions()
