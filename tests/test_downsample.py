@@ -249,3 +249,85 @@ def test_streaming_histogram_rollup_matches_batch(spark, tmp_path):
     # every finalized slice (all of rows1's slices are finalized by the
     # watermark push) matches the batch partials exactly
     assert got == want
+
+
+def test_streaming_histogram_sink_serves_percentiles(spark, tmp_path):
+    """The full rank-statistics serving loop: points stream →
+    start_histogram_rollup_stream parquet sink → attach_histogram_rollup
+    → gauge_stats(percentile_impl='hist') — streaming-built partials
+    serve percentiles within one bin width of exact, zero raw-point
+    reads for the rank columns."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+    from rhq_metrics_spark.streaming.histogram import (
+        start_histogram_rollup_stream,
+    )
+
+    win_ms = 30 * 60_000
+    base_s = 1_700_000_000
+    base_ms = base_s * 1000
+    rows = [
+        {"tenant_id": "t", "metric": "m", "sec": base_s + i * 60,
+         "value": float((i * 37) % 500)}
+        for i in range(60)
+    ]
+    late = [{"tenant_id": "t", "metric": "m", "sec": base_s + 7200,
+             "value": 1.0}]  # pushes the watermark past rows' slices
+
+    src = tmp_path / "pts_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("tenant_id string, metric string, sec long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    sink = str(tmp_path / "hist_sink")
+    q = start_histogram_rollup_stream(
+        stream, sink, str(tmp_path / "ckpt"), "30 minutes", 0.0, 512.0, 32,
+        watermark_delay="5 seconds", trigger={"processingTime": "1 second"},
+    )
+    try:
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in late))
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(sink).filter(
+                    F.col("slice_start") < base_ms + 3_600_000).count()
+            except Exception:  # noqa: BLE001 - sink not created yet
+                n = 0
+            if n > 0 and spark.read.parquet(sink).agg(
+                    F.max("slice_start")).collect()[0][0] >= base_ms + win_ms:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", spark.createDataFrame(
+        [("t", "m", r["sec"] * 1000, r["value"], None) for r in rows],
+        "tenant_id string, metric string, ts long, value double, "
+        "tags map<string,string>"))
+    svc = MetricsService(spark, store)
+    svc.attach_histogram_rollup("gauge", sink, win_ms, 0.0, 512.0, 32)
+
+    b = Buckets.from_step(base_ms, base_ms + 2 * win_ms, win_ms)
+    hist = svc.gauge_stats("t", "m", b, percentiles=(90,),
+                           percentile_impl="hist")
+    exact = svc.gauge_stats("t", "m", b, percentiles=(90,))
+    got = {r["start"]: r for r in hist.collect()}
+    exp = {r["start"]: r for r in exact.collect()}
+    assert set(got) == set(exp) and len(got) == 2
+    bin_w = 512.0 / 32
+    for k in exp:
+        assert abs(got[k]["p90"] - exp[k]["p90"]) <= bin_w + 1e-9
+        assert abs(got[k]["median"] - exp[k]["median"]) <= bin_w + 1e-9
