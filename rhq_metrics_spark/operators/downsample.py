@@ -274,3 +274,63 @@ def histogram_quantile(
         F.col("_total").alias("total"),
         est.alias("qvalue"),
     )
+
+
+def histogram_quantiles(
+    hists: DataFrame,
+    grain_ms: int,
+    qs: Sequence[float],
+    names: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_col: str | list[str] = "metric",
+) -> DataFrame:
+    """Multi-quantile :func:`histogram_quantile` in ONE pass: the
+    bin-merge and cumulative window run once, every quantile's crossing
+    bin is found by exploding the (tiny, literal) quantile array against
+    the cumulative rows, and a single conditional aggregation pivots the
+    estimates wide.  N quantiles cost one aggregation + one window pass
+    + one final groupBy instead of N of each (the
+    ``percentile_impl='hist'`` serving path asks for 3-4 at once).
+    Output: ``(*group_cols, bucket_start, total, <names...>)``."""
+    if len(qs) != len(names) or not qs:
+        raise ValueError("qs and names must align and be non-empty")
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError("each q must be in (0, 1]")
+    from pyspark.sql import Window
+
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = (hi - lo) / n_bins
+    b = F.floor(F.col("slice_start") / grain_ms) * grain_ms
+    merged = (
+        hists.select(*gcols, b.alias("bucket_start"), "bin", "count")
+        .groupBy(*gcols, "bucket_start", "bin")
+        .agg(F.sum("count").alias("_c"))
+    )
+    win = Window.partitionBy(*gcols, "bucket_start").orderBy("bin")
+    tot = Window.partitionBy(*gcols, "bucket_start")
+    cur = (
+        merged.withColumn("_cum", F.sum("_c").over(win))
+        .withColumn("_total", F.sum("_c").over(tot))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+    )
+    ex = cur.withColumn(
+        "_q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).withColumn("_target", F.col("_q") * F.col("_total"))
+    picked = ex.filter(
+        (F.col("_cum") >= F.col("_target")) & (F.col("_prev") < F.col("_target"))
+    )
+    est = (
+        F.lit(lo)
+        + F.col("bin") * F.lit(w)
+        + F.lit(w) * (F.col("_target") - F.col("_prev")) / F.col("_c")
+    )
+    return picked.groupBy(*gcols, "bucket_start").agg(
+        F.first("_total").alias("total"),
+        *[
+            F.max(F.when(F.col("_q") == float(q), est)).alias(name)
+            for q, name in zip(qs, names)
+        ],
+    )

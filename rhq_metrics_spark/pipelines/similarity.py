@@ -513,6 +513,7 @@ def ivf_probe_for_recall(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> tuple[int, float]:
     """Empirically size ``n_probe`` for an IVF index: measure recall@k
     of partial-probe against brute force on the given query sample,
@@ -520,14 +521,16 @@ def ivf_probe_for_recall(
     the data's cell structure, so unlike LSH there is no closed form).
     Returns ``(n_probe, measured_recall)``; run on a bounded query
     sample — cost is one partial-probe search per doubling, ~log2(cells)
-    rounds worst case."""
+    rounds worst case.  Pass pre-trained ``centroids`` to size an
+    existing index without re-training."""
     truth = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     )
     truth = truth.persist()
     truth.count()
-    centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
     n_probe, best = 1, 0.0
     try:
         while True:

@@ -375,11 +375,8 @@ class MetricsService:
         zero extra jobs.  The cached watermark only ever causes a
         conservative fall-back to raw for ranges newer than the attach;
         call :meth:`refresh_rollup_watermark` after the sink advances."""
-        df = (
-            self.spark.read.parquet(rollup)
-            if isinstance(rollup, str)
-            else rollup
-        )
+        path = rollup if isinstance(rollup, str) else None
+        df = self.spark.read.parquet(rollup) if path else rollup
         window_ms = int(window_ms)
         start_ms = F.unix_millis(F.col("window_start"))
         end_ms = F.unix_millis(F.col("window_end"))
@@ -392,19 +389,27 @@ class MetricsService:
                 "tumbling windows"
             )
         hi = df.agg(F.max(end_ms).alias("hi")).collect()[0]["hi"]
-        self._rollups[MetricType.check(metric_type)] = (df, window_ms, hi)
+        self._rollups[MetricType.check(metric_type)] = (df, window_ms, hi, path)
 
     def refresh_rollup_watermark(self, metric_type: str) -> int | None:
         """Re-read the attached rollup's finality watermark (the rollup
-        sink appends finalized windows over time); returns the new one."""
+        sink appends finalized windows over time); returns the new one.
+
+        A path-attached rollup is RE-RESOLVED here: a parquet DataFrame
+        caches its file listing at creation, so files the sink appended
+        after attach are invisible to the old frame — refresh drops the
+        cached listing and rebuilds."""
         entry = self._rollups.get(MetricType.check(metric_type))
         if entry is None:
             return None
-        df, window_ms, _ = entry
+        df, window_ms, _, path = entry
+        if path is not None:
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path)
         hi = df.agg(
             F.max(F.unix_millis(F.col("window_end"))).alias("hi")
         ).collect()[0]["hi"]
-        self._rollups[metric_type] = (df, window_ms, hi)
+        self._rollups[metric_type] = (df, window_ms, hi, path)
         return hi
 
     def _rollup_routed_stats(
@@ -424,7 +429,7 @@ class MetricsService:
         entry = self._rollups.get(metric_type)
         if entry is None:
             return None
-        rollup, win_ms, hi = entry
+        rollup, win_ms, hi = entry[0], entry[1], entry[2]
         if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
             return None
         if hi is None or buckets.end > hi:
@@ -475,9 +480,8 @@ class MetricsService:
         ``percentile_impl='hist'``).  Caches the finality watermark
         ``max(slice_start) + slice_ms`` — routed queries cost no extra
         jobs."""
-        df = (
-            self.spark.read.parquet(hists) if isinstance(hists, str) else hists
-        )
+        path = hists if isinstance(hists, str) else None
+        df = self.spark.read.parquet(hists) if path else hists
         slice_ms = int(slice_ms)
         bad = df.filter(
             (F.col("slice_start") % slice_ms != 0)
@@ -491,8 +495,27 @@ class MetricsService:
         hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
         watermark = None if hi_w is None else int(hi_w) + slice_ms
         self._hist_rollups[MetricType.check(metric_type)] = (
-            df, slice_ms, float(lo), float(hi), int(n_bins), watermark
+            df, slice_ms, float(lo), float(hi), int(n_bins), watermark, path
         )
+
+    def refresh_histogram_watermark(self, metric_type: str) -> int | None:
+        """Re-read the attached histogram rollup's finality watermark
+        (the streaming partials sink appends finalized slices over
+        time); returns the new one.  Mirrors
+        :meth:`refresh_rollup_watermark`."""
+        entry = self._hist_rollups.get(MetricType.check(metric_type))
+        if entry is None:
+            return None
+        df, slice_ms, lo, hi, n_bins, _, path = entry
+        if path is not None:
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path)
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._hist_rollups[metric_type] = (
+            df, slice_ms, lo, hi, n_bins, watermark, path
+        )
+        return watermark
 
     def percentiles_from_rollup(
         self,
@@ -511,12 +534,12 @@ class MetricsService:
         entry = self._hist_rollups.get(MetricType.check(metric_type))
         if entry is None or not percentiles:
             return None
-        hists, slice_ms, lo, hi, n_bins, watermark = entry
+        hists, slice_ms, lo, hi, n_bins, watermark = entry[:6]
         if buckets.step % slice_ms != 0 or buckets.start % slice_ms != 0:
             return None
         if watermark is None or buckets.end > watermark:
             return None
-        from rhq_metrics_spark.operators.downsample import histogram_quantile
+        from rhq_metrics_spark.operators.downsample import histogram_quantiles
         from rhq_metrics_spark.operators.stats import (
             bucket_dimension,
             percentile_col_name,
@@ -527,18 +550,18 @@ class MetricsService:
             & (F.col("slice_start") >= buckets.start)
             & (F.col("slice_start") < buckets.end)
         )
-        out = None
-        seen = set()
+        qs, names, seen = [], [], set()
         for q in percentiles:
             col = percentile_col_name(q)
             if col in seen:
                 continue
             seen.add(col)
-            qd = histogram_quantile(
-                mine, buckets.step, q / 100.0, lo, hi, n_bins,
-                group_col=["tenant_id", "metric"],
-            ).select("bucket_start", F.col("qvalue").alias(col))
-            out = qd if out is None else out.join(qd, "bucket_start", "outer")
+            qs.append(q / 100.0)
+            names.append(col)
+        out = histogram_quantiles(
+            mine, buckets.step, qs, names, lo, hi, n_bins,
+            group_col=["tenant_id", "metric"],
+        ).select("bucket_start", *names)
         dim = bucket_dimension(self.spark, buckets).withColumn(
             "bucket_start",
             F.lit(buckets.start) + F.col("bucket_idx") * F.lit(buckets.step),

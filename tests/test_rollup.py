@@ -283,3 +283,36 @@ def test_hist_rollup_percentile_serving(spark, tmp_path):
     fb_exact = svc.gauge_stats("t", "m", b_off, percentiles=(90,))
     assert [r.asDict() for r in fb.collect()] == \
         [r.asDict() for r in fb_exact.collect()]
+
+
+def test_refresh_histogram_watermark(spark, tmp_path):
+    """An appending partials sink advances finality: a range past the
+    attach-time watermark falls back until refresh picks it up."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    sink = str(tmp_path / "hists")
+    part1 = spark.createDataFrame(
+        [("t", "m", w * win, b, 5) for w in range(2) for b in range(3)],
+        "tenant_id string, metric string, slice_start long, bin int, count long",
+    )
+    part1.write.mode("append").parquet(sink)
+    svc.attach_histogram_rollup("gauge", sink, win, 0.0, 30.0, 10)
+
+    b_late = Buckets.from_step(0, 4 * win, win)
+    assert svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,)) is None
+
+    part2 = spark.createDataFrame(
+        [("t", "m", w * win, b, 5) for w in (2, 3) for b in range(3)],
+        "tenant_id string, metric string, slice_start long, bin int, count long",
+    )
+    part2.write.mode("append").parquet(sink)
+    assert svc.refresh_histogram_watermark("gauge") == 4 * win
+    routed = svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,))
+    assert routed is not None and routed.count() == 4
