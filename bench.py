@@ -392,6 +392,17 @@ def main() -> None:
             cemb, cq, k=5, n_cells=64, target_recall=0.9, centroids=cents
         )
         timings["embed_ivf_clustered_probe_for_r90"] = n_probe
+        # the SCALE-relevant cost dial: fraction of all pairs a 4/64
+        # probe scores (wall-clock at 8k vectors is fixed-overhead-bound
+        # — candidates/corpus is what divides per-query scan cost at any
+        # size; see SCALE.md)
+        from rhq_metrics_spark.pipelines.similarity import (
+            ivf_candidate_fraction,
+        )
+
+        timings["embed_ivf_clustered_candidate_frac"] = round(
+            ivf_candidate_fraction(cemb, cq, cents, n_probe=4), 4
+        )
         ctruth.unpersist()
         civf.unpersist()
         cemb.unpersist()

@@ -545,3 +545,42 @@ def ivf_probe_for_recall(
             n_probe = min(n_cells, n_probe * 2)
     finally:
         truth.unpersist()
+
+
+def ivf_candidate_fraction(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> float:
+    """Fraction of (corpus × queries) pairs an IVF partial probe
+    actually scores — the SCALE-relevant cost metric.  At toy corpus
+    sizes the probe's fixed overhead (two Arrow assignment passes, a
+    join) can exceed a trivial brute scan, so wall-clock comparisons
+    there are misleading; the candidate fraction is what divides the
+    per-query scan cost at any size (candidates ≈ fraction × corpus).
+    Cost: one assignment pass over each side + one tiny aggregate."""
+    a1 = _cell_assignment_udf(centroids, 1)
+    ap = _cell_assignment_udf(centroids, n_probe)
+    sizes = (
+        corpus.select(_as_double(F.col(vec_col)).alias("_cv"))
+        .select(F.explode(a1(F.col("_cv"))).alias("_cell"))
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    probed = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    ).select("_qid", F.explode(ap(F.col("_qv"))).alias("_cell"))
+    total = (
+        probed.join(sizes, "_cell")
+        .agg(F.sum("_sz").alias("cand"))
+        .collect()[0]["cand"]
+    ) or 0
+    n_corpus = corpus.count()
+    n_queries = queries.count()
+    if n_corpus == 0 or n_queries == 0:
+        return 0.0
+    return float(total) / (n_corpus * n_queries)

@@ -257,3 +257,25 @@ def test_ivf_partial_probe_on_clustered_corpus(spark):
     r = topk_recall(truth, approx)
     assert r >= 0.9, f"partial-probe recall {r} < 0.9 on clustered corpus"
     emb.unpersist()
+
+
+def test_ivf_candidate_fraction_clustered(spark):
+    """The scale-cost dial: a 2-of-16-cell probe on the clustered corpus
+    scores ~2/16 of all pairs (clusters are balanced by construction)."""
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        ivf_candidate_fraction,
+        ivf_train_centroids,
+    )
+
+    emb = synthetic_clustered_embeddings(
+        spark, n=2000, dim=32, n_clusters=16, sigma=0.1, seed=7
+    ).cache()
+    cents = ivf_train_centroids(emb, n_cells=16)
+    frac = ivf_candidate_fraction(emb, emb.filter("vec_id < 20"), cents, n_probe=2)
+    assert 0.05 <= frac <= 0.30, frac  # ~0.125 ideal, slack for imbalance
+    full = ivf_candidate_fraction(emb, emb.filter("vec_id < 20"), cents, n_probe=16)
+    assert full == 1.0
+    emb.unpersist()
