@@ -2774,6 +2774,52 @@ FROM t WHERE cm >= target AND prev < target
 """
 
 
+def q_b14_hist_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14+: ONE-PASS multi-quantile serving from histogram partials
+    (operators/downsample.py histogram_quantiles, r5) — p50/p90/p99 per
+    (series, day) found by exploding the literal quantile array against
+    a single cumulative pass, then pivoted wide with one conditional
+    aggregation.  N quantiles cost one aggregation + one window pass,
+    not N of each — the percentile_impl='hist' serving shape."""
+    pts = _events_points(spark, sf_dir)
+    hists = histogram_rollup(
+        pts, slice_ms=7_200_000, lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+    from rhq_metrics_spark.operators.downsample import histogram_quantiles
+
+    return histogram_quantiles(
+        hists, grain_ms=86_400_000, qs=[0.5, 0.9, 0.99],
+        names=["p50", "p90", "p99"],
+        lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS,
+    )
+
+
+SQL_B14 = f"""
+WITH ev AS ({EV_SQL}),
+h AS (SELECT metric, (ts // 7200000) * 7200000 AS slice_start,
+        CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS INTEGER) AS bin,
+        count(*) AS count
+      FROM ev GROUP BY 1, 2, 3),
+m AS (SELECT metric, (slice_start // 86400000) * 86400000 AS bucket_start,
+        bin, sum(count) AS c
+      FROM h GROUP BY 1, 2, 3),
+cum AS (SELECT metric, bucket_start, bin, c,
+          sum(c) OVER (PARTITION BY metric, bucket_start ORDER BY bin) AS cm,
+          sum(c) OVER (PARTITION BY metric, bucket_start) AS total
+        FROM m),
+x AS (SELECT cum.*, q FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)),
+t AS (SELECT metric, bucket_start, bin, c, cm, total, q,
+        cm - c AS prev, q * total AS target
+      FROM x)
+SELECT metric, bucket_start, CAST(any_value(total) AS BIGINT) AS total,
+       max(CASE WHEN q = 0.5 THEN 0.0 + bin * 32.0 + 32.0 * (target - prev) / c END) AS p50,
+       max(CASE WHEN q = 0.9 THEN 0.0 + bin * 32.0 + 32.0 * (target - prev) / c END) AS p90,
+       max(CASE WHEN q = 0.99 THEN 0.0 + bin * 32.0 + 32.0 * (target - prev) / c END) AS p99
+FROM t WHERE cm >= target AND prev < target
+GROUP BY metric, bucket_start
+"""
+
+
 def q_w7_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7+: Prometheus-style per-bucket increase() with counter-reset
     handling (operators/rate.py bucket_increase) — adjacent-pair deltas
@@ -3777,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
         "b13_hist_quantile": q_b13_hist_quantile,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "w8_rolling_median": q_w8_rolling_median,
@@ -3886,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "a11_histogram": SQL_A11,
         "w7_increase": SQL_W7,
         "b13_hist_quantile": SQL_B13,
+        "b14_hist_quantiles_multi": SQL_B14,
         "a12_time_weighted_avg": SQL_A12,
         "w5_rolling_zscore": SQL_W5,
         "w8_rolling_median": SQL_W8,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_heavy_hitters",  # MG candidate pass + exact recount
     "o5_minmax_downsample",  # arg-extreme struct aggregation
     "a11_histogram",         # value distribution binning
+    "b14_hist_quantiles_multi",  # one-pass multi-quantile from partials
 ]
 
 
