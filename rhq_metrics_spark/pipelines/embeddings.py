@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 
 from rhq_metrics_spark.pipelines.similarity import (
     EMB_SCALE,
+    _vec_matrix,
     md5_plane_weights,
 )
 
@@ -55,7 +56,7 @@ def rp_reduce(
 
     @F.pandas_udf("array<long>")
     def _project(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _vec_matrix(vecs)
         dim = mat.shape[1]
         if dim not in cache:
             cache[dim] = md5_plane_weights(1, out_dim, dim, seed)[0]
@@ -147,3 +148,62 @@ def synthetic_clustered_embeddings(
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).repartition(spark.sparkContext.defaultParallelism)
+
+
+_SM64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 — a counter-based PRNG: the
+    value depends only on the input counter, never on call order or
+    partitioning, which is what makes distributed generation
+    deterministic."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _SM64_MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _SM64_MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _SM64_MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def synthetic_clustered_embeddings_distributed(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    sigma: float = 0.1,
+    seed: int = 7,
+) -> DataFrame:
+    """Distributed twin of :func:`synthetic_clustered_embeddings` for
+    corpus sizes the driver can't hold: ``spark.range(n)`` →
+    ``mapInPandas``, with per-cell noise from counter-based splitmix64
+    keyed on ``(seed, vec_id, dim_index)`` — identical vectors for the
+    same ids under ANY partitioning, so fixtures are reproducible at
+    millions of rows.  Noise is Box-Muller over two independent
+    counter streams; centroids come from one small driver-side seeded
+    RandomState (n_clusters × dim, broadcast via closure)."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            labels = (ids % np.uint64(n_clusters)).astype(np.int64)
+            # counters: (seed stream, id, j) flattened
+            base = ids[:, None] * np.uint64(dim) + np.arange(dim, dtype=np.uint64)[None, :]
+            u1 = _splitmix64(base + np.uint64(seed) * np.uint64(0x10000000000)).astype(np.float64)
+            u2 = _splitmix64(base + np.uint64(seed) * np.uint64(0x10000000000) + np.uint64(0x8000000000000000)).astype(np.float64)
+            u1 = (u1 + 1.0) / 18446744073709551616.0  # (0, 1]
+            u2 = u2 / 18446744073709551616.0          # [0, 1)
+            gauss = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+            vecs = cents[labels] + sigma * gauss
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": [row.astype(np.float32) for row in vecs],
+                "label": labels.astype(np.int32),
+            })
+
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_gen, "vec_id long, embedding array<float>, label int")
+    )

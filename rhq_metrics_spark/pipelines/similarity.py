@@ -129,7 +129,7 @@ def _cell_assignment_udf(centroids: np.ndarray, top: int):
 
     @F.pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _vec_matrix(vecs)
         sims = mat @ centroids.T  # (batch, cells)
         # deterministic: sort by (-sim, cell index)
         order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims), axis=1)
@@ -176,7 +176,12 @@ def ivf_cosine_topk(
     cands = c.join(F.broadcast(q), "_cell").drop("_cell")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+    # no pair dedup needed (unlike the LSH multi-table path): each
+    # corpus vector lives in exactly ONE cell and a query's probed
+    # cells are distinct, so a (query, neighbor) pair matches at most
+    # once — and scoring BEFORE any shuffle means only narrow
+    # (ids, cosine) rows ever move, not the embedding arrays
+    scored = cands.select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("_cv"), F.col("_qv")) / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qv")))).alias("cosine"),
@@ -207,7 +212,7 @@ def lsh_signatures_udf(planes: np.ndarray):
 
     @F.pandas_udf("array<long>")
     def _sigs(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _vec_matrix(vecs)
         sigs = np.empty((len(mat), tables), dtype=np.int64)
         for t in range(tables):
             bits = (mat @ planes[t].T) >= 0
@@ -227,7 +232,7 @@ def lsh_signatures_udf_seeded(num_planes: int, tables: int, seed: int):
 
     @F.pandas_udf("array<long>")
     def _sigs(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _vec_matrix(vecs)
         planes = np.random.RandomState(seed).normal(
             size=(tables, num_planes, mat.shape[1])
         )
@@ -269,7 +274,7 @@ def lsh_signatures_udf_md5(num_planes: int, tables: int, seed: int):
 
     @F.pandas_udf("array<long>")
     def _sigs(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _vec_matrix(vecs)
         dim = mat.shape[1]
         if dim not in cache:
             cache[dim] = md5_plane_weights(tables, num_planes, dim, seed)
@@ -444,7 +449,10 @@ def ivf_query_index(
     cands = c.join(F.broadcast(q), "cell").drop("cell")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+    # no pair dedup (see ivf_cosine_topk): one cell per corpus vector +
+    # distinct probed cells ⇒ each pair matches once; scoring before
+    # any shuffle keeps the embedding arrays out of the exchanges
+    scored = cands.select(
         "query_id",
         "neighbor_id",
         (
@@ -584,3 +592,19 @@ def ivf_candidate_fraction(
     if n_corpus == 0 or n_queries == 0:
         return 0.0
     return float(total) / (n_corpus * n_queries)
+
+
+def _vec_matrix(vecs) -> np.ndarray:
+    """Arrow hands an array<float> column to a pandas UDF as a Series of
+    numpy arrays; ``np.array(s.tolist())`` re-boxes every element
+    through Python (~seconds per million 64-dim rows) where
+    ``np.vstack`` over the raw values is one C-speed copy — the
+    difference between the assignment pass being free and being the
+    pipeline bottleneck at corpus scale."""
+    vals = vecs.to_numpy()
+    if len(vals) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    try:
+        return np.vstack(vals).astype(np.float64, copy=False)
+    except ValueError:  # ragged / object fallbacks
+        return np.array(vecs.tolist(), dtype=np.float64)

@@ -79,3 +79,33 @@ def test_kmv_partition_invariance(spark):
     a = kmv_distinct(df, "grp", "val", k=32).collect()[0]
     b = kmv_distinct(df.repartition(13), "grp", "val", k=32).collect()[0]
     assert a["hk"] == b["hk"] and a["est"] == b["est"]
+
+
+def test_distributed_clustered_fixture_deterministic(spark):
+    """Counter-based generation: the same vec_id yields bit-identical
+    vectors under different partitionings, and cluster structure holds
+    (member closer to own centroid than to any other)."""
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings_distributed,
+    )
+
+    a = {r["vec_id"]: r["embedding"]
+         for r in synthetic_clustered_embeddings_distributed(
+             spark, 200, dim=16, n_clusters=8, seed=3).collect()}
+    b = {r["vec_id"]: r["embedding"]
+         for r in synthetic_clustered_embeddings_distributed(
+             spark, 200, dim=16, n_clusters=8, seed=3)
+         .repartition(3).collect()}
+    assert set(a) == set(b) == set(range(200))
+    assert all(a[i] == b[i] for i in a)
+    # structure: dot with own centroid dominates
+    rng = np.random.RandomState(3)
+    cents = rng.randn(8, 16)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    hits = 0
+    for i, v in a.items():
+        sims = cents @ np.array(v, dtype=np.float64)
+        hits += int(np.argmax(sims) == i % 8)
+    assert hits >= 195, hits
