@@ -41,11 +41,22 @@ class MaintenanceRunner:
         service,
         default_retention_days: int = 7,
         compaction_grace_ms: int = 600_000,
+        histogram_sink: dict | None = None,
     ):
         self.service = service
         self.default_retention_days = default_retention_days
         self.compaction_grace_ms = compaction_grace_ms
         self._last_closed: dict[str, int] = {}
+        #: optional continuous histogram partials (the "written once per
+        #: slice at compaction time" half of the percentile-serving
+        #: contract): ``{"path": str, "lo": float, "hi": float,
+        #: "n_bins": int, "metric_type": "gauge", "attach": True}`` —
+        #: after each compaction pass the just-closed slices' partials
+        #: are APPENDED to ``path`` (slices compact exactly once, so
+        #: append-once per slice needs no merge), and the service's
+        #: histogram rollup is attached/refreshed so
+        #: ``percentile_impl='hist'`` serves them immediately.
+        self.histogram_sink = histogram_sink
 
     # -- one full pass (cron-style) ---------------------------------------
 
@@ -54,6 +65,7 @@ class MaintenanceRunner:
         retention policies, refresh the persisted expiration index.
         Returns a report dict per job."""
         compacted = self.service.compact(now_ms - self.compaction_grace_ms)
+        hist_slices = self._emit_histogram_partials(compacted)
         retention = self.service.apply_retention_policies(
             now_ms, self.default_retention_days
         )
@@ -63,9 +75,47 @@ class MaintenanceRunner:
         }
         return {
             "compacted": compacted,
+            "histogram_slices": hist_slices,
             "retention": retention,
             "expiration_rows": expiration,
         }
+
+    def _emit_histogram_partials(self, compacted: dict[str, list[int]]) -> int:
+        """Append fixed-bin histogram partials for just-compacted slices
+        to the configured sink and refresh the serving watermark.  Reads
+        the freshly-compacted COLD data (sorted, pruned scan bounded to
+        the closed slices), so the pass costs one bounded aggregation
+        per maintenance cycle and the partials table stays in lockstep
+        with compaction — no separate backfill job."""
+        cfg = self.histogram_sink
+        if not cfg:
+            return 0
+        mt = cfg.get("metric_type", "gauge")
+        slices = [int(x) for x in (compacted.get(mt) or [])]
+        if not slices:
+            return 0
+        import pyspark.sql.functions as F
+
+        from rhq_metrics_spark.operators.downsample import histogram_rollup
+
+        store = self.service.store
+        pts = store.points(mt).filter(
+            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
+        )
+        histogram_rollup(
+            pts, store.slice_ms, cfg["lo"], cfg["hi"], cfg["n_bins"],
+            group_col=["tenant_id", "metric"],
+        ).write.mode("append").parquet(cfg["path"])
+        if cfg.get("attach", True):
+            svc = self.service
+            if mt in svc._hist_rollups:
+                svc.refresh_histogram_watermark(mt)
+            else:
+                svc.attach_histogram_rollup(
+                    mt, cfg["path"], store.slice_ms,
+                    cfg["lo"], cfg["hi"], cfg["n_bins"],
+                )
+        return len(slices)
 
     # -- streaming hook (event-time driven) --------------------------------
 
@@ -84,6 +134,8 @@ class MaintenanceRunner:
             return []
         done = self.service.store.compact(metric_type, closed_before)
         self._last_closed[metric_type] = closed_before
+        if done:
+            self._emit_histogram_partials({metric_type: done})
         return done
 
     # -- wall-clock loop ----------------------------------------------------

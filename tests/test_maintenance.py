@@ -123,3 +123,57 @@ def test_stream_with_maintenance_compacts_without_manual_call(spark, tmp_path):
     out = {r["ts"]: r["value"] for r in store.points("gauge").collect()}
     assert out[SLICE0 + 20] == 9.0
     assert len(out) == 4
+
+
+def test_maintenance_emits_histogram_partials(spark, tmp_path):
+    """histogram_sink: compaction passes append per-slice partials and
+    attach/refresh the serving rollup, so percentile_impl='hist' works
+    without any separate backfill job — including incrementally across
+    two maintenance cycles."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    schema = ("tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>")
+    sink = str(tmp_path / "hists")
+    runner = MaintenanceRunner(
+        svc, histogram_sink={"path": sink, "lo": 0.0, "hi": 100.0, "n_bins": 50},
+    )
+
+    rows1 = [("t", "m", s * slice_ms + i * 60_000, float((i * 7) % 100), None)
+             for s in range(2) for i in range(40)]
+    svc.add_data_points("gauge", spark.createDataFrame(rows1, schema))
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["histogram_slices"] == 2
+
+    b = Buckets.from_step(0, 2 * slice_ms, slice_ms)
+    hist = svc.gauge_stats("t", "m", b, percentiles=(90,), percentile_impl="hist")
+    exact = svc.gauge_stats("t", "m", b, percentiles=(90,))
+    got = {r["start"]: r["p90"] for r in hist.collect()}
+    exp = {r["start"]: r["p90"] for r in exact.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) <= 2.0 + 1e-9  # one bin width
+
+    # second cycle: a third slice lands, partials append + watermark moves
+    rows2 = [("t", "m", 2 * slice_ms + i * 60_000, float(i % 100), None)
+             for i in range(40)]
+    svc.add_data_points("gauge", spark.createDataFrame(rows2, schema))
+    rep2 = runner.run_once(now_ms=3 * slice_ms + runner.compaction_grace_ms)
+    assert rep2["histogram_slices"] == 1
+    b3 = Buckets.from_step(0, 3 * slice_ms, slice_ms)
+    hist3 = svc.gauge_stats("t", "m", b3, percentiles=(90,),
+                            percentile_impl="hist")
+    assert hist3.count() == 3
+    # served from partials, not raw points
+    assert not any(
+        "points" in f
+        for f in svc.percentiles_from_rollup("gauge", "t", "m", b3, (90,)).inputFiles()
+    )
