@@ -418,6 +418,14 @@ class MetricsApp:
         if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
             raise BadRequest(f"Metric type does not match {metric_type}")
         percentiles = self._percentiles(qs)
+        # extension beyond the reference API: percentileImpl selects the
+        # percentile engine — exact (default), p2 (the reference's
+        # production estimator), approx (sketches), hist (served from
+        # attached histogram partials, bin-width-bounded approximation
+        # with exact fallback when unroutable)
+        impl = qs.get("percentileImpl") or "exact"
+        if impl not in ("exact", "p2", "approx", "hist"):
+            raise BadRequest(f"Invalid percentileImpl parameter: {impl!r}")
         with api_errors():
             # rollup fast path: a single-metric gauge stats request with
             # no percentiles is exactly what an attached rollup can serve
@@ -430,10 +438,16 @@ class MetricsApp:
                 )
                 if routed is not None:
                     raise _collection(bucket_points_json(routed))
-            df = self.service.numeric_stats(
-                metric_type, tenant, [metric_id], bks,
-                percentiles=percentiles,
-            )
+            if metric_type == MetricType.GAUGE and impl != "exact":
+                df = self.service.gauge_stats(
+                    tenant, metric_id, bks,
+                    percentiles=percentiles, percentile_impl=impl,
+                )
+            else:
+                df = self.service.numeric_stats(
+                    metric_type, tenant, [metric_id], bks,
+                    percentiles=percentiles,
+                )
         raise _collection(bucket_points_json(df))
 
     def _periods(self, metric_type, tenant, metric_id, qs):

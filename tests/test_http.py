@@ -409,3 +409,54 @@ def test_stats_routed_through_rollup_reads_no_raw_points(spark, tmp_path_factory
         f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=90s",
     )
     assert code == 200 and len(raw_calls) == 2
+
+
+def test_stats_percentile_impl_param(spark, tmp_path_factory):
+    """Extension param percentileImpl: p2/approx/hist select the
+    percentile engine on gauge stats; invalid values are 400; hist with
+    attached partials serves rank columns from them."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("http_pct_store")
+    store = MetricsStore(spark, str(base / "store"))
+    svc = MetricsService(spark, store)
+    app2 = MetricsApp(svc, base_path="/hawkular/metrics")
+    win = 60_000
+    rows = [("t1", "cpu", w * win + i * 2_000, float((w * 7 + i * 4) % 120), None)
+            for w in range(4) for i in range(30)]
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+
+    code, _ = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={4 * win}&bucketDuration=60s"
+        f"&percentiles=90&percentileImpl=bogus",
+    )
+    assert code == 400
+
+    code, exact = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={4 * win}&bucketDuration=60s"
+        f"&percentiles=90",
+    )
+    assert code == 200 and "p90" in exact[0]
+
+    code, p2 = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={4 * win}&bucketDuration=60s"
+        f"&percentiles=90&percentileImpl=p2",
+    )
+    assert code == 200 and "p90" in p2[0]
+
+    hist_dir = str(base / "hists")
+    svc.build_histogram_rollup("gauge", win, 0.0, 120.0, 60).write.parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, win, 0.0, 120.0, 60)
+    code, hist = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={4 * win}&bucketDuration=60s"
+        f"&percentiles=90&percentileImpl=hist",
+    )
+    assert code == 200
+    for e, h in zip(exact, hist):
+        assert abs(h["p90"] - e["p90"]) <= 2.0 + 1e-9  # one bin width
