@@ -2774,6 +2774,40 @@ FROM t WHERE cm >= target AND prev < target
 """
 
 
+def q_w8_increase_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8+: per-day counter increase() served EXACTLY from mergeable
+    per-2h-slice partials (operators/rate.py increase_rollup +
+    increase_from_rollup — the Prometheus chunk-meta trick): each slice
+    stores its boundary points and internal quantized pair sum; the
+    merge adds the boundary pairs between consecutive present slices.
+    Bit-identical to the raw-scan bucket_increase, so the oracle is the
+    plain adjacent-pair SQL at day grain."""
+    from rhq_metrics_spark.operators.rate import (
+        increase_from_rollup,
+        increase_rollup,
+    )
+
+    partials = increase_rollup(_events_points(spark, sf_dir), slice_ms=7_200_000)
+    return increase_from_rollup(
+        partials, bucket_ms=86_400_000, slice_ms=7_200_000
+    )
+
+
+SQL_W8_INC = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev),
+l AS (SELECT metric, ts, v,
+        lag(v) OVER (PARTITION BY metric ORDER BY ts ASC, v ASC) AS pv
+      FROM q),
+p AS (SELECT metric, (ts // 86400000) * 86400000 AS bucket_start,
+        CASE WHEN v >= pv THEN v - pv ELSE v END AS c
+      FROM l WHERE pv IS NOT NULL)
+SELECT metric, bucket_start, count(*) AS n_pairs,
+       sum(c) / 100.0 AS increase
+FROM p GROUP BY 1, 2
+"""
+
+
 def q_b14_hist_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14+: ONE-PASS multi-quantile serving from histogram partials
     (operators/downsample.py histogram_quantiles, r5) — p50/p90/p99 per
@@ -3822,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_minmax_downsample": q_o5_minmax_downsample,
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
+        "w8_increase_rollup": q_w8_increase_rollup,
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
@@ -3932,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         "o5_minmax_downsample": SQL_O5,
         "a11_histogram": SQL_A11,
         "w7_increase": SQL_W7,
+        "w8_increase_rollup": SQL_W8_INC,
         "b13_hist_quantile": SQL_B13,
         "b14_hist_quantiles_multi": SQL_B14,
         "a12_time_weighted_avg": SQL_A12,

@@ -42,6 +42,7 @@ class MaintenanceRunner:
         default_retention_days: int = 7,
         compaction_grace_ms: int = 600_000,
         histogram_sink: dict | None = None,
+        increase_sink: dict | None = None,
     ):
         self.service = service
         self.default_retention_days = default_retention_days
@@ -57,6 +58,12 @@ class MaintenanceRunner:
         #: histogram rollup is attached/refreshed so
         #: ``percentile_impl='hist'`` serves them immediately.
         self.histogram_sink = histogram_sink
+        #: optional continuous increase() partials (exact mergeable
+        #: serving, operators/rate.py increase_rollup): ``{"path": str,
+        #: "metric_type": "counter", "value_scale": 100, "attach":
+        #: True}`` — appended per compacted slice like the histogram
+        #: sink, attached via ``service.attach_increase_rollup``.
+        self.increase_sink = increase_sink
 
     # -- one full pass (cron-style) ---------------------------------------
 
@@ -66,6 +73,7 @@ class MaintenanceRunner:
         Returns a report dict per job."""
         compacted = self.service.compact(now_ms - self.compaction_grace_ms)
         hist_slices = self._emit_histogram_partials(compacted)
+        inc_slices = self._emit_increase_partials(compacted)
         retention = self.service.apply_retention_policies(
             now_ms, self.default_retention_days
         )
@@ -76,6 +84,7 @@ class MaintenanceRunner:
         return {
             "compacted": compacted,
             "histogram_slices": hist_slices,
+            "increase_slices": inc_slices,
             "retention": retention,
             "expiration_rows": expiration,
         }
@@ -117,6 +126,40 @@ class MaintenanceRunner:
                 )
         return len(slices)
 
+    def _emit_increase_partials(self, compacted: dict[str, list[int]]) -> int:
+        """Append exact increase() partials for just-compacted slices
+        (operators/rate.py increase_rollup — slice-local state, boundary
+        pairs resolved at merge time, so append-once per slice is
+        complete) and (re)attach the serving rollup."""
+        cfg = self.increase_sink
+        if not cfg:
+            return 0
+        mt = cfg.get("metric_type", "counter")
+        slices = [int(x) for x in (compacted.get(mt) or [])]
+        if not slices:
+            return 0
+        import pyspark.sql.functions as F
+
+        from rhq_metrics_spark.operators.rate import increase_rollup
+
+        store = self.service.store
+        scale = int(cfg.get("value_scale", 100))
+        pts = store.points(mt).filter(
+            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
+        )
+        increase_rollup(
+            pts, store.slice_ms, value_scale=scale,
+            group_cols=["tenant_id", "metric"],
+            counter=(mt == "counter"),
+        ).write.mode("append").parquet(cfg["path"])
+        if cfg.get("attach", True):
+            # re-attach re-reads the path, so the watermark always
+            # reflects the appended slices
+            self.service.attach_increase_rollup(
+                mt, cfg["path"], store.slice_ms, value_scale=scale
+            )
+        return len(slices)
+
     # -- streaming hook (event-time driven) --------------------------------
 
     def on_event_time(self, metric_type: str, high_water_ms: int) -> list[int]:
@@ -136,6 +179,7 @@ class MaintenanceRunner:
         self._last_closed[metric_type] = closed_before
         if done:
             self._emit_histogram_partials({metric_type: done})
+            self._emit_increase_partials({metric_type: done})
         return done
 
     # -- wall-clock loop ----------------------------------------------------

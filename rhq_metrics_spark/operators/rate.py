@@ -207,3 +207,121 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def increase_rollup(
+    df: DataFrame,
+    slice_ms: int,
+    value_scale: int = 100,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("metric",),
+    counter: bool = True,
+) -> DataFrame:
+    """Per-(series, slice) MERGEABLE partials for :func:`bucket_increase`
+    — the Prometheus chunk-meta trick, EXACT rather than approximate:
+    store each slice's boundary points plus its internal pair sum, and
+    any coarser bucket's increase() is recovered by adding the
+    boundary-pair contributions between consecutive present slices
+    (:func:`increase_from_rollup`).  Written once per closed slice
+    (compaction time), a year-long increase() query then reads
+    #slices rows per series instead of raw points.
+
+    Contributions are quantized to ``value_scale`` integers (the
+    :func:`bucket_increase` convention), so partial sums merge with
+    exact long arithmetic — order- and partitioning-independent.
+    ``counter`` must match between rollup and merge.
+
+    Output: ``(group_cols..., slice_start, f_ts, f_v, l_ts, l_v,
+    inc, n_pairs)`` with f/l the slice's first/last (ts, quantized
+    value) in the rate operator's total order.
+    """
+    gcols = list(group_cols)
+    v = F.round(F.col(value_col) * value_scale).cast("long")
+    w = Window.partitionBy(*gcols, "slice_start").orderBy(
+        F.col("_t").asc(), F.col("_v").asc()
+    )
+    cur = df.select(
+        *gcols,
+        (F.floor(F.col(ts_col) / slice_ms) * slice_ms).alias("slice_start"),
+        F.col(ts_col).alias("_t"),
+        v.alias("_v"),
+    ).withColumn("_pv", F.lag("_v").over(w))
+    if counter:
+        contrib = F.when(
+            F.col("_v") >= F.col("_pv"), F.col("_v") - F.col("_pv")
+        ).otherwise(F.col("_v"))
+    else:
+        contrib = F.col("_v") - F.col("_pv")
+    return cur.groupBy(*gcols, "slice_start").agg(
+        F.min(F.struct("_t", "_v")).alias("_f"),
+        F.max(F.struct("_t", "_v")).alias("_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("_pv").isNotNull(), contrib)), F.lit(0)
+        ).alias("inc"),
+        F.count("_pv").alias("n_pairs"),
+    ).select(
+        *gcols,
+        "slice_start",
+        F.col("_f._t").alias("f_ts"),
+        F.col("_f._v").alias("f_v"),
+        F.col("_l._t").alias("l_ts"),
+        F.col("_l._v").alias("l_v"),
+        "inc",
+        "n_pairs",
+    )
+
+
+def increase_from_rollup(
+    partials: DataFrame,
+    bucket_ms: int,
+    slice_ms: int,
+    value_scale: int = 100,
+    group_cols: Sequence[str] = ("metric",),
+    counter: bool = True,
+) -> DataFrame:
+    """EXACT per-bucket increase() from :func:`increase_rollup`
+    partials: one lag over the (tiny) per-slice rows adds the
+    boundary pair between consecutive PRESENT slices — stamped, like
+    every pair, at the later point's bucket — and a sum merges.
+    Bit-identical to :func:`bucket_increase` over the raw points when
+    ``bucket_ms`` is a multiple of ``slice_ms`` (tested), because the
+    quantized-integer partial sums make addition order irrelevant.
+    Output: ``(group_cols..., bucket_start, n_pairs, increase)``.
+    """
+    if bucket_ms % slice_ms != 0:
+        raise ValueError(
+            f"bucket_ms {bucket_ms} must be a multiple of slice_ms {slice_ms}"
+        )
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("slice_start")
+    cur = partials.withColumn("_plv", F.lag("l_v").over(w))
+    if counter:
+        boundary = F.when(
+            F.col("f_v") >= F.col("_plv"), F.col("f_v") - F.col("_plv")
+        ).otherwise(F.col("f_v"))
+    else:
+        boundary = F.col("f_v") - F.col("_plv")
+    b = F.floor(F.col("slice_start") / bucket_ms) * bucket_ms
+    return (
+        cur.select(
+            *gcols,
+            b.alias("bucket_start"),
+            (
+                F.col("inc")
+                + F.coalesce(
+                    F.when(F.col("_plv").isNotNull(), boundary), F.lit(0)
+                )
+            ).alias("_c"),
+            (
+                F.col("n_pairs")
+                + F.when(F.col("_plv").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_np"),
+        )
+        .groupBy(*gcols, "bucket_start")
+        .agg(
+            F.sum("_np").alias("n_pairs"),
+            (F.sum("_c") / float(value_scale)).alias("increase"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

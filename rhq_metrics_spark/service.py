@@ -51,6 +51,7 @@ class MetricsService:
         # aggregates registered for read routing (attach_rollup)
         self._rollups: dict[str, tuple[DataFrame, int]] = {}
         self._hist_rollups: dict[str, tuple] = {}
+        self._increase_rollups: dict[str, tuple] = {}
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -1000,18 +1001,87 @@ class MetricsService:
         value_scale: int = 100,
     ) -> DataFrame:
         """Per-bucket accumulated increase of a counter (or delta of a
-        gauge) — operators/rate.py bucket_increase: ``(bucket_start,
-        n_pairs, increase)``.  Counter semantics (reset contributes the
-        restarted value) when ``metric_type='counter'``."""
+        gauge) — operators/rate.py bucket_increase: ``(metric,
+        bucket_start, n_pairs, increase)`` (the metric column stays so
+        multi-series scans remain distinguishable).  Counter semantics
+        (reset contributes the restarted value) when
+        ``metric_type='counter'``.  With increase partials attached
+        (:meth:`attach_increase_rollup`) an aligned, finalized request
+        is served EXACTLY from the partials — bit-identical merge, no
+        raw-point scan."""
         from rhq_metrics_spark.operators.rate import bucket_increase
 
+        counter = metric_type == MetricType.COUNTER
+        routed = self._increase_routed(
+            metric_type, tenant_id, metric, start, end, bucket_ms,
+            value_scale, counter,
+        )
+        if routed is not None:
+            return routed
         pts = self._scan(metric_type, tenant_id, metric, start, end)
         return bucket_increase(
             pts,
             bucket_ms,
             value_scale=value_scale,
-            counter=(metric_type == MetricType.COUNTER),
-        ).drop("metric")
+            counter=counter,
+        )
+
+    def attach_increase_rollup(
+        self, metric_type: str, partials, slice_ms: int,
+        value_scale: int = 100,
+    ) -> None:
+        """Register per-slice increase() partials
+        (operators/rate.py increase_rollup with
+        ``group_cols=["tenant_id", "metric"]``, DataFrame or parquet
+        path) as the serving fast path for :meth:`increase`.  Unlike the
+        histogram rollup this serving is EXACT — the merge is
+        bit-identical to the raw-scan bucket_increase — so routing needs
+        no opt-in, just alignment + finality.  The ``counter`` mode is
+        decided at query time from the metric type, so attach partials
+        built with the matching mode (counter partials for counter
+        metrics)."""
+        df = (
+            self.spark.read.parquet(partials)
+            if isinstance(partials, str) else partials
+        )
+        slice_ms = int(slice_ms)
+        bad = df.filter(F.col("slice_start") % slice_ms != 0)
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"increase partials are not aligned {slice_ms}ms slices"
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._increase_rollups[MetricType.check(metric_type)] = (
+            df, slice_ms, int(value_scale), watermark,
+        )
+
+    def _increase_routed(
+        self, metric_type, tenant_id, metric, start, end, bucket_ms,
+        value_scale, counter,
+    ) -> DataFrame | None:
+        """Exact increase() from attached partials when the request
+        tiles the slice grid inside the finalized range; None → raw."""
+        entry = self._increase_rollups.get(MetricType.check(metric_type))
+        if entry is None:
+            return None
+        df, slice_ms, att_scale, watermark = entry
+        if att_scale != value_scale:
+            return None
+        if bucket_ms % slice_ms != 0 or start % slice_ms != 0 or end % slice_ms != 0:
+            return None
+        if watermark is None or end > watermark:
+            return None
+        from rhq_metrics_spark.operators.rate import increase_from_rollup
+
+        mine = df.filter(
+            (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
+            & (F.col("slice_start") >= start) & (F.col("slice_start") < end)
+        )
+        return increase_from_rollup(
+            mine, bucket_ms, slice_ms, value_scale=value_scale,
+            group_cols=["tenant_id", "metric"], counter=counter,
+        ).drop("tenant_id")
 
     def register_sql_views(self, prefix: str = "metrics") -> list[str]:
         """Expose the store as Spark SQL temp views so users can query

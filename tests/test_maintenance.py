@@ -177,3 +177,37 @@ def test_maintenance_emits_histogram_partials(spark, tmp_path):
         "points" in f
         for f in svc.percentiles_from_rollup("gauge", "t", "m", b3, (90,)).inputFiles()
     )
+
+
+def test_maintenance_emits_increase_partials(spark, tmp_path):
+    """increase_sink: compaction appends exact increase partials and
+    service.increase serves routed (zero raw reads) matching raw."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    sink = str(tmp_path / "inc")
+    runner = MaintenanceRunner(svc, increase_sink={"path": sink})
+    rows, v = [], 0
+    for s in range(2):
+        for i in range(30):
+            v = 1 if (s * 30 + i) % 23 == 22 else v + i % 4
+            rows.append(("t", "reqs", s * slice_ms + i * 120_000, v, None))
+    svc.add_data_points("counter", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value long, "
+              "tags map<string,string>"))
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["increase_slices"] == 2
+
+    routed = svc.increase("t", "reqs", 0, 2 * slice_ms, slice_ms)
+    assert not any("points" in f for f in routed.inputFiles())
+    svc._increase_rollups.clear()
+    raw = svc.increase("t", "reqs", 0, 2 * slice_ms, slice_ms)
+    got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in routed.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
+    assert got == exp and len(got) == 2

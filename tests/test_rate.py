@@ -149,3 +149,100 @@ def test_time_weighted_avg_known_answer(spark):
     g = time_weighted_avg(df, HOUR, max_gap_ms=10_000).collect()[0]
     assert g["n_pairs"] == 2 and g["held_ms"] == 2_000
     assert g["twa"] == pytest.approx(30.0)
+
+
+def test_increase_rollup_matches_batch_exactly(spark):
+    """Mergeable increase partials: increase_from_rollup over per-slice
+    partials is bit-identical to bucket_increase over raw points —
+    resets, single-point slices, gaps, out-of-order arrivals, equal-ts
+    ties, and both counter/delta modes."""
+    import random
+
+    from rhq_metrics_spark.operators.rate import (
+        bucket_increase,
+        increase_from_rollup,
+        increase_rollup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for m in ("a", "b", "c"):
+        v = 0.0
+        t = 0
+        for _ in range(300):
+            t += rng.choice([30_000, 90_000, 400_000, 3_700_000])
+            if rng.random() < 0.08:
+                v = rng.uniform(0, 5)  # counter reset
+            else:
+                v += rng.uniform(0, 9)
+            rows.append((m, t, round(v, 2)))
+    # equal-ts tie + duplicates
+    rows += [("a", rows[3][1], 1.23), ("b", rows[400][1], rows[400][2])]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "metric string, ts long, value double") \
+        .repartition(7)
+
+    slice_ms, bucket_ms = 600_000, 3_600_000
+    for counter in (True, False):
+        partials = increase_rollup(df, slice_ms, counter=counter)
+        merged = increase_from_rollup(
+            partials, bucket_ms, slice_ms, counter=counter
+        )
+        batch = bucket_increase(df, bucket_ms, counter=counter)
+        got = {(r["metric"], r["bucket_start"]): (r["n_pairs"], r["increase"])
+               for r in merged.collect()}
+        exp = {(r["metric"], r["bucket_start"]): (r["n_pairs"], r["increase"])
+               for r in batch.collect()}
+        assert got == exp, f"counter={counter}"
+
+    with pytest.raises(ValueError, match="multiple"):
+        increase_from_rollup(
+            increase_rollup(df, 600_000), bucket_ms=900_000, slice_ms=600_000
+        )
+
+
+def test_service_increase_routed_from_partials(spark, tmp_path):
+    """service.increase serves exactly from attached increase partials
+    (zero raw-point reads) and matches the raw path bit-for-bit;
+    misaligned requests fall back to raw."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.operators.rate import increase_rollup
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = 600_000
+    rows, v = [], 0
+    for i in range(200):
+        v = 2 if i % 37 == 36 else v + (i % 5)
+        rows.append(("t", "reqs", i * 30_000, v, None))
+    store.add_data_points("counter", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value long, "
+              "tags map<string,string>"))
+
+    partials_dir = str(tmp_path / "inc")
+    increase_rollup(
+        store.points("counter"), slice_ms,
+        group_cols=["tenant_id", "metric"],
+    ).write.parquet(partials_dir)
+    svc.attach_increase_rollup("counter", partials_dir, slice_ms)
+
+    end = 6_000_000  # 10 slices, aligned
+    routed = svc.increase("t", "reqs", 0, end, 1_200_000)
+    files = routed.inputFiles()
+    assert files and not any("points" in f for f in files), files
+    raw = svc.increase("t", "reqs", 0, end, 1_200_000)  # same call routes...
+    # force raw by detaching
+    svc._increase_rollups.clear()
+    raw = svc.increase("t", "reqs", 0, end, 1_200_000)
+    assert any("points" in f for f in raw.inputFiles())
+    got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in routed.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
+    assert got == exp and len(got) == 5
+
+    # misaligned end -> raw fallback even when attached
+    svc.attach_increase_rollup("counter", partials_dir, slice_ms)
+    fb = svc.increase("t", "reqs", 0, end - 1, 1_200_000)
+    assert any("points" in f for f in fb.inputFiles())
