@@ -2732,6 +2732,35 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_a12_twa_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+: per-day time-weighted average served EXACTLY from mergeable
+    per-2h-slice partials (operators/rate.py twa_rollup +
+    twa_from_rollup — chunk-meta boundary points + exact-decimal
+    internal sums; the boundary hold between consecutive present slices
+    is added at merge).  Bit-identical to the raw-scan operator, so the
+    oracle is the plain adjacent-pair SQL at day grain."""
+    from rhq_metrics_spark.operators.rate import twa_from_rollup, twa_rollup
+
+    partials = twa_rollup(_events_points(spark, sf_dir), slice_ms=7_200_000)
+    return twa_from_rollup(partials, bucket_ms=86_400_000, slice_ms=7_200_000)
+
+
+SQL_A12_ROLLUP = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev),
+l AS (SELECT metric, ts, v,
+        lag(v) OVER w AS pv, lag(ts) OVER w AS pt
+      FROM q WINDOW w AS (PARTITION BY metric ORDER BY ts ASC, v ASC)),
+p AS (SELECT metric, (ts // 86400000) * 86400000 AS bucket_start,
+        CAST(pv AS HUGEINT) * CAST(ts - pt AS HUGEINT) AS c, ts - pt AS dt
+      FROM l WHERE pv IS NOT NULL AND ts > pt)
+SELECT metric, bucket_start, count(*) AS n_pairs,
+       CAST(sum(dt) AS BIGINT) AS held_ms,
+       CAST(sum(c) AS DOUBLE) / (sum(dt) * 100.0) AS twa
+FROM p GROUP BY 1, 2
+"""
+
+
 HQ_Q = 0.95
 
 
@@ -3860,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "a12_twa_rollup": q_a12_twa_rollup,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "w8_rolling_median": q_w8_rolling_median,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -3971,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
         "b13_hist_quantile": SQL_B13,
         "b14_hist_quantiles_multi": SQL_B14,
         "a12_time_weighted_avg": SQL_A12,
+        "a12_twa_rollup": SQL_A12_ROLLUP,
         "w5_rolling_zscore": SQL_W5,
         "w8_rolling_median": SQL_W8,
         "o4_topk_per_group": SQL_O4,

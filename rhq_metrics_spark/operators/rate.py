@@ -325,3 +325,119 @@ def increase_from_rollup(
         )
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def twa_rollup(
+    df: DataFrame,
+    slice_ms: int,
+    value_scale: int = 100,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("metric",),
+    max_gap_ms: int | None = None,
+) -> DataFrame:
+    """Per-(series, slice) MERGEABLE partials for
+    :func:`time_weighted_avg` — same chunk-meta scheme as
+    :func:`increase_rollup`: boundary points + the slice's internal
+    exact-decimal weighted sum and held duration; the boundary pair's
+    hold (earlier value held to the next slice's first point) is added
+    at merge time.  ``value_scale`` / ``max_gap_ms`` must match between
+    rollup and merge.  Output: ``(group_cols..., slice_start, f_ts, f_v,
+    l_ts, l_v, wsum, held_ms, n_pairs)``."""
+    gcols = list(group_cols)
+    v = F.round(F.col(value_col) * value_scale).cast("long")
+    w = Window.partitionBy(*gcols, "slice_start").orderBy(
+        F.col("_t").asc(), F.col("_v").asc()
+    )
+    cur = (
+        df.select(
+            *gcols,
+            (F.floor(F.col(ts_col) / slice_ms) * slice_ms).alias("slice_start"),
+            F.col(ts_col).alias("_t"),
+            v.alias("_v"),
+        )
+        .withColumn("_pv", F.lag("_v").over(w))
+        .withColumn("_pt", F.lag("_t").over(w))
+    )
+    ok = F.col("_pv").isNotNull() & (F.col("_t") > F.col("_pt"))
+    if max_gap_ms is not None:
+        ok = ok & (F.col("_t") - F.col("_pt") <= max_gap_ms)
+    dt = F.when(ok, F.col("_t") - F.col("_pt")).otherwise(F.lit(0))
+    contrib = F.when(
+        ok,
+        F.col("_pv").cast("decimal(18,0)")
+        * (F.col("_t") - F.col("_pt")).cast("decimal(18,0)"),
+    ).otherwise(F.lit(0).cast("decimal(37,0)"))
+    return cur.groupBy(*gcols, "slice_start").agg(
+        F.min(F.struct("_t", "_v")).alias("_f"),
+        F.max(F.struct("_t", "_v")).alias("_l"),
+        F.sum(contrib).alias("wsum"),
+        F.sum(dt).alias("held_ms"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_pairs"),
+    ).select(
+        *gcols,
+        "slice_start",
+        F.col("_f._t").alias("f_ts"),
+        F.col("_f._v").alias("f_v"),
+        F.col("_l._t").alias("l_ts"),
+        F.col("_l._v").alias("l_v"),
+        "wsum",
+        "held_ms",
+        "n_pairs",
+    )
+
+
+def twa_from_rollup(
+    partials: DataFrame,
+    bucket_ms: int,
+    slice_ms: int,
+    value_scale: int = 100,
+    group_cols: Sequence[str] = ("metric",),
+    max_gap_ms: int | None = None,
+) -> DataFrame:
+    """EXACT :func:`time_weighted_avg` from :func:`twa_rollup` partials:
+    one lag over per-slice rows adds each boundary pair's hold (the
+    previous slice's last value held until this slice's first point,
+    stamped at the later bucket), then integer/decimal sums merge —
+    bit-identical to the batch operator when ``bucket_ms`` is a
+    multiple of ``slice_ms`` (tested).  Output: ``(group_cols...,
+    bucket_start, n_pairs, held_ms, twa)``."""
+    if bucket_ms % slice_ms != 0:
+        raise ValueError(
+            f"bucket_ms {bucket_ms} must be a multiple of slice_ms {slice_ms}"
+        )
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("slice_start")
+    cur = (
+        partials.withColumn("_plv", F.lag("l_v").over(w))
+        .withColumn("_plt", F.lag("l_ts").over(w))
+    )
+    bdt_raw = F.col("f_ts") - F.col("_plt")
+    bok = F.col("_plt").isNotNull() & (bdt_raw > 0)
+    if max_gap_ms is not None:
+        bok = bok & (bdt_raw <= max_gap_ms)
+    bdt = F.when(bok, bdt_raw).otherwise(F.lit(0))
+    bcontrib = F.when(
+        bok,
+        F.col("_plv").cast("decimal(18,0)") * bdt_raw.cast("decimal(18,0)"),
+    ).otherwise(F.lit(0).cast("decimal(37,0)"))
+    b = F.floor(F.col("slice_start") / bucket_ms) * bucket_ms
+    return (
+        cur.select(
+            *gcols,
+            b.alias("bucket_start"),
+            (F.col("wsum") + bcontrib).alias("_c"),
+            (F.col("held_ms") + bdt).alias("_h"),
+            (F.col("n_pairs") + F.when(bok, 1).otherwise(0)).alias("_np"),
+        )
+        .groupBy(*gcols, "bucket_start")
+        .agg(
+            F.sum("_np").alias("n_pairs"),
+            F.sum("_h").alias("held_ms"),
+            (
+                F.sum("_c").cast("double")
+                / (F.sum("_h") * float(value_scale))
+            ).alias("twa"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -246,3 +246,38 @@ def test_service_increase_routed_from_partials(spark, tmp_path):
     svc.attach_increase_rollup("counter", partials_dir, slice_ms)
     fb = svc.increase("t", "reqs", 0, end - 1, 1_200_000)
     assert any("points" in f for f in fb.inputFiles())
+
+
+def test_twa_rollup_matches_batch_exactly(spark):
+    """Mergeable time-weighted-average partials == batch operator,
+    including max_gap_ms dropping boundary holds across silent gaps."""
+    import random
+
+    from rhq_metrics_spark.operators.rate import (
+        time_weighted_avg,
+        twa_from_rollup,
+        twa_rollup,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for m in ("x", "y"):
+        t = 0
+        for _ in range(250):
+            t += rng.choice([10_000, 45_000, 250_000, 2_000_000])
+            rows.append((m, t, round(rng.uniform(-10, 50), 2)))
+    rows += [("x", rows[5][1], 3.14)]  # equal-ts tie
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "metric string, ts long, value double") \
+        .repartition(5)
+
+    slice_ms, bucket_ms = 600_000, 3_600_000
+    for gap in (None, 300_000):
+        partials = twa_rollup(df, slice_ms, max_gap_ms=gap)
+        merged = twa_from_rollup(partials, bucket_ms, slice_ms, max_gap_ms=gap)
+        batch = time_weighted_avg(df, bucket_ms, max_gap_ms=gap)
+        got = {(r["metric"], r["bucket_start"]):
+               (r["n_pairs"], r["held_ms"], r["twa"]) for r in merged.collect()}
+        exp = {(r["metric"], r["bucket_start"]):
+               (r["n_pairs"], r["held_ms"], r["twa"]) for r in batch.collect()}
+        assert got == exp, f"gap={gap}"
