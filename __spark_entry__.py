@@ -436,6 +436,74 @@ FROM dim LEFT JOIN agg USING (metric, bucket_idx) CROSS JOIN g
 """
 
 
+def q_a2_availability_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+: the availability state machine served EXACTLY from mergeable
+    per-2h-slice partials (operators/availability.py availability_rollup
+    + availability_from_rollup) — boundary holds between present slices,
+    first-slice back-fill, last-slice extension, transition counts and
+    last_not_uptime all reconstructed bit-identically at day grain, so
+    the oracle is the plain per-bucket state-machine SQL."""
+    from rhq_metrics_spark.operators.availability import (
+        availability_from_rollup,
+        availability_rollup,
+    )
+
+    pts = _avail_points(spark, sf_dir)
+    s, e = _bounds(pts)
+    day = 86_400_000
+    buckets = Buckets.from_step((s // day) * day, ((e // day) + 1) * day, day)
+    partials = availability_rollup(pts, 7_200_000, group_cols=["metric"])
+    out = availability_from_rollup(
+        partials, buckets, 7_200_000, group_cols=["metric"]
+    )
+    return out.withColumn("uptime_ratio", F.round("uptime_ratio", 6))
+
+
+SQL_A2_ROLLUP = """
+WITH ev AS (
+  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) AS metric, epoch_ms(ts) AS ts,
+         CASE event_type WHEN 'error' THEN 'down' WHEN 'view' THEN 'unknown'
+              WHEN 'click' THEN 'admin' ELSE 'up' END AS state
+  FROM events),
+g AS (SELECT (min(ts) // 86400000) * 86400000 AS s, 86400000 AS step,
+             ((max(ts) // 86400000) + 1) - (min(ts) // 86400000) AS n FROM ev),
+pts AS (SELECT metric, ts, state, (ts - s) // step AS bucket_idx,
+               s + ((ts - s) // step) * step AS bstart,
+               s + ((ts - s) // step + 1) * step AS bend
+        FROM ev, g),
+w AS (SELECT *, lead(ts) OVER win AS next_ts, lag(state) OVER win AS prev_state,
+             row_number() OVER win AS rn
+      FROM pts WINDOW win AS (PARTITION BY metric, bucket_idx ORDER BY ts)),
+d AS (SELECT *, coalesce(next_ts, bend) - CASE WHEN rn = 1 THEN bstart ELSE ts END AS dur FROM w),
+agg AS (SELECT metric, bucket_idx,
+         CAST(sum(CASE WHEN state = 'up' THEN dur ELSE 0 END) AS BIGINT) AS up_duration,
+         CAST(sum(CASE WHEN state = 'down' THEN dur ELSE 0 END) AS BIGINT) AS down_duration,
+         CAST(sum(CASE WHEN state = 'unknown' THEN dur ELSE 0 END) AS BIGINT) AS unknown_duration,
+         CAST(sum(CASE WHEN state = 'admin' THEN dur ELSE 0 END) AS BIGINT) AS admin_duration,
+         CAST(sum(CASE WHEN state <> 'up' AND (prev_state IS NULL OR prev_state = 'up')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+         max(CASE WHEN state <> 'up' THEN ts END) AS last_not_up_ts,
+         max(CASE WHEN state = 'up' AND prev_state IS NOT NULL AND prev_state <> 'up'
+                  THEN ts END) AS last_recovery_ts,
+         arg_max(state, ts) AS final_state,
+         max(bend) AS bend_a,
+         count(*) AS samples
+        FROM d GROUP BY 1, 2),
+dim AS (SELECT m.metric, i AS bucket_idx, s + i * step AS start, s + (i + 1) * step AS "end"
+        FROM (SELECT DISTINCT metric FROM ev) m, g, range(512) t(i) WHERE i < g.n)
+SELECT dim.metric, dim.start, dim."end",
+       agg.up_duration, agg.down_duration, agg.unknown_duration, agg.admin_duration,
+       round(agg.up_duration / CAST(g.step AS DOUBLE), 6) AS uptime_ratio,
+       agg.not_up_count,
+       CASE WHEN agg.final_state IS NULL THEN NULL
+            WHEN agg.final_state <> 'up' THEN agg.bend_a
+            ELSE coalesce(greatest(agg.last_not_up_ts, agg.last_recovery_ts),
+                          agg.last_not_up_ts, agg.last_recovery_ts, 0) END AS last_not_uptime,
+       coalesce(agg.samples, 0) AS samples
+FROM dim LEFT JOIN agg USING (metric, bucket_idx) CROSS JOIN g
+"""
+
+
 def q_a7_distinct_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: collapse runs of consecutive equal states per series."""
     pts = _avail_points(spark, sf_dir)
@@ -3859,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_counter_rate": q_w1_counter_rate,
         "w1_rate_stats": q_w1_rate_stats,
         "a2_availability_stats": q_a2_availability_stats,
+        "a2_availability_rollup": q_a2_availability_rollup,
         "a7_distinct_adjacent": q_a7_distinct_adjacent,
         "w2_periods": q_w2_periods,
         "a3_stacked_stats": q_a3_stacked_stats,
@@ -3971,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_counter_rate": SQL_W1C,
         "w1_rate_stats": SQL_W1S,
         "a2_availability_stats": SQL_A2,
+        "a2_availability_rollup": SQL_A2_ROLLUP,
         "a7_distinct_adjacent": SQL_A7,
         "w2_periods": SQL_W2,
         "a3_stacked_stats": SQL_A3,

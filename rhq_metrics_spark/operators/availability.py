@@ -149,3 +149,205 @@ def availability_stats(
     return filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0))).drop(
         "bucket_idx"
     )
+
+
+def availability_rollup(
+    df: DataFrame,
+    slice_ms: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-(series, slice) MERGEABLE partials for
+    :func:`availability_stats` — the chunk-meta scheme extended to the
+    duration state machine.  Buckets are independent in the reference
+    semantics (no cross-bucket carry), so a slice's partial needs only:
+    its boundary (ts, state) pair, the interior per-state hold durations
+    (each point held to the NEXT in-slice point), the interior
+    transition counts/candidates (first point excluded — its
+    predecessor is unknown until merge), and samples.
+    :func:`availability_from_rollup` then reconstructs any coarser
+    bucket EXACTLY: boundary holds between consecutive present slices,
+    the first slice's back-fill from bucket start, and the last slice's
+    extension to bucket end.  All integer-ms arithmetic → bit-identical
+    to the batch operator (tested).
+
+    Output: ``(group_cols..., slice_start, f_ts, f_state, l_ts,
+    l_state, <state>_dur × 4, nuc_interior, last_not_up_ts,
+    last_recovery_ts, samples)``.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols, "slice_start").orderBy(F.col("_ts").asc())
+    cur = (
+        df.select(
+            *gcols,
+            (F.floor(F.col(ts_col) / slice_ms) * slice_ms).alias("slice_start"),
+            F.col(ts_col).alias("_ts"),
+            F.col(value_col).alias("_state"),
+        )
+        .withColumn("_prev", F.lag("_state").over(w))
+        .withColumn("_next_ts", F.lead("_ts").over(w))
+    )
+    dur = F.when(F.col("_next_ts").isNotNull(), F.col("_next_ts") - F.col("_ts")) \
+        .otherwise(F.lit(0))
+
+    def sdur(s: str):
+        return F.sum(F.when(F.col("_state") == s, dur).otherwise(0)).alias(f"{s}_dur")
+
+    return cur.groupBy(*gcols, "slice_start").agg(
+        F.min(F.struct("_ts", "_state")).alias("_f"),
+        F.max(F.struct("_ts", "_state")).alias("_l"),
+        *[sdur(s) for s in AvailabilityType.ALL],
+        F.sum(
+            F.when(
+                (F.col("_state") != UP)
+                & F.col("_prev").isNotNull() & (F.col("_prev") == UP),
+                1,
+            ).otherwise(0)
+        ).alias("nuc_interior"),
+        F.max(F.when(F.col("_state") != UP, F.col("_ts"))).alias("last_not_up_ts"),
+        F.max(
+            F.when(
+                (F.col("_state") == UP)
+                & F.col("_prev").isNotNull() & (F.col("_prev") != UP),
+                F.col("_ts"),
+            )
+        ).alias("last_recovery_ts"),
+        F.count(F.lit(1)).alias("samples"),
+    ).select(
+        *gcols,
+        "slice_start",
+        F.col("_f._ts").alias("f_ts"),
+        F.col("_f._state").alias("f_state"),
+        F.col("_l._ts").alias("l_ts"),
+        F.col("_l._state").alias("l_state"),
+        *[f"{s}_dur" for s in AvailabilityType.ALL],
+        "nuc_interior",
+        "last_not_up_ts",
+        "last_recovery_ts",
+        "samples",
+    )
+
+
+def availability_from_rollup(
+    partials: DataFrame,
+    buckets: Buckets,
+    slice_ms: int,
+    group_cols: Sequence[str] = (),
+    fill_empty: bool = True,
+) -> DataFrame:
+    """EXACT :func:`availability_stats` from :func:`availability_rollup`
+    partials when the bucket grid tiles the slice grid: one lag over the
+    per-slice rows resolves each slice's predecessor inside the bucket
+    (boundary hold, first-point transition, boundary recovery), the
+    first/last slices back-fill to bucket start / extend to bucket end,
+    and integer sums merge — bit-identical output columns.
+    """
+    if buckets.step % slice_ms != 0 or buckets.start % slice_ms != 0:
+        raise ValueError(
+            f"bucket grid (start {buckets.start}, step {buckets.step}) must "
+            f"tile the {slice_ms}ms slice grid"
+        )
+    gcols = list(group_cols)
+    p = partials.filter(
+        (F.col("slice_start") >= buckets.start)
+        & (F.col("slice_start") < buckets.end)
+    ).withColumn(
+        "bucket_idx",
+        ((F.col("slice_start") - buckets.start) / buckets.step).cast("long"),
+    )
+    w = Window.partitionBy(*gcols, "bucket_idx").orderBy("slice_start")
+    cur = (
+        p.withColumn("_plt", F.lag("l_ts").over(w))
+        .withColumn("_pls", F.lag("l_state").over(w))
+        .withColumn("_is_last", F.lead("slice_start").over(w).isNull())
+        .withColumn(
+            "_bstart",
+            F.lit(buckets.start) + F.col("bucket_idx") * F.lit(buckets.step),
+        )
+        .withColumn("_bend", F.col("_bstart") + F.lit(buckets.step))
+    )
+
+    def contrib(s: str):
+        return (
+            F.col(f"{s}_dur")
+            + F.when(
+                F.col("_plt").isNotNull() & (F.col("_pls") == s),
+                F.col("f_ts") - F.col("_plt"),
+            ).otherwise(0)
+            + F.when(
+                F.col("_plt").isNull() & (F.col("f_state") == s),
+                F.col("f_ts") - F.col("_bstart"),
+            ).otherwise(0)
+            + F.when(
+                F.col("_is_last") & (F.col("l_state") == s),
+                F.col("_bend") - F.col("l_ts"),
+            ).otherwise(0)
+        ).alias(f"_c_{s}")
+
+    rows = cur.select(
+        *gcols,
+        "bucket_idx",
+        "_bend",
+        *[contrib(s) for s in AvailabilityType.ALL],
+        (
+            F.col("nuc_interior")
+            + F.when(
+                (F.col("f_state") != UP)
+                & (F.col("_plt").isNull() | (F.col("_pls") == UP)),
+                1,
+            ).otherwise(0)
+        ).alias("_nuc"),
+        "last_not_up_ts",
+        F.greatest(
+            F.col("last_recovery_ts"),
+            F.when(
+                (F.col("f_state") == UP)
+                & F.col("_plt").isNotNull() & (F.col("_pls") != UP),
+                F.col("f_ts"),
+            ),
+        ).alias("_rec"),
+        F.when(F.col("_is_last"), F.col("l_state")).alias("_final"),
+        "samples",
+    )
+    agg = rows.groupBy(*gcols, "bucket_idx").agg(
+        *[F.sum(f"_c_{s}").alias(f"{s}_duration") for s in AvailabilityType.ALL],
+        F.sum("_nuc").alias("not_up_count"),
+        F.max("last_not_up_ts").alias("_last_not_up_ts"),
+        F.max("_rec").alias("_last_recovery_ts"),
+        F.max("_final").alias("_final"),
+        F.max("_bend").alias("_bend_a"),
+        F.sum("samples").alias("samples"),
+    )
+    result = agg.select(
+        *gcols,
+        "bucket_idx",
+        *[f"{s}_duration" for s in AvailabilityType.ALL],
+        (F.col("up_duration").cast("double") / F.lit(float(buckets.step))).alias(
+            "uptime_ratio"
+        ),
+        "not_up_count",
+        F.when(F.col("_final") != UP, F.col("_bend_a"))
+        .otherwise(
+            F.coalesce(
+                F.greatest(F.col("_last_not_up_ts"), F.col("_last_recovery_ts")),
+                F.col("_last_not_up_ts"),
+                F.col("_last_recovery_ts"),
+                F.lit(0),
+            )
+        )
+        .alias("last_not_uptime"),
+        "samples",
+    )
+    dim = bucket_dimension(partials.sparkSession, buckets)
+    if not fill_empty:
+        return result.join(F.broadcast(dim), "bucket_idx").drop("bucket_idx")
+    if gcols:
+        groups = partials.select(*gcols).distinct()
+        dim = groups.crossJoin(F.broadcast(dim))
+        filled = dim.join(result, [*gcols, "bucket_idx"], "left")
+    else:
+        filled = F.broadcast(dim).join(result, "bucket_idx", "left")
+    return filled.withColumn(
+        "samples", F.coalesce(F.col("samples"), F.lit(0))
+    ).drop("bucket_idx")

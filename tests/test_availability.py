@@ -96,3 +96,59 @@ def test_unknown_and_admin_states(availability_points_factory):
     assert r["admin_duration"] == 20_000
     assert r["not_up_count"] == 1  # only the first transition into not-up
     assert r["last_not_uptime"] == T0 + STEP
+
+
+def test_availability_rollup_matches_batch_exactly(spark):
+    """Mergeable availability partials reconstruct the batch state
+    machine bit-for-bit: back-fill, boundary holds between slices,
+    bucket-end extension, transition counts, last_not_uptime, empty
+    buckets."""
+    import random
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.availability import (
+        availability_from_rollup,
+        availability_rollup,
+        availability_stats,
+    )
+
+    rng = random.Random(31)
+    states = ["up", "down", "unknown", "admin"]
+    rows = []
+    for m in ("svc-a", "svc-b"):
+        t = 0
+        used = set()
+        for _ in range(400):
+            t += rng.choice([20_000, 70_000, 500_000, 2_500_000])
+            if t in used:
+                continue
+            used.add(t)
+            # runs of up with occasional excursions
+            s = "up" if rng.random() < 0.7 else rng.choice(states)
+            rows.append((m, t, s))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "metric string, ts long, value string") \
+        .repartition(6)
+
+    slice_ms = 600_000
+    hi = max(r[1] for r in rows)
+    b = Buckets.from_step(0, ((hi // 3_600_000) + 1) * 3_600_000, 3_600_000)
+    partials = availability_rollup(df, slice_ms, group_cols=["metric"])
+    merged = availability_from_rollup(
+        partials, b, slice_ms, group_cols=["metric"]
+    )
+    batch = availability_stats(df, b, group_cols=["metric"])
+    cols = batch.columns
+    assert merged.columns == cols
+    got = {(r["metric"], r["start"]): tuple(r[c] for c in cols)
+           for r in merged.collect()}
+    exp = {(r["metric"], r["start"]): tuple(r[c] for c in cols)
+           for r in batch.collect()}
+    assert set(got) == set(exp)
+    diffs = [(k, got[k], exp[k]) for k in exp if got[k] != exp[k]]
+    assert not diffs, diffs[:3]
+
+    with pytest.raises(ValueError, match="tile"):
+        availability_from_rollup(
+            partials, Buckets.from_step(0, 1_800_000, 900_000), slice_ms
+        )
