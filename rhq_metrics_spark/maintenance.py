@@ -43,6 +43,8 @@ class MaintenanceRunner:
         compaction_grace_ms: int = 600_000,
         histogram_sink: dict | None = None,
         increase_sink: dict | None = None,
+        twa_sink: dict | None = None,
+        availability_sink: dict | None = None,
     ):
         self.service = service
         self.default_retention_days = default_retention_days
@@ -64,6 +66,14 @@ class MaintenanceRunner:
         #: True}`` — appended per compacted slice like the histogram
         #: sink, attached via ``service.attach_increase_rollup``.
         self.increase_sink = increase_sink
+        #: optional TWA partials (exact, operators/rate.py twa_rollup):
+        #: ``{"path", "metric_type": "gauge", "value_scale": 100,
+        #: "max_gap_ms": None, "attach": True}``
+        self.twa_sink = twa_sink
+        #: optional availability partials (exact,
+        #: operators/availability.py availability_rollup):
+        #: ``{"path", "attach": True}``
+        self.availability_sink = availability_sink
 
     # -- one full pass (cron-style) ---------------------------------------
 
@@ -74,6 +84,8 @@ class MaintenanceRunner:
         compacted = self.service.compact(now_ms - self.compaction_grace_ms)
         hist_slices = self._emit_histogram_partials(compacted)
         inc_slices = self._emit_increase_partials(compacted)
+        twa_slices = self._emit_twa_partials(compacted)
+        avail_slices = self._emit_availability_partials(compacted)
         retention = self.service.apply_retention_policies(
             now_ms, self.default_retention_days
         )
@@ -85,6 +97,8 @@ class MaintenanceRunner:
             "compacted": compacted,
             "histogram_slices": hist_slices,
             "increase_slices": inc_slices,
+            "twa_slices": twa_slices,
+            "availability_slices": avail_slices,
             "retention": retention,
             "expiration_rows": expiration,
         }
@@ -160,6 +174,65 @@ class MaintenanceRunner:
             )
         return len(slices)
 
+    def _emit_twa_partials(self, compacted: dict[str, list[int]]) -> int:
+        """Append exact time-weighted-average partials for
+        just-compacted slices (operators/rate.py twa_rollup) and
+        (re)attach the serving rollup."""
+        cfg = self.twa_sink
+        if not cfg:
+            return 0
+        mt = cfg.get("metric_type", "gauge")
+        slices = [int(x) for x in (compacted.get(mt) or [])]
+        if not slices:
+            return 0
+        import pyspark.sql.functions as F
+
+        from rhq_metrics_spark.operators.rate import twa_rollup
+
+        store = self.service.store
+        scale = int(cfg.get("value_scale", 100))
+        gap = cfg.get("max_gap_ms")
+        pts = store.points(mt).filter(
+            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
+        )
+        twa_rollup(
+            pts, store.slice_ms, value_scale=scale,
+            group_cols=["tenant_id", "metric"], max_gap_ms=gap,
+        ).write.mode("append").parquet(cfg["path"])
+        if cfg.get("attach", True):
+            self.service.attach_twa_rollup(
+                mt, cfg["path"], store.slice_ms,
+                value_scale=scale, max_gap_ms=gap,
+            )
+        return len(slices)
+
+    def _emit_availability_partials(self, compacted: dict[str, list[int]]) -> int:
+        """Append exact availability state-machine partials for
+        just-compacted slices (operators/availability.py
+        availability_rollup) and (re)attach the serving rollup."""
+        cfg = self.availability_sink
+        if not cfg:
+            return 0
+        slices = [int(x) for x in (compacted.get("availability") or [])]
+        if not slices:
+            return 0
+        import pyspark.sql.functions as F
+
+        from rhq_metrics_spark.operators.availability import (
+            availability_rollup,
+        )
+
+        store = self.service.store
+        pts = store.points("availability").filter(
+            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
+        )
+        availability_rollup(
+            pts, store.slice_ms, group_cols=["tenant_id", "metric"]
+        ).write.mode("append").parquet(cfg["path"])
+        if cfg.get("attach", True):
+            self.service.attach_availability_rollup(cfg["path"], store.slice_ms)
+        return len(slices)
+
     # -- streaming hook (event-time driven) --------------------------------
 
     def on_event_time(self, metric_type: str, high_water_ms: int) -> list[int]:
@@ -180,6 +253,8 @@ class MaintenanceRunner:
         if done:
             self._emit_histogram_partials({metric_type: done})
             self._emit_increase_partials({metric_type: done})
+            self._emit_twa_partials({metric_type: done})
+            self._emit_availability_partials({metric_type: done})
         return done
 
     # -- wall-clock loop ----------------------------------------------------

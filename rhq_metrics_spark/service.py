@@ -52,6 +52,8 @@ class MetricsService:
         self._rollups: dict[str, tuple[DataFrame, int]] = {}
         self._hist_rollups: dict[str, tuple] = {}
         self._increase_rollups: dict[str, tuple] = {}
+        self._twa_rollups: dict[str, tuple] = {}
+        self._avail_rollup: tuple | None = None
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -841,6 +843,26 @@ class MetricsService:
     # -- availability (A2/A7) -----------------------------------------------------
 
     def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:
+        if self._avail_rollup is not None:
+            df, slice_ms, watermark = self._avail_rollup
+            if (
+                buckets.step % slice_ms == 0 and buckets.start % slice_ms == 0
+                and watermark is not None and buckets.end <= watermark
+            ):
+                from rhq_metrics_spark.operators.availability import (
+                    availability_from_rollup,
+                )
+
+                # single-series filter, then merge UNGROUPED so empty
+                # buckets fill exactly like the raw path (a grouped fill
+                # over zero partial rows would emit nothing)
+                mine = df.filter(
+                    (F.col("tenant_id") == tenant_id)
+                    & (F.col("metric") == metric)
+                ).drop("tenant_id", "metric")
+                return availability_from_rollup(
+                    mine, buckets, slice_ms
+                ).orderBy("start")
         pts = self._scan(
             MetricType.AVAILABILITY, tenant_id, metric, buckets.start, buckets.end
         )
@@ -1082,6 +1104,97 @@ class MetricsService:
             mine, bucket_ms, slice_ms, value_scale=value_scale,
             group_cols=["tenant_id", "metric"], counter=counter,
         ).drop("tenant_id")
+
+    def time_weighted_avg(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        bucket_ms,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+        max_gap_ms: int | None = None,
+    ) -> DataFrame:
+        """A12 per-bucket time-weighted average (operators/rate.py
+        time_weighted_avg): ``(metric, bucket_start, n_pairs, held_ms,
+        twa)``.  With TWA partials attached
+        (:meth:`attach_twa_rollup`) an aligned, finalized request is
+        served EXACTLY from the partials — bit-identical merge, zero
+        raw-point reads."""
+        entry = self._twa_rollups.get(MetricType.check(metric_type))
+        if entry is not None:
+            df, slice_ms, att_scale, att_gap, watermark = entry
+            if (
+                att_scale == value_scale and att_gap == max_gap_ms
+                and bucket_ms % slice_ms == 0
+                and start % slice_ms == 0 and end % slice_ms == 0
+                and watermark is not None and end <= watermark
+            ):
+                from rhq_metrics_spark.operators.rate import twa_from_rollup
+
+                mine = df.filter(
+                    (F.col("tenant_id") == tenant_id)
+                    & (F.col("metric") == metric)
+                    & (F.col("slice_start") >= start)
+                    & (F.col("slice_start") < end)
+                )
+                return twa_from_rollup(
+                    mine, bucket_ms, slice_ms, value_scale=value_scale,
+                    group_cols=["tenant_id", "metric"], max_gap_ms=max_gap_ms,
+                ).drop("tenant_id")
+        from rhq_metrics_spark.operators.rate import time_weighted_avg
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return time_weighted_avg(
+            pts, bucket_ms, value_scale=value_scale, max_gap_ms=max_gap_ms
+        )
+
+    def attach_twa_rollup(
+        self, metric_type: str, partials, slice_ms: int,
+        value_scale: int = 100, max_gap_ms: int | None = None,
+    ) -> None:
+        """Register per-slice TWA partials (operators/rate.py twa_rollup
+        with ``group_cols=["tenant_id", "metric"]``) as the exact
+        serving fast path for :meth:`time_weighted_avg`.  ``value_scale``
+        and ``max_gap_ms`` must match the query's — mismatches fall back
+        to raw rather than serving subtly different semantics."""
+        df = (
+            self.spark.read.parquet(partials)
+            if isinstance(partials, str) else partials
+        )
+        slice_ms = int(slice_ms)
+        bad = df.filter(F.col("slice_start") % slice_ms != 0)
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"TWA partials are not aligned {slice_ms}ms slices"
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._twa_rollups[MetricType.check(metric_type)] = (
+            df, slice_ms, int(value_scale), max_gap_ms, watermark,
+        )
+
+    def attach_availability_rollup(self, partials, slice_ms: int) -> None:
+        """Register per-slice availability partials
+        (operators/availability.py availability_rollup with
+        ``group_cols=["tenant_id", "metric"]``) as the exact serving
+        fast path for :meth:`availability_stats` — the state machine
+        reconstructs bit-identically from boundary points + interior
+        holds, so routing needs no accuracy opt-in."""
+        df = (
+            self.spark.read.parquet(partials)
+            if isinstance(partials, str) else partials
+        )
+        slice_ms = int(slice_ms)
+        bad = df.filter(F.col("slice_start") % slice_ms != 0)
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"availability partials are not aligned {slice_ms}ms slices"
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._avail_rollup = (df, slice_ms, watermark)
 
     def register_sql_views(self, prefix: str = "metrics") -> list[str]:
         """Expose the store as Spark SQL temp views so users can query

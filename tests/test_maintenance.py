@@ -211,3 +211,59 @@ def test_maintenance_emits_increase_partials(spark, tmp_path):
     got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in routed.collect()}
     exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
     assert got == exp and len(got) == 2
+
+
+def test_maintenance_emits_twa_and_availability_partials(spark, tmp_path):
+    """twa_sink + availability_sink: compaction appends exact partials;
+    routed service calls match raw bit-for-bit with zero raw reads."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    runner = MaintenanceRunner(
+        svc,
+        twa_sink={"path": str(tmp_path / "twa")},
+        availability_sink={"path": str(tmp_path / "av")},
+    )
+    grows = [("t", "cpu", s * slice_ms + i * 300_000, float((s * 13 + i * 7) % 40), None)
+             for s in range(2) for i in range(12)]
+    svc.add_data_points("gauge", spark.createDataFrame(
+        grows, "tenant_id string, metric string, ts long, value double, "
+               "tags map<string,string>"))
+    states = ["up", "up", "down", "up", "unknown", "up"]
+    arows = [("t", "web", s * slice_ms + i * 600_000, states[(s + i) % 6], None)
+             for s in range(2) for i in range(8)]
+    svc.add_data_points("availability", spark.createDataFrame(
+        arows, "tenant_id string, metric string, ts long, value string, "
+               "tags map<string,string>"))
+
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["twa_slices"] == 2 and rep["availability_slices"] == 2
+
+    routed = svc.time_weighted_avg("t", "cpu", 0, 2 * slice_ms, slice_ms)
+    assert not any("points" in f for f in routed.inputFiles())
+    svc._twa_rollups.clear()
+    raw = svc.time_weighted_avg("t", "cpu", 0, 2 * slice_ms, slice_ms)
+    assert any("points" in f for f in raw.inputFiles())
+    got = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in routed.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in raw.collect()}
+    assert got == exp and len(got) == 2
+
+    b = Buckets.from_step(0, 2 * slice_ms, slice_ms)
+    av_routed = svc.availability_stats("t", "web", b)
+    assert not any("points" in f for f in av_routed.inputFiles())
+    svc._avail_rollup = None
+    av_raw = svc.availability_stats("t", "web", b)
+    cols = av_raw.columns
+    assert av_routed.columns == cols
+    got = [tuple(r[c] for c in cols) for r in av_routed.collect()]
+    exp = [tuple(r[c] for c in cols) for r in av_raw.collect()]
+    assert got == exp
