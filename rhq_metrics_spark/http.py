@@ -50,6 +50,8 @@ import json
 import time
 from urllib.parse import parse_qs
 
+import pyspark.sql.functions as F
+
 from rhq_metrics_spark.errors import (
     ApiError,
     BadRequest,
@@ -423,21 +425,36 @@ class MetricsApp:
         # production estimator), approx (sketches), hist (served from
         # attached histogram partials, bin-width-bounded approximation
         # with exact fallback when unroutable)
-        impl = qs.get("percentileImpl") or "exact"
+        impl_param = qs.get("percentileImpl")
+        impl = impl_param or "exact"
         if impl not in ("exact", "p2", "approx", "hist"):
             raise BadRequest(f"Invalid percentileImpl parameter: {impl!r}")
         with api_errors():
             # rollup fast path: a single-metric gauge stats request with
             # no percentiles is exactly what an attached rollup can serve
             # without touching raw points (service.try_routed_stats —
-            # alignment + finality checked there; the routed response
-            # omits `median`, which doesn't merge across windows)
-            if metric_type == MetricType.GAUGE and not percentiles:
+            # alignment + finality checked there).  Shape stability: the
+            # routed response KEEPS the `median` field as null (rank
+            # statistics don't merge across windows), so clients see one
+            # field set regardless of server-side attach state; an
+            # explicit percentileImpl=exact opts out of routing entirely
+            # and computes the median from raw points.
+            if (
+                metric_type == MetricType.GAUGE and not percentiles
+                and impl_param != "exact"
+            ):
                 routed = self.service.try_routed_stats(
                     MetricType.GAUGE, tenant, metric_id, bks
                 )
                 if routed is not None:
-                    raise _collection(bucket_points_json(routed))
+                    raise _collection(bucket_points_json(
+                        routed.withColumn(
+                            "median", F.lit(None).cast("double")
+                        ).select(
+                            "start", "end", "min", "avg", "median", "max",
+                            "sum", "samples",
+                        )
+                    ))
             if metric_type == MetricType.GAUGE and impl != "exact":
                 df = self.service.gauge_stats(
                     tenant, metric_id, bks,

@@ -104,33 +104,19 @@ class MaintenanceRunner:
         }
 
     def _emit_histogram_partials(self, compacted: dict[str, list[int]]) -> int:
-        """Append fixed-bin histogram partials for just-compacted slices
-        to the configured sink and refresh the serving watermark.  Reads
-        the freshly-compacted COLD data (sorted, pruned scan bounded to
-        the closed slices), so the pass costs one bounded aggregation
-        per maintenance cycle and the partials table stays in lockstep
-        with compaction — no separate backfill job."""
         cfg = self.histogram_sink
         if not cfg:
             return 0
-        mt = cfg.get("metric_type", "gauge")
-        slices = [int(x) for x in (compacted.get(mt) or [])]
-        if not slices:
-            return 0
-        import pyspark.sql.functions as F
 
-        from rhq_metrics_spark.operators.downsample import histogram_rollup
+        def build(pts, store, cfg):
+            from rhq_metrics_spark.operators.downsample import histogram_rollup
 
-        store = self.service.store
-        pts = store.points(mt).filter(
-            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
-        )
-        histogram_rollup(
-            pts, store.slice_ms, cfg["lo"], cfg["hi"], cfg["n_bins"],
-            group_col=["tenant_id", "metric"],
-        ).write.mode("append").parquet(cfg["path"])
-        if cfg.get("attach", True):
-            svc = self.service
+            return histogram_rollup(
+                pts, store.slice_ms, cfg["lo"], cfg["hi"], cfg["n_bins"],
+                group_col=["tenant_id", "metric"],
+            )
+
+        def attach(svc, store, cfg, mt):
             if mt in svc._hist_rollups:
                 svc.refresh_histogram_watermark(mt)
             else:
@@ -138,99 +124,116 @@ class MaintenanceRunner:
                     mt, cfg["path"], store.slice_ms,
                     cfg["lo"], cfg["hi"], cfg["n_bins"],
                 )
-        return len(slices)
+
+        return self._emit_partials(cfg, compacted, "gauge", build, attach)
 
     def _emit_increase_partials(self, compacted: dict[str, list[int]]) -> int:
-        """Append exact increase() partials for just-compacted slices
-        (operators/rate.py increase_rollup — slice-local state, boundary
-        pairs resolved at merge time, so append-once per slice is
-        complete) and (re)attach the serving rollup."""
         cfg = self.increase_sink
         if not cfg:
             return 0
-        mt = cfg.get("metric_type", "counter")
-        slices = [int(x) for x in (compacted.get(mt) or [])]
-        if not slices:
-            return 0
-        import pyspark.sql.functions as F
 
-        from rhq_metrics_spark.operators.rate import increase_rollup
+        def build(pts, store, cfg):
+            from rhq_metrics_spark.operators.rate import increase_rollup
 
-        store = self.service.store
-        scale = int(cfg.get("value_scale", 100))
-        pts = store.points(mt).filter(
-            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
-        )
-        increase_rollup(
-            pts, store.slice_ms, value_scale=scale,
-            group_cols=["tenant_id", "metric"],
-            counter=(mt == "counter"),
-        ).write.mode("append").parquet(cfg["path"])
-        if cfg.get("attach", True):
-            # re-attach re-reads the path, so the watermark always
-            # reflects the appended slices
-            self.service.attach_increase_rollup(
-                mt, cfg["path"], store.slice_ms, value_scale=scale
+            return increase_rollup(
+                pts, store.slice_ms,
+                value_scale=int(cfg.get("value_scale", 100)),
+                group_cols=["tenant_id", "metric"],
+                counter=(cfg.get("metric_type", "counter") == "counter"),
             )
-        return len(slices)
+
+        def attach(svc, store, cfg, mt):
+            if mt in svc._increase_rollups:
+                svc.refresh_increase_watermark(mt)
+            else:
+                svc.attach_increase_rollup(
+                    mt, cfg["path"], store.slice_ms,
+                    value_scale=int(cfg.get("value_scale", 100)),
+                )
+
+        return self._emit_partials(cfg, compacted, "counter", build, attach)
 
     def _emit_twa_partials(self, compacted: dict[str, list[int]]) -> int:
-        """Append exact time-weighted-average partials for
-        just-compacted slices (operators/rate.py twa_rollup) and
-        (re)attach the serving rollup."""
         cfg = self.twa_sink
         if not cfg:
             return 0
-        mt = cfg.get("metric_type", "gauge")
+
+        def build(pts, store, cfg):
+            from rhq_metrics_spark.operators.rate import twa_rollup
+
+            return twa_rollup(
+                pts, store.slice_ms,
+                value_scale=int(cfg.get("value_scale", 100)),
+                group_cols=["tenant_id", "metric"],
+                max_gap_ms=cfg.get("max_gap_ms"),
+            )
+
+        def attach(svc, store, cfg, mt):
+            if mt in svc._twa_rollups:
+                svc.refresh_twa_watermark(mt)
+            else:
+                svc.attach_twa_rollup(
+                    mt, cfg["path"], store.slice_ms,
+                    value_scale=int(cfg.get("value_scale", 100)),
+                    max_gap_ms=cfg.get("max_gap_ms"),
+                )
+
+        return self._emit_partials(cfg, compacted, "gauge", build, attach)
+
+    def _emit_availability_partials(self, compacted: dict[str, list[int]]) -> int:
+        cfg = self.availability_sink
+        if not cfg:
+            return 0
+
+        def build(pts, store, cfg):
+            from rhq_metrics_spark.operators.availability import (
+                availability_rollup,
+            )
+
+            return availability_rollup(
+                pts, store.slice_ms, group_cols=["tenant_id", "metric"]
+            )
+
+        def attach(svc, store, cfg, mt):
+            if svc._avail_rollup is not None:
+                svc.refresh_availability_watermark()
+            else:
+                svc.attach_availability_rollup(cfg["path"], store.slice_ms)
+
+        return self._emit_partials(cfg, compacted, "availability", build, attach)
+
+    def _emit_partials(
+        self, cfg: dict, compacted: dict[str, list[int]], default_mt: str,
+        build_fn, attach_fn,
+    ) -> int:
+        """Shared partial-sink emitter: recompute the just-compacted
+        slices' partials from the freshly-compacted COLD data (pruned
+        scan bounded to those slices) and write them with PER-SLICE
+        DYNAMIC PARTITION OVERWRITE — a slice that re-compacts after
+        late-arriving points (store._compact_manifest merges hot into
+        existing cold and returns the slice again) REPLACES its previous
+        partial rows instead of double-appending, which would silently
+        double every "exact" rollup-served result.  Then attach on first
+        use / cheap-refresh the serving watermark afterwards."""
+        mt = cfg.get("metric_type", default_mt)
         slices = [int(x) for x in (compacted.get(mt) or [])]
         if not slices:
             return 0
         import pyspark.sql.functions as F
 
-        from rhq_metrics_spark.operators.rate import twa_rollup
-
         store = self.service.store
-        scale = int(cfg.get("value_scale", 100))
-        gap = cfg.get("max_gap_ms")
         pts = store.points(mt).filter(
             (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
         )
-        twa_rollup(
-            pts, store.slice_ms, value_scale=scale,
-            group_cols=["tenant_id", "metric"], max_gap_ms=gap,
-        ).write.mode("append").parquet(cfg["path"])
-        if cfg.get("attach", True):
-            self.service.attach_twa_rollup(
-                mt, cfg["path"], store.slice_ms,
-                value_scale=scale, max_gap_ms=gap,
-            )
-        return len(slices)
-
-    def _emit_availability_partials(self, compacted: dict[str, list[int]]) -> int:
-        """Append exact availability state-machine partials for
-        just-compacted slices (operators/availability.py
-        availability_rollup) and (re)attach the serving rollup."""
-        cfg = self.availability_sink
-        if not cfg:
-            return 0
-        slices = [int(x) for x in (compacted.get("availability") or [])]
-        if not slices:
-            return 0
-        import pyspark.sql.functions as F
-
-        from rhq_metrics_spark.operators.availability import (
-            availability_rollup,
+        (
+            build_fn(pts, store, cfg)
+            .write.partitionBy("slice_start")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(cfg["path"])
         )
-
-        store = self.service.store
-        pts = store.points("availability").filter(
-            (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).isin(slices)
-        )
-        availability_rollup(
-            pts, store.slice_ms, group_cols=["tenant_id", "metric"]
-        ).write.mode("append").parquet(cfg["path"])
         if cfg.get("attach", True):
-            self.service.attach_availability_rollup(cfg["path"], store.slice_ms)
+            attach_fn(self.service, store, cfg, mt)
         return len(slices)
 
     # -- streaming hook (event-time driven) --------------------------------

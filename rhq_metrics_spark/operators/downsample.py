@@ -42,6 +42,7 @@ __all__ = [
     "value_histogram",
     "histogram_rollup",
     "histogram_quantile",
+    "histogram_quantiles",
 ]
 
 
@@ -239,40 +240,13 @@ def histogram_quantile(
     ``histogram_quantile()`` semantics.  Error is bounded by the bin
     width; every arithmetic step is a fixed IEEE op over exact integer
     counts, so estimates are engine-identical.  ``group_col`` may be a
-    list.  Output: ``(*group_cols, bucket_start, total, qvalue)``."""
-    if not 0 < q <= 1:
-        raise ValueError("q must be in (0, 1]")
-    from pyspark.sql import Window
+    list.  Output: ``(*group_cols, bucket_start, total, qvalue)``.
 
-    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
-    w = (hi - lo) / n_bins
-    b = F.floor(F.col("slice_start") / grain_ms) * grain_ms
-    merged = (
-        hists.select(*gcols, b.alias("bucket_start"), "bin", "count")
-        .groupBy(*gcols, "bucket_start", "bin")
-        .agg(F.sum("count").alias("_c"))
-    )
-    win = Window.partitionBy(*gcols, "bucket_start").orderBy("bin")
-    tot = Window.partitionBy(*gcols, "bucket_start")
-    cur = (
-        merged.withColumn("_cum", F.sum("_c").over(win))
-        .withColumn("_total", F.sum("_c").over(tot))
-        .withColumn("_prev", F.col("_cum") - F.col("_c"))
-        .withColumn("_target", F.lit(q) * F.col("_total"))
-    )
-    picked = cur.filter(
-        (F.col("_cum") >= F.col("_target")) & (F.col("_prev") < F.col("_target"))
-    )
-    est = (
-        F.lit(lo)
-        + F.col("bin") * F.lit(w)
-        + F.lit(w) * (F.col("_target") - F.col("_prev")) / F.col("_c")
-    )
-    return picked.select(
-        *gcols,
-        "bucket_start",
-        F.col("_total").alias("total"),
-        est.alias("qvalue"),
+    Single-quantile form of :func:`histogram_quantiles` (one shared
+    implementation — the cumulative pass and interpolation cannot
+    diverge between the two entry points)."""
+    return histogram_quantiles(
+        hists, grain_ms, [q], ["qvalue"], lo, hi, n_bins, group_col=group_col
     )
 
 

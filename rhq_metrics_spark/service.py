@@ -485,6 +485,7 @@ class MetricsService:
         jobs."""
         path = hists if isinstance(hists, str) else None
         df = self.spark.read.parquet(hists) if path else hists
+        df = df.withColumn("slice_start", F.col("slice_start").cast("long"))
         slice_ms = int(slice_ms)
         bad = df.filter(
             (F.col("slice_start") % slice_ms != 0)
@@ -512,7 +513,9 @@ class MetricsService:
         df, slice_ms, lo, hi, n_bins, _, path = entry
         if path is not None:
             self.spark.catalog.refreshByPath(path)
-            df = self.spark.read.parquet(path)
+            df = self.spark.read.parquet(path).withColumn(
+                "slice_start", F.col("slice_start").cast("long")
+            )
         hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
         watermark = None if hi_w is None else int(hi_w) + slice_ms
         self._hist_rollups[metric_type] = (
@@ -555,6 +558,11 @@ class MetricsService:
         )
         qs, names, seen = [], [], set()
         for q in percentiles:
+            if not 0 < q <= 100:
+                # a quantile the partials can't serve (e.g. 0 == min):
+                # fall back to exact rather than erroring — the hist
+                # path's contract is "never weaker than exact"
+                return None
             col = percentile_col_name(q)
             if col in seen:
                 continue
@@ -844,7 +852,7 @@ class MetricsService:
 
     def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:
         if self._avail_rollup is not None:
-            df, slice_ms, watermark = self._avail_rollup
+            df, slice_ms, watermark = self._avail_rollup[:3]
             if (
                 buckets.step % slice_ms == 0 and buckets.start % slice_ms == 0
                 and watermark is not None and buckets.end <= watermark
@@ -1062,10 +1070,9 @@ class MetricsService:
         decided at query time from the metric type, so attach partials
         built with the matching mode (counter partials for counter
         metrics)."""
-        df = (
-            self.spark.read.parquet(partials)
-            if isinstance(partials, str) else partials
-        )
+        path = partials if isinstance(partials, str) else None
+        df = self.spark.read.parquet(partials) if path else partials
+        df = df.withColumn("slice_start", F.col("slice_start").cast("long"))
         slice_ms = int(slice_ms)
         bad = df.filter(F.col("slice_start") % slice_ms != 0)
         if bad.limit(1).count() > 0:
@@ -1075,8 +1082,28 @@ class MetricsService:
         hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
         watermark = None if hi_w is None else int(hi_w) + slice_ms
         self._increase_rollups[MetricType.check(metric_type)] = (
-            df, slice_ms, int(value_scale), watermark,
+            df, slice_ms, int(value_scale), watermark, path,
         )
+
+    def refresh_increase_watermark(self, metric_type: str) -> int | None:
+        """Cheap watermark refresh for an appending increase-partials
+        sink (re-resolves path-attached tables; one aggregation, no
+        re-validation).  Mirrors :meth:`refresh_rollup_watermark`."""
+        entry = self._increase_rollups.get(MetricType.check(metric_type))
+        if entry is None:
+            return None
+        df, slice_ms, scale, _, path = entry
+        if path is not None:
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path).withColumn(
+                "slice_start", F.col("slice_start").cast("long")
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._increase_rollups[metric_type] = (
+            df, slice_ms, scale, watermark, path,
+        )
+        return watermark
 
     def _increase_routed(
         self, metric_type, tenant_id, metric, start, end, bucket_ms,
@@ -1087,7 +1114,7 @@ class MetricsService:
         entry = self._increase_rollups.get(MetricType.check(metric_type))
         if entry is None:
             return None
-        df, slice_ms, att_scale, watermark = entry
+        df, slice_ms, att_scale, watermark = entry[:4]
         if att_scale != value_scale:
             return None
         if bucket_ms % slice_ms != 0 or start % slice_ms != 0 or end % slice_ms != 0:
@@ -1124,7 +1151,7 @@ class MetricsService:
         raw-point reads."""
         entry = self._twa_rollups.get(MetricType.check(metric_type))
         if entry is not None:
-            df, slice_ms, att_scale, att_gap, watermark = entry
+            df, slice_ms, att_scale, att_gap, watermark = entry[:5]
             if (
                 att_scale == value_scale and att_gap == max_gap_ms
                 and bucket_ms % slice_ms == 0
@@ -1159,10 +1186,9 @@ class MetricsService:
         serving fast path for :meth:`time_weighted_avg`.  ``value_scale``
         and ``max_gap_ms`` must match the query's — mismatches fall back
         to raw rather than serving subtly different semantics."""
-        df = (
-            self.spark.read.parquet(partials)
-            if isinstance(partials, str) else partials
-        )
+        path = partials if isinstance(partials, str) else None
+        df = self.spark.read.parquet(partials) if path else partials
+        df = df.withColumn("slice_start", F.col("slice_start").cast("long"))
         slice_ms = int(slice_ms)
         bad = df.filter(F.col("slice_start") % slice_ms != 0)
         if bad.limit(1).count() > 0:
@@ -1172,8 +1198,26 @@ class MetricsService:
         hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
         watermark = None if hi_w is None else int(hi_w) + slice_ms
         self._twa_rollups[MetricType.check(metric_type)] = (
-            df, slice_ms, int(value_scale), max_gap_ms, watermark,
+            df, slice_ms, int(value_scale), max_gap_ms, watermark, path,
         )
+
+    def refresh_twa_watermark(self, metric_type: str) -> int | None:
+        """Cheap watermark refresh for an appending TWA-partials sink."""
+        entry = self._twa_rollups.get(MetricType.check(metric_type))
+        if entry is None:
+            return None
+        df, slice_ms, scale, gap, _, path = entry
+        if path is not None:
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path).withColumn(
+                "slice_start", F.col("slice_start").cast("long")
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._twa_rollups[metric_type] = (
+            df, slice_ms, scale, gap, watermark, path,
+        )
+        return watermark
 
     def attach_availability_rollup(self, partials, slice_ms: int) -> None:
         """Register per-slice availability partials
@@ -1182,10 +1226,9 @@ class MetricsService:
         fast path for :meth:`availability_stats` — the state machine
         reconstructs bit-identically from boundary points + interior
         holds, so routing needs no accuracy opt-in."""
-        df = (
-            self.spark.read.parquet(partials)
-            if isinstance(partials, str) else partials
-        )
+        path = partials if isinstance(partials, str) else None
+        df = self.spark.read.parquet(partials) if path else partials
+        df = df.withColumn("slice_start", F.col("slice_start").cast("long"))
         slice_ms = int(slice_ms)
         bad = df.filter(F.col("slice_start") % slice_ms != 0)
         if bad.limit(1).count() > 0:
@@ -1194,7 +1237,23 @@ class MetricsService:
             )
         hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
         watermark = None if hi_w is None else int(hi_w) + slice_ms
-        self._avail_rollup = (df, slice_ms, watermark)
+        self._avail_rollup = (df, slice_ms, watermark, path)
+
+    def refresh_availability_watermark(self) -> int | None:
+        """Cheap watermark refresh for an appending availability-partials
+        sink."""
+        if self._avail_rollup is None:
+            return None
+        df, slice_ms, _, path = self._avail_rollup
+        if path is not None:
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path).withColumn(
+                "slice_start", F.col("slice_start").cast("long")
+            )
+        hi_w = df.agg(F.max("slice_start").alias("hi")).collect()[0]["hi"]
+        watermark = None if hi_w is None else int(hi_w) + slice_ms
+        self._avail_rollup = (df, slice_ms, watermark, path)
+        return watermark
 
     def register_sql_views(self, prefix: str = "metrics") -> list[str]:
         """Expose the store as Spark SQL temp views so users can query

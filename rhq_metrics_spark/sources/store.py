@@ -316,7 +316,11 @@ class MetricsStore:
             # treat unknown as small — no shuffle is the safe default
             est = 0
         if est <= self.L0_SPREAD_BYTES_PER_TASK:
-            return stamped
+            # still cap files-per-batch: coalesce is narrow (no shuffle)
+            # and a NO-OP when the input already has fewer partitions,
+            # so a small batch assembled from thousands of tiny upstream
+            # files can't spray thousands of tiny L0 files
+            return stamped.coalesce(n_tasks * 4)
         n_in = stamped._jdf.rdd().getNumPartitions()
         if n_in > n_tasks * 4:
             return stamped.coalesce(n_tasks)

@@ -392,8 +392,18 @@ def test_stats_routed_through_rollup_reads_no_raw_points(spark, tmp_path_factory
     # values match the raw path exactly on the mergeable columns
     b0 = got[0]
     assert b0["samples"] == 6 and b0["min"] == 0.0 and b0["max"] == 12.0
-    # routed responses omit median (not mergeable across windows)
-    assert "median" not in b0
+    # shape stability: median stays in the field set but is null on the
+    # routed path (rank statistics don't merge across windows)
+    assert "median" in b0 and b0["median"] is None
+
+    # explicit percentileImpl=exact opts out of routing (median from raw)
+    code, ex = call(
+        app2, "GET",
+        f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=120s"
+        f"&percentileImpl=exact",
+    )
+    assert code == 200 and isinstance(ex[0]["median"], float)
+    assert len(raw_calls) == 1  # raw numeric_stats path, rollup bypassed
 
     # percentiles can't be served from the rollup -> raw fallback
     code, _ = call(
@@ -401,14 +411,14 @@ def test_stats_routed_through_rollup_reads_no_raw_points(spark, tmp_path_factory
         f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=120s"
         f"&percentiles=90",
     )
-    assert code == 200 and len(raw_calls) == 1
+    assert code == 200 and len(raw_calls) == 2
 
     # misaligned bucket duration -> raw fallback
     code, _ = call(
         app2, "GET",
         f"{P}/gauges/cpu/stats?start=0&end={8 * win}&bucketDuration=90s",
     )
-    assert code == 200 and len(raw_calls) == 2
+    assert code == 200 and len(raw_calls) == 3
 
 
 def test_stats_percentile_impl_param(spark, tmp_path_factory):

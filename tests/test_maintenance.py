@@ -267,3 +267,46 @@ def test_maintenance_emits_twa_and_availability_partials(spark, tmp_path):
     got = [tuple(r[c] for c in cols) for r in av_routed.collect()]
     exp = [tuple(r[c] for c in cols) for r in av_raw.collect()]
     assert got == exp
+
+
+def test_recompaction_replaces_partials_not_double_appends(spark, tmp_path):
+    """Code-review r5 finding: late points re-open a compacted slice;
+    the next maintenance pass re-compacts it and must REPLACE that
+    slice's partials (per-slice dynamic partition overwrite), not append
+    a second copy — a double-append would double every 'exact'
+    rollup-served increase/duration."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    sm = store.slice_ms
+    schema = ("tenant_id string, metric string, ts long, value long, "
+              "tags map<string,string>")
+    sink = str(tmp_path / "inc")
+    runner = MaintenanceRunner(svc, increase_sink={"path": sink})
+
+    rows1 = [("t", "reqs", i * 60_000, 10 + i, None) for i in range(0, 60, 2)]
+    svc.add_data_points("counter", spark.createDataFrame(rows1, schema))
+    runner.run_once(now_ms=sm + runner.compaction_grace_ms)
+
+    # late arrivals into the ALREADY-COMPACTED slice 0
+    rows2 = [("t", "reqs", i * 60_000, 11 + i, None) for i in range(1, 60, 2)]
+    svc.add_data_points("counter", spark.createDataFrame(rows2, schema))
+    rep = runner.run_once(now_ms=sm + runner.compaction_grace_ms)
+    assert rep["increase_slices"] == 1  # slice 0 re-compacted
+
+    partials = spark.read.parquet(sink)
+    per_slice = partials.groupBy("slice_start").count().collect()
+    assert all(r["count"] == 1 for r in per_slice), per_slice
+
+    routed = svc.increase("t", "reqs", 0, sm, sm)
+    assert not any("points" in f for f in routed.inputFiles())
+    svc._increase_rollups.clear()
+    raw = svc.increase("t", "reqs", 0, sm, sm)
+    got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in routed.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
+    assert got == exp and got  # exact after the rewrite, no doubling
