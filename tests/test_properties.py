@@ -440,3 +440,113 @@ def test_chunk_documents_covers_every_token_once_per_window(
     for ci, s in enumerate(starts):
         exp.append((ci, " ".join(f"t{j}" for j in range(s, min(s + chunk, n_tokens)))))
     assert out == exp
+
+
+# ---------------------------------------------------------------------------
+# r5 mergeable serving partials: merge == batch, property-based.
+# hypothesis explores series shapes (gaps, resets, boundary-hugging
+# timestamps, single-point slices) the fixed-seed tests can't.
+
+_SLICE = 600_000
+_BUCKET = 3_600_000
+
+_partial_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * _BUCKET // 1000 - 1),  # sec offset
+        st.integers(min_value=0, max_value=4000),  # scaled value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pts=_partial_series, counter=st.booleans())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_increase_rollup_merge_equals_batch_property(spark, pts, counter):
+    from rhq_metrics_spark.operators.rate import (
+        bucket_increase,
+        increase_from_rollup,
+        increase_rollup,
+    )
+
+    rows = [("m", off * 1000, v / 100.0) for off, v in pts]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    merged = increase_from_rollup(
+        increase_rollup(df, _SLICE, counter=counter),
+        _BUCKET, _SLICE, counter=counter,
+    )
+    batch = bucket_increase(df, _BUCKET, counter=counter)
+    got = {r["bucket_start"]: (r["n_pairs"], r["increase"])
+           for r in merged.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["increase"])
+           for r in batch.collect()}
+    assert got == exp
+
+
+@given(pts=_partial_series, gap=st.sampled_from([None, 120_000]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_twa_rollup_merge_equals_batch_property(spark, pts, gap):
+    from rhq_metrics_spark.operators.rate import (
+        time_weighted_avg,
+        twa_from_rollup,
+        twa_rollup,
+    )
+
+    rows = [("m", off * 1000, v / 100.0) for off, v in pts]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    merged = twa_from_rollup(
+        twa_rollup(df, _SLICE, max_gap_ms=gap), _BUCKET, _SLICE, max_gap_ms=gap
+    )
+    batch = time_weighted_avg(df, _BUCKET, max_gap_ms=gap)
+    got = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in merged.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in batch.collect()}
+    assert got == exp
+
+
+_avail_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * _BUCKET // 1000 - 1),
+        st.sampled_from(["up", "down", "unknown", "admin"]),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pts=_avail_series)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_availability_rollup_merge_equals_batch_property(spark, pts):
+    from rhq_metrics_spark.operators.availability import (
+        availability_from_rollup,
+        availability_rollup,
+        availability_stats,
+    )
+
+    rows = [("m", off * 1000, state) for off, state in pts]
+    df = spark.createDataFrame(rows, "metric string, ts long, value string")
+    b = Buckets.from_step(0, 4 * _BUCKET, _BUCKET)
+    merged = availability_from_rollup(
+        availability_rollup(df, _SLICE, group_cols=["metric"]),
+        b, _SLICE, group_cols=["metric"],
+    )
+    batch = availability_stats(df, b, group_cols=["metric"])
+    cols = batch.columns
+    got = {r["start"]: tuple(r[c] for c in cols) for r in merged.collect()}
+    exp = {r["start"]: tuple(r[c] for c in cols) for r in batch.collect()}
+    assert got == exp
