@@ -209,6 +209,17 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     lat.sort()
     timings["stats_pct_hist_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
     timings["stats_pct_hist_latency_p95_ms"] = round(lat[18] * 1000, 1)
+
+    # the 100-series dashboard served from the rollup (r5): same
+    # stats_query shape as the raw KPI below, mergeable columns only
+    t0 = time.time()
+    svc.stats_query("bench", routed_bks, {"gauge": metrics},
+                    include_median=False)
+    timings["stats_query_100m_rollup_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    svc.stats_query("bench", routed_bks, {"gauge": metrics}, stacked=True,
+                    include_median=False)
+    timings["stats_query_100m_stacked_rollup_sec"] = round(time.time() - t0, 3)
     shutil.rmtree(hist_dir, ignore_errors=True)
     shutil.rmtree(rollup_dir, ignore_errors=True)
 

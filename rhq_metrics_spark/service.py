@@ -644,6 +644,45 @@ class MetricsService:
         routed = self._rollup_routed_stats(metric_type, tenant_id, metric, buckets)
         return None if routed is None else routed.orderBy("start")
 
+    def _rollup_routed_multi(
+        self, metric_type: str, tenant_id, metrics: Sequence[str],
+        buckets: Buckets,
+    ) -> DataFrame | None:
+        """Multi-metric A1 stats from the attached rollup (the
+        100-series dashboard shape): one pruned rollup scan serves every
+        requested series' mergeable columns — same alignment/finality
+        gate as the single-metric route; None → raw fallback.  Output
+        matches ``numeric_bucket_stats(group_cols=['metric'],
+        include_median dropped)``: per observed metric, every grid
+        bucket (empty ones samples=0)."""
+        entry = self._rollups.get(metric_type)
+        if entry is None:
+            return None
+        rollup, win_ms, hi = entry[0], entry[1], entry[2]
+        if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
+            return None
+        if hi is None or buckets.end > hi:
+            return None
+        from rhq_metrics_spark.operators.rollup import stats_from_rollup
+        from rhq_metrics_spark.operators.stats import bucket_dimension
+
+        rolled = stats_from_rollup(
+            rollup.filter(F.col("metric").isin(list(metrics))),
+            buckets, tenant_id=tenant_id, check_alignment=False,
+        ).select(
+            "metric", F.col("bucket").alias("bucket_idx"),
+            "min", "avg", "max", "sum", "samples",
+        )
+        dim = bucket_dimension(self.spark, buckets)
+        gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
+        return (
+            gdim.join(rolled, ["metric", "bucket_idx"], "left")
+            .withColumn("samples", F.coalesce(F.col("samples"), F.lit(0)))
+            .drop("bucket_idx")
+            .select("metric", "start", "end", "min", "avg", "max", "sum",
+                    "samples")
+        )
+
     def gauge_stats(
         self,
         tenant_id,
@@ -1285,6 +1324,7 @@ class MetricsService:
         metrics_by_type: Mapping[str, Sequence[str]],
         percentiles: Sequence[float] = (),
         stacked: bool = False,
+        include_median: bool = True,
     ) -> dict[str, dict[str, list[dict]]]:
         """POST /metrics/stats/query (MetricHandler.java:304-460): fan out
         per requested type — gauge/counter (optionally the derived
@@ -1310,14 +1350,58 @@ class MetricsService:
                     pts, buckets, group_cols=["metric"]
                 )
             elif stacked:
-                # stacked collapses metrics — keyed under '*stacked*'
-                per_metric = stacked_stats(
-                    pts, buckets, percentiles, metric_cols=["metric"]
-                ).withColumn("metric", F.lit("*stacked*"))
+                per_metric = None
+                if not include_median and not percentiles and mtype == base:
+                    routed = self._rollup_routed_multi(
+                        base, tenant_id, metrics, buckets
+                    )
+                    if routed is not None:
+                        # stacked from routed per-metric mergeable stats:
+                        # samples = contributing-metric count per bucket
+                        from rhq_metrics_spark.operators.stats import (
+                            bucket_dimension,
+                        )
+
+                        st = (
+                            routed.filter(F.col("samples") > 0)
+                            .groupBy("start", "end")
+                            .agg(
+                                F.sum("min").alias("min"),
+                                F.sum("avg").alias("avg"),
+                                F.sum("max").alias("max"),
+                                F.sum("sum").alias("sum"),
+                                F.count(F.lit(1)).alias("samples"),
+                            )
+                        )
+                        dim = bucket_dimension(self.spark, buckets)
+                        per_metric = (
+                            F.broadcast(dim.drop("bucket_idx"))
+                            .join(st, ["start", "end"], "left")
+                            .withColumn(
+                                "samples",
+                                F.coalesce(F.col("samples"), F.lit(0)),
+                            )
+                            .withColumn("metric", F.lit("*stacked*"))
+                        )
+                if per_metric is None:
+                    # stacked collapses metrics — keyed under '*stacked*'
+                    per_metric = stacked_stats(
+                        pts, buckets, percentiles, metric_cols=["metric"]
+                    ).withColumn("metric", F.lit("*stacked*"))
+                    if not include_median:
+                        per_metric = per_metric.drop("median")
             else:
-                per_metric = numeric_bucket_stats(
-                    pts, buckets, percentiles, group_cols=["metric"]
-                )
+                per_metric = None
+                if not include_median and not percentiles and mtype == base:
+                    per_metric = self._rollup_routed_multi(
+                        base, tenant_id, metrics, buckets
+                    )
+                if per_metric is None:
+                    per_metric = numeric_bucket_stats(
+                        pts, buckets, percentiles, group_cols=["metric"]
+                    )
+                    if not include_median:
+                        per_metric = per_metric.drop("median")
             to_dict = (
                 _availability_point_dict
                 if mtype == MetricType.AVAILABILITY

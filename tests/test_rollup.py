@@ -316,3 +316,71 @@ def test_refresh_histogram_watermark(spark, tmp_path):
     assert svc.refresh_histogram_watermark("gauge") == 4 * win
     routed = svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,))
     assert routed is not None and routed.count() == 4
+
+
+def test_stats_query_multi_metric_routed(spark, tmp_path):
+    """The 100-series dashboard shape: stats_query(include_median=False)
+    serves per-metric AND stacked results from the attached rollup —
+    matching raw bit-for-bit on the mergeable columns, zero raw reads."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", f"m{j}", w * win + i * 10_000, float(w * 10 + i + j), None)
+            for j in range(5) for w in range(8) for i in range(4)]
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    svc = MetricsService(spark, store)
+
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+
+    metrics = [f"m{j}" for j in range(5)]
+    b = Buckets.from_step(0, 8 * win, 2 * win)
+
+    routed_df = svc._rollup_routed_multi("gauge", "t", metrics, b)
+    assert routed_df is not None
+    assert not any("points" in f for f in routed_df.inputFiles())
+
+    for stacked in (False, True):
+        routed = svc.stats_query("t", b, {"gauge": metrics}, stacked=stacked,
+                                 include_median=False)
+        svc_rollups = svc._rollups
+        svc._rollups = {}
+        raw = svc.stats_query("t", b, {"gauge": metrics}, stacked=stacked,
+                              include_median=False)
+        svc._rollups = svc_rollups
+        assert routed["gauge"].keys() == raw["gauge"].keys()
+        for m in raw["gauge"]:
+            assert len(routed["gauge"][m]) == len(raw["gauge"][m])
+            for rb, xb in zip(routed["gauge"][m], raw["gauge"][m]):
+                assert rb.keys() == xb.keys(), (m, rb, xb)
+                for k in xb:
+                    if isinstance(xb[k], float):
+                        assert math.isclose(rb[k], xb[k], rel_tol=1e-9), (m, k)
+                    else:
+                        assert rb[k] == xb[k], (m, k, rb, xb)
+
+    # median requested (default) -> raw path, median present
+    full = svc.stats_query("t", b, {"gauge": metrics})
+    assert "median" in full["gauge"]["m0"][0]
