@@ -423,19 +423,29 @@ class MetricsService:
 
         Routing requires (a) grid alignment — ``step`` a multiple of the
         rollup window and ``start`` on the window grid (windows are
-        epoch-aligned; validated once at attach), and (b) finality — the
-        range must end at or before the newest finalized window (cached
-        at attach): the rollup sink appends a window only once the
-        watermark passes it, so a range reaching past ``max(window_end)``
-        could have raw points not yet rolled up.  Both checks are pure
-        driver arithmetic — a routed query launches no extra jobs."""
+        epoch-aligned; validated once at attach), and (b) the range to
+        START before the newest finalized window (cached at attach).
+        Both checks are pure driver arithmetic — a routed query launches
+        no extra jobs.
+
+        A range that ENDS past the finality watermark — the reference's
+        *default* dashboard query, now−8h..now (TimeRange.java:32,43-44)
+        — is served HYBRID: the finalized prefix ``[start, hi)`` from
+        rollup partials, the open tail ``[hi, end)`` from a raw scan the
+        store prunes down to only the open slices, merged as mergeable
+        partials (min/max/sum/count) per bucket before the grid fill.
+        This mirrors the reference's compressed-blocks ∪ live-temp-table
+        merge (MetricsServiceImpl.java:662-693); at 100 TB the tail scan
+        touches hours of one series, never the finalized history.  Late
+        points under an already-finalized window are the routed path's
+        documented (attach-time) tradeoff, identical here."""
         entry = self._rollups.get(metric_type)
         if entry is None:
             return None
         rollup, win_ms, hi = entry[0], entry[1], entry[2]
         if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
             return None
-        if hi is None or buckets.end > hi:
+        if hi is None or buckets.start >= hi:
             return None
         from rhq_metrics_spark.operators.rollup import stats_from_rollup
         from rhq_metrics_spark.operators.stats import bucket_dimension
@@ -445,14 +455,54 @@ class MetricsService:
             check_alignment=False,
         ).select(
             F.col("bucket").alias("bucket_idx"),
-            "min", "avg", "max", "sum", "samples",
+            "min", "max", "sum", "samples",
         )
+        if buckets.end > hi:
+            rolled = rolled.unionByName(
+                self._tail_partials(
+                    metric_type, tenant_id, metric, buckets, hi
+                )
+            ).groupBy("bucket_idx").agg(
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.sum("sum").alias("sum"),
+                F.sum("samples").alias("samples"),
+            )
+        rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)
         filled = F.broadcast(dim).join(rolled, "bucket_idx", "left")
         return (
             filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0)))
             .drop("bucket_idx")
             .select("start", "end", "min", "avg", "max", "sum", "samples")
+        )
+
+    def _tail_partials(
+        self, metric_type: str, tenant_id, metric, buckets: Buckets, hi: int,
+        group_metric: bool = False,
+    ) -> DataFrame:
+        """Open-tail mergeable partials for hybrid rollup serving: raw
+        points in ``[hi, buckets.end)`` (the store's slice pruning means
+        only open-slice files are read) aggregated to per-bucket
+        min/max/sum/count — the same partial shape a rollup window
+        carries, so the caller can merge the two with one more agg."""
+        from rhq_metrics_spark.operators.stats import bucket_index, in_grid
+
+        pts = self.store.find_data_points(
+            metric_type, tenant_id, metric, hi, buckets.end
+        )
+        v = F.col("value").cast("double")
+        keys = (["metric", "bucket_idx"] if group_metric else ["bucket_idx"])
+        return (
+            pts.filter(in_grid(buckets))
+            .withColumn("bucket_idx", bucket_index(buckets))
+            .groupBy(*keys)
+            .agg(
+                F.min(v).alias("min"),
+                F.max(v).alias("max"),
+                F.sum(v).alias("sum"),
+                F.count(v).alias("samples"),
+            )
         )
 
     def build_histogram_rollup(
@@ -654,14 +704,17 @@ class MetricsService:
         gate as the single-metric route; None → raw fallback.  Output
         matches ``numeric_bucket_stats(group_cols=['metric'],
         include_median dropped)``: per observed metric, every grid
-        bucket (empty ones samples=0)."""
+        bucket (empty ones samples=0).  Ranges ending past the finality
+        watermark get the same hybrid prefix+open-tail merge as
+        :meth:`_rollup_routed_stats` — one pruned tail scan covers every
+        requested series."""
         entry = self._rollups.get(metric_type)
         if entry is None:
             return None
         rollup, win_ms, hi = entry[0], entry[1], entry[2]
         if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
             return None
-        if hi is None or buckets.end > hi:
+        if hi is None or buckets.start >= hi:
             return None
         from rhq_metrics_spark.operators.rollup import stats_from_rollup
         from rhq_metrics_spark.operators.stats import bucket_dimension
@@ -671,8 +724,21 @@ class MetricsService:
             buckets, tenant_id=tenant_id, check_alignment=False,
         ).select(
             "metric", F.col("bucket").alias("bucket_idx"),
-            "min", "avg", "max", "sum", "samples",
+            "min", "max", "sum", "samples",
         )
+        if buckets.end > hi:
+            rolled = rolled.unionByName(
+                self._tail_partials(
+                    metric_type, tenant_id, list(metrics), buckets, hi,
+                    group_metric=True,
+                )
+            ).groupBy("metric", "bucket_idx").agg(
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.sum("sum").alias("sum"),
+                F.sum("samples").alias("samples"),
+            )
+        rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)
         gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
         return (
@@ -707,10 +773,12 @@ class MetricsService:
         Routing: with a rollup attached (:meth:`attach_rollup`) and a
         query the rollup can answer exactly — no percentiles, no median
         (``include_median=False``: min/avg/max/sum/samples are mergeable
-        across windows, rank statistics are not), aligned grid, range
-        within finalized windows — the stats are served FROM the rollup
-        parquet, never touching raw points.  ``use_rollup=False`` forces
-        the raw path."""
+        across windows, rank statistics are not), aligned grid — the
+        stats are served FROM the rollup parquet; a range ending past
+        the newest finalized window (the default now−8h..now dashboard
+        shape) additionally raw-scans ONLY the open-slice tail and
+        merges partials (hybrid, :meth:`_rollup_routed_stats`).
+        ``use_rollup=False`` forces the raw path."""
         if (
             use_rollup
             and not percentiles

@@ -384,3 +384,149 @@ def test_stats_query_multi_metric_routed(spark, tmp_path):
     # median requested (default) -> raw path, median present
     full = svc.stats_query("t", b, {"gauge": metrics})
     assert "median" in full["gauge"]["m0"][0]
+
+
+def _build_rollup(pts, win_ms):
+    import pyspark.sql.functions as F
+
+    return (
+        pts.groupBy(
+            "tenant_id", "metric",
+            F.window(
+                F.timestamp_millis(F.col("ts")), f"{win_ms // 1000} seconds"
+            ).alias("w"),
+        )
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+    )
+
+
+def test_hybrid_rollup_open_tail_serving(spark, tmp_path):
+    """The reference's DEFAULT query shape (now-8h..now,
+    TimeRange.java:32,43-44) crosses the finality watermark: the routed
+    path must serve the finalized prefix from rollup partials and ONLY
+    raw-scan the open-slice tail — equal to the pure-raw path, including
+    the bucket that straddles the watermark."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 600_000
+    slice_ms = 1_200_000  # 2 windows per slice -> 3 slices of data
+    T = 1_700_000_000_000 - (1_700_000_000_000 % slice_ms)
+    rows = []
+    for w in range(6):
+        for i in range(4):
+            rows.append(("t", "m", T + w * win + i * 60_000,
+                         float(w * 10 + i), None))
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=slice_ms)
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+
+    # finality watermark mid-slice-2, mid-bucket-1: windows 0-2 rolled up
+    hi = T + 3 * win
+    rollup_path = str(tmp_path / "rollup")
+    _build_rollup(
+        store.points("gauge").filter(F.col("ts") < hi), win
+    ).write.parquet(rollup_path)
+    svc.attach_rollup("gauge", rollup_path, win)
+
+    b = Buckets.from_step(T, T + 6 * win, 2 * win)  # 3 buckets; b1 straddles hi
+    routed = svc.gauge_stats("t", "m", b, include_median=False)
+    raw = svc.gauge_stats("t", "m", b, include_median=False, use_rollup=False)
+
+    files = routed.inputFiles()
+    assert any("rollup" in f for f in files), files
+    # the raw tail reads ONLY slices covering [hi, end): the store's
+    # slice pruning must reach the points scan as a date_slice lower
+    # bound at slice_floor(hi), so slice 1 (finalized history) is never
+    # listed.  (inputFiles() is pre-pruning for Hive-partitioned cold
+    # dirs — assert on the executed plan instead.)
+    import re
+
+    first_open = hi // slice_ms * slice_ms
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    bounds = [
+        int(m) for m in re.findall(r"date_slice#\d+L? >= (\d+)", plan)
+    ]
+    assert bounds, plan
+    assert all(x == first_open for x in bounds), (first_open, bounds)
+
+    assert routed.columns == raw.columns
+    got = {r["start"]: r for r in routed.collect()}
+    exp = {r["start"]: r for r in raw.collect()}
+    assert set(got) == set(exp) and len(got) == 3
+    for k in exp:
+        assert got[k]["samples"] == exp[k]["samples"], k
+        for c in ("min", "avg", "max", "sum"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+
+    # range entirely inside the open tail: nothing routable -> None
+    b_tail = Buckets.from_step(T + 4 * win, T + 6 * win, win)
+    assert svc.try_routed_stats("gauge", "t", "m", b_tail) is None
+
+    # hybrid with an EMPTY tail (grid past the newest data): equals raw
+    b_past = Buckets.from_step(T, T + 8 * win, 2 * win)
+    got2 = {r["start"]: r for r in
+            svc.gauge_stats("t", "m", b_past, include_median=False).collect()}
+    exp2 = {r["start"]: r for r in
+            svc.gauge_stats("t", "m", b_past, include_median=False,
+                            use_rollup=False).collect()}
+    assert set(got2) == set(exp2) and len(got2) == 4
+    for k in exp2:
+        assert got2[k]["samples"] == exp2[k]["samples"], k
+
+
+def test_hybrid_rollup_multi_metric(spark, tmp_path):
+    """stats_query (per-metric and stacked) across the finality
+    watermark: hybrid-routed results equal the raw path."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 600_000
+    T = 1_700_000_000_000 - (1_700_000_000_000 % 1_200_000)
+    rows = [("t", f"m{j}", T + w * win + i * 60_000, float(w * 10 + i + j), None)
+            for j in range(3) for w in range(6) for i in range(4)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=1_200_000)
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+    hi = T + 3 * win
+    rollup_path = str(tmp_path / "rollup")
+    _build_rollup(
+        store.points("gauge").filter(F.col("ts") < hi), win
+    ).write.parquet(rollup_path)
+    svc.attach_rollup("gauge", rollup_path, win)
+
+    metrics = [f"m{j}" for j in range(3)]
+    b = Buckets.from_step(T, T + 6 * win, 2 * win)
+    for stacked in (False, True):
+        routed = svc.stats_query("t", b, {"gauge": metrics}, stacked=stacked,
+                                 include_median=False)
+        saved = svc._rollups
+        svc._rollups = {}
+        raw = svc.stats_query("t", b, {"gauge": metrics}, stacked=stacked,
+                              include_median=False)
+        svc._rollups = saved
+        assert routed["gauge"].keys() == raw["gauge"].keys()
+        for m in raw["gauge"]:
+            assert len(routed["gauge"][m]) == len(raw["gauge"][m]), m
+            for rb, xb in zip(routed["gauge"][m], raw["gauge"][m]):
+                for k in xb:
+                    if isinstance(xb[k], float):
+                        assert math.isclose(rb[k], xb[k], rel_tol=1e-9), (m, k)
+                    else:
+                        assert rb[k] == xb[k], (m, k, rb, xb)
