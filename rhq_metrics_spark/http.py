@@ -32,6 +32,22 @@ Endpoint parity (reference handler file:line):
 - ``GET  /{type}s/{id}/rate``     GaugeHandler.java:775
 - ``GET  /{type}s/{id}/rate/stats``  GaugeHandler.java:807
 
+Multi-metric query surface (round 6):
+
+- ``POST /metrics/stats/query``   MetricHandler.java:305-319 cross-type
+  stats fan-out (body: StatsQueryRequest — metrics map or tags, types
+  selects gauge/counter/availability/gauge_rate/counter_rate)
+- ``POST /metrics/stats/batch/query``  MetricHandler.java:321-338
+- ``GET  /{type}s/stats``         GaugeHandler.java:572 pooled/stacked
+  stats over ?metrics=…(repeatable)|?tags=…
+- ``POST /{type}s/stats/query``   GaugeHandler.java:619 same, body form
+- ``POST /{type}s/raw/query``     GaugeHandler.java:324 multi-metric raw
+  read → ``[{id, data: [...]}]`` (NamedDataPointObserver shape)
+- ``POST /{type}s/rate/query``    GaugeHandler.java:353
+- ``GET  /{type}s/tags/{tags}/raw``  GaugeHandler.java:891
+- ``GET  /{type}s/{id}/stats/tags/{tags}``  GaugeHandler.java:653 →
+  map keyed ``k:v,k2:v2`` (TaggedBucketPointTransformer.java:65-71)
+
 Wire conventions carried over exactly:
 
 - tenant comes from the ``Hawkular-Tenant`` header; missing →  400 with
@@ -155,6 +171,20 @@ class MetricsApp:
             raise BadRequest(MISSING_TENANT_MSG)
 
         if segs[0] == "metrics":
+            if segs[1:] == ["stats", "query"]:
+                self._require(method, {"POST"})
+                return self._cross_stats_query(
+                    tenant, self._json_body(environ)
+                )
+            if segs[1:] == ["stats", "batch", "query"]:
+                self._require(method, {"POST"})
+                body = self._json_body(environ)
+                if not isinstance(body, dict) or not body:
+                    raise BadRequest("Payload is empty")
+                return 200, {
+                    name: self._cross_stats_result(tenant, req)
+                    for name, req in body.items()
+                }
             return self._metrics(method, segs, qs, tenant)
 
         mt = metric_type_from_path(segs[0])
@@ -167,6 +197,23 @@ class MetricsApp:
         if rest == ["raw"]:
             self._require(method, {"POST"})
             return self._ingest(mt, tenant, environ)
+        if rest == ["raw", "query"]:
+            self._require(method, {"POST"})
+            return self._raw_query(mt, tenant, self._json_body(environ))
+        if rest == ["rate", "query"]:
+            self._require(method, {"POST"})
+            return self._rate_query(mt, tenant, self._json_body(environ))
+        if rest == ["stats"]:
+            self._require(method, {"GET"})
+            return self._multi_stats(mt, tenant, qs, environ)
+        if rest == ["stats", "query"]:
+            self._require(method, {"POST"})
+            return self._multi_stats(
+                mt, tenant, qs, environ, body=self._json_body(environ)
+            )
+        if len(rest) == 3 and rest[0] == "tags" and rest[2] == "raw":
+            self._require(method, {"GET"})
+            return self._tags_raw(mt, tenant, rest[1], qs)
         metric_id = rest[0]
         sub = rest[1:]
         if not sub:
@@ -184,6 +231,9 @@ class MetricsApp:
         if sub == ["stats"]:
             self._require(method, {"GET"})
             return self._stats(mt, tenant, metric_id, qs)
+        if len(sub) == 3 and sub[0] == "stats" and sub[1] == "tags":
+            self._require(method, {"GET"})
+            return self._tagged_stats(mt, tenant, metric_id, sub[2], qs)
         if sub == ["tags"]:
             if method == "PUT":
                 tags = self._json_body(environ)
@@ -516,6 +566,265 @@ class MetricsApp:
                 percentiles=self._percentiles(qs),
             )
         raise _collection(bucket_points_json(df))
+
+    # -- multi-metric query surface -----------------------------------------
+
+    @staticmethod
+    def _percentiles_value(raw) -> list[float]:
+        """Percentiles from a request BODY: the reference accepts the
+        same comma string as the query param (PercentilesConverter); a
+        JSON list of numbers also works."""
+        if raw is None or raw == "":
+            return []
+        if isinstance(raw, list):
+            items = raw
+        else:
+            items = [p for p in str(raw).split(",") if p]
+        try:
+            return [float(p) for p in items]
+        except (TypeError, ValueError):
+            raise BadRequest(
+                f"Invalid percentiles parameter: {raw!r}"
+            ) from None
+
+    def _ids_by_name_or_tag(self, metric_type, tenant, names, tags):
+        """findMetricsByNameOrTag (MetricsServiceHandler.java:64-77):
+        explicit ids XOR a tag filter resolved via the metric index."""
+        names = [n for n in (names or []) if n]
+        if not names and tags is None:
+            raise BadRequest(
+                "Either metrics or tags query parameters must be used"
+            )
+        if names and tags is not None:
+            raise BadRequest(
+                "Cannot use both the metrics and tags query parameters"
+            )
+        if names:
+            return names
+        return self._ids_for_tags(metric_type, tenant, tags)
+
+    def _ids_for_tags(self, metric_type, tenant, tags):
+        """Resolve a ``tags`` request value to metric ids.  The
+        reference accepts BOTH tag formats here (its converters try the
+        tag query language, falling back to the legacy ``k:v,k2:v2``
+        map) — same order here."""
+        kwargs = {"tag_expression": tags}
+        from rhq_metrics_spark.tags.parser import parse_tag_query
+
+        try:
+            parse_tag_query(tags)
+        except Exception:
+            try:
+                simple = dict(
+                    kv.split(":", 1) for kv in tags.split(",") if kv
+                )
+            except ValueError:
+                simple = None
+            if not simple:
+                raise BadRequest(f"Invalid tags parameter: {tags!r}") from None
+            kwargs = {"simple_tags": simple}
+        with api_errors():
+            df = self.service.find_metrics(
+                tenant_id=tenant, metric_type=metric_type, **kwargs
+            )
+        return sorted(r["metric"] for r in df.select("metric").collect())
+
+    def _range_params(self, metric_type, tenant, ids, params):
+        """start/end resolution with the fromEarliest contract
+        (MetricsServiceHandler.findTimeRange)."""
+        from rhq_metrics_spark.model import TimeRange
+
+        if params.get("fromEarliest") in (True, "true", "True"):
+            if params.get("start") is not None or params.get("end") is not None:
+                raise BadRequest(
+                    "fromEarliest can only be used without start & end"
+                )
+            now = int(time.time() * 1000)
+            start = self.service.from_earliest_start(
+                metric_type, tenant, list(ids), now
+            )
+            return start, now
+        with api_errors():
+            tr = TimeRange.of(params.get("start"), params.get("end"))
+        return tr.start, tr.end
+
+    def _multi_stats(self, metric_type, tenant, qs, environ, body=None):
+        """GET /{type}s/stats + POST /{type}s/stats/query
+        (GaugeHandler.java:572,619): stats over metrics resolved by name
+        or tag — pooled (A4) by default, stacked (A3) sum-of-stats with
+        ?stacked=true."""
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        if body is None:
+            multi = parse_qs(environ.get("QUERY_STRING", ""))
+            names: list[str] = []
+            for v in multi.get("metrics", []):
+                names += [s for s in v.split(",") if s]
+            params = dict(qs)
+            stacked = qs.get("stacked", "").lower() == "true"
+            percentiles = self._percentiles(qs)
+            n_buckets = self._int(qs, "buckets")
+        else:
+            if not isinstance(body, dict):
+                raise BadRequest("Payload is empty")
+            names = body.get("metrics") or []
+            params = body
+            stacked = bool(body.get("stacked", False))
+            percentiles = self._percentiles_value(body.get("percentiles"))
+            n_buckets = body.get("buckets")
+        ids = self._ids_by_name_or_tag(
+            metric_type, tenant, names, params.get("tags")
+        )
+        start, end = self._range_params(metric_type, tenant, ids, params)
+        with api_errors():
+            bks = self.service.stats_params(
+                start, end, n_buckets, params.get("bucketDuration")
+            )
+            df = self.service.numeric_stats(
+                metric_type, tenant, ids, bks,
+                percentiles=percentiles, stacked=stacked,
+            )
+        raise _collection(bucket_points_json(df))
+
+    def _named_points_query(self, metric_type, tenant, ids, params, rate):
+        limit = params.get("limit") or 0
+        order = (params.get("order")
+                 or ("desc" if limit else "asc")).lower()
+        if order not in ("asc", "desc"):
+            raise BadRequest(f"Invalid order parameter: {order!r}")
+        start, end = self._range_params(metric_type, tenant, ids, params)
+        with api_errors():
+            if rate:
+                df = self.service.find_rate_data(
+                    metric_type, tenant, ids, start, end,
+                    limit=int(limit), order=order,
+                )
+            else:
+                df = self.service.find_data_points(
+                    metric_type, tenant, ids, start, end,
+                    limit=int(limit), order=order,
+                )
+            groups = named_data_points_json(df)
+        if order == "desc":
+            for g in groups:
+                g["data"].sort(key=lambda p: -p["timestamp"])
+        raise _collection(groups)
+
+    def _raw_query(self, metric_type, tenant, body):
+        """POST /{type}s/raw/query (GaugeHandler.java:324): body =
+        QueryRequest {ids|tags, start, end, limit, order, fromEarliest};
+        response = NamedDataPointObserver's ``[{id, data: [...]}]``."""
+        if not isinstance(body, dict):
+            raise BadRequest("Payload is empty")
+        ids = self._ids_by_name_or_tag(
+            metric_type, tenant, body.get("ids"), body.get("tags")
+        )
+        return self._named_points_query(metric_type, tenant, ids, body, False)
+
+    def _rate_query(self, metric_type, tenant, body):
+        """POST /{type}s/rate/query (GaugeHandler.java:353)."""
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        if not isinstance(body, dict):
+            raise BadRequest("Payload is empty")
+        ids = self._ids_by_name_or_tag(
+            metric_type, tenant, body.get("ids"), body.get("tags")
+        )
+        return self._named_points_query(metric_type, tenant, ids, body, True)
+
+    def _tags_raw(self, metric_type, tenant, tags, qs):
+        """GET /{type}s/tags/{tags}/raw (GaugeHandler.java:891): raw
+        points of every metric matching the tag filter."""
+        ids = self._ids_by_name_or_tag(metric_type, tenant, None, tags)
+        return self._named_points_query(metric_type, tenant, ids, qs, False)
+
+    def _tagged_stats(self, metric_type, tenant, metric_id, tags_seg, qs):
+        """GET /{type}s/{id}/stats/tags/{tags} (GaugeHandler.java:653):
+        A5 stats grouped by point-tag value combination, keyed
+        ``k:v,k2:v2`` (TaggedBucketPointTransformer.java:65-71)."""
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        try:
+            tag_filters = dict(
+                kv.split(":", 1) for kv in tags_seg.split(",") if kv
+            )
+        except ValueError:
+            raise BadRequest(f"Invalid tags parameter: {tags_seg!r}") from None
+        if not tag_filters:
+            raise BadRequest(f"Invalid tags parameter: {tags_seg!r}")
+        start, end = self._time_range(qs)
+        with api_errors():
+            df = self.service.tagged_gauge_stats(
+                tenant, metric_id, tag_filters, start, end,
+                percentiles=self._percentiles(qs),
+                metric_type=metric_type,
+            )
+        out = {}
+        keys = list(tag_filters)
+        for row in df.collect():
+            d = row.asDict()
+            tags = {k: d.pop(f"tag_{k}") for k in keys}
+            key = ",".join(f"{k}:{v}" for k, v in tags.items())
+            out[key] = {"tags": tags, **d}
+        raise _collection(out)
+
+    def _cross_stats_result(self, tenant, body) -> dict:
+        """One StatsQueryRequest → ``{type: {metric: [buckets]}}``
+        (MetricHandler.doStatsQuery, :340-484): the metrics map (or a
+        tag filter) picks ids per base type; ``types`` narrows the
+        output to any of gauge/counter/availability/gauge_rate/
+        counter_rate; empty type maps are omitted."""
+        if not isinstance(body, dict):
+            raise BadRequest("Payload is empty")
+        metrics_map = body.get("metrics") or {}
+        tags = body.get("tags")
+        has_ids = any(metrics_map.get(t) for t in metrics_map)
+        if not has_ids and tags is None:
+            raise BadRequest(
+                "Either the metrics or the tags property must be set"
+            )
+        if body.get("buckets") is None and body.get("bucketDuration") is None:
+            raise BadRequest(
+                "Either the buckets or bucketDuration property must be set"
+            )
+        types = body.get("types") or []
+        percentiles = self._percentiles_value(body.get("percentiles"))
+        with api_errors():
+            bks = self.service.stats_params(
+                body.get("start"), body.get("end"),
+                body.get("buckets"), body.get("bucketDuration"),
+            )
+
+        def ids_for(base):
+            if has_ids:
+                return [m for m in (metrics_map.get(base) or []) if m]
+            return self._ids_for_tags(base, tenant, tags)
+
+        by_type: dict[str, list[str]] = {}
+        for base, rate_t in (
+            (MetricType.GAUGE, MetricType.GAUGE_RATE),
+            (MetricType.COUNTER, MetricType.COUNTER_RATE),
+        ):
+            if types and base not in types and rate_t not in types:
+                continue
+            ids = ids_for(base)
+            if not ids:
+                continue
+            if not types or base in types:
+                by_type[base] = ids
+            if rate_t in types:
+                by_type[rate_t] = ids
+        if not types or MetricType.AVAILABILITY in types:
+            av = ids_for(MetricType.AVAILABILITY)
+            if av:
+                by_type[MetricType.AVAILABILITY] = av
+        with api_errors():
+            out = self.service.stats_query(tenant, bks, by_type, percentiles)
+        return {t: m for t, m in out.items() if m}
+
+    def _cross_stats_query(self, tenant, body):
+        """POST /metrics/stats/query (MetricHandler.java:305-319)."""
+        raise _collection(self._cross_stats_result(tenant, body))
 
 
 def serve(service, host: str = "127.0.0.1", port: int = 8080,

@@ -934,8 +934,11 @@ class MetricsService:
         start: int,
         end: int,
         percentiles: Sequence[float] = (),
+        metric_type: str = MetricType.GAUGE,
     ) -> DataFrame:
-        pts = self._scan(MetricType.GAUGE, tenant_id, metric, start, end)
+        """A5 stats grouped by point-tag values; ``metric_type`` admits
+        the counter twin (CounterHandler's /{id}/stats/tags/{tags})."""
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
         return tagged_stats(pts, tag_filters, percentiles)
 
     def gauge_aggregates(self, tenant_id, metric, start, end) -> DataFrame:

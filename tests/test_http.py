@@ -470,3 +470,200 @@ def test_stats_percentile_impl_param(spark, tmp_path_factory):
     assert code == 200
     for e, h in zip(exact, hist):
         assert abs(h["p90"] - e["p90"]) <= 2.0 + 1e-9  # one bin width
+
+
+# -- multi-metric query surface (round 6) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def mm_app(spark, tmp_path_factory):
+    """Store with two tagged gauges, a counter, and an availability
+    series — the fixture for the multi-metric endpoints."""
+    base = tmp_path_factory.mktemp("http_mm_store")
+    svc = MetricsService(spark, MetricsStore(spark, str(base)))
+    app = MetricsApp(svc, base_path="/hawkular/metrics")
+    win = 60_000
+    for m in ("m1", "m2"):
+        call(app, "POST", f"{P}/gauges",
+             {"id": m, "tags": {"dc": "east", "kind": "load"}})
+        pts = [{"timestamp": i * win // 2, "value": float(i + (m == "m2"))}
+               for i in range(8)]
+        assert call(app, "POST", f"{P}/gauges/{m}/raw", pts)[0] == 200
+    call(app, "POST", f"{P}/gauges",
+         {"id": "m3", "tags": {"dc": "west"}})
+    assert call(app, "POST", f"{P}/counters/c1/raw",
+                [{"timestamp": i * win // 2, "value": i * 10}
+                 for i in range(8)])[0] == 200
+    assert call(app, "POST", f"{P}/availability/a1/raw",
+                [{"timestamp": i * win // 2,
+                  "value": "up" if i % 3 else "down"} for i in range(8)])[0] == 200
+    # tagged points for /stats/tags/{tags}
+    assert call(app, "POST", f"{P}/gauges/mt/raw",
+                [{"timestamp": i * 1000, "value": float(i),
+                  "tags": {"host": "a" if i % 2 else "b"}}
+                 for i in range(6)])[0] == 200
+    return app
+
+
+def test_cross_type_stats_query(mm_app):
+    # MetricHandler.java:305-319 — metrics-mode across types
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query", {
+        "metrics": {"gauge": ["m1", "m2"], "counter": ["c1"],
+                    "availability": ["a1"]},
+        "start": 0, "end": 240_000, "buckets": 2,
+    })
+    assert code == 200
+    assert set(body) == {"gauge", "counter", "availability"}
+    assert set(body["gauge"]) == {"m1", "m2"}
+    assert len(body["gauge"]["m1"]) == 2
+    b0 = body["gauge"]["m1"][0]
+    assert b0["start"] == 0 and b0["end"] == 120_000 and not b0["empty"]
+    # 4 points (ts 0,30k,60k,90k) values 0..3 -> avg 1.5
+    assert b0["avg"] == 1.5 and b0["samples"] == 4
+    assert "uptimeRatio" in body["availability"]["a1"][0]
+
+
+def test_cross_type_stats_query_rate_types(mm_app):
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query", {
+        "metrics": {"gauge": ["m1"], "counter": ["c1"]},
+        "types": ["gauge", "gauge_rate", "counter_rate"],
+        "start": 0, "end": 240_000, "buckets": 1,
+    })
+    assert code == 200
+    assert set(body) == {"gauge", "gauge_rate", "counter_rate"}
+    # counter rises 10/30s -> 20/minute
+    assert abs(body["counter_rate"]["c1"][0]["avg"] - 20.0) < 1e-9
+
+
+def test_cross_type_stats_query_tags_mode(mm_app):
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query", {
+        "tags": "dc:east", "start": 0, "end": 240_000, "buckets": 1,
+    })
+    assert code == 200
+    assert set(body["gauge"]) == {"m1", "m2"}
+
+
+def test_cross_type_stats_query_param_errors(mm_app):
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query",
+                      {"start": 0, "end": 1, "buckets": 1})
+    assert code == 400
+    assert "metrics or the tags property" in body["errorMsg"]
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query",
+                      {"metrics": {"gauge": ["m1"]}})
+    assert code == 400
+    assert "buckets or bucketDuration property" in body["errorMsg"]
+
+
+def test_cross_type_stats_batch_query(mm_app):
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/batch/query", {
+        "q1": {"metrics": {"gauge": ["m1"]}, "start": 0, "end": 240_000,
+               "buckets": 1},
+        "q2": {"metrics": {"counter": ["c1"]}, "start": 0, "end": 240_000,
+               "buckets": 1},
+    })
+    assert code == 200 and set(body) == {"q1", "q2"}
+    assert "m1" in body["q1"]["gauge"] and "c1" in body["q2"]["counter"]
+
+
+def test_multi_metric_stats_get(mm_app):
+    # GET /gauges/stats — pooled by default, stacked opt-in
+    q = f"start=0&end=240000&buckets=1&metrics=m1&metrics=m2"
+    code, pooled = call(mm_app, "GET", f"{P}/gauges/stats?{q}")
+    assert code == 200 and len(pooled) == 1
+    # pooled: all 16 points of both metrics together
+    assert pooled[0]["samples"] == 16
+    code, stacked = call(mm_app, "GET", f"{P}/gauges/stats?{q}&stacked=true")
+    assert code == 200
+    # stacked avg = sum of the two series' avgs (3.5 + 4.5)
+    assert abs(stacked[0]["avg"] - (pooled[0]["avg"] * 2)) < 1e-9
+    # tag resolution + comma form
+    code, via_tags = call(
+        mm_app, "GET", f"{P}/gauges/stats?start=0&end=240000&buckets=1"
+        f"&tags=dc:east")
+    assert code == 200 and via_tags[0]["samples"] == 16
+    # errors: neither / both
+    code, body = call(mm_app, "GET",
+                      f"{P}/gauges/stats?start=0&end=240000&buckets=1")
+    assert code == 400 and "metrics or tags" in body["errorMsg"]
+    code, body = call(mm_app, "GET",
+                      f"{P}/gauges/stats?start=0&end=240000&buckets=1"
+                      f"&metrics=m1&tags=dc:east")
+    assert code == 400 and "Cannot use both" in body["errorMsg"]
+
+
+def test_multi_metric_stats_post(mm_app):
+    code, got = call(mm_app, "POST", f"{P}/gauges/stats/query", {
+        "metrics": ["m1", "m2"], "start": 0, "end": 240_000,
+        "buckets": 1, "stacked": True, "percentiles": "90",
+    })
+    assert code == 200 and len(got) == 1
+    # stacked samples = contributing-metric count (SumNumericBucket
+    # PointCollector), and percentiles are summed across the stack
+    assert "p90" in got[0] and got[0]["samples"] == 2
+    assert got[0]["avg"] == 8.0
+
+
+def test_raw_query_multi_metric(mm_app):
+    code, groups = call(mm_app, "POST", f"{P}/gauges/raw/query", {
+        "ids": ["m1", "m2"], "start": 0, "end": 240_000,
+    })
+    assert code == 200
+    by_id = {g["id"]: g["data"] for g in groups}
+    assert set(by_id) == {"m1", "m2"} and len(by_id["m1"]) == 8
+    assert by_id["m1"][0] == {"timestamp": 0, "value": 0.0}
+    # limit defaults the order to desc (TimeAndSortParams)
+    code, lim = call(mm_app, "POST", f"{P}/gauges/raw/query", {
+        "ids": ["m1"], "start": 0, "end": 240_000, "limit": 3,
+    })
+    assert code == 200
+    stamps = [p["timestamp"] for p in lim[0]["data"]]
+    assert stamps == sorted(stamps, reverse=True) and len(stamps) == 3
+    # tags-mode + error contract
+    code, via_tags = call(mm_app, "POST", f"{P}/gauges/raw/query",
+                          {"tags": "dc:east", "start": 0, "end": 240_000})
+    assert code == 200 and {g["id"] for g in via_tags} == {"m1", "m2"}
+    code, body = call(mm_app, "POST", f"{P}/gauges/raw/query",
+                      {"start": 0, "end": 240_000})
+    assert code == 400 and "metrics or tags" in body["errorMsg"]
+    # counter + availability typed variants ride the same route
+    code, cg = call(mm_app, "POST", f"{P}/counters/raw/query",
+                    {"ids": ["c1"], "start": 0, "end": 240_000})
+    assert code == 200 and cg[0]["data"][0]["value"] == 0
+    code, ag = call(mm_app, "POST", f"{P}/availability/raw/query",
+                    {"ids": ["a1"], "start": 0, "end": 240_000})
+    assert code == 200 and ag[0]["data"][0]["value"] in ("up", "down")
+
+
+def test_rate_query_multi_metric(mm_app):
+    code, groups = call(mm_app, "POST", f"{P}/counters/rate/query", {
+        "ids": ["c1"], "start": 0, "end": 240_000,
+    })
+    assert code == 200
+    assert abs(groups[0]["data"][0]["value"] - 20.0) < 1e-9
+    code, _ = call(mm_app, "POST", f"{P}/availability/rate/query",
+                   {"ids": ["a1"], "start": 0, "end": 240_000})
+    assert code == 400
+
+
+def test_tags_raw_endpoint(mm_app):
+    code, groups = call(mm_app, "GET",
+                        f"{P}/gauges/tags/dc:east/raw?start=0&end=240000")
+    assert code == 200 and {g["id"] for g in groups} == {"m1", "m2"}
+    # no matches -> 204
+    code, body = call(mm_app, "GET",
+                      f"{P}/gauges/tags/dc:nowhere/raw?start=0&end=240000")
+    assert code == 204 and body is None
+
+
+def test_tagged_bucket_stats_endpoint(mm_app):
+    code, body = call(mm_app, "GET",
+                      f"{P}/gauges/mt/stats/tags/host:*?start=0&end=10000")
+    assert code == 200
+    assert set(body) == {"host:a", "host:b"}
+    a = body["host:a"]
+    assert a["tags"] == {"host": "a"} and a["samples"] == 3
+    # values 1,3,5 -> avg 3
+    assert a["avg"] == 3.0
+    code, body = call(mm_app, "GET",
+                      f"{P}/gauges/mt/stats/tags/host:zzz?start=0&end=10000")
+    assert code == 204
