@@ -98,16 +98,29 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     metrics = [f"{s}_{i}" for s in sources for i in range(20)]
     bks = Buckets.from_count(lo, lo + window_ms, 60)
 
-    lat = []
-    for i in range(20):
-        t0 = time.time()
-        svc.gauge_stats(
-            "bench", metrics[(i * 7) % len(metrics)], bks, percentiles=(90, 95, 99)
-        ).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    timings["stats_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
-    timings["stats_latency_p95_ms"] = round(lat[18] * 1000, 1)
+    # 2 discarded warm-ups: the first requests after compaction pay file
+    # re-listing + JIT/GC debt from the preceding bench sections, which
+    # is engine amortized cost, not this query's latency (the r5 p95
+    # doubled on exactly such a straggler; VERDICT r5 item 3)
+    def _latency(fn, n=20, warmup=2):
+        for _ in range(warmup):
+            fn(0)
+        lat = []
+        for i in range(n):
+            t0 = time.time()
+            fn(i)
+            lat.append(time.time() - t0)
+        lat.sort()
+        return (
+            round(lat[len(lat) // 2] * 1000, 1),
+            round(lat[int(n * 0.95) - 1] * 1000, 1),
+        )
+
+    p50, p95 = _latency(lambda i: svc.gauge_stats(
+        "bench", metrics[(i * 7) % len(metrics)], bks, percentiles=(90, 95, 99)
+    ).collect())
+    timings["stats_latency_p50_ms"] = p50
+    timings["stats_latency_p95_ms"] = p95
 
     # routed fast path: build the continuous aggregate once (batch twin
     # of start_rollup_stream, 10-min windows), attach, measure the same
@@ -174,14 +187,9 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     routed_probe = svc.try_routed_stats("gauge", "bench", metrics[0], routed_bks)
     assert routed_probe is not None, "rollup routing inactive"
     assert not any("points" in f for f in routed_probe.inputFiles()), "not routed"
-    lat = []
-    for i in range(20):
-        t0 = time.time()
-        _rest_stats(metrics[(i * 7) % len(metrics)])
-        lat.append(time.time() - t0)
-    lat.sort()
-    timings["stats_rollup_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
-    timings["stats_rollup_latency_p95_ms"] = round(lat[18] * 1000, 1)
+    p50, p95 = _latency(lambda i: _rest_stats(metrics[(i * 7) % len(metrics)]))
+    timings["stats_rollup_latency_p50_ms"] = p50
+    timings["stats_rollup_latency_p95_ms"] = p95
 
     # percentile serving from histogram partials (percentile_impl='hist'):
     # the same stats call WITH percentiles 90/95/99, rank columns from
@@ -198,17 +206,12 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
         percentile_impl="hist",
     )
     assert not any("points" in f for f in probe.inputFiles()), "hist not routed"
-    lat = []
-    for i in range(20):
-        t0 = time.time()
-        svc.gauge_stats(
-            "bench", metrics[(i * 7) % len(metrics)], routed_bks,
-            percentiles=(90, 95, 99), percentile_impl="hist",
-        ).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    timings["stats_pct_hist_latency_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
-    timings["stats_pct_hist_latency_p95_ms"] = round(lat[18] * 1000, 1)
+    p50, p95 = _latency(lambda i: svc.gauge_stats(
+        "bench", metrics[(i * 7) % len(metrics)], routed_bks,
+        percentiles=(90, 95, 99), percentile_impl="hist",
+    ).collect())
+    timings["stats_pct_hist_latency_p50_ms"] = p50
+    timings["stats_pct_hist_latency_p95_ms"] = p95
 
     # the 100-series dashboard served from the rollup (r5): same
     # stats_query shape as the raw KPI below, mergeable columns only
@@ -220,6 +223,31 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     svc.stats_query("bench", routed_bks, {"gauge": metrics}, stacked=True,
                     include_median=False)
     timings["stats_query_100m_stacked_rollup_sec"] = round(time.time() - t0, 3)
+    # hybrid rollup+open-tail serving (r6): the reference's DEFAULT
+    # dashboard query (now-8h..now) ends past the finality watermark —
+    # re-attach the rollup truncated to a 5h watermark so the same
+    # stats call serves a finalized prefix from partials plus a 2h raw
+    # tail, and measure that against the forced full raw scan
+    cut = rlo + 10 * step
+    truncated = spark.read.parquet(rollup_dir).filter(
+        F.unix_millis(F.col("window_end")) <= cut
+    )
+    svc.attach_rollup("gauge", truncated, rollup_win)
+    hybrid_bks = Buckets.from_step(rlo, rlo + 14 * step, step)
+    probe = svc.try_routed_stats("gauge", "bench", metrics[0], hybrid_bks)
+    assert probe is not None, "hybrid routing inactive"
+    assert any("points" in f for f in probe.inputFiles()), "no raw tail"
+    p50, p95 = _latency(lambda i: svc.gauge_stats(
+        "bench", metrics[(i * 7) % len(metrics)], hybrid_bks,
+        include_median=False,
+    ).collect())
+    timings["stats_hybrid_latency_p50_ms"] = p50
+    timings["stats_hybrid_latency_p95_ms"] = p95
+    p50, _ = _latency(lambda i: svc.gauge_stats(
+        "bench", metrics[(i * 7) % len(metrics)], hybrid_bks,
+        include_median=False, use_rollup=False,
+    ).collect(), n=10)
+    timings["stats_hybrid_raw_baseline_p50_ms"] = p50
     shutil.rmtree(hist_dir, ignore_errors=True)
     shutil.rmtree(rollup_dir, ignore_errors=True)
 
@@ -256,6 +284,23 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     ).count()
     timings["tag_query_10k_defs_ms"] = round((time.time() - t0) * 1000, 1)
     print(f"# tag query over 10k defs: {n} matches", file=sys.stderr)
+
+
+#: max length of the final JSON line — the driver's tail capture is
+#: 2000 chars; leave margin for a trailing newline / prompt artifacts
+_TAIL_BUDGET = 1900
+
+#: KPIs that are diagnostic curves rather than graded axes — safe to
+#: shed from the final line when it would overflow the tail window
+#: (they stay in the stderr full record)
+_DIAGNOSTIC_PREFIXES = (
+    "embed_ivf_recall_", "embed_ivf_probe_", "embed_lsh_recall",
+    "embed_ivf_clustered_", "embed_ivf_partial_",
+)
+
+
+def _diagnostic_kpi(name: str) -> bool:
+    return name.startswith(_DIAGNOSTIC_PREFIXES)
 
 
 def main() -> None:
@@ -499,18 +544,35 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                **({"errors": errors} if errors else {}),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        **({"errors": errors} if errors else {}),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # the full record, for humans and PROGRESS notes
+    print("# full bench record:", json.dumps(payload), file=sys.stderr)
+    # The driver captures only the LAST ~2000 characters of stdout and
+    # parses the final JSON line from that window — r5's line outgrew it
+    # and "parsed" came back null (VERDICT r5 item 4).  Emit a minified
+    # line and, if it still can't fit, shed diagnostic sub-metrics
+    # (recall curves, sizer outputs — never headline query timings)
+    # until it does, recording how many were dropped.
+    compact = json.dumps(payload, separators=(",", ":"))
+    if len(compact) > _TAIL_BUDGET:
+        shed = [k for k in timings if _diagnostic_kpi(k)]
+        dropped = 0
+        while len(compact) > _TAIL_BUDGET and shed:
+            timings.pop(shed.pop())
+            dropped += 1
+            payload["dropped_diagnostics"] = dropped
+            compact = json.dumps(payload, separators=(",", ":"))
+        print(f"# final line shed {dropped} diagnostic KPIs to fit the "
+              "driver tail window (full record above)", file=sys.stderr)
+    sys.stdout.flush()
+    print(compact, flush=True)
     spark.stop()
 
 

@@ -413,6 +413,77 @@ def ivf_build_index(
     return centroids
 
 
+def ivf_append(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign NEW rows to the existing
+    centroids and partition-append them — no re-train, no rewrite of
+    the resident cells.
+
+    A training-data pipeline appends embeddings continuously; rebuilding
+    the index per batch would re-shuffle the whole corpus.  Appending
+    instead costs one Arrow matmul over just the new rows plus a
+    partitioned parquet append, and queries see the new vectors on
+    their next cell listing (same partition pruning).  The tradeoff is
+    drift: centroids trained on yesterday's distribution mis-assign a
+    shifted distribution, packing some cells — watch
+    :func:`ivf_index_stats` and re-train (``ivf_build_index``) when
+    :func:`ivf_retrain_recommended` fires."""
+    spark = new_vectors.sparkSession
+    centroids = ivf_load_centroids(spark, path)
+    assign1 = _cell_assignment_udf(centroids, 1)
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    c = c.select(
+        "vec_id", "vec", F.explode(assign1(F.col("vec"))).alias("cell")
+    )
+    c.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    spark.catalog.refreshByPath(f"{path}/cells")
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> dict:
+    """Cell-occupancy profile of a persisted IVF index: one count-agg
+    over the cells table (cell is a partition column — the scan reads
+    footers, not vectors).  Returns total/occupied/max plus
+    ``imbalance`` = max cell count / mean over ALL trained cells (an
+    empty cell drags the mean down, which is itself a drift signal)."""
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    counts = [
+        r["count"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .groupBy("cell").count().collect()
+    ]
+    total = sum(counts)
+    mean = total / n_cells if n_cells else 0.0
+    return {
+        "n_cells": int(n_cells),
+        "occupied_cells": len(counts),
+        "total_vectors": int(total),
+        "max_cell": int(max(counts, default=0)),
+        "imbalance": (max(counts, default=0) / mean) if mean else 0.0,
+    }
+
+
+def ivf_retrain_recommended(
+    stats: dict, max_imbalance: float = 4.0, min_occupancy: float = 0.5
+) -> bool:
+    """Drift dial for append-maintained indexes: recommend a re-train
+    when occupancy skews — the hottest cell holds > ``max_imbalance``×
+    its fair share (probing it scans that multiple of the intended
+    bytes), or fewer than ``min_occupancy`` of the trained cells hold
+    anything (the index has degenerated toward a linear scan of a few
+    mega-cells).  Pure arithmetic on :func:`ivf_index_stats` output."""
+    if stats["n_cells"] == 0 or stats["total_vectors"] == 0:
+        return False
+    if stats["imbalance"] > max_imbalance:
+        return True
+    return stats["occupied_cells"] / stats["n_cells"] < min_occupancy
+
+
 def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/centroids").collect()
     rows.sort(key=lambda r: r["cell"])

@@ -450,23 +450,36 @@ class MetricsService:
         from rhq_metrics_spark.operators.rollup import stats_from_rollup
         from rhq_metrics_spark.operators.stats import bucket_dimension
 
-        rolled = stats_from_rollup(
-            rollup, buckets, tenant_id=tenant_id, metric=metric,
-            check_alignment=False,
-        ).select(
-            F.col("bucket").alias("bucket_idx"),
-            "min", "max", "sum", "samples",
-        )
         if buckets.end > hi:
-            rolled = rolled.unionByName(
-                self._tail_partials(
-                    metric_type, tenant_id, metric, buckets, hi
+            # ONE aggregation for the whole hybrid merge: every rollup
+            # window tiles wholly inside one bucket (alignment gate), so
+            # window rows ARE per-bucket partials already — union them
+            # with per-point partial rows from the open tail and let a
+            # single hash-agg (map-side combined) merge both.  Three
+            # chained aggs here cost ~250ms of fixed latency at small
+            # scale for zero benefit.
+            rolled = (
+                self._window_partials(rollup, tenant_id, metric, buckets)
+                .unionByName(
+                    self._tail_partials(
+                        metric_type, tenant_id, metric, buckets, hi
+                    )
                 )
-            ).groupBy("bucket_idx").agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
+                .groupBy("bucket_idx")
+                .agg(
+                    F.min("min").alias("min"),
+                    F.max("max").alias("max"),
+                    F.sum("sum").alias("sum"),
+                    F.sum("samples").alias("samples"),
+                )
+            )
+        else:
+            rolled = stats_from_rollup(
+                rollup, buckets, tenant_id=tenant_id, metric=metric,
+                check_alignment=False,
+            ).select(
+                F.col("bucket").alias("bucket_idx"),
+                "min", "max", "sum", "samples",
             )
         rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)
@@ -477,32 +490,61 @@ class MetricsService:
             .select("start", "end", "min", "avg", "max", "sum", "samples")
         )
 
+    def _window_partials(
+        self, rollup: DataFrame, tenant_id, metric, buckets: Buckets,
+        keep_metric: bool = False,
+    ) -> DataFrame:
+        """Rollup windows inside the grid as per-bucket PARTIAL rows
+        (``bucket_idx, min, max, sum, samples``) — no aggregation: the
+        alignment gate guarantees each window falls wholly inside one
+        bucket, so window rows are already mergeable partials."""
+        start_ms = F.unix_millis(F.col("window_start"))
+        end_ms = F.unix_millis(F.col("window_end"))
+        grid_end = buckets.start + buckets.step * buckets.count
+        df = rollup.filter(
+            (F.col("tenant_id") == tenant_id)
+            & (start_ms >= buckets.start) & (end_ms <= grid_end)
+        )
+        if metric is not None:
+            df = df.filter(
+                F.col("metric") == metric if isinstance(metric, str)
+                else F.col("metric").isin(list(metric))
+            )
+        cols = ["metric"] if keep_metric else []
+        return df.select(
+            *cols,
+            ((start_ms - buckets.start) / buckets.step)
+            .cast("long").alias("bucket_idx"),
+            F.col("min").cast("double").alias("min"),
+            F.col("max").cast("double").alias("max"),
+            F.col("sum").cast("double").alias("sum"),
+            F.col("samples").cast("long").alias("samples"),
+        )
+
     def _tail_partials(
         self, metric_type: str, tenant_id, metric, buckets: Buckets, hi: int,
-        group_metric: bool = False,
+        keep_metric: bool = False,
     ) -> DataFrame:
-        """Open-tail mergeable partials for hybrid rollup serving: raw
-        points in ``[hi, buckets.end)`` (the store's slice pruning means
-        only open-slice files are read) aggregated to per-bucket
-        min/max/sum/count — the same partial shape a rollup window
-        carries, so the caller can merge the two with one more agg."""
+        """Open-tail raw points in ``[hi, buckets.end)`` (the store's
+        slice pruning means only open-slice files are read) as
+        DEGENERATE per-bucket partial rows (each point is its own
+        min/max/sum with samples=1) — schema-aligned with
+        :meth:`_window_partials` so one union + one hash-agg merges the
+        finalized prefix and the open tail."""
         from rhq_metrics_spark.operators.stats import bucket_index, in_grid
 
         pts = self.store.find_data_points(
             metric_type, tenant_id, metric, hi, buckets.end
         )
         v = F.col("value").cast("double")
-        keys = (["metric", "bucket_idx"] if group_metric else ["bucket_idx"])
-        return (
-            pts.filter(in_grid(buckets))
-            .withColumn("bucket_idx", bucket_index(buckets))
-            .groupBy(*keys)
-            .agg(
-                F.min(v).alias("min"),
-                F.max(v).alias("max"),
-                F.sum(v).alias("sum"),
-                F.count(v).alias("samples"),
-            )
+        cols = ["metric"] if keep_metric else []
+        return pts.filter(in_grid(buckets)).select(
+            *cols,
+            bucket_index(buckets).alias("bucket_idx"),
+            v.alias("min"),
+            v.alias("max"),
+            v.alias("sum"),
+            F.lit(1).cast("long").alias("samples"),
         )
 
     def build_histogram_rollup(
@@ -719,24 +761,33 @@ class MetricsService:
         from rhq_metrics_spark.operators.rollup import stats_from_rollup
         from rhq_metrics_spark.operators.stats import bucket_dimension
 
-        rolled = stats_from_rollup(
-            rollup.filter(F.col("metric").isin(list(metrics))),
-            buckets, tenant_id=tenant_id, check_alignment=False,
-        ).select(
-            "metric", F.col("bucket").alias("bucket_idx"),
-            "min", "max", "sum", "samples",
-        )
         if buckets.end > hi:
-            rolled = rolled.unionByName(
-                self._tail_partials(
-                    metric_type, tenant_id, list(metrics), buckets, hi,
-                    group_metric=True,
+            rolled = (
+                self._window_partials(
+                    rollup, tenant_id, list(metrics), buckets,
+                    keep_metric=True,
                 )
-            ).groupBy("metric", "bucket_idx").agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
+                .unionByName(
+                    self._tail_partials(
+                        metric_type, tenant_id, list(metrics), buckets, hi,
+                        keep_metric=True,
+                    )
+                )
+                .groupBy("metric", "bucket_idx")
+                .agg(
+                    F.min("min").alias("min"),
+                    F.max("max").alias("max"),
+                    F.sum("sum").alias("sum"),
+                    F.sum("samples").alias("samples"),
+                )
+            )
+        else:
+            rolled = stats_from_rollup(
+                rollup.filter(F.col("metric").isin(list(metrics))),
+                buckets, tenant_id=tenant_id, check_alignment=False,
+            ).select(
+                "metric", F.col("bucket").alias("bucket_idx"),
+                "min", "max", "sum", "samples",
             )
         rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)

@@ -279,3 +279,74 @@ def test_ivf_candidate_fraction_clustered(spark):
     full = ivf_candidate_fraction(emb, emb.filter("vec_id < 20"), cents, n_probe=16)
     assert full == 1.0
     emb.unpersist()
+
+
+def test_ivf_append_roundtrip_and_drift(spark, tmp_path):
+    """VERDICT r5 item 6: build on a prefix, append the remainder with
+    the EXISTING centroids, and the queried index matches a fresh
+    full-corpus build's recall; occupancy stats drive the re-train
+    recommendation."""
+    import re
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        cosine_topk,
+        ivf_append,
+        ivf_build_index,
+        ivf_index_stats,
+        ivf_query_index,
+        ivf_retrain_recommended,
+        topk_recall,
+    )
+
+    emb = synthetic_clustered_embeddings(
+        spark, n=1600, dim=32, n_clusters=8, seed=11
+    ).persist()
+    emb.count()
+    first = emb.filter("vec_id % 10 < 7")   # every cluster represented
+    rest = emb.filter("vec_id % 10 >= 7")
+
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_build_index(first, inc_path, n_cells=8)
+    before = ivf_index_stats(spark, inc_path)
+    ivf_append(inc_path, rest)
+    after = ivf_index_stats(spark, inc_path)
+    assert after["total_vectors"] == 1600
+    assert after["total_vectors"] > before["total_vectors"]
+    assert after["occupied_cells"] >= before["occupied_cells"]
+
+    queries = emb.filter("vec_id < 8")
+    truth = cosine_topk(emb, queries, k=5)
+    got = ivf_query_index(spark, inc_path, queries, k=5, n_probe=2)
+    inc_recall = topk_recall(truth, got)
+
+    fresh_path = str(tmp_path / "ivf_fresh")
+    ivf_build_index(emb, fresh_path, n_cells=8)
+    fresh_recall = topk_recall(
+        truth, ivf_query_index(spark, fresh_path, queries, k=5, n_probe=2)
+    )
+    # clustered fixture: both layouts recover the true neighbors
+    assert inc_recall >= fresh_recall - 1e-9
+    assert inc_recall == 1.0
+
+    # appended rows ride the same partition pruning
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+
+    # healthy balanced index -> no re-train; a degenerate append
+    # (every new vector in one cell's distribution) flips the dial
+    assert not ivf_retrain_recommended(after)
+    skew = emb.filter("vec_id % 8 = 0")
+    import pyspark.sql.functions as F
+
+    for i in range(3):
+        ivf_append(
+            inc_path,
+            skew.withColumn("vec_id", F.col("vec_id") + 100_000 * (i + 1)),
+        )
+    skewed = ivf_index_stats(spark, inc_path)
+    assert skewed["max_cell"] > after["max_cell"]
+    assert ivf_retrain_recommended(skewed, max_imbalance=1.5)
+    emb.unpersist()
