@@ -3746,6 +3746,77 @@ GROUP BY metric, b0, (ts - b0) // {ROLLUP_STEP_MS}
 """
 
 
+def q_b15_hybrid_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 (r6): HYBRID rollup+open-tail serving — the reference's
+    default now−8h..now dashboard range crosses the rollup finality
+    watermark, so stats merge a finalized prefix (1h window partials)
+    with the raw open tail (per-point degenerate partials) in ONE
+    hash-agg (service._rollup_routed_stats is the production twin over
+    the store, equality pinned by tests/test_rollup.py hybrid tests;
+    reference behavior: compressed-blocks ∪ live-temp merge,
+    MetricsServiceImpl.java:662-693).  The watermark splits the range
+    at the 3/4 point (window-aligned), so every bucket shape is
+    exercised: fully-rolled, straddling, and fully-raw.  The oracle
+    aggregates ALL raw points into the same grid — the hybrid merge
+    must be indistinguishable from never having split."""
+    pts = _events_points(spark, sf_dir).select(
+        F.lit("t").alias("tenant_id"), "metric", "ts",
+        F.round(F.col("value") * 10_000).alias("value"),
+    )
+    s, e = _bounds(pts)
+    b0 = s - s % ROLLUP_STEP_MS
+    # window-aligned finality watermark at ~3/4 of the range
+    hw = b0 + (3 * (e - b0) // 4 // ROLLUP_WIN_MS) * ROLLUP_WIN_MS
+    finalized = pts.filter(F.col("ts") < hw)
+    rolled = (
+        finalized.groupBy(
+            "tenant_id", "metric",
+            F.window(
+                F.timestamp_millis(F.col("ts")),
+                f"{ROLLUP_WIN_MS // 1000} seconds",
+            ).alias("win"),
+        )
+        .agg(
+            F.min("value").alias("min"), F.max("value").alias("max"),
+            F.sum("value").alias("sum"), F.count("value").alias("samples"),
+        )
+        .select(
+            "tenant_id", "metric",
+            ((F.unix_millis(F.col("win.start")) - b0) / ROLLUP_STEP_MS)
+            .cast("long").alias("bucket"),
+            "min", "max", "sum", "samples",
+        )
+    )
+    tail = pts.filter(F.col("ts") >= hw).select(
+        "tenant_id", "metric",
+        ((F.col("ts") - b0) / ROLLUP_STEP_MS).cast("long").alias("bucket"),
+        F.col("value").alias("min"), F.col("value").alias("max"),
+        F.col("value").alias("sum"), F.lit(1).cast("long").alias("samples"),
+    )
+    merged = (
+        rolled.unionByName(tail)
+        .groupBy("tenant_id", "metric", "bucket")
+        .agg(
+            F.min("min").alias("min"), F.max("max").alias("max"),
+            F.sum("sum").alias("sum"), F.sum("samples").alias("samples"),
+        )
+    )
+    return merged.select(
+        "tenant_id", "metric", "bucket",
+        (F.lit(b0) + F.col("bucket") * ROLLUP_STEP_MS).alias("bucket_start"),
+        F.round(F.col("min") / 10_000, 4).alias("min"),
+        F.floor(F.col("sum") * 100 / F.col("samples")).cast("long").alias("avg_e6"),
+        F.round(F.col("max") / 10_000, 4).alias("max"),
+        F.round(F.col("sum") / 10_000, 4).alias("sum"),
+        "samples",
+    )
+
+
+# the hybrid split must be invisible: the oracle is the SAME full-grid
+# aggregation over raw points that checks b11
+SQL_B15 = SQL_B11
+
+
 CHUNK_TOKENS, CHUNK_STRIDE = 40, 30
 
 
@@ -3963,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_rolling_median": q_w8_rolling_median,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
+        "b15_hybrid_serving": q_b15_hybrid_serving,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
         # relational showcase / bench headliners
         "tpch_q1": q_tpch_q1,
@@ -4076,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "w8_rolling_median": SQL_W8,
         "o4_topk_per_group": SQL_O4,
         "b11_rollup_serving": SQL_B11,
+        "b15_hybrid_serving": SQL_B15,
         "s10_wire_roundtrip": SQL_S10,
         "text_classify": SQL_CLF,
         "chunk_docs": SQL_CHUNK,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "w5_rolling_zscore",  # trailing-window anomaly flags
     "o4_topk_per_group",  # WindowGroupLimit partial top-k
     "b11_rollup_serving", # continuous-aggregate read path
+    "b15_hybrid_serving", # rollup prefix + open-tail merge (default window)
     "text_classify",      # hashed-feature broadcast model scoring
     "tpch_q1",
     "tpch_q3",
