@@ -625,17 +625,24 @@ class MetricsService:
     ) -> DataFrame | None:
         """Per-bucket approximate percentiles served from attached
         histogram partials; None when the request can't be routed (no
-        attach, off-grid buckets, or range past the newest finalized
-        slice — same alignment/finality rules as the stats rollup).
+        attach, off-grid buckets, or range starting past the newest
+        finalized slice — same alignment rules as the stats rollup).
         Output: ``(start, end, p<q>...)`` with the exact path's column
-        names; empty buckets carry nulls.  Error ≤ one bin width."""
+        names; empty buckets carry nulls.  Error ≤ one bin width.
+
+        A range ENDING past the finality watermark gets the same hybrid
+        treatment as :meth:`_rollup_routed_stats`: the open tail's raw
+        points (pruned to open slices) are binned with the identical
+        bin expression into degenerate count=1 partial rows and unioned
+        with the finalized partials before the quantile merge — the
+        estimate keeps the one-bin-width error bound."""
         entry = self._hist_rollups.get(MetricType.check(metric_type))
         if entry is None or not percentiles:
             return None
         hists, slice_ms, lo, hi, n_bins, watermark = entry[:6]
         if buckets.step % slice_ms != 0 or buckets.start % slice_ms != 0:
             return None
-        if watermark is None or buckets.end > watermark:
+        if watermark is None or buckets.start >= watermark:
             return None
         from rhq_metrics_spark.operators.downsample import histogram_quantiles
         from rhq_metrics_spark.operators.stats import (
@@ -647,7 +654,25 @@ class MetricsService:
             (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
             & (F.col("slice_start") >= buckets.start)
             & (F.col("slice_start") < buckets.end)
-        )
+        ).select("tenant_id", "metric", "slice_start", "bin", "count")
+        if buckets.end > watermark:
+            pts = self.store.find_data_points(
+                metric_type, tenant_id, metric, watermark, buckets.end
+            )
+            bin_w = (hi - lo) / n_bins
+            raw_bin = F.floor((F.col("value").cast("double") - lo) / bin_w)
+            mine = mine.unionByName(
+                pts.select(
+                    "tenant_id",
+                    "metric",
+                    (F.floor(F.col("ts") / slice_ms) * slice_ms)
+                    .alias("slice_start"),
+                    F.least(
+                        F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)
+                    ).cast("int").alias("bin"),
+                    F.lit(1).cast("long").alias("count"),
+                )
+            )
         qs, names, seen = [], [], set()
         for q in percentiles:
             if not 0 < q <= 100:
@@ -1016,10 +1041,11 @@ class MetricsService:
             df, slice_ms, watermark = self._avail_rollup[:3]
             if (
                 buckets.step % slice_ms == 0 and buckets.start % slice_ms == 0
-                and watermark is not None and buckets.end <= watermark
+                and watermark is not None and buckets.start < watermark
             ):
                 from rhq_metrics_spark.operators.availability import (
                     availability_from_rollup,
+                    availability_rollup,
                 )
 
                 # single-series filter, then merge UNGROUPED so empty
@@ -1029,6 +1055,27 @@ class MetricsService:
                     (F.col("tenant_id") == tenant_id)
                     & (F.col("metric") == metric)
                 ).drop("tenant_id", "metric")
+                if buckets.end > watermark:
+                    # hybrid (see _increase_routed): raw open-tail points
+                    # become per-slice pseudo-partials via the same
+                    # deterministic builder; the cross-slice state-machine
+                    # reconstruction treats the watermark like any other
+                    # slice boundary
+                    from rhq_metrics_spark.model import AvailabilityType
+
+                    tail = availability_rollup(
+                        self.store.find_data_points(
+                            MetricType.AVAILABILITY, tenant_id, metric,
+                            watermark, buckets.end,
+                        ),
+                        slice_ms,
+                    )
+                    cols = ["slice_start", "f_ts", "f_state", "l_ts",
+                            "l_state",
+                            *[f"{s}_dur" for s in AvailabilityType.ALL],
+                            "nuc_interior", "last_not_up_ts",
+                            "last_recovery_ts", "samples"]
+                    mine = mine.select(*cols).unionByName(tail.select(*cols))
                 return availability_from_rollup(
                     mine, buckets, slice_ms
                 ).orderBy("start")
@@ -1271,7 +1318,13 @@ class MetricsService:
         value_scale, counter,
     ) -> DataFrame | None:
         """Exact increase() from attached partials when the request
-        tiles the slice grid inside the finalized range; None → raw."""
+        tiles the slice grid; None → raw.  A range ending past the
+        finality watermark is served HYBRID: the open tail's raw points
+        become per-slice pseudo-partials through the SAME builder
+        (``increase_rollup`` is deterministic, so they are bit-identical
+        to what compaction would write), union with the finalized
+        partials, and the ordinary cross-slice merge reconstructs the
+        watermark-bridging pair like any other slice boundary."""
         entry = self._increase_rollups.get(MetricType.check(metric_type))
         if entry is None:
             return None
@@ -1280,14 +1333,28 @@ class MetricsService:
             return None
         if bucket_ms % slice_ms != 0 or start % slice_ms != 0 or end % slice_ms != 0:
             return None
-        if watermark is None or end > watermark:
+        if watermark is None or start >= watermark:
             return None
-        from rhq_metrics_spark.operators.rate import increase_from_rollup
+        from rhq_metrics_spark.operators.rate import (
+            increase_from_rollup,
+            increase_rollup,
+        )
 
         mine = df.filter(
             (F.col("tenant_id") == tenant_id) & (F.col("metric") == metric)
             & (F.col("slice_start") >= start) & (F.col("slice_start") < end)
         )
+        cols = ["tenant_id", "metric", "slice_start",
+                "f_ts", "f_v", "l_ts", "l_v", "inc", "n_pairs"]
+        if end > watermark:
+            tail = increase_rollup(
+                self.store.find_data_points(
+                    metric_type, tenant_id, metric, watermark, end
+                ),
+                slice_ms, value_scale=value_scale,
+                group_cols=["tenant_id", "metric"], counter=counter,
+            )
+            mine = mine.select(*cols).unionByName(tail.select(*cols))
         return increase_from_rollup(
             mine, bucket_ms, slice_ms, value_scale=value_scale,
             group_cols=["tenant_id", "metric"], counter=counter,
@@ -1317,9 +1384,12 @@ class MetricsService:
                 att_scale == value_scale and att_gap == max_gap_ms
                 and bucket_ms % slice_ms == 0
                 and start % slice_ms == 0 and end % slice_ms == 0
-                and watermark is not None and end <= watermark
+                and watermark is not None and start < watermark
             ):
-                from rhq_metrics_spark.operators.rate import twa_from_rollup
+                from rhq_metrics_spark.operators.rate import (
+                    twa_from_rollup,
+                    twa_rollup,
+                )
 
                 mine = df.filter(
                     (F.col("tenant_id") == tenant_id)
@@ -1327,6 +1397,21 @@ class MetricsService:
                     & (F.col("slice_start") >= start)
                     & (F.col("slice_start") < end)
                 )
+                if end > watermark:
+                    # hybrid (see _increase_routed): tail raw points →
+                    # pseudo-partials via the same deterministic builder
+                    cols = ["tenant_id", "metric", "slice_start", "f_ts",
+                            "f_v", "l_ts", "l_v", "wsum", "held_ms",
+                            "n_pairs"]
+                    tail = twa_rollup(
+                        self.store.find_data_points(
+                            metric_type, tenant_id, metric, watermark, end
+                        ),
+                        slice_ms, value_scale=value_scale,
+                        group_cols=["tenant_id", "metric"],
+                        max_gap_ms=max_gap_ms,
+                    )
+                    mine = mine.select(*cols).unionByName(tail.select(*cols))
                 return twa_from_rollup(
                     mine, bucket_ms, slice_ms, value_scale=value_scale,
                     group_cols=["tenant_id", "metric"], max_gap_ms=max_gap_ms,

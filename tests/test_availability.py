@@ -152,3 +152,51 @@ def test_availability_rollup_matches_batch_exactly(spark):
         availability_from_rollup(
             partials, Buckets.from_step(0, 1_800_000, 900_000), slice_ms
         )
+
+
+def test_availability_hybrid_across_watermark(spark, tmp_path):
+    """r6: availability_stats across the partials' finality watermark —
+    finalized per-slice partials + on-the-fly tail pseudo-partials
+    reconstruct the state machine bit-identically to the raw path,
+    including the boundary hold bridging the watermark."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.availability import availability_rollup
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=600_000)
+    svc = MetricsService(spark, store)
+    slice_ms = 600_000
+    states = ["up", "up", "down", "up", "unknown", "up", "down", "admin"]
+    rows = [("t", "svc1", i * 25_000, states[i % len(states)], None)
+            for i in range(220)]
+    store.add_data_points("availability", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value string, "
+              "tags map<string,string>"))
+
+    wm = 3_000_000  # slices 0-4 finalized; the rest open
+    availability_rollup(
+        store.points("availability").filter(F.col("ts") < wm), slice_ms,
+        group_cols=["tenant_id", "metric"],
+    ).write.parquet(str(tmp_path / "avail"))
+    svc.attach_availability_rollup(str(tmp_path / "avail"), slice_ms)
+    assert svc._avail_rollup[2] == wm
+
+    b = Buckets.from_step(0, 5_400_000, 1_800_000)  # bucket 1 straddles wm
+    hybrid = svc.availability_stats("t", "svc1", b)
+    assert any("points" in f for f in hybrid.inputFiles())
+    saved = svc._avail_rollup
+    svc._avail_rollup = None
+    raw = svc.availability_stats("t", "svc1", b)
+    svc._avail_rollup = saved
+    assert hybrid.columns == raw.columns
+    got = [r.asDict() for r in hybrid.orderBy("start").collect()]
+    exp = [r.asDict() for r in raw.orderBy("start").collect()]
+    assert got == exp and len(got) == 3
+
+    # range fully inside the open tail -> raw path
+    b_tail = Buckets.from_step(3_000_000, 5_400_000, 600_000)
+    tail_only = svc.availability_stats("t", "svc1", b_tail)
+    assert not any("/avail/" in f for f in tail_only.inputFiles())

@@ -281,3 +281,92 @@ def test_twa_rollup_matches_batch_exactly(spark):
         exp = {(r["metric"], r["bucket_start"]):
                (r["n_pairs"], r["held_ms"], r["twa"]) for r in batch.collect()}
         assert got == exp, f"gap={gap}"
+
+
+def test_increase_hybrid_across_watermark(spark, tmp_path):
+    """r6: increase() over a range ending past the partials' finality
+    watermark merges finalized partials with on-the-fly tail
+    pseudo-partials — bit-identical to the raw path, including the
+    watermark-bridging pair (and a counter reset in the tail)."""
+    from rhq_metrics_spark.operators.rate import increase_rollup
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    import pyspark.sql.functions as F
+
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=600_000)
+    svc = MetricsService(spark, store)
+    slice_ms = 600_000
+    rows, v = [], 0
+    for i in range(200):
+        v = 2 if i % 37 == 36 else v + (i % 5)  # resets land in the tail too
+        rows.append(("t", "reqs", i * 30_000, v, None))
+    store.add_data_points("counter", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value long, "
+              "tags map<string,string>"))
+
+    wm = 3_600_000  # slices 0-5 finalized; 6-9 open
+    increase_rollup(
+        store.points("counter").filter(F.col("ts") < wm), slice_ms,
+        group_cols=["tenant_id", "metric"],
+    ).write.parquet(str(tmp_path / "inc"))
+    svc.attach_increase_rollup("counter", str(tmp_path / "inc"), slice_ms)
+    assert svc._increase_rollups["counter"][3] == wm
+
+    end = 6_000_000
+    hybrid = svc.increase("t", "reqs", 0, end, 1_200_000)
+    assert any("points" in f for f in hybrid.inputFiles())  # tail scan
+    assert any("inc" in f for f in hybrid.inputFiles())     # partials too
+    saved = dict(svc._increase_rollups)
+    svc._increase_rollups.clear()
+    raw = svc.increase("t", "reqs", 0, end, 1_200_000)
+    svc._increase_rollups.update(saved)
+    got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in hybrid.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
+    assert got == exp and len(got) == 5
+
+    # range entirely past the watermark -> raw fallback (no partials read)
+    tail_only = svc.increase("t", "reqs", wm, end, 1_200_000)
+    assert not any("/inc/" in f for f in tail_only.inputFiles())
+
+
+def test_twa_hybrid_across_watermark(spark, tmp_path):
+    """r6: time_weighted_avg across the finality watermark ==
+    raw path bit-for-bit (boundary hold bridging the watermark)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.operators.rate import twa_rollup
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=600_000)
+    svc = MetricsService(spark, store)
+    slice_ms = 600_000
+    rng = random.Random(5)
+    rows = [("t", "load", i * 20_000 + rng.randrange(5_000),
+             round(rng.uniform(0, 50), 2), None) for i in range(300)]
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+
+    wm = 3_600_000
+    twa_rollup(
+        store.points("gauge").filter(F.col("ts") < wm), slice_ms,
+        group_cols=["tenant_id", "metric"],
+    ).write.parquet(str(tmp_path / "twa"))
+    svc.attach_twa_rollup("gauge", str(tmp_path / "twa"), slice_ms)
+
+    end = 6_000_000
+    hybrid = svc.time_weighted_avg("t", "load", 0, end, 1_200_000)
+    assert any("points" in f for f in hybrid.inputFiles())
+    saved = dict(svc._twa_rollups)
+    svc._twa_rollups.clear()
+    raw = svc.time_weighted_avg("t", "load", 0, end, 1_200_000)
+    svc._twa_rollups.update(saved)
+    got = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in hybrid.collect()}
+    exp = {r["bucket_start"]: (r["n_pairs"], r["held_ms"], r["twa"])
+           for r in raw.collect()}
+    assert got == exp and len(got) == 5

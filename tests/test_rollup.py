@@ -530,3 +530,48 @@ def test_hybrid_rollup_multi_metric(spark, tmp_path):
                         assert math.isclose(rb[k], xb[k], rel_tol=1e-9), (m, k)
                     else:
                         assert rb[k] == xb[k], (m, k, rb, xb)
+
+
+def test_hybrid_hist_percentile_serving(spark, tmp_path):
+    """percentile_impl='hist' across the finality watermark: finalized
+    histogram partials + the open tail binned on the fly — rank columns
+    stay within one bin width of exact, base columns exact."""
+    import math
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", "m", w * win + i * 2_000, float((w * 7 + i * 4) % 120), None)
+            for w in range(8) for i in range(30)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=win)
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+
+    lo_v, hi_v, n_bins = 0.0, 120.0, 60
+    watermark = 6 * win  # slices 0-5 finalized, 6-7 open
+    import pyspark.sql.functions as F
+
+    hists = svc.build_histogram_rollup("gauge", win, lo_v, hi_v, n_bins) \
+        .filter(F.col("slice_start") < watermark)
+    svc.attach_histogram_rollup("gauge", hists, win, lo_v, hi_v, n_bins)
+    assert svc._hist_rollups["gauge"][5] == watermark
+
+    b = Buckets.from_step(0, 8 * win, 2 * win)  # bucket 3 fully open
+    exact = svc.gauge_stats("t", "m", b, percentiles=(90, 99))
+    approx = svc.gauge_stats("t", "m", b, percentiles=(90, 99),
+                             percentile_impl="hist", use_rollup=False)
+    assert approx is not None and approx.columns == exact.columns
+    got = {r["start"]: r for r in approx.collect()}
+    exp = {r["start"]: r for r in exact.collect()}
+    assert set(got) == set(exp) and len(got) == 4
+    for k in exp:
+        for c in ("min", "avg", "max", "sum", "samples"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+        for c in ("median", "p90", "p99"):
+            assert abs(got[k][c] - exp[k][c]) <= 2.0 + 1e-9, (k, c)
+
+    # range entirely in the open tail -> unroutable -> exact fallback
+    b_tail = Buckets.from_step(6 * win, 8 * win, win)
+    assert svc.percentiles_from_rollup("gauge", "t", "m", b_tail, (90,)) is None
