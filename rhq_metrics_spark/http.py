@@ -47,6 +47,11 @@ Multi-metric query surface (round 6):
 - ``GET  /{type}s/tags/{tags}/raw``  GaugeHandler.java:891
 - ``GET  /{type}s/{id}/stats/tags/{tags}``  GaugeHandler.java:653 →
   map keyed ``k:v,k2:v2`` (TaggedBucketPointTransformer.java:65-71)
+- ``GET  /{type}s/rate/stats`` (+ deprecated ``/rate`` alias)
+  CounterHandler.getRateStats — multi-metric rate bucket stats
+- ``GET  /{type}s/tags/{tags}``   CounterHandler.getTags — typed
+  tag-value query
+- ``DELETE /tenants/{id}``        TenantsHandler.java:128-137
 
 Wire conventions carried over exactly:
 
@@ -164,7 +169,9 @@ class MetricsApp:
             self._require(method, {"GET"})
             return 200, {"MetricsService": "STARTED"}
         if segs[0] == "tenants":
-            return self._tenants(method, environ)
+            return self._tenants(
+                method, environ, segs[1] if len(segs) == 2 else None
+            )
 
         tenant = environ.get("HTTP_HAWKULAR_TENANT", "").strip()
         if not tenant:
@@ -211,9 +218,18 @@ class MetricsApp:
             return self._multi_stats(
                 mt, tenant, qs, environ, body=self._json_body(environ)
             )
+        if rest == ["rate", "stats"] or rest == ["rate"]:
+            # /rate is the deprecated alias of /rate/stats
+            # (CounterHandler.java deprecatedFindCounterRateDataStats)
+            self._require(method, {"GET"})
+            return self._multi_stats(mt, tenant, qs, environ, rate=True)
         if len(rest) == 3 and rest[0] == "tags" and rest[2] == "raw":
             self._require(method, {"GET"})
             return self._tags_raw(mt, tenant, rest[1], qs)
+        if len(rest) == 2 and rest[0] == "tags":
+            # typed tag-value query (CounterHandler.java getTags)
+            self._require(method, {"GET"})
+            return self._tag_values(mt, tenant, rest[1])
         metric_id = rest[0]
         sub = rest[1:]
         if not sub:
@@ -289,7 +305,13 @@ class MetricsApp:
 
     # -- handlers -----------------------------------------------------------
 
-    def _tenants(self, method, environ):
+    def _tenants(self, method, environ, tenant_id=None):
+        if tenant_id is not None:
+            # DELETE /tenants/{id} (TenantsHandler.java:128-137)
+            self._require(method, {"DELETE"})
+            with api_errors():
+                self.service.delete_tenant(tenant_id)
+            return 200, None
         if method == "POST":
             body = self._json_body(environ)
             if not isinstance(body, dict) or not body.get("id"):
@@ -648,11 +670,14 @@ class MetricsApp:
             tr = TimeRange.of(params.get("start"), params.get("end"))
         return tr.start, tr.end
 
-    def _multi_stats(self, metric_type, tenant, qs, environ, body=None):
+    def _multi_stats(self, metric_type, tenant, qs, environ, body=None,
+                     rate=False):
         """GET /{type}s/stats + POST /{type}s/stats/query
         (GaugeHandler.java:572,619): stats over metrics resolved by name
         or tag — pooled (A4) by default, stacked (A3) sum-of-stats with
-        ?stacked=true."""
+        ?stacked=true.  ``rate=True`` is GET /{type}s/rate/stats
+        (CounterHandler.getRateStats): same shape over the derived
+        per-minute rate stream (W1)."""
         if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
             raise BadRequest(f"Metric type does not match {metric_type}")
         if body is None:
@@ -682,9 +707,29 @@ class MetricsApp:
             )
             df = self.service.numeric_stats(
                 metric_type, tenant, ids, bks,
-                percentiles=percentiles, stacked=stacked,
+                percentiles=percentiles, stacked=stacked, is_rate=rate,
             )
         raise _collection(bucket_points_json(df))
+
+    def _tag_values(self, metric_type, tenant, tags_seg):
+        """GET /{type}s/tags/{tags}: tag-value query scoped to one
+        metric type (CounterHandler.getTags → getTagValues)."""
+        try:
+            patterns = dict(
+                kv.split(":", 1) for kv in tags_seg.split(",") if kv
+            )
+        except ValueError:
+            raise BadRequest(f"Invalid tags parameter: {tags_seg!r}") from None
+        if not patterns:
+            raise BadRequest(f"Invalid tags parameter: {tags_seg!r}")
+        with api_errors():
+            df = self.service.get_tag_values(
+                patterns, tenant_id=tenant, metric_type=metric_type
+            )
+        out: dict[str, list[str]] = {}
+        for r in df.collect():
+            out.setdefault(r["tag"], []).append(r["value"])
+        raise _collection({k: sorted(v) for k, v in out.items()})
 
     def _named_points_query(self, metric_type, tenant, ids, params, rate):
         limit = params.get("limit") or 0

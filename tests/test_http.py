@@ -667,3 +667,41 @@ def test_tagged_bucket_stats_endpoint(mm_app):
     code, body = call(mm_app, "GET",
                       f"{P}/gauges/mt/stats/tags/host:zzz?start=0&end=10000")
     assert code == 204
+
+
+def test_multi_metric_rate_stats_get(mm_app):
+    # GET /counters/rate/stats (CounterHandler.getRateStats) and the
+    # deprecated /rate alias: counter rises 10 per 30s -> 20/min
+    for path in ("rate/stats", "rate"):
+        code, body = call(
+            mm_app, "GET",
+            f"{P}/counters/{path}?start=0&end=240000&buckets=1&metrics=c1")
+        assert code == 200 and len(body) == 1, (path, code)
+        assert abs(body[0]["avg"] - 20.0) < 1e-9
+    code, body = call(mm_app, "GET",
+                      f"{P}/counters/rate/stats?start=0&end=240000&buckets=1")
+    assert code == 400 and "metrics or tags" in body["errorMsg"]
+
+
+def test_typed_tag_values_query(mm_app):
+    code, body = call(mm_app, "GET", f"{P}/gauges/tags/dc:*")
+    assert code == 200 and sorted(body["dc"]) == ["east", "west"]
+    # counter defs carry no dc tag -> 204
+    code, body = call(mm_app, "GET", f"{P}/counters/tags/dc:*")
+    assert code == 204
+
+
+def test_delete_tenant_endpoint(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("http_del_tenant")
+    svc = MetricsService(spark, MetricsStore(spark, str(base)))
+    app = MetricsApp(svc, base_path=P)
+    call(app, "POST", f"{P}/tenants", {"id": "doomed"}, tenant=None)
+    assert call(app, "POST", f"{P}/gauges/g/raw",
+                [{"timestamp": 1, "value": 1.0}], tenant="doomed")[0] == 200
+    code, _ = call(app, "DELETE", f"{P}/tenants/doomed", tenant=None)
+    assert code == 200
+    code, body = call(app, "GET", f"{P}/gauges/g/raw?start=0&end=10",
+                      tenant="doomed")
+    assert code == 204
+    # wrong method on the id resource
+    assert call(app, "GET", f"{P}/tenants/doomed", tenant=None)[0] == 405
