@@ -2905,6 +2905,82 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _hybrid_watermark(s: int, e: int, slice_ms: int = 7_200_000) -> int:
+    """Deterministic slice-aligned finality watermark at ~3/4 of the
+    data range — the r6 hybrid-serving fixtures' split point (every
+    bucket shape gets exercised: fully-rolled, straddling, fully-raw)."""
+    b0 = s - s % slice_ms
+    return b0 + (3 * (e - b0) // 4 // slice_ms) * slice_ms
+
+
+def q_w9_increase_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (r6): increase() across the finality watermark — finalized
+    per-slice partials union with tail pseudo-partials built by the
+    SAME deterministic builder, and the ordinary cross-slice merge
+    bridges the watermark like any slice boundary
+    (service._increase_routed is the production twin over the store;
+    reference behavior: compressed ∪ temp merge,
+    MetricsServiceImpl.java:662-693).  Bit-identical to the raw-scan
+    operator, so the oracle is w8's plain adjacent-pair SQL."""
+    from rhq_metrics_spark.operators.rate import (
+        increase_from_rollup,
+        increase_rollup,
+    )
+
+    pts = _events_points(spark, sf_dir)
+    s, e = _bounds(pts)
+    hw = _hybrid_watermark(s, e)
+    fin = increase_rollup(pts.filter(F.col("ts") < hw), slice_ms=7_200_000)
+    tail = increase_rollup(pts.filter(F.col("ts") >= hw), slice_ms=7_200_000)
+    return increase_from_rollup(
+        fin.unionByName(tail), bucket_ms=86_400_000, slice_ms=7_200_000
+    )
+
+
+def q_a13_twa_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (r6): time-weighted average across the finality watermark —
+    same hybrid construction as w9 (boundary hold bridging the
+    watermark reconstructed by the ordinary merge).  Oracle = a12's
+    plain adjacent-pair SQL."""
+    from rhq_metrics_spark.operators.rate import twa_from_rollup, twa_rollup
+
+    pts = _events_points(spark, sf_dir)
+    s, e = _bounds(pts)
+    hw = _hybrid_watermark(s, e)
+    fin = twa_rollup(pts.filter(F.col("ts") < hw), slice_ms=7_200_000)
+    tail = twa_rollup(pts.filter(F.col("ts") >= hw), slice_ms=7_200_000)
+    return twa_from_rollup(
+        fin.unionByName(tail), bucket_ms=86_400_000, slice_ms=7_200_000
+    )
+
+
+def q_a2_availability_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-hybrid (r6): the availability state machine across the
+    finality watermark — finalized partials ∪ tail pseudo-partials,
+    state carry and boundary holds reconstructed bit-identically.
+    Oracle = a2_availability_rollup's per-bucket state-machine SQL."""
+    from rhq_metrics_spark.operators.availability import (
+        availability_from_rollup,
+        availability_rollup,
+    )
+
+    pts = _avail_points(spark, sf_dir)
+    s, e = _bounds(pts)
+    day = 86_400_000
+    hw = _hybrid_watermark(s, e)
+    buckets = Buckets.from_step((s // day) * day, ((e // day) + 1) * day, day)
+    fin = availability_rollup(
+        pts.filter(F.col("ts") < hw), 7_200_000, group_cols=["metric"]
+    )
+    tail = availability_rollup(
+        pts.filter(F.col("ts") >= hw), 7_200_000, group_cols=["metric"]
+    )
+    out = availability_from_rollup(
+        fin.unionByName(tail), buckets, 7_200_000, group_cols=["metric"]
+    )
+    return out.withColumn("uptime_ratio", F.round("uptime_ratio", 6))
+
+
 def q_b14_hist_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14+: ONE-PASS multi-quantile serving from histogram partials
     (operators/downsample.py histogram_quantiles, r5) — p50/p90/p99 per
@@ -4030,6 +4106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "a12_twa_rollup": q_a12_twa_rollup,
+        "w9_increase_hybrid": q_w9_increase_hybrid,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
+        "a2_availability_hybrid": q_a2_availability_hybrid,
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "w8_rolling_median": q_w8_rolling_median,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4144,6 +4223,9 @@ def oracle_sql() -> dict[str, str]:
         "b14_hist_quantiles_multi": SQL_B14,
         "a12_time_weighted_avg": SQL_A12,
         "a12_twa_rollup": SQL_A12_ROLLUP,
+        "w9_increase_hybrid": SQL_W8_INC,
+        "a13_twa_hybrid": SQL_A12_ROLLUP,
+        "a2_availability_hybrid": SQL_A2_ROLLUP,
         "w5_rolling_zscore": SQL_W5,
         "w8_rolling_median": SQL_W8,
         "o4_topk_per_group": SQL_O4,

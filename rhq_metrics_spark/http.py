@@ -168,6 +168,19 @@ class MetricsApp:
         if segs[0] == "status":
             self._require(method, {"GET"})
             return 200, {"MetricsService": "STARTED"}
+        if segs[0] == "ping":
+            # PingHandler: current server time (availability probe)
+            self._require(method, {"GET"})
+            return 200, {"value": time.strftime(
+                "%a %b %d %H:%M:%S %Z %Y", time.gmtime()
+            )}
+        if segs == ["admin", "status"]:
+            # AdminHandler.status: per-component health
+            self._require(method, {"GET"})
+            return 200, {
+                "MetricsService": "STARTED",
+                "backend": type(self.service.store).__name__,
+            }
         if segs[0] == "tenants":
             return self._tenants(
                 method, environ, segs[1] if len(segs) == 2 else None

@@ -705,3 +705,10 @@ def test_delete_tenant_endpoint(spark, tmp_path_factory):
     assert code == 204
     # wrong method on the id resource
     assert call(app, "GET", f"{P}/tenants/doomed", tenant=None)[0] == 405
+
+
+def test_ping_and_admin_status(app):
+    code, body = call(app, "GET", f"{P}/ping", tenant=None)
+    assert code == 200 and "value" in body
+    code, body = call(app, "GET", f"{P}/admin/status", tenant=None)
+    assert code == 200 and body["MetricsService"] == "STARTED"
