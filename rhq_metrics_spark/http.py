@@ -550,7 +550,13 @@ class MetricsApp:
                     metric_type, tenant, [metric_id], bks,
                     percentiles=percentiles,
                 )
-        raise _collection(bucket_points_json(df))
+        pts = bucket_points_json(df)
+        if qs.get("fromEarliest", "").lower() == "true":
+            # GaugeHandler.getMetricStats skipWhile: leading empty
+            # buckets are dropped under fromEarliest
+            while pts and pts[0].get("empty"):
+                pts.pop(0)
+        raise _collection(pts)
 
     def _periods(self, metric_type, tenant, metric_id, qs):
         if metric_type != MetricType.GAUGE:
@@ -722,7 +728,13 @@ class MetricsApp:
                 metric_type, tenant, ids, bks,
                 percentiles=percentiles, stacked=stacked, is_rate=rate,
             )
-        raise _collection(bucket_points_json(df))
+        pts = bucket_points_json(df)
+        if params.get("fromEarliest") in (True, "true", "True"):
+            # reference drops LEADING empty buckets under fromEarliest
+            # (GaugeHandler skipWhile(bucket.isEmpty()))
+            while pts and pts[0].get("empty"):
+                pts.pop(0)
+        raise _collection(pts)
 
     def _tag_values(self, metric_type, tenant, tags_seg):
         """GET /{type}s/tags/{tags}: tag-value query scoped to one

@@ -712,3 +712,19 @@ def test_ping_and_admin_status(app):
     assert code == 200 and "value" in body
     code, body = call(app, "GET", f"{P}/admin/status", tenant=None)
     assert code == 200 and body["MetricsService"] == "STARTED"
+
+
+def test_multi_stats_from_earliest(mm_app):
+    # fromEarliest resolves the range from retention (8h default window
+    # replaced by retention-derived start); start/end are rejected with it
+    code, body = call(
+        mm_app, "GET",
+        f"{P}/gauges/stats?metrics=m1&buckets=1&fromEarliest=true&start=0")
+    assert code == 400 and "fromEarliest" in body["errorMsg"]
+    # the epoch-0 fixture points are outside now-7d..now, so the single
+    # retention-window bucket is empty and the reference's skipWhile
+    # drops it -> 204 (leading empty buckets vanish under fromEarliest)
+    code, body = call(
+        mm_app, "GET",
+        f"{P}/gauges/stats?metrics=m1&buckets=1&fromEarliest=true")
+    assert code == 204 and body is None
