@@ -165,10 +165,10 @@ class MetricsApp:
         if not segs:
             self._require(method, {"GET"})
             return 200, {"name": "rhq-metrics-spark"}
-        if segs[0] == "status":
+        if segs == ["status"]:
             self._require(method, {"GET"})
             return 200, {"MetricsService": "STARTED"}
-        if segs[0] == "ping":
+        if segs == ["ping"]:
             # PingHandler: current server time (availability probe)
             self._require(method, {"GET"})
             return 200, {"value": time.strftime(
@@ -182,6 +182,8 @@ class MetricsApp:
                 "backend": type(self.service.store).__name__,
             }
         if segs[0] == "tenants":
+            if len(segs) > 2:
+                raise NotFound(f"no such resource: {path}")
             return self._tenants(
                 method, environ, segs[1] if len(segs) == 2 else None
             )
@@ -498,10 +500,20 @@ class MetricsApp:
 
     def _stats(self, metric_type, tenant, metric_id, qs):
         bks = self._buckets(metric_type, tenant, metric_id, qs)
+
+        def respond(pts):
+            # GaugeHandler skipWhile: leading empty buckets drop under
+            # fromEarliest — applied on EVERY branch (routed, availability,
+            # raw) so the behavior doesn't depend on server attach state
+            if self._flag(qs, "fromEarliest"):
+                while pts and pts[0].get("empty"):
+                    pts.pop(0)
+            raise _collection(pts)
+
         if metric_type == MetricType.AVAILABILITY:
             with api_errors():
                 df = self.service.availability_stats(tenant, metric_id, bks)
-            raise _collection(availability_points_json(df))
+            respond(availability_points_json(df))
         if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
             raise BadRequest(f"Metric type does not match {metric_type}")
         percentiles = self._percentiles(qs)
@@ -532,7 +544,7 @@ class MetricsApp:
                     MetricType.GAUGE, tenant, metric_id, bks
                 )
                 if routed is not None:
-                    raise _collection(bucket_points_json(
+                    respond(bucket_points_json(
                         routed.withColumn(
                             "median", F.lit(None).cast("double")
                         ).select(
@@ -550,13 +562,7 @@ class MetricsApp:
                     metric_type, tenant, [metric_id], bks,
                     percentiles=percentiles,
                 )
-        pts = bucket_points_json(df)
-        if qs.get("fromEarliest", "").lower() == "true":
-            # GaugeHandler.getMetricStats skipWhile: leading empty
-            # buckets are dropped under fromEarliest
-            while pts and pts[0].get("empty"):
-                pts.pop(0)
-        raise _collection(pts)
+        respond(bucket_points_json(df))
 
     def _periods(self, metric_type, tenant, metric_id, qs):
         if metric_type != MetricType.GAUGE:
@@ -644,16 +650,19 @@ class MetricsApp:
             return names
         return self._ids_for_tags(metric_type, tenant, tags)
 
-    def _ids_for_tags(self, metric_type, tenant, tags):
-        """Resolve a ``tags`` request value to metric ids.  The
-        reference accepts BOTH tag formats here (its converters try the
-        tag query language, falling back to the legacy ``k:v,k2:v2``
-        map) — same order here."""
-        kwargs = {"tag_expression": tags}
+    @staticmethod
+    def _tag_kwargs(tags) -> dict:
+        """``tags`` request value → find_metrics kwargs.  The reference
+        accepts BOTH tag formats (its converters try the tag query
+        language, falling back to the legacy ``k:v,k2:v2`` map) — same
+        order here."""
+        if not isinstance(tags, str) or not tags:
+            raise BadRequest(f"Invalid tags parameter: {tags!r}")
         from rhq_metrics_spark.tags.parser import parse_tag_query
 
         try:
             parse_tag_query(tags)
+            return {"tag_expression": tags}
         except Exception:
             try:
                 simple = dict(
@@ -663,19 +672,35 @@ class MetricsApp:
                 simple = None
             if not simple:
                 raise BadRequest(f"Invalid tags parameter: {tags!r}") from None
-            kwargs = {"simple_tags": simple}
+            return {"simple_tags": simple}
+
+    def _ids_for_tags(self, metric_type, tenant, tags):
+        kwargs = self._tag_kwargs(tags)
         with api_errors():
             df = self.service.find_metrics(
                 tenant_id=tenant, metric_type=metric_type, **kwargs
             )
         return sorted(r["metric"] for r in df.select("metric").collect())
 
+    def _ids_for_tags_by_type(self, tenant, tags) -> dict:
+        """Cross-type tag resolution in ONE index scan (the reference
+        launches one findMetricIdentifiersWithFilters per type — its own
+        TODO laments the duplication): collect (type, metric) once and
+        split driver-side."""
+        kwargs = self._tag_kwargs(tags)
+        with api_errors():
+            df = self.service.find_metrics(tenant_id=tenant, **kwargs)
+        out: dict = {}
+        for r in df.select("type", "metric").collect():
+            out.setdefault(r["type"], []).append(r["metric"])
+        return {t: sorted(v) for t, v in out.items()}
+
     def _range_params(self, metric_type, tenant, ids, params):
         """start/end resolution with the fromEarliest contract
         (MetricsServiceHandler.findTimeRange)."""
         from rhq_metrics_spark.model import TimeRange
 
-        if params.get("fromEarliest") in (True, "true", "True"):
+        if self._flag(params, "fromEarliest"):
             if params.get("start") is not None or params.get("end") is not None:
                 raise BadRequest(
                     "fromEarliest can only be used without start & end"
@@ -705,7 +730,7 @@ class MetricsApp:
             for v in multi.get("metrics", []):
                 names += [s for s in v.split(",") if s]
             params = dict(qs)
-            stacked = qs.get("stacked", "").lower() == "true"
+            stacked = self._flag(qs, "stacked")
             percentiles = self._percentiles(qs)
             n_buckets = self._int(qs, "buckets")
         else:
@@ -713,7 +738,7 @@ class MetricsApp:
                 raise BadRequest("Payload is empty")
             names = body.get("metrics") or []
             params = body
-            stacked = bool(body.get("stacked", False))
+            stacked = self._flag(body, "stacked")
             percentiles = self._percentiles_value(body.get("percentiles"))
             n_buckets = body.get("buckets")
         ids = self._ids_by_name_or_tag(
@@ -729,7 +754,7 @@ class MetricsApp:
                 percentiles=percentiles, stacked=stacked, is_rate=rate,
             )
         pts = bucket_points_json(df)
-        if params.get("fromEarliest") in (True, "true", "True"):
+        if self._flag(params, "fromEarliest"):
             # reference drops LEADING empty buckets under fromEarliest
             # (GaugeHandler skipWhile(bucket.isEmpty()))
             while pts and pts[0].get("empty"):
@@ -756,8 +781,28 @@ class MetricsApp:
             out.setdefault(r["tag"], []).append(r["value"])
         raise _collection({k: sorted(v) for k, v in out.items()})
 
+    @staticmethod
+    def _limit_value(params) -> int:
+        """Limit from a query string or JSON body: 400 on garbage (the
+        error contract), and string "0" must behave like integer 0."""
+        raw = params.get("limit")
+        if raw in (None, ""):
+            return 0
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            raise BadRequest(f"Invalid limit parameter: {raw!r}") from None
+
+    @staticmethod
+    def _flag(params, key) -> bool:
+        """Boolean request flag from a query string ("true") or a JSON
+        body (true); the strings "false"/"False" are false — plain
+        bool() would make them truthy."""
+        v = params.get(key)
+        return v is True or (isinstance(v, str) and v.lower() == "true")
+
     def _named_points_query(self, metric_type, tenant, ids, params, rate):
-        limit = params.get("limit") or 0
+        limit = self._limit_value(params)
         order = (params.get("order")
                  or ("desc" if limit else "asc")).lower()
         if order not in ("asc", "desc"):
@@ -767,12 +812,12 @@ class MetricsApp:
             if rate:
                 df = self.service.find_rate_data(
                     metric_type, tenant, ids, start, end,
-                    limit=int(limit), order=order,
+                    limit=limit, order=order,
                 )
             else:
                 df = self.service.find_data_points(
                     metric_type, tenant, ids, start, end,
-                    limit=int(limit), order=order,
+                    limit=limit, order=order,
                 )
             groups = named_data_points_json(df)
         if order == "desc":
@@ -865,10 +910,15 @@ class MetricsApp:
                 body.get("buckets"), body.get("bucketDuration"),
             )
 
+        tag_ids: dict | None = None
+
         def ids_for(base):
+            nonlocal tag_ids
             if has_ids:
                 return [m for m in (metrics_map.get(base) or []) if m]
-            return self._ids_for_tags(base, tenant, tags)
+            if tag_ids is None:
+                tag_ids = self._ids_for_tags_by_type(tenant, tags)
+            return tag_ids.get(base, [])
 
         by_type: dict[str, list[str]] = {}
         for base, rate_t in (

@@ -474,12 +474,19 @@ class MetricsService:
                 )
             )
         else:
+            # min/max/sum cast to double so the served type matches the
+            # raw path (and the hybrid branch) regardless of the
+            # attached rollup's native value type — a counter rollup
+            # would otherwise flap long↔double as the watermark advances
             rolled = stats_from_rollup(
                 rollup, buckets, tenant_id=tenant_id, metric=metric,
                 check_alignment=False,
             ).select(
                 F.col("bucket").alias("bucket_idx"),
-                "min", "max", "sum", "samples",
+                F.col("min").cast("double").alias("min"),
+                F.col("max").cast("double").alias("max"),
+                F.col("sum").cast("double").alias("sum"),
+                "samples",
             )
         rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)
@@ -641,6 +648,13 @@ class MetricsService:
             return None
         hists, slice_ms, lo, hi, n_bins, watermark = entry[:6]
         if buckets.step % slice_ms != 0 or buckets.start % slice_ms != 0:
+            return None
+        # histogram_quantiles buckets by the EPOCH-aligned floor of
+        # slice_start/step — a grid whose origin is off the step grid
+        # would group slices into the wrong buckets and the bucket_start
+        # join would miss (nulls instead of the exact fallback, breaking
+        # the "never weaker than exact" contract) — refuse it
+        if buckets.start % buckets.step != 0:
             return None
         if watermark is None or buckets.start >= watermark:
             return None
@@ -807,12 +821,17 @@ class MetricsService:
                 )
             )
         else:
+            # double-cast for type parity with raw/hybrid (see
+            # _rollup_routed_stats)
             rolled = stats_from_rollup(
                 rollup.filter(F.col("metric").isin(list(metrics))),
                 buckets, tenant_id=tenant_id, check_alignment=False,
             ).select(
                 "metric", F.col("bucket").alias("bucket_idx"),
-                "min", "max", "sum", "samples",
+                F.col("min").cast("double").alias("min"),
+                F.col("max").cast("double").alias("max"),
+                F.col("sum").cast("double").alias("sum"),
+                "samples",
             )
         rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
         dim = bucket_dimension(self.spark, buckets)

@@ -305,8 +305,16 @@ def test_refresh_histogram_watermark(spark, tmp_path):
     part1.write.mode("append").parquet(sink)
     svc.attach_histogram_rollup("gauge", sink, win, 0.0, 30.0, 10)
 
+    # r6: a range past the watermark no longer refuses — it routes
+    # HYBRID (finalized partials + raw open tail).  The store is empty
+    # here, so buckets past the watermark have no percentile values
+    # until the appending sink finalizes them and refresh picks it up.
     b_late = Buckets.from_step(0, 4 * win, win)
-    assert svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,)) is None
+    before = svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,))
+    assert before is not None
+    vals = {r["start"]: r["p90"] for r in before.collect()}
+    assert vals[0] is not None and vals[win] is not None
+    assert vals[2 * win] is None and vals[3 * win] is None
 
     part2 = spark.createDataFrame(
         [("t", "m", w * win, b, 5) for w in (2, 3) for b in range(3)],
@@ -315,7 +323,16 @@ def test_refresh_histogram_watermark(spark, tmp_path):
     part2.write.mode("append").parquet(sink)
     assert svc.refresh_histogram_watermark("gauge") == 4 * win
     routed = svc.percentiles_from_rollup("gauge", "t", "m", b_late, (90,))
-    assert routed is not None and routed.count() == 4
+    assert routed is not None
+    vals = {r["start"]: r["p90"] for r in routed.collect()}
+    assert len(vals) == 4 and all(v is not None for v in vals.values())
+
+    # a range STARTING past the watermark still refuses (nothing routable)
+    b_past = Buckets.from_step(4 * win, 6 * win, win)
+    assert svc.percentiles_from_rollup("gauge", "t", "m", b_past, (90,)) is None
+    # off-step grid origin refuses (epoch-aligned quantile grouping)
+    b_off = Buckets.from_step(win, 5 * win, 2 * win)
+    assert svc.percentiles_from_rollup("gauge", "t", "m", b_off, (90,)) is None
 
 
 def test_stats_query_multi_metric_routed(spark, tmp_path):
