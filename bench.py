@@ -310,8 +310,14 @@ _TAIL_BUDGET = 1900
 
 #: KPIs that are diagnostic curves rather than graded axes — safe to
 #: shed from the final line when it would overflow the tail window
-#: (they stay in the stderr full record)
+#: (they stay in the stderr full record).  Ordered least-valuable-last:
+#: the shed loop pops from the END of the matching list, so later
+#: prefixes here go first.
 _DIAGNOSTIC_PREFIXES = (
+    # comparison baselines / duplicates (shed before the curves)
+    "stats_hybrid_raw_baseline_", "stats_query_100m_hybrid_raw_",
+    "ingest_points_per_sec",  # duplicate of ingest_backfill_points_per_sec
+    # recall/probe diagnostic curves
     "embed_ivf_recall_", "embed_ivf_probe_", "embed_lsh_recall",
     "embed_ivf_clustered_", "embed_ivf_partial_",
 )
