@@ -369,6 +369,10 @@ class MetricsApp:
                 id_regex=qs.get("id"),
                 tenant_id=tenant,
                 metric_type=metric_type,
+                # ?timestamps=true enriches each definition with its data
+                # min/max timestamps (MetricHandler.findMetrics +
+                # MinMaxTimestampTransformer)
+                with_timestamps=self._flag(qs, "timestamps"),
             )
         raise _collection([self._definition_json(r) for r in df.collect()])
 
@@ -380,6 +384,9 @@ class MetricsApp:
             out["tags"] = dict(d["tags"])
         if d.get("data_retention") is not None:
             out["dataRetention"] = d["data_retention"]
+        if d.get("min_ts") is not None:
+            out["minTimestamp"] = d["min_ts"]
+            out["maxTimestamp"] = d["max_ts"]
         return out
 
     def _create_metric(self, metric_type, tenant, environ):

@@ -253,9 +253,20 @@ class MetricsService:
         if metric_type:
             idx = idx.filter(F.col("type") == metric_type)
         out = find_metric_ids(idx, tag_expression, simple_tags, id_regex)
-        if with_timestamps and metric_type:
-            mm = minmax_ts(self.store.points(metric_type))
-            out = out.join(mm, ["tenant_id", "metric"], "left")
+        if with_timestamps:
+            if metric_type:
+                mm = minmax_ts(self.store.points(metric_type))
+                out = out.join(mm, ["tenant_id", "metric"], "left")
+            else:
+                # cross-type listing (GET /metrics?timestamps=true): one
+                # minmax frame per type, keyed back through the type col
+                mm = None
+                for t in MetricType.USER_WRITABLE:
+                    m = minmax_ts(self.store.points(t)).withColumn(
+                        "type", F.lit(t)
+                    )
+                    mm = m if mm is None else mm.unionByName(m)
+                out = out.join(mm, ["tenant_id", "metric", "type"], "left")
         return out
 
     # -- ingest ---------------------------------------------------------------

@@ -728,3 +728,19 @@ def test_multi_stats_from_earliest(mm_app):
         mm_app, "GET",
         f"{P}/gauges/stats?metrics=m1&buckets=1&fromEarliest=true")
     assert code == 204 and body is None
+
+
+def test_metrics_listing_with_timestamps(mm_app):
+    # ?timestamps=true enriches definitions with data min/max
+    code, defs = call(mm_app, "GET", f"{P}/metrics?timestamps=true")
+    assert code == 200
+    by_id = {d["id"]: d for d in defs}
+    assert by_id["m1"]["minTimestamp"] == 0
+    assert by_id["m1"]["maxTimestamp"] == 210_000
+    # typed listing too
+    code, defs = call(mm_app, "GET", f"{P}/gauges?timestamps=true")
+    assert code == 200 and any("minTimestamp" in d for d in defs)
+    # a definition with no data carries no timestamp fields
+    assert "minTimestamp" not in by_id.get("m3", {})
+    code, defs = call(mm_app, "GET", f"{P}/metrics")
+    assert code == 200 and "minTimestamp" not in defs[0]
