@@ -422,3 +422,93 @@ def test_streaming_rate_matches_batch(spark, tmp_path):
     assert got == want
     assert T + 90_000 not in got          # the reset pair is dropped
     assert got[T + 120_000] == pytest.approx(60_000.0 * 60.0 / 30_000.0)
+
+
+def test_hybrid_serving_against_live_rollup_sink(spark, tmp_path):
+    """End-to-end r6 integration: a LIVE start_rollup_stream sink feeds
+    the serving fast path while the same points sit in the store — a
+    dashboard query crossing the sink's finality watermark serves
+    hybrid (finalized windows from the sink's parquet + raw open tail)
+    and equals the raw path; as the sink finalizes more windows,
+    refresh_rollup_watermark advances the split."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+    from rhq_metrics_spark.streaming.ingest import start_rollup_stream
+
+    base = 1_700_000_040  # minute-aligned seconds
+    win_ms = 60_000
+    # 4 one-minute windows, 3 points each
+    pts = [("t1", "m", (base + w * 60 + i * 15) * 1000, float(w * 10 + i), None)
+           for w in range(4) for i in range(3)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=120_000)
+    store.add_data_points("gauge", spark.createDataFrame(pts, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [{"tenant_id": "t1", "metric": "m", "sec": base + w * 60 + i * 15,
+              "value": float(w * 10 + i)} for w in range(2) for i in range(3)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    stream = (
+        spark.readStream.schema(
+            "tenant_id string, metric string, sec long, value double")
+        .option("maxFilesPerTrigger", "1").json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = start_rollup_stream(
+        stream, rollup_dir, str(tmp_path / "ckpt"),
+        window_duration="1 minute", watermark_delay="5 seconds",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        def rolled():
+            try:
+                return spark.read.parquet(rollup_dir).count()
+            except Exception:
+                return 0
+
+        # push the watermark past window 0 with window-1 data
+        deadline = time.time() + 90
+        while rolled() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        assert rolled() >= 1, "sink never finalized a window"
+
+        svc.attach_rollup("gauge", rollup_dir, win_ms)
+        hi1 = svc._rollups["gauge"][2]
+        assert hi1 is not None and hi1 < (base + 240) * 1000
+
+        b = Buckets.from_step(base * 1000, (base + 240) * 1000, win_ms)
+        routed = svc.gauge_stats("t1", "m", b, include_median=False)
+        raw = svc.gauge_stats("t1", "m", b, include_median=False,
+                              use_rollup=False)
+        got = {r["start"]: r for r in routed.collect()}
+        exp = {r["start"]: r for r in raw.collect()}
+        assert set(got) == set(exp) and len(got) == 4
+        for k in exp:
+            assert got[k]["samples"] == exp[k]["samples"], k
+            if exp[k]["samples"]:
+                for c in ("min", "avg", "max", "sum"):
+                    assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9)
+
+        # the sink finalizes more windows -> refresh advances the split
+        rows2 = [{"tenant_id": "t1", "metric": "m",
+                  "sec": base + 3 * 60 + i * 15, "value": float(30 + i)}
+                 for i in range(3)]
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        n1 = rolled()
+        while rolled() <= n1 and time.time() < deadline:
+            time.sleep(0.5)
+        hi2 = svc.refresh_rollup_watermark("gauge")
+        assert hi2 is not None and hi2 > hi1
+        routed2 = svc.gauge_stats("t1", "m", b, include_median=False)
+        got2 = {r["start"]: r for r in routed2.collect()}
+        for k in exp:
+            assert got2[k]["samples"] == exp[k]["samples"], k
+    finally:
+        q.stop()
