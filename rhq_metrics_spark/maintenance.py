@@ -41,6 +41,7 @@ class MaintenanceRunner:
         service,
         default_retention_days: int = 7,
         compaction_grace_ms: int = 600_000,
+        stats_sink: dict | None = None,
         histogram_sink: dict | None = None,
         increase_sink: dict | None = None,
         twa_sink: dict | None = None,
@@ -59,6 +60,14 @@ class MaintenanceRunner:
         #: append-once per slice needs no merge), and the service's
         #: histogram rollup is attached/refreshed so
         #: ``percentile_impl='hist'`` serves them immediately.
+        #: optional continuous WINDOW-STATS rollup (the basic
+        #: ``attach_rollup`` serving table — per (tenant, metric,
+        #: window) min/avg/max/sum/samples): ``{"path": str,
+        #: "metric_type": "gauge", "window_ms": 600000, "attach": True}``
+        #: — gives batch-only deployments (no streaming sink) the bucket
+        #: -stats fast path; ``window_ms`` must divide the store's
+        #: slice_ms so windows never straddle a compaction slice.
+        self.stats_sink = stats_sink
         self.histogram_sink = histogram_sink
         #: optional continuous increase() partials (exact mergeable
         #: serving, operators/rate.py increase_rollup): ``{"path": str,
@@ -82,6 +91,7 @@ class MaintenanceRunner:
         retention policies, refresh the persisted expiration index.
         Returns a report dict per job."""
         compacted = self.service.compact(now_ms - self.compaction_grace_ms)
+        stats_slices = self._emit_stats_partials(compacted)
         hist_slices = self._emit_histogram_partials(compacted)
         inc_slices = self._emit_increase_partials(compacted)
         twa_slices = self._emit_twa_partials(compacted)
@@ -95,6 +105,7 @@ class MaintenanceRunner:
         }
         return {
             "compacted": compacted,
+            "stats_slices": stats_slices,
             "histogram_slices": hist_slices,
             "increase_slices": inc_slices,
             "twa_slices": twa_slices,
@@ -102,6 +113,56 @@ class MaintenanceRunner:
             "retention": retention,
             "expiration_rows": expiration,
         }
+
+    def _emit_stats_partials(self, compacted: dict[str, list[int]]) -> int:
+        cfg = self.stats_sink
+        if not cfg:
+            return 0
+
+        def build(pts, store, cfg):
+            import pyspark.sql.functions as F
+
+            win_ms = int(cfg.get("window_ms", store.slice_ms))
+            if store.slice_ms % win_ms != 0:
+                raise ValueError(
+                    f"stats_sink window_ms {win_ms} must divide "
+                    f"slice_ms {store.slice_ms}"
+                )
+            w = F.window(
+                F.timestamp_millis(F.col("ts")), f"{win_ms // 1000} seconds"
+            )
+            return (
+                pts.groupBy("tenant_id", "metric", w.alias("w"))
+                .agg(
+                    F.min("value").alias("min"),
+                    F.avg("value").alias("avg"),
+                    F.max("value").alias("max"),
+                    F.sum("value").alias("sum"),
+                    F.count("value").alias("samples"),
+                )
+                .select(
+                    "tenant_id", "metric",
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "min", "avg", "max", "sum", "samples",
+                    # per-slice overwrite key (windows never straddle a
+                    # slice: window_ms divides slice_ms)
+                    (
+                        F.floor(
+                            F.unix_millis(F.col("w.start")) / store.slice_ms
+                        ) * store.slice_ms
+                    ).alias("slice_start"),
+                )
+            )
+
+        def attach(svc, store, cfg, mt):
+            win_ms = int(cfg.get("window_ms", store.slice_ms))
+            if mt in svc._rollups:
+                svc.refresh_rollup_watermark(mt)
+            else:
+                svc.attach_rollup(mt, cfg["path"], win_ms)
+
+        return self._emit_partials(cfg, compacted, "gauge", build, attach)
 
     def _emit_histogram_partials(self, compacted: dict[str, list[int]]) -> int:
         cfg = self.histogram_sink
@@ -254,6 +315,7 @@ class MaintenanceRunner:
         done = self.service.store.compact(metric_type, closed_before)
         self._last_closed[metric_type] = closed_before
         if done:
+            self._emit_stats_partials({metric_type: done})
             self._emit_histogram_partials({metric_type: done})
             self._emit_increase_partials({metric_type: done})
             self._emit_twa_partials({metric_type: done})

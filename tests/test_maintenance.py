@@ -310,3 +310,77 @@ def test_recompaction_replaces_partials_not_double_appends(spark, tmp_path):
     got = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in routed.collect()}
     exp = {r["bucket_start"]: (r["n_pairs"], r["increase"]) for r in raw.collect()}
     assert got == exp and got  # exact after the rewrite, no doubling
+
+
+def test_maintenance_emits_stats_rollup(spark, tmp_path):
+    """stats_sink (r6): compaction passes emit the basic window-stats
+    rollup (the attach_rollup serving table) so batch-only deployments
+    get the bucket-stats fast path without a streaming sink — routed
+    queries read zero raw files, hybrid serves the open tail, and a
+    second cycle advances the watermark."""
+    import math
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    win = 600_000  # divides the 2h slice
+    schema = ("tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>")
+    sink = str(tmp_path / "roll")
+    runner = MaintenanceRunner(
+        svc, stats_sink={"path": sink, "window_ms": win},
+    )
+
+    # points cover EVERY window of both slices so the emitted rollup's
+    # data watermark reaches the slice boundary (empty trailing windows
+    # leave hi short and the router conservatively raw-scans the gap)
+    rows1 = [("t", "m", s * slice_ms + i * 60_000, float(s * 100 + i), None)
+             for s in range(2) for i in range(120)]
+    svc.add_data_points("gauge", spark.createDataFrame(rows1, schema))
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["stats_slices"] == 2
+
+    # fully-finalized range: routed, zero raw files, equals raw
+    b = Buckets.from_step(0, 2 * slice_ms, win)
+    routed = svc.try_routed_stats("gauge", "t", "m", b)
+    assert routed is not None
+    assert not any("points" in f for f in routed.inputFiles())
+    raw = svc.gauge_stats("t", "m", b, include_median=False,
+                          use_rollup=False)
+    got = {r["start"]: r for r in routed.collect()}
+    exp = {r["start"]: r for r in raw.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["samples"] == exp[k]["samples"]
+        if exp[k]["samples"]:
+            for c in ("min", "avg", "max", "sum"):
+                assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9)
+
+    # open-tail data lands -> hybrid serves it before the next cycle
+    rows2 = [("t", "m", 2 * slice_ms + i * 60_000, float(200 + i), None)
+             for i in range(120)]
+    svc.add_data_points("gauge", spark.createDataFrame(rows2, schema))
+    b3 = Buckets.from_step(0, 3 * slice_ms, win)
+    hyb = {r["start"]: r for r in
+           svc.gauge_stats("t", "m", b3, include_median=False).collect()}
+    raw3 = {r["start"]: r for r in
+            svc.gauge_stats("t", "m", b3, include_median=False,
+                            use_rollup=False).collect()}
+    assert hyb.keys() == raw3.keys()
+    for k in raw3:
+        assert hyb[k]["samples"] == raw3[k]["samples"], k
+
+    # next maintenance cycle finalizes slice 3; watermark advances and
+    # the full range routes with zero raw reads again
+    rep2 = runner.run_once(now_ms=3 * slice_ms + runner.compaction_grace_ms)
+    assert rep2["stats_slices"] == 1
+    routed3 = svc.try_routed_stats("gauge", "t", "m", b3)
+    assert routed3 is not None
+    assert not any("points" in f for f in routed3.inputFiles())
+    assert {r["start"]: r["samples"] for r in routed3.collect()} == \
+        {k: v["samples"] for k, v in raw3.items()}
