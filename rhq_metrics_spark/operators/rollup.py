@@ -120,9 +120,16 @@ def stats_from_rollup(
     end_ms = F.unix_millis(F.col("window_end"))
 
     # the grid defines the query range: windows outside it are other
-    # time periods, not errors
+    # time periods, not errors.  Compare the raw timestamp columns to
+    # timestamp literals (NOT unix_millis(col) to an int) so the range
+    # reaches the parquet scan as PushedFilters — at scale the rollup
+    # table holds years of windows and an 8h query must row-group-prune
+    # it like any other time-partitioned table.
     grid_end = buckets.start + buckets.step * buckets.count
-    df = df.filter((start_ms >= buckets.start) & (end_ms <= grid_end))
+    df = df.filter(
+        (F.col("window_start") >= F.timestamp_millis(F.lit(buckets.start)))
+        & (F.col("window_end") <= F.timestamp_millis(F.lit(grid_end)))
+    )
 
     # alignment guard: window length divides the step and windows sit on
     # the window grid relative to the bucket origin — together that

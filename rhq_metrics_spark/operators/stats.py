@@ -163,23 +163,47 @@ def numeric_bucket_stats(
     present with null stats and ``samples = 0`` when ``fill_empty``.
     """
     group_cols = list(group_cols)
-    stats = (
-        df.filter(in_grid(buckets, ts_col))
-        .withColumn("bucket_idx", bucket_index(buckets, ts_col))
-        .groupBy(*group_cols, "bucket_idx")
-        .agg(*_stat_aggs(value_col, percentiles, approx, value_scale))
+    in_bucket = df.filter(in_grid(buckets, ts_col)).withColumn(
+        "bucket_idx", bucket_index(buckets, ts_col)
+    )
+    if fill_empty and not group_cols:
+        # Grid fill WITHOUT a join: union one null-valued row per grid
+        # cell into the same hash-agg (count ignores nulls → samples=0,
+        # min/max/sum/percentiles → null — identical to the former
+        # dim-left-join fill).  The join version costs an extra
+        # broadcast-exchange stage per query, which at serving scale is
+        # several times the aggregation itself; start/end are pure
+        # projections of bucket_idx, no dimension table needed.
+        zeros = df.sparkSession.range(buckets.count).select(
+            F.col("id").alias("bucket_idx"),
+            F.lit(None).cast("double").alias(value_col),
+        )
+        stats = (
+            in_bucket.select(
+                "bucket_idx", F.col(value_col).cast("double").alias(value_col)
+            )
+            .unionByName(zeros)
+            .groupBy("bucket_idx")
+            .agg(*_stat_aggs(value_col, percentiles, approx, value_scale))
+        )
+        return stats.select(
+            (F.lit(buckets.start) + F.col("bucket_idx") * buckets.step)
+            .alias("start"),
+            (F.lit(buckets.start) + (F.col("bucket_idx") + 1) * buckets.step)
+            .alias("end"),
+            *[c for c in stats.columns if c != "bucket_idx"],
+        )
+    stats = in_bucket.groupBy(*group_cols, "bucket_idx").agg(
+        *_stat_aggs(value_col, percentiles, approx, value_scale)
     )
     dim = bucket_dimension(df, buckets)
     if not fill_empty:
         return stats.join(F.broadcast(dim), "bucket_idx").drop("bucket_idx")
 
-    if group_cols:
-        # one full grid per observed group; the dim side is tiny → broadcast
-        groups = df.select(*group_cols).distinct()
-        dim = groups.crossJoin(F.broadcast(dim))
-        filled = dim.join(stats, [*group_cols, "bucket_idx"], "left")
-    else:
-        filled = F.broadcast(dim).join(stats, "bucket_idx", "left")
+    # one full grid per observed group; the dim side is tiny → broadcast
+    groups = df.select(*group_cols).distinct()
+    dim = groups.crossJoin(F.broadcast(dim))
+    filled = dim.join(stats, [*group_cols, "bucket_idx"], "left")
     return filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0))).drop(
         "bucket_idx"
     )

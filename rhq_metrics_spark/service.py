@@ -302,7 +302,11 @@ class MetricsService:
         distinct: bool = False,
     ) -> DataFrame:
         df = self.store.find_data_points(
-            metric_type, tenant_id, metric, start, end, 0 if distinct else limit, order
+            metric_type, tenant_id, metric, start, end,
+            0 if distinct else limit,
+            # distinct_adjacent sorts via its own window spec and the
+            # result is re-ordered below — skip the scan-level sort
+            None if distinct else order,
         )
         if distinct:
             # A7 distinct-adjacent for availability/string reads
@@ -369,7 +373,12 @@ class MetricsService:
     # -- numeric stats (A1/A3/A4/A5/A6) ----------------------------------------
 
     def _scan(self, metric_type, tenant_id, metrics, start, end) -> DataFrame:
-        return self.store.find_data_points(metric_type, tenant_id, metrics, start, end)
+        # order=None: every _scan consumer is an aggregation or runs its
+        # own window sort — the store's global orderBy would add a
+        # range-partition Exchange + Sort per query for nothing
+        return self.store.find_data_points(
+            metric_type, tenant_id, metrics, start, end, order=None
+        )
 
     def attach_rollup(self, metric_type: str, rollup, window_ms: int) -> None:
         """Register a continuous-aggregate table (the
@@ -458,54 +467,47 @@ class MetricsService:
             return None
         if hi is None or buckets.start >= hi:
             return None
-        from rhq_metrics_spark.operators.rollup import stats_from_rollup
-        from rhq_metrics_spark.operators.stats import bucket_dimension
-
+        # ONE aggregation for the whole query: every rollup window tiles
+        # wholly inside one bucket (alignment gate), so window rows ARE
+        # per-bucket partials already.  A watermark-crossing range
+        # additionally unions per-point partial rows from the open tail;
+        # the grid fill unions one null/zero partial per grid cell —
+        # both merged by the same single hash-agg (map-side combined).
+        # No dimension join: the former broadcast-fill join cost an
+        # extra exchange stage per query (several times the aggregation
+        # itself at serving latency), and start/end are pure projections
+        # of bucket_idx.  min/max/sum casts to double happen in
+        # _window_partials so the served type matches the raw path
+        # regardless of the attached rollup's native value type.
+        parts = self._window_partials(rollup, tenant_id, metric, buckets)
         if buckets.end > hi:
-            # ONE aggregation for the whole hybrid merge: every rollup
-            # window tiles wholly inside one bucket (alignment gate), so
-            # window rows ARE per-bucket partials already — union them
-            # with per-point partial rows from the open tail and let a
-            # single hash-agg (map-side combined) merge both.  Three
-            # chained aggs here cost ~250ms of fixed latency at small
-            # scale for zero benefit.
-            rolled = (
-                self._window_partials(rollup, tenant_id, metric, buckets)
-                .unionByName(
-                    self._tail_partials(
-                        metric_type, tenant_id, metric, buckets, hi
-                    )
-                )
-                .groupBy("bucket_idx")
-                .agg(
-                    F.min("min").alias("min"),
-                    F.max("max").alias("max"),
-                    F.sum("sum").alias("sum"),
-                    F.sum("samples").alias("samples"),
-                )
+            parts = parts.unionByName(
+                self._tail_partials(metric_type, tenant_id, metric, buckets, hi)
             )
-        else:
-            # min/max/sum cast to double so the served type matches the
-            # raw path (and the hybrid branch) regardless of the
-            # attached rollup's native value type — a counter rollup
-            # would otherwise flap long↔double as the watermark advances
-            rolled = stats_from_rollup(
-                rollup, buckets, tenant_id=tenant_id, metric=metric,
-                check_alignment=False,
-            ).select(
-                F.col("bucket").alias("bucket_idx"),
-                F.col("min").cast("double").alias("min"),
-                F.col("max").cast("double").alias("max"),
-                F.col("sum").cast("double").alias("sum"),
-                "samples",
+        zeros = self.spark.range(buckets.count).select(
+            F.col("id").alias("bucket_idx"),
+            *[F.lit(None).cast("double").alias(c) for c in ("min", "max", "sum")],
+            F.lit(0).cast("long").alias("samples"),
+        )
+        rolled = (
+            parts.unionByName(zeros)
+            .groupBy("bucket_idx")
+            .agg(
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.sum("sum").alias("sum"),
+                F.sum("samples").alias("samples"),
             )
-        rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
-        dim = bucket_dimension(self.spark, buckets)
-        filled = F.broadcast(dim).join(rolled, "bucket_idx", "left")
-        return (
-            filled.withColumn("samples", F.coalesce(F.col("samples"), F.lit(0)))
-            .drop("bucket_idx")
-            .select("start", "end", "min", "avg", "max", "sum", "samples")
+        )
+        return rolled.select(
+            (F.lit(buckets.start) + F.col("bucket_idx") * buckets.step)
+            .alias("start"),
+            (F.lit(buckets.start) + (F.col("bucket_idx") + 1) * buckets.step)
+            .alias("end"),
+            "min",
+            F.when(F.col("samples") > 0, F.col("sum") / F.col("samples"))
+            .alias("avg"),
+            "max", "sum", "samples",
         )
 
     def _window_partials(
@@ -517,11 +519,14 @@ class MetricsService:
         alignment gate guarantees each window falls wholly inside one
         bucket, so window rows are already mergeable partials."""
         start_ms = F.unix_millis(F.col("window_start"))
-        end_ms = F.unix_millis(F.col("window_end"))
         grid_end = buckets.start + buckets.step * buckets.count
+        # timestamp-literal comparisons (not unix_millis(col) vs int) so
+        # the range prunes the rollup parquet via PushedFilters
         df = rollup.filter(
             (F.col("tenant_id") == tenant_id)
-            & (start_ms >= buckets.start) & (end_ms <= grid_end)
+            & (F.col("window_start")
+               >= F.timestamp_millis(F.lit(buckets.start)))
+            & (F.col("window_end") <= F.timestamp_millis(F.lit(grid_end)))
         )
         if metric is not None:
             df = df.filter(
@@ -552,7 +557,7 @@ class MetricsService:
         from rhq_metrics_spark.operators.stats import bucket_index, in_grid
 
         pts = self.store.find_data_points(
-            metric_type, tenant_id, metric, hi, buckets.end
+            metric_type, tenant_id, metric, hi, buckets.end, order=None
         )
         v = F.col("value").cast("double")
         cols = ["metric"] if keep_metric else []
@@ -682,7 +687,8 @@ class MetricsService:
         ).select("tenant_id", "metric", "slice_start", "bin", "count")
         if buckets.end > watermark:
             pts = self.store.find_data_points(
-                metric_type, tenant_id, metric, watermark, buckets.end
+                metric_type, tenant_id, metric, watermark, buckets.end,
+                order=None,
             )
             bin_w = (hi - lo) / n_bins
             raw_bin = F.floor((F.col("value").cast("double") - lo) / bin_w)
@@ -723,7 +729,6 @@ class MetricsService:
             F.broadcast(dim)
             .join(out, "bucket_start", "left")
             .drop("bucket_idx", "bucket_start")
-            .orderBy("start")
         )
 
     def _hist_routed_stats(
@@ -770,7 +775,7 @@ class MetricsService:
             if col not in emitted:
                 emitted.add(col)
                 cols.append(F.col(col))
-        return out.select(*cols).orderBy("start")
+        return out.select(*cols)
 
     def try_routed_stats(
         self, metric_type: str, tenant_id, metric, buckets: Buckets
@@ -784,7 +789,7 @@ class MetricsService:
         if metric_type != MetricType.GAUGE:
             return None
         routed = self._rollup_routed_stats(metric_type, tenant_id, metric, buckets)
-        return None if routed is None else routed.orderBy("start")
+        return routed
 
     def _rollup_routed_multi(
         self, metric_type: str, tenant_id, metrics: Sequence[str],
@@ -870,6 +875,14 @@ class MetricsService:
         empty buckets' min/avg/max (operators/gapfill.py) while
         ``samples`` stays 0 so callers can tell fill from data.
 
+        Row order is UNSPECIFIED (one row per grid bucket; sort by
+        ``start`` if you need order).  A global ``orderBy`` on the
+        served frame costs a range-partition exchange per query —
+        measured ~4x the entire aggregation at serving scale — so
+        ordering happens driver-side in the presentation adapters
+        (``bucket_points_json``), which see at most ``buckets.count``
+        rows, never in the query plan.
+
         ``percentile_impl``: ``'exact'`` (the reference's test
         convention, default), ``'approx'`` (sketches, the 100 TB dial),
         or ``'p2'`` (the reference's PRODUCTION estimator,
@@ -895,7 +908,7 @@ class MetricsService:
                 MetricType.GAUGE, tenant_id, metric, buckets
             )
             if routed is not None:
-                out = routed.orderBy("start")
+                out = routed
                 if fill is not None:
                     from rhq_metrics_spark.operators.gapfill import fill_gaps
 
@@ -951,13 +964,11 @@ class MetricsService:
                     # matching the exact path's output columns
                     out_cols.append(F.col(col))
             p2 = p2.select(*out_cols)
-            out = base.drop("median").join(p2, "start", "left").orderBy("start")
+            out = base.drop("median").join(p2, "start", "left")
         elif percentile_impl == "approx":
-            out = numeric_bucket_stats(
-                pts, buckets, percentiles, approx=True
-            ).orderBy("start")
+            out = numeric_bucket_stats(pts, buckets, percentiles, approx=True)
         else:
-            out = numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+            out = numeric_bucket_stats(pts, buckets, percentiles)
         if not include_median:
             out = out.drop("median")
         if fill is not None:
@@ -1011,7 +1022,7 @@ class MetricsService:
         self, tenant_id, metric, buckets: Buckets, percentiles: Sequence[float] = ()
     ) -> DataFrame:
         pts = self._scan(MetricType.COUNTER, tenant_id, metric, buckets.start, buckets.end)
-        return numeric_bucket_stats(pts, buckets, percentiles).orderBy("start")
+        return numeric_bucket_stats(pts, buckets, percentiles)
 
     def numeric_stats(
         self,
@@ -1029,8 +1040,8 @@ class MetricsService:
         if is_rate:
             pts = rate(pts, metric_type=metric_type).withColumnRenamed("rate", "value")
         if stacked:
-            return stacked_stats(pts, buckets, percentiles).orderBy("start")
-        return pooled_stats(pts, buckets, percentiles).orderBy("start")
+            return stacked_stats(pts, buckets, percentiles)
+        return pooled_stats(pts, buckets, percentiles)
 
     def tagged_gauge_stats(
         self,
@@ -1096,7 +1107,7 @@ class MetricsService:
                     tail = availability_rollup(
                         self.store.find_data_points(
                             MetricType.AVAILABILITY, tenant_id, metric,
-                            watermark, buckets.end,
+                            watermark, buckets.end, order=None,
                         ),
                         slice_ms,
                     )
@@ -1106,13 +1117,11 @@ class MetricsService:
                             "nuc_interior", "last_not_up_ts",
                             "last_recovery_ts", "samples"]
                     mine = mine.select(*cols).unionByName(tail.select(*cols))
-                return availability_from_rollup(
-                    mine, buckets, slice_ms
-                ).orderBy("start")
+                return availability_from_rollup(mine, buckets, slice_ms)
         pts = self._scan(
             MetricType.AVAILABILITY, tenant_id, metric, buckets.start, buckets.end
         )
-        return availability_stats(pts, buckets).orderBy("start")
+        return availability_stats(pts, buckets)
 
     # -- periods (W2) --------------------------------------------------------------
 
@@ -1379,7 +1388,7 @@ class MetricsService:
         if end > watermark:
             tail = increase_rollup(
                 self.store.find_data_points(
-                    metric_type, tenant_id, metric, watermark, end
+                    metric_type, tenant_id, metric, watermark, end, order=None
                 ),
                 slice_ms, value_scale=value_scale,
                 group_cols=["tenant_id", "metric"], counter=counter,
@@ -1435,7 +1444,8 @@ class MetricsService:
                             "n_pairs"]
                     tail = twa_rollup(
                         self.store.find_data_points(
-                            metric_type, tenant_id, metric, watermark, end
+                            metric_type, tenant_id, metric, watermark, end,
+                            order=None,
                         ),
                         slice_ms, value_scale=value_scale,
                         group_cols=["tenant_id", "metric"],
@@ -1645,7 +1655,10 @@ class MetricsService:
                 else _bucket_point_dict
             )
             grouped: dict[str, list[dict]] = {}
-            for row in per_metric.orderBy("metric", "start").collect():
+            rows = sorted(
+                per_metric.collect(), key=lambda r: (r["metric"], r["start"])
+            )
+            for row in rows:
                 d = row.asDict()
                 name = d.pop("metric")
                 grouped.setdefault(name, []).append(to_dict(d))
@@ -1774,7 +1787,8 @@ def _bucket_point_dict(d: dict) -> dict:
 def bucket_points_json(df: DataFrame) -> list[dict]:
     """NumericBucketPoint JSON convention: empty buckets carry only
     start/end/empty (NumericBucketPoint.java:42-50, NaN→null)."""
-    return [_bucket_point_dict(row.asDict()) for row in df.orderBy("start").collect()]
+    rows = sorted(df.collect(), key=lambda r: r["start"])
+    return [_bucket_point_dict(row.asDict()) for row in rows]
 
 
 def _availability_point_dict(d: dict) -> dict:
@@ -1796,9 +1810,8 @@ def _availability_point_dict(d: dict) -> dict:
 def availability_points_json(df: DataFrame) -> list[dict]:
     """AvailabilityBucketPoint shape: durationMap keyed by state,
     uptimeRatio/notUpCount/lastNotUptime (AvailabilityBucketPoint.java:31-46)."""
-    return [
-        _availability_point_dict(row.asDict()) for row in df.orderBy("start").collect()
-    ]
+    rows = sorted(df.collect(), key=lambda r: r["start"])
+    return [_availability_point_dict(row.asDict()) for row in rows]
 
 
 def named_data_points_json(df: DataFrame) -> list[dict]:

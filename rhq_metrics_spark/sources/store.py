@@ -189,6 +189,15 @@ class MetricsStore:
         self._last_seq = 0
         # read-side snapshot pin (see as_of): None = read latest
         self._read_pin: dict | None = None
+        # Plan cache (rename mode): building a parquet DataFrame re-lists
+        # the directory tree at analysis time, which at serving latency
+        # dominates the query (~200ms of a ~350ms dashboard call; on
+        # object storage a full LIST per query).  Keys are
+        # self-invalidating — cold is keyed by the layer root's mtime
+        # (one stat() per query; directory renames bump it, covering
+        # cross-process compaction), hot by the immutable segment tuple
+        # (retired segments change the tuple via the per-query listing).
+        self._plan_cache: dict = {}
 
     # -- snapshot reads (time travel; manifest mode) -------------------------
 
@@ -240,6 +249,20 @@ class MetricsStore:
                 f"{op} is not allowed inside as_of(): writes and "
                 "maintenance must run against the current snapshot"
             )
+
+    # -- plan cache ----------------------------------------------------------
+
+    def _cache_put(self, key, df) -> None:
+        if len(self._plan_cache) > 256:
+            self._plan_cache.clear()
+        self._plan_cache[key] = df
+
+    def refresh(self) -> None:
+        """Drop cached scan plans.  Not normally needed — cache keys are
+        self-invalidating (cold-root mtime / hot segment tuple) — but
+        available for e.g. clock-skewed network filesystems where a
+        remote writer's rename may not bump the observed mtime."""
+        self._plan_cache.clear()
 
     # -- paths -------------------------------------------------------------
 
@@ -496,7 +519,12 @@ class MetricsStore:
                         for x in self._seg_meta(s)["slices"]
                     )
                 ]
-            df = self._read_segment_paths(metric_type, segs)
+            key = ("hot", metric_type, tuple(str(s) for s in segs))
+            df = self._plan_cache.get(key)
+            if df is None:
+                df = self._read_segment_paths(metric_type, segs)
+                if df is not None:
+                    self._cache_put(key, df)
             if df is not None and slices is not None:
                 # belt-and-braces: path pruning is segment-granular, the
                 # column filter makes the selection slice-exact (pushed
@@ -506,6 +534,10 @@ class MetricsStore:
         path = self._points_path(metric_type, layer)
         if not path.exists() or not any(path.iterdir()):
             return None
+        key = ("cold", metric_type, path.stat().st_mtime_ns)
+        df = self._plan_cache.get(key)
+        if df is not None:
+            return df
         # StructType.add mutates in place — build a fresh copy each time
         schema = StructType(list(SCHEMAS[metric_type].fields))
         schema = (
@@ -515,7 +547,9 @@ class MetricsStore:
         )
         df = self.spark.read.schema(schema).parquet(str(path))
         # cold rows outrank nothing; hot rows with higher ingest_seq win.
-        return df.withColumn("_layer_seq", F.lit(-1).cast("long"))
+        df = df.withColumn("_layer_seq", F.lit(-1).cast("long"))
+        self._cache_put(key, df)
+        return df
 
     @staticmethod
     def _want_slice(s: int, slices) -> bool:
@@ -663,12 +697,19 @@ class MetricsStore:
         start: int,
         end: int,
         limit: int = 0,
-        order: str = "asc",
+        order: str | None = "asc",
     ) -> DataFrame:
         """S1/S4 raw scan: partition-pruned, half-open [start, end).
 
         The date_slice/tenant filters are applied *before* the LWW window so
         pruning reaches the parquet scan.
+
+        ``order=None`` skips the global ``orderBy(ts)`` — a range-partition
+        Exchange + Sort that aggregation consumers (bucket stats, rollup
+        tails, TWA/increase partials) would pay only to have the downstream
+        hash-agg destroy it.  Ordering is an O1 *presentation* contract for
+        raw-point reads, not part of scan semantics; every internal consumer
+        that feeds an agg or its own window spec passes None.
         """
         first_slice = (start // self.slice_ms) * self.slice_ms
         bucket = self._tenant_bucket_of(tenant_id)
@@ -693,7 +734,10 @@ class MetricsStore:
         if merged is None:
             return self.spark.createDataFrame([], SCHEMAS[metric_type])
         df = merged.select("tenant_id", "metric", "ts", "value", "tags")
-        df = df.orderBy(F.col("ts").asc() if order == "asc" else F.col("ts").desc())
+        if order is not None:
+            df = df.orderBy(
+                F.col("ts").asc() if order == "asc" else F.col("ts").desc()
+            )
         return df.limit(limit) if limit and limit > 0 else df
 
     def _tenant_bucket_of(self, tenant_id: str) -> int:
@@ -732,6 +776,20 @@ class MetricsStore:
         dst.parent.mkdir(parents=True, exist_ok=True)
         os.rename(src, dst)
         shutil.rmtree(trash, ignore_errors=True)
+        # Bump every ancestor's mtime up to the store base: a swap two
+        # levels down (date_slice=X/tenant_bucket=Y) doesn't touch the
+        # layer root, but the mtime-keyed plan cache (_read_layer) keys
+        # cold scans on exactly that root.
+        p = dst.parent
+        base = self.base.resolve()
+        for _ in range(8):
+            try:
+                os.utime(p)
+            except OSError:
+                break
+            if p.resolve() == base or p.parent == p:
+                break
+            p = p.parent
 
     # -- lifecycle jobs (B2/B6/B7) -------------------------------------------
 
