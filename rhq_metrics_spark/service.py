@@ -813,43 +813,38 @@ class MetricsService:
             return None
         if hi is None or buckets.start >= hi:
             return None
-        from rhq_metrics_spark.operators.rollup import stats_from_rollup
+        # Partials union (windows + optional open tail) → one hash-agg,
+        # as in _rollup_routed_stats.  The per-metric grid fill keeps
+        # the observed-metrics crossJoin + broadcast left-join: the
+        # join-free union-zeros variant was measured SLOWER here (the
+        # per-query local zeros relation + a per-metric window cost more
+        # than one broadcast join over the tiny agg output at the
+        # 100-metric dashboard shape).
         from rhq_metrics_spark.operators.stats import bucket_dimension
 
+        parts = self._window_partials(
+            rollup, tenant_id, list(metrics), buckets, keep_metric=True
+        )
         if buckets.end > hi:
-            rolled = (
-                self._window_partials(
-                    rollup, tenant_id, list(metrics), buckets,
+            parts = parts.unionByName(
+                self._tail_partials(
+                    metric_type, tenant_id, list(metrics), buckets, hi,
                     keep_metric=True,
                 )
-                .unionByName(
-                    self._tail_partials(
-                        metric_type, tenant_id, list(metrics), buckets, hi,
-                        keep_metric=True,
-                    )
-                )
-                .groupBy("metric", "bucket_idx")
-                .agg(
-                    F.min("min").alias("min"),
-                    F.max("max").alias("max"),
-                    F.sum("sum").alias("sum"),
-                    F.sum("samples").alias("samples"),
-                )
             )
-        else:
-            # double-cast for type parity with raw/hybrid (see
-            # _rollup_routed_stats)
-            rolled = stats_from_rollup(
-                rollup.filter(F.col("metric").isin(list(metrics))),
-                buckets, tenant_id=tenant_id, check_alignment=False,
-            ).select(
-                "metric", F.col("bucket").alias("bucket_idx"),
-                F.col("min").cast("double").alias("min"),
-                F.col("max").cast("double").alias("max"),
-                F.col("sum").cast("double").alias("sum"),
-                "samples",
+        rolled = (
+            parts.groupBy("metric", "bucket_idx")
+            .agg(
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.sum("sum").alias("sum"),
+                F.sum("samples").alias("samples"),
             )
-        rolled = rolled.withColumn("avg", F.col("sum") / F.col("samples"))
+            .withColumn(
+                "avg",
+                F.when(F.col("samples") > 0, F.col("sum") / F.col("samples")),
+            )
+        )
         dim = bucket_dimension(self.spark, buckets)
         gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
         return (
@@ -1604,29 +1599,22 @@ class MetricsService:
                     )
                     if routed is not None:
                         # stacked from routed per-metric mergeable stats:
-                        # samples = contributing-metric count per bucket
-                        from rhq_metrics_spark.operators.stats import (
-                            bucket_dimension,
-                        )
-
-                        st = (
-                            routed.filter(F.col("samples") > 0)
-                            .groupBy("start", "end")
+                        # samples = contributing-metric count per bucket.
+                        # routed already carries EVERY grid bucket per
+                        # observed metric (empty ones null/0), so the
+                        # stacked sums keep the full grid — no dim
+                        # re-fill join (sum ignores the nulls; the
+                        # conditional count skips empty contributions)
+                        per_metric = (
+                            routed.groupBy("start", "end")
                             .agg(
                                 F.sum("min").alias("min"),
                                 F.sum("avg").alias("avg"),
                                 F.sum("max").alias("max"),
                                 F.sum("sum").alias("sum"),
-                                F.count(F.lit(1)).alias("samples"),
-                            )
-                        )
-                        dim = bucket_dimension(self.spark, buckets)
-                        per_metric = (
-                            F.broadcast(dim.drop("bucket_idx"))
-                            .join(st, ["start", "end"], "left")
-                            .withColumn(
-                                "samples",
-                                F.coalesce(F.col("samples"), F.lit(0)),
+                                F.count(
+                                    F.when(F.col("samples") > 0, 1)
+                                ).alias("samples"),
                             )
                             .withColumn("metric", F.lit("*stacked*"))
                         )
