@@ -550,3 +550,60 @@ def test_availability_rollup_merge_equals_batch_property(spark, pts):
     got = {r["start"]: tuple(r[c] for c in cols) for r in merged.collect()}
     exp = {r["start"]: tuple(r[c] for c in cols) for r in batch.collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Grid fill: the join-free union-zeros fill (numeric_bucket_stats without
+# group_cols) vs a brute-force Python oracle — pins that dropping the
+# broadcast dimension join kept the A1 contract exactly: one row per grid
+# bucket, empty buckets null stats with samples=0, half-open membership.
+
+_grid_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=-100, max_value=1100),  # offset seconds (incl. out-of-grid)
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    pts=_grid_pts,
+    step_s=st.integers(min_value=1, max_value=400),
+    count=st.integers(min_value=1, max_value=12),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucket_stats_fill_matches_python_oracle(spark, pts, step_s, count):
+    from rhq_metrics_spark.operators.stats import numeric_bucket_stats
+
+    T0 = 1_700_000_000_000
+    b = Buckets(T0, step_s * 1000, count)
+    rows = [("t", "m", T0 + off * 1000, float(v)) for off, v in pts]
+    df = spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double"
+    )
+    got = {r["start"]: r for r in numeric_bucket_stats(df, b).collect()}
+
+    want: dict[int, list[float]] = {i: [] for i in range(count)}
+    for _, _, ts, v in rows:
+        if b.start <= ts < b.start + b.step * b.count:
+            want[(ts - b.start) // b.step].append(v)
+    assert set(got) == {b.start + i * b.step for i in range(count)}
+    for i, vals in want.items():
+        r = got[b.start + i * b.step]
+        assert r["end"] == b.start + (i + 1) * b.step
+        assert r["samples"] == len(vals)
+        if not vals:
+            for c in ("min", "avg", "median", "max", "sum"):
+                assert r[c] is None, (c, r)
+        else:
+            assert r["min"] == pytest.approx(min(vals))
+            assert r["max"] == pytest.approx(max(vals))
+            assert r["sum"] == pytest.approx(sum(vals))
+            assert r["avg"] == pytest.approx(sum(vals) / len(vals))
