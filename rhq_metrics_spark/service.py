@@ -645,6 +645,7 @@ class MetricsService:
         metric,
         buckets: Buckets,
         percentiles: Sequence[float],
+        fill: bool = True,
     ) -> DataFrame | None:
         """Per-bucket approximate percentiles served from attached
         histogram partials; None when the request can't be routed (no
@@ -721,6 +722,15 @@ class MetricsService:
             mine, buckets.step, qs, names, lo, hi, n_bins,
             group_col=["tenant_id", "metric"],
         ).select("bucket_start", *names)
+        if not fill:
+            # caller left-joins onto a frame that already carries every
+            # grid bucket (_hist_routed_stats) — the dim fill here would
+            # just add a broadcast stage to produce rows the join drops
+            return out.select(
+                F.col("bucket_start").alias("start"),
+                (F.col("bucket_start") + buckets.step).alias("end"),
+                *names,
+            )
         dim = bucket_dimension(self.spark, buckets).withColumn(
             "bucket_start",
             F.lit(buckets.start) + F.col("bucket_idx") * F.lit(buckets.step),
@@ -745,7 +755,7 @@ class MetricsService:
         if include_median:
             qs = [50.0, *qs]
         pct = self.percentiles_from_rollup(
-            MetricType.GAUGE, tenant_id, metric, buckets, qs
+            MetricType.GAUGE, tenant_id, metric, buckets, qs, fill=False
         )
         if pct is None:
             return None
@@ -764,7 +774,10 @@ class MetricsService:
                 ),
                 buckets, (),
             ).drop("median")
-        out = base.join(pct.drop("end"), "start", "left")
+        # pct is ≤ buckets.count rows post-agg — force the broadcast so
+        # the planner never picks a sort-merge join off a missing size
+        # estimate
+        out = base.join(F.broadcast(pct.drop("end")), "start", "left")
         cols = [F.col("start"), F.col("end"), F.col("min"), F.col("avg")]
         if include_median:
             cols.append(F.col("p50").alias("median"))
