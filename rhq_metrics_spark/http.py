@@ -63,6 +63,14 @@ Wire conventions carried over exactly:
 - errors are ``{"errorMsg": ...}`` with the ApiError status
   (model/ApiError.java:32-41) — 405 wrong method, 415 wrong
   Content-Type, 406 unacceptable Accept, 404 unknown type segment
+- CORS (filter/CorsRequestFilter.java + CorsResponseFilter.java,
+  pinned by CORSITest.groovy): preflight OPTIONS with an allowed
+  Origin → bare 200 before routing; disallowed Origin → bare 400;
+  every response to an Origin-bearing request echoes
+  ``Access-Control-Allow-Origin`` + credentials/methods/max-age/
+  allow-headers.  Origin lists support subdomain matching
+  (util/OriginValidation.java).  Optional ``cache_control`` adds the
+  CacheControlFilter headers (BZ 1492011).
 """
 
 from __future__ import annotations
@@ -103,6 +111,54 @@ MISSING_TENANT_MSG = (
     "Tenant is not specified. Use 'Hawkular-Tenant' header."
 )
 
+# CORS contract (filter/CorsRequestFilter.java, CorsResponseFilter.java,
+# handler/BaseHandler.java:95-108; wire shapes pinned by
+# rest-tests-jaxrs CORSITest.groovy): every response to a request
+# carrying an Origin echoes these headers; a preflight OPTIONS never
+# reaches the router; a disallowed origin is a bare 400.
+DEFAULT_CORS_ALLOW_METHODS = "GET, POST, PUT, DELETE, OPTIONS, HEAD"
+DEFAULT_CORS_ALLOW_HEADERS = "origin,accept,content-type,hawkular-tenant"
+CORS_MAX_AGE = str(72 * 60 * 60)  # CORSITest.groovy:60
+
+
+def _origin_predicate(allowed: str):
+    """Compile the ``allowed-cors-origins`` config (default ``*``) into
+    an Origin-header predicate — util/OriginValidation.java semantics:
+    ``*`` allows everything; otherwise a comma-separated URI list where
+    a request origin matches on equal scheme+port and a host that is
+    the allowed host or any subdomain of it (CORSITest.groovy
+    testOptionsWithSubdomainOrigin).  A literal ``*`` or otherwise
+    unparseable request Origin never matches an explicit list
+    (testOptionsWithBadOrigin).
+    """
+    allowed = (allowed or "*").strip()
+    if allowed == "*":
+        return lambda origin: True
+
+    from urllib.parse import urlsplit
+
+    def _parts(uri: str):
+        s = urlsplit(uri.strip())
+        if not s.scheme or not s.hostname:
+            return None
+        port = s.port or {"http": 80, "https": 443}.get(s.scheme)
+        return s.scheme, s.hostname.lower(), port
+
+    allowed_parts = [p for p in map(_parts, allowed.split(",")) if p]
+
+    def check(origin: str) -> bool:
+        got = _parts(origin)
+        if got is None:
+            return False
+        scheme, host, port = got
+        return any(
+            scheme == a_scheme and port == a_port
+            and (host == a_host or host.endswith("." + a_host))
+            for a_scheme, a_host, a_port in allowed_parts
+        )
+
+    return check
+
 
 class _Response(Exception):
     """Early-exit response (non-error shortcut, e.g. 204)."""
@@ -121,25 +177,65 @@ class MetricsApp:
     """WSGI application exposing the reference's REST API over a
     :class:`MetricsService`.  Stateless per request; safe to share."""
 
-    def __init__(self, service, base_path: str = "/hawkular/metrics"):
+    def __init__(self, service, base_path: str = "/hawkular/metrics",
+                 allowed_cors_origins: str = "*",
+                 extra_cors_allow_headers: str | None = None,
+                 cache_control: str | None = None):
         self.service = service
         self.base = base_path.rstrip("/")
+        # CORS + cache filters (CorsRequestFilter/CorsResponseFilter/
+        # CacheControlFilter); config keys mirror the reference's
+        # hawkular.metrics.allowed-cors-origins /
+        # allowed-cors-access-control-allow-headers / cache-control.
+        self._origin_allowed = _origin_predicate(allowed_cors_origins)
+        self._cors_allow_headers = DEFAULT_CORS_ALLOW_HEADERS + (
+            "," + extra_cors_allow_headers.strip()
+            if extra_cors_allow_headers else ""
+        )
+        self._cache_control = cache_control
 
     # -- WSGI ---------------------------------------------------------------
 
     def __call__(self, environ, start_response):
-        try:
-            status, body = self._handle(environ)
-        except _Response as r:
-            status, body = r.status, r.body
-        except ApiError as e:
-            status, body = e.status, e.as_json()
-        except Exception as e:  # noqa: BLE001 — ApiUtils.serverError
-            status, body = 500, {"errorMsg": str(e) or "No details"}
+        # CorsRequestFilter (@PreMatching priority 0): runs before any
+        # routing.  Disallowed origin → bare 400; allowed preflight →
+        # bare 200 that never reaches the resource router.
+        origin = environ.get("HTTP_ORIGIN")
+        cors_ok = origin is not None and self._origin_allowed(origin)
+        if origin is not None and not cors_ok:
+            status, body = 400, None
+        elif (
+            cors_ok
+            and environ.get("REQUEST_METHOD", "").upper() == "OPTIONS"
+            and "HTTP_ACCESS_CONTROL_REQUEST_METHOD" in environ
+        ):
+            status, body = 200, None
+        else:
+            try:
+                status, body = self._handle(environ)
+            except _Response as r:
+                status, body = r.status, r.body
+            except ApiError as e:
+                status, body = e.status, e.as_json()
+            except Exception as e:  # noqa: BLE001 — ApiUtils.serverError
+                status, body = 500, {"errorMsg": str(e) or "No details"}
         payload = b"" if body is None else json.dumps(body).encode()
         headers = [("Content-Length", str(len(payload)))]
         if payload:
             headers.insert(0, ("Content-Type", "application/json"))
+        if cors_ok:  # CorsResponseFilter / BaseHandler.addHeaders
+            headers += [
+                ("Access-Control-Allow-Origin", origin),
+                ("Access-Control-Allow-Credentials", "true"),
+                ("Access-Control-Allow-Methods", DEFAULT_CORS_ALLOW_METHODS),
+                ("Access-Control-Max-Age", CORS_MAX_AGE),
+                ("Access-Control-Allow-Headers", self._cors_allow_headers),
+            ]
+        if self._cache_control is not None:  # CacheControlFilter
+            headers += [
+                ("Cache-Control", self._cache_control),
+                ("Vary", "Origin,Accept-Encoding"),
+            ]
         start_response(_STATUS_TEXT[status], headers)
         return [payload]
 
@@ -955,12 +1051,12 @@ class MetricsApp:
 
 
 def serve(service, host: str = "127.0.0.1", port: int = 8080,
-          base_path: str = "/hawkular/metrics"):
+          base_path: str = "/hawkular/metrics", **app_kwargs):
     """Blocking dev server (wsgiref).  Production deployments mount
     :class:`MetricsApp` on any WSGI server."""
     from wsgiref.simple_server import make_server
 
-    app = MetricsApp(service, base_path=base_path)
+    app = MetricsApp(service, base_path=base_path, **app_kwargs)
     with make_server(host, port, app) as srv:
         print(f"serving on http://{host}:{srv.server_port}{base_path}")
         srv.serve_forever()

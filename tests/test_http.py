@@ -744,3 +744,130 @@ def test_metrics_listing_with_timestamps(mm_app):
     assert "minTimestamp" not in by_id.get("m3", {})
     code, defs = call(mm_app, "GET", f"{P}/metrics")
     assert code == 200 and "minTimestamp" not in defs[0]
+
+
+# -- CORS (CorsRequestFilter/CorsResponseFilter, CORSITest.groovy) ----------
+
+
+def call_h(app, method, path, tenant="t1", headers=None):
+    """Like call() but also returns the response headers as a dict."""
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path.split("?")[0],
+        "QUERY_STRING": path.split("?", 1)[1] if "?" in path else "",
+        "CONTENT_TYPE": "application/json",
+        "CONTENT_LENGTH": "0",
+        "wsgi.input": io.BytesIO(b""),
+    }
+    if tenant is not None:
+        environ["HTTP_HAWKULAR_TENANT"] = tenant
+    for k, v in (headers or {}).items():
+        environ["HTTP_" + k.upper().replace("-", "_")] = v
+    out = {}
+
+    def start_response(status, response_headers):
+        out["status"] = int(status.split()[0])
+        out["headers"] = dict(response_headers)
+
+    raw = b"".join(app(environ, start_response))
+    return out["status"], (json.loads(raw) if raw else None), out["headers"]
+
+
+ORIGIN = "http://test.hawkular.org"
+
+
+@pytest.fixture(scope="module")
+def cors_app(spark, tmp_path_factory):
+    from rhq_metrics_spark.http import MetricsApp
+
+    base = tmp_path_factory.mktemp("cors_store")
+    svc = MetricsService(spark, MetricsStore(spark, str(base)))
+    # rest-tests-jaxrs pom.xml:216-217 run configuration
+    return MetricsApp(
+        svc, base_path="/hawkular/metrics",
+        allowed_cors_origins=(
+            "http://test.hawkular.org,https://secure.hawkular.io"
+        ),
+        extra_cors_allow_headers="random-header1,random-header2",
+    )
+
+
+def test_cors_preflight_allowed_origin(cors_app):
+    # CORSITest.testOptionsWithOrigin: 200, empty body, full header set,
+    # never reaches the router (no tenant header needed).
+    code, body, h = call_h(
+        cors_app, "OPTIONS", f"{P}/ping", tenant=None,
+        headers={
+            "Origin": ORIGIN,
+            "Access-Control-Request-Method": "POST",
+            # ignored by the server, per the reference test
+            "Access-Control-Allow-Headers": "test-header",
+        })
+    assert (code, body) == (200, None)
+    assert h["Access-Control-Allow-Origin"] == ORIGIN
+    assert h["Access-Control-Allow-Credentials"] == "true"
+    assert h["Access-Control-Allow-Methods"] == (
+        "GET, POST, PUT, DELETE, OPTIONS, HEAD")
+    assert h["Access-Control-Max-Age"] == str(72 * 60 * 60)
+    assert h["Access-Control-Allow-Headers"] == (
+        "origin,accept,content-type,hawkular-tenant,"
+        "random-header1,random-header2")
+
+
+def test_cors_preflight_bad_origin(cors_app):
+    # CORSITest.testOptionsWithBadOrigin: literal "*" origin and a
+    # scheme mismatch both die as bare 400s before routing.
+    for bad in ("*", "https://test.hawkular.org"):
+        code, body, h = call_h(
+            cors_app, "OPTIONS", f"{P}/gauges/test/raw", tenant=None,
+            headers={"Origin": bad,
+                     "Access-Control-Request-Method": "GET"})
+        assert (code, body) == (400, None)
+        assert "Access-Control-Allow-Origin" not in h
+
+
+def test_cors_subdomain_origin(cors_app):
+    # CORSITest.testOptionsWithSubdomainOrigin
+    sub = "http://tester.test.hawkular.org"
+    code, body, h = call_h(
+        cors_app, "OPTIONS", f"{P}/gauges/test/raw", tenant=None,
+        headers={"Origin": sub, "Access-Control-Request-Method": "GET"})
+    assert (code, body) == (200, None)
+    assert h["Access-Control-Allow-Origin"] == sub
+
+
+def test_cors_headers_on_normal_response(cors_app):
+    # CorsResponseFilter decorates non-preflight responses too
+    code, body, h = call_h(cors_app, "GET", f"{P}/status", tenant=None,
+                           headers={"Origin": ORIGIN})
+    assert code == 200 and body == {"MetricsService": "STARTED"}
+    assert h["Access-Control-Allow-Origin"] == ORIGIN
+    # ...and a disallowed origin 400s even a normal GET
+    code, body, h = call_h(cors_app, "GET", f"{P}/status", tenant=None,
+                           headers={"Origin": "http://evil.example.com"})
+    assert (code, body) == (400, None)
+
+
+def test_cors_absent_origin_and_default_config(cors_app, app):
+    # No Origin header → no CORS headers (filter inert)
+    code, _, h = call_h(cors_app, "GET", f"{P}/status", tenant=None)
+    assert code == 200
+    assert not any(k.startswith("Access-Control") for k in h)
+    # Default config is "*": any syntactically-valid origin is echoed
+    code, _, h = call_h(app, "GET", f"{P}/status", tenant=None,
+                        headers={"Origin": "http://anything.example"})
+    assert code == 200
+    assert h["Access-Control-Allow-Origin"] == "http://anything.example"
+
+
+def test_cache_control_filter(spark, tmp_path_factory):
+    # CacheControlFilter: configured value + Vary on every response
+    from rhq_metrics_spark.http import MetricsApp
+
+    base = tmp_path_factory.mktemp("cc_store")
+    svc = MetricsService(spark, MetricsStore(spark, str(base)))
+    app = MetricsApp(svc, cache_control="no-cache")
+    code, _, h = call_h(app, "GET", "/hawkular/metrics/status", tenant=None)
+    assert code == 200
+    assert h["Cache-Control"] == "no-cache"
+    assert h["Vary"] == "Origin,Accept-Encoding"
