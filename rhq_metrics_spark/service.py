@@ -54,6 +54,15 @@ class MetricsService:
         self._increase_rollups: dict[str, tuple] = {}
         self._twa_rollups: dict[str, tuple] = {}
         self._avail_rollup: tuple | None = None
+        # Cost-based serving router (see _hybrid_profitable): a
+        # watermark-crossing stats query goes hybrid only when the
+        # finalized-prefix raw points the rollup replaces exceed this —
+        # below it, one raw scan beats two scans' fixed cost.  The
+        # default is the measured local[32] crossover (tools/
+        # hybrid_scale_smoke.py); at cluster scale it is
+        # (per-scan fixed cost) / (per-point scan cost) for the
+        # deployment — tune, or set 0 to always prefer hybrid.
+        self.hybrid_min_prefix_points: int = 200_000
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -411,8 +420,13 @@ class MetricsService:
                 f"rollup windows are not epoch-aligned {window_ms}ms "
                 "tumbling windows"
             )
-        hi = df.agg(F.max(end_ms).alias("hi")).collect()[0]["hi"]
-        self._rollups[MetricType.check(metric_type)] = (df, window_ms, hi, path)
+        meta = df.agg(
+            F.max(end_ms).alias("hi"),
+            F.avg("samples").alias("density"),
+        ).collect()[0]
+        self._rollups[MetricType.check(metric_type)] = (
+            df, window_ms, meta["hi"], path, meta["density"]
+        )
 
     def refresh_rollup_watermark(self, metric_type: str) -> int | None:
         """Re-read the attached rollup's finality watermark (the rollup
@@ -425,15 +439,46 @@ class MetricsService:
         entry = self._rollups.get(MetricType.check(metric_type))
         if entry is None:
             return None
-        df, window_ms, _, path = entry
+        df, window_ms, _, path = entry[:4]
         if path is not None:
             self.spark.catalog.refreshByPath(path)
             df = self.spark.read.parquet(path)
-        hi = df.agg(
-            F.max(F.unix_millis(F.col("window_end"))).alias("hi")
-        ).collect()[0]["hi"]
-        self._rollups[metric_type] = (df, window_ms, hi, path)
-        return hi
+        meta = df.agg(
+            F.max(F.unix_millis(F.col("window_end"))).alias("hi"),
+            F.avg("samples").alias("density"),
+        ).collect()[0]
+        self._rollups[metric_type] = (
+            df, window_ms, meta["hi"], path, meta["density"]
+        )
+        return meta["hi"]
+
+    def _hybrid_profitable(
+        self, entry: tuple, buckets: Buckets, n_metrics: int | None
+    ) -> bool:
+        """Cost gate for the watermark-crossing (hybrid) route — pure
+        driver arithmetic, no jobs.
+
+        A pure-prefix query always routes (the rollup reads strictly
+        fewer rows than raw, one scan either way).  A CROSSING query
+        pays a second scan: hybrid ≈ 2·fixed + points(tail)·per_point,
+        raw ≈ fixed + points(prefix+tail)·per_point — hybrid wins only
+        when the finalized-prefix points it avoids reading outweigh one
+        scan's fixed cost.  The prefix estimate is the rollup's own
+        density statistic (avg ``samples`` per (metric, window) row,
+        cached by attach/refresh in the same job as the watermark) ×
+        prefix windows × requested metrics.  Density is an OVERestimate
+        for series sparser than the store average — the failure mode is
+        an unprofitable-but-correct hybrid, never a wrong answer.
+        ``n_metrics=None`` (tag-driven / all-metrics scans) routes
+        hybrid: fleet-wide dashboards are exactly the dense shape.
+        Threshold: :attr:`hybrid_min_prefix_points`."""
+        density = entry[4] if len(entry) > 4 else None
+        if density is None or n_metrics is None:
+            return True
+        win_ms, hi = entry[1], entry[2]
+        prefix_windows = max(0, min(buckets.end, hi) - buckets.start) / win_ms
+        est = density * prefix_windows * max(1, n_metrics)
+        return est >= self.hybrid_min_prefix_points
 
     def _rollup_routed_stats(
         self, metric_type: str, tenant_id, metric, buckets: Buckets
@@ -466,6 +511,10 @@ class MetricsService:
         if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
             return None
         if hi is None or buckets.start >= hi:
+            return None
+        if buckets.end > hi and not self._hybrid_profitable(
+            entry, buckets, 1 if isinstance(metric, str) else None
+        ):
             return None
         # ONE aggregation for the whole query: every rollup window tiles
         # wholly inside one bucket (alignment gate), so window rows ARE
@@ -825,6 +874,10 @@ class MetricsService:
         if buckets.step % win_ms != 0 or buckets.start % win_ms != 0:
             return None
         if hi is None or buckets.start >= hi:
+            return None
+        if buckets.end > hi and not self._hybrid_profitable(
+            entry, buckets, len(metrics)
+        ):
             return None
         # Partials union (windows + optional open tail) → one hash-agg,
         # as in _rollup_routed_stats.  The per-metric grid fill keeps
