@@ -234,6 +234,9 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
         F.unix_millis(F.col("window_end")) <= cut
     )
     svc.attach_rollup("gauge", truncated, rollup_win)
+    # this section MEASURES the hybrid route, so force it on regardless
+    # of the cost gate's default (test_rollup.py pins gate behavior)
+    svc.hybrid_min_prefix_points = 0
     hybrid_bks = Buckets.from_step(rlo, rlo + 14 * step, step)
     probe = svc.try_routed_stats("gauge", "bench", metrics[0], hybrid_bks)
     assert probe is not None, "hybrid routing inactive"

@@ -56,13 +56,15 @@ class MetricsService:
         self._avail_rollup: tuple | None = None
         # Cost-based serving router (see _hybrid_profitable): a
         # watermark-crossing stats query goes hybrid only when the
-        # finalized-prefix raw points the rollup replaces exceed this —
-        # below it, one raw scan beats two scans' fixed cost.  The
-        # default is the measured local[32] crossover (tools/
-        # hybrid_scale_smoke.py); at cluster scale it is
-        # (per-scan fixed cost) / (per-point scan cost) for the
-        # deployment — tune, or set 0 to always prefer hybrid.
-        self.hybrid_min_prefix_points: int = 200_000
+        # estimated finalized-prefix raw points the rollup replaces
+        # reach this — below it, one raw scan beats two scans' fixed
+        # cost.  Default 0 = always prefer hybrid, matching the
+        # reference's unconditional compressed∪temp-table merge
+        # (MetricsServiceImpl.java:662-693).  Deployments where serving
+        # latency dominates can raise it to the measured crossover —
+        # (per-scan fixed cost) / (per-point scan cost); ~200k points
+        # on local[32] per tools/hybrid_scale_smoke.py (SCALE.md).
+        self.hybrid_min_prefix_points: int = 0
 
     # -- tenants / definitions ------------------------------------------------
 

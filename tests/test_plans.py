@@ -184,3 +184,32 @@ def test_a9_rollup_is_one_expand_one_scan(spark):
     plan = _plan(spark, "a9_time_rollup")
     assert plan.count("Expand") == 1
     assert "Union" not in plan
+
+
+def test_b16_production_route_reads_rollup_and_prunes_tail(spark):
+    """The b16 driver query serves through MetricsService.gauge_stats:
+    its plan must read the rollup parquet for the finalized prefix and
+    raw-scan ONLY the open-slice tail (date_slice lower-bounded at the
+    watermark's slice floor — never the grid start)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.sources.store import TWO_HOURS_MS
+
+    df = entry.queries()["b16_hybrid_production"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    store_path, rollup_path, b0, _n = entry._B16_STATE[SF]
+    files = df.inputFiles()
+    assert any(rollup_path in f for f in files), files
+    assert any(store_path in f for f in files), files
+    hi = (
+        spark.read.parquet(rollup_path)
+        .agg(F.max(F.unix_millis("window_end")))
+        .first()[0]
+    )
+    first_open = hi // TWO_HOURS_MS * TWO_HOURS_MS
+    assert first_open > b0  # the prefix is non-trivial at sf0.001
+    bounds = [int(m) for m in re.findall(r"date_slice#\d+L? >= (\d+)", plan)]
+    assert bounds, plan
+    assert all(x == first_open for x in bounds), (first_open, bounds)

@@ -462,7 +462,10 @@ def test_hybrid_rollup_open_tail_serving(spark, tmp_path):
     raw = svc.gauge_stats("t", "m", b, include_median=False, use_rollup=False)
 
     files = routed.inputFiles()
-    assert any("rollup" in f for f in files), files
+    # match against the rollup DIRECTORY, not the bare substring
+    # "rollup" — the pytest tmpdir name contains "rollup" too, so the
+    # raw store's files would satisfy the weaker check
+    assert any(rollup_path in f for f in files), files
     # the raw tail reads ONLY slices covering [hi, end): the store's
     # slice pruning must reach the points scan as a date_slice lower
     # bound at slice_floor(hi), so slice 1 (finalized history) is never
@@ -592,3 +595,76 @@ def test_hybrid_hist_percentile_serving(spark, tmp_path):
     # range entirely in the open tail -> unroutable -> exact fallback
     b_tail = Buckets.from_step(6 * win, 8 * win, win)
     assert svc.percentiles_from_rollup("gauge", "t", "m", b_tail, (90,)) is None
+
+
+def test_hybrid_cost_gate_thresholds(spark, tmp_path):
+    """Both sides of ``hybrid_min_prefix_points`` are pinned: a
+    watermark-CROSSING query routes hybrid when the estimated finalized
+    prefix points (rollup density x prefix windows x metrics) reach the
+    threshold, silently falls back to ONE raw scan below it, and a
+    pure-prefix query routes regardless (the gate prices the SECOND
+    scan only).  Default threshold is 0 — always hybrid, the
+    reference's unconditional merge (MetricsServiceImpl.java:662-693)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 600_000
+    slice_ms = 1_200_000
+    T = 1_700_000_000_000 - (1_700_000_000_000 % slice_ms)
+    rows = [("t", "m", T + w * win + i * 60_000, float(w * 10 + i), None)
+            for w in range(6) for i in range(4)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=slice_ms)
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+    assert svc.hybrid_min_prefix_points == 0  # contract: hybrid by default
+
+    hi = T + 3 * win
+    rollup_path = str(tmp_path / "rollup")
+    _build_rollup(
+        store.points("gauge").filter(F.col("ts") < hi), win
+    ).write.parquet(rollup_path)
+    svc.attach_rollup("gauge", rollup_path, win)
+
+    # density = 4 samples/window, 3 prefix windows, 1 metric -> est = 12
+    crossing = Buckets.from_step(T, T + 6 * win, 2 * win)
+    est = 12
+
+    svc.hybrid_min_prefix_points = est  # est >= threshold: routes
+    routed = svc.try_routed_stats("gauge", "t", "m", crossing)
+    assert routed is not None
+    assert any(rollup_path in f for f in routed.inputFiles())
+
+    svc.hybrid_min_prefix_points = est + 1  # est < threshold: refuses
+    assert svc.try_routed_stats("gauge", "t", "m", crossing) is None
+    # ... and the serving entry point falls back to a raw-only plan
+    # that still answers correctly
+    fell_back = svc.gauge_stats("t", "m", crossing, include_median=False)
+    assert not any(rollup_path in f for f in fell_back.inputFiles())
+    raw = svc.gauge_stats("t", "m", crossing, include_median=False,
+                          use_rollup=False)
+    got = {r["start"]: r for r in fell_back.collect()}
+    exp = {r["start"]: r for r in raw.collect()}
+    assert set(got) == set(exp) and len(got) == 3
+    for k in exp:
+        assert got[k]["samples"] == exp[k]["samples"]
+        for c in ("min", "avg", "max", "sum"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+
+    # pure-prefix (no second scan to price): routes even at a huge gate
+    svc.hybrid_min_prefix_points = 10**9
+    prefix_only = Buckets.from_step(T, T + 2 * win, win)
+    routed = svc.try_routed_stats("gauge", "t", "m", prefix_only)
+    assert routed is not None
+    assert not any("/store/" in f for f in routed.inputFiles())
+
+    # the multi-metric route prices metrics x prefix windows the same
+    # way: 3 windows x density 4 x 1 metric = 12
+    svc.hybrid_min_prefix_points = est + 1
+    assert svc._rollup_routed_multi("gauge", "t", ["m"], crossing) is None
+    svc.hybrid_min_prefix_points = est
+    assert svc._rollup_routed_multi("gauge", "t", ["m"], crossing) is not None
