@@ -357,27 +357,36 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        # one broken query must cost its own number, never the whole
-        # round's bench (round-2 lesson: a testdata schema change killed
-        # query #1 and zeroed every metric)
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        # best-of-2: a 50-query pass accumulates GC/JIT/page-cache debt
+        # that lands on whichever query runs behind it (r6 recorded
+        # j6_interval_join at 2.38s vs ~1.1s isolated) — the min of two
+        # back-to-back runs is the query's cost, the gap is engine noise
+        # (VERDICT r6 item 6).  One broken query must cost its own
+        # number, never the whole round's bench (round-2 lesson).
+        best, n = None, 0
+        for _attempt in range(2):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                spark.catalog.clearCache()
+                best = None
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # per-query isolation: operators persist intermediate frames
+            # (signatures, shingle sets); without a reset those
+            # accumulate across the pass and evict each other mid-plan,
+            # so later queries pay their expensive pipelines repeatedly
             spark.catalog.clearCache()
+        if best is None:
             continue
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
-        # per-query isolation: operators persist intermediate frames
-        # (signatures, shingle sets); without a reset those accumulate
-        # across 30 queries and evict each other mid-plan, so later
-        # queries pay their expensive pipelines several times over
-        spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {n} rows in {best:.2f}s (best of 2)", file=sys.stderr)
 
     # the oracled embed_ivf_topk is full-probe (== brute force, for the
     # correctness gate); track the real ANN dial (n_probe=4/16) here so
@@ -505,7 +514,6 @@ def main() -> None:
 
     workdir = tempfile.mkdtemp(prefix="bench_store_")
     try:  # noqa: SIM105 — KPI failures must not zero the query timings
-        store = MetricsStore(spark, workdir)
         pts = entry._events_points(spark, sf_dir).select(
             F.lit("bench").alias("tenant_id"),
             "metric",
@@ -514,9 +522,19 @@ def main() -> None:
             F.lit(None).cast("map<string,string>").alias("tags"),
         )
         n_pts = pts.count()
-        t0 = time.time()
-        store.add_data_points("gauge", pts)
-        dt = time.time() - t0
+        # median-of-3 into fresh dirs: a single ingest is ~1s of wall
+        # at sf0.1, so one GC pause moved the r6 KPI -26% with no code
+        # change (VERDICT r6 item 4) — the median is the throughput
+        ingest_dts = []
+        for i in range(3):
+            d = tempfile.mkdtemp(prefix="bench_ingest_")
+            t0 = time.time()
+            MetricsStore(spark, d).add_data_points("gauge", pts)
+            ingest_dts.append(time.time() - t0)
+            shutil.rmtree(d, ignore_errors=True)
+        dt = sorted(ingest_dts)[1]
+        store = MetricsStore(spark, workdir)
+        store.add_data_points("gauge", pts)  # the store the KPIs below use
         # the events table is a 30-day span -> ~360 2h slices: this is the
         # sparse-backfill scenario (per-slice commit overhead dominates)
         timings["ingest_backfill_points_per_sec"] = round(n_pts / dt, 1)
@@ -534,12 +552,21 @@ def main() -> None:
             "metric",
             F.concat(F.col("metric"), F.lit("_"), (F.col("ts") % 20).cast("string")),
         )
+        # same median-of-3 treatment as backfill (sub-second wall each)
+        dense_dts = []
+        for i in range(2):
+            d = tempfile.mkdtemp(prefix="bench_dense_")
+            t0 = time.time()
+            MetricsStore(spark, d).add_data_points("gauge", dense)
+            dense_dts.append(time.time() - t0)
+            shutil.rmtree(d, ignore_errors=True)
         dense_dir = tempfile.mkdtemp(prefix="bench_store_dense_")
         try:
             dense_store = MetricsStore(spark, dense_dir)
             t0 = time.time()
             dense_store.add_data_points("gauge", dense)
-            dt = time.time() - t0
+            dense_dts.append(time.time() - t0)
+            dt = sorted(dense_dts)[1]
             timings["ingest_dense_points_per_sec"] = round(n_pts / dt, 1)
             _query_latency_kpis(spark, dense_store, lo, window_ms, timings)
         finally:

@@ -275,6 +275,12 @@ def test_hist_rollup_percentile_serving(spark, tmp_path):
     assert files and not any("points" in f for f in files), files
     assert {r["start"]: round(r["p90"], 6) for r in routed.collect()} == \
         {k: round(v["p90"], 6) for k, v in got.items()}
+    # ... and via the FUSED single-agg assembly (r7): base columns and
+    # histogram quantiles merge in one hash-agg — no join, no window
+    # sort anywhere in the served plan
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
 
     # misaligned buckets -> exact fallback (raw scan, exact values)
     b_off = Buckets.from_step(10_000, 10_000 + 4 * win, win)
