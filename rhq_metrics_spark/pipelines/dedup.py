@@ -802,6 +802,62 @@ def _star_contract_labels(edges: DataFrame, max_iters: int) -> DataFrame:
     return child.unionByName(roots).distinct()
 
 
+#: above this many (doc -> root) remap entries, a literal in-plan map is
+#: slower than a broadcast hash join (element_at on a map literal probes
+#: linearly); below it, the join-free projection wins ~4x in local bench
+#: because it skips createDataFrame + a BroadcastExchange entirely.
+_LITERAL_MAP_MAX = 2048
+
+_NUMERIC_ID_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+
+
+def _apply_cluster_labels(
+    ids: DataFrame, mapping: list, id_col: str
+) -> DataFrame:
+    """Attach ``cluster_id`` / ``is_canonical`` from a driver-resident
+    (id -> root) remap.  Near-dup remaps are tiny relative to the corpus
+    (only docs WITH a duplicate appear), so the common case is a literal
+    ``map(...)`` + ``element_at`` — a pure projection fused into the id
+    scan, zero shuffles, zero broadcast exchanges.  Large remaps fall
+    back to a broadcast hash join.  The map expression is rendered as
+    ONE SQL string: per-entry ``F.lit`` columns would cost 2N py4j round
+    trips of plan construction (same diagnosis as the fused histogram
+    assembly in service.py)."""
+    id_type = dict(ids.dtypes)[id_col]
+    if not mapping:
+        root = F.lit(None).cast(id_type)
+    elif len(mapping) <= _LITERAL_MAP_MAX and (
+        id_type in _NUMERIC_ID_TYPES or id_type == "string"
+    ):
+        if id_type in _NUMERIC_ID_TYPES:
+            body = ",".join(f"{k}L,{v}L" for k, v in mapping)
+        else:
+            def _q(s: str) -> str:
+                return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+            body = ",".join(f"{_q(k)},{_q(v)}" for k, v in mapping)
+        root = F.expr(f"element_at(map({body}), `{id_col}`)").cast(id_type)
+    else:
+        mdf = ids.sparkSession.createDataFrame(
+            mapping, f"`{id_col}` {id_type}, _root {id_type}"
+        )
+        out = ids.join(F.broadcast(mdf), id_col, "left")
+        return out.select(
+            id_col,
+            F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("_root"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    return ids.select(
+        id_col,
+        F.coalesce(root, F.col(id_col)).alias("cluster_id"),
+        (F.coalesce(root, F.col(id_col)) == F.col(id_col)).alias(
+            "is_canonical"
+        ),
+    )
+
+
 def dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
@@ -837,21 +893,28 @@ def dup_clusters(
 
     Singleton documents (no pairs) stay their own cluster.  Output:
     ``(doc_id, cluster_id, is_canonical)``.
+
+    ``driver_threshold`` counts RAW pairs (not symmetrized distinct
+    edges): at or below it the clustering runs as a driver union-find
+    over one ``limit(threshold+1).collect()`` of the pair output.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     # hybrid execution: a near-dup edge set is normally a tiny fraction
     # of the corpus (pairs, not points) — when it fits the driver, a
     # union-find beats ~10 shuffle supersteps by an order of magnitude.
+    # The gate is a single ``limit(threshold+1).collect()`` on the RAW
+    # pair output: the pair plan executes exactly once, with no
+    # symmetrize-union, no distinct shuffle, and no checkpoint
+    # materialization (union-find is insensitive to duplicate or
+    # reversed edges, so the cleanup the distributed loop needs is pure
+    # waste here — it was ~40% of this query's bench time at sf0.1).
     # The distributed loop below is the path for pathological graphs;
     # both produce cluster_id = min reachable id, bit-identically.
-    if edges.count() <= driver_threshold:
+    probe = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -862,29 +925,22 @@ def dup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in probe:
             a, b = find(row["_src"]), find(row["_dst"])
             if a != b:
                 # min-id wins so the representative IS the cluster id
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
         mapping = [(x, find(x)) for x in list(parent)]
-        spark = ids.sparkSession
-        id_type = dict(ids.dtypes)[id_col]
-        if mapping:
-            mdf = spark.createDataFrame(
-                mapping, f"`{id_col}` {id_type}, _root {id_type}"
-            )
-            out = ids.join(F.broadcast(mdf), id_col, "left")
-        else:
-            out = ids.withColumn("_root", F.lit(None).cast(id_type))
-        return out.select(
-            id_col,
-            F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id"),
-            (F.coalesce(F.col("_root"), F.col(id_col)) == F.col(id_col)).alias(
-                "is_canonical"
-            ),
+        return _apply_cluster_labels(ids, mapping, id_col)
+    edges = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
         )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # super-node routing: hash-min label propagation joins each node's
     # full neighborhood against the label table every superstep — fine
     # for near-dup graphs, hostile for a power-law hub.  Above the
