@@ -41,6 +41,13 @@ from rhq_metrics_spark.sources.store import MetricsStore
 from rhq_metrics_spark.tags import find_metric_ids
 
 
+def _sql_str(v) -> str:
+    """Render a value as a safely-escaped Spark SQL string literal (for
+    the parsed-SQL-string serving paths, where per-Column Py4J plan
+    construction is the latency bottleneck)."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 class MetricsService:
     """create/ingest/query facade over a :class:`MetricsStore`."""
 
@@ -568,31 +575,36 @@ class MetricsService:
         """Rollup windows inside the grid as per-bucket PARTIAL rows
         (``bucket_idx, min, max, sum, samples``) — no aggregation: the
         alignment gate guarantees each window falls wholly inside one
-        bucket, so window rows are already mergeable partials."""
-        start_ms = F.unix_millis(F.col("window_start"))
+        bucket, so window rows are already mergeable partials.
+
+        Built as TWO parsed SQL strings (one filter, one selectExpr):
+        this runs per served request, and the equivalent Column-API
+        chain cost ~90 ms of Py4J plan construction per call (same
+        diagnosis as the fused quantile expressions below).  The
+        timestamp-literal comparisons keep parquet PushedFilters."""
         grid_end = buckets.start + buckets.step * buckets.count
-        # timestamp-literal comparisons (not unix_millis(col) vs int) so
-        # the range prunes the rollup parquet via PushedFilters
-        df = rollup.filter(
-            (F.col("tenant_id") == tenant_id)
-            & (F.col("window_start")
-               >= F.timestamp_millis(F.lit(buckets.start)))
-            & (F.col("window_end") <= F.timestamp_millis(F.lit(grid_end)))
-        )
+        conds = [
+            f"tenant_id = {_sql_str(tenant_id)}",
+            f"window_start >= timestamp_millis({buckets.start}L)",
+            f"window_end <= timestamp_millis({grid_end}L)",
+        ]
         if metric is not None:
-            df = df.filter(
-                F.col("metric") == metric if isinstance(metric, str)
-                else F.col("metric").isin(list(metric))
-            )
+            if isinstance(metric, str):
+                conds.append(f"metric = {_sql_str(metric)}")
+            else:
+                conds.append(
+                    "metric IN ({})".format(
+                        ", ".join(_sql_str(m) for m in metric))
+                )
         cols = ["metric"] if keep_metric else []
-        return df.select(
+        return rollup.filter(" AND ".join(conds)).selectExpr(
             *cols,
-            ((start_ms - buckets.start) / buckets.step)
-            .cast("long").alias("bucket_idx"),
-            F.col("min").cast("double").alias("min"),
-            F.col("max").cast("double").alias("max"),
-            F.col("sum").cast("double").alias("sum"),
-            F.col("samples").cast("long").alias("samples"),
+            f"cast((unix_millis(window_start) - {buckets.start}L) "
+            f"/ {buckets.step}L as bigint) AS bucket_idx",
+            "cast(`min` as double) AS `min`",
+            "cast(`max` as double) AS `max`",
+            "cast(`sum` as double) AS `sum`",
+            "cast(samples as bigint) AS samples",
         )
 
     def _tail_partials(
@@ -604,21 +616,22 @@ class MetricsService:
         DEGENERATE per-bucket partial rows (each point is its own
         min/max/sum with samples=1) — schema-aligned with
         :meth:`_window_partials` so one union + one hash-agg merges the
-        finalized prefix and the open tail."""
-        from rhq_metrics_spark.operators.stats import bucket_index, in_grid
-
+        finalized prefix and the open tail.  One parsed filter + one
+        selectExpr — this is a per-served-request path."""
         pts = self.store.find_data_points(
             metric_type, tenant_id, metric, hi, buckets.end, order=None
         )
-        v = F.col("value").cast("double")
         cols = ["metric"] if keep_metric else []
-        return pts.filter(in_grid(buckets)).select(
+        return pts.where(
+            f"ts >= {buckets.start}L AND ts < {buckets.end}L"
+        ).selectExpr(
             *cols,
-            bucket_index(buckets).alias("bucket_idx"),
-            v.alias("min"),
-            v.alias("max"),
-            v.alias("sum"),
-            F.lit(1).cast("long").alias("samples"),
+            f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
+            " AS bucket_idx",
+            "cast(value as double) AS `min`",
+            "cast(value as double) AS `max`",
+            "cast(value as double) AS `sum`",
+            "cast(1 as bigint) AS samples",
         )
 
     def build_histogram_rollup(
@@ -811,9 +824,22 @@ class MetricsService:
         identical, so the crossing bin matches the merged variant and
         the estimate stays within the documented one-bin-width error —
         only the interpolation point inside the crossing bin may differ.
+
+        A range ENDING past either finality watermark keeps the same
+        shape (r8): the finalized prefix ``[start, cut)`` comes from
+        both rollups, the open tail ``[cut, grid_end)`` from ONE pruned
+        raw scan whose point rows are degenerate partials for BOTH
+        sides at once — min=max=sum=value/samples=1 for the base
+        columns and a ``(bin, 1)`` histogram entry — so the union still
+        merges in a single hash-agg with no join and no window.  ``cut``
+        is ``min(stats hi, hist watermark)`` floored to the
+        lcm(window, slice) grid (which divides ``step``, both being
+        divisors of it), so windows and slices below it tile whole
+        buckets and nothing double-counts against the tail scan.
         Returns None (caller falls back to the join path, then exact)
-        unless both rollups are attached, aligned, and the range is
-        finalized in both."""
+        unless both rollups are attached and aligned, the range starts
+        in finalized territory, and a crossing range passes the hybrid
+        cost gate."""
         entry_r = self._rollups.get(MetricType.GAUGE)
         entry_h = self._hist_rollups.get(MetricType.GAUGE)
         if entry_r is None or entry_h is None:
@@ -831,8 +857,19 @@ class MetricsService:
         grid_end = buckets.start + buckets.step * buckets.count
         if hi_r is None or watermark is None:
             return None
-        if grid_end > hi_r or grid_end > watermark:
-            return None  # open tail: the tested hybrid join path serves it
+        cut0 = min(hi_r, watermark)
+        if cut0 <= buckets.start:
+            return None
+        cut: int | None = None
+        if grid_end > cut0:
+            import math as _math
+
+            lcm = win_ms * slice_ms // _math.gcd(win_ms, slice_ms)
+            cut = buckets.start + ((cut0 - buckets.start) // lcm) * lcm
+            if cut <= buckets.start:
+                return None
+            if not self._hybrid_profitable(entry_r, buckets, 1):
+                return None
         qs = list(dict.fromkeys(percentiles))
         if include_median:
             qs = [50.0, *[q for q in qs if q != 50.0]]
@@ -841,7 +878,12 @@ class MetricsService:
         from rhq_metrics_spark.operators.stats import percentile_col_name
 
         bin_struct_t = "struct<bin:int,c:bigint>"
-        base = self._window_partials(rollup, tenant_id, metric, buckets) \
+        base_src = rollup
+        if cut is not None:
+            base_src = rollup.filter(
+                F.col("window_end") <= F.timestamp_millis(F.lit(cut))
+            )
+        base = self._window_partials(base_src, tenant_id, metric, buckets) \
             .withColumn("_hb", F.lit(None).cast(bin_struct_t))
         null_base = (
             "cast(null as double) AS `min`",
@@ -853,7 +895,9 @@ class MetricsService:
                 (F.col("tenant_id") == tenant_id)
                 & (F.col("metric") == metric)
                 & (F.col("slice_start") >= buckets.start)
-                & (F.col("slice_start") < grid_end)
+                # cut on the slice grid ⇒ slice_start < cut means the
+                # whole slice is inside the finalized prefix
+                & (F.col("slice_start") < (grid_end if cut is None else cut))
             )
             .selectExpr(
                 f"cast((slice_start - {buckets.start}L) / {buckets.step}L "
@@ -870,8 +914,30 @@ class MetricsService:
             "cast(0 as bigint) AS samples",
             f"cast(null as {bin_struct_t}) AS _hb",
         )
+        parts = base.unionByName(hb)
+        if cut is not None:
+            w_bin_pre = (hi - lo) / n_bins
+            pts = self.store.find_data_points(
+                MetricType.GAUGE, tenant_id, metric, cut, grid_end, order=None
+            )
+            # one parsed filter + one selectExpr (per-request path)
+            tail = pts.where(
+                f"ts >= {buckets.start}L AND ts < {buckets.end}L"
+            ).selectExpr(
+                f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
+                " AS bucket_idx",
+                "cast(value as double) AS `min`",
+                "cast(value as double) AS `max`",
+                "cast(value as double) AS `sum`",
+                "cast(1 as bigint) AS samples",
+                "named_struct('bin', cast(least(greatest("
+                f"floor((cast(value as double) - {lo!r}d) / {w_bin_pre!r}d), "
+                f"0), {n_bins - 1}) as int), "
+                "'c', cast(1 as bigint)) AS _hb",
+            )
+            parts = parts.unionByName(tail)
         rolled = (
-            base.unionByName(hb).unionByName(zeros)
+            parts.unionByName(zeros)
             .groupBy("bucket_idx")
             .agg(
                 F.min("min").alias("min"),

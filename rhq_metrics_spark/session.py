@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small dims (nation/region/metric definitions) broadcast freely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Per-call Python call-site capture (PySpark 4 DataFrame
+        # debugging) costs an extra JVM round trip on EVERY DataFrame
+        # API invocation — measured ~15% of served-query plan
+        # construction.  This is a serving engine; error call sites are
+        # a dev-mode aid.  Opt back in with SPARK_GRAFT_DEBUG=true.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DEBUG", "false"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

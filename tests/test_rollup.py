@@ -603,6 +603,83 @@ def test_hybrid_hist_percentile_serving(spark, tmp_path):
     assert svc.percentiles_from_rollup("gauge", "t", "m", b_tail, (90,)) is None
 
 
+def test_hybrid_hist_fused_single_agg(spark, tmp_path):
+    """r8: the FUSED single-hash-agg hist assembly also serves
+    watermark-crossing ranges — finalized prefix from both rollups,
+    open tail from one raw scan contributing degenerate base partials
+    AND (bin, 1) histogram entries; plan stays Join- and Window-free
+    and reads BOTH the rollup parquet and raw point files."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import GAUGE_SCHEMA, Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", "m", w * win + i * 2_000, float((w * 7 + i * 4) % 120), None)
+            for w in range(8) for i in range(30)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=win)
+    store.add_data_points("gauge", spark.createDataFrame(rows, GAUGE_SCHEMA))
+    svc = MetricsService(spark, store)
+
+    lo_v, hi_v, n_bins = 0.0, 120.0, 60
+    watermark = 6 * win  # slices/windows 0-5 finalized, 6-7 open
+    hists = svc.build_histogram_rollup("gauge", win, lo_v, hi_v, n_bins) \
+        .filter(F.col("slice_start") < watermark)
+    hist_dir = str(tmp_path / "hists")
+    hists.write.parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, win, lo_v, hi_v, n_bins)
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .filter(F.unix_millis(F.col("window_end")) <= watermark)
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+    svc.hybrid_min_prefix_points = 0
+
+    b = Buckets.from_step(0, 8 * win, 2 * win)  # bucket 3 fully open
+    exact = svc.gauge_stats("t", "m", b, percentiles=(90, 99))
+    fused = svc._hist_fused_stats("t", "m", b, (90.0, 99.0), True)
+    assert fused is not None
+    served = svc.gauge_stats("t", "m", b, percentiles=(90, 99),
+                             percentile_impl="hist")
+    assert served.columns == exact.columns
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # the store's LWW dedup on the raw tail is a row_number window over
+    # _layer_seq (+ its WindowGroupLimit pushdown) — required merge
+    # semantics.  What must NOT appear is any OTHER window: a windowed
+    # quantile/rank assembly would show up as a Window node without the
+    # LWW key.
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "_layer_seq" in line, line
+    files = served.inputFiles()
+    assert any(f"{tmp_path}/rollup" in f for f in files), files
+    assert any("points" in f for f in files), files
+
+    got = {r["start"]: r for r in served.collect()}
+    exp = {r["start"]: r for r in exact.collect()}
+    assert set(got) == set(exp) and len(got) == 4
+    for k in exp:
+        for c in ("min", "avg", "max", "sum", "samples"):
+            assert math.isclose(got[k][c], exp[k][c], rel_tol=1e-9), (k, c)
+        for c in ("median", "p90", "p99"):
+            assert abs(got[k][c] - exp[k][c]) <= 2.0 + 1e-9, (k, c)
+
+
 def test_hybrid_cost_gate_thresholds(spark, tmp_path):
     """Both sides of ``hybrid_min_prefix_points`` are pinned: a
     watermark-CROSSING query routes hybrid when the estimated finalized
