@@ -4174,68 +4174,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
-    # whose driver-green row is oldest (or absent).  Round 7 leads with
-    # the 21 training-data-pipeline queries that have never had a
-    # driver row, the new production-route hybrid query, then the
-    # TPC-H/dedup block last sampled in r5.  tools/verify_all.py checks
-    # ALL keys locally regardless of order.
+    # whose driver-green row is oldest (or absent).  Round 8 leads with
+    # the 10 queries last sampled in r5 (embed_cosine_topk + the r1-era
+    # text/mm/sampling set), then the metrics-engine family (green r6,
+    # aging); the r7-green LLM-pipeline/TPC-H/dedup blocks rotate to the
+    # back.  tools/verify_all.py checks ALL keys locally regardless of
+    # order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- never driver-sampled before r7: training-data pipelines
-        "embed_contamination": q_embed_contamination,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_lsh_recall": q_embed_lsh_recall,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
-        "url_domains": q_url_domains,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,
-        "mm_real_roundtrip": q_mm_real_roundtrip,
-        "sample_mixture": q_sample_mixture,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25": q_text_bm25,
-        "text_classify": q_text_classify,
-        "chunk_docs": q_chunk_docs,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pack_chunks": q_pack_chunks,
-        "dedup_segments": q_dedup_segments,
-        "sketch_kmv": q_sketch_kmv,
-        "embed_rp_reduce": q_embed_rp_reduce,
-        "embed_quantize": q_embed_quantize,
-        # -- new in r7: production serving route under correctness
-        "b16_hybrid_production": q_b16_hybrid_production,
-        # -- relational showcase, last driver-sampled r5
-        "tpch_q1": q_tpch_q1,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # -- dedup family, last driver-sampled r5
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_near_dup": q_embed_near_dup,
-        # ---- 50-key driver window ends here ----
-        # metrics engine (SURVEY.md §2), driver-green r6
+        # -- last driver-sampled r5: lead the r8 window
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "text_contamination": q_text_contamination,
+        "doc_fingerprint": q_doc_fingerprint,
+        "mm_meta": q_mm_meta,
+        "sample_split": q_sample_split,
+        "sample_cap": q_sample_cap,
+        # -- metrics engine (SURVEY.md §2), driver-green r6
         "s1_raw_scan": q_s1_raw_scan,
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
@@ -4276,6 +4233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        # ---- 50-key driver window ends here ----
+        # r7-green blocks: LLM pipelines, production route, TPC-H, dedup
         "a12_twa_rollup": q_a12_twa_rollup,
         "w9_increase_hybrid": q_w9_increase_hybrid,
         "a13_twa_hybrid": q_a13_twa_hybrid,
@@ -4286,17 +4245,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_rollup_serving": q_b11_rollup_serving,
         "b15_hybrid_serving": q_b15_hybrid_serving,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
-        # training-data pipelines, driver-green r6
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_vocab": q_text_vocab,
-        "text_contamination": q_text_contamination,
-        "doc_fingerprint": q_doc_fingerprint,
-        "mm_meta": q_mm_meta,
-        "sample_split": q_sample_split,
-        "sample_cap": q_sample_cap,
+        "embed_contamination": q_embed_contamination,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
+        "sketch_kmv": q_sketch_kmv,
+        "embed_rp_reduce": q_embed_rp_reduce,
+        "embed_quantize": q_embed_quantize,
+        "b16_hybrid_production": q_b16_hybrid_production,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_near_dup": q_embed_near_dup,
     }
     return qs
 
