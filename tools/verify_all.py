@@ -39,6 +39,12 @@ def main() -> int:
     with_bench = "--bench" in sys.argv
     results = []
 
+    # docs-of-record drift gate (cheap, runs first): registry counts in
+    # COVERAGE.md vs queries()/oracle_sql()/BENCH_QUERIES
+    results.append(
+        run("registry", [sys.executable, "tools/check_registry.py"], 120)
+    )
+
     pytest_cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if quick:
         pytest_cmd.append("-x")
