@@ -76,10 +76,12 @@ from rhq_metrics_spark.pipelines.classify import hashed_weights, linear_score
 from rhq_metrics_spark.operators.gapfill import fill_gaps
 from rhq_metrics_spark.operators.sessions import session_stats
 from rhq_metrics_spark.pipelines.dedup import (
+    dedup_against_index,
     dup_clusters,
     embed_cross_near_dup,
     embedding_near_dup_pairs,
     exact_dedup,
+    minhash_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     segment_dedup,
@@ -2445,6 +2447,78 @@ FROM reach GROUP BY id
 """
 
 
+IDX_T = 0.5  # signature-estimate threshold (>= 6 of 12 hashes agree)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a standing signature index
+    (pipelines/dedup.py minhash_index / dedup_against_index): docs with
+    doc_id % 5 == 4 arrive as the new batch, the rest are the indexed
+    corpus.  Per batch doc: is_new + best corpus match by
+    signature-estimated Jaccard (md5-keyed construction — the DuckDB
+    oracle reproduces every signature and the estimator arithmetic
+    bit-for-bit).  The 100 TB shape: the corpus is indexed once and
+    never re-shuffled; the broadcast batch joins map-side against the
+    bucketed index (see the dedup.py docstrings)."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = minhash_index(corpus, num_hashes=MH_HASHES, bands=MH_BANDS)
+    out = dedup_against_index(
+        batch, idx, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=IDX_T
+    )
+    return out.select(
+        "doc_id", "is_new", "matched_id",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+def _incremental_sql() -> str:
+    rows = MH_HASHES // MH_BANDS
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh_{i}"
+        for i in range(MH_HASHES)
+    )
+    band_cols = ",\n        ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(MH_BANDS)
+    )
+    bucket_array = ", ".join(f"'{b}:' || band_{b}" for b in range(MH_BANDS))
+    est = " + ".join(
+        f"CAST(a.mh_{i} = b.mh_{i} AS INT)" for i in range(MH_HASHES)
+    )
+    return f"""
+WITH {SHINGLE_SQL},
+sig AS (SELECT doc_id, s,
+         {mh_cols}
+        FROM sh WHERE len(s) > 0),
+banded AS (SELECT doc_id,
+        {band_cols}
+       FROM sig),
+buckets AS (SELECT doc_id, unnest([{bucket_array}]) AS bucket FROM banded),
+cand AS (SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_old
+         FROM buckets n JOIN buckets c ON n.bucket = c.bucket
+         WHERE n.doc_id % 5 = 4 AND c.doc_id % 5 != 4),
+est AS (SELECT id_new, id_old, ({est}) / {float(MH_HASHES)} AS e
+        FROM cand
+        JOIN sig a ON a.doc_id = id_new
+        JOIN sig b ON b.doc_id = id_old),
+ranked AS (SELECT id_new, id_old, e,
+                  row_number() OVER (PARTITION BY id_new
+                                     ORDER BY e DESC, id_old ASC) AS rn
+           FROM est WHERE e >= {IDX_T}),
+best AS (SELECT id_new, id_old, e FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       (best.id_old IS NULL) AS is_new,
+       CAST(best.id_old AS BIGINT) AS matched_id,
+       round(best.e, 6) AS est_jaccard
+FROM documents d LEFT JOIN best ON best.id_new = d.doc_id
+WHERE d.doc_id % 5 = 4
+"""
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (term/document frequency) — the pre-BPE counting
     pass (pipelines/text.py vocab_stats)."""
@@ -4181,6 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back.  tools/verify_all.py checks ALL keys locally regardless of
     # order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in r8, never driver-sampled: incremental index dedup
+        "dedup_incremental": q_dedup_incremental,
         # -- last driver-sampled r5: lead the r8 window
         "embed_cosine_topk": q_embed_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -4382,6 +4458,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": _clusters_sql(),
+        "dedup_incremental": _incremental_sql(),
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",  # iterative connected components
+    "dedup_incremental",  # batch-vs-standing-index dedup (broadcast batch)
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_ivf_topk",

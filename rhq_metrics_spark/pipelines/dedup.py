@@ -1009,6 +1009,216 @@ def dup_clusters(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Standing MinHash signature index — ONE row per document:
+    ``(id, mh_0..mh_{H-1}, band_0..band_{B-1}, _refine)``.
+
+    This is the artifact an *incremental* dedup pipeline keeps between
+    runs: at 100 TB you never re-pair the corpus; you index it once
+    (signatures are ~100 bytes/doc — the 100 TB corpus becomes a
+    sub-TB index), then dedup each arriving batch against the index
+    (:func:`index_dedup_candidates`) and append the batch's unique
+    docs (:func:`index_append`).  Same md5-keyed construction as
+    :func:`minhash_lsh_pairs`, so a DuckDB oracle reproduces every
+    signature bit-for-bit.  Documents with fewer than ``n`` tokens
+    produce no shingles and are not indexable (same exclusion as the
+    batch pair generator).  ``_refine`` = md5 of the full signature —
+    the oversize-bucket refinement key, stored so hot-bucket routing
+    needs no recomputation."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sh = _shingle_df(df, id_col, text_col, n)
+    sig = sh.select(
+        F.col("_id").alias(id_col),
+        *minhash_signature("_shingles", num_hashes),
+    )
+    band_exprs = [
+        "md5(concat_ws('|', {})) AS band_{}".format(
+            ", ".join(f"mh_{b * rows + r}" for r in range(rows)), b
+        )
+        for b in range(bands)
+    ]
+    refine_expr = "md5(concat_ws('|', {})) AS _refine".format(
+        ", ".join(f"mh_{i}" for i in range(num_hashes))
+    )
+    return sig.selectExpr(
+        id_col, *[f"mh_{i}" for i in range(num_hashes)],
+        *band_exprs, refine_expr,
+    )
+
+
+def index_bucket_stats(index: DataFrame, bands: int) -> DataFrame:
+    """Per-band-bucket member counts of a signature index — the
+    maintenance artifact that prices hot buckets (compute once per
+    index rewrite, like :func:`ivf_index_stats`, NOT per batch: it is
+    the only full-index aggregation in the incremental path)."""
+    return _index_buckets(index, bands).groupBy("_bucket").count()
+
+
+def _index_buckets(index: DataFrame, bands: int, id_col: str = "doc_id"):
+    bucket_array = ", ".join(
+        f"concat('{b}:', band_{b})" for b in range(bands)
+    )
+    keep = [c for c in index.columns if not c.startswith("band_")]
+    return index.selectExpr(
+        *keep, f"explode(array({bucket_array})) AS _bucket"
+    )
+
+
+def index_dedup_candidates(
+    new_index: DataFrame,
+    corpus_index: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    corpus_bucket_stats: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-batch-vs-corpus near-dup candidates from two signature
+    indexes: ``(id_new, id_old, est_jaccard)`` with signature-estimated
+    Jaccard (fraction of agreeing minhashes — the standard unbiased
+    estimator) at or above ``threshold``.
+
+    100 TB shape: the NEW side (a daily batch) is broadcast, so the
+    bucket join is map-side over the corpus index — the corpus is
+    **never shuffled**, and with a bucket/partition-pruned index store
+    only segments sharing a band bucket with the batch are read.  The
+    candidate distinct() shuffles candidate triples only.  Hot corpus
+    buckets (over ``max_bucket_size``, priced by the precomputed
+    ``corpus_bucket_stats`` maintenance artifact — computed here as a
+    fallback when absent) tighten the join key to the full-signature
+    ``_refine`` column, so boilerplate buckets cost |bucket| exact-
+    signature matches instead of |bucket|x|batch| estimates; routed
+    bucket count is LOGGED, never silently dropped."""
+    # the divisor must be an explicit DOUBLE: a bare `12.0` literal in
+    # Spark SQL is DECIMAL(3,1) and int/decimal division yields
+    # decimal(18,6), not the double the oracle computes
+    est_expr = "({}) / cast({} as double)".format(
+        " + ".join(
+            f"IF(n.mh_{i} = c.mh_{i}, 1, 0)" for i in range(num_hashes)
+        ),
+        num_hashes,
+    )
+    new_b = _index_buckets(new_index, bands, id_col).select(
+        F.col(id_col).alias("_id_new"), "_refine",
+        *[F.col(f"mh_{i}") for i in range(num_hashes)], "_bucket",
+    )
+    corpus_b = _index_buckets(corpus_index, bands, id_col).select(
+        F.col(id_col).alias("_id_old"), "_refine",
+        *[F.col(f"mh_{i}") for i in range(num_hashes)], "_bucket",
+    )
+    def _triples(joined: DataFrame) -> DataFrame:
+        return joined.selectExpr(
+            "n._id_new AS id_new",
+            "c._id_old AS id_old",
+            f"{est_expr} AS est_jaccard",
+        )
+
+    if max_bucket_size is not None:
+        stats = corpus_bucket_stats
+        if stats is None:
+            stats = index_bucket_stats(corpus_index, bands)
+        hot = stats.filter(F.col("count") > max_bucket_size).select("_bucket")
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "index_dedup_candidates: %d corpus buckets over %d "
+                "members — joining those on full signature (_refine)",
+                n_hot, max_bucket_size,
+            )
+        hot = F.broadcast(hot)
+        out = _triples(
+            corpus_b.join(hot, "_bucket", "left_anti").alias("c").join(
+                F.broadcast(new_b).alias("n"), "_bucket"
+            )
+        )
+        if n_hot:
+            out = out.unionByName(_triples(
+                corpus_b.join(hot, "_bucket").alias("c").join(
+                    F.broadcast(new_b).alias("n"), ["_bucket", "_refine"]
+                )
+            ))
+    else:
+        out = _triples(
+            corpus_b.alias("c").join(F.broadcast(new_b).alias("n"), "_bucket")
+        )
+    return out.filter(F.col("est_jaccard") >= threshold).distinct()
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    corpus_bucket_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Per-new-document incremental dedup decision against a standing
+    corpus index: ``(id, is_new, matched_id, est_jaccard)``.
+
+    ``is_new`` is false when the doc's best signature-estimated Jaccard
+    against the corpus reaches ``threshold``; ``matched_id`` is that
+    best match (ties broken by smallest corpus id — deterministic).
+    Docs too short to index are trivially new.  Within-batch duplicates
+    are the follow-on step (:func:`minhash_lsh_pairs` +
+    :func:`dup_clusters` over the batch): corpus-vs-batch and
+    batch-internal dedup have different canonical-survivor rules, so
+    they stay separate operators."""
+    new_index = minhash_index(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    pairs = index_dedup_candidates(
+        new_index, corpus_index, num_hashes, bands, threshold,
+        max_bucket_size, corpus_bucket_stats, id_col,
+    )
+    best = pairs.groupBy("id_new").agg(
+        F.expr(
+            "min_by(id_old, named_struct('e', -est_jaccard, 'i', id_old))"
+        ).alias("matched_id"),
+        F.max("est_jaccard").alias("est_jaccard"),
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(
+            F.broadcast(best.withColumnRenamed("id_new", id_col)),
+            id_col, "left",
+        )
+        .select(
+            id_col,
+            F.col("matched_id").isNull().alias("is_new"),
+            "matched_id",
+            "est_jaccard",
+        )
+    )
+
+
+def index_append(
+    corpus_index: DataFrame, new_index: DataFrame, decisions: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The maintenance step closing the incremental loop: corpus index
+    ∪ signatures of the batch docs judged new.  On a partitioned index
+    store this is a partition append (the :func:`ivf_append` model) —
+    no rewrite of the standing index."""
+    keep = decisions.filter(F.col("is_new")).select(F.col(id_col))
+    return corpus_index.unionByName(
+        new_index.join(F.broadcast(keep), id_col, "left_semi")
+    )
+
+
 def embed_cross_near_dup(
     left: DataFrame,
     right: DataFrame,

@@ -409,3 +409,96 @@ def test_simhash_over_lane_bound_raises(spark):
 
     with _pytest.raises(Exception, match="65535 tokens"):
         simhash_pairs(df, max_hamming=3).collect()
+
+
+def test_incremental_index_dedup_roundtrip(spark):
+    """The incremental loop: index a corpus, dedup a batch that mixes
+    exact corpus copies, a near-copy, and novel docs; append uniques;
+    a re-run of the same batch is then all-dup."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        dedup_against_index,
+        index_append,
+        index_dedup_candidates,
+        minhash_index,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely different document about spark engines"),
+        (3, "yet another unrelated piece of text for the corpus set"),
+    ]
+    batch_rows = [
+        (101, "the quick brown fox jumps over the lazy dog today"),  # copy of 1
+        (102, "the quick brown fox jumps over the lazy dog tonight"),  # near 1
+        (103, "nothing in the corpus resembles this novel sentence at all"),
+        (104, "tiny"),  # too short to index -> trivially new
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    idx = minhash_index(corpus)
+    assert set(idx.columns) >= {"doc_id", "mh_0", "mh_11", "band_0",
+                                "band_5", "_refine"}
+    dec = {r["doc_id"]: r for r in dedup_against_index(batch, idx).collect()}
+    assert len(dec) == 4
+    assert not dec[101]["is_new"] and dec[101]["matched_id"] == 1
+    assert dec[101]["est_jaccard"] == 1.0
+    assert dec[103]["is_new"] and dec[103]["matched_id"] is None
+    assert dec[104]["is_new"]
+    # the near-copy: signature estimate is noisy at 12 hashes, but the
+    # candidate machinery must at least surface it as a pair vs doc 1
+    cands = index_dedup_candidates(
+        minhash_index(batch), idx, threshold=0.0
+    ).collect()
+    assert any(r["id_new"] == 102 and r["id_old"] == 1 for r in cands)
+
+    # append uniques; re-running the SAME batch now matches everything
+    # indexable (104 stays new: nothing to index)
+    idx2 = index_append(idx, minhash_index(batch), dedup_against_index(batch, idx))
+    assert idx2.count() == idx.count() + sum(
+        1 for r in dec.values() if r["is_new"] and r["doc_id"] != 104
+    )
+    rerun = {r["doc_id"]: r for r in dedup_against_index(batch, idx2).collect()}
+    for i in (101, 102, 103):
+        assert not rerun[i]["is_new"], i
+        if dec[i]["is_new"]:  # appended -> now matches its own signature
+            assert rerun[i]["est_jaccard"] == 1.0, i
+    assert rerun[104]["is_new"]
+
+
+def test_incremental_dedup_hot_bucket_refine(spark):
+    """Corpus buckets over the cap route to full-signature joins: exact
+    duplicates are still found, and the join plan stays broadcast (the
+    corpus index is never shuffled before the join)."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    # 30 corpus docs sharing long boilerplate (hot band buckets) with a
+    # distinct tail each, plus one doc duplicated into the batch
+    boiler = "terms and conditions apply to all users of this service "
+    corpus_rows = [(i, boiler * 3 + f"unique tail number {i} here")
+                   for i in range(30)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, boiler * 3 + "unique tail number 7 here"),
+         (101, "completely unrelated novel content sentence")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus)
+    dec = {r["doc_id"]: r for r in dedup_against_index(
+        batch, idx, max_bucket_size=5
+    ).collect()}
+    assert not dec[100]["is_new"] and dec[100]["matched_id"] == 7
+    assert dec[100]["est_jaccard"] == 1.0
+    assert dec[101]["is_new"]
+
+    from rhq_metrics_spark.pipelines.dedup import index_dedup_candidates
+
+    pairs = index_dedup_candidates(
+        minhash_index(batch), idx, max_bucket_size=5, threshold=0.99
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
