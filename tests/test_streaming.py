@@ -512,3 +512,95 @@ def test_hybrid_serving_against_live_rollup_sink(spark, tmp_path):
             assert got2[k]["samples"] == exp[k]["samples"], k
     finally:
         q.stop()
+
+
+def test_streaming_incremental_neardup_matches_batch_loop(spark, tmp_path):
+    """The foreachBatch incremental near-dup stream == a sequential
+    batch loop of dedup_against_index + index_append: two micro-batches
+    where batch 2 contains a near-copy of a batch-1 unique AND a copy of
+    a corpus doc; decisions and final index must match the batch twin
+    exactly."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        dedup_against_index,
+        index_append,
+        minhash_index,
+    )
+    from rhq_metrics_spark.streaming.dedup import (
+        start_incremental_neardup_stream,
+    )
+
+    corpus_rows = [
+        (1, "the standing corpus document about database engines today"),
+        (2, "a second corpus document concerning stream processing"),
+    ]
+    b1 = [
+        {"doc_id": 10, "text": "entirely novel first batch document body"},
+        {"doc_id": 11, "text": "the standing corpus document about database engines today"},
+    ]
+    b2 = [
+        {"doc_id": 20, "text": "entirely novel first batch document body"},  # dup of 10
+        {"doc_id": 21, "text": "another brand new piece of content here"},
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index_dir = tmp_path / "sig_index"
+    minhash_index(corpus).write.parquet(str(index_dir))
+
+    src = tmp_path / "inc_in"
+    src.mkdir()
+    out_dir = tmp_path / "inc_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    q = start_incremental_neardup_stream(
+        stream, str(index_dir), str(out_dir), str(tmp_path / "inc_ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        while rows() < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert len(got) == 4
+
+    # batch twin: sequential loop over the same two batches
+    idx = minhash_index(corpus)
+    exp = {}
+    for batch in (b1, b2):
+        bdf = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in batch],
+            "doc_id long, text string",
+        )
+        dec = dedup_against_index(bdf, idx)
+        for r in dec.collect():
+            exp[r["doc_id"]] = r
+        idx = index_append(idx, minhash_index(bdf), dec)
+
+    for k, e in exp.items():
+        g = got[k]
+        assert (g["is_new"], g["matched_id"]) == (e["is_new"], e["matched_id"]), k
+        assert g["est_jaccard"] == e["est_jaccard"], k
+    # 10 unique; 11 matched corpus 1; 20 matched 10 (appended by batch 1);
+    # 21 unique
+    assert got[10]["is_new"] and not got[11]["is_new"]
+    assert got[11]["matched_id"] == 1
+    assert not got[20]["is_new"] and got[20]["matched_id"] == 10
+    assert got[21]["is_new"]
+    # final index contents match the batch loop's
+    streamed_idx = {r["doc_id"] for r in
+                    spark.read.parquet(str(index_dir)).collect()}
+    assert streamed_idx == {r["doc_id"] for r in idx.collect()}
