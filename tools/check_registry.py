@@ -43,6 +43,14 @@ def main() -> int:
             f"queries() has {len(qs)}"
         )
 
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"driver contract: (\d+) queries", readme)
+    if m and int(m.group(1)) != len(qs):
+        failures.append(
+            f"README.md says {m.group(1)} driver queries; "
+            f"queries() has {len(qs)}"
+        )
+
     no_oracle = sorted(set(qs) - set(osql))
     print(f"queries: {len(qs)}  oracled: {len(osql)}  "
           f"rows-only (documented non-SQL-expressible): {no_oracle}")
