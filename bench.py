@@ -228,6 +228,29 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     ).collect())
     timings["stats_pct_hist_latency_p50_ms"] = p50
     timings["stats_pct_hist_latency_p95_ms"] = p95
+    # the 100-series dashboard WITH median+percentiles served from
+    # partials (r8 stats_query percentile_impl='hist') vs the exact
+    # raw-scan path it previously had to take.  At THIS bench scale the
+    # exact scan is only ~576k raw points, so exact can win on wall —
+    # the route's value is the scan-size ratio: partials rows stay
+    # #metrics x #slices x occupied-bins while raw grows with point
+    # density, so the crossover favors hist well before cluster scale.
+    # Both recorded so the ratio is tracked per round.
+    probe = svc._hist_routed_multi(
+        "gauge", "bench", metrics, routed_bks, (90.0,), True
+    )
+    assert probe is not None, "multi hist routing inactive"
+    assert not any("points" in f for f in probe.inputFiles()), "not routed"
+    svc.stats_query("bench", routed_bks, {"gauge": metrics},
+                    percentiles=(90,), percentile_impl="hist")  # warm
+    t0 = time.time()
+    svc.stats_query("bench", routed_bks, {"gauge": metrics},
+                    percentiles=(90,), percentile_impl="hist")
+    timings["stats_query_100m_hist_pct_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    svc.stats_query("bench", routed_bks, {"gauge": metrics},
+                    percentiles=(90,))
+    timings["stats_query_100m_exact_pct_sec"] = round(time.time() - t0, 3)
 
     # the 100-series dashboard served from the rollup (r5): same
     # stats_query shape as the raw KPI below, mergeable columns only

@@ -1007,6 +1007,13 @@ class MetricsApp:
             )
         types = body.get("types") or []
         percentiles = self._percentiles_value(body.get("percentiles"))
+        # extension beyond the reference API (same as the single-metric
+        # handler): percentileImpl='hist' serves the dashboard's
+        # median/percentiles from attached histogram partials via
+        # service.stats_query, exact fallback when unroutable
+        impl = body.get("percentileImpl") or "exact"
+        if impl not in ("exact", "hist"):
+            raise BadRequest(f"Invalid percentileImpl parameter: {impl!r}")
         with api_errors():
             bks = self.service.stats_params(
                 body.get("start"), body.get("end"),
@@ -1042,7 +1049,9 @@ class MetricsApp:
             if av:
                 by_type[MetricType.AVAILABILITY] = av
         with api_errors():
-            out = self.service.stats_query(tenant, bks, by_type, percentiles)
+            out = self.service.stats_query(
+                tenant, bks, by_type, percentiles, percentile_impl=impl
+            )
         return {t: m for t, m in out.items() if m}
 
     def _cross_stats_query(self, tenant, body):

@@ -48,6 +48,30 @@ def _sql_str(v) -> str:
     return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _hist_quantile_expr(q: float, name: str, lo: float, w_bin: float) -> str:
+    """One quantile estimate as a single parsed-SQL ``aggregate`` over a
+    sorted ``_bins`` array column (with ``_total`` alongside) — same
+    crossing rule and interpolation arithmetic as
+    ``operators.downsample.histogram_quantiles``: the first entry whose
+    cumulative count reaches ``q * total``.  Built as ONE SQL string:
+    composing higher-order-function lambdas from Python Column ops costs
+    hundreds of Py4J round trips of plan construction per request."""
+    target = f"({q / 100.0!r}d * _total)"
+    return (
+        "aggregate(_bins, "
+        "named_struct('cum', cast(0 as bigint), "
+        "'est', cast(null as double)), "
+        "(acc, x) -> named_struct("
+        "'cum', acc.cum + x.c, "
+        f"'est', CASE WHEN acc.est IS NULL AND acc.cum + x.c >= {target} "
+        f"AND acc.cum < {target} "
+        f"THEN {lo!r}d + x.bin * {w_bin!r}d "
+        f"+ {w_bin!r}d * ({target} - acc.cum) / x.c "
+        "ELSE acc.est END), "
+        f"acc -> acc.est) AS {name}"
+    )
+
+
 class MetricsService:
     """create/ingest/query facade over a :class:`MetricsStore`."""
 
@@ -959,23 +983,7 @@ class MetricsService:
         )
 
         def _quantile(q: float, name: str) -> str:
-            # same crossing rule and interpolation arithmetic as
-            # operators.downsample.histogram_quantiles: first entry
-            # whose cumulative count reaches target = q * total
-            target = f"({q / 100.0!r}d * _total)"
-            return (
-                "aggregate(_bins, "
-                "named_struct('cum', cast(0 as bigint), "
-                "'est', cast(null as double)), "
-                "(acc, x) -> named_struct("
-                "'cum', acc.cum + x.c, "
-                f"'est', CASE WHEN acc.est IS NULL AND acc.cum + x.c >= {target} "
-                f"AND acc.cum < {target} "
-                f"THEN {lo!r}d + x.bin * {w_bin!r}d "
-                f"+ {w_bin!r}d * ({target} - acc.cum) / x.c "
-                "ELSE acc.est END), "
-                f"acc -> acc.est) AS {name}"
-            )
+            return _hist_quantile_expr(q, name, lo, w_bin)
 
         cols = [
             f"{buckets.start}L + bucket_idx * {buckets.step}L AS `start`",
@@ -1138,6 +1146,182 @@ class MetricsService:
             .select("metric", "start", "end", "min", "avg", "max", "sum",
                     "samples")
         )
+
+    def _hist_routed_multi(
+        self, metric_type: str, tenant_id, metrics: Sequence[str],
+        buckets: Buckets, percentiles: Sequence[float],
+        include_median: bool,
+    ) -> DataFrame | None:
+        """Multi-metric dashboard stats WITH rank columns from partials
+        (the ``percentile_impl='hist'`` twin of
+        :meth:`_rollup_routed_multi`), in the FUSED single-hash-agg
+        shape of :meth:`_hist_fused_stats` with ``metric`` in the group
+        key: stats-rollup window partials, histogram bin structs, and —
+        for a range crossing ``min(stats hi, hist watermark)`` (cut on
+        the lcm grid, hybrid cost gate applied) — raw open-tail rows
+        carrying BOTH degenerate base partials and ``(bin, 1)`` entries
+        union into ONE aggregation; every quantile is a JVM
+        higher-order ``aggregate`` projection.  No windows, no explode
+        (the first cut of this route went through
+        ``histogram_quantiles``' window machinery and was measured
+        SLOWER than the exact raw scan at bench scale — 1.5 s vs 0.77 s
+        for the 100-series dashboard; the fused shape serves it in one
+        pass).  The only join is the per-metric grid-fill broadcast the
+        multi shape already pays.  None → caller falls back to the
+        exact raw path.  Output schema matches
+        ``numeric_bucket_stats(group_cols=['metric'])`` with ``metric``
+        first."""
+        entry_r = self._rollups.get(MetricType.check(metric_type))
+        entry_h = self._hist_rollups.get(MetricType.check(metric_type))
+        if entry_r is None or entry_h is None:
+            return None
+        if not (percentiles or include_median):
+            return None
+        rollup, win_ms, hi_r = entry_r[0], entry_r[1], entry_r[2]
+        hists, slice_ms, lo, hi, n_bins, watermark = entry_h[:6]
+        if (
+            buckets.step % win_ms != 0
+            or buckets.start % win_ms != 0
+            or buckets.step % slice_ms != 0
+            or buckets.start % slice_ms != 0
+            or buckets.start % buckets.step != 0
+        ):
+            return None
+        if hi_r is None or watermark is None:
+            return None
+        grid_end = buckets.start + buckets.step * buckets.count
+        cut0 = min(hi_r, watermark)
+        if cut0 <= buckets.start:
+            return None
+        cut: int | None = None
+        if grid_end > cut0:
+            import math as _math
+
+            lcm = win_ms * slice_ms // _math.gcd(win_ms, slice_ms)
+            cut = buckets.start + ((cut0 - buckets.start) // lcm) * lcm
+            if cut <= buckets.start:
+                return None
+            if not self._hybrid_profitable(entry_r, buckets, len(metrics)):
+                return None
+        if any(not 0 < q <= 100 for q in percentiles):
+            return None
+        from rhq_metrics_spark.operators.stats import bucket_dimension
+
+        bin_struct_t = "struct<bin:int,c:bigint>"
+        base_src = rollup
+        if cut is not None:
+            base_src = rollup.filter(
+                F.col("window_end") <= F.timestamp_millis(F.lit(cut))
+            )
+        parts = self._window_partials(
+            base_src, tenant_id, list(metrics), buckets, keep_metric=True
+        ).withColumn("_hb", F.lit(None).cast(bin_struct_t))
+        metric_list = ", ".join(_sql_str(m) for m in metrics)
+        hb = hists.where(
+            f"tenant_id = {_sql_str(tenant_id)}"
+            f" AND metric IN ({metric_list})"
+            f" AND slice_start >= {buckets.start}L"
+            f" AND slice_start < {grid_end if cut is None else cut}L"
+        ).selectExpr(
+            "metric",
+            f"cast((slice_start - {buckets.start}L) / {buckets.step}L "
+            "as bigint) AS bucket_idx",
+            "cast(null as double) AS `min`",
+            "cast(null as double) AS `max`",
+            "cast(null as double) AS `sum`",
+            "cast(null as bigint) AS samples",
+            "named_struct('bin', cast(bin as int), "
+            "'c', cast(count as bigint)) AS _hb",
+        )
+        parts = parts.unionByName(hb)
+        if cut is not None:
+            w_bin_pre = (hi - lo) / n_bins
+            pts = self.store.find_data_points(
+                metric_type, tenant_id, list(metrics), cut, grid_end,
+                order=None,
+            )
+            tail = pts.where(
+                f"ts >= {buckets.start}L AND ts < {buckets.end}L"
+            ).selectExpr(
+                "metric",
+                f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
+                " AS bucket_idx",
+                "cast(value as double) AS `min`",
+                "cast(value as double) AS `max`",
+                "cast(value as double) AS `sum`",
+                "cast(1 as bigint) AS samples",
+                "named_struct('bin', cast(least(greatest("
+                f"floor((cast(value as double) - {lo!r}d) / {w_bin_pre!r}d), "
+                f"0), {n_bins - 1}) as int), "
+                "'c', cast(1 as bigint)) AS _hb",
+            )
+            parts = parts.unionByName(tail)
+        rolled = (
+            parts.groupBy("metric", "bucket_idx")
+            .agg(
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.sum("sum").alias("sum"),
+                F.sum("samples").alias("samples"),
+                F.sort_array(F.collect_list("_hb")).alias("_bins"),
+            )
+        )
+        # per-metric grid fill: one broadcast join (the multi shape's
+        # accepted cost — see _rollup_routed_multi); missing cells get
+        # samples 0, an empty _bins, and therefore null estimates
+        dim = bucket_dimension(self.spark, buckets)
+        gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
+        filled = (
+            gdim.join(rolled, ["metric", "bucket_idx"], "left")
+            .selectExpr(
+                "metric", "start", "end", "`min`", "`max`", "`sum`",
+                "coalesce(samples, cast(0 as bigint)) AS samples",
+                f"coalesce(_bins, cast(array() as array<{bin_struct_t}>))"
+                " AS _bins",
+            )
+            .withColumn(
+                "_total",
+                F.expr("aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c)"),
+            )
+        )
+        w_bin = (hi - lo) / n_bins
+        cols = [
+            "metric", "`start`", "`end`", "`min`",
+            "CASE WHEN samples > 0 THEN `sum` / samples END AS avg",
+        ]
+        if include_median:
+            cols.append(_hist_quantile_expr(50.0, "median", lo, w_bin))
+        cols += ["`max`", "`sum`", "samples"]
+        emitted = set()
+        for q in percentiles:
+            name = percentile_col_name(q)
+            if name not in emitted:
+                emitted.add(name)
+                cols.append(_hist_quantile_expr(q, name, lo, w_bin))
+        return filled.selectExpr(*cols)
+
+    def _stacked_from_per_metric(
+        self, per_metric: DataFrame, percentiles: Sequence[float],
+        include_median: bool,
+    ) -> DataFrame:
+        """A3 stacking over a per-metric stats frame: element-wise sums,
+        ``samples`` = contributing-metric count per bucket (exactly
+        ``operators/stacked.py:stacked_stats`` semantics — nulls from
+        empty (metric, bucket) cells drop out of the sums)."""
+        aggs = [F.sum("min").alias("min"), F.sum("avg").alias("avg")]
+        if include_median:
+            aggs.append(F.sum("median").alias("median"))
+        aggs += [
+            F.sum("max").alias("max"), F.sum("sum").alias("sum"),
+            F.count(F.when(F.col("samples") > 0, 1)).alias("samples"),
+        ]
+        emitted = set()
+        for q in percentiles:
+            col = percentile_col_name(q)
+            if col not in emitted:
+                emitted.add(col)
+                aggs.append(F.sum(col).alias(col))
+        return per_metric.groupBy("start", "end").agg(*aggs)
 
     def gauge_stats(
         self,
@@ -1851,6 +2035,7 @@ class MetricsService:
         percentiles: Sequence[float] = (),
         stacked: bool = False,
         include_median: bool = True,
+        percentile_impl: str = "exact",
     ) -> dict[str, dict[str, list[dict]]]:
         """POST /metrics/stats/query (MetricHandler.java:304-460): fan out
         per requested type — gauge/counter (optionally the derived
@@ -1861,6 +2046,15 @@ class MetricsService:
         variants; per-metric grouping happens in one job per type (the
         reference's own TODO laments its duplicate scans —
         MetricHandler.java:368-371).
+
+        ``percentile_impl='hist'`` (r8): median/percentile dashboards
+        serve from the attached histogram partials + stats rollup
+        (:meth:`_hist_routed_multi` — zero raw reads inside the
+        finalized range, open tail binned on the fly), falling back to
+        the exact raw scan when the rollups can't route.  The exact
+        path previously was the ONLY option the moment a dashboard
+        asked for a median — the most common reason the biggest query
+        in the API couldn't use partials.
         """
         out: dict[str, dict[str, list[dict]]] = {}
         for mtype, metrics in metrics_by_type.items():
@@ -1926,6 +2120,18 @@ class MetricsService:
                             )
                             .withColumn("metric", F.lit("*stacked*"))
                         )
+                if (
+                    per_metric is None and percentile_impl == "hist"
+                    and mtype == base
+                ):
+                    routed = self._hist_routed_multi(
+                        base, tenant_id, metrics, buckets, percentiles,
+                        include_median,
+                    )
+                    if routed is not None:
+                        per_metric = self._stacked_from_per_metric(
+                            routed, percentiles, include_median
+                        ).withColumn("metric", F.lit("*stacked*"))
                 if per_metric is None:
                     # stacked collapses metrics — keyed under '*stacked*'
                     per_metric = stacked_stats(
@@ -1935,10 +2141,16 @@ class MetricsService:
                         per_metric = per_metric.drop("median")
             else:
                 per_metric = None
-                if not include_median and not percentiles and mtype == base:
-                    per_metric = self._rollup_routed_multi(
-                        base, tenant_id, metrics, buckets
-                    )
+                if mtype == base:
+                    if not include_median and not percentiles:
+                        per_metric = self._rollup_routed_multi(
+                            base, tenant_id, metrics, buckets
+                        )
+                    elif percentile_impl == "hist":
+                        per_metric = self._hist_routed_multi(
+                            base, tenant_id, metrics, buckets,
+                            percentiles, include_median,
+                        )
                 if per_metric is None:
                     per_metric = numeric_bucket_stats(
                         pts, buckets, percentiles, group_cols=["metric"]

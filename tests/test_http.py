@@ -871,3 +871,25 @@ def test_cache_control_filter(spark, tmp_path_factory):
     assert code == 200
     assert h["Cache-Control"] == "no-cache"
     assert h["Vary"] == "Origin,Accept-Encoding"
+
+
+def test_cross_type_stats_query_percentile_impl(mm_app):
+    """r8 extension: percentileImpl=hist on the cross-type dashboard
+    query — with no rollups attached it falls back to exact (identical
+    body); an unknown impl is a 400."""
+    req = {
+        "metrics": {"gauge": ["m1"]},
+        "start": 0, "end": 240_000, "buckets": 2, "percentiles": "90",
+    }
+    code, exact = call(mm_app, "POST", f"{P}/metrics/stats/query", req)
+    assert code == 200
+    code, hist = call(mm_app, "POST", f"{P}/metrics/stats/query",
+                      {**req, "percentileImpl": "hist"})
+    assert code == 200
+    assert hist == exact
+    assert "percentile90th" in exact["gauge"]["m1"][0] or \
+        any("90" in k for k in exact["gauge"]["m1"][0])
+    code, body = call(mm_app, "POST", f"{P}/metrics/stats/query",
+                      {**req, "percentileImpl": "nope"})
+    assert code == 400
+    assert "percentileImpl" in body["errorMsg"]

@@ -751,3 +751,102 @@ def test_hybrid_cost_gate_thresholds(spark, tmp_path):
     assert svc._rollup_routed_multi("gauge", "t", ["m"], crossing) is None
     svc.hybrid_min_prefix_points = est
     assert svc._rollup_routed_multi("gauge", "t", ["m"], crossing) is not None
+
+
+def test_stats_query_hist_percentiles_multi(spark, tmp_path):
+    """r8: the multi-metric dashboard WITH median/percentiles served
+    from partials (percentile_impl='hist'): base columns bit-equal to
+    the exact path, rank columns within one bin width, zero raw-point
+    reads inside the finalized range, and the hybrid tail binned on the
+    fly when the range crosses the watermark.  Stacked sums match the
+    exact stacked path within metrics x bin-width."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", f"m{j}", w * win + i * 2_000, float((w * 9 + i * 5 + j * 13) % 120), None)
+            for j in range(3) for w in range(8) for i in range(30)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=win)
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    svc = MetricsService(spark, store)
+
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+    lo_v, hi_v, n_bins = 0.0, 120.0, 60  # bin width 2.0
+    hist_dir = str(tmp_path / "hists")
+    svc.build_histogram_rollup("gauge", win, lo_v, hi_v, n_bins) \
+        .write.parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, win, lo_v, hi_v, n_bins)
+
+    metrics = [f"m{j}" for j in range(3)]
+    b = Buckets.from_step(0, 8 * win, 2 * win)
+
+    routed_df = svc._hist_routed_multi("gauge", "t", metrics, b, (90.0,), True)
+    assert routed_df is not None
+    assert not any("points" in f for f in routed_df.inputFiles())
+
+    def _compare(routed, raw, tol):
+        assert routed["gauge"].keys() == raw["gauge"].keys()
+        for m in raw["gauge"]:
+            assert len(routed["gauge"][m]) == len(raw["gauge"][m])
+            for rb, xb in zip(routed["gauge"][m], raw["gauge"][m]):
+                assert rb.keys() == xb.keys(), (m, rb, xb)
+                for k in xb:
+                    if xb[k] is None or rb[k] is None:
+                        assert rb[k] == xb[k], (m, k, rb, xb)
+                    elif k in ("median", "p90"):
+                        assert abs(rb[k] - xb[k]) <= tol + 1e-9, (m, k, rb, xb)
+                    elif isinstance(xb[k], float):
+                        assert math.isclose(rb[k], xb[k], rel_tol=1e-9), (m, k)
+                    else:
+                        assert rb[k] == xb[k], (m, k, rb, xb)
+
+    saved_r, saved_h = svc._rollups, svc._hist_rollups
+    for stacked, tol in ((False, 2.0), (True, 3 * 2.0)):
+        routed = svc.stats_query("t", b, {"gauge": metrics}, percentiles=(90,),
+                                 stacked=stacked, percentile_impl="hist")
+        svc._rollups, svc._hist_rollups = {}, {}
+        raw = svc.stats_query("t", b, {"gauge": metrics}, percentiles=(90,),
+                              stacked=stacked)
+        svc._rollups, svc._hist_rollups = saved_r, saved_h
+        _compare(routed, raw, tol)
+
+    # watermark-crossing: truncate both rollups to 6/8 windows; the
+    # same call must still serve (tail binned on the fly) and match
+    cut = 6 * win
+    truncated = spark.read.parquet(rollup_dir).filter(
+        F.unix_millis(F.col("window_end")) <= cut)
+    svc.attach_rollup("gauge", truncated, win)
+    hists_t = spark.read.parquet(hist_dir).filter(F.col("slice_start") < cut)
+    svc.attach_histogram_rollup("gauge", hists_t, win, lo_v, hi_v, n_bins)
+    svc.hybrid_min_prefix_points = 0
+    saved_r, saved_h = svc._rollups, svc._hist_rollups
+    probe = svc._hist_routed_multi("gauge", "t", metrics, b, (90.0,), True)
+    assert probe is not None
+    assert any("points" in f for f in probe.inputFiles())
+    routed = svc.stats_query("t", b, {"gauge": metrics}, percentiles=(90,),
+                             percentile_impl="hist")
+    svc._rollups, svc._hist_rollups = {}, {}
+    raw = svc.stats_query("t", b, {"gauge": metrics}, percentiles=(90,))
+    svc._rollups, svc._hist_rollups = saved_r, saved_h
+    _compare(routed, raw, 2.0)
