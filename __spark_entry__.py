@@ -115,6 +115,7 @@ from rhq_metrics_spark.pipelines.text import (
     contamination_check,
     document_fingerprint,
     language_id,
+    lm_bigram_score,
     pii_from_documents,
     pii_scan,
     quality_score,
@@ -2804,6 +2805,52 @@ WHERE rank <= 3
 """
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality score (pipelines/text.py
+    lm_bigram_score): add-one-smoothed bigram probabilities in integer
+    basis points and a quantized per-document cross-entropy — the
+    CCNet-style perplexity-filter signal in engine-portable exact
+    arithmetic."""
+    docs = _table(spark, sf_dir, "documents")
+    return lm_bigram_score(docs)
+
+
+# mirrors lm_bigram_score exactly: same add-one smoothing, the same
+# integer basis-point division, and the same binary-string-length
+# surprisal quantization (bin() exists in both engines; no ln()).
+SQL_TEXT_LM_SCORE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         toks[i] AS w1,
+         toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM d, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2),
+bgc AS (SELECT w1, bigram, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT bigram, c_bg,
+               CAST(sum(c_bg) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx
+        FROM bgc),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM d)),
+prob AS (SELECT bigram,
+                CAST((c_bg + 1) * 1000000 // (c_ctx + v) AS BIGINT) AS p_bp
+         FROM ctx, vocab),
+scored AS (SELECT bg.doc_id, prob.p_bp FROM bg JOIN prob USING (bigram))
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(p_bp) AS BIGINT) AS sum_p_bp,
+       CAST(sum(p_bp) AS DOUBLE) / count(*) AS avg_p_bp,
+       min(p_bp) AS min_p_bp,
+       CAST(sum(21 - len(bin(p_bp))) AS DOUBLE) / count(*) AS xent_qbits
+FROM scored
+GROUP BY doc_id
+"""
+
+
 BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -4255,8 +4302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back.  tools/verify_all.py checks ALL keys locally regardless of
     # order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in r8, never driver-sampled: incremental index dedup
+        # -- new in r8, never driver-sampled: incremental index dedup,
+        #    bigram-LM quality score
         "dedup_incremental": q_dedup_incremental,
+        "text_lm_score": q_text_lm_score,
         # -- last driver-sampled r5: lead the r8 window
         "embed_cosine_topk": q_embed_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -4308,9 +4357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_increase_rollup": q_w8_increase_rollup,
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
         # ---- 50-key driver window ends here ----
         # r7-green blocks: LLM pipelines, production route, TPC-H, dedup
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "a12_twa_rollup": q_a12_twa_rollup,
         "w9_increase_hybrid": q_w9_increase_hybrid,
         "a13_twa_hybrid": q_a13_twa_hybrid,
@@ -4482,6 +4531,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_cap": SQL_SAMPLE_CAP,
         "sample_mixture": SQL_SAMPLE_MIXTURE,
         "text_tfidf": SQL_TEXT_TFIDF,
+        "text_lm_score": SQL_TEXT_LM_SCORE,
         "text_bm25": SQL_TEXT_BM25,
         "pack_chunks": SQL_PACK_CHUNKS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
+    "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
     "pack_chunks",   # sharded running-sum window (packing throughput)
     "a10_correlation",     # bucket-aligned self-join, exact decimal sums
     "w6_trend",            # closed-form least squares per series

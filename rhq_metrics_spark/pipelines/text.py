@@ -461,6 +461,104 @@ def repetition_stats(
     )
 
 
+def lm_bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p_scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus bigram-LM quality score — the cheap statistical-LM signal
+    behind perplexity-based pretraining filters (CCNet-style: documents
+    whose token transitions are improbable under a corpus LM are
+    gibberish/boilerplate outliers), in engine-portable exact integer
+    arithmetic.
+
+    The LM is add-one-smoothed bigram maximum likelihood over the input
+    corpus itself: ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with
+    ``V`` the corpus unigram vocabulary size.  Probabilities are kept as
+    integer basis points ``p_bp = (c_bg + 1) * p_scale div (c_ctx + V)``
+    — same monotone ordering, bit-identical across engines (the same
+    reasoning as ``tfidf_top_terms``'s integer idf).  The per-document
+    cross-entropy is served QUANTIZED to whole bits via the binary
+    string length ``ilog2(p_bp) = length(bin(p_bp)) - 1`` (exact in both
+    Spark and DuckDB — no ``ln``, which is not correctly-rounded and can
+    differ in the last ulp between runtimes): ``surprisal_q = B -
+    ilog2(p_bp)`` with ``B = log2(p_scale)`` rounded up, so ``p_bp =
+    p_scale`` (probability ~1) scores ~1 bit and ``p_bp = 0`` saturates
+    at ``B`` bits.
+
+    Plan shape at 100 TB: tokenize/bigram extraction is scan-fused; one
+    hash-agg on the bigram key (map-side partials absorb head-bigram
+    skew); context totals come from a window over the COUNTS table
+    (|distinct bigrams|, not |bigram occurrences|) partitioned by w1;
+    the vocabulary scalar rides a broadcast; one shuffle join of doc
+    bigrams against the probability table on the bigram key; one final
+    hash-agg on the doc id.  Nothing is ever all-pairs and no count
+    table is collected to the driver.
+
+    Output: ``(id, n_bigrams, sum_p_bp, avg_p_bp, min_p_bp,
+    xent_qbits)`` — one row per document with >= 1 bigram.
+    """
+    bits = max(1, (p_scale).bit_length())  # p_scale=1e6 -> 20
+    toks_all = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    bg = (
+        toks_all.filter(F.size("_toks") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "_id",
+            F.col("_b.w1").alias("w1"),
+            F.concat_ws(" ", F.col("_b.w1"), F.col("_b.w2")).alias("bigram"),
+        )
+    )
+    bgc = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.withColumn(
+        "c_ctx", F.sum("c_bg").over(Window.partitionBy("w1"))
+    )
+    vocab = toks_all.select(F.explode("_toks").alias("_tok")).agg(
+        F.count_distinct("_tok").alias("v")
+    )
+    prob = (
+        ctx.crossJoin(F.broadcast(vocab))
+        .withColumn("p_bp", F.expr(f"(c_bg + 1) * {p_scale} div (c_ctx + v)"))
+        .select("bigram", "p_bp")
+    )
+    scored = bg.join(prob, "bigram")
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_bp").alias("sum_p_bp"),
+            F.min("p_bp").alias("min_p_bp"),
+            F.sum(
+                F.lit(bits + 1) - F.length(F.bin(F.col("p_bp")))
+            ).alias("_surp_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "sum_p_bp",
+            (F.col("sum_p_bp").cast("double") / F.col("n_bigrams")).alias(
+                "avg_p_bp"
+            ),
+            "min_p_bp",
+            (F.col("_surp_sum").cast("double") / F.col("n_bigrams")).alias(
+                "xent_qbits"
+            ),
+        )
+    )
+
+
 def url_domain_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -199,3 +199,54 @@ def test_bm25_score_ranks_matching_docs(spark):
     assert ids[0] == 0            # higher tf, shorter doc wins
     assert 2 not in ids           # non-matching doc filtered
     assert all(r["score"] > 0 for r in out)
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    from rhq_metrics_spark.pipelines.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),   # bigrams: "a b"×2, "b a"×1
+            (1, "a b"),       # bigram: "a b"
+            (2, "c"),         # no bigram — contributes 'c' to vocab only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    # vocab = {a, b, c} -> V=3; c("a b")=3, c(a .)=3; c("b a")=1, c(b .)=1
+    # p_bp("a b") = 4_000_000 // 6 = 666666 -> 20 bits -> 1 qbit surprisal
+    # p_bp("b a") = 2_000_000 // 4 = 500000 -> 19 bits -> 2 qbits
+    assert set(out) == {0, 1}  # doc 2 has no bigram
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["sum_p_bp"] == 2 * 666666 + 500000
+    assert out[0]["min_p_bp"] == 500000
+    assert out[0]["xent_qbits"] == pytest.approx(4 / 3)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["min_p_bp"] == 666666
+    assert out[1]["xent_qbits"] == 1.0
+
+
+def test_lm_bigram_score_orders_gibberish_above_repetition(spark):
+    from rhq_metrics_spark.pipelines.text import lm_bigram_score
+
+    repetitive = " ".join(["the cat sat"] * 20)
+    gibberish = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, repetitive), (1, gibberish)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    # every gibberish bigram is a hapax: improbable under the corpus LM
+    assert out[1]["xent_qbits"] > out[0]["xent_qbits"]
+    assert out[0]["min_p_bp"] > out[1]["min_p_bp"]
+
+
+def test_lm_bigram_score_on_real_docs(docs):
+    from rhq_metrics_spark.pipelines.text import lm_bigram_score
+
+    rows = lm_bigram_score(docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert 1 <= r["xent_qbits"] <= 21
+        assert 0 <= r["min_p_bp"] <= 1_000_000
+        assert r["avg_p_bp"] >= r["min_p_bp"]
