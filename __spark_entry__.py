@@ -92,7 +92,11 @@ from rhq_metrics_spark.pipelines.multimodal import (
     media_features,
     media_from_documents,
 )
-from rhq_metrics_spark.pipelines.embeddings import quantize_int8, rp_reduce
+from rhq_metrics_spark.pipelines.embeddings import (
+    kmeans_assign,
+    quantize_int8,
+    rp_reduce,
+)
 from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
 from rhq_metrics_spark.pipelines.sketches import heavy_hitters, kmv_distinct
 from rhq_metrics_spark.pipelines.sampling import (
@@ -3418,6 +3422,61 @@ FROM bk GROUP BY 1
 """
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point Lloyd k-means (k=8, one update) over
+    the embeddings table (pipelines/embeddings.py kmeans_assign) — the
+    cluster-balanced-curation / SemDeDup primitive.  Exact int64
+    arithmetic in offset fixed-point space; init = k lowest-id
+    vectors."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=1)
+
+
+# mirrors kmeans_assign iteration-for-iteration: same +2^20 offset
+# fixed point, same lowest-id init, same integer-mean update (operands
+# all non-negative, so // == div), same (d2, cid) tie-break.
+SQL_EMBED_KMEANS = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT) + 1048576) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM q ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT q.vec_id, c0.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))),
+                              c0.cid) AS rk
+    FROM q, c0)
+  WHERE rk = 1),
+upd AS (
+  SELECT a1.cid, u.i AS pos, sum(q.v[u.i]) AS s, count(*) AS n
+  FROM a1 JOIN q USING (vec_id), unnest(range(1, len(q.v) + 1)) AS u(i)
+  GROUP BY 1, 2),
+c1 AS (
+  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+  FROM upd GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT q.vec_id, c1.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i]))) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i]))),
+                              c1.cid) AS rk
+    FROM q, c1)
+  WHERE rk = 1)
+SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2
+"""
+
+
 RP_DIM, RP_SEED = 16, 7
 
 
@@ -4306,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bigram-LM quality score
         "dedup_incremental": q_dedup_incremental,
         "text_lm_score": q_text_lm_score,
+        "embed_kmeans": q_embed_kmeans,
         # -- last driver-sampled r5: lead the r8 window
         "embed_cosine_topk": q_embed_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -4356,9 +4416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_increase": q_w7_increase,
         "w8_increase_rollup": q_w8_increase_rollup,
         "b13_hist_quantile": q_b13_hist_quantile,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         # ---- 50-key driver window ends here ----
         # r7-green blocks: LLM pipelines, production route, TPC-H, dedup
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "a12_twa_rollup": q_a12_twa_rollup,
         "w9_increase_hybrid": q_w9_increase_hybrid,
@@ -4532,6 +4592,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": SQL_SAMPLE_MIXTURE,
         "text_tfidf": SQL_TEXT_TFIDF,
         "text_lm_score": SQL_TEXT_LM_SCORE,
+        "embed_kmeans": SQL_EMBED_KMEANS,
         "text_bm25": SQL_TEXT_BM25,
         "pack_chunks": SQL_PACK_CHUNKS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,

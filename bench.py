@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_clusters",  # iterative connected components
     "dedup_incremental",  # batch-vs-standing-index dedup (broadcast batch)
     "embed_cosine_topk",
+    "embed_kmeans",   # broadcast-argmin assignment + k*dim-key update agg
     "embed_lsh_topk",
     "embed_ivf_topk",
     "text_quality",

@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from rhq_metrics_spark.pipelines.similarity import (
     EMB_SCALE,
@@ -206,4 +206,104 @@ def synthetic_clustered_embeddings_distributed(
         spark.range(n)
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(_gen, "vec_id long, embedding array<float>, label int")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-point Lloyd k-means over an embedding column
+    — the cluster primitive behind cluster-balanced curation and
+    SemDeDup-style semantic dedup (cluster first, dedup within
+    clusters), engine-portable by construction.
+
+    Everything is exact int64 arithmetic so a SQL oracle reproduces it
+    bit-for-bit: components are fixed-point ``floor(v * 2^20)`` (exact
+    for float32 input) OFFSET by ``+2^20`` so every value is
+    non-negative — squared L2 distances are invariant to a constant
+    per-component offset, and keeping operands non-negative makes
+    integer division identical across engines (no trunc-vs-floor
+    divergence on negatives).  Init is the k lowest-id vectors (a
+    deterministic seed, not k-means++ — curation pipelines re-run
+    nightly and need reproducible cluster ids); each Lloyd iteration
+    recomputes centroids as the element-wise integer mean of members;
+    ties in assignment break to the lowest centroid id.
+
+    Scale shape at 100 TB: assignment is a broadcast of k centroids +
+    one nested higher-order-function expression per row (argmin over k
+    of a zip_with dot — zero shuffle, whole-stage fused with the scan);
+    the centroid update is one posexplode + hash-agg on (cluster, pos)
+    whose map-side partials collapse to k x dim rows per task, so the
+    shuffle is tiny no matter the corpus.  Nothing collects vectors to
+    the driver.
+
+    Output: ``(id, cluster, dist2)`` — final assignment and squared
+    fixed-point distance to the final centroid.
+    """
+    scale = EMB_SCALE
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(floor(x * cast({scale} as double)) as bigint)"
+            f" + {scale}L)"
+        ).alias("_v"),
+    )
+
+    def _one_row_cents(cdf: DataFrame) -> DataFrame:
+        return cdf.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
+        )
+
+    def _assign(cents_row: DataFrame) -> DataFrame:
+        # argmin over k: struct ordering is (d2, cid) lexicographic, so
+        # array_min computes each dot once AND breaks ties to lowest cid
+        return q.crossJoin(F.broadcast(cents_row)).select(
+            "_id",
+            "_v",
+            F.expr(
+                "array_min(transform(_cents, c -> struct("
+                " aggregate(zip_with(_v, c.cv, (a, b) -> (a - b) * (a - b)),"
+                "           0L, (s, x) -> s + x) as d2,"
+                " c.cid as cid)))"
+            ).alias("_best"),
+        )
+
+    cents = _one_row_cents(
+        q.orderBy("_id")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("_id")) - F.lit(1)
+            ).alias("cid"),
+            F.col("_v").alias("cv"),
+        )
+    )
+    assigned = _assign(cents)
+    for _ in range(iters):
+        # element-wise integer mean per cluster; operands non-negative,
+        # so `div` is floor division in every engine
+        upd = (
+            assigned.select(
+                F.col("_best.cid").alias("cid"),
+                F.posexplode("_v").alias("pos", "val"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = upd.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s div n as c))),"
+                " p -> p.c)"
+            ).alias("cv")
+        )
+        assigned = _assign(_one_row_cents(newc))
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_best.cid").alias("cluster"),
+        F.col("_best.d2").alias("dist2"),
     )

@@ -109,3 +109,64 @@ def test_distributed_clustered_fixture_deterministic(spark):
         sims = cents @ np.array(v, dtype=np.float64)
         hits += int(np.argmax(sims) == i % 8)
     assert hits >= 195, hits
+
+
+def test_kmeans_assign_hand_computed(spark):
+    from rhq_metrics_spark.pipelines.embeddings import kmeans_assign
+
+    # two tight groups on a line; k=2 init = ids 0,1 (both in group A)
+    docs = spark.createDataFrame(
+        [
+            (0, [0.0]), (1, [0.1]),        # group A
+            (2, [1.0]), (3, [1.1]),        # group B
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in kmeans_assign(docs, k=2, iters=1).collect()}
+    # round 1: c0={0:[0.0],1:[0.1]} -> 0->c0, 1->c1, 2->c1, 3->c1
+    # update: c0=[0.0], c1=mean(0.1,1.0,1.1); reassign pulls 0 and 1
+    # to c0's side only if nearer — c1 lands at ~0.733, so 0,1 -> c0
+    assert out[0]["cluster"] == out[1]["cluster"] == 0
+    assert out[2]["cluster"] == out[3]["cluster"] == 1
+    assert out[0]["dist2"] == 0  # id 0 IS centroid 0
+
+
+def test_kmeans_assign_is_nearest_final_centroid(spark):
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.embeddings import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_assign(emb, k=8, iters=1).collect()
+    assert len(out) == emb.count()
+    # recompute the final centroids in numpy and check every row is
+    # assigned to its true argmin with the same fixed-point distance
+    S = 1 << 20
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * S).astype(np.int64) + S
+         for r in rows}
+    init_ids = sorted(q)[:8]
+    c = {i: q[vid] for i, vid in enumerate(init_ids)}
+    assign = {vid: min(c, key=lambda ci: (int(((q[vid] - c[ci]) ** 2).sum()), ci))
+              for vid in q}
+    members: dict[int, list] = {}
+    for vid, ci in assign.items():
+        members.setdefault(ci, []).append(q[vid])
+    c = {ci: np.sum(m, axis=0) // len(m) for ci, m in members.items()}
+    for r in out:
+        best = min(c, key=lambda ci: (int(((q[r["vec_id"]] - c[ci]) ** 2).sum()), ci))
+        assert r["cluster"] == best
+        assert r["dist2"] == int(((q[r["vec_id"]] - c[best]) ** 2).sum())
+
+
+def test_kmeans_assignment_plan_has_no_shuffle(spark):
+    from rhq_metrics_spark.pipelines.embeddings import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = kmeans_assign(emb, k=4, iters=0)._jdf.queryExecution().executedPlan().toString()
+    # iters=0: pure assignment = broadcast centroids + per-row argmin;
+    # the only exchanges allowed are for the tiny k-row centroid build
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 0, plan
