@@ -376,15 +376,19 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
 
 #: max length of the final JSON line — the driver's tail capture is
 #: 2000 chars; leave margin for a trailing newline / prompt artifacts
-_TAIL_BUDGET = 1900
+_TAIL_BUDGET = 1800
 
-#: KPIs that are diagnostic curves rather than graded axes — safe to
-#: shed from the final line when it would overflow the tail window
-#: (they stay in the stderr full record).  Ordered least-valuable-last:
-#: the shed loop pops from the END of the matching list, so later
-#: prefixes here go first.
+#: bump each round: offsets the final line's rotating per-query window
+#: (mirrors the correctness-window rotation — BENCH_r08 overflowed the
+#: tail even after shedding every diagnostic KPI, so per-query timings
+#: now rotate instead of all riding the final line every round; the
+#: full record always goes to stderr).
+_FINAL_LINE_ROUND = 9
+
+#: KPIs that are diagnostic curves rather than graded axes — never on
+#: the final line (they stay in the stderr full record).
 _DIAGNOSTIC_PREFIXES = (
-    # comparison baselines / duplicates (shed before the curves)
+    # comparison baselines / duplicates
     "stats_hybrid_raw_baseline_", "stats_query_100m_hybrid_raw_",
     "ingest_points_per_sec",  # duplicate of ingest_backfill_points_per_sec
     # recall/probe diagnostic curves
@@ -397,6 +401,61 @@ _DIAGNOSTIC_PREFIXES = (
 
 def _diagnostic_kpi(name: str) -> bool:
     return name.startswith(_DIAGNOSTIC_PREFIXES)
+
+
+def _final_line(payload: dict, timings: dict, errors: dict) -> str:
+    """Render the driver-facing final JSON line with a HARD length
+    guarantee (VERDICT r8 item 1: the shed-list approach overflowed the
+    ~2000-char tail window and the driver recorded ``parsed: null``).
+
+    Structure: headline total + every graded (non-diagnostic) KPI at 2dp
+    + a rotating window of per-query timings sized to whatever budget
+    remains.  ``q_window`` = [start_index, emitted, total] so a reader
+    knows which slice of BENCH_QUERIES this round's line carries; the
+    full per-query record is always printed to stderr first.
+    """
+    qnames = [q for q in BENCH_QUERIES if q in timings]
+    kpis = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in timings.items()
+        if k not in set(BENCH_QUERIES) and not _diagnostic_kpi(k)
+    }
+    start = (_FINAL_LINE_ROUND * 23) % len(qnames) if qnames else 0
+    rotated = qnames[start:] + qnames[:start]
+
+    def render(n_queries: int, n_kpis: int) -> str:
+        q = {k: round(timings[k], 2) for k in rotated[:n_queries]}
+        q.update(dict(list(kpis.items())[:n_kpis]))
+        out = {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "queries": q,
+            "q_window": [start, n_queries, len(qnames)],
+            "sf": payload["sf"],
+        }
+        if errors:
+            out["error_count"] = len(errors)
+        return json.dumps(out, separators=(",", ":"))
+
+    n_q, n_k = len(qnames), len(kpis)
+    line = render(n_q, n_k)
+    while len(line) > _TAIL_BUDGET and n_q > 0:
+        n_q -= 1
+        line = render(n_q, n_k)
+    # last resort, never expected: graded KPIs alone exceed the budget
+    while len(line) > _TAIL_BUDGET and n_k > 0:
+        n_k -= 1
+        line = render(n_q, n_k)
+    if len(line) > _TAIL_BUDGET:  # structural floor: header + sf only
+        line = render(0, 0)[:_TAIL_BUDGET]
+    assert len(line) <= _TAIL_BUDGET, f"final line {len(line)} > {_TAIL_BUDGET}"
+    print(
+        f"# final line: {n_q}/{len(qnames)} query timings (window start "
+        f"{start}), {n_k}/{len(kpis)} graded KPIs, {len(line)} chars",
+        file=sys.stderr,
+    )
+    return line
 
 
 def main() -> None:
@@ -678,24 +737,11 @@ def main() -> None:
     # the full record, for humans and PROGRESS notes
     print("# full bench record:", json.dumps(payload), file=sys.stderr)
     # The driver captures only the LAST ~2000 characters of stdout and
-    # parses the final JSON line from that window — r5's line outgrew it
-    # and "parsed" came back null (VERDICT r5 item 4).  Emit a minified
-    # line and, if it still can't fit, shed diagnostic sub-metrics
-    # (recall curves, sizer outputs — never headline query timings)
-    # until it does, recording how many were dropped.
-    compact = json.dumps(payload, separators=(",", ":"))
-    if len(compact) > _TAIL_BUDGET:
-        shed = [k for k in timings if _diagnostic_kpi(k)]
-        dropped = 0
-        while len(compact) > _TAIL_BUDGET and shed:
-            timings.pop(shed.pop())
-            dropped += 1
-            payload["dropped_diagnostics"] = dropped
-            compact = json.dumps(payload, separators=(",", ":"))
-        print(f"# final line shed {dropped} diagnostic KPIs to fit the "
-              "driver tail window (full record above)", file=sys.stderr)
+    # parses the final JSON line from that window — r5's AND r8's lines
+    # outgrew it and "parsed" came back null.  _final_line guarantees
+    # the budget structurally: rotating query window + 2dp + hard trim.
     sys.stdout.flush()
-    print(compact, flush=True)
+    print(_final_line(payload, timings, errors), flush=True)
     spark.stop()
 
 
