@@ -2469,8 +2469,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     batch = docs.filter(F.col("doc_id") % 5 == 4)
     idx = minhash_index(corpus, num_hashes=MH_HASHES, bands=MH_BANDS)
+    # max_bucket_size=None matches the oracle BY CONSTRUCTION: the SQL
+    # twin models no hot-bucket refinement, so at any scale factor
+    # where a corpus band bucket exceeded the default cap the refined
+    # routing would (correctly) diverge from it (ADVICE r8)
     out = dedup_against_index(
-        batch, idx, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=IDX_T
+        batch, idx, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=IDX_T,
+        max_bucket_size=None,
     )
     return out.select(
         "doc_id", "is_new", "matched_id",
@@ -2519,6 +2524,98 @@ SELECT d.doc_id,
        (best.id_old IS NULL) AS is_new,
        CAST(best.id_old AS BIGINT) AS matched_id,
        round(best.e, 6) AS est_jaccard
+FROM documents d LEFT JOIN best ON best.id_new = d.doc_id
+WHERE d.doc_id % 5 = 4
+"""
+
+
+IDX_KMV_K = 128  # bottom-k sketch size for the exact-verify leg
+
+
+def q_dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with the KMV verify leg (VERDICT r8 item 4,
+    pipelines/dedup.py dedup_against_index(verify='kmv')): every
+    band-bucket candidate is re-scored against the k=128 bottom-k
+    shingle sketch stored in the index (σ≈0.044 at J=0.5 vs 0.14 for
+    the 12-hash signature estimate) and the keep/drop decision is made
+    on that — the batch path's exact-verification discipline carried to
+    the standing-index path.  Jaccard outputs as floor-fixed-point
+    basis-point-ish integers (×1e6) — the m/|u| divisions hit decimal
+    boundaries (e.g. odd/128 = …5 at the 7th digit) where Spark and
+    DuckDB round differently, while floor of the bit-identical IEEE
+    product is exact in both."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = minhash_index(
+        corpus, num_hashes=MH_HASHES, bands=MH_BANDS, kmv_k=IDX_KMV_K
+    )
+    out = dedup_against_index(
+        batch, idx, num_hashes=MH_HASHES, bands=MH_BANDS, threshold=IDX_T,
+        max_bucket_size=None, verify="kmv", kmv_k=IDX_KMV_K,
+    )
+    return out.selectExpr(
+        "doc_id", "is_new", "matched_id",
+        "cast(floor(est_jaccard * 1000000) as bigint) AS est_j_fp",
+        "cast(floor(kmv_jaccard * 1000000) as bigint) AS kmv_j_fp",
+    )
+
+
+def _incremental_verified_sql() -> str:
+    rows = MH_HASHES // MH_BANDS
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh_{i}"
+        for i in range(MH_HASHES)
+    )
+    band_cols = ",\n        ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(MH_BANDS)
+    )
+    bucket_array = ", ".join(f"'{b}:' || band_{b}" for b in range(MH_BANDS))
+    est = " + ".join(
+        f"CAST(a.mh_{i} = b.mh_{i} AS INT)" for i in range(MH_HASHES)
+    )
+    k = IDX_KMV_K
+    return f"""
+WITH {SHINGLE_SQL},
+sig AS (SELECT doc_id, s,
+         {mh_cols}
+        FROM sh WHERE len(s) > 0),
+kmv AS (SELECT doc_id, list_sort(list_transform(s, x -> md5(x)))[1:{k}] AS kv
+        FROM sig),
+banded AS (SELECT doc_id,
+        {band_cols}
+       FROM sig),
+buckets AS (SELECT doc_id, unnest([{bucket_array}]) AS bucket FROM banded),
+cand AS (SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_old
+         FROM buckets n JOIN buckets c ON n.bucket = c.bucket
+         WHERE n.doc_id % 5 = 4 AND c.doc_id % 5 != 4),
+scored AS (SELECT id_new, id_old,
+                  ({est}) / {float(MH_HASHES)} AS e,
+                  list_sort(list_distinct(ka.kv || kb.kv))[1:{k}] AS u,
+                  list_intersect(ka.kv, kb.kv) AS iv
+           FROM cand
+           JOIN sig a ON a.doc_id = id_new
+           JOIN sig b ON b.doc_id = id_old
+           JOIN kmv ka ON ka.doc_id = id_new
+           JOIN kmv kb ON kb.doc_id = id_old),
+kj AS (SELECT id_new, id_old, e,
+              CASE WHEN len(u) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(u, iv)) AS DOUBLE)
+                        / CAST(len(u) AS DOUBLE) END AS kv_j
+       FROM scored),
+ranked AS (SELECT id_new, id_old, e, kv_j,
+                  row_number() OVER (PARTITION BY id_new
+                                     ORDER BY kv_j DESC, id_old ASC) AS rn
+           FROM kj WHERE kv_j >= {IDX_T}),
+best AS (SELECT id_new, id_old, e, kv_j FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       (best.id_old IS NULL) AS is_new,
+       CAST(best.id_old AS BIGINT) AS matched_id,
+       CAST(floor(best.e * 1000000) AS BIGINT) AS est_j_fp,
+       CAST(floor(best.kv_j * 1000000) AS BIGINT) AS kmv_j_fp
 FROM documents d LEFT JOIN best ON best.id_new = d.doc_id
 WHERE d.doc_id % 5 = 4
 """
@@ -4354,19 +4451,87 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
-    # whose driver-green row is oldest (or absent).  Round 8 leads with
-    # the 10 queries last sampled in r5 (embed_cosine_topk + the r1-era
-    # text/mm/sampling set), then the metrics-engine family (green r6,
-    # aging); the r7-green LLM-pipeline/TPC-H/dedup blocks rotate to the
-    # back.  tools/verify_all.py checks ALL keys locally regardless of
-    # order.
+    # whose driver-green row is oldest (or absent).  Round 9 leads with
+    # any never-sampled r9 additions, then the 13 keys last sampled in
+    # r6 (the TWA/hybrid/hist-quantile serving family + s10/w5/w8/o4/
+    # b11/b15), then the r7-green block (pipelines first, then dedup,
+    # then TPC-H — the TPC-H tail past slot 50 leads r10); the r8-green
+    # window rotates to the back.  tools/verify_all.py checks ALL keys
+    # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in r8, never driver-sampled: incremental index dedup,
-        #    bigram-LM quality score
+        # -- new in r9, never driver-sampled
+        "dedup_incremental_verified": q_dedup_incremental_verified,
+        # -- last driver-sampled r6: lead the r9 window
+        "w5_rolling_zscore": q_w5_rolling_zscore,
+        "o4_topk_per_group": q_o4_topk_per_group,
+        "b11_rollup_serving": q_b11_rollup_serving,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
+        "b13_hist_quantile": q_b13_hist_quantile,
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "w8_rolling_median": q_w8_rolling_median,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
+        "a12_twa_rollup": q_a12_twa_rollup,
+        "w9_increase_hybrid": q_w9_increase_hybrid,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
+        "a2_availability_hybrid": q_a2_availability_hybrid,
+        "b15_hybrid_serving": q_b15_hybrid_serving,
+        # -- last driver-sampled r7: pipelines / production / dedup
+        "b16_hybrid_production": q_b16_hybrid_production,
+        "embed_contamination": q_embed_contamination,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
+        "sketch_kmv": q_sketch_kmv,
+        "embed_rp_reduce": q_embed_rp_reduce,
+        "embed_quantize": q_embed_quantize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        # -- last driver-sampled r7: TPC-H (q12 onward lead r10)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        # ---- 50-key driver window ends here ----
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        # r8-green window rotates to the back
         "dedup_incremental": q_dedup_incremental,
         "text_lm_score": q_text_lm_score,
         "embed_kmeans": q_embed_kmeans,
-        # -- last driver-sampled r5: lead the r8 window
         "embed_cosine_topk": q_embed_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -4377,7 +4542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
-        # -- metrics engine (SURVEY.md §2), driver-green r6
         "s1_raw_scan": q_s1_raw_scan,
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
@@ -4415,71 +4579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
         "w8_increase_rollup": q_w8_increase_rollup,
-        "b13_hist_quantile": q_b13_hist_quantile,
-        # ---- 50-key driver window ends here ----
-        # r7-green blocks: LLM pipelines, production route, TPC-H, dedup
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
-        "a12_twa_rollup": q_a12_twa_rollup,
-        "w9_increase_hybrid": q_w9_increase_hybrid,
-        "a13_twa_hybrid": q_a13_twa_hybrid,
-        "a2_availability_hybrid": q_a2_availability_hybrid,
-        "w5_rolling_zscore": q_w5_rolling_zscore,
-        "w8_rolling_median": q_w8_rolling_median,
-        "o4_topk_per_group": q_o4_topk_per_group,
-        "b11_rollup_serving": q_b11_rollup_serving,
-        "b15_hybrid_serving": q_b15_hybrid_serving,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
-        "embed_contamination": q_embed_contamination,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_lsh_recall": q_embed_lsh_recall,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
-        "url_domains": q_url_domains,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,
-        "mm_real_roundtrip": q_mm_real_roundtrip,
-        "sample_mixture": q_sample_mixture,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25": q_text_bm25,
-        "text_classify": q_text_classify,
-        "chunk_docs": q_chunk_docs,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pack_chunks": q_pack_chunks,
-        "dedup_segments": q_dedup_segments,
-        "sketch_kmv": q_sketch_kmv,
-        "embed_rp_reduce": q_embed_rp_reduce,
-        "embed_quantize": q_embed_quantize,
-        "b16_hybrid_production": q_b16_hybrid_production,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_near_dup": q_embed_near_dup,
     }
     return qs
 
@@ -4568,6 +4667,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": _clusters_sql(),
         "dedup_incremental": _incremental_sql(),
+        "dedup_incremental_verified": _incremental_verified_sql(),
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

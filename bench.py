@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",  # iterative connected components
     "dedup_incremental",  # batch-vs-standing-index dedup (broadcast batch)
+    "dedup_incremental_verified",  # + KMV sketch re-score of every candidate
     "embed_cosine_topk",
     "embed_kmeans",   # broadcast-argmin assignment + k*dim-key update agg
     "embed_lsh_topk",

@@ -832,8 +832,7 @@ def _apply_cluster_labels(
         if id_type in _NUMERIC_ID_TYPES:
             body = ",".join(f"{k}L,{v}L" for k, v in mapping)
         else:
-            def _q(s: str) -> str:
-                return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            from rhq_metrics_spark.sqltext import sql_str as _q
 
             body = ",".join(f"{_q(k)},{_q(v)}" for k, v in mapping)
         root = F.expr(f"element_at(map({body}), `{id_col}`)").cast(id_type)
@@ -1016,9 +1015,10 @@ def minhash_index(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 6,
+    kmv_k: int | None = None,
 ) -> DataFrame:
     """Standing MinHash signature index — ONE row per document:
-    ``(id, mh_0..mh_{H-1}, band_0..band_{B-1}, _refine)``.
+    ``(id, mh_0..mh_{H-1}, band_0..band_{B-1}, _refine[, _kmv])``.
 
     This is the artifact an *incremental* dedup pipeline keeps between
     runs: at 100 TB you never re-pair the corpus; you index it once
@@ -1031,14 +1031,32 @@ def minhash_index(
     produce no shingles and are not indexable (same exclusion as the
     batch pair generator).  ``_refine`` = md5 of the full signature —
     the oversize-bucket refinement key, stored so hot-bucket routing
-    needs no recomputation."""
+    needs no recomputation.
+
+    ``kmv_k`` adds a ``_kmv`` column — the ``k`` lexicographically
+    smallest ``md5(shingle)`` values (a KMV / bottom-k sketch of the
+    shingle set).  This is the VERIFY leg's state (VERDICT r8 item 4):
+    the 12-hash signature estimator alone has σ≈0.14 at J=0.5, too
+    coarse to make per-document keep/drop decisions; a k=128 sketch
+    tightens that to σ≈sqrt(J(1−J)/k)≈0.044 and costs ~k·32 bytes/doc
+    more index (still ~4 KB/doc — a 100 TB corpus keeps a few-TB
+    index, partition-appendable like the signatures)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     sh = _shingle_df(df, id_col, text_col, n)
+    kmv_cols = []
+    if kmv_k is not None:
+        kmv_cols = [
+            F.expr(
+                "slice(array_sort(transform(_shingles, s -> md5(s))),"
+                f" 1, {int(kmv_k)})"
+            ).alias("_kmv")
+        ]
     sig = sh.select(
         F.col("_id").alias(id_col),
         *minhash_signature("_shingles", num_hashes),
+        *kmv_cols,
     )
     band_exprs = [
         "md5(concat_ws('|', {})) AS band_{}".format(
@@ -1052,6 +1070,7 @@ def minhash_index(
     return sig.selectExpr(
         id_col, *[f"mh_{i}" for i in range(num_hashes)],
         *band_exprs, refine_expr,
+        *(["_kmv"] if kmv_k is not None else []),
     )
 
 
@@ -1165,6 +1184,8 @@ def dedup_against_index(
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     corpus_bucket_stats: DataFrame | None = None,
+    verify: str | None = None,
+    kmv_k: int = 128,
 ) -> DataFrame:
     """Per-new-document incremental dedup decision against a standing
     corpus index: ``(id, is_new, matched_id, est_jaccard)``.
@@ -1176,20 +1197,89 @@ def dedup_against_index(
     are the follow-on step (:func:`minhash_lsh_pairs` +
     :func:`dup_clusters` over the batch): corpus-vs-batch and
     batch-internal dedup have different canonical-survivor rules, so
-    they stay separate operators."""
+    they stay separate operators.
+
+    ``verify='kmv'`` re-scores every band-bucket candidate with the
+    KMV bottom-k sketches stored in the index (``minhash_index(...,
+    kmv_k=...)`` on BOTH sides; raises if the corpus index lacks
+    ``_kmv``) and decides on that estimate instead, adding a
+    ``kmv_jaccard`` output column.  The default 12-hash estimator has
+    σ≈0.14 at J=0.5 — per-batch false keep/drop rates are non-trivial
+    at a 0.5 threshold (measured in tests/test_dedup.py against the
+    exact batch path; the k=128 sketch cut decision errors to zero on
+    the synthetic corpus where the estimator alone made several).  In
+    verify mode the candidate gate drops to any-bucket-collision, so
+    verification also RECOVERS near-threshold true duplicates the
+    coarse estimator under-scored, not just false keeps.  100 TB
+    shape is unchanged: candidates still come from the broadcast-batch
+    bucket join; the sketch re-score joins the (small) candidate set
+    back to each side — broadcast against the corpus index, never a
+    corpus shuffle."""
+    if verify not in (None, "kmv"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     new_index = minhash_index(
-        new_docs, id_col, text_col, n, num_hashes, bands
+        new_docs, id_col, text_col, n, num_hashes, bands,
+        kmv_k=kmv_k if verify == "kmv" else None,
     )
     pairs = index_dedup_candidates(
-        new_index, corpus_index, num_hashes, bands, threshold,
+        new_index.drop("_kmv") if verify == "kmv" else new_index,
+        corpus_index,
+        num_hashes, bands,
+        0.0 if verify == "kmv" else threshold,
         max_bucket_size, corpus_bucket_stats, id_col,
     )
-    best = pairs.groupBy("id_new").agg(
-        F.expr(
-            "min_by(id_old, named_struct('e', -est_jaccard, 'i', id_old))"
-        ).alias("matched_id"),
-        F.max("est_jaccard").alias("est_jaccard"),
-    )
+    extra_cols = []
+    if verify == "kmv":
+        if "_kmv" not in corpus_index.columns:
+            raise ValueError(
+                "verify='kmv' needs a corpus index built with "
+                "minhash_index(..., kmv_k=...)"
+            )
+        ka = new_index.select(
+            F.col(id_col).alias("id_new"), F.col("_kmv").alias("_ka")
+        )
+        kb = corpus_index.select(
+            F.col(id_col).alias("id_old"), F.col("_kmv").alias("_kb")
+        )
+        # candidate set is small (batch-bounded): broadcast it through
+        # both sketch joins so the corpus index stays map-side
+        pairs = kb.join(
+            F.broadcast(pairs.join(F.broadcast(ka), "id_new")), "id_old"
+        ).withColumn(
+            "_u",
+            F.expr(
+                "slice(array_sort(array_distinct(concat(_ka, _kb))),"
+                f" 1, {int(kmv_k)})"
+            ),
+        ).withColumn(
+            "kmv_jaccard",
+            F.expr(
+                "CASE WHEN size(_u) = 0 THEN cast(0.0 as double) "
+                "ELSE size(array_intersect(_u, array_intersect(_ka, _kb)))"
+                " / cast(size(_u) as double) END"
+            ),
+        ).filter(F.col("kmv_jaccard") >= threshold)
+        extra_cols = ["kmv_jaccard"]
+        # every reported column comes from the SAME (best) pair: argmax
+        # by sketch estimate, ties by smallest corpus id
+        best = pairs.groupBy("id_new").agg(
+            F.expr(
+                "min_by(named_struct('i', id_old, 'e', est_jaccard,"
+                " 'k', kmv_jaccard),"
+                " named_struct('e', -kmv_jaccard, 'i', id_old))"
+            ).alias("_b"),
+        ).select(
+            "id_new", F.col("_b.i").alias("matched_id"),
+            F.col("_b.e").alias("est_jaccard"),
+            F.col("_b.k").alias("kmv_jaccard"),
+        )
+    else:
+        best = pairs.groupBy("id_new").agg(
+            F.expr(
+                "min_by(id_old, named_struct('e', -est_jaccard, 'i', id_old))"
+            ).alias("matched_id"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
     return (
         new_docs.select(F.col(id_col))
         .join(
@@ -1201,6 +1291,7 @@ def dedup_against_index(
             F.col("matched_id").isNull().alias("is_new"),
             "matched_id",
             "est_jaccard",
+            *extra_cols,
         )
     )
 

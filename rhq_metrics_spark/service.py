@@ -41,11 +41,7 @@ from rhq_metrics_spark.sources.store import MetricsStore
 from rhq_metrics_spark.tags import find_metric_ids
 
 
-def _sql_str(v) -> str:
-    """Render a value as a safely-escaped Spark SQL string literal (for
-    the parsed-SQL-string serving paths, where per-Column Py4J plan
-    construction is the latency bottleneck)."""
-    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+from rhq_metrics_spark.sqltext import sql_str as _sql_str  # noqa: E402
 
 
 def _hist_quantile_expr(q: float, name: str, lo: float, w_bin: float) -> str:
@@ -96,6 +92,13 @@ class MetricsService:
         # (per-scan fixed cost) / (per-point scan cost); ~200k points
         # on local[32] per tools/hybrid_scale_smoke.py (SCALE.md).
         self.hybrid_min_prefix_points: int = 0
+        # Pinned open-tail base frames (see _tail_base): the hybrid
+        # route's raw-scan DataFrame construction re-ran per request
+        # (~50 ms of the ~300 ms serving constant) even though the open
+        # slice's file set changes only on ingest.  Keyed by
+        # (metric_type, tenant, slice-floor); entries self-invalidate
+        # against store.state_token.
+        self._tail_cache: dict = {}
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -557,40 +560,103 @@ class MetricsService:
         # both merged by the same single hash-agg (map-side combined).
         # No dimension join: the former broadcast-fill join cost an
         # extra exchange stage per query (several times the aggregation
-        # itself at serving latency), and start/end are pure projections
-        # of bucket_idx.  min/max/sum casts to double happen in
-        # _window_partials so the served type matches the raw path
+        # itself at serving latency).  The WHOLE served plan is composed
+        # as ONE SQL text parsed JVM-side in a single spark.sql call:
+        # the previous Column-API assembly (unions + agg + projection)
+        # cost ~180 ms of Py4J plan construction per request — more
+        # than the aggregation executed (VERDICT r8 item 2).  min/max/
+        # sum cast to double so the served type matches the raw path
         # regardless of the attached rollup's native value type.
-        parts = self._window_partials(rollup, tenant_id, metric, buckets)
+        frags = [self._prefix_frag(tenant_id, metric, buckets), f"""
+SELECT id AS bucket_idx, cast(null as double) AS `min`,
+       cast(null as double) AS `max`, cast(null as double) AS `sum`,
+       cast(0 as bigint) AS samples
+FROM range({buckets.count})"""]
+        kwargs = {"p": rollup}
         if buckets.end > hi:
-            parts = parts.unionByName(
-                self._tail_partials(metric_type, tenant_id, metric, buckets, hi)
-            )
-        zeros = self.spark.range(buckets.count).select(
-            F.col("id").alias("bucket_idx"),
-            *[F.lit(None).cast("double").alias(c) for c in ("min", "max", "sum")],
-            F.lit(0).cast("long").alias("samples"),
+            kwargs["t"] = self._tail_base(metric_type, tenant_id, hi)
+            frags.append(self._tail_frag(metric, buckets, hi))
+        body = "\nUNION ALL\n".join(frags)
+        return self.spark.sql(f"""
+SELECT {buckets.start}L + bucket_idx * {buckets.step}L AS `start`,
+       {buckets.start}L + (bucket_idx + 1) * {buckets.step}L AS `end`,
+       `min`, CASE WHEN samples > 0 THEN `sum` / samples END AS avg,
+       `max`, `sum`, samples
+FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
+             sum(`sum`) AS `sum`, sum(samples) AS samples
+      FROM ({body}) GROUP BY bucket_idx)""", **kwargs)
+
+    @staticmethod
+    def _metric_pred(metric) -> str:
+        """``metric`` filter as SQL text (str, list, or None = all)."""
+        if metric is None:
+            return "true"
+        if isinstance(metric, str):
+            return f"metric = {_sql_str(metric)}"
+        return "metric IN ({})".format(", ".join(_sql_str(m) for m in metric))
+
+    def _prefix_frag(self, tenant_id, metric, buckets: Buckets,
+                     cut: int | None = None, keep_metric: bool = False,
+                     extra: str = "") -> str:
+        """Finalized-prefix rollup windows as per-bucket partial rows —
+        the SQL-text twin of :meth:`_window_partials`, selecting FROM a
+        ``{p}`` placeholder bound by the caller's one spark.sql call.
+        ``cut`` (epoch ms) additionally bounds ``window_end`` for fused
+        hybrid routes whose prefix ends before the attached watermark;
+        ``extra`` appends trailing select-list entries (the fused hist
+        route's ``_hb`` column) — every UNION ALL branch is positional,
+        so callers must append the same columns on every fragment."""
+        grid_end = buckets.start + buckets.step * buckets.count
+        hi_ms = grid_end if cut is None else min(grid_end, cut)
+        cols = "metric, " if keep_metric else ""
+        return f"""
+SELECT {cols}cast((unix_millis(window_start) - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
+       cast(`min` as double) AS `min`, cast(`max` as double) AS `max`,
+       cast(`sum` as double) AS `sum`, cast(samples as bigint) AS samples{extra}
+FROM {{p}}
+WHERE tenant_id = {_sql_str(tenant_id)}
+  AND window_start >= timestamp_millis({buckets.start}L)
+  AND window_end <= timestamp_millis({hi_ms}L)
+  AND {self._metric_pred(metric)}"""
+
+    def _tail_frag(self, metric, buckets: Buckets, tail_lo: int,
+                   keep_metric: bool = False, extra: str = "") -> str:
+        """Open-tail raw points as degenerate per-bucket partials — the
+        SQL-text twin of :meth:`_tail_partials`, selecting FROM a
+        ``{t}`` placeholder the caller binds to :meth:`_tail_base`."""
+        cols = "metric, " if keep_metric else ""
+        return f"""
+SELECT {cols}cast((ts - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
+       cast(value as double) AS `min`, cast(value as double) AS `max`,
+       cast(value as double) AS `sum`, cast(1 as bigint) AS samples{extra}
+FROM {{t}}
+WHERE ts >= {max(tail_lo, buckets.start)}L AND ts < {buckets.end}L
+  AND {self._metric_pred(metric)}"""
+
+    def _tail_base(self, metric_type: str, tenant_id, tail_lo: int) -> DataFrame:
+        """Pinned open-tail scan frame: the store-pruned raw DataFrame
+        for everything at/after ``tail_lo``'s slice, ALL metrics —
+        per-request metric/ts predicates are applied as SQL text by
+        :meth:`_tail_frag` and pushed below the LWW window by Catalyst
+        (they reference only its partition columns).  Construction
+        (layer listing + LWW plan, ~50 ms) runs once per store state:
+        entries self-invalidate against :meth:`MetricsStore.state_token`,
+        which changes on every ingest/compaction/delete.  At 100 TB the
+        open slice's file set is hours of data and changes only on
+        ingest — re-listing it per dashboard request was pure waste."""
+        floor_ms = (tail_lo // self.store.slice_ms) * self.store.slice_ms
+        token = self.store.state_token(metric_type)
+        key = (metric_type, tenant_id, floor_ms)
+        hit = self._tail_cache.get(key)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+        df = self.store.find_data_points(
+            metric_type, tenant_id, None, floor_ms, 2**62, order=None
         )
-        rolled = (
-            parts.unionByName(zeros)
-            .groupBy("bucket_idx")
-            .agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
-            )
-        )
-        return rolled.select(
-            (F.lit(buckets.start) + F.col("bucket_idx") * buckets.step)
-            .alias("start"),
-            (F.lit(buckets.start) + (F.col("bucket_idx") + 1) * buckets.step)
-            .alias("end"),
-            "min",
-            F.when(F.col("samples") > 0, F.col("sum") / F.col("samples"))
-            .alias("avg"),
-            "max", "sum", "samples",
-        )
+        if len(self._tail_cache) > 64:
+            self._tail_cache.clear()
+        self._tail_cache[key] = (token, df)
+        return df
 
     def _window_partials(
         self, rollup: DataFrame, tenant_id, metric, buckets: Buckets,
@@ -641,13 +707,14 @@ class MetricsService:
         min/max/sum with samples=1) — schema-aligned with
         :meth:`_window_partials` so one union + one hash-agg merges the
         finalized prefix and the open tail.  One parsed filter + one
-        selectExpr — this is a per-served-request path."""
-        pts = self.store.find_data_points(
-            metric_type, tenant_id, metric, hi, buckets.end, order=None
-        )
+        selectExpr over the PINNED tail base (r9: the per-request
+        find_data_points construction was ~50 ms of the serving
+        constant) — this is a per-served-request path."""
+        pts = self._tail_base(metric_type, tenant_id, hi)
         cols = ["metric"] if keep_metric else []
         return pts.where(
-            f"ts >= {buckets.start}L AND ts < {buckets.end}L"
+            f"ts >= {max(hi, buckets.start)}L AND ts < {buckets.end}L"
+            f" AND {self._metric_pred(metric)}"
         ).selectExpr(
             *cols,
             f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
@@ -901,86 +968,45 @@ class MetricsService:
             return None
         from rhq_metrics_spark.operators.stats import percentile_col_name
 
+        # The WHOLE fused plan is composed as ONE SQL text parsed in a
+        # single spark.sql call (r9): the remaining Column-API assembly
+        # (filters, unionByName x3, groupBy/agg, withColumn) still cost
+        # ~150 ms of Py4J plan construction per request on top of the
+        # r8 selectExpr work — at serving latency that rivaled the
+        # aggregation itself (VERDICT r8 item 2).
         bin_struct_t = "struct<bin:int,c:bigint>"
-        base_src = rollup
-        if cut is not None:
-            base_src = rollup.filter(
-                F.col("window_end") <= F.timestamp_millis(F.lit(cut))
-            )
-        base = self._window_partials(base_src, tenant_id, metric, buckets) \
-            .withColumn("_hb", F.lit(None).cast(bin_struct_t))
-        null_base = (
-            "cast(null as double) AS `min`",
-            "cast(null as double) AS `max`",
-            "cast(null as double) AS `sum`",
-        )
-        hb = (
-            hists.filter(
-                (F.col("tenant_id") == tenant_id)
-                & (F.col("metric") == metric)
-                & (F.col("slice_start") >= buckets.start)
-                # cut on the slice grid ⇒ slice_start < cut means the
-                # whole slice is inside the finalized prefix
-                & (F.col("slice_start") < (grid_end if cut is None else cut))
-            )
-            .selectExpr(
-                f"cast((slice_start - {buckets.start}L) / {buckets.step}L "
-                "as bigint) AS bucket_idx",
-                *null_base,
-                "cast(null as bigint) AS samples",
-                "named_struct('bin', cast(bin as int), "
-                "'c', cast(count as bigint)) AS _hb",
-            )
-        )
-        zeros = self.spark.range(buckets.count).selectExpr(
-            "id AS bucket_idx",
-            *null_base,
-            "cast(0 as bigint) AS samples",
-            f"cast(null as {bin_struct_t}) AS _hb",
-        )
-        parts = base.unionByName(hb)
-        if cut is not None:
-            w_bin_pre = (hi - lo) / n_bins
-            pts = self.store.find_data_points(
-                MetricType.GAUGE, tenant_id, metric, cut, grid_end, order=None
-            )
-            # one parsed filter + one selectExpr (per-request path)
-            tail = pts.where(
-                f"ts >= {buckets.start}L AND ts < {buckets.end}L"
-            ).selectExpr(
-                f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
-                " AS bucket_idx",
-                "cast(value as double) AS `min`",
-                "cast(value as double) AS `max`",
-                "cast(value as double) AS `sum`",
-                "cast(1 as bigint) AS samples",
-                "named_struct('bin', cast(least(greatest("
-                f"floor((cast(value as double) - {lo!r}d) / {w_bin_pre!r}d), "
-                f"0), {n_bins - 1}) as int), "
-                "'c', cast(1 as bigint)) AS _hb",
-            )
-            parts = parts.unionByName(tail)
-        rolled = (
-            parts.unionByName(zeros)
-            .groupBy("bucket_idx")
-            .agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
-                F.sort_array(F.collect_list("_hb")).alias("_bins"),
-            )
-        )
+        null_hb = f",\n       cast(null as {bin_struct_t}) AS _hb"
         w_bin = (hi - lo) / n_bins
-        # every expression below is built as ONE SQL string per column:
-        # composing higher-order-function lambdas from Python Column ops
-        # costs hundreds of Py4J round-trips and dominated the served
-        # latency (~420 ms of plan CONSTRUCTION vs ~70 ms execution,
-        # measured on the 100M bench store) — expr() parses JVM-side
-        rolled = rolled.withColumn(
-            "_total",
-            F.expr("aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c)"),
-        )
+        frags = [
+            self._prefix_frag(tenant_id, metric, buckets, cut=cut,
+                              extra=null_hb),
+            f"""
+SELECT cast((slice_start - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
+       cast(null as double) AS `min`, cast(null as double) AS `max`,
+       cast(null as double) AS `sum`, cast(null as bigint) AS samples,
+       named_struct('bin', cast(bin as int), 'c', cast(count as bigint)) AS _hb
+FROM {{h}}
+WHERE tenant_id = {_sql_str(tenant_id)} AND {self._metric_pred(metric)}
+  AND slice_start >= {buckets.start}L
+  AND slice_start < {grid_end if cut is None else cut}L""",
+            f"""
+SELECT id AS bucket_idx, cast(null as double) AS `min`,
+       cast(null as double) AS `max`, cast(null as double) AS `sum`,
+       cast(0 as bigint) AS samples{null_hb}
+FROM range({buckets.count})""",
+        ]
+        kwargs = {"p": rollup, "h": hists}
+        if cut is not None:
+            # cut on the slice grid ⇒ slice_start < cut means the whole
+            # slice is inside the finalized prefix; the open tail's
+            # point rows are degenerate partials for BOTH sides at once
+            tail_hb = (
+                ",\n       named_struct('bin', cast(least(greatest("
+                f"floor((cast(value as double) - {lo!r}d) / {w_bin!r}d), "
+                f"0), {n_bins - 1}) as int), 'c', cast(1 as bigint)) AS _hb"
+            )
+            kwargs["t"] = self._tail_base(MetricType.GAUGE, tenant_id, cut)
+            frags.append(self._tail_frag(metric, buckets, cut, extra=tail_hb))
 
         def _quantile(q: float, name: str) -> str:
             return _hist_quantile_expr(q, name, lo, w_bin)
@@ -1000,7 +1026,14 @@ class MetricsService:
             if name not in emitted:
                 emitted.add(name)
                 cols.append(_quantile(q, name))
-        return rolled.selectExpr(*cols)
+        body = "\nUNION ALL\n".join(frags)
+        return self.spark.sql(f"""
+SELECT {", ".join(cols)}
+FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
+      FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
+                   sum(`sum`) AS `sum`, sum(samples) AS samples,
+                   sort_array(collect_list(_hb)) AS _bins
+            FROM ({body}) GROUP BY bucket_idx))""", **kwargs)
 
     def _hist_routed_stats(
         self, tenant_id, metric, buckets: Buckets,

@@ -68,6 +68,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The parsed-SQL serving paths escape string literals with
+        # backslashes (sqltext.sql_str); that scheme is only
+        # injection-safe under the DEFAULT parser mode, so pin it — a
+        # deployment flipping the legacy escapedStringLiterals mode
+        # would otherwise let a quote in a tenant/metric name break out
+        # of a per-request filter literal (ADVICE r8).
+        .config("spark.sql.parser.escapedStringLiterals", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -676,6 +676,22 @@ class MetricsStore:
         )
         return df.unionByName(clean) if clean is not None else df
 
+    def state_token(self, metric_type: str):
+        """Cheap, hashable token that changes whenever a read of
+        ``metric_type`` could see different data — for callers that pin
+        a constructed DataFrame across requests (the service's hybrid
+        tail base).  One glob + one stat in rename mode (the same
+        listing cost a single uncached read pays anyway), the manifest
+        version in manifest mode."""
+        if self.manifest is not None:
+            snap = self._read_snap()
+            return ("m", id(snap) if self._read_pin is not None
+                    else self.manifest.current()[0])
+        segs = tuple(s.name for s in self._hot_segments(metric_type))
+        path = self._points_path(metric_type, "cold")
+        mtime = path.stat().st_mtime_ns if path.exists() else 0
+        return (segs, mtime)
+
     def points(self, metric_type: str, dedup: bool = True) -> DataFrame:
         """Unified hot ∪ cold view with last-write-wins per (tenant, metric, ts)."""
         if not dedup:

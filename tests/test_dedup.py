@@ -502,3 +502,93 @@ def test_incremental_dedup_hot_bucket_refine(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _shingle_set(text: str, n: int = 3) -> set:
+    toks = text.split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _incremental_fixture():
+    """Deterministic corpus + batch sweeping true Jaccard through the
+    0.5 decision threshold: batch doc 100+i perturbs corpus doc i by
+    replacing its first ``i`` tokens (i=0 → exact copy, i→30 → novel),
+    plus 5 fully-novel docs.  Everything md5/text-deterministic, so the
+    measured error rates below are FIXED numbers, not flaky samples."""
+    pool = [f"w{(i * 7) % 97}x{i % 11}" for i in range(400)]
+    corpus_rows = [
+        (i, " ".join(pool[(i * 13 + k) % 400] for k in range(30)))
+        for i in range(40)
+    ]
+    batch_rows = []
+    for i in range(25):
+        base = corpus_rows[i][1].split()
+        repl = [f"z{i}q{p}" for p in range(i)] + base[i:]
+        batch_rows.append((100 + i, " ".join(repl)))
+    for i in range(5):
+        batch_rows.append((200 + i, " ".join(f"novel{i}t{k}" for k in range(30))))
+    return corpus_rows, batch_rows
+
+
+def _decision_errors(decisions: dict, truth: dict, threshold: float):
+    false_keep = [i for i, r in decisions.items()
+                  if r["is_new"] and truth[i] >= threshold]
+    false_drop = [i for i, r in decisions.items()
+                  if not r["is_new"] and truth[i] < threshold]
+    return false_keep, false_drop
+
+
+def test_incremental_dedup_kmv_verify_beats_estimator(spark):
+    """VERDICT r8 item 4: the 12-hash estimator decides keep/drop with
+    σ≈0.14 at J=0.5; the KMV verify leg must measurably cut decision
+    errors vs exact ground truth on a threshold-straddling corpus."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    corpus_rows, batch_rows = _incremental_fixture()
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    threshold = 0.5
+
+    corpus_sets = {i: _shingle_set(t) for i, t in corpus_rows}
+    truth = {}
+    for i, t in batch_rows:
+        s = _shingle_set(t)
+        truth[i] = max(
+            (len(s & cs) / len(s | cs) for cs in corpus_sets.values() if cs),
+            default=0.0,
+        )
+
+    idx_plain = minhash_index(corpus)
+    est_dec = {r["doc_id"]: r for r in dedup_against_index(
+        batch, idx_plain, threshold=threshold, max_bucket_size=None
+    ).collect()}
+
+    idx_kmv = minhash_index(corpus, kmv_k=128)
+    kmv_dec = {r["doc_id"]: r for r in dedup_against_index(
+        batch, idx_kmv, threshold=threshold, max_bucket_size=None,
+        verify="kmv",
+    ).collect()}
+
+    est_fk, est_fd = _decision_errors(est_dec, truth, threshold)
+    kmv_fk, kmv_fd = _decision_errors(kmv_dec, truth, threshold)
+    n_dups = sum(1 for v in truth.values() if v >= threshold)
+    print(f"\ntruth: {n_dups} dups / {len(truth)} docs; "
+          f"estimator FK={len(est_fk)} FD={len(est_fd)}; "
+          f"kmv FK={len(kmv_fk)} FD={len(kmv_fd)}")
+
+    # md5-deterministic, so these are exact pinned numbers, not a
+    # statistical assertion: at the default 12-hash/0.5 operating
+    # point the estimator false-drops 2 genuinely-new docs (their
+    # true best J sits just under 0.5 but the coarse estimate rounds
+    # over it); the k=128 sketch makes zero decision errors.
+    assert (len(est_fk), len(est_fd)) == (0, 2)
+    assert (len(kmv_fk), len(kmv_fd)) == (0, 0)
+    # kmv estimates on exact copies are exactly 1.0
+    assert kmv_dec[100]["kmv_jaccard"] == 1.0
+    assert not kmv_dec[100]["is_new"] and kmv_dec[100]["matched_id"] == 0
+    # novel docs never match
+    for i in range(5):
+        assert kmv_dec[200 + i]["is_new"]
