@@ -58,6 +58,109 @@ def streaming_exact_dedup(
     return out.drop("_fp")
 
 
+def _index_sources(spark, index_dir: str, before_batch: int) -> list[str]:
+    """Readable pieces of the standing index: root-level parquet files
+    (a batch-built bootstrap index) plus ``batch-N`` subdirectories with
+    ``N < before_batch`` — EXCLUDING the current (and any later) batch's
+    own directory, so an at-least-once REPLAY never matches the batch
+    against the signatures a failed earlier attempt already appended
+    (est_jaccard=1.0 self-matches; ADVICE r8).  Listed via the Hadoop
+    FileSystem API, not os.listdir: the index store is a path in
+    whatever filesystem Spark is configured for (HDFS/S3/local) — a
+    driver-local listdir would silently read a remote index as empty
+    and declare every document new (ADVICE r8)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isDirectory():
+            if name.startswith("batch-"):
+                try:
+                    bid = int(name.split("-", 1)[1])
+                except ValueError:
+                    bid = -1
+                if bid >= before_batch:
+                    continue
+            out.append(str(st.getPath()))
+        elif name.endswith(".parquet"):
+            out.append(str(st.getPath()))
+    return out
+
+
+def process_incremental_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> None:
+    """One micro-batch of the incremental near-dup loop — IDEMPOTENT
+    under Structured Streaming's at-least-once foreachBatch replay
+    (ADVICE r8): every effect is an overwrite keyed by ``batch_id``,
+    and the corpus read excludes this batch's own index directory, so
+    re-running any prefix of the steps converges to the same state.
+
+    - decisions land in ``out_dir`` partitioned by ``_batch_id`` with
+      dynamic partition overwrite (a replay replaces its own partition
+      instead of appending contradictory duplicate rows)
+    - the batch's unique signatures overwrite ``index_dir/batch-{id}``
+      (a per-batch directory, not a root append — the recursive read
+      and :func:`_index_sources` treat it as one index)
+    """
+    from rhq_metrics_spark.pipelines.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    srcs = _index_sources(spark, index_dir, batch_id)
+    if srcs:
+        corpus = spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(*srcs)
+    else:
+        corpus = minhash_index(
+            spark.createDataFrame([], f"{id_col} long, {text_col} string"),
+            id_col, text_col, n, num_hashes, bands,
+        )
+    decisions = dedup_against_index(
+        batch_df, corpus, id_col, text_col, n, num_hashes, bands,
+        threshold, max_bucket_size,
+    ).withColumn("_batch_id", F.lit(batch_id))
+    decisions.persist()
+    try:
+        decisions.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(out_dir)
+        new_sigs = minhash_index(
+            batch_df, id_col, text_col, n, num_hashes, bands
+        ).join(
+            F.broadcast(
+                decisions.filter(F.col("is_new")).select(id_col)
+            ),
+            id_col, "left_semi",
+        )
+        # per-batch index growth: uniques only, same row layout as
+        # pipelines.dedup.index_append on a parquet index store
+        new_sigs.write.mode("overwrite").parquet(
+            index_dir.rstrip("/") + f"/batch-{batch_id}"
+        )
+    finally:
+        decisions.unpersist()
+
+
 def start_incremental_neardup_stream(
     stream_df: DataFrame,
     index_dir: str,
@@ -76,12 +179,14 @@ def start_incremental_neardup_stream(
     index family: every micro-batch is deduped against the standing
     signature index at ``index_dir`` (``dedup_against_index``), the
     decisions land in ``out_dir``, and the batch's unique docs'
-    signatures are APPENDED to the index — so the next micro-batch
-    sees them.  ``foreachBatch`` rather than a stateful operator: the
-    state here is the signature index itself, which must outlive the
-    query, be shared with batch jobs, and scale past the state store
-    (it IS the maintenance artifact, exactly like the streaming
-    continuous-aggregate sinks).
+    signatures are appended to the index as a per-batch directory — so
+    the next micro-batch sees them.  ``foreachBatch`` rather than a
+    stateful operator: the state here is the signature index itself,
+    which must outlive the query, be shared with batch jobs, and scale
+    past the state store (it IS the maintenance artifact, exactly like
+    the streaming continuous-aggregate sinks).  Each micro-batch runs
+    through :func:`process_incremental_batch`, which is idempotent
+    under replay — see its docstring for the crash-point analysis.
 
     Sequencing is inherent to the pattern: micro-batches run one at a
     time, so append-then-next-batch gives the same first-seen-wins
@@ -95,46 +200,14 @@ def start_incremental_neardup_stream(
     would re-aggregate the index every trigger; deployments pass the
     precomputed ``index_bucket_stats`` artifact through a wrapper when
     boilerplate corpora make the cap matter."""
-    import os
-
-    from rhq_metrics_spark.pipelines.dedup import (
-        dedup_against_index,
-        minhash_index,
-    )
-
     spark = stream_df.sparkSession
-    empty_index = minhash_index(
-        spark.createDataFrame([], f"{id_col} long, {text_col} string"),
-        id_col, text_col, n, num_hashes, bands,
-    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if not os.path.isdir(index_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            corpus = empty_index
-        else:
-            corpus = spark.read.parquet(index_dir)
-        decisions = dedup_against_index(
-            batch_df, corpus, id_col, text_col, n, num_hashes, bands,
+        process_incremental_batch(
+            spark, batch_df, batch_id, index_dir, out_dir,
+            id_col, text_col, n, num_hashes, bands,
             threshold, max_bucket_size,
-        ).withColumn("_batch_id", F.lit(batch_id))
-        decisions.persist()
-        try:
-            decisions.write.mode("append").parquet(out_dir)
-            new_sigs = minhash_index(
-                batch_df, id_col, text_col, n, num_hashes, bands
-            ).join(
-                F.broadcast(
-                    decisions.filter(F.col("is_new")).select(id_col)
-                ),
-                id_col, "left_semi",
-            )
-            # append-only index growth: uniques only, same layout as
-            # pipelines.dedup.index_append on a parquet index store
-            new_sigs.write.mode("append").parquet(index_dir)
-        finally:
-            decisions.unpersist()
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

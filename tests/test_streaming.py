@@ -601,6 +601,64 @@ def test_streaming_incremental_neardup_matches_batch_loop(spark, tmp_path):
     assert not got[20]["is_new"] and got[20]["matched_id"] == 10
     assert got[21]["is_new"]
     # final index contents match the batch loop's
+    # streamed appends live in per-batch subdirectories (idempotent
+    # replay layout) — the index reader contract is a recursive read
     streamed_idx = {r["doc_id"] for r in
-                    spark.read.parquet(str(index_dir)).collect()}
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(str(index_dir)).collect()}
     assert streamed_idx == {r["doc_id"] for r in idx.collect()}
+
+
+def test_incremental_neardup_batch_replay_idempotent(spark, tmp_path):
+    """ADVICE r8: foreachBatch is at-least-once — re-running a batch
+    whose index append already landed must (a) not self-match the batch
+    against its own signatures, (b) not append duplicate decision rows,
+    (c) not double-grow the index."""
+    from rhq_metrics_spark.pipelines.dedup import minhash_index
+    from rhq_metrics_spark.streaming.dedup import process_incremental_batch
+
+    corpus = spark.createDataFrame(
+        [(1, "the standing corpus document about database engines today")],
+        "doc_id long, text string",
+    )
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    minhash_index(corpus).write.parquet(index_dir)
+    batch = spark.createDataFrame(
+        [(10, "a completely novel batch document body entirely"),
+         (11, "the standing corpus document about database engines today")],
+        "doc_id long, text string",
+    )
+
+    process_incremental_batch(spark, batch, 0, index_dir, out_dir)
+
+    def snapshot():
+        rows = sorted(
+            (r["doc_id"], r["is_new"], r["matched_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        idx = spark.read.option("recursiveFileLookup", "true").parquet(
+            index_dir
+        ).count()
+        return rows, idx
+
+    first_rows, first_idx = snapshot()
+    assert len(first_rows) == 2
+    # worst-case replay: decisions AND index append both already landed
+    process_incremental_batch(spark, batch, 0, index_dir, out_dir)
+    again_rows, again_idx = snapshot()
+    assert again_rows == first_rows
+    assert again_idx == first_idx
+    # the replayed doc 10 must stay NEW (no self-match at est=1.0
+    # against the signatures its first run appended)
+    by_id = {r[0]: r for r in again_rows}
+    assert by_id[10][1] is True and by_id[10][2] is None
+    assert by_id[11][1] is False and by_id[11][2] == 1
+
+    # a LATER batch does see batch 0's appended signatures
+    b1 = spark.createDataFrame(
+        [(20, "a completely novel batch document body entirely")],
+        "doc_id long, text string",
+    )
+    process_incremental_batch(spark, b1, 1, index_dir, out_dir)
+    rows, _ = snapshot()
+    assert (20, False, 10) in rows
