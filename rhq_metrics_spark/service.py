@@ -1335,12 +1335,40 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
 
     def _stacked_from_per_metric(
         self, per_metric: DataFrame, percentiles: Sequence[float],
-        include_median: bool,
+        include_median: bool, buckets: Buckets | None = None,
     ) -> DataFrame:
         """A3 stacking over a per-metric stats frame: element-wise sums,
         ``samples`` = contributing-metric count per bucket (exactly
         ``operators/stacked.py:stacked_stats`` semantics — nulls from
-        empty (metric, bucket) cells drop out of the sums)."""
+        empty (metric, bucket) cells drop out of the sums).
+
+        ``buckets`` grid-fills the STACKED result by merging one
+        null/zero row per grid cell into the same hash-agg (the
+        single-metric route's union-zeros shape, no join): without it a
+        range where NO selected metric has data returned zero rows from
+        the routed path while the exact ``stacked_stats(fill_empty)``
+        path returns the full samples=0 grid — response shape depended
+        on whether rollups were attached (ADVICE r8)."""
+        pcols = []
+        emitted = set()
+        for q in percentiles:
+            col = percentile_col_name(q)
+            if col not in emitted:
+                emitted.add(col)
+                pcols.append(col)
+        value_cols = (
+            ["min", "avg"] + (["median"] if include_median else [])
+            + ["max", "sum"] + pcols
+        )
+        src = per_metric.select("start", "end", *value_cols, "samples")
+        if buckets is not None:
+            zeros = self.spark.range(buckets.count).selectExpr(
+                f"{buckets.start}L + id * {buckets.step}L AS start",
+                f"{buckets.start}L + (id + 1) * {buckets.step}L AS end",
+                *[f"cast(null as double) AS `{c}`" for c in value_cols],
+                "cast(0 as bigint) AS samples",
+            )
+            src = src.unionByName(zeros)
         aggs = [F.sum("min").alias("min"), F.sum("avg").alias("avg")]
         if include_median:
             aggs.append(F.sum("median").alias("median"))
@@ -1348,13 +1376,8 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
             F.sum("max").alias("max"), F.sum("sum").alias("sum"),
             F.count(F.when(F.col("samples") > 0, 1)).alias("samples"),
         ]
-        emitted = set()
-        for q in percentiles:
-            col = percentile_col_name(q)
-            if col not in emitted:
-                emitted.add(col)
-                aggs.append(F.sum(col).alias(col))
-        return per_metric.groupBy("start", "end").agg(*aggs)
+        aggs += [F.sum(c).alias(c) for c in pcols]
+        return src.groupBy("start", "end").agg(*aggs)
 
     def gauge_stats(
         self,
@@ -2163,7 +2186,7 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
                     )
                     if routed is not None:
                         per_metric = self._stacked_from_per_metric(
-                            routed, percentiles, include_median
+                            routed, percentiles, include_median, buckets
                         ).withColumn("metric", F.lit("*stacked*"))
                 if per_metric is None:
                     # stacked collapses metrics — keyed under '*stacked*'

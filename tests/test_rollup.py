@@ -850,3 +850,59 @@ def test_stats_query_hist_percentiles_multi(spark, tmp_path):
     raw = svc.stats_query("t", b, {"gauge": metrics}, percentiles=(90,))
     svc._rollups, svc._hist_rollups = saved_r, saved_h
     _compare(routed, raw, 2.0)
+
+
+def test_stacked_hist_route_grid_fills_empty_range(spark, tmp_path):
+    """ADVICE r8: a stacked hist-percentile query over metrics with NO
+    data in range must return the same full samples=0 grid as the exact
+    path — response shape must not depend on rollups being attached."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", "m0", w * win + i * 2_000, float(i % 50), None)
+            for w in range(8) for i in range(30)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=win)
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    svc = MetricsService(spark, store)
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+    hist_dir = str(tmp_path / "hists")
+    svc.build_histogram_rollup("gauge", win, 0.0, 50.0, 25) \
+        .write.parquet(hist_dir)
+    svc.attach_histogram_rollup("gauge", hist_dir, win, 0.0, 50.0, 25)
+
+    b = Buckets.from_step(0, 8 * win, 2 * win)
+    # metrics that exist nowhere: routed (attached) vs exact (detached)
+    routed = svc.stats_query("t", b, {"gauge": ["ghost1", "ghost2"]},
+                             percentiles=(90,), stacked=True,
+                             percentile_impl="hist")
+    saved_r, saved_h = svc._rollups, svc._hist_rollups
+    svc._rollups, svc._hist_rollups = {}, {}
+    exact = svc.stats_query("t", b, {"gauge": ["ghost1", "ghost2"]},
+                            percentiles=(90,), stacked=True)
+    svc._rollups, svc._hist_rollups = saved_r, saved_h
+
+    rbuckets = routed["gauge"]["*stacked*"]
+    xbuckets = exact["gauge"]["*stacked*"]
+    assert len(rbuckets) == len(xbuckets) == b.count
+    for rb, xb in zip(rbuckets, xbuckets):
+        assert rb == xb, (rb, xb)
