@@ -1131,37 +1131,28 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
         ):
             return None
         # Partials union (windows + optional open tail) → one hash-agg,
-        # as in _rollup_routed_stats.  The per-metric grid fill keeps
-        # the observed-metrics crossJoin + broadcast left-join: the
-        # join-free union-zeros variant was measured SLOWER here (the
-        # per-query local zeros relation + a per-metric window cost more
-        # than one broadcast join over the tiny agg output at the
-        # 100-metric dashboard shape).
-        from rhq_metrics_spark.operators.stats import bucket_dimension
-
-        parts = self._window_partials(
-            rollup, tenant_id, list(metrics), buckets, keep_metric=True
-        )
+        # as in _rollup_routed_stats, composed as ONE SQL text (r9, same
+        # constant-killer as the single-metric route).  The per-metric
+        # grid fill keeps the observed-metrics distinct + broadcast
+        # left-join shape: the join-free union-zeros variant was
+        # measured SLOWER here (the per-query local zeros relation + a
+        # per-metric window cost more than one broadcast join over the
+        # tiny agg output at the 100-metric dashboard shape).
+        frags = [self._prefix_frag(
+            tenant_id, list(metrics), buckets, keep_metric=True
+        )]
+        kwargs = {"p": rollup}
         if buckets.end > hi:
-            parts = parts.unionByName(
-                self._tail_partials(
-                    metric_type, tenant_id, list(metrics), buckets, hi,
-                    keep_metric=True,
-                )
-            )
-        rolled = (
-            parts.groupBy("metric", "bucket_idx")
-            .agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
-            )
-            .withColumn(
-                "avg",
-                F.when(F.col("samples") > 0, F.col("sum") / F.col("samples")),
-            )
-        )
+            kwargs["t"] = self._tail_base(metric_type, tenant_id, hi)
+            frags.append(self._tail_frag(
+                list(metrics), buckets, hi, keep_metric=True
+            ))
+        body = "\nUNION ALL\n".join(frags)
+        rolled_sql = f"""
+SELECT metric, bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
+       sum(`sum`) AS `sum`, sum(samples) AS samples,
+       CASE WHEN sum(samples) > 0 THEN sum(`sum`) / sum(samples) END AS avg
+FROM ({body}) GROUP BY metric, bucket_idx"""
         if not fill_grid:
             # stacked consumers re-aggregate over metrics immediately —
             # the per-metric grid fill below (a distinct() that
@@ -1169,16 +1160,18 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
             # be pure overhead there; they fill the STACKED grid with
             # one union-zeros relation instead (measured 2x on the
             # 100-series dashboard, BENCH r6->r7)
-            return rolled
-        dim = bucket_dimension(self.spark, buckets)
-        gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
-        return (
-            gdim.join(rolled, ["metric", "bucket_idx"], "left")
-            .withColumn("samples", F.coalesce(F.col("samples"), F.lit(0)))
-            .drop("bucket_idx")
-            .select("metric", "start", "end", "min", "avg", "max", "sum",
-                    "samples")
-        )
+            return self.spark.sql(rolled_sql, **kwargs)
+        return self.spark.sql(f"""
+WITH rolled AS ({rolled_sql})
+SELECT /*+ BROADCAST(r) */ m.metric,
+       {buckets.start}L + d.id * {buckets.step}L AS `start`,
+       {buckets.start}L + (d.id + 1) * {buckets.step}L AS `end`,
+       r.`min`, r.avg, r.`max`, r.`sum`,
+       coalesce(r.samples, 0L) AS samples
+FROM (SELECT DISTINCT metric FROM rolled) m
+CROSS JOIN range({buckets.count}) d
+LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id""",
+                              **kwargs)
 
     def _hist_routed_multi(
         self, metric_type: str, tenant_id, metrics: Sequence[str],
@@ -1238,86 +1231,40 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
                 return None
         if any(not 0 < q <= 100 for q in percentiles):
             return None
-        from rhq_metrics_spark.operators.stats import bucket_dimension
-
-        bin_struct_t = "struct<bin:int,c:bigint>"
-        base_src = rollup
-        if cut is not None:
-            base_src = rollup.filter(
-                F.col("window_end") <= F.timestamp_millis(F.lit(cut))
-            )
-        parts = self._window_partials(
-            base_src, tenant_id, list(metrics), buckets, keep_metric=True
-        ).withColumn("_hb", F.lit(None).cast(bin_struct_t))
-        metric_list = ", ".join(_sql_str(m) for m in metrics)
-        hb = hists.where(
-            f"tenant_id = {_sql_str(tenant_id)}"
-            f" AND metric IN ({metric_list})"
-            f" AND slice_start >= {buckets.start}L"
-            f" AND slice_start < {grid_end if cut is None else cut}L"
-        ).selectExpr(
-            "metric",
-            f"cast((slice_start - {buckets.start}L) / {buckets.step}L "
-            "as bigint) AS bucket_idx",
-            "cast(null as double) AS `min`",
-            "cast(null as double) AS `max`",
-            "cast(null as double) AS `sum`",
-            "cast(null as bigint) AS samples",
-            "named_struct('bin', cast(bin as int), "
-            "'c', cast(count as bigint)) AS _hb",
-        )
-        parts = parts.unionByName(hb)
-        if cut is not None:
-            w_bin_pre = (hi - lo) / n_bins
-            pts = self.store.find_data_points(
-                metric_type, tenant_id, list(metrics), cut, grid_end,
-                order=None,
-            )
-            tail = pts.where(
-                f"ts >= {buckets.start}L AND ts < {buckets.end}L"
-            ).selectExpr(
-                "metric",
-                f"cast((ts - {buckets.start}L) / {buckets.step}L as bigint)"
-                " AS bucket_idx",
-                "cast(value as double) AS `min`",
-                "cast(value as double) AS `max`",
-                "cast(value as double) AS `sum`",
-                "cast(1 as bigint) AS samples",
-                "named_struct('bin', cast(least(greatest("
-                f"floor((cast(value as double) - {lo!r}d) / {w_bin_pre!r}d), "
-                f"0), {n_bins - 1}) as int), "
-                "'c', cast(1 as bigint)) AS _hb",
-            )
-            parts = parts.unionByName(tail)
-        rolled = (
-            parts.groupBy("metric", "bucket_idx")
-            .agg(
-                F.min("min").alias("min"),
-                F.max("max").alias("max"),
-                F.sum("sum").alias("sum"),
-                F.sum("samples").alias("samples"),
-                F.sort_array(F.collect_list("_hb")).alias("_bins"),
-            )
-        )
-        # per-metric grid fill: one broadcast join (the multi shape's
-        # accepted cost — see _rollup_routed_multi); missing cells get
+        # the WHOLE route as one SQL text (r9 — same constant-killer as
+        # the fused single-metric path): partials union → one hash-agg
+        # keyed (metric, bucket_idx), then the per-metric grid fill as
+        # the multi shape's one broadcast join; missing cells get
         # samples 0, an empty _bins, and therefore null estimates
-        dim = bucket_dimension(self.spark, buckets)
-        gdim = rolled.select("metric").distinct().crossJoin(F.broadcast(dim))
-        filled = (
-            gdim.join(rolled, ["metric", "bucket_idx"], "left")
-            .selectExpr(
-                "metric", "start", "end", "`min`", "`max`", "`sum`",
-                "coalesce(samples, cast(0 as bigint)) AS samples",
-                f"coalesce(_bins, cast(array() as array<{bin_struct_t}>))"
-                " AS _bins",
-            )
-            .withColumn(
-                "_total",
-                F.expr("aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c)"),
-            )
-        )
+        bin_struct_t = "struct<bin:int,c:bigint>"
+        null_hb = f",\n       cast(null as {bin_struct_t}) AS _hb"
         w_bin = (hi - lo) / n_bins
+        metric_list = ", ".join(_sql_str(m) for m in metrics)
+        frags = [
+            self._prefix_frag(tenant_id, list(metrics), buckets, cut=cut,
+                              keep_metric=True, extra=null_hb),
+            f"""
+SELECT metric,
+       cast((slice_start - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
+       cast(null as double) AS `min`, cast(null as double) AS `max`,
+       cast(null as double) AS `sum`, cast(null as bigint) AS samples,
+       named_struct('bin', cast(bin as int), 'c', cast(count as bigint)) AS _hb
+FROM {{h}}
+WHERE tenant_id = {_sql_str(tenant_id)} AND metric IN ({metric_list})
+  AND slice_start >= {buckets.start}L
+  AND slice_start < {grid_end if cut is None else cut}L""",
+        ]
+        kwargs = {"p": rollup, "h": hists}
+        if cut is not None:
+            tail_hb = (
+                ",\n       named_struct('bin', cast(least(greatest("
+                f"floor((cast(value as double) - {lo!r}d) / {w_bin!r}d), "
+                f"0), {n_bins - 1}) as int), 'c', cast(1 as bigint)) AS _hb"
+            )
+            kwargs["t"] = self._tail_base(metric_type, tenant_id, cut)
+            frags.append(self._tail_frag(
+                list(metrics), buckets, cut, keep_metric=True, extra=tail_hb
+            ))
         cols = [
             "metric", "`start`", "`end`", "`min`",
             "CASE WHEN samples > 0 THEN `sum` / samples END AS avg",
@@ -1331,7 +1278,27 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
             if name not in emitted:
                 emitted.add(name)
                 cols.append(_hist_quantile_expr(q, name, lo, w_bin))
-        return filled.selectExpr(*cols)
+        body = "\nUNION ALL\n".join(frags)
+        return self.spark.sql(f"""
+WITH rolled AS (
+  SELECT metric, bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
+         sum(`sum`) AS `sum`, sum(samples) AS samples,
+         sort_array(collect_list(_hb)) AS _bins
+  FROM ({body}) GROUP BY metric, bucket_idx)
+SELECT {", ".join(cols)}
+FROM (
+  SELECT /*+ BROADCAST(r) */ m.metric,
+         {buckets.start}L + d.id * {buckets.step}L AS `start`,
+         {buckets.start}L + (d.id + 1) * {buckets.step}L AS `end`,
+         r.`min`, r.`max`, r.`sum`,
+         coalesce(r.samples, cast(0 as bigint)) AS samples,
+         coalesce(r._bins, cast(array() as array<{bin_struct_t}>)) AS _bins,
+         aggregate(coalesce(r._bins, cast(array() as array<{bin_struct_t}>)),
+                   cast(0 as bigint), (a, x) -> a + x.c) AS _total
+  FROM (SELECT DISTINCT metric FROM rolled) m
+  CROSS JOIN range({buckets.count}) d
+  LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id)""",
+                              **kwargs)
 
     def _stacked_from_per_metric(
         self, per_metric: DataFrame, percentiles: Sequence[float],
