@@ -96,6 +96,7 @@ from rhq_metrics_spark.pipelines.embeddings import (
     kmeans_assign,
     quantize_int8,
     rp_reduce,
+    semantic_dedup,
 )
 from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
 from rhq_metrics_spark.pipelines.sketches import heavy_hitters, kmv_distinct
@@ -3574,6 +3575,94 @@ SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2
 """
 
 
+#: SemDeDup within-cluster cosine threshold for the DRIVER query — the
+#: synthetic embeddings table has no planted near-dups (max pairwise
+#: cosine ≈ 0.51 at sf0.01), so the query runs at 0.45 to exercise the
+#: drop path against the oracle; production semantic dedup uses ~0.9+
+#: (the planted-dup pytest covers that regime)
+SEMDD_T = 0.45
+
+
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (pipelines/embeddings.py semantic_dedup):
+    k-means clusters (k=8, one Lloyd update — the oracled embed_kmeans
+    configuration), then within each cluster every vector with a
+    cosine near neighbor of smaller id is dropped in favor of that
+    neighbor.  Exact integer dots + IEEE-deterministic threshold test,
+    so the DuckDB oracle reproduces every decision bit-for-bit."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=1, threshold=SEMDD_T)
+
+
+# same CTE chain as SQL_EMBED_KMEANS through the final assignment a2,
+# then the within-cluster pair stage in signed fixed point: dot > 0 AND
+# dot^2 >= t^2 * ||a||^2 * ||b||^2, multiplications left-associated in
+# double exactly as the Spark expression evaluates them.
+SQL_EMBED_SEMDEDUP = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT) + 1048576) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM q ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT q.vec_id, c0.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))),
+                              c0.cid) AS rk
+    FROM q, c0)
+  WHERE rk = 1),
+upd AS (
+  SELECT a1.cid, u.i AS pos, sum(q.v[u.i]) AS s, count(*) AS n
+  FROM a1 JOIN q USING (vec_id), unnest(range(1, len(q.v) + 1)) AS u(i)
+  GROUP BY 1, 2),
+c1 AS (
+  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+  FROM upd GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c1.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i]))),
+                              c1.cid) AS rk
+    FROM q, c1)
+  WHERE rk = 1),
+w AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS w
+  FROM embeddings),
+nrm AS (
+  SELECT vec_id, w,
+         CAST(list_sum(list_transform(range(1, len(w) + 1),
+              i -> w[i] * w[i])) AS BIGINT) AS n
+  FROM w),
+side AS (SELECT a2.vec_id, a2.cid, nrm.w, nrm.n
+         FROM a2 JOIN nrm USING (vec_id)),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, len(a.w) + 1),
+              i -> a.w[i] * b.w[i])) AS BIGINT) AS dot,
+         a.n AS na, b.n AS nb
+  FROM side a JOIN side b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+dup AS (
+  SELECT id_a, min(id_b) AS dup_of FROM pr
+  WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+        >= {SEMDD_T * SEMDD_T!r} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+  GROUP BY id_a)
+SELECT s.vec_id, s.cid AS cluster, (d.dup_of IS NULL) AS is_kept,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM side s LEFT JOIN dup d ON d.id_a = s.vec_id
+"""
+
+
 RP_DIM, RP_SEED = 16, 7
 
 
@@ -4461,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- new in r9, never driver-sampled
         "dedup_incremental_verified": q_dedup_incremental_verified,
+        "embed_semdedup": q_embed_semdedup,
         # -- last driver-sampled r6: lead the r9 window
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4693,6 +4783,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": SQL_TEXT_TFIDF,
         "text_lm_score": SQL_TEXT_LM_SCORE,
         "embed_kmeans": SQL_EMBED_KMEANS,
+        "embed_semdedup": SQL_EMBED_SEMDEDUP,
         "text_bm25": SQL_TEXT_BM25,
         "pack_chunks": SQL_PACK_CHUNKS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_incremental_verified",  # + KMV sketch re-score of every candidate
     "embed_cosine_topk",
     "embed_kmeans",   # broadcast-argmin assignment + k*dim-key update agg
+    "embed_semdedup", # SemDeDup: cluster then within-cluster cosine drop
     "embed_lsh_topk",
     "embed_ivf_topk",
     "text_quality",
@@ -282,10 +283,16 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     probe = svc.try_routed_stats("gauge", "bench", metrics[0], hybrid_bks)
     assert probe is not None, "hybrid routing inactive"
     assert any("points" in f for f in probe.inputFiles()), "no raw tail"
+    # shed the preceding sections' GC/JIT debt before sampling, same
+    # treatment as the exact section above (r9: the full-pass run
+    # recorded 486 ms p50 here while the identical code path measures
+    # 172 ms in an isolated session — the gap was old-gen garbage from
+    # the 100m stats_query sections landing on these samples)
+    spark.sparkContext._jvm.System.gc()
     p50, p95 = _latency(lambda i: svc.gauge_stats(
         "bench", metrics[(i * 7) % len(metrics)], hybrid_bks,
         include_median=False,
-    ).collect())
+    ).collect(), warmup=4)
     timings["stats_hybrid_latency_p50_ms"] = p50
     timings["stats_hybrid_latency_p95_ms"] = p95
     p50, _ = _latency(lambda i: svc.gauge_stats(

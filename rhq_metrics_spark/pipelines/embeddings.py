@@ -307,3 +307,83 @@ def kmeans_assign(
         F.col("_best.cid").alias("cluster"),
         F.col("_best.d2").alias("dist2"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication [Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"]: cluster the corpus (:func:`kmeans_assign`), then
+    WITHIN each cluster drop every document that has a cosine-near
+    neighbor with a smaller id — the kept set is exactly the documents
+    with no smaller near-duplicate cluster-mate (the paper's
+    keep-one-per-near-dup-group rule with lowest-id as the
+    deterministic representative).
+
+    Output: ``(id, cluster, is_kept, dup_of)`` — ``dup_of`` the
+    smallest qualifying cluster-mate (NULL when kept).
+
+    Exact cross-engine arithmetic: components in SIGNED fixed point
+    ``floor(v * 2^20)`` (exact for float32 input), integer dot products
+    and norms (dim 64 × (2^20)² = 2^46, no overflow), and the cosine
+    test as ``dot > 0 AND dot² ≥ t²·‖a‖²·‖b‖²`` evaluated in double
+    AFTER the exact integer dots (each int ≤ 2^46 converts to double
+    exactly; the multiplications round identically under IEEE in any
+    engine, left-associated the same way in the SQL oracle).
+
+    100 TB shape: this is the standard SemDeDup cost model — the
+    all-pairs work is confined to clusters, so ``k`` is the dial (the
+    paper uses k ≈ √n; the within-cluster self-join shuffles on the
+    cluster key and never crosses clusters).  Skewed giant clusters
+    are visible in ``kmeans_assign``'s output before committing to the
+    pair stage."""
+    assigned = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(floor(cast(x as double) * {EMB_SCALE}.0d) as bigint))"
+        ).alias("_w"),
+    ).withColumn(
+        "_n",
+        F.expr("aggregate(zip_with(_w, _w, (a, b) -> a * b),"
+               " 0L, (s, x) -> s + x)"),
+    )
+    side = q.join(
+        assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    )
+    t2 = repr(threshold * threshold)
+    dup = (
+        side.alias("a")
+        .join(side.alias("b"),
+              (F.col("a.cluster") == F.col("b.cluster"))
+              & (F.col("b._id") < F.col("a._id")))
+        .select(
+            F.col("a._id").alias("_id"),
+            F.col("b._id").alias("_other"),
+            F.expr("aggregate(zip_with(a._w, b._w, (x, y) -> x * y),"
+                   " 0L, (s, x) -> s + x)").alias("_dot"),
+            F.col("a._n").alias("_na"), F.col("b._n").alias("_nb"),
+        )
+        .where(
+            f"_dot > 0 AND cast(_dot as double) * cast(_dot as double)"
+            f" >= {t2}d * cast(_na as double) * cast(_nb as double)"
+        )
+        .groupBy("_id")
+        .agg(F.min("_other").alias("dup_of"))
+    )
+    return (
+        side.select("_id", "cluster")
+        .join(dup, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col), "cluster",
+            F.col("dup_of").isNull().alias("is_kept"), "dup_of",
+        )
+    )

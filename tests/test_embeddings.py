@@ -170,3 +170,45 @@ def test_kmeans_assignment_plan_has_no_shuffle(spark):
 
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 0, plan
+
+
+def test_semantic_dedup_planted_near_dups(spark):
+    """SemDeDup drop rule on planted near-dup groups: within a cluster,
+    every vector with a cosine-near smaller-id neighbor is dropped in
+    favor of the SMALLEST such neighbor; cross-group and cross-cluster
+    vectors stay kept."""
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.embeddings import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(16); a /= np.linalg.norm(a)
+    b = rng.randn(16); b /= np.linalg.norm(b)
+    rows = []
+    # group A: ids 0,1,2 are tiny perturbations of the same direction
+    for i in range(3):
+        v = a + 0.01 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    # group B: ids 10,11 near-dups of another direction
+    for i in (10, 11):
+        v = b + 0.01 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    # singletons: random directions, no near neighbor
+    for i in (20, 21, 22):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert len(out) == 8
+    assert out[0]["is_kept"] and out[0]["dup_of"] is None
+    assert not out[1]["is_kept"] and out[1]["dup_of"] == 0
+    assert not out[2]["is_kept"] and out[2]["dup_of"] == 0
+    assert out[10]["is_kept"]
+    assert not out[11]["is_kept"] and out[11]["dup_of"] == 10
+    for i in (20, 21, 22):
+        assert out[i]["is_kept"], i
+    # dup pairs always share a cluster
+    for i, j in ((1, 0), (2, 0), (11, 10)):
+        assert out[i]["cluster"] == out[j]["cluster"]
