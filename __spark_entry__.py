@@ -125,6 +125,7 @@ from rhq_metrics_spark.pipelines.text import (
     pii_scan,
     quality_score,
     repetition_stats,
+    substring_dup_spans,
     tfidf_top_terms,
     token_stats,
     url_domain_stats,
@@ -2532,6 +2533,47 @@ WHERE d.doc_id % 5 = 4
 
 IDX_KMV_K = 128  # bottom-k sketch size for the exact-verify leg
 
+SUBSTR_W = 15  # exact-substring window (tokens)
+
+
+def q_text_substr_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication (pipelines/text.py
+    substring_dup_spans — the EXACTSUBSTR criterion of Lee et al.
+    2022): per-doc count/fraction of 15-token spans shared verbatim
+    with other documents, via md5 window fingerprints + one
+    distinct-doc hash-agg.  Catches verbatim passages embedded in
+    otherwise-distinct documents that document-level Jaccard dilutes
+    away."""
+    docs = _table(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, window=SUBSTR_W)
+
+
+SQL_TEXT_SUBSTR = f"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+wins AS (SELECT doc_id,
+                unnest(list_transform(range(0, len(t) - {SUBSTR_W} + 1),
+                       i -> md5(concat_ws(' ',
+                              list_slice(t, i + 1, i + {SUBSTR_W}))))) AS h
+         FROM toks WHERE len(t) >= {SUBSTR_W}),
+shared AS (SELECT h, count(DISTINCT doc_id) AS n_docs
+           FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+pd AS (SELECT w.doc_id, count(*) AS n_windows,
+              count(s.n_docs) AS n_dup_windows,
+              max(coalesce(s.n_docs, 1)) AS max_share
+       FROM wins w LEFT JOIN shared s USING (h) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_windows, 0) AS n_windows,
+       coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(pd.n_windows, 0) > 0
+            THEN pd.n_dup_windows * 1000000 // pd.n_windows
+            ELSE 0 END AS dup_bp,
+       coalesce(pd.max_share, 0) AS max_share
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
 
 def q_dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup with the KMV verify leg (VERDICT r8 item 4,
@@ -4551,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r9, never driver-sampled
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
+        "text_substr_dups": q_text_substr_dups,
         # -- last driver-sampled r6: lead the r9 window
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4758,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _clusters_sql(),
         "dedup_incremental": _incremental_sql(),
         "dedup_incremental_verified": _incremental_verified_sql(),
+        "text_substr_dups": SQL_TEXT_SUBSTR,
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

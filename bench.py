@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
     "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
+    "text_substr_dups",  # EXACTSUBSTR span fingerprints + distinct-doc agg
     "pack_chunks",   # sharded running-sum window (packing throughput)
     "a10_correlation",     # bucket-aligned self-join, exact decimal sums
     "w6_trend",            # closed-form least squares per series

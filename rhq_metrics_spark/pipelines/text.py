@@ -623,3 +623,74 @@ def pii_from_documents(
         ).otherwise(F.lit("")),
     )
     return docs.withColumn(text_col, F.concat(F.col(text_col), extra))
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document substring duplication [Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    EXACTSUBSTR criterion]: every ``window``-token span is fingerprinted
+    (md5 of the space-joined window) and a span is DUPLICATED when it
+    appears in at least ``min_docs`` distinct documents.  Unlike the
+    document-level near-dup family, this catches long verbatim passages
+    (licenses, boilerplate, quoted text) embedded in otherwise-distinct
+    documents — the pattern document-level Jaccard dilutes away.
+
+    Output, one row per input document: ``(id, n_windows,
+    n_dup_windows, dup_bp, max_share)`` — total spans, spans shared
+    with >= min_docs-1 other docs, the duplicated fraction in integer
+    basis points (``n_dup * 1e6 div n_windows``; exact cross-engine),
+    and the widest sharing count of any span.  Docs shorter than
+    ``window`` tokens have zero spans (all-zero row).
+
+    100 TB shape: the reference implementation builds a suffix array;
+    the Spark-native expression is the inverted-index form — window
+    fingerprints are emitted scan-side (16-byte hashes, never the
+    text), one hash-agg keyed on the fingerprint computes distinct-doc
+    counts (map-side combine absorbs within-doc repeats), and one
+    shuffle join brings span-sharing back to documents.  Self-repeats
+    WITHIN a doc are deliberately excluded (``min_docs`` counts
+    distinct docs) — that signal is :func:`repetition_stats`' job."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    wins = toks.filter(F.size("_toks") >= window).select(
+        "_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(_toks) - {int(window)}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {int(window)}))))"
+        )).alias("_h"),
+    )
+    shared = (
+        wins.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+    )
+    per_doc = (
+        wins.join(shared, "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_n_docs").alias("n_dup_windows"),
+            F.max(F.coalesce("_n_docs", F.lit(1))).alias("max_share"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .selectExpr(
+            f"_id AS {id_col}",
+            "coalesce(n_windows, 0L) AS n_windows",
+            "coalesce(n_dup_windows, 0L) AS n_dup_windows",
+            "CASE WHEN coalesce(n_windows, 0L) > 0"
+            " THEN n_dup_windows * 1000000L div n_windows"
+            " ELSE 0L END AS dup_bp",
+            "coalesce(max_share, 0L) AS max_share",
+        )
+    )

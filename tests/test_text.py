@@ -250,3 +250,35 @@ def test_lm_bigram_score_on_real_docs(docs):
         assert 1 <= r["xent_qbits"] <= 21
         assert 0 <= r["min_p_bp"] <= 1_000_000
         assert r["avg_p_bp"] >= r["min_p_bp"]
+
+
+def test_substring_dup_spans_planted_passage(spark):
+    """EXACTSUBSTR: a verbatim 12-token passage embedded in two
+    otherwise-unrelated docs is caught span-for-span; a doc shorter
+    than the window gets an all-zero row; self-repetition within one
+    doc does NOT count as duplication."""
+    from rhq_metrics_spark.pipelines.text import substring_dup_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta gamma " + passage + " delta epsilon zeta"),
+        (2, "one two three four five " + passage + " six seven"),
+        (3, "totally unrelated words " + " ".join(f"u{i}" for i in range(20))),
+        (4, "short doc"),
+        # doc 5 repeats ITS OWN phrase twice — not a cross-doc dup
+        (5, " ".join(f"s{i}" for i in range(12)) + " " +
+            " ".join(f"s{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dup_spans(df, window=12, min_docs=2).collect()}
+    assert len(out) == 5
+    # doc 1: 18 tokens -> 7 windows; exactly ONE window is the pure
+    # passage (the others mix in unique context tokens)
+    assert out[1]["n_windows"] == 7 and out[1]["n_dup_windows"] == 1
+    assert out[1]["max_share"] == 2
+    assert out[2]["n_dup_windows"] == 1 and out[2]["max_share"] == 2
+    assert out[1]["dup_bp"] == 1_000_000 // 7
+    assert out[3]["n_dup_windows"] == 0 and out[3]["max_share"] == 1
+    assert out[4]["n_windows"] == 0 and out[4]["dup_bp"] == 0
+    assert out[5]["n_dup_windows"] == 0  # self-repeat excluded
