@@ -4637,19 +4637,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- last driver-sampled r7: TPC-H (q12 onward lead r10)
+        # -- last driver-sampled r7: TPC-H (q7 onward lead r10)
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        # ---- 50-key driver window ends here ----
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
         "tpch_q11": q_tpch_q11,
-        # ---- 50-key driver window ends here ----
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,

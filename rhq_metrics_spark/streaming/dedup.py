@@ -106,6 +106,8 @@ def process_incremental_batch(
     bands: int = 6,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    verify: str | None = None,
+    kmv_k: int = 128,
 ) -> None:
     """One micro-batch of the incremental near-dup loop — IDEMPOTENT
     under Structured Streaming's at-least-once foreachBatch replay
@@ -119,6 +121,14 @@ def process_incremental_batch(
     - the batch's unique signatures overwrite ``index_dir/batch-{id}``
       (a per-batch directory, not a root append — the recursive read
       and :func:`_index_sources` treat it as one index)
+
+    ``verify='kmv'`` carries the batch operator's sketch re-score leg
+    (``dedup_against_index(verify='kmv')``) into the stream: decisions
+    are made on the k-bottom KMV Jaccard instead of the coarse 12-hash
+    estimate, and the appended per-batch index directories carry the
+    ``_kmv`` column so later batches verify against THIS batch's docs
+    too.  Requires the bootstrap index (if any) to be built with
+    ``minhash_index(..., kmv_k=...)``.
     """
     from rhq_metrics_spark.pipelines.dedup import (
         dedup_against_index,
@@ -134,10 +144,11 @@ def process_incremental_batch(
         corpus = minhash_index(
             spark.createDataFrame([], f"{id_col} long, {text_col} string"),
             id_col, text_col, n, num_hashes, bands,
+            kmv_k=kmv_k if verify == "kmv" else None,
         )
     decisions = dedup_against_index(
         batch_df, corpus, id_col, text_col, n, num_hashes, bands,
-        threshold, max_bucket_size,
+        threshold, max_bucket_size, verify=verify, kmv_k=kmv_k,
     ).withColumn("_batch_id", F.lit(batch_id))
     decisions.persist()
     try:
@@ -145,7 +156,8 @@ def process_incremental_batch(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("_batch_id").parquet(out_dir)
         new_sigs = minhash_index(
-            batch_df, id_col, text_col, n, num_hashes, bands
+            batch_df, id_col, text_col, n, num_hashes, bands,
+            kmv_k=kmv_k if verify == "kmv" else None,
         ).join(
             F.broadcast(
                 decisions.filter(F.col("is_new")).select(id_col)
@@ -174,6 +186,8 @@ def start_incremental_neardup_stream(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     trigger: dict | None = None,
+    verify: str | None = None,
+    kmv_k: int = 128,
 ):
     """NEAR-dup streaming twin of ``pipelines/dedup.py``'s incremental
     index family: every micro-batch is deduped against the standing
@@ -206,7 +220,7 @@ def start_incremental_neardup_stream(
         process_incremental_batch(
             spark, batch_df, batch_id, index_dir, out_dir,
             id_col, text_col, n, num_hashes, bands,
-            threshold, max_bucket_size,
+            threshold, max_bucket_size, verify, kmv_k,
         )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(

@@ -662,3 +662,38 @@ def test_incremental_neardup_batch_replay_idempotent(spark, tmp_path):
     process_incremental_batch(spark, b1, 1, index_dir, out_dir)
     rows, _ = snapshot()
     assert (20, False, 10) in rows
+
+
+def test_incremental_neardup_stream_kmv_verify(spark, tmp_path):
+    """verify='kmv' in the streaming loop: decisions carry kmv_jaccard,
+    an exact copy of an indexed doc scores exactly 1.0, and the
+    per-batch index directories carry _kmv so batch 1 verifies against
+    batch 0's appended docs."""
+    from rhq_metrics_spark.pipelines.dedup import minhash_index
+    from rhq_metrics_spark.streaming.dedup import process_incremental_batch
+
+    corpus = spark.createDataFrame(
+        [(1, "the standing corpus document about database engines today")],
+        "doc_id long, text string",
+    )
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    minhash_index(corpus, kmv_k=64).write.parquet(index_dir)
+
+    b0 = spark.createDataFrame(
+        [(10, "a completely novel batch document body entirely"),
+         (11, "the standing corpus document about database engines today")],
+        "doc_id long, text string",
+    )
+    process_incremental_batch(spark, b0, 0, index_dir, out_dir,
+                              verify="kmv", kmv_k=64)
+    b1 = spark.createDataFrame(
+        [(20, "a completely novel batch document body entirely")],
+        "doc_id long, text string",
+    )
+    process_incremental_batch(spark, b1, 1, index_dir, out_dir,
+                              verify="kmv", kmv_k=64)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert got[11]["kmv_jaccard"] == 1.0 and got[11]["matched_id"] == 1
+    assert got[10]["is_new"]
+    assert not got[20]["is_new"] and got[20]["matched_id"] == 10
+    assert got[20]["kmv_jaccard"] == 1.0
