@@ -102,20 +102,49 @@ def main() -> None:
             (~F.col("is_new")) & (F.col("est_jaccard") == 1.0)
         ).count()
         plan = dec._jdf.queryExecution().executedPlan().toString()
+
+        # the KMV verify leg at the same corpus size (r9): index carries
+        # the bottom-k sketch; decisions re-scored on it.  The claim:
+        # verified batch latency stays O(batch) too — the sketch join is
+        # broadcast-candidates against the index, never a corpus shuffle.
+        kmv_dir = tempfile.mkdtemp(prefix="inc_idx_kmv_")
+        minhash_index(corpus, kmv_k=128).write.mode("overwrite").parquet(kmv_dir)
+        idx_kmv = spark.read.parquet(kmv_dir)
+        t0 = time.time()
+        decv = dedup_against_index(
+            batch, idx_kmv, corpus_bucket_stats=stats, verify="kmv"
+        ).persist()
+        v_dup = decv.filter(~F.col("is_new")).count()
+        v_new = decv.filter(F.col("is_new")).count()
+        t_verify = time.time() - t0
+        v_exact = decv.filter(
+            (~F.col("is_new")) & (F.col("kmv_jaccard") == 1.0)
+        ).count()
+        vplan = decv._jdf.queryExecution().executedPlan().toString()
+
         print(json.dumps({
             "n_corpus": n_corpus,
             "n_batch": n_batch,
             "index_build_s": round(t_index, 2),
             "batch_dedup_s": round(t_batch, 2),
+            "batch_dedup_verified_s": round(t_verify, 2),
             "dup_found": n_dup,
             "dup_expected": half,
             "new_found": n_new,
             "exact_est_1": exact,
+            "verified_dup_found": v_dup,
+            "verified_exact_kmv_1": v_exact,
             "sort_merge_joins": plan.count("SortMergeJoin"),
+            "verified_sort_merge_joins": vplan.count("SortMergeJoin"),
         }), flush=True)
         assert n_dup == half and n_new == half, (n_dup, n_new)
+        assert v_dup == half and v_new == half, (v_dup, v_new)
+        assert v_exact == half, v_exact
         assert "SortMergeJoin" not in plan
-        dec.unpersist(); batch.unpersist(); stats.unpersist()
+        assert "SortMergeJoin" not in vplan
+        dec.unpersist(); decv.unpersist(); batch.unpersist(); stats.unpersist()
+        import shutil as _sh
+        _sh.rmtree(kmv_dir, ignore_errors=True)
         import shutil
         shutil.rmtree(idx_dir, ignore_errors=True)
 
