@@ -124,6 +124,7 @@ from rhq_metrics_spark.pipelines.text import (
     pii_from_documents,
     pii_scan,
     quality_score,
+    decontaminate_spans,
     repetition_stats,
     substring_dup_spans,
     tfidf_top_terms,
@@ -2535,6 +2536,50 @@ IDX_KMV_K = 128  # bottom-k sketch size for the exact-verify leg
 
 SUBSTR_W = 15  # exact-substring window (tokens)
 
+DECON_W = 9  # span-decontamination window (tokens)
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (pipelines/text.py
+    decontaminate_spans): docs with doc_id % 10 == 0 act as the eval
+    set (the text_contamination split); every 9-token span of a
+    training doc that appears verbatim in the eval set is REMOVED and
+    the cleaned text returned alongside removal counts.  Surgical
+    alternative to document-level contamination filtering."""
+    docs = _table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_spans(train, eval_df, window=DECON_W)
+
+
+SQL_TEXT_DECON = f"""
+WITH ttoks AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  x -> x <> '') AS t
+               FROM documents),
+evw AS (SELECT DISTINCT unnest(list_transform(range(0, len(t) - {DECON_W} + 1),
+               i -> md5(concat_ws(' ', list_slice(t, i + 1, i + {DECON_W}))))) AS h
+        FROM ttoks WHERE doc_id % 10 = 0 AND len(t) >= {DECON_W}),
+trw AS (SELECT doc_id, i AS pos,
+               md5(concat_ws(' ', list_slice(t, i + 1, i + {DECON_W}))) AS h
+        FROM ttoks, unnest(range(0, len(t) - {DECON_W} + 1)) AS u(i)
+        WHERE doc_id % 10 <> 0 AND len(t) >= {DECON_W}),
+bad AS (SELECT w.doc_id, w.pos FROM trw w JOIN evw e ON w.h = e.h),
+cov AS (SELECT DISTINCT doc_id, pos + j.i AS p
+        FROM bad, unnest(range(0, {DECON_W})) AS j(i)),
+covs AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.t) AS n_tokens,
+       coalesce(len(c.cov), 0) AS n_removed_tokens,
+       coalesce(array_to_string(
+         list_filter(list_transform(range(0, len(t.t)),
+             i -> CASE WHEN c.cov IS NULL OR NOT list_contains(c.cov, i)
+                       THEN t.t[i + 1] END),
+             x -> x IS NOT NULL), ' '), '') AS clean_text
+FROM ttoks t LEFT JOIN covs c USING (doc_id)
+WHERE t.doc_id % 10 <> 0
+"""
+
 
 def q_text_substr_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring duplication (pipelines/text.py
@@ -4594,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
+        "text_decontaminate": q_text_decontaminate,
         # -- last driver-sampled r6: lead the r9 window
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4643,8 +4689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         # ---- 50-key driver window ends here ----
+        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -4802,6 +4848,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_sql(),
         "dedup_incremental_verified": _incremental_verified_sql(),
         "text_substr_dups": SQL_TEXT_SUBSTR,
+        "text_decontaminate": SQL_TEXT_DECON,
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
     "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
     "text_substr_dups",  # EXACTSUBSTR span fingerprints + distinct-doc agg
+    "text_decontaminate",  # span-level eval-set removal (broadcast hash set)
     "pack_chunks",   # sharded running-sum window (packing throughput)
     "a10_correlation",     # bucket-aligned self-join, exact decimal sums
     "w6_trend",            # closed-form least squares per series
@@ -311,10 +312,11 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     )
     assert probe is not None, "fused hybrid hist assembly did not route"
     assert any("points" in f for f in probe.inputFiles()), "no raw tail"
+    spark.sparkContext._jvm.System.gc()  # same debt-shed as above
     p50, p95 = _latency(lambda i: svc.gauge_stats(
         "bench", metrics[(i * 7) % len(metrics)], hybrid_bks,
         percentiles=(90, 95, 99), percentile_impl="hist",
-    ).collect())
+    ).collect(), warmup=4)
     timings["stats_pct_hist_hybrid_latency_p50_ms"] = p50
     timings["stats_pct_hist_hybrid_latency_p95_ms"] = p95
     # the 100-series dashboard over the SAME watermark-crossing range:

@@ -694,3 +694,74 @@ def substring_dup_spans(
             "coalesce(max_share, 0L) AS max_share",
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Span-level decontamination: REMOVE from every training document
+    each ``window``-token span that appears verbatim in the eval set —
+    the surgical form of benchmark decontamination (document-level
+    filters discard whole docs over one quoted question; span removal
+    keeps the rest of the document).  The industry-standard criterion
+    is the same n-gram window as :func:`substring_dup_spans`
+    (EXACTSUBSTR, Lee et al. 2022), applied cross-set.
+
+    Output, one row per training doc: ``(id, n_tokens,
+    n_removed_tokens, clean_text)`` — cleaned text preserves surviving
+    token order; docs shorter than ``window`` pass through unchanged.
+    ``clean_text`` is in NORMALIZED token space (lowercased, whitespace
+    collapsed) — the representation the dedup/contamination family
+    already keys on; callers that must preserve raw bytes keep the
+    original column and use ``n_removed_tokens`` as the drop signal.
+
+    100 TB shape: the eval side reduces to a DISTINCT window-hash set
+    (eval benchmarks are tiny — broadcast); train windows are
+    fingerprinted scan-side and the contaminated-position explode is
+    bounded by MATCHED windows only, so an uncontaminated corpus costs
+    one broadcast-hash-join probe per window and nothing more.  The
+    token-index filter is a JVM higher-order lambda — no UDF."""
+    def _toks_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.filter(_tokens(F.col(text_col)),
+                     lambda x: x != "").alias("_toks"),
+        )
+
+    def _windows(toks: DataFrame) -> DataFrame:
+        return toks.filter(F.size("_toks") >= window).select(
+            "_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, size(_toks) - {int(window)}),"
+                f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {int(window)}))))"
+            )).alias("pos", "_h"),
+        )
+
+    ev = _windows(_toks_of(eval_df)).select("_h").distinct()
+    bad = _windows(_toks_of(train)).join(F.broadcast(ev), "_h")
+    covered = (
+        bad.select(
+            "_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {int(window) - 1})")
+            ).alias("_p"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_p").alias("_cov"))
+    )
+    return (
+        _toks_of(train)
+        .join(covered, "_id", "left")
+        .selectExpr(
+            f"_id AS {id_col}",
+            "cast(size(_toks) as bigint) AS n_tokens",
+            "cast(coalesce(size(_cov), 0) as bigint) AS n_removed_tokens",
+            "concat_ws(' ', filter(_toks,"
+            " (x, i) -> _cov IS NULL OR NOT array_contains(_cov, i)))"
+            " AS clean_text",
+        )
+    )

@@ -282,3 +282,34 @@ def test_substring_dup_spans_planted_passage(spark):
     assert out[3]["n_dup_windows"] == 0 and out[3]["max_share"] == 1
     assert out[4]["n_windows"] == 0 and out[4]["dup_bp"] == 0
     assert out[5]["n_dup_windows"] == 0  # self-repeat excluded
+
+
+def test_decontaminate_spans_removes_eval_passages(spark):
+    """Span decontamination: the contaminated 10-token passage is cut
+    out of the training doc (surviving tokens keep order), clean docs
+    pass through untouched, short docs pass through whole."""
+    from rhq_metrics_spark.pipelines.text import decontaminate_spans
+
+    passage = " ".join(f"q{i}" for i in range(10))
+    train = spark.createDataFrame(
+        [(1, "intro words here " + passage + " outro tail words"),
+         (2, "totally clean document " + " ".join(f"c{i}" for i in range(12))),
+         (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark question: " + passage + " answer choices follow")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate_spans(train, eval_df, window=10).collect()}
+    assert len(out) == 3
+    # doc 1: 16 tokens; exactly the 10 passage positions are covered
+    # (the mixed-context windows around it don't appear in eval)
+    assert out[1]["n_tokens"] == 16
+    assert out[1]["n_removed_tokens"] == 10
+    assert out[1]["clean_text"] == "intro words here outro tail words"
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[2]["clean_text"].startswith("totally clean document")
+    assert out[3]["n_tokens"] == 2 and out[3]["n_removed_tokens"] == 0
+    assert out[3]["clean_text"] == "tiny doc"
