@@ -906,3 +906,57 @@ def test_stacked_hist_route_grid_fills_empty_range(spark, tmp_path):
     assert len(rbuckets) == len(xbuckets) == b.count
     for rb, xb in zip(rbuckets, xbuckets):
         assert rb == xb, (rb, xb)
+
+
+def test_hybrid_tail_base_cache_invalidates_on_ingest(spark, tmp_path):
+    """The pinned open-tail base (r9) must self-invalidate when the
+    store changes: points ingested into the open slice AFTER a hybrid
+    query must appear in the next hybrid query's tail — a stale cache
+    here is silent data loss, not a perf bug."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    win = 60_000
+    rows = [("t", "m", w * win + i * 6_000, 10.0, None)
+            for w in range(8) for i in range(10)]
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=win)
+    store.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    svc = MetricsService(spark, store)
+    rollup_dir = str(tmp_path / "rollup")
+    (
+        store.points("gauge")
+        .filter(F.col("ts") < 4 * win)  # finalized prefix = first 4 windows
+        .groupBy("tenant_id", "metric",
+                 F.window(F.timestamp_millis(F.col("ts")), "60 seconds").alias("w"))
+        .agg(F.min("value").alias("min"), F.avg("value").alias("avg"),
+             F.max("value").alias("max"), F.sum("value").alias("sum"),
+             F.count("value").alias("samples"))
+        .select("tenant_id", "metric",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "min", "avg", "max", "sum", "samples")
+        .write.parquet(rollup_dir)
+    )
+    svc.attach_rollup("gauge", rollup_dir, win)
+    b = Buckets.from_step(0, 8 * win, win)
+
+    first = {r["start"]: r["samples"] for r in
+             svc.gauge_stats("t", "m", b, include_median=False).collect()}
+    assert first[4 * win] == 10  # tail bucket served from raw scan
+
+    # ingest 5 more points into the open tail (bucket 4) at timestamps
+    # that don't collide with the original 6s grid (LWW would dedupe)
+    more = [("t", "m", 4 * win + 31_000 + i, 99.0, None) for i in range(5)]
+    store.add_data_points("gauge", spark.createDataFrame(
+        more, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    second = {r["start"]: r["samples"] for r in
+              svc.gauge_stats("t", "m", b, include_median=False).collect()}
+    assert second[4 * win] == 15, "stale tail cache: ingest not visible"
+    # finalized prefix unchanged
+    assert second[0] == first[0] == 10
