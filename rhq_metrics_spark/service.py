@@ -99,6 +99,54 @@ class MetricsService:
         # (metric_type, tenant, slice-floor); entries self-invalidate
         # against store.state_token.
         self._tail_cache: dict = {}
+        # Served-plan execution session + view bindings (see
+        # _serving_spark / _bind_served_view): the one-SQL routed paths
+        # execute on a cloned session with AQE off — AQE's per-exchange
+        # query-stage materialization costs ~80 ms p50 on a bounded
+        # serving query (probe, r9) and buys nothing when the output is
+        # ≤ buckets.count rows.  Analytics queries keep AQE on the main
+        # session.  Frames are bound as GLOBAL temp views (visible
+        # across sessions of one SparkContext), re-registered only when
+        # the underlying object changes — zero catalog ops per request.
+        self._serving_session = None
+        self._bound_views: dict = {}
+        import uuid as _uuid
+
+        self._srv_ns = _uuid.uuid4().hex[:8]
+
+    def _serving_spark(self) -> SparkSession:
+        if self._serving_session is None:
+            try:
+                s = self.spark.newSession()
+                for k in (
+                    "spark.sql.session.timeZone",
+                    "spark.sql.shuffle.partitions",
+                    "spark.sql.parser.escapedStringLiterals",
+                    "spark.sql.legacy.parquet.nanosAsLong",
+                    "spark.sql.files.ignoreMissingFiles",
+                    "spark.sql.autoBroadcastJoinThreshold",
+                ):
+                    try:
+                        s.conf.set(k, self.spark.conf.get(k))
+                    except Exception:  # noqa: BLE001 — conf absent
+                        pass
+                s.conf.set("spark.sql.adaptive.enabled", "false")
+                self._serving_session = s
+            except Exception:  # noqa: BLE001 — degraded: serve on main
+                self._serving_session = self.spark
+        return self._serving_session
+
+    def _bind_served_view(self, key: str, df: DataFrame) -> str:
+        """Register ``df`` as a global temp view (idempotent while the
+        object is unchanged) and return its quoted SQL name."""
+        hit = self._bound_views.get(key)
+        if hit is not None and hit[0] is df:
+            return hit[1]
+        name = f"_rhq_srv_{self._srv_ns}_{key}"
+        df.createOrReplaceGlobalTempView(name)
+        ref = f"global_temp.`{name}`"
+        self._bound_views[key] = (df, ref)
+        return ref
 
     # -- tenants / definitions ------------------------------------------------
 
@@ -567,24 +615,24 @@ class MetricsService:
         # than the aggregation executed (VERDICT r8 item 2).  min/max/
         # sum cast to double so the served type matches the raw path
         # regardless of the attached rollup's native value type.
-        frags = [self._prefix_frag(tenant_id, metric, buckets), f"""
+        pv = self._bind_served_view(f"p_{metric_type}", rollup)
+        frags = [self._prefix_frag(tenant_id, metric, buckets, view=pv), f"""
 SELECT id AS bucket_idx, cast(null as double) AS `min`,
        cast(null as double) AS `max`, cast(null as double) AS `sum`,
        cast(0 as bigint) AS samples
 FROM range({buckets.count})"""]
-        kwargs = {"p": rollup}
         if buckets.end > hi:
-            kwargs["t"] = self._tail_base(metric_type, tenant_id, hi)
-            frags.append(self._tail_frag(metric, buckets, hi))
+            tv = self._tail_view(metric_type, tenant_id, hi)
+            frags.append(self._tail_frag(metric, buckets, hi, view=tv))
         body = "\nUNION ALL\n".join(frags)
-        return self.spark.sql(f"""
+        return self._serving_spark().sql(f"""
 SELECT {buckets.start}L + bucket_idx * {buckets.step}L AS `start`,
        {buckets.start}L + (bucket_idx + 1) * {buckets.step}L AS `end`,
        `min`, CASE WHEN samples > 0 THEN `sum` / samples END AS avg,
        `max`, `sum`, samples
 FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
              sum(`sum`) AS `sum`, sum(samples) AS samples
-      FROM ({body}) GROUP BY bucket_idx)""", **kwargs)
+      FROM ({body}) GROUP BY bucket_idx)""")
 
     @staticmethod
     def _metric_pred(metric) -> str:
@@ -597,7 +645,7 @@ FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
 
     def _prefix_frag(self, tenant_id, metric, buckets: Buckets,
                      cut: int | None = None, keep_metric: bool = False,
-                     extra: str = "") -> str:
+                     extra: str = "", view: str = "{p}") -> str:
         """Finalized-prefix rollup windows as per-bucket partial rows —
         the SQL-text twin of :meth:`_window_partials`, selecting FROM a
         ``{p}`` placeholder bound by the caller's one spark.sql call.
@@ -613,14 +661,15 @@ FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
 SELECT {cols}cast((unix_millis(window_start) - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
        cast(`min` as double) AS `min`, cast(`max` as double) AS `max`,
        cast(`sum` as double) AS `sum`, cast(samples as bigint) AS samples{extra}
-FROM {{p}}
+FROM {view}
 WHERE tenant_id = {_sql_str(tenant_id)}
   AND window_start >= timestamp_millis({buckets.start}L)
   AND window_end <= timestamp_millis({hi_ms}L)
   AND {self._metric_pred(metric)}"""
 
     def _tail_frag(self, metric, buckets: Buckets, tail_lo: int,
-                   keep_metric: bool = False, extra: str = "") -> str:
+                   keep_metric: bool = False, extra: str = "",
+                   view: str = "{t}") -> str:
         """Open-tail raw points as degenerate per-bucket partials — the
         SQL-text twin of :meth:`_tail_partials`, selecting FROM a
         ``{t}`` placeholder the caller binds to :meth:`_tail_base`."""
@@ -629,7 +678,7 @@ WHERE tenant_id = {_sql_str(tenant_id)}
 SELECT {cols}cast((ts - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
        cast(value as double) AS `min`, cast(value as double) AS `max`,
        cast(value as double) AS `sum`, cast(1 as bigint) AS samples{extra}
-FROM {{t}}
+FROM {view}
 WHERE ts >= {max(tail_lo, buckets.start)}L AND ts < {buckets.end}L
   AND {self._metric_pred(metric)}"""
 
@@ -657,6 +706,20 @@ WHERE ts >= {max(tail_lo, buckets.start)}L AND ts < {buckets.end}L
             self._tail_cache.clear()
         self._tail_cache[key] = (token, df)
         return df
+
+    def _tail_view(self, metric_type: str, tenant_id, tail_lo: int) -> str:
+        """Pinned tail base bound as a global temp view (see
+        _bind_served_view); the bind key carries tenant + slice floor so
+        distinct tails never alias, and re-binding happens exactly when
+        _tail_base rebuilds the frame (store state change)."""
+        import hashlib as _hl
+
+        floor_ms = (tail_lo // self.store.slice_ms) * self.store.slice_ms
+        df = self._tail_base(metric_type, tenant_id, tail_lo)
+        th = _hl.md5(str(tenant_id).encode()).hexdigest()[:10]
+        return self._bind_served_view(
+            f"t_{metric_type}_{th}_{floor_ms}", df
+        )
 
     def _window_partials(
         self, rollup: DataFrame, tenant_id, metric, buckets: Buckets,
@@ -977,15 +1040,17 @@ WHERE ts >= {max(tail_lo, buckets.start)}L AND ts < {buckets.end}L
         bin_struct_t = "struct<bin:int,c:bigint>"
         null_hb = f",\n       cast(null as {bin_struct_t}) AS _hb"
         w_bin = (hi - lo) / n_bins
+        pv = self._bind_served_view("p_" + str(MetricType.GAUGE), rollup)
+        hv = self._bind_served_view("h_" + str(MetricType.GAUGE), hists)
         frags = [
             self._prefix_frag(tenant_id, metric, buckets, cut=cut,
-                              extra=null_hb),
+                              extra=null_hb, view=pv),
             f"""
 SELECT cast((slice_start - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
        cast(null as double) AS `min`, cast(null as double) AS `max`,
        cast(null as double) AS `sum`, cast(null as bigint) AS samples,
        named_struct('bin', cast(bin as int), 'c', cast(count as bigint)) AS _hb
-FROM {{h}}
+FROM {hv}
 WHERE tenant_id = {_sql_str(tenant_id)} AND {self._metric_pred(metric)}
   AND slice_start >= {buckets.start}L
   AND slice_start < {grid_end if cut is None else cut}L""",
@@ -995,7 +1060,6 @@ SELECT id AS bucket_idx, cast(null as double) AS `min`,
        cast(0 as bigint) AS samples{null_hb}
 FROM range({buckets.count})""",
         ]
-        kwargs = {"p": rollup, "h": hists}
         if cut is not None:
             # cut on the slice grid ⇒ slice_start < cut means the whole
             # slice is inside the finalized prefix; the open tail's
@@ -1005,8 +1069,9 @@ FROM range({buckets.count})""",
                 f"floor((cast(value as double) - {lo!r}d) / {w_bin!r}d), "
                 f"0), {n_bins - 1}) as int), 'c', cast(1 as bigint)) AS _hb"
             )
-            kwargs["t"] = self._tail_base(MetricType.GAUGE, tenant_id, cut)
-            frags.append(self._tail_frag(metric, buckets, cut, extra=tail_hb))
+            tv = self._tail_view(MetricType.GAUGE, tenant_id, cut)
+            frags.append(self._tail_frag(metric, buckets, cut,
+                                         extra=tail_hb, view=tv))
 
         def _quantile(q: float, name: str) -> str:
             return _hist_quantile_expr(q, name, lo, w_bin)
@@ -1027,13 +1092,13 @@ FROM range({buckets.count})""",
                 emitted.add(name)
                 cols.append(_quantile(q, name))
         body = "\nUNION ALL\n".join(frags)
-        return self.spark.sql(f"""
+        return self._serving_spark().sql(f"""
 SELECT {", ".join(cols)}
 FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
       FROM (SELECT bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
                    sum(`sum`) AS `sum`, sum(samples) AS samples,
                    sort_array(collect_list(_hb)) AS _bins
-            FROM ({body}) GROUP BY bucket_idx))""", **kwargs)
+            FROM ({body}) GROUP BY bucket_idx))""")
 
     def _hist_routed_stats(
         self, tenant_id, metric, buckets: Buckets,
@@ -1138,14 +1203,14 @@ FROM (SELECT *, aggregate(_bins, cast(0 as bigint), (a, x) -> a + x.c) AS _total
         # measured SLOWER here (the per-query local zeros relation + a
         # per-metric window cost more than one broadcast join over the
         # tiny agg output at the 100-metric dashboard shape).
+        pv = self._bind_served_view(f"p_{metric_type}", rollup)
         frags = [self._prefix_frag(
-            tenant_id, list(metrics), buckets, keep_metric=True
+            tenant_id, list(metrics), buckets, keep_metric=True, view=pv
         )]
-        kwargs = {"p": rollup}
         if buckets.end > hi:
-            kwargs["t"] = self._tail_base(metric_type, tenant_id, hi)
+            tv = self._tail_view(metric_type, tenant_id, hi)
             frags.append(self._tail_frag(
-                list(metrics), buckets, hi, keep_metric=True
+                list(metrics), buckets, hi, keep_metric=True, view=tv
             ))
         body = "\nUNION ALL\n".join(frags)
         rolled_sql = f"""
@@ -1160,8 +1225,8 @@ FROM ({body}) GROUP BY metric, bucket_idx"""
             # be pure overhead there; they fill the STACKED grid with
             # one union-zeros relation instead (measured 2x on the
             # 100-series dashboard, BENCH r6->r7)
-            return self.spark.sql(rolled_sql, **kwargs)
-        return self.spark.sql(f"""
+            return self._serving_spark().sql(rolled_sql)
+        return self._serving_spark().sql(f"""
 WITH rolled AS ({rolled_sql})
 SELECT /*+ BROADCAST(r) */ m.metric,
        {buckets.start}L + d.id * {buckets.step}L AS `start`,
@@ -1170,8 +1235,7 @@ SELECT /*+ BROADCAST(r) */ m.metric,
        coalesce(r.samples, 0L) AS samples
 FROM (SELECT DISTINCT metric FROM rolled) m
 CROSS JOIN range({buckets.count}) d
-LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id""",
-                              **kwargs)
+LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id""")
 
     def _hist_routed_multi(
         self, metric_type: str, tenant_id, metrics: Sequence[str],
@@ -1240,30 +1304,32 @@ LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id""",
         null_hb = f",\n       cast(null as {bin_struct_t}) AS _hb"
         w_bin = (hi - lo) / n_bins
         metric_list = ", ".join(_sql_str(m) for m in metrics)
+        pv = self._bind_served_view(f"p_{metric_type}", rollup)
+        hv = self._bind_served_view(f"h_{metric_type}", hists)
         frags = [
             self._prefix_frag(tenant_id, list(metrics), buckets, cut=cut,
-                              keep_metric=True, extra=null_hb),
+                              keep_metric=True, extra=null_hb, view=pv),
             f"""
 SELECT metric,
        cast((slice_start - {buckets.start}L) / {buckets.step}L as bigint) AS bucket_idx,
        cast(null as double) AS `min`, cast(null as double) AS `max`,
        cast(null as double) AS `sum`, cast(null as bigint) AS samples,
        named_struct('bin', cast(bin as int), 'c', cast(count as bigint)) AS _hb
-FROM {{h}}
+FROM {hv}
 WHERE tenant_id = {_sql_str(tenant_id)} AND metric IN ({metric_list})
   AND slice_start >= {buckets.start}L
   AND slice_start < {grid_end if cut is None else cut}L""",
         ]
-        kwargs = {"p": rollup, "h": hists}
         if cut is not None:
             tail_hb = (
                 ",\n       named_struct('bin', cast(least(greatest("
                 f"floor((cast(value as double) - {lo!r}d) / {w_bin!r}d), "
                 f"0), {n_bins - 1}) as int), 'c', cast(1 as bigint)) AS _hb"
             )
-            kwargs["t"] = self._tail_base(metric_type, tenant_id, cut)
+            tv = self._tail_view(metric_type, tenant_id, cut)
             frags.append(self._tail_frag(
-                list(metrics), buckets, cut, keep_metric=True, extra=tail_hb
+                list(metrics), buckets, cut, keep_metric=True,
+                extra=tail_hb, view=tv
             ))
         cols = [
             "metric", "`start`", "`end`", "`min`",
@@ -1279,7 +1345,7 @@ WHERE tenant_id = {_sql_str(tenant_id)} AND metric IN ({metric_list})
                 emitted.add(name)
                 cols.append(_hist_quantile_expr(q, name, lo, w_bin))
         body = "\nUNION ALL\n".join(frags)
-        return self.spark.sql(f"""
+        return self._serving_spark().sql(f"""
 WITH rolled AS (
   SELECT metric, bucket_idx, min(`min`) AS `min`, max(`max`) AS `max`,
          sum(`sum`) AS `sum`, sum(samples) AS samples,
@@ -1297,8 +1363,7 @@ FROM (
                    cast(0 as bigint), (a, x) -> a + x.c) AS _total
   FROM (SELECT DISTINCT metric FROM rolled) m
   CROSS JOIN range({buckets.count}) d
-  LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id)""",
-                              **kwargs)
+  LEFT JOIN rolled r ON r.metric = m.metric AND r.bucket_idx = d.id)""")
 
     def _stacked_from_per_metric(
         self, per_metric: DataFrame, percentiles: Sequence[float],
