@@ -1,5 +1,8 @@
 from rhq_metrics_spark.streaming.anomaly import streaming_zscore
 from rhq_metrics_spark.streaming.availability import streaming_state_segments
+from rhq_metrics_spark.streaming.decontaminate import (
+    start_decontaminate_stream,
+)
 from rhq_metrics_spark.streaming.dedup import streaming_exact_dedup
 from rhq_metrics_spark.streaming.ingest import start_ingest_stream
 from rhq_metrics_spark.streaming.percentile import streaming_p2
@@ -8,6 +11,7 @@ from rhq_metrics_spark.streaming.rate import streaming_rate
 __all__ = [
     "start_ingest_stream",
     "streaming_exact_dedup",
+    "start_decontaminate_stream",
     "streaming_state_segments",
     "streaming_p2",
     "streaming_rate",

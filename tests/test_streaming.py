@@ -697,3 +697,59 @@ def test_incremental_neardup_stream_kmv_verify(spark, tmp_path):
     assert got[10]["is_new"]
     assert not got[20]["is_new"] and got[20]["matched_id"] == 10
     assert got[20]["kmv_jaccard"] == 1.0
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming span decontamination == the batch operator per batch:
+    contaminated passages are scrubbed from streamed docs, clean docs
+    pass through, output is _batch_id-partitioned (idempotent replay
+    layout)."""
+    from rhq_metrics_spark.pipelines.text import decontaminate_spans
+    from rhq_metrics_spark.streaming.decontaminate import (
+        start_decontaminate_stream,
+    )
+
+    passage = " ".join(f"e{i}" for i in range(10))
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark intro " + passage + " benchmark outro")],
+        "doc_id long, text string",
+    )
+    b1 = [{"doc_id": 1, "text": "lead tokens " + passage + " tail tokens"},
+          {"doc_id": 2, "text": "clean words " + " ".join(f"c{i}" for i in range(12))}]
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    out_dir = tmp_path / "dc_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = start_decontaminate_stream(
+        stream, eval_df, str(out_dir), str(tmp_path / "dc_ckpt"),
+        window=10, trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 60
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+    exp = {r["doc_id"]: r for r in decontaminate_spans(
+        spark.createDataFrame([(r["doc_id"], r["text"]) for r in b1],
+                              "doc_id long, text string"),
+        eval_df, window=10,
+    ).collect()}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        for c in ("n_tokens", "n_removed_tokens", "clean_text"):
+            assert got[k][c] == exp[k][c], (k, c)
+    assert got[1]["n_removed_tokens"] == 10
+    assert got[1]["clean_text"] == "lead tokens tail tokens"
+    assert got[2]["n_removed_tokens"] == 0
