@@ -105,6 +105,7 @@ from rhq_metrics_spark.pipelines.sampling import (
     hash_split,
     leakage_safe_split,
     mixture_sample,
+    token_mixture_sample,
 )
 from rhq_metrics_spark.pipelines.similarity import (
     cosine_topk,
@@ -2538,6 +2539,61 @@ SUBSTR_W = 15  # exact-substring window (tokens)
 
 DECON_W = 9  # span-decontamination window (tokens)
 
+MIX_BUDGET = 40_000  # token budget for the mixture-planning query
+
+
+def q_pipe_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture realization (pipelines/sampling.py
+    token_mixture_plan/_sample): per-source target weights (derived
+    deterministically from the source name so the query is
+    scale-stable) + a 40k-token budget → per-source sampling rates in
+    exact ppm integers, documents emitted n_full_copies times plus a
+    20-bit-hash-decided fractional copy — the data-mixing step of a
+    pretraining recipe (up-sample small high-quality sources as
+    epochs, down-sample bulk), bit-identical in the DuckDB oracle."""
+    docs = _table(spark, sf_dir, "documents")
+    parts = F.expr("cast(substring(group, 4, 10) as int) % 4 + 1")
+    out = token_mixture_sample(docs, parts, MIX_BUDGET)
+    return out.selectExpr(
+        "doc_id", "group", "cast(copy_idx as bigint) AS copy_idx",
+        "n_tokens",
+    )
+
+
+SQL_PIPE_TOKEN_MIXTURE = f"""
+WITH toks AS (SELECT doc_id, source AS grp,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '')) AS nt
+              FROM documents),
+avail AS (SELECT grp, sum(nt) AS available_tokens,
+                 CAST(substr(grp, 4) AS INT) % 4 + 1 AS part
+          FROM toks GROUP BY grp),
+tot AS (SELECT sum(part) AS sum_parts FROM avail),
+plan AS (SELECT grp, available_tokens, part,
+                CAST({MIX_BUDGET} * part // sum_parts AS BIGINT) AS target_tokens
+         FROM avail, tot),
+plan2 AS (SELECT grp,
+                 CASE WHEN available_tokens > 0
+                      THEN target_tokens * 1000000 // available_tokens
+                      ELSE 0 END AS rate_ppm
+          FROM plan),
+plan3 AS (SELECT grp, rate_ppm // 1000000 AS n_full,
+                 rate_ppm % 1000000 AS frac_ppm
+          FROM plan2),
+d AS (SELECT t.doc_id, t.grp, t.nt,
+             ('0x' || substr(md5('tokmix:' || CAST(t.doc_id AS VARCHAR)), 1, 5))::BIGINT AS h20,
+             p.n_full, p.frac_ppm
+      FROM toks t JOIN plan3 p USING (grp)),
+c AS (SELECT doc_id, grp, nt,
+             n_full + CASE WHEN h20 * 1000000 < frac_ppm * 1048576
+                           THEN 1 ELSE 0 END AS n_copies
+      FROM d)
+SELECT doc_id, grp AS "group",
+       unnest(range(1, CAST(n_copies + 1 AS BIGINT))) AS copy_idx,
+       CAST(nt AS BIGINT) AS n_tokens
+FROM c WHERE n_copies > 0
+"""
+
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination (pipelines/text.py
@@ -4640,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
         "text_decontaminate": q_text_decontaminate,
+        "pipe_token_mixture": q_pipe_token_mixture,
         # -- last driver-sampled r6: lead the r9 window
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4683,13 +4740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- last driver-sampled r7: TPC-H (q7 onward lead r10)
+        # -- last driver-sampled r7: TPC-H (q5 onward lead r10)
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
         # ---- 50-key driver window ends here ----
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -4849,6 +4906,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_verified": _incremental_verified_sql(),
         "text_substr_dups": SQL_TEXT_SUBSTR,
         "text_decontaminate": SQL_TEXT_DECON,
+        "pipe_token_mixture": SQL_PIPE_TOKEN_MIXTURE,
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
     "text_substr_dups",  # EXACTSUBSTR span fingerprints + distinct-doc agg
     "text_decontaminate",  # span-level eval-set removal (broadcast hash set)
+    "pipe_token_mixture",  # token-budget mixture plan + epoch realization
     "pack_chunks",   # sharded running-sum window (packing throughput)
     "a10_correlation",     # bucket-aligned self-join, exact decimal sums
     "w6_trend",            # closed-form least squares per series

@@ -143,3 +143,127 @@ def leakage_safe_split(
         out_col=out_col,
     )
     return out.drop("_split_key")
+
+
+def token_mixture_plan(
+    df: DataFrame,
+    parts: Mapping[str, int] | Column,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture PLAN: given per-source target weights
+    (integer ``parts``, the exact-arithmetic form of mixture
+    percentages) and a total token budget, compute each source's
+    sampling plan — the data-mixing calculation behind pretraining
+    recipes that up-sample small high-quality sources (rate > 1 =
+    epochs) and down-sample bulk web text.
+
+    Everything is exact int64: ``target_tokens = budget * part div
+    sum(parts)``, ``rate_ppm = target * 1e6 div available`` (parts-per-
+    million), ``n_full_copies = rate_ppm div 1e6``, ``frac_ppm =
+    rate_ppm mod 1e6`` — bit-identical in any engine, no float
+    normalization.  ``parts`` may be a Mapping (rendered as a CASE) or
+    a Column computing the part from the group value.
+
+    One hash-agg on the group key (tiny — #sources rows); nothing else
+    touches the corpus."""
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_nt"),
+    )
+    if isinstance(parts, Mapping):
+        part_col = F.lit(0)
+        for g, p in reversed(list(parts.items())):
+            part_col = F.when(F.col("group") == g, F.lit(int(p))).otherwise(
+                part_col
+            )
+        sum_parts = sum(int(p) for p in parts.values())
+        avail = toks.groupBy("group").agg(
+            F.sum("_nt").alias("available_tokens")
+        ).withColumn("part", part_col.cast("long")).withColumn(
+            "_sum_parts", F.lit(int(sum_parts)).cast("long")
+        )
+    else:
+        avail = toks.groupBy("group").agg(
+            F.sum("_nt").alias("available_tokens")
+        ).withColumn("part", parts.cast("long"))
+        avail = avail.withColumn(
+            "_sum_parts",
+            F.sum("part").over(Window.partitionBy()),
+        )
+    return avail.selectExpr(
+        "group", "available_tokens", "part",
+        f"cast({int(budget_tokens)}L * part div _sum_parts as bigint)"
+        " AS target_tokens",
+    ).selectExpr(
+        "*",
+        "CASE WHEN available_tokens > 0"
+        " THEN target_tokens * 1000000L div available_tokens"
+        " ELSE 0L END AS rate_ppm",
+    ).selectExpr(
+        "group", "available_tokens", "part", "target_tokens", "rate_ppm",
+        "rate_ppm div 1000000L AS n_full_copies",
+        "rate_ppm % 1000000L AS frac_ppm",
+    )
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    parts: Mapping[str, int] | Column,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tokmix",
+) -> DataFrame:
+    """Realize a :func:`token_mixture_plan`: emit each document
+    ``n_full_copies`` times plus one more with probability
+    ``frac_ppm/1e6`` — decided by a 20-bit md5 hash compared in exact
+    integers (``h20 * 1e6 < frac_ppm * 2^20``; both sides ≤ 2^40, no
+    overflow, bit-identical cross-engine).  Deterministic and stable
+    under corpus growth like every sampler here; up-sampled sources get
+    ``copy_idx`` 1..n so downstream packing can interleave epochs.
+
+    Output: one row per emitted copy ``(id, group, copy_idx,
+    n_tokens)``.  100 TB shape: the plan is a broadcast of #sources
+    rows; the copy explode is bounded by the epoch count; the hash
+    filter fuses with the scan."""
+    plan = token_mixture_plan(df, parts, budget_tokens, group_col, text_col)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("group"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"),
+                               F.col(id_col).cast("string"))),
+                1, 5,
+            ),
+            16, 10,
+        ).cast("long").alias("_h20"),
+    )
+    return (
+        toks.join(F.broadcast(plan), "group")
+        .selectExpr(
+            "_id", "group", "n_tokens",
+            "n_full_copies + CASE WHEN _h20 * 1000000L"
+            " < frac_ppm * 1048576L THEN 1 ELSE 0 END AS _n_copies",
+        )
+        .filter("_n_copies > 0")
+        .selectExpr(
+            f"_id AS {id_col}", "group",
+            "explode(sequence(1, _n_copies)) AS copy_idx",
+            "cast(n_tokens as bigint) AS n_tokens",
+        )
+    )

@@ -107,3 +107,55 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     b = {r["doc_id"]: r["split"] for r in hash_split(
         docs, {"train": 0.8, "test": 0.2}).collect()}
     assert a == b
+
+
+def test_token_mixture_plan_and_sample(spark):
+    """Token-budget mixture: exact integer plan (targets/rates/epochs),
+    up-sampling emits copy_idx 1..n, fractional copies are hash-stable,
+    groups with zero part drop out, realized tokens track targets."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sampling import (
+        token_mixture_plan,
+        token_mixture_sample,
+    )
+
+    rows = []
+    # source A: 10 docs x 10 tokens = 100 tokens; B: same; C: same
+    for j, src in enumerate(("A", "B", "C")):
+        for i in range(10):
+            rows.append((j * 100 + i, src, " ".join(f"t{k}" for k in range(10))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    parts = {"A": 3, "B": 1}  # C absent -> dropped
+    plan = {r["group"]: r for r in
+            token_mixture_plan(df, parts, budget_tokens=400).collect()}
+    assert plan["A"]["target_tokens"] == 300  # 400 * 3 // 4
+    assert plan["B"]["target_tokens"] == 100
+    assert plan["A"]["rate_ppm"] == 3_000_000  # 3 epochs exactly
+    assert (plan["A"]["n_full_copies"], plan["A"]["frac_ppm"]) == (3, 0)
+    assert (plan["B"]["n_full_copies"], plan["B"]["frac_ppm"]) == (1, 0)
+    assert plan["C"]["target_tokens"] == 0 and plan["C"]["rate_ppm"] == 0
+
+    out = token_mixture_sample(df, parts, budget_tokens=400)
+    got = out.groupBy("group").agg(
+        F.count(F.lit(1)).alias("copies"), F.sum("n_tokens").alias("toks"),
+        F.max("copy_idx").alias("max_idx"),
+    ).collect()
+    by = {r["group"]: r for r in got}
+    assert by["A"]["copies"] == 30 and by["A"]["toks"] == 300
+    assert by["A"]["max_idx"] == 3
+    assert by["B"]["copies"] == 10 and by["B"]["toks"] == 100
+    assert "C" not in by
+
+    # fractional rate: budget 250 -> A target 187, rate 1.87M ppm:
+    # every doc gets 1 copy, ~87% a second (hash-decided, deterministic)
+    out2 = token_mixture_sample(df, parts, budget_tokens=250)
+    a2 = out2.filter("group = 'A'").groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in a2}
+    assert len(counts) == 10 and set(counts.values()) <= {1, 2}
+    assert sum(counts.values()) > 10  # some docs did get the extra copy
+    # rerun identical (stability)
+    a3 = token_mixture_sample(df, parts, budget_tokens=250) \
+        .filter("group = 'A'").groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in a3} == counts
