@@ -128,6 +128,8 @@ from rhq_metrics_spark.pipelines.text import (
     decontaminate_spans,
     repetition_stats,
     substring_dup_spans,
+    substring_dups_against_index,
+    substring_index,
     tfidf_top_terms,
     token_stats,
     url_domain_stats,
@@ -2542,6 +2544,53 @@ DECON_W = 9  # span-decontamination window (tokens)
 MIX_BUDGET = 40_000  # token budget for the mixture-planning query
 
 
+def q_substr_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACTSUBSTR against a standing window-hash index
+    (pipelines/text.py substring_index / substring_dups_against_index):
+    docs with doc_id % 5 == 4 arrive as the new batch, the rest are the
+    indexed corpus — per batch doc, spans already present in the
+    corpus.  The window-hash twin of dedup_incremental: the batch's
+    fingerprints broadcast, the standing index is probed map-side and
+    never shuffled."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = substring_index(corpus, window=SUBSTR_W)
+    return substring_dups_against_index(batch, idx, window=SUBSTR_W)
+
+
+SQL_SUBSTR_INCR = f"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+cw AS (SELECT doc_id,
+              unnest(list_transform(range(0, len(t) - {SUBSTR_W} + 1),
+                     i -> md5(concat_ws(' ',
+                            list_slice(t, i + 1, i + {SUBSTR_W}))))) AS h
+       FROM toks WHERE doc_id % 5 <> 4 AND len(t) >= {SUBSTR_W}),
+idx AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM cw GROUP BY h),
+bw AS (SELECT doc_id,
+              unnest(list_transform(range(0, len(t) - {SUBSTR_W} + 1),
+                     i -> md5(concat_ws(' ',
+                            list_slice(t, i + 1, i + {SUBSTR_W}))))) AS h
+       FROM toks WHERE doc_id % 5 = 4 AND len(t) >= {SUBSTR_W}),
+pd AS (SELECT b.doc_id, count(*) AS n_windows,
+              count(CASE WHEN i.n_docs + 1 >= 2 THEN 1 END) AS n_dup_windows,
+              max(coalesce(i.n_docs + 1, 1)) AS max_share
+       FROM bw b LEFT JOIN idx i USING (h) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_windows, 0) AS n_windows,
+       coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(pd.n_windows, 0) > 0
+            THEN pd.n_dup_windows * 1000000 // pd.n_windows
+            ELSE 0 END AS dup_bp,
+       coalesce(pd.max_share, 0) AS max_share
+FROM documents d LEFT JOIN pd USING (doc_id)
+WHERE d.doc_id % 5 = 4
+"""
+
+
 def q_pipe_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture realization (pipelines/sampling.py
     token_mixture_plan/_sample): per-source target weights (derived
@@ -4697,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substr_dups": q_text_substr_dups,
         "text_decontaminate": q_text_decontaminate,
         "pipe_token_mixture": q_pipe_token_mixture,
+        "substr_dups_incremental": q_substr_dups_incremental,
         # -- last driver-sampled r6: lead the r9 window
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
@@ -4740,12 +4790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- last driver-sampled r7: TPC-H (q5 onward lead r10)
+        # -- last driver-sampled r7: TPC-H (q4 onward lead r10)
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
         # ---- 50-key driver window ends here ----
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -4907,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "text_substr_dups": SQL_TEXT_SUBSTR,
         "text_decontaminate": SQL_TEXT_DECON,
         "pipe_token_mixture": SQL_PIPE_TOKEN_MIXTURE,
+        "substr_dups_incremental": SQL_SUBSTR_INCR,
         "embed_near_dup": SQL_EMB_NEAR,
         "embed_contamination": SQL_EMB_CROSS.format(sigs_cte=_lsh_sigs_cte(EMBND_TABLES, EMBND_PLANES)),
         "embed_cosine_topk": SQL_TOPK,

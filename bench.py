@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
     "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
     "text_substr_dups",  # EXACTSUBSTR span fingerprints + distinct-doc agg
+    "substr_dups_incremental",  # batch vs standing window-hash index
     "text_decontaminate",  # span-level eval-set removal (broadcast hash set)
     "pipe_token_mixture",  # token-budget mixture plan + epoch realization
     "pack_chunks",   # sharded running-sum window (packing throughput)

@@ -656,17 +656,7 @@ def substring_dup_spans(
     shuffle join brings span-sharing back to documents.  Self-repeats
     WITHIN a doc are deliberately excluded (``min_docs`` counts
     distinct docs) — that signal is :func:`repetition_stats`' job."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
-    )
-    wins = toks.filter(F.size("_toks") >= window).select(
-        "_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, size(_toks) - {int(window)}),"
-            f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {int(window)}))))"
-        )).alias("_h"),
-    )
+    wins = _window_hashes(df, id_col, text_col, window)
     shared = (
         wins.groupBy("_h")
         .agg(F.count_distinct("_id").alias("_n_docs"))
@@ -764,4 +754,116 @@ def decontaminate_spans(
             " (x, i) -> _cov IS NULL OR NOT array_contains(_cov, i)))"
             " AS clean_text",
         )
+    )
+
+
+def _window_hashes(df: DataFrame, id_col: str, text_col: str,
+                   window: int) -> DataFrame:
+    """(id, window-hash) rows — the shared EXACTSUBSTR fingerprint
+    emission (md5 of the space-joined ``window``-token slice)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    return toks.filter(F.size("_toks") >= window).select(
+        "_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(_toks) - {int(window)}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {int(window)}))))"
+        )).alias("_h"),
+    )
+
+
+def substring_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Standing EXACTSUBSTR index: one row per distinct window
+    fingerprint, ``(h, n_docs)`` — the incremental-pipeline artifact
+    for :func:`substring_dups_against_index` (the window-hash twin of
+    ``dedup.minhash_index``).  At 100 TB the index is ~40 B per
+    DISTINCT window — boilerplate-heavy corpora collapse hard — and it
+    lives partitioned by hash prefix so batch probes are
+    partition-pruned joins."""
+    return (
+        _window_hashes(df, id_col, text_col, window)
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count_distinct("_id").alias("n_docs"))
+    )
+
+
+def substring_dups_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Incremental EXACTSUBSTR: per NEW document, how many of its
+    spans already exist in the standing corpus index — a span is
+    duplicated when corpus occupancy plus this document reaches
+    ``min_docs`` (default: any span already in ≥1 corpus doc).  Same
+    output shape as :func:`substring_dup_spans` (``n_windows,
+    n_dup_windows, dup_bp, max_share`` — ``max_share`` counts corpus
+    docs + this one), so batch and incremental decisions are directly
+    comparable.
+
+    100 TB shape: the NEW batch's fingerprints are broadcast; the
+    standing index is probed map-side (never shuffled) exactly like
+    ``dedup.index_dedup_candidates`` — a daily batch costs one
+    broadcast-hash probe per index partition, and the per-doc agg
+    shuffles batch rows only."""
+    nw = _window_hashes(new_docs, id_col, text_col, window)
+    hits = index.join(
+        F.broadcast(nw.select("_h").distinct()), F.col("h") == F.col("_h")
+    ).select("h", "n_docs")
+    per_doc = (
+        nw.join(F.broadcast(hits), nw["_h"] == hits["h"], "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(
+                F.when(F.col("n_docs") + 1 >= min_docs, 1)
+            ).alias("n_dup_windows"),
+            F.max(F.coalesce(F.col("n_docs") + 1, F.lit(1))).alias(
+                "max_share"
+            ),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .selectExpr(
+            f"_id AS {id_col}",
+            "coalesce(n_windows, 0L) AS n_windows",
+            "coalesce(n_dup_windows, 0L) AS n_dup_windows",
+            "CASE WHEN coalesce(n_windows, 0L) > 0"
+            " THEN n_dup_windows * 1000000L div n_windows"
+            " ELSE 0L END AS dup_bp",
+            "coalesce(max_share, 0L) AS max_share",
+        )
+    )
+
+
+def substring_index_append(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Fold a batch into the standing EXACTSUBSTR index: per-hash doc
+    counts merge additively (``n_docs`` from distinct docs, so a batch
+    is indexed once then merged).  Expressed as union + re-aggregate
+    here; on a partitioned index STORE this is a partition append with
+    merge-on-read (sum per hash) — the counts are mergeable partials
+    by construction, same contract as the histogram rollups."""
+    batch_idx = substring_index(new_docs, id_col, text_col, window)
+    return (
+        index.unionByName(batch_idx)
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
     )

@@ -313,3 +313,54 @@ def test_decontaminate_spans_removes_eval_passages(spark):
     assert out[2]["clean_text"].startswith("totally clean document")
     assert out[3]["n_tokens"] == 2 and out[3]["n_removed_tokens"] == 0
     assert out[3]["clean_text"] == "tiny doc"
+
+
+def test_substring_index_incremental_roundtrip(spark):
+    """Incremental EXACTSUBSTR: batch spans found against the standing
+    index (corpus-shared YES, batch-internal NO — documented contract),
+    and after substring_index_append a re-probe of the same batch finds
+    its own spans."""
+    from rhq_metrics_spark.pipelines.text import (
+        substring_dups_against_index,
+        substring_index,
+        substring_index_append,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, "corpus doc one holds " + passage + " right here"),
+         (2, "corpus doc two " + " ".join(f"c{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    batch_shared = " ".join(f"b{i}" for i in range(10))
+    batch = spark.createDataFrame(
+        [(10, "lead in " + passage + " and out"),    # shares with corpus 1
+         (11, "alpha " + batch_shared + " beta"),    # shares with 12 only
+         (12, "gamma " + batch_shared + " delta"),
+         (13, "wholly novel " + " ".join(f"n{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    idx = substring_index(corpus, window=10)
+    dec = {r["doc_id"]: r for r in substring_dups_against_index(
+        batch, idx, window=10
+    ).collect()}
+    assert dec[10]["n_dup_windows"] == 1 and dec[10]["max_share"] == 2
+    # batch-internal sharing is NOT the incremental operator's job
+    assert dec[11]["n_dup_windows"] == 0 and dec[12]["n_dup_windows"] == 0
+    assert dec[13]["n_dup_windows"] == 0
+
+    idx2 = substring_index_append(idx, batch, window=10)
+    # merged counts: the corpus passage window now counts 2 docs
+    # (corpus doc 1 + batch doc 10)
+    rerun = {r["doc_id"]: r for r in substring_dups_against_index(
+        batch, idx2, window=10
+    ).collect()}
+    assert rerun[10]["max_share"] == 3  # 2 in index + this doc
+    # re-probing a batch already folded into the index self-matches
+    # every window (count >= 1 each) — same contract as re-running a
+    # batch against index_append'ed minhash signatures; the sharing
+    # DEPTH still distinguishes the genuinely-shared middle window
+    assert rerun[11]["n_dup_windows"] == rerun[11]["n_windows"] == 3
+    assert rerun[11]["max_share"] == 3  # 11+12 in index + this probe
+    assert rerun[13]["n_dup_windows"] == rerun[13]["n_windows"]
+    assert rerun[13]["max_share"] == 2  # only its own indexed spans
