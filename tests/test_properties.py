@@ -388,6 +388,18 @@ def test_rolling_zscore_matches_python(spark, vals, window_n, min_n):
             window_n=window_n, min_n=min_n,
         ).collect()
     }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round(x: float, d: int = 4) -> float:
+        # Spark's round() is BigDecimal.valueOf(double) — the SHORTEST
+        # decimal repr — rounded HALF_UP; Python's round() is half-even
+        # on the binary value.  They differ exactly on .xxxx5 decimal
+        # boundaries (hypothesis found z = 41/32 = 1.28125 → Spark
+        # 1.2813, Python round 1.2812), so the oracle must reproduce
+        # Spark's semantics, not Python's.
+        q = Decimal(1).scaleb(-d)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
     for t in range(len(vals)):
         frame = [float(v) for v in vals[max(0, t - window_n):t]]
         if not frame:
@@ -398,11 +410,11 @@ def test_rolling_zscore_matches_python(spark, vals, window_n, min_n):
         var = max(sum(v * v for v in frame) / n - mean * mean, 0.0)
         std = math.sqrt(var)
         z = (
-            round((vals[t] - mean) / std, 4)
+            spark_round((vals[t] - mean) / std)
             if n >= min_n and std > 0
             else None
         )
-        assert got[t] == (round(mean, 4), round(std, 4), z), t
+        assert got[t] == (spark_round(mean), spark_round(std), z), t
 
 
 @given(
