@@ -619,3 +619,98 @@ def test_bucket_stats_fill_matches_python_oracle(spark, pts, step_s, count):
             assert r["max"] == pytest.approx(max(vals))
             assert r["sum"] == pytest.approx(sum(vals))
             assert r["avg"] == pytest.approx(sum(vals) / len(vals))
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(6)]),
+                 min_size=0, max_size=14).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    window=st.sampled_from([2, 3]),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_dup_spans_matches_python(spark, texts, window):
+    """EXACTSUBSTR vs a brute-force Python oracle on tiny-vocab docs
+    (small vocabulary forces real cross-doc window collisions)."""
+    from rhq_metrics_spark.pipelines.text import substring_dup_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           substring_dup_spans(df, window=window).collect()}
+
+    def wins(text):
+        toks = text.split()
+        return [" ".join(toks[i:i + window])
+                for i in range(len(toks) - window + 1)]
+
+    doc_wins = {i: wins(t) for i, t in enumerate(texts)}
+    owners: dict = {}
+    for i, ws in doc_wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    for i, ws in doc_wins.items():
+        n_dup = sum(1 for w in ws if len(owners[w]) >= 2)
+        max_share = max((len(owners[w]) for w in ws), default=0)
+        r = got[i]
+        assert r["n_windows"] == len(ws), (i, texts)
+        assert r["n_dup_windows"] == n_dup, (i, texts)
+        assert r["max_share"] == max_share, (i, texts)
+        exp_bp = (n_dup * 1_000_000) // len(ws) if ws else 0
+        assert r["dup_bp"] == exp_bp, (i, texts)
+
+
+@given(
+    n_docs=st.integers(1, 12),
+    parts_a=st.integers(0, 5),
+    parts_b=st.integers(0, 5),
+    budget=st.integers(0, 500),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_mixture_invariants(spark, n_docs, parts_a, parts_b, budget):
+    """Mixture realization invariants: copies per doc ∈ {n_full,
+    n_full+1}; per-group realized tokens within one doc of target when
+    rates < 1... more precisely, group copy totals lie in the exact
+    integer envelope implied by the plan (n_full*N .. (n_full+1)*N)."""
+    if parts_a + parts_b == 0:
+        return
+    from rhq_metrics_spark.pipelines.sampling import (
+        token_mixture_plan,
+        token_mixture_sample,
+    )
+
+    rows = [(i, "A" if i % 2 == 0 else "B",
+             " ".join(f"t{k}" for k in range(5)))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    parts = {"A": parts_a, "B": parts_b}
+    plan = {r["group"]: r for r in
+            token_mixture_plan(df, parts, budget).collect()}
+    out = token_mixture_sample(df, parts, budget).collect()
+    by_group: dict = {}
+    per_doc: dict = {}
+    for r in out:
+        by_group[r["group"]] = by_group.get(r["group"], 0) + 1
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert r["n_tokens"] == 5
+    n_in = {g: sum(1 for i in range(n_docs)
+                   if (g == "A") == (i % 2 == 0)) for g in ("A", "B")}
+    for g in ("A", "B"):
+        if g not in plan or n_in[g] == 0:
+            continue
+        nf, fr = plan[g]["n_full_copies"], plan[g]["frac_ppm"]
+        lo = nf * n_in[g]
+        hi = (nf + (1 if fr > 0 else 0)) * n_in[g]
+        assert lo <= by_group.get(g, 0) <= hi, (g, plan[g])
+    for i, c in per_doc.items():
+        g = "A" if i % 2 == 0 else "B"
+        nf = plan[g]["n_full_copies"]
+        assert c in (nf, nf + 1), (i, c, nf)
