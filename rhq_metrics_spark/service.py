@@ -707,6 +707,19 @@ WHERE ts >= {max(tail_lo, buckets.start)}L AND ts < {buckets.end}L
         self._tail_cache[key] = (token, df)
         return df
 
+    def _tail_scan(self, metric_type: str, tenant_id, metric,
+                   tail_lo: int, end: int) -> DataFrame:
+        """Pinned-tail twin of ``store.find_data_points(metric_type,
+        tenant, metric, tail_lo, end, order=None)`` for the per-request
+        hybrid routes: the scan frame comes from :meth:`_tail_base`
+        (constructed once per store state) and the request's metric/ts
+        predicates apply as one parsed filter, pushed below the LWW
+        window by Catalyst."""
+        return self._tail_base(metric_type, tenant_id, tail_lo).where(
+            f"ts >= {tail_lo}L AND ts < {end}L"
+            f" AND {self._metric_pred(metric)}"
+        )
+
     def _tail_view(self, metric_type: str, tenant_id, tail_lo: int) -> str:
         """Pinned tail base bound as a global temp view (see
         _bind_served_view); the bind key carries tenant + slice floor so
@@ -1656,10 +1669,8 @@ FROM (
                     from rhq_metrics_spark.model import AvailabilityType
 
                     tail = availability_rollup(
-                        self.store.find_data_points(
-                            MetricType.AVAILABILITY, tenant_id, metric,
-                            watermark, buckets.end, order=None,
-                        ),
+                        self._tail_scan(MetricType.AVAILABILITY, tenant_id,
+                                        metric, watermark, buckets.end),
                         slice_ms,
                     )
                     cols = ["slice_start", "f_ts", "f_state", "l_ts",
@@ -1938,9 +1949,8 @@ FROM (
                 "f_ts", "f_v", "l_ts", "l_v", "inc", "n_pairs"]
         if end > watermark:
             tail = increase_rollup(
-                self.store.find_data_points(
-                    metric_type, tenant_id, metric, watermark, end, order=None
-                ),
+                self._tail_scan(metric_type, tenant_id, metric,
+                                watermark, end),
                 slice_ms, value_scale=value_scale,
                 group_cols=["tenant_id", "metric"], counter=counter,
             )
@@ -1994,10 +2004,8 @@ FROM (
                             "f_v", "l_ts", "l_v", "wsum", "held_ms",
                             "n_pairs"]
                     tail = twa_rollup(
-                        self.store.find_data_points(
-                            metric_type, tenant_id, metric, watermark, end,
-                            order=None,
-                        ),
+                        self._tail_scan(metric_type, tenant_id, metric,
+                                        watermark, end),
                         slice_ms, value_scale=value_scale,
                         group_cols=["tenant_id", "metric"],
                         max_gap_ms=max_gap_ms,
