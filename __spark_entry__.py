@@ -57,7 +57,12 @@ from rhq_metrics_spark.operators import (
     stacked_stats,
     tagged_stats,
 )
-from rhq_metrics_spark.operators.anomaly import rolling_quantile, rolling_zscore
+from rhq_metrics_spark.operators.anomaly import (
+    ewma_smooth,
+    ewma_weights,
+    rolling_quantile,
+    rolling_zscore,
+)
 from rhq_metrics_spark.operators.rate import bucket_increase, time_weighted_avg
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
@@ -118,8 +123,10 @@ from rhq_metrics_spark.pipelines.text import (
     IPV4_PATTERN,
     URL_PATTERN,
     bm25_score,
+    c4_line_clean,
     contamination_check,
     document_fingerprint,
+    gopher_quality_filter,
     language_id,
     lm_bigram_score,
     pii_from_documents,
@@ -4718,6 +4725,207 @@ SELECT doc_id, n_tokens, score, score > 0 AS label FROM s
 """
 
 
+def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-filter ruleset (pipelines/text.py
+    gopher_quality_filter) — word-count and mean-word-length bands,
+    symbol/bullet/ellipsis ratios, alpha-word fraction, required-
+    stopword hits, and the final kept verdict.  min_stopword_hits=1
+    here (published default 2, kept in the operator): the synthetic
+    corpus lexicon contains only 'the' of the 8 required stopwords, so
+    the default would drop every document and hide the other rules —
+    at 1, the verdict splits on stopword presence AND the word-count
+    band (a real ~50/50 split at any sf)."""
+    docs = _table(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, min_stopword_hits=1)
+
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+SQL_TEXT_GOPHER = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM t),
+g AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0
+         THEN CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN n_words > 0
+         THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS sym,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> starts_with(trim(l), '-')
+                            OR starts_with(trim(l), '*')
+                            OR starts_with(trim(l), '•'))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS n_ell_l,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter({_GOPHER_STOP_SQL},
+                    s -> list_contains(toks, s))) AS n_stop
+  FROM f),
+r AS (
+  SELECT doc_id, n_words, mwl, sym,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         ELSE 0.0 END AS bullet_frac,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_ell_l AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         ELSE 0.0 END AS ellipsis_frac,
+    CASE WHEN n_words > 0
+         THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS alpha_word_frac,
+    n_stop
+  FROM g)
+SELECT doc_id,
+  CAST(n_words AS INTEGER) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_word_frac, 6) AS alpha_word_frac,
+  CAST(n_stop AS INTEGER) AS n_stop_present,
+  (n_words >= 50 AND n_words <= 100000
+   AND mwl >= 3.0 AND mwl <= 10.0
+   AND sym <= 0.1
+   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_stop >= 1) AS kept
+FROM r
+"""
+
+
+#: C4 driver query: the corpus docs are single-line, so pages are built
+#: by stitching 5 consecutive docs per page (deterministic: ordered by
+#: doc_id).  The corpus is punctuation-free by construction, so the
+#: terminal-punct rule is exercised in tests/test_text_filters.py on
+#: multi-line fixtures and OFF here (it would keep zero lines on this
+#: corpus and hide the other rules).
+C4_PAGE_SIZE = 5
+C4_DRIVER_MIN_WORDS = 30
+
+
+def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (pipelines/text.py c4_line_clean) over
+    pages stitched from {C4_PAGE_SIZE} consecutive corpus docs: keeps
+    lines with >= {C4_DRIVER_MIN_WORDS} words, drops pages with < 3
+    surviving lines / lorem-ipsum / braces, and emits the REWRITTEN
+    clean_text."""
+    docs = _table(spark, sf_dir, "documents")
+    pages = docs.groupBy(
+        F.floor(F.col("doc_id") / C4_PAGE_SIZE).cast("long").alias("page_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x.text,
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return c4_line_clean(
+        pages,
+        id_col="page_id",
+        min_words_per_line=C4_DRIVER_MIN_WORDS,
+        min_kept_lines=3,
+        require_terminal_punct=False,
+    )
+
+
+SQL_TEXT_C4 = rf"""
+WITH pages AS (
+  SELECT CAST(doc_id // {C4_PAGE_SIZE} AS BIGINT) AS page_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+l AS (
+  SELECT page_id, text,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM pages),
+k AS (
+  SELECT page_id, text, lines,
+         list_filter(lines,
+           x -> len(string_split_regex(trim(x), '\s+')) >= {C4_DRIVER_MIN_WORDS}
+                AND NOT contains(lower(trim(x)), 'javascript')) AS kept_lines
+  FROM l),
+v AS (
+  SELECT page_id, lines, kept_lines,
+         (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+          AND len(kept_lines) >= 3) AS kept
+  FROM k)
+SELECT page_id,
+  CAST(len(lines) AS INTEGER) AS n_lines,
+  CAST(len(kept_lines) AS INTEGER) AS n_kept_lines,
+  kept,
+  CASE WHEN kept THEN array_to_string(kept_lines, chr(10)) END AS clean_text
+FROM v
+"""
+
+
+EWMA_WINDOW_N = 8
+EWMA_ALPHA = (1, 4)  # α = 1/4, weights exact at alpha_den**(window_n-1)
+
+
+def q_w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: per-series truncated EWMA smoothing
+    (operators/anomaly.py ewma_smooth).  Values quantized to integer
+    centiunits so the weighted numerator/denominator accumulate in LONG
+    with zero rounding — one IEEE division at the end, bit-identical
+    across engines."""
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "click")
+    q = ev.select(
+        "metric", "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = ewma_smooth(
+        q, on=["metric", "user_id"], order=["ts", "v100"], value_col="v100",
+        window_n=EWMA_WINDOW_N, alpha_num=EWMA_ALPHA[0],
+        alpha_den=EWMA_ALPHA[1],
+    )
+    return out.select(
+        "metric", "ts", "user_id", "v100", F.round("ewma", 6).alias("ewma")
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    ws = ewma_weights(EWMA_WINDOW_N, *EWMA_ALPHA)
+    num = [f"{ws[0]} * v100"]
+    den = [str(ws[0])]
+    for j, wt in enumerate(ws[1:], start=1):
+        num.append(f"coalesce({wt} * lag(v100, {j}) OVER win, 0)")
+        den.append(
+            f"CASE WHEN lag(v100, {j}) OVER win IS NOT NULL"
+            f" THEN {wt} ELSE 0 END"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+SQL_W10 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, user_id,
+        CAST(round(value * 100, 0) AS BIGINT) AS v100
+      FROM ev WHERE metric = 'click'),
+w AS (SELECT metric, ts, user_id, v100,
+        {_EWMA_NUM} AS num,
+        {_EWMA_DEN} AS den
+      FROM q
+      WINDOW win AS (PARTITION BY metric, user_id ORDER BY ts, v100))
+SELECT metric, ts, user_id, v100,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4741,6 +4949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- new in r9, never driver-sampled
+        "text_gopher_filter": q_text_gopher_filter,
+        "text_c4_clean": q_text_c4_clean,
+        "w10_ewma": q_w10_ewma,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -4871,6 +5082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_gopher_filter": SQL_TEXT_GOPHER,
+        "text_c4_clean": SQL_TEXT_C4,
+        "w10_ewma": SQL_W10,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "embed_lsh_topk",
     "embed_ivf_topk",
     "text_quality",
+    "text_gopher_filter",  # MassiveText go/no-go ruleset, scan-fused
+    "text_c4_clean",       # C4 line-level clean + rewrite over stitched pages
+    "w10_ewma",            # truncated-EWMA smoothing window
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window

@@ -99,3 +99,61 @@ def rolling_quantile(
     cnt = F.count(value_col).over(w)
     rq = F.percentile(F.col(value_col), F.lit(q)).over(w)
     return df.withColumn(out_col, F.when(cnt >= min_n, rq))
+
+
+def ewma_weights(window_n: int, alpha_num: int, alpha_den: int) -> list[int]:
+    """Integer-scaled truncated EWMA weights: ``w_j ∝ α(1-α)^j`` for the
+    ``window_n`` most recent points, scaled by ``alpha_den**(window_n-1)``
+    so every weight is an exact integer (``α = alpha_num/alpha_den``)."""
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("alpha must satisfy 0 < alpha_num/alpha_den < 1")
+    rest = alpha_den - alpha_num
+    return [
+        alpha_num * rest**j * alpha_den ** (window_n - 1 - j)
+        for j in range(window_n)
+    ]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    value_col: str = "value",
+    window_n: int = 8,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """W10 (beyond reference): exponentially-weighted moving average per
+    series — the classic smoothing baseline for dashboards and anomaly
+    bands, truncated to the trailing ``window_n`` points so it is a pure
+    window expression (ONE shuffle on the series key, no recursion, no
+    state store; the infinite-tail weight beyond ``window_n`` is
+    ``(1-α)^window_n`` ≈ 10% at the defaults, renormalized away).
+
+    At the head of a series the window is shorter than ``window_n``;
+    the weights renormalize over the points that exist, so row 1's EWMA
+    is the point itself and every row gets a value (matching how
+    monitoring EWMAs warm up).
+
+    Exactness contract: weights are exact integers
+    (:func:`ewma_weights`) and the caller feeds integer-quantized
+    values, so the weighted numerator / denominator accumulate in LONG
+    with zero rounding; the single final division is one IEEE op —
+    bit-identical across engines (same trick as rolling_zscore above).
+    Overflow headroom: |v| * alpha_den**(window_n-1) * window_n must
+    fit in int64 — 1e7-quantized values at the defaults use ~2e13.
+    """
+    on, order = list(on), list(order)
+    w = Window.partitionBy(*on).orderBy(*[F.col(c).asc() for c in order])
+    weights = ewma_weights(window_n, alpha_num, alpha_den)
+    v = F.col(value_col).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j, wt in enumerate(weights):
+        lj = v if j == 0 else F.lag(v, j).over(w)
+        num = num + F.coalesce(F.lit(wt).cast("long") * lj, F.lit(0).cast("long"))
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0)).cast("long")
+    return df.withColumn(
+        out_col, num.cast("double") / den.cast("double")
+    )

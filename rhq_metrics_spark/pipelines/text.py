@@ -867,3 +867,177 @@ def substring_index_append(
         .groupBy("h")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Published filter rulesets: Gopher / MassiveText document rules and
+# C4 line-level cleaning.  Both are pure JVM array/column expressions —
+# scan-fused, zero exchanges — and every formula is DuckDB-expressible
+# so the driver oracle recomputes them exactly.
+# ---------------------------------------------------------------------------
+
+#: The MassiveText "required stop words" list (Gopher, Rae et al. 2021,
+#: table A1): a document must contain at least two of these.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: C4 terminal punctuation (Raffel et al. 2020 §2.2): a line is kept
+#: only if it ends in one of these.
+C4_TERMINAL_PUNCT = [".", "!", "?", '"']
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher / MassiveText document-level quality rules (Rae et al.
+    2021, appendix A1 — public heuristics; defaults are the published
+    thresholds).  Emits every rule's feature plus the final ``kept``
+    verdict so downstream mixtures can re-threshold without a re-scan.
+
+    Complements :func:`quality_score` (generic cheap features) and
+    :func:`repetition_stats` (Gopher's duplicate-fraction signals):
+    this is the named go/no-go ruleset a pretraining pipeline runs
+    first.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; symbol-to-word ratio (``#`` chars + non-overlapping
+    ``...`` runs, per word) ≤ max; ≤ max fraction of lines starting
+    with a bullet (``-``/``*``/``•``); ≤ max fraction of lines ending
+    in ``...``; ≥ min fraction of words containing an alphabetic
+    character; ≥ min_stopword_hits of :data:`GOPHER_STOPWORDS` present.
+
+    Exactness: every ratio is one IEEE division of two exact integers;
+    100 TB shape: per-row expressions only, whole-stage-codegen fused
+    with the parquet scan — the filter never causes an exchange.
+    """
+    text = F.col(text_col)
+    toks = F.filter(_tokens(text), lambda x: x != "")
+    n_words = F.size(toks)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\."))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.split(text, "\n"), lambda line: F.trim(line) != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: F.trim(line).startswith("-")
+            | F.trim(line).startswith("*")
+            | F.trim(line).startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda line: F.trim(line).endswith("..."))
+    )
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ell_lines.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_present = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    )
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (n_stop_present >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        n_stop_present.alias("n_stop_present"),
+        kept.alias("kept"),
+    )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+    line_drop_substring: str = "javascript",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — public
+    heuristics).  Line rules: keep a line only if it has ≥
+    ``min_words_per_line`` words, (optionally) ends in terminal
+    punctuation (:data:`C4_TERMINAL_PUNCT`), and does not mention
+    ``line_drop_substring``.  Page rules: drop the whole document if it
+    contains ``lorem ipsum`` or a curly brace ``{``, or if fewer than
+    ``min_kept_lines`` lines survive.
+
+    Emits ``n_lines`` (non-empty), ``n_kept_lines``, the page verdict
+    ``kept``, and ``clean_text`` — surviving lines re-joined with
+    newlines (NULL for dropped pages), i.e. the operator both filters
+    and REWRITES, like C4 itself.
+
+    100 TB shape: per-row array expressions only (split → filter →
+    array_join), scan-fused, zero exchanges.
+    """
+    text = F.col(text_col)
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        ok = (t != "") & (
+            F.size(F.split(t, r"\s+")) >= min_words_per_line
+        ) & ~F.contains(F.lower(t), F.lit(line_drop_substring))
+        if require_terminal_punct:
+            term = F.array(*[F.lit(p) for p in C4_TERMINAL_PUNCT])
+            ok = ok & F.array_contains(term, F.right(t, F.lit(1)))
+        return ok
+
+    lines = F.filter(F.split(text, "\n"), lambda line: F.trim(line) != "")
+    kept_lines = F.filter(lines, _line_ok)
+    n_kept = F.size(kept_lines)
+    page_ok = (
+        ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & ~F.contains(text, F.lit("{"))
+        & (n_kept >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        page_ok.alias("kept"),
+        F.when(page_ok, F.array_join(kept_lines, "\n")).alias("clean_text"),
+    )

@@ -1,0 +1,182 @@
+"""Gopher/MassiveText document filter, C4 line-level cleaning, and the
+W10 EWMA smoother — rule-by-rule against hand-computed oracles.
+
+The driver corpus is single-line and punctuation-free, so the line-level
+rules (terminal punctuation, bullets, ellipses, page tokens) are
+exercised here on multi-line fixtures; the driver query covers the
+word-count rules end-to-end against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from rhq_metrics_spark.operators.anomaly import ewma_smooth, ewma_weights
+from rhq_metrics_spark.pipelines.text import (
+    c4_line_clean,
+    gopher_quality_filter,
+)
+
+# 64 words, mean word length exactly 3.0 (the inclusive lower bound),
+# all 8 required stopwords present
+GOOD_WORDS = " ".join(
+    ["the", "be", "to", "of", "and", "that", "have", "with"] * 8
+)
+
+
+def _gopher(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return gopher_quality_filter(df, **kw).collect()[0]
+
+
+def test_gopher_keeps_plain_prose(spark):
+    r = _gopher(spark, GOOD_WORDS)
+    assert r["kept"]
+    assert r["n_words"] == 64
+    assert r["n_stop_present"] == 8
+    assert r["alpha_word_frac"] == 1.0
+    assert r["mean_word_len"] == 3.0
+
+
+def test_gopher_word_count_band(spark):
+    assert not _gopher(spark, "the be to of and that have with")["kept"]
+    r = _gopher(spark, GOOD_WORDS, min_words=65)
+    assert not r["kept"]
+
+
+def test_gopher_mean_word_length_band(spark):
+    # 60 x 1-char words -> mean 1.0 < 3.0
+    assert not _gopher(spark, " ".join(["a"] * 60))["kept"]
+    long_words = " ".join(["the", "be"] + ["antidisestablishment"] * 58)
+    assert not _gopher(spark, long_words)["kept"]
+
+
+def test_gopher_symbol_ratio(spark):
+    # 12 '#' chars and 3 '...' runs over 68 words -> 15/68 > 0.1
+    r = _gopher(spark, GOOD_WORDS + " " + "#" * 12 + " ... ... ...")
+    assert r["symbol_ratio"] > 0.1 and not r["kept"]
+    # '......' counts as TWO non-overlapping ellipsis runs
+    r2 = _gopher(spark, "x ......")
+    assert r2["symbol_ratio"] == 1.0  # 2 runs / 2 words
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    bullets = "\n".join(["- " + GOOD_WORDS] * 10)
+    r = _gopher(spark, bullets)
+    assert r["bullet_frac"] == 1.0 and not r["kept"]
+    ell = "\n".join([GOOD_WORDS + " ..."] * 4 + [GOOD_WORDS] * 6)
+    r2 = _gopher(spark, ell)
+    assert abs(r2["ellipsis_frac"] - 0.4) < 1e-9 and not r2["kept"]
+    # 30% exactly is allowed (<=)
+    ok = "\n".join([GOOD_WORDS + " ..."] * 3 + [GOOD_WORDS] * 7)
+    assert _gopher(spark, ok)["kept"]
+
+
+def test_gopher_alpha_word_fraction(spark):
+    # 64 good words + 32 pure-digit words -> 64/96 = 0.667 < 0.8
+    r = _gopher(spark, GOOD_WORDS + " " + " ".join(["123"] * 32))
+    assert not r["kept"]
+    assert abs(r["alpha_word_frac"] - 64 / 96) < 1e-6
+
+
+def test_gopher_required_stopwords(spark):
+    no_stop = " ".join(["quick", "brown", "fox", "jumps"] * 15)
+    r = _gopher(spark, no_stop)
+    assert r["n_stop_present"] == 0 and not r["kept"]
+    one_stop = "the " + no_stop
+    assert _gopher(spark, one_stop)["n_stop_present"] == 1
+    assert not _gopher(spark, one_stop)["kept"]
+
+
+LINE_OK = "This line has plenty of words to satisfy the rule."
+
+
+def _c4(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return c4_line_clean(df, **kw).collect()[0]
+
+
+def test_c4_keeps_terminal_punct_lines_only(spark):
+    text = "\n".join(
+        [
+            LINE_OK,                      # ends '.' -> kept
+            "short line.",                # < 5 words -> dropped
+            "no terminal punctuation here at all",   # dropped
+            "Does this line of words end in a question mark?",  # kept
+            'He said "keep lines ending in a quote character."',  # kept
+        ]
+    )
+    r = _c4(spark, text)
+    assert r["n_lines"] == 5
+    assert r["n_kept_lines"] == 3
+    assert r["kept"]
+    assert r["clean_text"].count("\n") == 2
+    assert "short line." not in r["clean_text"]
+
+
+def test_c4_page_rules(spark):
+    three_good = "\n".join([LINE_OK] * 3)
+    assert _c4(spark, three_good)["kept"]
+    # fewer than min_kept_lines surviving -> page dropped, text nulled
+    r = _c4(spark, "\n".join([LINE_OK] * 2))
+    assert not r["kept"] and r["clean_text"] is None
+    # lorem ipsum / curly brace anywhere kills the page
+    assert not _c4(spark, three_good + "\nLorem Ipsum dolor sit amet.")["kept"]
+    assert not _c4(spark, three_good.replace("words", "w{rds"))["kept"]
+
+
+def test_c4_javascript_line_rule_and_blank_lines(spark):
+    text = "\n".join(
+        [LINE_OK, "", "  ", "Please enable JavaScript to view the comments."]
+        + [LINE_OK] * 2
+    )
+    r = _c4(spark, text)
+    assert r["n_lines"] == 4  # blanks excluded
+    assert r["n_kept_lines"] == 3  # javascript line dropped
+    assert "JavaScript" not in r["clean_text"]
+
+
+def test_c4_terminal_punct_toggle(spark):
+    text = "\n".join(["five words but no punct ever"] * 3)
+    assert not _c4(spark, text)["kept"]
+    assert _c4(spark, text, require_terminal_punct=False)["kept"]
+
+
+def test_ewma_weights_are_exact_geometric():
+    ws = ewma_weights(8, 1, 4)
+    assert ws[0] == 4**7 and ws[-1] == 3**7
+    for j in range(1, 8):
+        assert Fraction(ws[j], ws[j - 1]) == Fraction(3, 4)
+
+
+def test_ewma_matches_python_oracle_and_warmup(spark):
+    vals = [0, 100, 200, 300, 400, 0, 100, 200, 300, 400, 0, 100]
+    rows = [("m", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts long, v long")
+    out = ewma_smooth(
+        df, on=["key"], order=["ts"], value_col="v",
+        window_n=8, alpha_num=1, alpha_den=4,
+    )
+    got = {r["ts"]: r["ewma"] for r in out.collect()}
+    ws = ewma_weights(8, 1, 4)
+    for i in range(len(vals)):
+        lags = [vals[i - j] for j in range(min(i + 1, 8))]
+        num = sum(w * v for w, v in zip(ws, lags))
+        den = sum(ws[: len(lags)])
+        assert got[i] == num / den  # exact: int/int, one IEEE division
+    # row 1 of a series is itself (full warmup renormalization)
+    assert got[0] == 0.0
+
+
+def test_ewma_is_per_series(spark):
+    rows = [("a", 0, 10), ("a", 1, 20), ("b", 0, 1000)]
+    df = spark.createDataFrame(rows, "key string, ts long, v long")
+    out = {
+        (r["key"], r["ts"]): r["ewma"]
+        for r in ewma_smooth(
+            df, on=["key"], order=["ts"], value_col="v", window_n=4
+        ).collect()
+    }
+    assert out[("b", 0)] == 1000.0  # series b never sees series a
+    ws = ewma_weights(4, 1, 4)
+    assert out[("a", 1)] == (ws[0] * 20 + ws[1] * 10) / (ws[0] + ws[1])
