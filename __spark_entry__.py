@@ -64,6 +64,7 @@ from rhq_metrics_spark.operators.anomaly import (
     rolling_zscore,
 )
 from rhq_metrics_spark.operators.rate import bucket_increase, time_weighted_avg
+from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
 from rhq_metrics_spark.operators.cardinality import distinct_rollup
 from rhq_metrics_spark.pipelines.fuzzy import fuzzy_self_join
 from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
@@ -123,6 +124,7 @@ from rhq_metrics_spark.pipelines.text import (
     IPV4_PATTERN,
     URL_PATTERN,
     bm25_score,
+    bpe_pair_counts,
     c4_line_clean,
     contamination_check,
     document_fingerprint,
@@ -4870,6 +4872,91 @@ FROM v
 """
 
 
+N_A14 = 24
+A14_TRIM = (1, 10)  # symmetric 10% trim
+
+
+def q_a14_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: symmetric trimmed-mean bucket stats
+    (operators/stats.py trimmed_bucket_stats) — the robust dashboard
+    aggregate; 10% trimmed at each end, exact integer accumulation,
+    one exchange (rank window and final agg share the bucket key)."""
+    pts = _events_points(spark, sf_dir).filter(F.col("metric") == "view")
+    s, e = _bounds(pts)
+    buckets = Buckets.from_count(s, e, N_A14)
+    return trimmed_bucket_stats(
+        pts, buckets, trim_num=A14_TRIM[0], trim_den=A14_TRIM[1],
+        value_scale=100,
+    )
+
+
+SQL_A14 = f"""
+WITH ev AS ({EV_SQL} WHERE event_type = 'view'),
+{_grid_sql(N_A14)},
+pts AS (SELECT (ts - s) // step AS bucket_idx, ts,
+          CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM ev, g WHERE ts >= s AND ts < s + step * {N_A14}),
+r AS (SELECT bucket_idx, v,
+        row_number() OVER (PARTITION BY bucket_idx
+                           ORDER BY v ASC, ts ASC) AS rn,
+        count(*) OVER (PARTITION BY bucket_idx) AS n
+      FROM pts),
+a AS (SELECT bucket_idx, count(*) AS samples,
+        count(*) FILTER (rn > (n * {A14_TRIM[0]}) // {A14_TRIM[1]}
+                         AND rn <= n - (n * {A14_TRIM[0]}) // {A14_TRIM[1]})
+          AS n_kept,
+        sum(v) FILTER (rn > (n * {A14_TRIM[0]}) // {A14_TRIM[1]}
+                       AND rn <= n - (n * {A14_TRIM[0]}) // {A14_TRIM[1]})
+          AS ksum,
+        min(v) FILTER (rn > (n * {A14_TRIM[0]}) // {A14_TRIM[1]}
+                       AND rn <= n - (n * {A14_TRIM[0]}) // {A14_TRIM[1]})
+          AS kmin,
+        max(v) FILTER (rn > (n * {A14_TRIM[0]}) // {A14_TRIM[1]}
+                       AND rn <= n - (n * {A14_TRIM[0]}) // {A14_TRIM[1]})
+          AS kmax
+      FROM r GROUP BY bucket_idx)
+SELECT g.s + bucket_idx * g.step AS start,
+       g.s + (bucket_idx + 1) * g.step AS "end",
+       samples, n_kept,
+       round(CAST(ksum AS DOUBLE) * 100 / n_kept) / 10000 AS trimmed_avg,
+       CAST(kmin AS DOUBLE) / 100 AS t_min,
+       CAST(kmax AS DOUBLE) / 100 AS t_max
+FROM a, g
+"""
+
+
+BPE_TOP_K = 50
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer prep: top-{BPE_TOP_K} BPE merge-pair candidates
+    (pipelines/text.py bpe_pair_counts) — adjacent char-pair corpus
+    frequencies computed off the word-frequency table (vocab-bounded,
+    never per-token-occurrence)."""
+    docs = _table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=BPE_TOP_K).withColumnRenamed(
+        "rank", "rk"
+    )
+
+
+SQL_TEXT_BPE = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+wf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair,
+             freq
+      FROM wf WHERE length(w) >= 2),
+c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair),
+r AS (SELECT pair, n,
+        row_number() OVER (ORDER BY n DESC, pair ASC) AS rk
+      FROM c)
+SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
+"""
+
+
 EWMA_WINDOW_N = 8
 EWMA_ALPHA = (1, 4)  # α = 1/4, weights exact at alpha_den**(window_n-1)
 
@@ -4952,6 +5039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_filter": q_text_gopher_filter,
         "text_c4_clean": q_text_c4_clean,
         "w10_ewma": q_w10_ewma,
+        "a14_trimmed_stats": q_a14_trimmed_stats,
+        "text_bpe_pairs": q_text_bpe_pairs,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5085,6 +5174,8 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,
+        "a14_trimmed_stats": SQL_A14,
+        "text_bpe_pairs": SQL_TEXT_BPE,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

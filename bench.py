@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "text_gopher_filter",  # MassiveText go/no-go ruleset, scan-fused
     "text_c4_clean",       # C4 line-level clean + rewrite over stitched pages
     "w10_ewma",            # truncated-EWMA smoothing window
+    "a14_trimmed_stats",   # robust trimmed-mean buckets, one exchange
+    "text_bpe_pairs",      # BPE merge stats off the word-frequency table
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window

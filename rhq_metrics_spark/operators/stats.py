@@ -247,3 +247,68 @@ def minmax_ts(
         F.max(ts_col).alias("max_ts"),
         F.count(F.lit(1)).alias("samples"),
     )
+
+
+def trimmed_bucket_stats(
+    df: DataFrame,
+    buckets: Buckets,
+    trim_num: int = 1,
+    trim_den: int = 10,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    value_scale: int = 100,
+) -> DataFrame:
+    """A14 (beyond reference): symmetric TRIMMED mean per bucket — the
+    robust dashboard aggregate (a stuck gauge or one outlier sample
+    cannot move it, unlike ``avg``).  Per bucket, the lowest and
+    highest ``floor(n * trim_num / trim_den)`` samples are dropped and
+    the remainder averaged; ``samples`` counts all points, ``n_kept``
+    the surviving ones, ``t_min``/``t_max`` bound the kept range
+    (winsorization bounds).
+
+    Exactness: values quantize to ``value_scale`` integers; the trim
+    count is integer arithmetic (``n * trim_num div trim_den``); kept
+    values sum in LONG; the mean is the :func:`quantize` exact-ratio
+    rounding — bit-identical cross-engine.  Ties at the trim boundary
+    are value-ties, so ANY rank order among them keeps the same value
+    multiset — the result does not depend on tie order.
+
+    100 TB shape: ONE exchange — the rank window partitions by
+    ``bucket_idx`` and the final hash-agg groups by the same key, so
+    the planner reuses the window's partitioning (plan-asserted in
+    tests).  No join, no dimension table: ``start``/``end`` are pure
+    projections of the bucket index.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= trim_num * 2 < trim_den:
+        raise ValueError("trim fraction must be in [0, 0.5)")
+    in_bucket = df.filter(in_grid(buckets, ts_col)).withColumn(
+        "bucket_idx", bucket_index(buckets, ts_col)
+    )
+    v = F.round(F.col(value_col).cast("double") * value_scale).cast("long")
+    w = Window.partitionBy("bucket_idx").orderBy(F.col("_v").asc(), F.col(ts_col).asc())
+    wn = Window.partitionBy("bucket_idx")
+    ranked = (
+        in_bucket.select("bucket_idx", ts_col, v.alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    k = F.expr(f"(_n * {trim_num}) div {trim_den}")  # exact integer floor
+    kept = (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+    agg = ranked.groupBy("bucket_idx").agg(
+        F.count(F.lit(1)).alias("samples"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("_v"))).alias("_ksum"),
+        F.min(F.when(kept, F.col("_v"))).alias("_kmin"),
+        F.max(F.when(kept, F.col("_v"))).alias("_kmax"),
+    )
+    return agg.select(
+        (F.lit(buckets.start) + F.col("bucket_idx") * buckets.step).alias("start"),
+        (F.lit(buckets.start) + (F.col("bucket_idx") + 1) * buckets.step).alias("end"),
+        "samples",
+        "n_kept",
+        quantize(F.col("_ksum"), value_scale, F.col("n_kept")).alias("trimmed_avg"),
+        (F.col("_kmin").cast("double") / value_scale).alias("t_min"),
+        (F.col("_kmax").cast("double") / value_scale).alias("t_max"),
+    )

@@ -1041,3 +1041,47 @@ def c4_line_clean(
         page_ok.alias("kept"),
         F.when(page_ok, F.array_join(kept_lines, "\n")).alias("clean_text"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Tokenizer-training prep: first-iteration BPE merge statistics —
+    corpus frequency of every adjacent character pair, the quantity a
+    byte-pair-encoding trainer (Sennrich et al. 2016, public algorithm)
+    maximizes when choosing its next merge.  Returns the ``top_k``
+    candidate pairs with a deterministic rank (count desc, pair asc).
+
+    100 TB shape — the classic BPE counting trick, distributed: the
+    corpus collapses to a WORD-FREQUENCY table first (one hash-agg,
+    output bounded by vocabulary, not corpus size), pairs explode per
+    DISTINCT word (bounded by word length) weighted by the word's
+    frequency, then one more hash-agg on the pair key.  Nothing is
+    ever per-token-occurrence; the final top-k window runs over an
+    alphabet²-bounded table (single tiny partition by construction).
+    """
+    toks = df.select(
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("int").alias("rank"), "pair", "n")
+    )

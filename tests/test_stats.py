@@ -118,3 +118,64 @@ def test_minmax_ts(gauge_df):
     assert rows["m1"]["min_ts"] == T0
     assert rows["m1"]["max_ts"] == T0 + 59 * 10_000
     assert rows["m2"]["samples"] == 36
+
+
+def test_trimmed_bucket_stats_drops_outliers(spark):
+    from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
+
+    # one bucket: 10 values, one absurd outlier at each end; 10% trim
+    # (k = 1) drops exactly those two
+    vals = [-1000.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    rows = [(T0 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts long, value double")
+    buckets = Buckets(T0, 100, 1)
+    r = trimmed_bucket_stats(df, buckets, trim_num=1, trim_den=10).collect()[0]
+    kept = sorted(vals)[1:-1]
+    assert r["samples"] == 10
+    assert r["n_kept"] == 8
+    assert r["trimmed_avg"] == pytest.approx(sum(kept) / len(kept))
+    assert r["t_min"] == 2.0 and r["t_max"] == 9.0
+
+
+def test_trimmed_bucket_stats_small_buckets_and_python_oracle(spark):
+    from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
+
+    # n < trim_den -> k = 0 -> plain mean; larger bucket vs oracle
+    rng = np.random.default_rng(7)
+    step = 1_000
+    rows = []
+    per_bucket = {0: 3, 1: 47, 2: 20}
+    for b, n in per_bucket.items():
+        for i in range(n):
+            rows.append((T0 + b * step + i, float(rng.integers(-500, 500)) / 4))
+    df = spark.createDataFrame(rows, "ts long, value double")
+    buckets = Buckets(T0, step, 3)
+    out = {
+        (r["start"] - T0) // step: r
+        for r in trimmed_bucket_stats(
+            df, buckets, trim_num=1, trim_den=10
+        ).collect()
+    }
+    for b, n in per_bucket.items():
+        vals = sorted(
+            round(v * 100) for (ts, v) in rows if (ts - T0) // step == b
+        )
+        k = n // 10
+        kept = vals[k : n - k]
+        r = out[b]
+        assert r["samples"] == n and r["n_kept"] == len(kept)
+        assert r["trimmed_avg"] == pytest.approx(
+            sum(kept) / len(kept) / 100, abs=1e-4
+        )
+
+
+def test_trimmed_bucket_stats_single_exchange_plan(spark):
+    from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
+
+    df = spark.createDataFrame(
+        [(T0 + i, float(i)) for i in range(50)], "ts long, value double"
+    )
+    out = trimmed_bucket_stats(df, Buckets(T0, 25, 2))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rank window and the final agg share the bucket key: one shuffle
+    assert plan.count("Exchange") == 1

@@ -180,3 +180,27 @@ def test_ewma_is_per_series(spark):
     assert out[("b", 0)] == 1000.0  # series b never sees series a
     ws = ewma_weights(4, 1, 4)
     assert out[("a", 1)] == (ws[0] * 20 + ws[1] * 10) / (ws[0] + ws[1])
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from rhq_metrics_spark.pipelines.text import bpe_pair_counts
+
+    # 'abab' x3 + 'ab' x2: pairs ab=2*3+1*2=8, ba=1*3=3; 'x' contributes none
+    df = spark.createDataFrame(
+        [(1, "abab abab x"), (2, "abab ab"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    rows = bpe_pair_counts(df).collect()
+    got = {r["pair"]: (r["rank"], r["n"]) for r in rows}
+    assert got["ab"] == (1, 8)
+    assert got["ba"] == (2, 3)
+    assert "x" not in got and len(rows) == 2
+
+
+def test_bpe_pair_counts_rank_tie_break_and_topk(spark):
+    from rhq_metrics_spark.pipelines.text import bpe_pair_counts
+
+    # 'cd' and 'ef' tie at 1 -> alphabetical; top_k truncates
+    df = spark.createDataFrame([(1, "cd ef")], "doc_id long, text string")
+    rows = bpe_pair_counts(df, top_k=1).collect()
+    assert [(r["rank"], r["pair"]) for r in rows] == [(1, "cd")]
