@@ -130,3 +130,106 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W10: truncated-EWMA smoothing — continuous twin of
+# operators/anomaly.py:ewma_smooth.
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tenant_id", StringType(), False),
+        StructField("metric", StringType(), False),
+        StructField("ts", LongType(), False),
+        StructField("value", LongType(), False),
+        StructField("ewma", DoubleType(), False),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("ring", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_ewma_fn(window_n: int, alpha_num: int, alpha_den: int):
+    from rhq_metrics_spark.operators.anomaly import ewma_weights
+
+    ws = ewma_weights(window_n, alpha_num, alpha_den)
+
+    def _group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tenant_id, metric = key
+        if state.exists:
+            last_ts, ring = state.get
+            ring = list(ring or [])  # oldest -> newest
+        else:
+            last_ts, ring = None, []
+
+        out: dict[str, list] = {"ts": [], "value": [], "ewma": []}
+        entry_ts = last_ts  # same replay guard as streaming_zscore
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            merged = merged.sort_values(["ts", "value"])
+            for ts, value in zip(merged["ts"], merged["value"]):
+                ts, value = int(ts), int(value)
+                if entry_ts is not None and ts <= entry_ts:
+                    continue
+                ring.append(value)
+                if len(ring) > window_n:
+                    ring.pop(0)
+                # exact Python-int num/den, ONE float division — the
+                # same IEEE op the batch operator's LONG casts perform,
+                # so stream == batch bit-for-bit
+                newest_first = ring[::-1]
+                num = sum(w * v for w, v in zip(ws, newest_first))
+                den = sum(ws[: len(newest_first)])
+                out["ts"].append(ts)
+                out["value"].append(value)
+                out["ewma"].append(num / den)
+                last_ts = ts
+
+        state.update((last_ts, ring))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "tenant_id": tenant_id,
+                    "metric": metric,
+                    "ts": out["ts"],
+                    "value": out["value"],
+                    "ewma": out["ewma"],
+                }
+            )
+
+    return _group
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    window_n: int = 8,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Input: streaming ``(tenant_id, metric, ts, value)`` with values
+    already integer-quantized (the batch contract).  Output stream: one
+    row per point with its truncated-EWMA — bit-identical to the batch
+    ``ewma_smooth`` over a replay of the same points, because both sum
+    the exact integer weights/values and divide once.
+
+    State is the trailing ring of ≤ ``window_n`` longs per series —
+    O(window_n) and throughput-independent, same bound as the z-score
+    twin above.
+    """
+    return stream_df.groupBy("tenant_id", "metric").applyInPandasWithState(
+        _make_ewma_fn(window_n, alpha_num, alpha_den),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -171,3 +171,72 @@ def test_streaming_segments_match_batch_lag_pairs(spark, tmp_path):
     # segment states (the earlier point's): up,up,down,up,down,down ->
     # 3 of 6 equal-length segments are up
     assert abs(up_ms - 0.5) < 1e-9
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """Streaming EWMA across micro-batches must equal the batch
+    ewma_smooth over a replay — including the warmup renormalization and
+    the value that lands right after the batch boundary."""
+    from rhq_metrics_spark.operators.anomaly import ewma_smooth
+    from rhq_metrics_spark.streaming.anomaly import streaming_ewma
+
+    T = 1_700_000_000_000
+    vals = [1000, 1200, 1100, 1300, 1000, 1200, 1100, 6000, 1200, 1100, 900, 1050]
+    pts = [
+        {"tenant_id": "t", "metric": "m", "ts": T + i * 1000, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "e_in"
+    src.mkdir()
+    out_dir = tmp_path / "e_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:7]))
+
+    schema = "tenant_id string, metric string, ts long, value long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_ewma(stream, window_n=5, alpha_num=1, alpha_den=4)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "e_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 7 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in pts[7:]))
+        while rows() < len(pts) and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        r["ts"]: r["ewma"] for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert len(got) == len(pts)
+
+    batch_df = spark.createDataFrame(
+        [(p["tenant_id"], p["metric"], p["ts"], p["value"]) for p in pts],
+        schema,
+    )
+    expected = {
+        r["ts"]: r["ewma"]
+        for r in ewma_smooth(
+            batch_df, on=["tenant_id", "metric"], order=["ts", "value"],
+            value_col="value", window_n=5, alpha_num=1, alpha_den=4,
+        ).collect()
+    }
+    assert got == expected  # bit-identical, incl. across the boundary
