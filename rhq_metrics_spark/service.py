@@ -1639,6 +1639,62 @@ FROM (
         pts = self._scan(metric_type, tenant_id, metric, buckets.start, buckets.end)
         return rate_stats(pts, buckets, metric_type=metric_type, percentiles=percentiles)
 
+    # -- smoothing / robust stats (W10/A14, beyond the reference) ------------------
+
+    def smoothed_data(
+        self,
+        metric_type,
+        tenant_id,
+        metric,
+        start,
+        end,
+        window_n: int = 8,
+        alpha_num: int = 1,
+        alpha_den: int = 4,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """W10 truncated-EWMA smoothing of a series scan
+        (operators/anomaly.py ewma_smooth): ``(metric, ts, value,
+        ewma)``.  Values quantize to ``value_scale`` integers so the
+        weighted accumulation is exact; the returned ``ewma`` is back
+        at value scale."""
+        from rhq_metrics_spark.operators.anomaly import ewma_smooth
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        q = pts.withColumn(
+            "_v", F.round(F.col("value") * value_scale).cast("long")
+        )
+        out = ewma_smooth(
+            q, on=["metric"], order=["ts", "_v"], value_col="_v",
+            window_n=window_n, alpha_num=alpha_num, alpha_den=alpha_den,
+        )
+        return out.select(
+            "metric", "ts", "value",
+            (F.col("ewma") / value_scale).alias("ewma"),
+        )
+
+    def trimmed_stats(
+        self,
+        tenant_id,
+        metric,
+        buckets: Buckets,
+        trim_num: int = 1,
+        trim_den: int = 10,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """A14 symmetric trimmed-mean bucket stats (operators/stats.py
+        trimmed_bucket_stats) — the robust twin of gauge_stats' avg."""
+        from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
+
+        pts = self._scan(
+            metric_type, tenant_id, metric, buckets.start, buckets.end
+        )
+        return trimmed_bucket_stats(
+            pts, buckets, trim_num=trim_num, trim_den=trim_den,
+            value_scale=value_scale,
+        )
+
     # -- availability (A2/A7) -----------------------------------------------------
 
     def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:

@@ -480,3 +480,37 @@ def test_analytics_facade_round4(spark, tmp_path):
     )
     inc = svc.increase("t1", "reqs", 0, HOUR, HOUR).collect()
     assert len(inc) == 1 and inc[0]["increase"] == 12.0 and inc[0]["n_pairs"] == 3
+
+
+def test_smoothed_data_facade(svc):
+    out = svc.smoothed_data("gauge", "t1", "g1", T0, T0 + 1_200_000).collect()
+    assert len(out) == 120
+    rows = sorted(out, key=lambda r: r["ts"])
+    # first point's EWMA is itself (warmup renormalization)
+    assert rows[0]["ewma"] == pytest.approx(rows[0]["value"], abs=0.005)
+    # the smoother lags a monotone-trend series: EWMA <= value on the
+    # rising tail (sin wiggle ± <= 10 vs trend i, i >= 60)
+    vals = {r["ts"]: r for r in rows}
+    # python oracle for one mid-series point at value_scale=100
+    from rhq_metrics_spark.operators.anomaly import ewma_weights
+
+    ws = ewma_weights(8, 1, 4)
+    import numpy as np
+
+    series = [round((np.sin(i) * 10 + i) * 100) for i in range(120)]
+    i = 50
+    lags = [series[i - j] for j in range(8)]
+    expected = sum(w * v for w, v in zip(ws, lags)) / sum(ws) / 100
+    assert vals[T0 + i * 10_000]["ewma"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_trimmed_stats_facade(svc):
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 6)
+    out = {r["start"]: r for r in svc.trimmed_stats("t1", "g1", buckets).collect()}
+    plain = {r["start"]: r for r in svc.gauge_stats("t1", "g1", buckets).collect()}
+    assert len(out) == 6
+    for start, r in out.items():
+        assert r["samples"] == plain[start]["samples"]
+        assert r["n_kept"] == r["samples"] - 2 * (r["samples"] // 10)
+        # trimmed mean stays inside the kept range
+        assert r["t_min"] <= r["trimmed_avg"] <= r["t_max"]
