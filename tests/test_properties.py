@@ -714,3 +714,112 @@ def test_token_mixture_invariants(spark, n_docs, parts_a, parts_b, budget):
         g = "A" if i % 2 == 0 else "B"
         nf = plan[g]["n_full_copies"]
         assert c in (nf, nf + 1), (i, c, nf)
+
+
+@given(
+    vals=st.lists(st.integers(-10**7, 10**7), min_size=1, max_size=40),
+    window_n=st.sampled_from([2, 5, 8]),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ewma_matches_python_exactly_property(spark, vals, window_n):
+    """The EWMA exactness contract on arbitrary int64-safe inputs: the
+    Spark double equals Python's exact-int num/den division bit for
+    bit, at every warmup length."""
+    from rhq_metrics_spark.operators.anomaly import ewma_smooth, ewma_weights
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)],
+        "key string, ts long, value long",
+    )
+    got = {
+        r["ts"]: r["ewma"]
+        for r in ewma_smooth(
+            df, on=["key"], order=["ts"], value_col="value",
+            window_n=window_n,
+        ).collect()
+    }
+    ws = ewma_weights(window_n, 1, 4)
+    for t in range(len(vals)):
+        lags = [vals[t - j] for j in range(min(t + 1, window_n))]
+        num = sum(w * v for w, v in zip(ws, lags))
+        den = sum(ws[: len(lags)])
+        assert got[t] == num / den, t
+
+
+@given(
+    vals=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+    trim_den=st.sampled_from([4, 10, 20]),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_trimmed_stats_match_python_property(spark, vals, trim_den):
+    """Trimmed mean over one bucket == Python sort-trim-average on the
+    quantized integers (exact ratio, Spark HALF_UP 4-dp quantization)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from rhq_metrics_spark.operators.stats import trimmed_bucket_stats
+
+    df = spark.createDataFrame(
+        [(t, v / 100.0) for t, v in enumerate(vals)],
+        "ts long, value double",
+    )
+    b = Buckets(0, len(vals) + 1, 1)
+    r = trimmed_bucket_stats(
+        df, b, trim_num=1, trim_den=trim_den, value_scale=100
+    ).collect()[0]
+    n = len(vals)
+    k = n // trim_den
+    kept = sorted(vals)[k : n - k]
+    assert r["samples"] == n and r["n_kept"] == len(kept)
+    # mirror quantize(): round(ksum * 100 / n_kept) / 10000, HALF_UP on
+    # the exact integer ratio
+    exact = Decimal(sum(kept)) * 100 / Decimal(len(kept))
+    expected = float(
+        exact.quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    ) / 10000
+    assert r["trimmed_avg"] == pytest.approx(expected, abs=1e-12)
+    assert r["t_min"] == min(kept) / 100 and r["t_max"] == max(kept) / 100
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c.d-#\n"),
+            min_size=0, max_size=60,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_pair_counts_match_python_counter(spark, texts):
+    """BPE pair frequencies == a brute-force Python Counter over the
+    same tokenization, including rank tie-breaks."""
+    from collections import Counter
+
+    from rhq_metrics_spark.pipelines.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [(r["rank"], r["pair"], r["n"]) for r in bpe_pair_counts(df).collect()]
+
+    c: Counter = Counter()
+    for text in texts:
+        for w in text.strip().lower().split():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expected = [
+        (i + 1, pair, n)
+        for i, (pair, n) in enumerate(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        )
+    ]
+    assert got == expected
