@@ -1085,3 +1085,95 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_k)
         .select(F.col("rank").cast("int").alias("rank"), "pair", "n")
     )
+
+
+def bpe_encode_word(word: str, ranks: dict[str, int]) -> list[str]:
+    """Greedy BPE encode of one word (Sennrich et al. 2016, public
+    algorithm): repeatedly merge every occurrence of the adjacent
+    symbol pair with the LOWEST merge rank until no mergeable pair
+    remains.  Pure-Python reference kernel, shared by the Arrow UDF in
+    :func:`bpe_apply` and the tests."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank: int | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get(syms[i] + syms[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_rank is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a LEARNED BPE merge list (the apply leg
+    of :func:`bpe_pair_counts`' train leg; rank = position in
+    ``merges``).  Output: ``(id, n_words, n_subwords, subwords)`` with
+    ``subwords`` the document's subword sequence in order.
+
+    100 TB shape — encode the VOCABULARY, not the corpus: the greedy
+    merge loop (intrinsically iterative, so Python) runs via an
+    Arrow-batched ``mapInPandas`` over DISTINCT words only; documents
+    then rejoin their words' encodings on the word key and re-assemble
+    by position.  Corpus-size work is all JVM (explode, join,
+    sort-reassemble agg); Python work is bounded by |vocab| x |word|²,
+    independent of how many times each word occurs.  The merge table
+    rides inside the UDF closure (~rank count strings, broadcast-sized
+    by construction).
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    vocab = toks.select("w").distinct()
+
+    def _encode(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "enc": [bpe_encode_word(w, ranks) for w in pdf["w"]],
+                }
+            )
+
+    encoded = vocab.mapInPandas(_encode, "w string, enc array<string>")
+    joined = toks.join(encoded, "w")
+    return (
+        joined.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda x: x.enc,
+                )
+            ).alias("subwords"),
+        )
+        .withColumn("n_subwords", F.size("subwords"))
+        .select(id_col, "n_words", "n_subwords", "subwords")
+    )

@@ -204,3 +204,43 @@ def test_bpe_pair_counts_rank_tie_break_and_topk(spark):
     df = spark.createDataFrame([(1, "cd ef")], "doc_id long, text string")
     rows = bpe_pair_counts(df, top_k=1).collect()
     assert [(r["rank"], r["pair"]) for r in rows] == [(1, "cd")]
+
+
+def test_bpe_encode_word_kernel():
+    from rhq_metrics_spark.pipelines.text import bpe_encode_word
+
+    ranks = {"ab": 0, "abc": 1, "cd": 2}
+    # 'ab' merges first (rank 0), then 'ab'+'c' -> 'abc' (rank 1)
+    assert bpe_encode_word("abcd", ranks) == ["abc", "d"]
+    # all occurrences of the chosen pair merge in one pass
+    assert bpe_encode_word("abab", ranks) == ["ab", "ab"]
+    # no applicable merge -> characters
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_encode_word("a", ranks) == ["a"]
+
+
+def test_bpe_apply_roundtrip_and_order(spark):
+    from rhq_metrics_spark.pipelines.text import bpe_apply, bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "banana band ban"), (2, "ana banana")],
+        "doc_id long, text string",
+    )
+    # learn merges from the corpus itself (train leg), apply them
+    merges = [r["pair"] for r in bpe_pair_counts(df, top_k=3).collect()]
+    out = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    # invariant: concatenating a doc's subwords reproduces its words
+    # in order, with no characters lost
+    assert "".join(out[1]["subwords"]) == "bananabandban"
+    assert "".join(out[2]["subwords"]) == "anabanana"
+    assert out[1]["n_words"] == 3 and out[2]["n_words"] == 2
+    # merges compress: fewer subwords than characters
+    assert out[1]["n_subwords"] < len("bananabandban")
+    # the subword stream matches the per-word kernel
+    from rhq_metrics_spark.pipelines.text import bpe_encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    expected = []
+    for w in "banana band ban".split():
+        expected += bpe_encode_word(w, ranks)
+    assert list(out[1]["subwords"]) == expected
