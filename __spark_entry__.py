@@ -60,6 +60,7 @@ from rhq_metrics_spark.operators import (
 from rhq_metrics_spark.operators.anomaly import (
     ewma_smooth,
     ewma_weights,
+    seasonal_baseline,
     rolling_quantile,
     rolling_zscore,
 )
@@ -4957,6 +4958,107 @@ SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
 """
 
 
+CMS_PROBES = 20
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies
+    (pipelines/sketches.py cms_build/cms_estimate): estimates for the
+    top-{CMS_PROBES} true-frequency words, with the one-sided
+    overestimate guarantee surfaced as a column."""
+    from rhq_metrics_spark.pipelines.sketches import cms_build, cms_estimate
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    true_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_n"))
+    topw = Window.orderBy(F.col("true_n").desc(), F.col("w").asc())
+    probes = (
+        true_counts.withColumn("rk", F.row_number().over(topw))
+        .filter(F.col("rk") <= CMS_PROBES)
+    )
+    sketch = cms_build(toks, "w")
+    est = cms_estimate(sketch, probes.select("w"), "w")
+    return (
+        probes.join(est, "w")
+        .select(
+            F.col("rk").cast("int").alias("rk"), "w", "true_n", "est_n",
+            (F.col("est_n") >= F.col("true_n")).alias("overestimates"),
+        )
+    )
+
+
+SQL_SKETCH_CMS = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tc AS (SELECT w, count(*) AS true_n FROM tok GROUP BY w),
+probes AS (
+  SELECT w, true_n,
+         row_number() OVER (ORDER BY true_n DESC, w ASC) AS rk
+  FROM tc QUALIFY rk <= {CMS_PROBES}),
+cells AS (
+  SELECT r.j AS row,
+         CAST(CAST(concat('0x', substr(md5(concat('cms:', CAST(r.j AS VARCHAR),
+                                               ':', w)), 1, 8)) AS BIGINT)
+              % 256 AS INTEGER) AS bucket,
+         count(*) AS n
+  FROM tok, range(4) r(j) GROUP BY 1, 2),
+fan AS (
+  SELECT p.w, p.true_n, p.rk, r.j AS row,
+         CAST(CAST(concat('0x', substr(md5(concat('cms:', CAST(r.j AS VARCHAR),
+                                               ':', p.w)), 1, 8)) AS BIGINT)
+              % 256 AS INTEGER) AS bucket
+  FROM probes p, range(4) r(j)),
+est AS (
+  SELECT w, any_value(true_n) AS true_n, any_value(rk) AS rk,
+         CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n
+  FROM fan LEFT JOIN cells c USING (row, bucket)
+  GROUP BY w)
+SELECT CAST(rk AS INTEGER) AS rk, w, true_n, est_n,
+       est_n >= true_n AS overestimates
+FROM est
+"""
+
+
+W11_BINS = 24
+
+
+def q_w11_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: hour-of-day seasonal baseline + residual per metric
+    (operators/anomaly.py seasonal_baseline) — one profile hash-agg
+    (metric x 24 bins), broadcast back onto the points; exact integer
+    arithmetic until the final 1e4 divisions."""
+    ev = _events_points(spark, sf_dir)
+    pts = ev.select("metric", "ts", "value")
+    return seasonal_baseline(pts, on=["metric"], n_bins=W11_BINS)
+
+
+SQL_W11 = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT metric, ts, value,
+        CAST((ts % 86400000) // 3600000 AS INTEGER) AS bin,
+        CAST(round(value * 100, 0) AS BIGINT) AS vq
+      FROM ev),
+prof AS (SELECT metric, bin,
+           CAST(round(CAST(sum(vq) AS DOUBLE) * 100 / count(*), 0) AS BIGINT)
+             AS bq,
+           count(*) AS bin_samples
+         FROM b GROUP BY metric, bin)
+SELECT b.metric, b.ts, b.value, b.bin, prof.bin_samples,
+       CAST(bq AS DOUBLE) / 10000 AS baseline,
+       CAST(vq * 100 - bq AS DOUBLE) / 10000 AS residual
+FROM b JOIN prof USING (metric, bin)
+"""
+
+
 EWMA_WINDOW_N = 8
 EWMA_ALPHA = (1, 4)  # α = 1/4, weights exact at alpha_den**(window_n-1)
 
@@ -5028,10 +5130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
     # whose driver-green row is oldest (or absent).  Round 9 leads with
-    # any never-sampled r9 additions, then the 13 keys last sampled in
-    # r6 (the TWA/hybrid/hist-quantile serving family + s10/w5/w8/o4/
-    # b11/b15), then the r7-green block (pipelines first, then dedup,
-    # then TPC-H — the TPC-H tail past slot 50 leads r10); the r8-green
+    # the 11 never-sampled r9 additions, then the 13 keys last sampled
+    # in r6 (the TWA/hybrid/hist-quantile serving family + s10/w5/w8/
+    # o4/b11/b15), then the r7-green block (pipelines first, then dedup
+    # — its tail plus TPC-H past slot 50 leads r10); the r8-green
     # window rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5041,6 +5143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_ewma": q_w10_ewma,
         "a14_trimmed_stats": q_a14_trimmed_stats,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "sketch_cms": q_sketch_cms,
+        "w11_seasonal": q_w11_seasonal,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5176,6 +5280,8 @@ def oracle_sql() -> dict[str, str]:
         "w10_ewma": SQL_W10,
         "a14_trimmed_stats": SQL_A14,
         "text_bpe_pairs": SQL_TEXT_BPE,
+        "sketch_cms": SQL_SKETCH_CMS,
+        "w11_seasonal": SQL_W11,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

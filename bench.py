@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "w10_ewma",            # truncated-EWMA smoothing window
     "a14_trimmed_stats",   # robust trimmed-mean buckets, one exchange
     "text_bpe_pairs",      # BPE merge stats off the word-frequency table
+    "sketch_cms",          # count-min build + probe (1024-cell hash-agg)
+    "w11_seasonal",        # seasonal profile agg + broadcast rejoin
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window

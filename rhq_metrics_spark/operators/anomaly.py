@@ -157,3 +157,67 @@ def ewma_smooth(
     return df.withColumn(
         out_col, num.cast("double") / den.cast("double")
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_ms: int = 86_400_000,
+    n_bins: int = 24,
+    value_scale: int = 100,
+    broadcast_baseline: bool = True,
+) -> DataFrame:
+    """W11 (beyond reference): seasonal baseline + residual per series —
+    the hour-of-day (or any period/bin grid) profile monitoring systems
+    subtract before thresholding, so a nightly batch spike isn't an
+    anomaly but the same load at 3pm is.
+
+    Per (series, bin) the baseline is the exact-quantized mean of every
+    point that ever landed in that bin; each point gets its bin's
+    baseline and the residual ``value - baseline``.  All arithmetic is
+    integer until one final division (same contract as ewma_smooth):
+    values quantize to ``value_scale``, the baseline is the
+    ``quantize``-style HALF_UP integer at 4 dp, and the residual is an
+    exact integer difference at 4 dp.
+
+    100 TB shape: ONE hash-agg builds the profile (map-side partials,
+    key space = series × n_bins) and the points re-join it; with
+    ``broadcast_baseline`` the join is a broadcast (right for ≤ ~1M
+    series), otherwise a plain equi-join the planner shuffles on the
+    profile key.  No window over the raw points.
+    """
+    if period_ms % n_bins:
+        raise ValueError("period_ms must divide evenly into n_bins")
+    bin_ms = period_ms // n_bins
+    on = list(on)
+    v_q = F.round(F.col(value_col).cast("double") * value_scale).cast("long")
+    binned = (
+        df.withColumn("_tsmod", F.col(ts_col) % period_ms)
+        .withColumn("bin", F.expr(f"_tsmod div {bin_ms}").cast("int"))
+        .drop("_tsmod")
+        .withColumn("_vq", v_q)
+    )
+    scale_up = 10_000 // value_scale  # value_scale <= 1e4, repo-standard
+    prof = binned.groupBy(*on, "bin").agg(
+        F.round(
+            F.sum("_vq").cast("double") * scale_up / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("_bq"),
+        F.count(F.lit(1)).alias("bin_samples"),
+    )
+    prof_side = F.broadcast(prof) if broadcast_baseline else prof
+    joined = binned.join(prof_side, [*on, "bin"])
+    return joined.select(
+        *on,
+        ts_col,
+        value_col,
+        "bin",
+        "bin_samples",
+        (F.col("_bq").cast("double") / 10_000).alias("baseline"),
+        ((F.col("_vq") * scale_up - F.col("_bq")).cast("double") / 10_000).alias(
+            "residual"
+        ),
+    )

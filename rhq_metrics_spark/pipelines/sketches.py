@@ -199,3 +199,103 @@ def heavy_hitters(
         .filter(F.col("cnt") > threshold)
         .orderBy(F.col("cnt").desc(), F.col("value").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public): mergeable
+# frequency estimation with a one-sided error guarantee.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(value: Column, row: int, width: int, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(f"{salt}:{row}:"), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``value_col``'s frequency
+    distribution: ``(row, bucket, n)`` with ``depth × width`` cells.
+
+    MERGEABLE by construction — cells of two sketches (same
+    depth/width/salt) add, so per-partition / per-day sketches union +
+    re-aggregate into the global one (same contract as the histogram
+    rollups; equality-tested).  Deterministic md5 bucketing (the
+    repo-standard portable hash), so the sketch — and every estimate —
+    is oracle-checkable cross-engine, unlike engine-private HLL/CMS
+    registers.
+
+    100 TB shape: one hash-agg over depth×|input| exploded rows whose
+    key space is depth×width cells (≤1024 by default) — map-side
+    partials absorb ALL skew; the sketch itself is broadcast-sized.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width, salt).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+        w.alias("_w"),
+    )
+    return rows.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(F.sum("_w").cast("long").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each probe value's frequency from the sketch:
+    ``est = min over rows of cell(row, bucket_row(value))``.  The CMS
+    guarantee — ``est >= true`` always, within ``2N/width`` with
+    probability ``1 - 2^-depth`` — is pinned in tests.
+
+    The probe side fans out depth rows per value and joins the
+    BROADCAST sketch on the (row, bucket) key; one small agg takes the
+    min.  Probe sets are top-k/watchlist sized, so this is a serving
+    lookup, not a scan.
+    """
+    fan = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width, salt).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
+    )

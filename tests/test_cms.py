@@ -1,0 +1,107 @@
+"""Count-min sketch: overestimate guarantee, exactness at low load,
+mergeability, and the seasonal-baseline operator vs a Python oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from rhq_metrics_spark.pipelines.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+)
+
+
+def _tokens_df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "w string")
+
+
+def test_cms_exact_at_low_load_and_overestimates(spark):
+    words = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1
+    df = _tokens_df(spark, words)
+    sketch = cms_build(df, "w")
+    probes = _tokens_df(spark, ["alpha", "beta", "gamma", "missing"]).distinct()
+    est = {r["w"]: r["est_n"] for r in cms_estimate(sketch, probes, "w").collect()}
+    true = Counter(words)
+    # guarantee: never under
+    for w in ("alpha", "beta", "gamma"):
+        assert est[w] >= true[w]
+    # 3 distinct values in 4x256 cells: collisions essentially impossible
+    assert est == {"alpha": 7, "beta": 3, "gamma": 1, "missing": 0}
+
+
+def test_cms_error_bound_under_load(spark):
+    # 2000 occurrences over 500 distinct values in a 4x256 sketch:
+    # eps = 2/width -> est - true <= 2N/width = 15.6 w.p. 1 - 2^-4 per
+    # probe; assert the guarantee (>=) everywhere and the bound on all
+    # but a small fraction
+    words = [f"w{i % 500}" for i in range(2000)]
+    df = _tokens_df(spark, words)
+    sketch = cms_build(df, "w")
+    probes = df.distinct()
+    est = {r["w"]: r["est_n"] for r in cms_estimate(sketch, probes, "w").collect()}
+    true = Counter(words)
+    n = len(words)
+    bound = 2 * n / CMS_WIDTH
+    over = [w for w in true if est[w] - true[w] > bound]
+    assert all(est[w] >= true[w] for w in true)
+    assert len(over) <= 0.10 * len(true)  # 2^-depth = 6.25% expected
+
+
+def test_cms_merges_exactly(spark):
+    words = [f"t{i % 40}" for i in range(300)]
+    half_a, half_b = words[:150], words[150:]
+    import pyspark.sql.functions as F
+
+    whole = cms_build(_tokens_df(spark, words), "w")
+    merged = (
+        cms_build(_tokens_df(spark, half_a), "w")
+        .unionByName(cms_build(_tokens_df(spark, half_b), "w"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    a = {(r["row"], r["bucket"]): r["n"] for r in whole.collect()}
+    b = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert a == b
+    assert len(a) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_seasonal_baseline_matches_python(spark):
+    from rhq_metrics_spark.operators.anomaly import seasonal_baseline
+
+    hour = 3_600_000
+    # metric m: hour-0 points 10,20 (baseline 15); hour-1 points 30
+    rows = [
+        ("m", 0 * hour + 5, 10.0),
+        ("m", 24 * hour + 7, 20.0),  # next day, same bin 0
+        ("m", 1 * hour + 1, 30.0),
+        ("x", 0 * hour + 2, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {
+        (r["metric"], r["ts"]): r
+        for r in seasonal_baseline(df, on=["metric"]).collect()
+    }
+    assert out[("m", 5)]["bin"] == 0 and out[("m", 24 * hour + 7)]["bin"] == 0
+    assert out[("m", 5)]["baseline"] == 15.0
+    assert out[("m", 5)]["residual"] == -5.0
+    assert out[("m", 24 * hour + 7)]["residual"] == 5.0
+    assert out[("m", hour + 1)]["baseline"] == 30.0
+    assert out[("m", hour + 1)]["residual"] == 0.0
+    assert out[("m", 5)]["bin_samples"] == 2
+    # series are independent
+    assert out[("x", 2)]["baseline"] == 100.0
+
+
+def test_seasonal_baseline_quantization_is_exact(spark):
+    from rhq_metrics_spark.operators.anomaly import seasonal_baseline
+
+    # mean 1/3 -> 0.3333 at 4 dp HALF_UP; residuals are exact integers
+    rows = [("m", i, v) for i, v in enumerate([0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    r = {x["ts"]: x for x in seasonal_baseline(df, on=["metric"]).collect()}
+    assert r[0]["baseline"] == pytest.approx(0.3333, abs=1e-12)
+    assert r[2]["residual"] == pytest.approx(1.0 - 0.3333, abs=1e-12)
