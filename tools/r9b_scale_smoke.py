@@ -96,6 +96,35 @@ def main() -> None:
     out["bpe_top_pair"] = rows[0]["pair"]
     assert len(rows) == 50
 
+    t0 = time.time()
+    from rhq_metrics_spark.pipelines.sketches import cms_build, cms_estimate
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter("w <> ''")
+    sketch = cms_build(toks, "w").persist()
+    n_cells = sketch.count()
+    out["cms_build_sec"] = round(time.time() - t0, 2)
+    out["cms_cells"] = n_cells
+    assert n_cells <= 4 * 256
+    t0 = time.time()
+    probes = toks.groupBy("w").count().orderBy(F.desc("count"), "w").limit(20)
+    est = cms_estimate(sketch, probes.select("w"), "w")
+    joined = probes.join(est, "w")
+    n_under = joined.filter(F.col("est_n") < F.col("count")).count()
+    out["cms_probe_sec"] = round(time.time() - t0, 2)
+    assert n_under == 0, "CMS one-sided guarantee violated"
+    sketch.unpersist()
+
+    t0 = time.time()
+    from rhq_metrics_spark.pipelines.text import bpe_apply
+
+    merges = [r["pair"] for r in bpe_pair_counts(docs, top_k=100).collect()]
+    enc = bpe_apply(docs, merges)
+    n = enc.count()
+    out["bpe_apply_sec"] = round(time.time() - t0, 2)
+    assert n == n_docs
+
     docs.unpersist()
 
     # ---- 1M points over 1k series: EWMA + trimmed buckets
@@ -117,6 +146,18 @@ def main() -> None:
     out["ewma_sec"] = round(time.time() - t0, 2)
     assert n == n_pts
     assert _plan(sm).count("Exchange hashpartitioning") == 1
+
+    t0 = time.time()
+    from rhq_metrics_spark.operators.anomaly import seasonal_baseline
+
+    sb = seasonal_baseline(
+        pts.select("metric", "ts", (F.col("v100") / 100).alias("value")),
+        on=["metric"],
+    )
+    n = sb.count()
+    out["seasonal_sec"] = round(time.time() - t0, 2)
+    assert n == n_pts
+    assert "BroadcastHashJoin" in _plan(sb)
 
     buckets = Buckets(1_700_000_000_000, n_pts // 64 + 1, 64)
     t0 = time.time()
