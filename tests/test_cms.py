@@ -105,3 +105,77 @@ def test_seasonal_baseline_quantization_is_exact(spark):
     r = {x["ts"]: x for x in seasonal_baseline(df, on=["metric"]).collect()}
     assert r[0]["baseline"] == pytest.approx(0.3333, abs=1e-12)
     assert r[2]["residual"] == pytest.approx(1.0 - 0.3333, abs=1e-12)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Streaming CMS twin: a finalized slice's cells equal cms_build
+    over that slice's rows, and summing the per-slice cells reproduces
+    the whole-range sketch (mergeability, live)."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.streaming.cms import streaming_cms
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"sec": base + i * 60, "w": f"tok{(i * 13) % 9}"} for i in range(50)
+    ]
+    rows2 = [{"sec": base + 7200, "w": "late"}]  # watermark push
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("sec long, w string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    out = streaming_cms(stream, "w", "30 minutes", watermark_delay="5 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    batch = spark.createDataFrame([(r["w"],) for r in rows1], "w string")
+    whole = {
+        (r["row"], r["bucket"]): r["n"] for r in cms_build(batch, "w").collect()
+    }
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql(
+                "select sum(n) from cms_out"
+            ).collect()[0][0] or 0
+        ) < 50 * CMS_DEPTH and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    slices = spark.sql("select * from cms_out").collect()
+    # per-slice cells == batch cms_build over the slice's rows
+    per_slice: dict = {}
+    for r in slices:
+        key = (r["row"], r["bucket"])
+        per_slice[key] = per_slice.get(key, 0) + r["n"]
+        s0 = int(r["slice_start"].timestamp())
+        rows_in = [
+            (x["w"],) for x in rows1 if s0 <= x["sec"] < s0 + 1800
+        ]
+        exp = {
+            (b["row"], b["bucket"]): b["n"]
+            for b in cms_build(
+                spark.createDataFrame(rows_in, "w string"), "w"
+            ).collect()
+        }
+        assert exp[(r["row"], r["bucket"])] == r["n"]
+    # summed per-slice cells == the whole-range sketch
+    assert per_slice == whole
