@@ -4958,6 +4958,46 @@ SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
 """
 
 
+N_A15 = 24
+A15_K = 3
+
+
+def q_a15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: median/MAD robust outlier flags per bucket
+    (operators/anomaly.py bucket_mad_outliers) — two bucket-key
+    hash-aggs + two broadcast rejoins, dyadic-exact medians."""
+    from rhq_metrics_spark.operators.anomaly import bucket_mad_outliers
+
+    pts = _events_points(spark, sf_dir).filter(F.col("metric") == "purchase")
+    s, e = _bounds(pts)
+    buckets = Buckets.from_count(s, e, N_A15)
+    return bucket_mad_outliers(
+        pts.select("ts", "value"), buckets, k=A15_K, value_scale=100
+    )
+
+
+SQL_A15 = f"""
+WITH ev AS ({EV_SQL} WHERE event_type = 'purchase'),
+{_grid_sql(N_A15)},
+pts AS (SELECT (ts - s) // step AS bucket_idx, ts, value,
+          CAST(round(value * 100, 0) AS BIGINT) AS vq
+        FROM ev, g WHERE ts >= s AND ts < s + step * {N_A15}),
+med AS (SELECT bucket_idx, quantile_cont(vq, 0.5) AS med
+        FROM pts GROUP BY bucket_idx),
+d AS (SELECT pts.bucket_idx, pts.ts, pts.value, med.med,
+        abs(pts.vq - med.med) AS dev
+      FROM pts JOIN med USING (bucket_idx)),
+mad AS (SELECT bucket_idx, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY bucket_idx)
+SELECT g.s + bucket_idx * g.step AS start,
+       g.s + (bucket_idx + 1) * g.step AS "end",
+       ts, value,
+       med / 100 AS med, mad / 100 AS mad,
+       (mad > 0 AND dev > {A15_K} * mad) AS is_outlier
+FROM d JOIN mad USING (bucket_idx), g
+"""
+
+
 CMS_PROBES = 20
 
 
@@ -5145,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": q_text_bpe_pairs,
         "sketch_cms": q_sketch_cms,
         "w11_seasonal": q_w11_seasonal,
+        "a15_mad_outliers": q_a15_mad_outliers,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5282,6 +5323,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_pairs": SQL_TEXT_BPE,
         "sketch_cms": SQL_SKETCH_CMS,
         "w11_seasonal": SQL_W11,
+        "a15_mad_outliers": SQL_A15,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_bpe_pairs",      # BPE merge stats off the word-frequency table
     "sketch_cms",          # count-min build + probe (1024-cell hash-agg)
     "w11_seasonal",        # seasonal profile agg + broadcast rejoin
+    "a15_mad_outliers",    # robust median/MAD flags, 2 aggs + 2 bc joins
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window

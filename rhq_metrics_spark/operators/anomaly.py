@@ -221,3 +221,63 @@ def seasonal_baseline(
             "residual"
         ),
     )
+
+
+def bucket_mad_outliers(
+    df: DataFrame,
+    buckets,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 3,
+    value_scale: int = 100,
+) -> DataFrame:
+    """A15/W12 (beyond reference): median/MAD outlier flags per bucket —
+    the Hampel-style ROBUST detector (median absolute deviation resists
+    the very outliers a mean/std z-score chases; one stuck gauge cannot
+    widen its own acceptance band).
+
+    Per bucket: ``med`` = exact median of the quantized values, ``mad``
+    = exact median of ``|v - med|``; a point is an outlier when its
+    deviation exceeds ``k × mad`` (k≈3 ≙ ~2σ for normal data via the
+    1.4826 consistency factor — left to the caller's k).  ``mad = 0``
+    (constant bucket) flags nothing, matching rolling_zscore's
+    zero-variance guard.
+
+    Exactness: values quantize to integers; both medians are dyadic
+    ``(a+b)/2`` interpolations over exact values — bit-identical across
+    engines (the same guarantee the A1 median relies on); deviations
+    are exact doubles (integer ± x.5 steps).
+
+    100 TB shape: ONE exchange and ONE scan — both medians are
+    whole-partition window aggregates over the same bucket key
+    (Spark evaluates an unbounded-frame aggregate once per partition),
+    so the second median rides the first's partitioning; the
+    join-free twin of the trimmed-stats plan.  Output: ``(start, end,
+    ts, value, med, mad, is_outlier)``.
+    """
+    from rhq_metrics_spark.operators.stats import bucket_index, in_grid
+
+    v_q = F.round(F.col(value_col).cast("double") * value_scale).cast("long")
+    pts = (
+        df.filter(in_grid(buckets, ts_col))
+        .withColumn("bucket_idx", bucket_index(buckets, ts_col))
+        .withColumn("_vq", v_q)
+    )
+    w = Window.partitionBy("bucket_idx")
+    with_med = pts.withColumn(
+        "_med", F.percentile(F.col("_vq"), F.lit(0.5)).over(w)
+    ).withColumn("_dev", F.abs(F.col("_vq") - F.col("_med")))
+    out = with_med.withColumn(
+        "_mad", F.percentile(F.col("_dev"), F.lit(0.5)).over(w)
+    )
+    return out.select(
+        (F.lit(buckets.start) + F.col("bucket_idx") * buckets.step).alias("start"),
+        (F.lit(buckets.start) + (F.col("bucket_idx") + 1) * buckets.step).alias("end"),
+        ts_col,
+        value_col,
+        (F.col("_med") / value_scale).alias("med"),
+        (F.col("_mad") / value_scale).alias("mad"),
+        ((F.col("_mad") > 0) & (F.col("_dev") > F.lit(k) * F.col("_mad"))).alias(
+            "is_outlier"
+        ),
+    )

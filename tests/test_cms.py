@@ -179,3 +179,42 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
         assert exp[(r["row"], r["bucket"])] == r["n"]
     # summed per-slice cells == the whole-range sketch
     assert per_slice == whole
+
+
+def test_bucket_mad_outliers_flags_spike_not_constant(spark):
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.anomaly import bucket_mad_outliers
+
+    # bucket 0: tight cluster + one wild spike; bucket 1: constant
+    rows = (
+        [(i, 10.0 + (i % 3) * 0.1) for i in range(10)]
+        + [(10, 500.0)]
+        + [(100 + i, 7.0) for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "ts long, value double")
+    out = bucket_mad_outliers(df, Buckets(0, 100, 2), k=3)
+    got = {r["ts"]: r for r in out.collect()}
+    assert got[10]["is_outlier"]
+    assert not any(got[t]["is_outlier"] for t in range(10))
+    # MAD of the spike bucket resisted the spike itself
+    assert got[10]["mad"] <= 0.1
+    # constant bucket: mad == 0 -> nothing flagged (zero-spread guard)
+    assert all(not got[100 + i]["is_outlier"] for i in range(8))
+    assert got[100]["mad"] == 0.0
+
+
+def test_bucket_mad_matches_python_oracle(spark):
+    import statistics
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.anomaly import bucket_mad_outliers
+
+    vals = [3.17, -2.4, 8.88, 0.01, 5.5, 5.5, -7.23, 12.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, value double"
+    )
+    r = bucket_mad_outliers(df, Buckets(0, 50, 1)).collect()[0]
+    q = [round(v * 100) for v in vals]
+    med = statistics.median(q)
+    mad = statistics.median(abs(x - med) for x in q)
+    assert r["med"] == med / 100 and r["mad"] == mad / 100
