@@ -1695,6 +1695,47 @@ FROM (
             value_scale=value_scale,
         )
 
+    def mad_outliers(
+        self,
+        tenant_id,
+        metric,
+        buckets: Buckets,
+        k: int = 3,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """A15 median/MAD robust outlier flags per bucket
+        (operators/anomaly.py bucket_mad_outliers)."""
+        from rhq_metrics_spark.operators.anomaly import bucket_mad_outliers
+
+        pts = self._scan(
+            metric_type, tenant_id, metric, buckets.start, buckets.end
+        )
+        return bucket_mad_outliers(
+            pts.select("ts", "value"), buckets, k=k, value_scale=value_scale
+        )
+
+    def seasonal_profile(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        period_ms: int = 86_400_000,
+        n_bins: int = 24,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """W11 seasonal baseline + residual for a series scan
+        (operators/anomaly.py seasonal_baseline)."""
+        from rhq_metrics_spark.operators.anomaly import seasonal_baseline
+
+        pts = self._scan(metric_type, tenant_id, metric, start, end)
+        return seasonal_baseline(
+            pts.select("metric", "ts", "value"), on=["metric"],
+            period_ms=period_ms, n_bins=n_bins, value_scale=value_scale,
+        )
+
     # -- availability (A2/A7) -----------------------------------------------------
 
     def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:

@@ -514,3 +514,28 @@ def test_trimmed_stats_facade(svc):
         assert r["n_kept"] == r["samples"] - 2 * (r["samples"] // 10)
         # trimmed mean stays inside the kept range
         assert r["t_min"] <= r["trimmed_avg"] <= r["t_max"]
+
+
+def test_mad_outliers_and_seasonal_facade(svc):
+    buckets = Buckets.from_count(T0, T0 + 1_200_000, 4)
+    out = svc.mad_outliers("t1", "g1", buckets).collect()
+    assert len(out) == 120
+    # the sin+trend series has no wild outliers at k=3 x MAD within a
+    # 5-minute bucket... except possibly at trend edges; just check the
+    # columns and flag type are sane and med is within the value range
+    vals = [r["value"] for r in out]
+    assert all(isinstance(r["is_outlier"], bool) for r in out)
+    assert min(vals) <= out[0]["med"] <= max(vals)
+
+    prof = svc.seasonal_profile("t1", "g1", T0, T0 + 1_200_000).collect()
+    assert len(prof) == 120
+    # 120 points x 10s cadence span 20 minutes -> exactly 1 hour bin
+    bins = {r["bin"] for r in prof}
+    assert len(bins) <= 2
+    for r in prof:
+        # residual lives on the value_scale grid (value quantizes to
+        # centiunits first), so it matches raw value - baseline to half
+        # a quantization step
+        assert r["residual"] == pytest.approx(
+            r["value"] - r["baseline"], abs=0.005 + 1e-9
+        )
