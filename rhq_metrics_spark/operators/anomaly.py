@@ -188,27 +188,75 @@ def seasonal_baseline(
     series), otherwise a plain equi-join the planner shuffles on the
     profile key.  No window over the raw points.
     """
+    on = list(on)
+    binned = _seasonal_binned(df, ts_col, value_col, period_ms, n_bins,
+                              value_scale)
+    prof = seasonal_profile(binned, on)
+    return seasonal_apply(
+        binned, prof, on, ts_col=ts_col, value_col=value_col,
+        value_scale=value_scale, broadcast_profile=broadcast_baseline,
+    )
+
+
+def _seasonal_binned(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period_ms: int,
+    n_bins: int,
+    value_scale: int,
+) -> DataFrame:
     if period_ms % n_bins:
         raise ValueError("period_ms must divide evenly into n_bins")
     bin_ms = period_ms // n_bins
-    on = list(on)
     v_q = F.round(F.col(value_col).cast("double") * value_scale).cast("long")
-    binned = (
+    return (
         df.withColumn("_tsmod", F.col(ts_col) % period_ms)
         .withColumn("bin", F.expr(f"_tsmod div {bin_ms}").cast("int"))
         .drop("_tsmod")
         .withColumn("_vq", v_q)
     )
+
+
+def seasonal_profile(binned: DataFrame, on: Sequence[str]) -> DataFrame:
+    """The seasonal profile as MERGEABLE partials: ``(on…, bin, sum_vq,
+    bin_samples)`` — exact integer sums, so per-slice / per-day
+    profiles union + re-aggregate (sum both columns) into any range's
+    profile, the same contract as the histogram rollups.  The streaming
+    twin (streaming/seasonal.py) emits exactly these rows per finalized
+    slice."""
+    return binned.groupBy(*on, "bin").agg(
+        F.sum("_vq").alias("sum_vq"),
+        F.count(F.lit(1)).alias("bin_samples"),
+    )
+
+
+def seasonal_apply(
+    binned: DataFrame,
+    profile: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+    broadcast_profile: bool = True,
+) -> DataFrame:
+    """Score points against a (possibly merged) profile: finalizing the
+    baseline from the partials is a per-row PROJECTION
+    (``round(sum_vq*scale/n)``), so serving from stored partials costs
+    one join and zero extra aggregations."""
+    on = list(on)
     scale_up = 10_000 // value_scale  # value_scale <= 1e4, repo-standard
-    prof = binned.groupBy(*on, "bin").agg(
+    prof = profile.select(
+        *on,
+        "bin",
         F.round(
-            F.sum("_vq").cast("double") * scale_up / F.count(F.lit(1))
+            F.col("sum_vq").cast("double") * scale_up / F.col("bin_samples")
         )
         .cast("long")
         .alias("_bq"),
-        F.count(F.lit(1)).alias("bin_samples"),
+        "bin_samples",
     )
-    prof_side = F.broadcast(prof) if broadcast_baseline else prof
+    prof_side = F.broadcast(prof) if broadcast_profile else prof
     joined = binned.join(prof_side, [*on, "bin"])
     return joined.select(
         *on,

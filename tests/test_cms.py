@@ -218,3 +218,100 @@ def test_bucket_mad_matches_python_oracle(spark):
     med = statistics.median(q)
     mad = statistics.median(abs(x - med) for x in q)
     assert r["med"] == med / 100 and r["mad"] == mad / 100
+
+
+def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
+    """Streaming seasonal-profile partials: finalized slices sum to the
+    batch profile exactly, and seasonal_apply over the merged partials
+    reproduces seasonal_baseline end to end."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_apply,
+        seasonal_baseline,
+        seasonal_profile,
+    )
+    from rhq_metrics_spark.streaming.seasonal import streaming_seasonal_profile
+
+    src = tmp_path / "sp_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {
+            "metric": "m",
+            "sec": base + i * 300,
+            "value": float((i * 11) % 17) + 0.25,
+        }
+        for i in range(48)
+    ]
+    rows2 = [{"metric": "m", "sec": base + 90_000, "value": 1.0}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("metric string, sec long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+        .withColumn("ts", F.col("sec") * 1000)
+    )
+    out = streaming_seasonal_profile(
+        stream, "60 minutes", watermark_delay="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sp_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sp_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    batch = spark.createDataFrame(
+        [(r["metric"], r["sec"] * 1000, r["value"]) for r in rows1],
+        "metric string, ts long, value double",
+    )
+    binned = _seasonal_binned(batch, "ts", "value", 86_400_000, 24, 100)
+    want = {
+        (r["metric"], r["bin"]): (r["sum_vq"], r["bin_samples"])
+        for r in seasonal_profile(binned, ["metric"]).collect()
+    }
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql("select coalesce(sum(bin_samples),0) from sp_out")
+            .collect()[0][0]
+        ) < len(rows1) and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    parts = spark.sql("select * from sp_out")
+    merged = {
+        (r["metric"], r["bin"]): (r["sum_vq"], r["bin_samples"])
+        for r in parts.groupBy("metric", "bin")
+        .agg(
+            F.sum("sum_vq").alias("sum_vq"),
+            F.sum("bin_samples").alias("bin_samples"),
+        )
+        .collect()
+    }
+    assert merged == want
+    # end-to-end: scoring with the merged partials == the one-shot op
+    prof = parts.groupBy("metric", "bin").agg(
+        F.sum("sum_vq").alias("sum_vq"),
+        F.sum("bin_samples").alias("bin_samples"),
+    )
+    served = {
+        (r["metric"], r["ts"]): (r["baseline"], r["residual"])
+        for r in seasonal_apply(binned, prof, ["metric"]).collect()
+    }
+    direct = {
+        (r["metric"], r["ts"]): (r["baseline"], r["residual"])
+        for r in seasonal_baseline(batch, on=["metric"]).collect()
+    }
+    assert served == direct
