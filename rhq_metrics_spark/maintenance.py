@@ -46,6 +46,7 @@ class MaintenanceRunner:
         increase_sink: dict | None = None,
         twa_sink: dict | None = None,
         availability_sink: dict | None = None,
+        seasonal_sink: dict | None = None,
     ):
         self.service = service
         self.default_retention_days = default_retention_days
@@ -83,6 +84,14 @@ class MaintenanceRunner:
         #: operators/availability.py availability_rollup):
         #: ``{"path", "attach": True}``
         self.availability_sink = availability_sink
+        #: optional seasonal-profile partials (exact integer sums,
+        #: operators/anomaly.py seasonal_profile): ``{"path",
+        #: "metric_type": "gauge", "period_ms": 86400000, "n_bins": 24,
+        #: "value_scale": 100, "attach": True}`` — per compacted slice
+        #: like the other sinks; attached via
+        #: ``service.attach_seasonal_profile`` so seasonal scoring uses
+        #: the long-run profile with zero raw reads on the baseline side.
+        self.seasonal_sink = seasonal_sink
 
     # -- one full pass (cron-style) ---------------------------------------
 
@@ -96,6 +105,7 @@ class MaintenanceRunner:
         inc_slices = self._emit_increase_partials(compacted)
         twa_slices = self._emit_twa_partials(compacted)
         avail_slices = self._emit_availability_partials(compacted)
+        seasonal_slices = self._emit_seasonal_partials(compacted)
         retention = self.service.apply_retention_policies(
             now_ms, self.default_retention_days
         )
@@ -110,6 +120,7 @@ class MaintenanceRunner:
             "increase_slices": inc_slices,
             "twa_slices": twa_slices,
             "availability_slices": avail_slices,
+            "seasonal_slices": seasonal_slices,
             "retention": retention,
             "expiration_rows": expiration,
         }
@@ -262,6 +273,47 @@ class MaintenanceRunner:
                 svc.attach_availability_rollup(cfg["path"], store.slice_ms)
 
         return self._emit_partials(cfg, compacted, "availability", build, attach)
+
+    def _emit_seasonal_partials(self, compacted: dict[str, list[int]]) -> int:
+        cfg = self.seasonal_sink
+        if not cfg:
+            return 0
+
+        def build(pts, store, cfg):
+            import pyspark.sql.functions as F
+
+            from rhq_metrics_spark.operators.anomaly import (
+                _seasonal_binned,
+                seasonal_profile,
+            )
+
+            binned = _seasonal_binned(
+                pts,
+                "ts",
+                "value",
+                int(cfg.get("period_ms", 86_400_000)),
+                int(cfg.get("n_bins", 24)),
+                int(cfg.get("value_scale", 100)),
+            ).withColumn(
+                "slice_start",
+                (F.floor(F.col("ts") / store.slice_ms) * store.slice_ms).cast(
+                    "long"
+                ),
+            )
+            return seasonal_profile(
+                binned, ["tenant_id", "metric", "slice_start"]
+            )
+
+        def attach(svc, store, cfg, mt):
+            svc.attach_seasonal_profile(
+                cfg["path"],
+                period_ms=int(cfg.get("period_ms", 86_400_000)),
+                n_bins=int(cfg.get("n_bins", 24)),
+                value_scale=int(cfg.get("value_scale", 100)),
+                metric_type=mt,
+            )
+
+        return self._emit_partials(cfg, compacted, "gauge", build, attach)
 
     def _emit_partials(
         self, cfg: dict, compacted: dict[str, list[int]], default_mt: str,

@@ -80,6 +80,7 @@ class MetricsService:
         self._hist_rollups: dict[str, tuple] = {}
         self._increase_rollups: dict[str, tuple] = {}
         self._twa_rollups: dict[str, tuple] = {}
+        self._seasonal_profiles: dict[str, tuple] = {}
         self._avail_rollup: tuple | None = None
         # Cost-based serving router (see _hybrid_profitable): a
         # watermark-crossing stats query goes hybrid only when the
@@ -1715,6 +1716,32 @@ FROM (
             pts.select("ts", "value"), buckets, k=k, value_scale=value_scale
         )
 
+    def attach_seasonal_profile(
+        self,
+        profile,
+        period_ms: int = 86_400_000,
+        n_bins: int = 24,
+        value_scale: int = 100,
+        metric_type=MetricType.GAUGE,
+    ) -> None:
+        """Attach seasonal-profile PARTIALS (operators/anomaly.py
+        seasonal_profile rows — exact integer ``sum_vq``/``bin_samples``
+        per (tenant_id, metric, bin), any extra partition columns such
+        as ``slice_start`` welcome): the maintenance ``seasonal_sink``
+        or the streaming twin's output.  Once attached,
+        :meth:`seasonal_profile` scores request-range points against
+        the LONG-RUN profile merged from the partials — the monitoring
+        semantics (today vs the historical hour-of-day norm) — with
+        zero raw-point reads for the baseline side."""
+        df = (
+            self.spark.read.parquet(profile)
+            if isinstance(profile, str)
+            else profile
+        )
+        self._seasonal_profiles[MetricType.check(metric_type)] = (
+            df, int(period_ms), int(n_bins), int(value_scale),
+        )
+
     def seasonal_profile(
         self,
         tenant_id,
@@ -1727,10 +1754,43 @@ FROM (
         value_scale: int = 100,
     ) -> DataFrame:
         """W11 seasonal baseline + residual for a series scan
-        (operators/anomaly.py seasonal_baseline)."""
-        from rhq_metrics_spark.operators.anomaly import seasonal_baseline
+        (operators/anomaly.py seasonal_baseline).  With partials
+        attached (:meth:`attach_seasonal_profile`, matching params) the
+        baseline comes from the merged long-run profile instead of the
+        request range's own points — when the request range IS the full
+        compacted history the two routes are bit-identical (tested)."""
+        from rhq_metrics_spark.operators.anomaly import (
+            _seasonal_binned,
+            seasonal_apply,
+            seasonal_baseline,
+        )
 
         pts = self._scan(metric_type, tenant_id, metric, start, end)
+        entry = self._seasonal_profiles.get(MetricType.check(metric_type))
+        if entry is not None:
+            df, att_period, att_bins, att_scale = entry
+            if (
+                att_period == period_ms and att_bins == n_bins
+                and att_scale == value_scale
+            ):
+                prof = (
+                    df.filter(
+                        (F.col("tenant_id") == tenant_id)
+                        & (F.col("metric") == metric)
+                    )
+                    .groupBy("metric", "bin")
+                    .agg(
+                        F.sum("sum_vq").alias("sum_vq"),
+                        F.sum("bin_samples").alias("bin_samples"),
+                    )
+                )
+                binned = _seasonal_binned(
+                    pts.select("metric", "ts", "value"), "ts", "value",
+                    period_ms, n_bins, value_scale,
+                )
+                return seasonal_apply(
+                    binned, prof, ["metric"], value_scale=value_scale
+                )
         return seasonal_baseline(
             pts.select("metric", "ts", "value"), on=["metric"],
             period_ms=period_ms, n_bins=n_bins, value_scale=value_scale,

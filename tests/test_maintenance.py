@@ -384,3 +384,51 @@ def test_maintenance_emits_stats_rollup(spark, tmp_path):
     assert not any("points" in f for f in routed3.inputFiles())
     assert {r["start"]: r["samples"] for r in routed3.collect()} == \
         {k: v["samples"] for k, v in raw3.items()}
+
+
+def test_maintenance_emits_seasonal_partials(spark, tmp_path):
+    """seasonal_sink: compaction writes per-slice profile partials;
+    scoring the full compacted history through the attached profile is
+    bit-identical to the unattached one-shot operator."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    runner = MaintenanceRunner(
+        svc, seasonal_sink={"path": str(tmp_path / "seasonal")}
+    )
+    rows = [
+        ("t", "cpu", s * slice_ms + i * 240_000,
+         float((s * 17 + i * 5) % 30) + 0.5, None)
+        for s in range(2) for i in range(20)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["seasonal_slices"] == 2
+    parts = spark.read.parquet(str(tmp_path / "seasonal"))
+    assert parts.filter("sum_vq IS NULL").count() == 0
+    # partials carry exact integer sums per (tenant, metric, slice, bin)
+    assert parts.agg(F.sum("bin_samples")).collect()[0][0] == len(rows)
+
+    routed = svc.seasonal_profile("t", "cpu", 0, 2 * slice_ms)
+    # the baseline side comes from the partials (the request scan still
+    # reads points — those are the rows being scored)
+    direct_svc = MetricsService(spark, store)
+    direct = direct_svc.seasonal_profile("t", "cpu", 0, 2 * slice_ms)
+    got = {r["ts"]: (r["baseline"], r["residual"], r["bin_samples"])
+           for r in routed.collect()}
+    exp = {r["ts"]: (r["baseline"], r["residual"], r["bin_samples"])
+           for r in direct.collect()}
+    assert got == exp and len(got) == len(rows)
+
+    # param mismatch falls back to the one-shot operator (no partials)
+    odd = svc.seasonal_profile("t", "cpu", 0, 2 * slice_ms, n_bins=12)
+    assert odd.count() == len(rows)
