@@ -169,6 +169,18 @@ def main() -> None:
     assert n == 64
     assert _plan(tr).count("Exchange hashpartitioning") == 1
 
+    t0 = time.time()
+    from rhq_metrics_spark.operators.anomaly import bucket_mad_outliers
+
+    mo = bucket_mad_outliers(
+        pts.select("ts", (F.col("v100") / 100).alias("value")), buckets
+    )
+    n = mo.count()
+    out["mad_sec"] = round(time.time() - t0, 2)
+    out["mad_flagged"] = mo.filter("is_outlier").count()
+    assert n == n_pts
+    assert _plan(mo).count("Exchange hashpartitioning") == 1
+
     pts.unpersist()
     print(json.dumps(out))
     spark.stop()
