@@ -59,8 +59,11 @@ def mg_merge(base: DataFrame, counts: DataFrame, capacity: int) -> DataFrame:
 
 
 def _state_sources(spark: SparkSession, state_dir: str, before_batch: int):
-    """Newest ``batch-M`` directory with ``M < before_batch`` (Hadoop FS
-    listing — works on HDFS/S3/local), or None."""
+    """Newest COMMITTED ``batch-M`` directory with ``M < before_batch``
+    (Hadoop FS listing — works on HDFS/S3/local), or None.  Only dirs
+    carrying Spark's ``_SUCCESS`` marker count: a concurrent reader (or
+    a replay racing the writer) must fall back to the previous committed
+    state rather than fail on — or worse, trust — a half-written one."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -74,8 +77,13 @@ def _state_sources(spark: SparkSession, state_dir: str, before_batch: int):
                 bid = int(name.split("-", 1)[1])
             except ValueError:
                 continue
-            if bid < before_batch and (best is None or bid > best[0]):
-                best = (bid, str(st.getPath()))
+            if bid >= before_batch or (best is not None and bid <= best[0]):
+                continue
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                continue
+            best = (bid, str(st.getPath()))
     return best
 
 
