@@ -87,6 +87,15 @@ def _index_sources(spark, index_dir: str, before_batch: int) -> list[str]:
                     bid = -1
                 if bid >= before_batch:
                     continue
+                # only COMMITTED batch dirs: a reader racing the writer
+                # (an external analyst, or a replay whose earlier
+                # attempt died mid-write of an OLDER dir) must skip a
+                # half-written directory rather than fail on schema
+                # inference or read partial signatures
+                if not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+                ):
+                    continue
             out.append(str(st.getPath()))
         elif name.endswith(".parquet"):
             out.append(str(st.getPath()))
