@@ -823,3 +823,70 @@ def test_bpe_pair_counts_match_python_counter(spark, texts):
         )
     ]
     assert got == expected
+
+
+@given(
+    words=st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=80
+    )
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_guarantee_property(spark, words):
+    """CMS one-sided guarantee on arbitrary streams: estimate >= true
+    for every present value, == for absent probes' zero floor."""
+    from collections import Counter
+
+    from rhq_metrics_spark.pipelines.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sketch = cms_build(df, "w")
+    probes = df.distinct()
+    est = {
+        r["w"]: r["est_n"] for r in cms_estimate(sketch, probes, "w").collect()
+    }
+    true = Counter(words)
+    assert all(est[w] >= c for w, c in true.items())
+
+
+@given(
+    a=st.dictionaries(
+        st.sampled_from(list("abcdefgh")), st.integers(1, 50), max_size=6
+    ),
+    b=st.dictionaries(
+        st.sampled_from(list("abcdefgh")), st.integers(1, 50), max_size=6
+    ),
+    cap=st.sampled_from([1, 3, 6]),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mg_merge_property(spark, a, b, cap):
+    """Spark MG merge == the textbook merge (sum, subtract (cap+1)-th
+    largest, drop non-positive) on arbitrary summaries."""
+    from collections import Counter
+
+    from rhq_metrics_spark.streaming.heavy_hitters import mg_merge
+
+    def df_of(d, eps):
+        return spark.createDataFrame(
+            [(v, c, eps) for v, c in d.items()],
+            "value string, cnt long, eps long",
+        )
+
+    got = {
+        r["value"]: r["cnt"]
+        for r in mg_merge(df_of(a, 2), df_of(b, 3), cap).collect()
+    }
+    merged = Counter(a)
+    merged.update(b)
+    thr = (
+        sorted(merged.values(), reverse=True)[cap]
+        if len(merged) > cap
+        else 0
+    )
+    exp = {v: c - thr for v, c in merged.items() if c > thr}
+    assert got == exp and len(got) <= cap
