@@ -4958,6 +4958,47 @@ SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
 """
 
 
+def q_pipe_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE+ v2: the NEW r9 rulesets composed end-to-end as one query —
+    Gopher go/no-go filter (published thresholds, min_stopword_hits=1
+    for this corpus's lexicon) → exact dedup keep-first-per-md5 over the
+    survivors → token-budget mixture realization over the deduped
+    corpus.  Every stage is an already-oracled operator; this checks
+    their COMPOSITION (the front half of a real pretraining recipe:
+    filter → dedup → mix)."""
+    docs = _table(spark, sf_dir, "documents")
+    kept_ids = (
+        gopher_quality_filter(docs, min_stopword_hits=1)
+        .filter("kept")
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    canon = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept_docs = docs.join(canon.select("doc_id"), "doc_id")
+    parts = F.expr("cast(substring(group, 4, 10) as int) % 4 + 1")
+    out = token_mixture_sample(kept_docs, parts, MIX_BUDGET)
+    return out.selectExpr(
+        "doc_id", "group", "cast(copy_idx as bigint) AS copy_idx",
+        "n_tokens",
+    )
+
+
+def _pipe_quality_mixture_sql() -> str:
+    g = SQL_TEXT_GOPHER.strip()
+    mix = SQL_PIPE_TOKEN_MIXTURE.strip()
+    assert mix.startswith("WITH ")
+    mix_body = mix[len("WITH "):].replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH gq AS ({g}),
+ids AS (SELECT doc_id FROM gq WHERE kept),
+canon AS (SELECT min(d.doc_id) AS doc_id
+          FROM documents d JOIN ids USING (doc_id)
+          GROUP BY md5(d.text)),
+kept_docs AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+{mix_body}
+"""
+
+
 N_A15 = 24
 A15_K = 3
 
@@ -5186,6 +5227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "w11_seasonal": q_w11_seasonal,
         "a15_mad_outliers": q_a15_mad_outliers,
+        "pipe_quality_mixture": q_pipe_quality_mixture,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5324,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms": SQL_SKETCH_CMS,
         "w11_seasonal": SQL_W11,
         "a15_mad_outliers": SQL_A15,
+        "pipe_quality_mixture": _pipe_quality_mixture_sql(),
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,
