@@ -5211,7 +5211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
     # whose driver-green row is oldest (or absent).  Round 9 leads with
-    # the 11 never-sampled r9 additions, then the 13 keys last sampled
+    # the 15 never-sampled r9 additions, then the 13 keys last sampled
     # in r6 (the TWA/hybrid/hist-quantile serving family + s10/w5/w8/
     # o4/b11/b15), then the r7-green block (pipelines first, then dedup
     # — its tail plus TPC-H past slot 50 leads r10); the r8-green
