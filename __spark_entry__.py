@@ -125,6 +125,7 @@ from rhq_metrics_spark.pipelines.text import (
     IPV4_PATTERN,
     URL_PATTERN,
     bm25_score,
+    boilerplate_line_filter,
     bpe_pair_counts,
     c4_line_clean,
     contamination_check,
@@ -4958,6 +4959,74 @@ SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
 """
 
 
+#: shared footer/banner lines injected into the stitched pages so the
+#: cross-document frequency rule has real boilerplate to find (the
+#: synthetic corpus has no duplicate texts — TESTDATA.md)
+BL_FOOTER = "copyright example site all rights reserved"
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate line removal (pipelines/text.py
+    boilerplate_line_filter): pages stitched from 5 docs plus a shared
+    footer and a per-section banner; lines in >= 2 distinct pages (the
+    footer + every banner) are dropped, unique content survives, pages
+    are REWRITTEN in original line order."""
+    docs = _table(spark, sf_dir, "documents")
+    pages = docs.groupBy(
+        F.floor(F.col("doc_id") / C4_PAGE_SIZE).cast("long").alias("page_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x.text,
+            ),
+            "\n",
+        ).alias("content")
+    )
+    pages = pages.select(
+        "page_id",
+        F.concat_ws(
+            "\n",
+            F.col("content"),
+            F.concat(F.lit("section "), (F.col("page_id") % 7).cast("string")),
+            F.lit(BL_FOOTER),
+        ).alias("text"),
+    )
+    return boilerplate_line_filter(pages, id_col="page_id", min_docs=2)
+
+
+SQL_TEXT_BOILERPLATE = f"""
+WITH pages0 AS (
+  SELECT CAST(doc_id // {C4_PAGE_SIZE} AS BIGINT) AS page_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS content
+  FROM documents GROUP BY 1),
+pages AS (
+  SELECT page_id,
+         content || chr(10) || 'section ' || CAST(page_id % 7 AS VARCHAR)
+                 || chr(10) || '{BL_FOOTER}' AS text
+  FROM pages0),
+pl AS (SELECT page_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+       FROM pages),
+l AS (SELECT page_id, s.pos AS pos, s.line AS line
+      FROM (SELECT page_id,
+              unnest(list_transform(range(1, len(lines) + 1),
+                i -> struct_pack(pos := i,
+                                 line := lines[CAST(i AS INT)]))) AS s
+            FROM pl) t),
+freq AS (SELECT line, count(DISTINCT page_id) AS nd FROM l GROUP BY line),
+k AS (SELECT l.page_id, l.pos, l.line, freq.nd < 2 AS keep
+      FROM l JOIN freq USING (line))
+SELECT page_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept_lines,
+  CASE WHEN count(*) FILTER (keep) > 0
+       THEN array_to_string(list(line ORDER BY pos) FILTER (keep), chr(10))
+  END AS clean_text
+FROM k GROUP BY page_id
+"""
+
+
 def q_pipe_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIPE+ v2: the NEW r9 rulesets composed end-to-end as one query —
     Gopher go/no-go filter (published thresholds, min_stopword_hits=1
@@ -5228,6 +5297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_seasonal": q_w11_seasonal,
         "a15_mad_outliers": q_a15_mad_outliers,
         "pipe_quality_mixture": q_pipe_quality_mixture,
+        "text_boilerplate": q_text_boilerplate,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5367,6 +5437,7 @@ def oracle_sql() -> dict[str, str]:
         "w11_seasonal": SQL_W11,
         "a15_mad_outliers": SQL_A15,
         "pipe_quality_mixture": _pipe_quality_mixture_sql(),
+        "text_boilerplate": SQL_TEXT_BOILERPLATE,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

@@ -1188,3 +1188,63 @@ def bpe_apply(
         .withColumn("n_subwords", F.size("subwords"))
         .select(id_col, "n_words", "n_subwords", "subwords")
     )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate line removal (public
+    heuristics): a line occurring in ≥ ``min_docs`` DISTINCT documents
+    is boilerplate (nav menus, cookie banners, footers) and is dropped
+    from every document; the rest re-joins in original order.
+
+    Complements :func:`c4_line_clean` (per-line rules, no cross-doc
+    signal) and ``segment_dedup`` (keeps the FIRST occurrence —
+    boilerplate removal keeps NONE).
+
+    100 TB shape: one hash-agg builds the line-frequency table
+    (map-side partials absorb the very skew that makes a line
+    boilerplate), one equi-join stamps each line's doc-frequency, one
+    doc-key agg reassembles — no window over raw lines, nothing
+    all-pairs.  Output: ``(id, n_lines, n_kept_lines, clean_text)``
+    with NULL ``clean_text`` when nothing survives.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    freq = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    flagged = lines.join(freq, "line").withColumn(
+        "_keep", F.col("_nd") < min_docs
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct("pos", "line"),
+                        )
+                    )
+                ),
+                lambda x: x.line,
+            ),
+            "\n",
+        ).alias("_joined"),
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        F.when(F.col("n_kept_lines") > 0, F.col("_joined")).alias(
+            "clean_text"
+        ),
+    )

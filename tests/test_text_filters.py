@@ -244,3 +244,42 @@ def test_bpe_apply_roundtrip_and_order(spark):
     for w in "banana band ban".split():
         expected += bpe_encode_word(w, ranks)
     assert list(out[1]["subwords"]) == expected
+
+
+def test_boilerplate_line_filter(spark):
+    from rhq_metrics_spark.pipelines.text import boilerplate_line_filter
+
+    footer = "cookie notice applies"
+    docs = [
+        (1, "unique alpha content\n" + footer + "\nmore alpha"),
+        (2, "unique beta content\n" + footer),
+        (3, footer),  # nothing survives
+        (4, "only unique gamma line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_line_filter(df).collect()}
+    assert out[1]["clean_text"] == "unique alpha content\nmore alpha"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept_lines"] == 2
+    assert out[2]["clean_text"] == "unique beta content"
+    assert out[3]["clean_text"] is None and out[3]["n_kept_lines"] == 0
+    assert out[4]["clean_text"] == "only unique gamma line"
+    # threshold respected: min_docs=4 keeps the 3-doc footer
+    relaxed = {
+        r["doc_id"]: r
+        for r in boilerplate_line_filter(df, min_docs=4).collect()
+    }
+    assert footer in relaxed[1]["clean_text"]
+
+
+def test_boilerplate_preserves_order_and_blank_lines_excluded(spark):
+    from rhq_metrics_spark.pipelines.text import boilerplate_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "z last?\n\n  \na first\nshared\nm middle"),
+         (2, "shared")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in boilerplate_line_filter(df).collect()}[1]
+    # original order kept (not sorted alphabetically); blanks not counted
+    assert r["clean_text"] == "z last?\na first\nm middle"
+    assert r["n_lines"] == 4
