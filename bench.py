@@ -73,7 +73,9 @@ BENCH_QUERIES = [
     "text_bpe_pairs",      # BPE merge stats off the word-frequency table
     "sketch_cms",          # count-min build + probe (1024-cell hash-agg)
     "w11_seasonal",        # seasonal profile agg + broadcast rejoin
-    "a15_mad_outliers",    # robust median/MAD flags, 2 aggs + 2 bc joins
+    "a15_mad_outliers",    # robust median/MAD flags, one exchange
+    "text_boilerplate",    # cross-doc repeated-line removal + rewrite
+    "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",
     "doc_fingerprint",
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
