@@ -125,6 +125,19 @@ def main() -> None:
     out["bpe_apply_sec"] = round(time.time() - t0, 2)
     assert n == n_docs
 
+    t0 = time.time()
+    from rhq_metrics_spark.pipelines.text import boilerplate_line_filter
+
+    bl = boilerplate_line_filter(docs)
+    n = bl.count()
+    out["boilerplate_sec"] = round(time.time() - t0, 2)
+    # every synthetic line embeds its doc_id, so nothing repeats across
+    # docs here — this measures the frequency-agg + join + reassembly
+    # cost on an all-unique 2-3M-line corpus (the worst case for the
+    # frequency table's size); the doc-frequency join legitimately
+    # shuffles at vocab scale, so no broadcast assertion
+    assert n == n_docs
+
     docs.unpersist()
 
     # ---- 1M points over 1k series: EWMA + trimmed buckets
