@@ -4959,6 +4959,65 @@ SELECT CAST(rk AS INTEGER) AS rk, pair, n FROM r WHERE rk <= {BPE_TOP_K}
 """
 
 
+SLO_PPM = 990_000  # 99.0% — the synthetic corpus is ~25% down, so
+#                    burns are >> 1 and the multiwindow alert fires on
+#                    genuinely sustained windows only
+SLO_FAST_N, SLO_SLOW_N = 1, 6
+
+
+def q_a16_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: multiwindow SLO burn-rate alerting over the A2 availability
+    buckets (operators/availability.py slo_burn_rate) — SRE-workbook
+    fast+slow windows, exact duration sums, one window exchange over
+    the bucket-stats table."""
+    from rhq_metrics_spark.operators.availability import slo_burn_rate
+
+    pts = _avail_points(spark, sf_dir)
+    s, e = _bounds(pts)
+    buckets = Buckets.from_count(s, e, N_AV)
+    stats = availability_stats(pts, buckets, group_cols=["metric"])
+    return slo_burn_rate(
+        stats, slo_ppm=SLO_PPM, fast_n=SLO_FAST_N, slow_n=SLO_SLOW_N
+    )
+
+
+SQL_A16 = f"""
+WITH a2 AS ({SQL_A2}),
+b AS (SELECT metric, start, "end",
+        CAST(coalesce(down_duration, 0) AS BIGINT) AS dn,
+        CAST(coalesce(down_duration, 0) + coalesce(up_duration, 0) AS BIGINT)
+          AS ob
+      FROM a2),
+w AS (SELECT metric, start, "end",
+        sum(dn) OVER f AS down_fast_ms, sum(ob) OVER f AS obs_fast_ms,
+        sum(dn) OVER s AS down_slow_ms, sum(ob) OVER s AS obs_slow_ms
+      FROM b
+      WINDOW f AS (PARTITION BY metric ORDER BY start
+                   ROWS BETWEEN {SLO_FAST_N - 1} PRECEDING AND CURRENT ROW),
+             s AS (PARTITION BY metric ORDER BY start
+                   ROWS BETWEEN {SLO_SLOW_N - 1} PRECEDING AND CURRENT ROW))
+SELECT metric, start, "end",
+  CAST(down_fast_ms AS BIGINT) AS down_fast_ms,
+  CAST(obs_fast_ms AS BIGINT) AS obs_fast_ms,
+  round(CASE WHEN obs_fast_ms > 0 THEN CAST(down_fast_ms AS DOUBLE) * 1000000.0
+             / (CAST(obs_fast_ms AS DOUBLE) * {1_000_000 - SLO_PPM}) END, 6)
+    AS burn_fast,
+  CAST(down_slow_ms AS BIGINT) AS down_slow_ms,
+  CAST(obs_slow_ms AS BIGINT) AS obs_slow_ms,
+  round(CASE WHEN obs_slow_ms > 0 THEN CAST(down_slow_ms AS DOUBLE) * 1000000.0
+             / (CAST(obs_slow_ms AS DOUBLE) * {1_000_000 - SLO_PPM}) END, 6)
+    AS burn_slow,
+  coalesce(
+    (CASE WHEN obs_fast_ms > 0 THEN CAST(down_fast_ms AS DOUBLE) * 1000000.0
+          / (CAST(obs_fast_ms AS DOUBLE) * {1_000_000 - SLO_PPM}) END) > 1.0
+    AND
+    (CASE WHEN obs_slow_ms > 0 THEN CAST(down_slow_ms AS DOUBLE) * 1000000.0
+          / (CAST(obs_slow_ms AS DOUBLE) * {1_000_000 - SLO_PPM}) END) > 1.0,
+    FALSE) AS alert
+FROM w
+"""
+
+
 #: shared footer/banner lines injected into the stitched pages so the
 #: cross-document frequency rule has real boilerplate to find (the
 #: synthetic corpus has no duplicate texts — TESTDATA.md)
@@ -5298,6 +5357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_mad_outliers": q_a15_mad_outliers,
         "pipe_quality_mixture": q_pipe_quality_mixture,
         "text_boilerplate": q_text_boilerplate,
+        "a16_slo_burn": q_a16_slo_burn,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -5438,6 +5498,7 @@ def oracle_sql() -> dict[str, str]:
         "a15_mad_outliers": SQL_A15,
         "pipe_quality_mixture": _pipe_quality_mixture_sql(),
         "text_boilerplate": SQL_TEXT_BOILERPLATE,
+        "a16_slo_burn": SQL_A16,
         "s1_raw_scan": SQL_S1,
         "f2_scan_limit": SQL_F2,
         "a1_bucket_stats": SQL_A1,

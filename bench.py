@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sketch_cms",          # count-min build + probe (1024-cell hash-agg)
     "w11_seasonal",        # seasonal profile agg + broadcast rejoin
     "a15_mad_outliers",    # robust median/MAD flags, one exchange
+    "a16_slo_burn",        # multiwindow burn-rate over A2 buckets
     "text_boilerplate",    # cross-doc repeated-line removal + rewrite
     "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",

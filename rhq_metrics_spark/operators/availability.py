@@ -351,3 +351,72 @@ def availability_from_rollup(
     return filled.withColumn(
         "samples", F.coalesce(F.col("samples"), F.lit(0))
     ).drop("bucket_idx")
+
+
+def slo_burn_rate(
+    avail_stats_df: DataFrame,
+    slo_ppm: int = 999_000,
+    fast_n: int = 1,
+    slow_n: int = 6,
+    burn_threshold: float = 1.0,
+    group_cols: Sequence[str] = ("metric",),
+) -> DataFrame:
+    """A16 (beyond reference): multiwindow SLO burn-rate over the A2
+    availability buckets — the SRE-workbook alerting rule (public):
+    ``burn = bad_fraction / error_budget`` over a FAST and a SLOW
+    trailing window, alert only when BOTH exceed the threshold (fast
+    catches the page-worthy spike, slow stops one blip from paging).
+
+    Input: :func:`availability_stats` output (one row per series/bucket,
+    empty buckets null-filled).  ``bad_fraction`` counts ``down`` time
+    against observed ``up + down`` time (unknown/admin excluded — no
+    budget is burned while we can't see or are told to ignore).
+
+    Exactness: duration sums are exact integer ms; each burn is the
+    fixed op sequence ``down*1e6 / (obs * budget_ppm)`` — identical
+    IEEE doubles cross-engine.  ``obs = 0`` (nothing observed) yields
+    null burn and no alert.
+
+    100 TB shape: two rolling sums over the per-bucket stats table —
+    one window exchange on the series key over #buckets × #series rows
+    (never raw points); composes with the availability ROLLUP serving
+    path, which already answers the per-bucket stats from partials.
+    """
+    gcols = list(group_cols)
+    budget_ppm = 1_000_000 - slo_ppm
+    if budget_ppm <= 0:
+        raise ValueError("slo_ppm must be < 1,000,000")
+    down = F.coalesce(F.col("down_duration"), F.lit(0)).cast("long")
+    obs = down + F.coalesce(F.col("up_duration"), F.lit(0)).cast("long")
+    base = avail_stats_df.withColumn("_down", down).withColumn("_obs", obs)
+
+    def _burn(n: int, tag: str):
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(F.col("start").asc())
+            .rowsBetween(-(n - 1), 0)
+        )
+        dsum = F.sum("_down").over(w)
+        osum = F.sum("_obs").over(w)
+        burn = F.when(
+            osum > 0,
+            dsum.cast("double") * 1_000_000.0
+            / (osum.cast("double") * budget_ppm),
+        )
+        return [
+            dsum.alias(f"down_{tag}_ms"),
+            osum.alias(f"obs_{tag}_ms"),
+            F.round(burn, 6).alias(f"burn_{tag}"),
+            burn.alias(f"_raw_{tag}"),
+        ]
+
+    cols = _burn(fast_n, "fast") + _burn(slow_n, "slow")
+    out = base.select(*gcols, "start", "end", *cols)
+    return out.withColumn(
+        "alert",
+        F.coalesce(
+            (F.col("_raw_fast") > burn_threshold)
+            & (F.col("_raw_slow") > burn_threshold),
+            F.lit(False),
+        ),
+    ).drop("_raw_fast", "_raw_slow")

@@ -200,3 +200,56 @@ def test_availability_hybrid_across_watermark(spark, tmp_path):
     b_tail = Buckets.from_step(3_000_000, 5_400_000, 600_000)
     tail_only = svc.availability_stats("t", "svc1", b_tail)
     assert not any("/avail/" in f for f in tail_only.inputFiles())
+
+
+def test_slo_burn_rate_multiwindow(spark):
+    """A16: burn = bad_fraction/budget over fast+slow windows; the alert
+    needs BOTH windows hot; unknown/admin time burns nothing."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.availability import (
+        availability_stats,
+        slo_burn_rate,
+    )
+
+    T, step = 1_700_000_000_000, 60_000
+    # 8 buckets: healthy, healthy, one fully-down bucket (fast spike),
+    # then healthy again — slow window (3) dilutes the spike
+    states = ["up", "up", "down", "up", "up", "up", "up", "up"]
+    rows = [("t", "web", T + i * step, s, None) for i, s in enumerate(states)]
+    df = spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value string, "
+              "tags map<string,string>")
+    stats = availability_stats(df, Buckets(T, step, 8), group_cols=["metric"])
+    # 99% SLO -> budget 1%: a fully-down bucket burns 100x fast
+    out = {r["start"]: r for r in slo_burn_rate(
+        stats, slo_ppm=990_000, fast_n=1, slow_n=3, burn_threshold=50.0,
+    ).collect()}
+    spike = out[T + 2 * step]
+    assert spike["burn_fast"] == 100.0          # 1.0 / 0.01
+    assert abs(spike["burn_slow"] - 100 / 3) < 1e-6  # 1 of 3 buckets down
+    assert not spike["alert"]                   # slow window not hot
+    healthy = out[T + 5 * step]
+    assert healthy["burn_fast"] == 0.0 and not healthy["alert"]
+
+    # sustained outage: both windows hot -> alert
+    states2 = ["down"] * 6
+    rows2 = [("t", "db", T + i * step, s, None) for i, s in enumerate(states2)]
+    df2 = spark.createDataFrame(
+        rows2, "tenant_id string, metric string, ts long, value string, "
+               "tags map<string,string>")
+    stats2 = availability_stats(df2, Buckets(T, step, 6), group_cols=["metric"])
+    out2 = slo_burn_rate(stats2, slo_ppm=990_000, fast_n=1, slow_n=3,
+                         burn_threshold=50.0).collect()
+    assert all(r["alert"] for r in out2 if r["start"] >= T + 2 * step)
+
+    # unknown time burns nothing (excluded from observed)
+    states3 = ["unknown"] * 4
+    rows3 = [("t", "x", T + i * step, s, None) for i, s in enumerate(states3)]
+    df3 = spark.createDataFrame(
+        rows3, "tenant_id string, metric string, ts long, value string, "
+               "tags map<string,string>")
+    stats3 = availability_stats(df3, Buckets(T, step, 4), group_cols=["metric"])
+    out3 = slo_burn_rate(stats3, slo_ppm=990_000).collect()
+    assert all(r["burn_fast"] is None and not r["alert"] for r in out3)
