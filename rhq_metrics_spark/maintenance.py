@@ -372,6 +372,7 @@ class MaintenanceRunner:
             self._emit_increase_partials({metric_type: done})
             self._emit_twa_partials({metric_type: done})
             self._emit_availability_partials({metric_type: done})
+            self._emit_seasonal_partials({metric_type: done})
         return done
 
     # -- wall-clock loop ----------------------------------------------------

@@ -107,6 +107,16 @@ def ewma_weights(window_n: int, alpha_num: int, alpha_den: int) -> list[int]:
     so every weight is an exact integer (``α = alpha_num/alpha_den``)."""
     if not 0 < alpha_num < alpha_den:
         raise ValueError("alpha must satisfy 0 < alpha_num/alpha_den < 1")
+    # The weight scale alpha_den**(window_n-1) must stay inside the 2^53
+    # exact-double budget the bit-identity contract (and the streaming
+    # twin's Python-int replay) depends on; beyond int64 F.lit would fail
+    # outright.  Fail loudly instead of relying on the docstring.
+    if alpha_den ** (window_n - 1) * window_n > 2**53:
+        raise ValueError(
+            f"ewma weights overflow the exact budget: alpha_den**"
+            f"(window_n-1)*window_n = {alpha_den}**{window_n - 1}*"
+            f"{window_n} > 2**53; shrink window_n or alpha_den"
+        )
     rest = alpha_den - alpha_num
     return [
         alpha_num * rest**j * alpha_den ** (window_n - 1 - j)
@@ -243,9 +253,20 @@ def seasonal_apply(
     """Score points against a (possibly merged) profile: finalizing the
     baseline from the partials is a per-row PROJECTION
     (``round(sum_vq*scale/n)``), so serving from stored partials costs
-    one join and zero extra aggregations."""
+    one join and zero extra aggregations.
+
+    The join is a LEFT join: a point whose bin has no historical profile
+    row (a novel bin when scoring against an attached long-run profile)
+    surfaces with ``bin_samples=0`` and null baseline/residual instead
+    of silently disappearing from the output."""
     on = list(on)
-    scale_up = 10_000 // value_scale  # value_scale <= 1e4, repo-standard
+    if value_scale <= 0 or 10_000 % value_scale != 0:
+        raise ValueError(
+            f"value_scale must be a positive divisor of 10000 (the 4-dp "
+            f"fixed-point base the exact arithmetic is built on); got "
+            f"{value_scale}"
+        )
+    scale_up = 10_000 // value_scale
     prof = profile.select(
         *on,
         "bin",
@@ -257,13 +278,15 @@ def seasonal_apply(
         "bin_samples",
     )
     prof_side = F.broadcast(prof) if broadcast_profile else prof
-    joined = binned.join(prof_side, [*on, "bin"])
+    joined = binned.join(prof_side, [*on, "bin"], "left")
     return joined.select(
         *on,
         ts_col,
         value_col,
         "bin",
-        "bin_samples",
+        F.coalesce(F.col("bin_samples"), F.lit(0).cast("long")).alias(
+            "bin_samples"
+        ),
         (F.col("_bq").cast("double") / 10_000).alias("baseline"),
         ((F.col("_vq") * scale_up - F.col("_bq")).cast("double") / 10_000).alias(
             "residual"

@@ -1210,20 +1210,28 @@ def boilerplate_line_filter(
     boilerplate), one equi-join stamps each line's doc-frequency, one
     doc-key agg reassembles — no window over raw lines, nothing
     all-pairs.  Output: ``(id, n_lines, n_kept_lines, clean_text)``
-    with NULL ``clean_text`` when nothing survives.
+    with NULL ``clean_text`` when nothing survives.  Every input doc
+    yields a row — a doc with no non-empty lines comes back with
+    ``n_lines=0`` and null ``clean_text`` (consistent with
+    :func:`c4_line_clean`'s one-row-per-doc contract): blank lines ride
+    the explode/reassembly instead of being pre-filtered, so no doc key
+    can vanish before the groupBy, and they left-join the frequency
+    table (built from non-blank lines only) as never-kept.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).filter(F.trim(F.col("line")) != "")
-    freq = lines.groupBy("line").agg(
-        F.countDistinct(id_col).alias("_nd")
+    ).withColumn("_blank", F.trim(F.col("line")) == "")
+    freq = (
+        lines.filter(~F.col("_blank"))
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
     )
-    flagged = lines.join(freq, "line").withColumn(
-        "_keep", F.col("_nd") < min_docs
+    flagged = lines.join(freq, "line", "left").withColumn(
+        "_keep", ~F.col("_blank") & (F.col("_nd") < min_docs)
     )
     out = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(~F.col("_blank"), 1)).alias("n_lines"),
         F.count(F.when(F.col("_keep"), 1)).alias("n_kept_lines"),
         F.array_join(
             F.transform(

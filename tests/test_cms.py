@@ -315,3 +315,49 @@ def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
         for r in seasonal_baseline(batch, on=["metric"]).collect()
     }
     assert served == direct
+
+
+def test_seasonal_apply_novel_bin_and_scale_validation(spark):
+    """Scoring against an attached long-run profile must SURFACE a point
+    whose bin has no historical row (null baseline/residual, 0 samples)
+    instead of dropping it, and reject a value_scale the 4-dp fixed-point
+    arithmetic cannot represent."""
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_apply,
+        seasonal_profile,
+    )
+
+    hist = spark.createDataFrame(
+        [("m", 0, 10.0), ("m", 600_000, 14.0), ("m", 3_600_000, 12.0)],
+        "metric string, ts long, value double",
+    )
+    bh = _seasonal_binned(hist, "ts", "value", 86_400_000, 24, 100)
+    prof = seasonal_profile(bh, ["metric"])
+    req = spark.createDataFrame(
+        [("m", 1_000, 11.0), ("m", 7_200_000, 5.0)],  # bin 0 known, bin 2 novel
+        "metric string, ts long, value double",
+    )
+    br = _seasonal_binned(req, "ts", "value", 86_400_000, 24, 100)
+    out = {r["ts"]: r for r in seasonal_apply(br, prof, ["metric"]).collect()}
+    assert len(out) == 2  # the novel-bin point is NOT dropped
+    assert out[1_000]["baseline"] == 12.0 and out[1_000]["bin_samples"] == 2
+    assert out[1_000]["residual"] == -1.0
+    novel = out[7_200_000]
+    assert novel["baseline"] is None and novel["residual"] is None
+    assert novel["bin_samples"] == 0
+    for bad in (3, 100_000, 0):
+        with pytest.raises(ValueError, match="divisor of 10000"):
+            seasonal_apply(br, prof, ["metric"], value_scale=bad)
+
+
+def test_ewma_weights_overflow_guard():
+    """ewma_weights raises past the 2**53 exact budget (ADVICE r9:
+    alpha_den=4 with window_n>=33 silently exceeded int64 before)."""
+    from rhq_metrics_spark.operators.anomaly import ewma_weights
+
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        ewma_weights(33, 1, 4)
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        ewma_weights(64, 1, 2)
+    assert len(ewma_weights(20, 1, 4)) == 20  # inside the budget

@@ -432,3 +432,28 @@ def test_maintenance_emits_seasonal_partials(spark, tmp_path):
     # param mismatch falls back to the one-shot operator (no partials)
     odd = svc.seasonal_profile("t", "cpu", 0, 2 * slice_ms, n_bins=12)
     assert odd.count() == len(rows)
+
+
+def test_on_event_time_emits_seasonal_partials(spark, tmp_path):
+    """The streaming event-time hook emits the same sink set as run_once
+    (ADVICE r9): a slice compacted via on_event_time is never returned by
+    a later run_once pass, so skipping the seasonal sink here would leave
+    its partials permanently missing from the long-run profile."""
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    runner = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        seasonal_sink={"path": str(tmp_path / "seasonal"), "attach": False},
+    )
+    rows = [
+        ("t1", "m", SLICE0 + i * 240_000, float(i % 7)) for i in range(10)
+    ]
+    store.add_data_points("gauge", _gauge(spark, rows))
+    assert runner.on_event_time("gauge", SLICE0 + TWO_HOURS_MS + 10) == [SLICE0]
+    parts = spark.read.parquet(str(tmp_path / "seasonal"))
+    assert parts.agg({"bin_samples": "sum"}).collect()[0][0] == len(rows)
+    # the later cron pass finds nothing left to compact for that slice —
+    # these partials exist ONLY because the hook emitted them
+    rep = runner.run_once(now_ms=SLICE0 + TWO_HOURS_MS + 10)
+    assert rep["compacted"]["gauge"] == []

@@ -283,3 +283,21 @@ def test_boilerplate_preserves_order_and_blank_lines_excluded(spark):
     # original order kept (not sorted alphabetically); blanks not counted
     assert r["clean_text"] == "z last?\na first\nm middle"
     assert r["n_lines"] == 4
+
+
+def test_boilerplate_all_blank_doc_still_emits_row(spark):
+    """One row per input doc even when the doc has no non-empty lines
+    (ADVICE r9): consistent with c4_line_clean's per-doc contract."""
+    from rhq_metrics_spark.pipelines.text import boilerplate_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "real line\nshared"), (2, "shared"), (3, "\n   \n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_line_filter(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "real line"
+    assert out[2]["n_lines"] == 1 and out[2]["clean_text"] is None
+    r3 = out[3]
+    assert r3["n_lines"] == 0 and r3["n_kept_lines"] == 0
+    assert r3["clean_text"] is None
