@@ -1098,6 +1098,94 @@ def bpe_pair_counts(
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Iterative BPE merge TRAINING (Sennrich et al. 2016 §3, public
+    algorithm): repeat ``n_merges`` times — count adjacent symbol pairs
+    over the word-frequency table, pick the most frequent (ties broken
+    lexicographically on (left, right) asc, deterministic), merge it
+    into the symbolized vocabulary, recount.  Returns ``[(left, right,
+    count_at_selection)]`` in merge order; feed ``[l + r for l, r, _ in
+    result]`` to :func:`bpe_apply`.  Stops early (shorter list) when no
+    adjacent pair remains.
+
+    Closes the tokenizer-training loop :func:`bpe_pair_counts` (the
+    first-iteration statistics) and :func:`bpe_apply` (consumes an
+    already-learned list) bracketed.  Intrinsically iterative, so — like
+    ``bpe_apply`` and LTTB — it has no single-SQL oracle; tests pin it
+    against a pure-Python reference trainer.
+
+    100 TB shape — the classic distributed form: the corpus collapses
+    ONCE to the word-frequency table (one hash-agg, output bounded by
+    vocabulary, never corpus size); every iteration's recount and
+    merge-apply run over that table only.  The driver loop issues two
+    tiny jobs per merge (a ONE-row argmax collect + an eager
+    localCheckpoint that truncates the iteration's lineage so plan depth
+    stays O(1) instead of nesting n_merges folds).  Python never touches
+    per-word data: the greedy non-overlapping left-to-right merge is a
+    JVM ``aggregate()`` fold — the accumulator's last symbol can only
+    equal ``left`` via the original array (a just-merged ``left+right``
+    is never equal to non-empty-suffixed ``left``), so a single fold
+    pass is exactly Sennrich's one-pass replace.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = df.select(
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("w")
+    )
+    wf = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            wf.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        a_lit, b_lit, ab = F.lit(a), F.lit(b), F.lit(a + b)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                # try_element_at: null on the empty accumulator (ANSI-safe)
+                (F.try_element_at(acc, F.lit(-1)) == a_lit) & (x == b_lit),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        wf = wf.select(folded.alias("syms"), "freq").localCheckpoint()
+    return merges
+
+
 def bpe_encode_word(word: str, ranks: dict[str, int]) -> list[str]:
     """Greedy BPE encode of one word (Sennrich et al. 2016, public
     algorithm): repeatedly merge every occurrence of the adjacent

@@ -890,3 +890,53 @@ def test_mg_merge_property(spark, a, b, cap):
     )
     exp = {v: c - thr for v, c in merged.items() if c > thr}
     assert got == exp and len(got) <= cap
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1, max_size=25,
+    ),
+    n_merges=st.sampled_from([3, 5]),
+)
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_learn_matches_reference_property(spark, words, n_merges):
+    """bpe_learn_merges == the in-memory Sennrich trainer on arbitrary
+    small corpora: pins the JVM merge fold (greedy non-overlap, e.g.
+    'aaaa') and the (count desc, pair asc) argmax tiebreak."""
+    from collections import Counter
+
+    from rhq_metrics_spark.pipelines.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, n_merges)
+
+    wf = Counter(words)
+    vocab = {w: list(w) for w in wf}
+    want = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want

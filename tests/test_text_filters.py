@@ -301,3 +301,103 @@ def test_boilerplate_all_blank_doc_still_emits_row(spark):
     r3 = out[3]
     assert r3["n_lines"] == 0 and r3["n_kept_lines"] == 0
     assert r3["clean_text"] is None
+
+
+# -- BPE merge TRAINING (the iterative loop) ---------------------------------
+
+_BPE_TOK = None
+
+
+def _ref_bpe_learn(texts, n_merges):
+    """Pure-Python Sennrich 2016 trainer: the oracle for bpe_learn_merges
+    (same tokenization regex, same (count desc, pair asc) tiebreak)."""
+    import re
+    from collections import Counter
+
+    from rhq_metrics_spark.pipelines.text import BPE_ISH_PATTERN
+
+    tok = re.compile(BPE_ISH_PATTERN)
+    wf = Counter(w for t in texts for w in tok.findall(t))
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """The distributed trainer (recount over the word-frequency table)
+    equals the classic in-memory trainer merge for merge, including
+    merges OF merged symbols and count ties."""
+    from rhq_metrics_spark.pipelines.text import bpe_learn_merges
+
+    texts = [
+        "banana banana banana bandana",
+        "band band ban an ana",
+        "cd cd ef ef",  # tie at the tail: 'cd' before 'ef'
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, 8)
+    want, _ = _ref_bpe_learn(texts, 8)
+    assert got == want
+    # the loop learned a multi-char merge (a merge of a merged symbol)
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in got)
+
+
+def test_bpe_learn_apply_roundtrip(spark):
+    """Encoding with the learned ranks reproduces the trainer's final
+    vocabulary segmentation (the classic BPE train->apply consistency),
+    end to end through bpe_apply."""
+    from rhq_metrics_spark.pipelines.text import (
+        bpe_apply,
+        bpe_encode_word,
+        bpe_learn_merges,
+    )
+
+    texts = ["low lower lowest newest widest", "new news newest low low"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    learned = bpe_learn_merges(df, 10)
+    want_merges, final_vocab = _ref_bpe_learn(texts, 10)
+    assert learned == want_merges
+    merges = [a + b for a, b, _ in learned]
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, segs in final_vocab.items():
+        assert bpe_encode_word(w, ranks) == segs, w
+    out = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    assert list(out[0]["subwords"]) == [
+        s for w in texts[0].split() for s in final_vocab[w]
+    ]
+
+
+def test_bpe_learn_merges_early_stop_and_validation(spark):
+    from rhq_metrics_spark.pipelines.text import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    # single-char words: nothing to merge, empty list (early stop)
+    assert bpe_learn_merges(df, 5) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(df, 0)
