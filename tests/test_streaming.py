@@ -753,3 +753,151 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert got[1]["n_removed_tokens"] == 10
     assert got[1]["clean_text"] == "lead tokens tail tokens"
     assert got[2]["n_removed_tokens"] == 0
+
+
+def test_streaming_substr_matches_batch_loop(spark, tmp_path):
+    """EXACTSUBSTR streaming twin == sequential batch loop of
+    substring_dups_against_index + substring_index_append: batch 2
+    contains a full copy of a batch-1 doc AND a span from the bootstrap
+    corpus; decisions and the final merged index must match exactly."""
+    from rhq_metrics_spark.pipelines.text import (
+        substring_dups_against_index,
+        substring_index,
+        substring_index_append,
+    )
+    from rhq_metrics_spark.streaming.substr import (
+        start_incremental_substr_stream,
+    )
+
+    W = 4
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    b1 = [
+        {"doc_id": 10, "text": "zzz alpha beta gamma delta yyy"},
+        {"doc_id": 11, "text": "totally novel first batch span content"},
+    ]
+    b2 = [
+        {"doc_id": 20, "text": "totally novel first batch span content"},
+        {"doc_id": 21, "text": "fresh and unrelated second batch words"},
+    ]
+    index_dir = tmp_path / "ss_index"
+    substring_index(corpus, window=W).write.parquet(str(index_dir))
+
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    out_dir = tmp_path / "ss_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    q = start_incremental_substr_stream(
+        stream, str(index_dir), str(out_dir), str(tmp_path / "ss_ckpt"),
+        window=W, trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        while rows() < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert len(got) == 4
+
+    idx = substring_index(corpus, window=W)
+    exp = {}
+    for batch in (b1, b2):
+        bdf = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in batch],
+            "doc_id long, text string",
+        )
+        for r in substring_dups_against_index(bdf, idx, window=W).collect():
+            exp[r["doc_id"]] = r
+        idx = substring_index_append(idx, bdf, window=W)
+
+    cols = ("n_windows", "n_dup_windows", "dup_bp", "max_share")
+    for k, e in exp.items():
+        assert tuple(got[k][c] for c in cols) == tuple(e[c] for c in cols), k
+    # spans: 10 overlaps corpus; 11 novel; 20 fully dup of 11; 21 novel
+    assert got[10]["n_dup_windows"] == 1 and got[10]["n_windows"] == 3
+    assert got[11]["n_dup_windows"] == 0
+    assert got[20]["n_dup_windows"] == got[20]["n_windows"] > 0
+    assert got[21]["n_dup_windows"] == 0
+    # final merged index (sum n_docs per hash across batch dirs) == the
+    # batch loop's
+    merged = {
+        (r["h"], r["n_docs"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(index_dir))
+        .groupBy("h").agg(F.sum("n_docs").alias("n_docs")).collect()
+    }
+    assert merged == {(r["h"], r["n_docs"]) for r in idx.collect()}
+
+
+def test_substr_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a substr batch whose
+    index partial already landed must not score the batch against its
+    own window counts (every span would read as a dup), not append
+    duplicate decisions, and not double-count the index."""
+    from rhq_metrics_spark.pipelines.text import substring_index
+    from rhq_metrics_spark.streaming.substr import process_substr_batch
+
+    W = 4
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string",
+    )
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    substring_index(corpus, window=W).write.parquet(index_dir)
+    batch = spark.createDataFrame(
+        [(10, "a brand new batch document span here"),
+         (11, "zzz alpha beta gamma delta yyy")],
+        "doc_id long, text string",
+    )
+
+    process_substr_batch(spark, batch, 0, index_dir, out_dir, window=W)
+
+    def snapshot():
+        rows = sorted(
+            (r["doc_id"], r["n_windows"], r["n_dup_windows"], r["max_share"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        idx_sum = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir).agg(F.sum("n_docs")).collect()[0][0]
+        )
+        return rows, idx_sum
+
+    first_rows, first_idx = snapshot()
+    assert len(first_rows) == 2
+    # worst-case replay: decisions AND index partial both already landed
+    process_substr_batch(spark, batch, 0, index_dir, out_dir, window=W)
+    again_rows, again_idx = snapshot()
+    assert again_rows == first_rows
+    assert again_idx == first_idx
+    by_id = {r[0]: r for r in again_rows}
+    assert by_id[10][2] == 0  # novel doc did NOT self-match on replay
+    assert by_id[11][2] == 1  # the corpus-span overlap, counted once
+
+    # a LATER batch sees batch 0's appended window counts
+    b1 = spark.createDataFrame(
+        [(20, "a brand new batch document span here")],
+        "doc_id long, text string",
+    )
+    process_substr_batch(spark, b1, 1, index_dir, out_dir, window=W)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert got[20]["n_dup_windows"] == got[20]["n_windows"] > 0
+    assert got[20]["max_share"] == 2
