@@ -112,6 +112,7 @@ from rhq_metrics_spark.pipelines.sampling import (
     hash_split,
     leakage_safe_split,
     mixture_sample,
+    temperature_mixture_sample,
     token_mixture_sample,
 )
 from rhq_metrics_spark.pipelines.similarity import (
@@ -5237,6 +5238,203 @@ FROM est
 """
 
 
+#: HLL numerator alpha_64 * m^2 * 2^RHO_CAP — ONE precomputed double
+#: literal so both engines perform a single identical division.
+HLL_NUMERATOR = 0.709 * 64 * 64 * float(1 << 40)
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-register HyperLogLog distinct-token estimate per
+    language (pipelines/sketches.py hll_registers/hll_estimate,
+    Flajolet et al. 2007): md5-derived registers merged by max, an
+    exact-int64 harmonic sum (order-independent), one IEEE division —
+    the estimate double is bit-identical in the DuckDB oracle
+    (unrounded, like sketch_kmv).  true_distinct rides along so the
+    ~1/sqrt(64) accuracy is visible per row.  Complements sketch_kmv:
+    fixed m-register state merged by MAX vs bottom-k merged by rank."""
+    from rhq_metrics_spark.pipelines.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    est = hll_estimate(hll_registers(toks, "lang", "w"), "lang")
+    true = toks.groupBy("lang").agg(
+        F.count_distinct("w").alias("true_distinct")
+    )
+    return est.join(true, "lang").select(
+        "lang", "regs_used", "zeros", "sum_scaled", "est", "true_distinct"
+    )
+
+
+SQL_SKETCH_HLL = rf"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS w
+  FROM documents),
+dv AS (SELECT DISTINCT lang, w FROM tok),
+rr AS (SELECT lang,
+         CAST(CAST(concat('0x', substr(md5(concat('hll:r:', w)), 1, 8)) AS BIGINT)
+              % 64 AS INTEGER) AS reg,
+         least((15 - length(regexp_replace(substr(md5(concat('hll:h:', w)), 1, 15),
+                                           '^0*', ''))) * 4
+               + CASE substr(regexp_replace(substr(md5(concat('hll:h:', w)), 1, 15),
+                                            '^0*', ''), 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                   WHEN '7' THEN 1 ELSE 0 END
+               + 1, 40) AS rho
+       FROM dv),
+regs AS (SELECT lang, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (SELECT lang, count(*) AS regs_used,
+          CAST(sum(CAST(pow(2, 40 - rho) AS BIGINT)) AS BIGINT) AS sum_present
+        FROM regs GROUP BY lang),
+fin AS (SELECT lang, CAST(regs_used AS BIGINT) AS regs_used,
+          CAST(64 - regs_used AS BIGINT) AS zeros,
+          CAST(sum_present + (64 - regs_used) * 1099511627776 AS BIGINT)
+            AS sum_scaled
+        FROM agg),
+td AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS true_distinct
+       FROM tok GROUP BY lang)
+SELECT f.lang, f.regs_used, f.zeros, f.sum_scaled,
+  CASE WHEN f.zeros > 0
+        AND {HLL_NUMERATOR!r} / CAST(f.sum_scaled AS DOUBLE) <= 160.0
+       THEN 64.0 * ln(64.0 / CAST(f.zeros AS DOUBLE))
+       ELSE {HLL_NUMERATOR!r} / CAST(f.sum_scaled AS DOUBLE) END AS est,
+  t.true_distinct
+FROM fin f JOIN td t USING (lang)
+"""
+
+
+BLOOM_Q_BITS = 4096
+
+
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (pipelines/sketches.py
+    bloom_build/bloom_probe, Bloom 1970): corpus = docs with
+    doc_id % 5 != 0, batch = the rest; the batch's normalized-content
+    fingerprints probe the corpus bloom — the broadcast-sized gate in
+    front of the incremental-dedup index joins (a miss can NEVER be a
+    dup; property-tested).  False positives surface as
+    maybe=true/exact=false rows.  Deterministic md5 bit positions →
+    DuckDB reproduces the identical words and verdicts."""
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+
+    docs = _table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("v"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", fp.alias("v")
+    )
+    bloom = bloom_build(corpus, "v", n_bits=BLOOM_Q_BITS)
+    probed = bloom_probe(
+        bloom, batch.select("v").distinct(), "v", n_bits=BLOOM_Q_BITS
+    )
+    exact = corpus.distinct().withColumn("_in", F.lit(True))
+    return (
+        batch.join(probed, "v")
+        .join(exact, "v", "left")
+        .select(
+            "doc_id",
+            F.col("maybe_present").alias("maybe_in_corpus"),
+            F.coalesce(F.col("_in"), F.lit(False)).alias("is_in_corpus"),
+        )
+    )
+
+
+SQL_SKETCH_BLOOM = rf"""
+WITH d AS (SELECT doc_id,
+                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS v
+           FROM documents),
+corpus AS (SELECT v FROM d WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, v FROM d WHERE doc_id % 5 = 0),
+pos AS (SELECT CAST(CAST(concat('0x', substr(md5(concat('bloom:',
+                 CAST(r.j AS VARCHAR), ':', v)), 1, 12)) AS BIGINT)
+               % {BLOOM_Q_BITS} AS BIGINT) AS p
+        FROM corpus, range(4) r(j)),
+words AS (SELECT p // 32 AS word_idx,
+                 bit_or(CAST(pow(2, p % 32) AS BIGINT)) AS bits
+          FROM pos GROUP BY 1),
+bv AS (SELECT DISTINCT v FROM batch),
+fan AS (SELECT v, CAST(CAST(concat('0x', substr(md5(concat('bloom:',
+                  CAST(r.j AS VARCHAR), ':', v)), 1, 12)) AS BIGINT)
+                % {BLOOM_Q_BITS} AS BIGINT) AS p
+        FROM bv, range(4) r(j)),
+fan2 AS (SELECT v, p // 32 AS word_idx,
+                CAST(pow(2, p % 32) AS BIGINT) AS mask
+         FROM fan),
+probe AS (SELECT v,
+            count(CASE WHEN (w.bits & f.mask) <> 0 THEN 1 END) = 4 AS maybe
+          FROM fan2 f LEFT JOIN words w USING (word_idx) GROUP BY v),
+exact AS (SELECT DISTINCT v, TRUE AS _in FROM corpus)
+SELECT b.doc_id, p.maybe AS maybe_in_corpus,
+       coalesce(e._in, FALSE) AS is_in_corpus
+FROM batch b JOIN probe p USING (v) LEFT JOIN exact e USING (v)
+"""
+
+
+def q_pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened token-budget mixture (pipelines/sampling.py
+    temperature_mixture_sample — the multilingual ``p ∝ n^alpha``
+    balance dial from the mBERT/XLM-R recipes, at alpha = 1/2): mixture
+    weights are ``floor(sqrt(available_tokens) * 1e6)`` exact integers
+    (sqrt is IEEE correctly rounded, hence cross-engine identical); the
+    plan and realization reuse token_mixture's exact ppm integers and
+    20-bit-hash epoch mechanics, so every emitted copy is bit-identical
+    in the DuckDB oracle."""
+    docs = _table(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(docs, 2, MIX_BUDGET)
+    return out.selectExpr(
+        "doc_id", "group", "cast(copy_idx as bigint) AS copy_idx",
+        "n_tokens",
+    )
+
+
+SQL_PIPE_TEMPERATURE = f"""
+WITH toks AS (SELECT doc_id, source AS grp,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '')) AS nt
+              FROM documents),
+avail AS (SELECT grp, sum(nt) AS available_tokens,
+                 CAST(floor(sqrt(CAST(sum(nt) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS part
+          FROM toks GROUP BY grp),
+tot AS (SELECT sum(part) AS sum_parts FROM avail),
+plan AS (SELECT grp, available_tokens, part,
+                CAST({MIX_BUDGET} * part // sum_parts AS BIGINT) AS target_tokens
+         FROM avail, tot),
+plan2 AS (SELECT grp,
+                 CASE WHEN available_tokens > 0
+                      THEN target_tokens * 1000000 // available_tokens
+                      ELSE 0 END AS rate_ppm
+          FROM plan),
+plan3 AS (SELECT grp, rate_ppm // 1000000 AS n_full,
+                 rate_ppm % 1000000 AS frac_ppm
+          FROM plan2),
+d AS (SELECT t.doc_id, t.grp, t.nt,
+             ('0x' || substr(md5('tokmix:' || CAST(t.doc_id AS VARCHAR)), 1, 5))::BIGINT AS h20,
+             p.n_full, p.frac_ppm
+      FROM toks t JOIN plan3 p USING (grp)),
+c AS (SELECT doc_id, grp, nt,
+             n_full + CASE WHEN h20 * 1000000 < frac_ppm * 1048576
+                           THEN 1 ELSE 0 END AS n_copies
+      FROM d)
+SELECT doc_id, grp AS "group",
+       unnest(range(1, CAST(n_copies + 1 AS BIGINT))) AS copy_idx,
+       CAST(nt AS BIGINT) AS n_tokens
+FROM c WHERE n_copies > 0
+"""
+
+
 W11_BINS = 24
 
 
@@ -5338,67 +5536,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
-    # whose driver-green row is oldest (or absent).  Round 9 leads with
-    # the 15 never-sampled r9 additions, then the 13 keys last sampled
-    # in r6 (the TWA/hybrid/hist-quantile serving family + s10/w5/w8/
-    # o4/b11/b15), then the r7-green block (pipelines first, then dedup
-    # — its tail plus TPC-H past slot 50 leads r10); the r8-green
-    # window rotates to the back.  tools/verify_all.py checks ALL keys
-    # locally regardless of order.
+    # whose driver-green row is oldest (or absent).  Round 10 leads
+    # with the 3 never-sampled r10 additions, then the 30 keys last
+    # sampled in r7 (the dedup/embed tail + the whole TPC-H family —
+    # the r9 window's 50 ended at dedup_segments, so these were skipped
+    # two rounds running), then 17 of the r8-green block; the rest of
+    # the r8 block leads r11 and the r9-green window rotates to the
+    # back.  tools/verify_all.py checks ALL keys locally regardless of
+    # order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in r9, never driver-sampled
-        "text_gopher_filter": q_text_gopher_filter,
-        "text_c4_clean": q_text_c4_clean,
-        "w10_ewma": q_w10_ewma,
-        "a14_trimmed_stats": q_a14_trimmed_stats,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "sketch_cms": q_sketch_cms,
-        "w11_seasonal": q_w11_seasonal,
-        "a15_mad_outliers": q_a15_mad_outliers,
-        "pipe_quality_mixture": q_pipe_quality_mixture,
-        "text_boilerplate": q_text_boilerplate,
-        "a16_slo_burn": q_a16_slo_burn,
-        "dedup_incremental_verified": q_dedup_incremental_verified,
-        "embed_semdedup": q_embed_semdedup,
-        "text_substr_dups": q_text_substr_dups,
-        "text_decontaminate": q_text_decontaminate,
-        "pipe_token_mixture": q_pipe_token_mixture,
-        "substr_dups_incremental": q_substr_dups_incremental,
-        # -- last driver-sampled r6: lead the r9 window
-        "w5_rolling_zscore": q_w5_rolling_zscore,
-        "o4_topk_per_group": q_o4_topk_per_group,
-        "b11_rollup_serving": q_b11_rollup_serving,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
-        "b13_hist_quantile": q_b13_hist_quantile,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
-        "w8_rolling_median": q_w8_rolling_median,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "a12_twa_rollup": q_a12_twa_rollup,
-        "w9_increase_hybrid": q_w9_increase_hybrid,
-        "a13_twa_hybrid": q_a13_twa_hybrid,
-        "a2_availability_hybrid": q_a2_availability_hybrid,
-        "b15_hybrid_serving": q_b15_hybrid_serving,
-        # -- last driver-sampled r7: pipelines / production / dedup
-        "b16_hybrid_production": q_b16_hybrid_production,
-        "embed_contamination": q_embed_contamination,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_lsh_recall": q_embed_lsh_recall,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "embed_near_dup": q_embed_near_dup,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
-        "url_domains": q_url_domains,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,
-        "mm_real_roundtrip": q_mm_real_roundtrip,
-        "sample_mixture": q_sample_mixture,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25": q_text_bm25,
-        "text_classify": q_text_classify,
-        "chunk_docs": q_chunk_docs,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pack_chunks": q_pack_chunks,
-        "dedup_segments": q_dedup_segments,
+        # -- new in r10, never driver-sampled
+        "sketch_hll": q_sketch_hll,
+        "sketch_bloom": q_sketch_bloom,
+        "pipe_temperature_mixture": q_pipe_temperature_mixture,
+        # -- last driver-sampled r7: sketches / embeddings / dedup tail
         "sketch_kmv": q_sketch_kmv,
         "embed_rp_reduce": q_embed_rp_reduce,
         "embed_quantize": q_embed_quantize,
@@ -5407,11 +5558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- last driver-sampled r7: TPC-H (q4 onward lead r10)
+        # -- last driver-sampled r7: the TPC-H family
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
-        # ---- 50-key driver window ends here ----
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -5431,7 +5581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        # r8-green window rotates to the back
+        # -- last driver-sampled r8 (head of that block; rest leads r11)
         "dedup_incremental": q_dedup_incremental,
         "text_lm_score": q_text_lm_score,
         "embed_kmeans": q_embed_kmeans,
@@ -5449,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
         "a1_counter_stats": q_a1_counter_stats,
+        # ---- 50-key driver window ends here ----
         "a1_gapfill": q_a1_gapfill,
         "w1_gauge_rate": q_w1_gauge_rate,
         "w1_counter_rate": q_w1_counter_rate,
@@ -5482,12 +5633,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
         "w8_increase_rollup": q_w8_increase_rollup,
+        # r9-green window rotates to the back
+        "text_gopher_filter": q_text_gopher_filter,
+        "text_c4_clean": q_text_c4_clean,
+        "w10_ewma": q_w10_ewma,
+        "a14_trimmed_stats": q_a14_trimmed_stats,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "sketch_cms": q_sketch_cms,
+        "w11_seasonal": q_w11_seasonal,
+        "a15_mad_outliers": q_a15_mad_outliers,
+        "pipe_quality_mixture": q_pipe_quality_mixture,
+        "text_boilerplate": q_text_boilerplate,
+        "a16_slo_burn": q_a16_slo_burn,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
+        "embed_semdedup": q_embed_semdedup,
+        "text_substr_dups": q_text_substr_dups,
+        "text_decontaminate": q_text_decontaminate,
+        "pipe_token_mixture": q_pipe_token_mixture,
+        "substr_dups_incremental": q_substr_dups_incremental,
+        "w5_rolling_zscore": q_w5_rolling_zscore,
+        "o4_topk_per_group": q_o4_topk_per_group,
+        "b11_rollup_serving": q_b11_rollup_serving,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
+        "b13_hist_quantile": q_b13_hist_quantile,
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "w8_rolling_median": q_w8_rolling_median,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
+        "a12_twa_rollup": q_a12_twa_rollup,
+        "w9_increase_hybrid": q_w9_increase_hybrid,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
+        "a2_availability_hybrid": q_a2_availability_hybrid,
+        "b15_hybrid_serving": q_b15_hybrid_serving,
+        "b16_hybrid_production": q_b16_hybrid_production,
+        "embed_contamination": q_embed_contamination,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
     }
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_hll": SQL_SKETCH_HLL,
+        "sketch_bloom": SQL_SKETCH_BLOOM,
+        "pipe_temperature_mixture": SQL_PIPE_TEMPERATURE,
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,

@@ -235,7 +235,15 @@ def _query_latency_kpis(spark, store, lo: int, window_ms: int, timings: dict) ->
     routed_probe = svc.try_routed_stats("gauge", "bench", metrics[0], routed_bks)
     assert routed_probe is not None, "rollup routing inactive"
     assert not any("points" in f for f in routed_probe.inputFiles()), "not routed"
-    p50, p95 = _latency(lambda i: _rest_stats(metrics[(i * 7) % len(metrics)]))
+    # same debt-shed + best-of-2 treatment as the exact and hybrid
+    # sections (VERDICT r9 item 2: p95 drifted 187 -> 297 ms with p50
+    # flat — this was the ONE latency section still sampled as a single
+    # plain pass, so old-gen garbage from the preceding sections landed
+    # on its tail samples)
+    spark.sparkContext._jvm.System.gc()
+    p50, p95 = _latency_best2(
+        lambda i: _rest_stats(metrics[(i * 7) % len(metrics)]), warmup=4
+    )
     timings["stats_rollup_latency_p50_ms"] = p50
     timings["stats_rollup_latency_p95_ms"] = p95
 
@@ -420,7 +428,27 @@ _TAIL_BUDGET = 1800
 #: tail even after shedding every diagnostic KPI, so per-query timings
 #: now rotate instead of all riding the final line every round; the
 #: full record always goes to stderr).
-_FINAL_LINE_ROUND = 9
+_FINAL_LINE_ROUND = 10
+
+
+def _sys_marker(markers: list[str], tag: str) -> None:
+    """Per-section machine-load marker (VERDICT r9 item 1: untouched
+    queries drifted 1.2-1.5x in a pass that likely ran on a loaded
+    machine, and the artifact could not show it).  Records 1-min loadavg
+    and system MemAvailable at section boundaries; the compact string
+    rides the final line as ``load_markers`` so a loaded pass is
+    self-evident in the artifact."""
+    try:
+        load1 = os.getloadavg()[0]
+        avail_gb = 0.0
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemAvailable"):
+                    avail_gb = int(ln.split()[1]) / 1048576
+                    break
+        markers.append(f"{tag}:{load1:.1f}:{avail_gb:.0f}g")
+    except Exception:  # noqa: BLE001 — markers must never fail the bench
+        markers.append(f"{tag}:?")
 
 #: KPIs that are diagnostic curves rather than graded axes — never on
 #: the final line (they stay in the stderr full record).
@@ -517,6 +545,8 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).count()
 
+    markers: list[str] = []
+    _sys_marker(markers, "warm")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -552,6 +582,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {n} rows in {best:.2f}s (best of 2)", file=sys.stderr)
+    _sys_marker(markers, "queries")
 
     # the oracled embed_ivf_topk is full-probe (== brute force, for the
     # correctness gate); track the real ANN dial (n_probe=4/16) here so
@@ -666,6 +697,7 @@ def main() -> None:
         cemb.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["embed_ivf_clustered"] = f"{type(exc).__name__}: {exc}"[:300]
+    _sys_marker(markers, "ann")
 
     # engine KPIs mirroring the reference's harness axes (BASELINE.md):
     # batch-ingest throughput (JMH InsertBenchmark analogue) and
@@ -733,7 +765,9 @@ def main() -> None:
             dense_dts.append(time.time() - t0)
             dt = sorted(dense_dts)[1]
             timings["ingest_dense_points_per_sec"] = round(n_pts / dt, 1)
+            _sys_marker(markers, "ingest")
             _query_latency_kpis(spark, dense_store, lo, window_ms, timings)
+            _sys_marker(markers, "latency")
         finally:
             shutil.rmtree(dense_dir, ignore_errors=True)
         t0 = time.time()
@@ -763,6 +797,8 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    _sys_marker(markers, "end")
+    timings["load_markers"] = ",".join(markers)
     payload = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),

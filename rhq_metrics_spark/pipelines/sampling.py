@@ -267,3 +267,77 @@ def token_mixture_sample(
             "cast(n_tokens as bigint) AS n_tokens",
         )
     )
+
+
+def temperature_parts(
+    alpha_quarters: int, avail_col: str = "available_tokens"
+) -> Column:
+    """Integer mixture weights ``floor(n^alpha * 1e6)`` for TEMPERATURE
+    sampling (multilingual pretraining's ``p_g ∝ n_g^alpha``, public
+    from the mBERT/XLM-R recipes): alpha is restricted to quarters
+    (1/4, 1/2, 3/4, 1) so ``n^alpha`` is a composition of IEEE
+    correctly-rounded ``sqrt``s (+ one rounded multiply for 3/4) — the
+    same double in every engine, hence the floored integer weight, and
+    with it every downstream ppm rate, is bit-identical cross-engine.
+    An arbitrary float alpha would route through ``pow``, whose last
+    ulp is not pinned across engines.
+
+    Feed as the ``parts`` Column of :func:`token_mixture_plan` /
+    :func:`token_mixture_sample` (it is evaluated on the aggregated
+    per-group frame, where ``available_tokens`` exists)."""
+    if alpha_quarters not in (1, 2, 3, 4):
+        raise ValueError(
+            "alpha_quarters must be 1..4 (alpha = 1/4, 1/2, 3/4 or 1); "
+            "dyadic-quarter temperatures are the cross-engine-exact set"
+        )
+    x = F.col(avail_col).cast("double")
+    r2 = F.sqrt(x)
+    r4 = F.sqrt(r2)
+    w = {1: r4, 2: r2, 3: r2 * r4, 4: x}[alpha_quarters]
+    return F.floor(w * F.lit(1_000_000.0)).cast("long")
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    alpha_quarters: int,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture PLAN with temperature-derived weights: the
+    per-group share flattens as ``n_g^alpha`` (alpha < 1 up-weights
+    small sources — the standard multilingual balance dial) and the
+    rest of the plan is :func:`token_mixture_plan`'s exact integer
+    arithmetic.  One hash-agg on the group key; nothing else touches
+    the corpus."""
+    return token_mixture_plan(
+        df,
+        temperature_parts(alpha_quarters),
+        budget_tokens,
+        group_col=group_col,
+        text_col=text_col,
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha_quarters: int,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tokmix",
+) -> DataFrame:
+    """Realize a :func:`temperature_mixture_plan` — same deterministic
+    20-bit-hash epoch/fraction mechanics as
+    :func:`token_mixture_sample`, so the realization is bit-identical
+    cross-engine and stable under corpus growth."""
+    return token_mixture_sample(
+        df,
+        temperature_parts(alpha_quarters),
+        budget_tokens,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+        salt=salt,
+    )

@@ -299,3 +299,234 @@ def cms_estimate(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, public) with PORTABLE registers:
+# unlike approx_count_distinct (whose HLL register layout is engine-
+# private), these registers derive from the repo-standard md5 hash, so
+# the sketch — and the estimate — is oracle-checkable cross-engine.
+# Complements KMV above: HLL state is FIXED at m registers merged by
+# MAX (per-slice sketches union + re-aggregate like the histogram
+# rollups), where KMV state is k values merged by re-ranking.
+
+HLL_M = 64
+#: published bias-correction constants (Flajolet 2007 §4); m >= 128
+#: uses the closed form — the supported m's here are exact literals so
+#: the numerator is ONE precomputed double, divided once.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+#: register cap: rho <= 40 keeps the scaled harmonic sum exact in int64
+#: (sum <= m * 2**40 = 2**46 at m=64) — the sum is order-independent
+#: exact integer arithmetic, so Spark's nondeterministic reduction
+#: order cannot wobble the estimate (an unscaled double sum of 2^-rho
+#: terms needs > 53 mantissa bits and WOULD be order-sensitive).  The
+#: cap fires with probability 2^-40 per item and both engines apply it
+#: identically.
+_HLL_RHO_CAP = 40
+
+
+def _hll_rho(value: Column, salt: str) -> Column:
+    """Position of the first 1-bit (leading zeros + 1) of the 60-bit md5
+    fraction, capped at ``_HLL_RHO_CAP`` — computed from the HEX STRING
+    (strip leading '0' chars = 4 zero bits each, then a 1-of-15 lookup
+    for the first nonzero hex digit), so no float log2 whose last-ulp
+    could flip a floor() differently per engine."""
+    h15 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:h:"), value.cast("string"))), 1, 15
+    )
+    stripped = F.regexp_replace(h15, "^0*", "")
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    zero_bits = (F.lit(15) - F.length(stripped)) * 4 + extra
+    return F.least(zero_bits + 1, F.lit(_HLL_RHO_CAP)).cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = HLL_M,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register table ``(group, reg, rho)`` — MERGEABLE by
+    ``max(rho)`` per (group, reg): per-slice / per-partition register
+    tables union + re-aggregate into any range's sketch (equality-
+    tested), the same serving contract as the histogram rollups.
+
+    100 TB shape: one hash-agg whose key space is #groups × m registers
+    — map-side partials absorb all value skew; the sketch itself is
+    broadcast-sized (m rows per group) regardless of cardinality."""
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}; got {m}")
+    reg = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:r:"), F.col(value_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % m
+    ).cast("int")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            reg.alias("reg"),
+            _hll_rho(F.col(value_col), salt).alias("_rho"),
+        )
+        .groupBy(F.col("grp").alias(group_col), "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Finalize HLL register tables into per-group estimates: ``raw =
+    alpha_m * m^2 / sum_j 2^-rho_j`` with empty registers contributing
+    ``2^0``, linear counting ``m * ln(m/zeros)`` below ``2.5m`` (the
+    published small-range correction).
+
+    Exactness: the harmonic sum is the exact int64 ``sum 2^(CAP-rho)``
+    (order-independent); the numerator ``alpha * m^2 * 2^CAP`` is ONE
+    precomputed double literal; ``raw`` is one IEEE division — the
+    estimate double is bit-identical cross-engine, emitted UNROUNDED
+    (like the KMV estimate: decimal re-rounding, not the arithmetic,
+    is the cross-engine trap).  The linear-counting branch calls
+    ``ln``, whose last ulp is not pinned across engines — exact only
+    within one engine (the oracled driver query stays in the raw
+    branch; tests pin this branch approximately).
+
+    Output: ``(group, regs_used, zeros, sum_scaled, est)``."""
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}; got {m}")
+    numerator = _HLL_ALPHA[m] * m * m * float(1 << _HLL_RHO_CAP)
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("regs_used"),
+        F.sum(
+            F.expr(f"cast(pow(2, {_HLL_RHO_CAP} - rho) as bigint)")
+        ).alias("_sum_present"),
+    )
+    cap_term = 1 << _HLL_RHO_CAP
+    out = agg.select(
+        group_col,
+        "regs_used",
+        (F.lit(m) - F.col("regs_used")).cast("long").alias("zeros"),
+        (
+            F.col("_sum_present")
+            + (F.lit(m) - F.col("regs_used")) * F.lit(cap_term)
+        ).cast("long").alias("sum_scaled"),
+    )
+    raw = F.lit(numerator) / F.col("sum_scaled").cast("double")
+    est = F.when(
+        (F.col("zeros") > 0) & (raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return out.withColumn("est", est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, public) over the repo-standard md5 hash:
+# a broadcast-sized membership pre-filter with NO false negatives —
+# the classic cheap gate in front of an expensive index probe (e.g.
+# the incremental-dedup joins: a batch doc whose fingerprint misses the
+# corpus bloom cannot be a dup and skips the index entirely).
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+#: bits per stored word: 32 bits in a BIGINT keeps every shift/mask in
+#: the positive range both engines handle identically (bit 63 of a
+#: signed 64-bit word is a portability trap).
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(value: Column, j: int, n_bits: int, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(f"{salt}:{j}:"), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_bits
+    ).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter of ``value_col``: ``(word_idx, bits)`` rows,
+    32 bits per word, ``n_bits/32`` words total.  MERGEABLE via
+    ``bit_or`` per word (union of two blooms = bloom of the union;
+    equality-tested), so per-slice blooms roll up like every other
+    sketch here.  Deterministic md5 positions → DuckDB reproduces the
+    identical words, so probes are oracle-checkable.
+
+    100 TB shape: one hash-agg over ``n_hashes × |input|`` position rows
+    into ≤ ``n_bits/32`` cells — map-side partials absorb all skew; the
+    result is broadcast-sized by construction (the point: it rides a
+    broadcast join as a pre-filter where the full index cannot)."""
+    if n_bits % _BLOOM_WORD_BITS:
+        raise ValueError(f"n_bits must be a multiple of {_BLOOM_WORD_BITS}")
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(value_col), j, n_bits, salt).alias("p")
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(
+                f"cast(pow(2, p % {_BLOOM_WORD_BITS}) as bigint)"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe values against a built bloom: ``maybe_present`` is true iff
+    ALL ``n_hashes`` positions are set — never a false negative (the
+    Bloom guarantee, property-tested), false positives at the classic
+    ``(1 - e^{-kn/m})^k`` rate (measured, not assumed, in the bench
+    fixture).  The bloom side is broadcast; the probe fan-out is
+    ``n_hashes`` rows per value with one small agg back."""
+    fan = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(value_col), j, n_bits, salt).alias("p")
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        value_col,
+        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"cast(pow(2, p % {_BLOOM_WORD_BITS}) as bigint)").alias("_mask"),
+    )
+    joined = fan.join(F.broadcast(bloom), "word_idx", "left")
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("_mask")) != 0, F.lit(False)
+    )
+    return joined.groupBy(value_col).agg(
+        (F.count(F.when(hit, 1)) == n_hashes).alias("maybe_present")
+    )

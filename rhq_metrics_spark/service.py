@@ -1842,6 +1842,36 @@ FROM (
         )
         return availability_stats(pts, buckets)
 
+    def slo_burn(
+        self,
+        tenant_id,
+        metric,
+        buckets: Buckets,
+        slo_ppm: int = 999_000,
+        fast_n: int = 1,
+        slow_n: int = 6,
+        burn_threshold: float = 1.0,
+    ) -> DataFrame:
+        """A16 through the serving path: the multiwindow SLO burn-rate
+        (operators/availability.py slo_burn_rate) consumes
+        :meth:`availability_stats`' per-bucket rows, so a fully
+        finalized range is answered entirely from the attached
+        availability rollup — ZERO raw-point reads — and a range
+        crossing the watermark rides the same hybrid tail
+        reconstruction.  The burn windows themselves cost one window
+        pass over #buckets rows, never points."""
+        from rhq_metrics_spark.operators.availability import slo_burn_rate
+
+        stats = self.availability_stats(tenant_id, metric, buckets)
+        return slo_burn_rate(
+            stats,
+            slo_ppm=slo_ppm,
+            fast_n=fast_n,
+            slow_n=slow_n,
+            burn_threshold=burn_threshold,
+            group_cols=(),
+        )
+
     # -- periods (W2) --------------------------------------------------------------
 
     def get_periods(self, tenant_id, metric, op, threshold, start, end) -> DataFrame:

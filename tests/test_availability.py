@@ -253,3 +253,47 @@ def test_slo_burn_rate_multiwindow(spark):
     stats3 = availability_stats(df3, Buckets(T, step, 4), group_cols=["metric"])
     out3 = slo_burn_rate(stats3, slo_ppm=990_000).collect()
     assert all(r["burn_fast"] is None and not r["alert"] for r in out3)
+
+
+def test_slo_burn_routed_through_availability_rollup(spark, tmp_path):
+    """A16 serving path (r9 brief item 6): a finalized range's burn-rate
+    is answered entirely from the attached availability partials — zero
+    raw-point files in the plan — and equals the raw-path operator."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.model import Buckets
+    from rhq_metrics_spark.operators.availability import availability_rollup
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"), slice_ms=600_000)
+    svc = MetricsService(spark, store)
+    slice_ms = 600_000
+    states = ["up", "down", "up", "up", "down", "up", "up", "up"]
+    rows = [("t", "web", i * 25_000, states[i % len(states)], None)
+            for i in range(200)]
+    store.add_data_points("availability", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value string, "
+              "tags map<string,string>"))
+
+    wm = 5_400_000  # slices 0-8 finalized
+    availability_rollup(
+        store.points("availability").filter(F.col("ts") < wm), slice_ms,
+        group_cols=["tenant_id", "metric"],
+    ).write.parquet(str(tmp_path / "avail"))
+    svc.attach_availability_rollup(str(tmp_path / "avail"), slice_ms)
+
+    b = Buckets.from_step(0, 4_800_000, 600_000)  # fully finalized range
+    routed = svc.slo_burn("t", "web", b, slo_ppm=990_000, fast_n=1, slow_n=3)
+    assert not any("points" in f for f in routed.inputFiles())
+    assert any("/avail" in f for f in routed.inputFiles())
+
+    saved = svc._avail_rollup
+    svc._avail_rollup = None
+    raw = svc.slo_burn("t", "web", b, slo_ppm=990_000, fast_n=1, slow_n=3)
+    svc._avail_rollup = saved
+    assert routed.columns == raw.columns
+    got = [r.asDict() for r in routed.orderBy("start").collect()]
+    exp = [r.asDict() for r in raw.orderBy("start").collect()]
+    assert got == exp and len(got) == 8
+    assert any(r["burn_fast"] and r["burn_fast"] > 0 for r in got)

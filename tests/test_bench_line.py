@@ -78,4 +78,22 @@ def test_final_line_hard_guarantee_under_pathological_kpis():
 def test_final_line_round_constant_bumped():
     # process discipline: the rotation constant must advance each round
     # so successive BENCH_r{N}.json files cover different query slices
-    assert bench._FINAL_LINE_ROUND >= 9
+    assert bench._FINAL_LINE_ROUND >= 10
+
+
+def test_final_line_carries_load_markers():
+    """VERDICT r9 item 1: per-section loadavg/mem markers must ride the
+    final line so a loaded bench pass is self-evident in the artifact."""
+    timings = _fake_timings(n_kpis=22)
+    markers: list[str] = []
+    for tag in ("warm", "queries", "ann", "ingest", "latency", "end"):
+        bench._sys_marker(markers, tag)
+    timings["load_markers"] = ",".join(markers)
+    line = bench._final_line(_payload(timings), timings, errors={})
+    assert len(line) <= bench._TAIL_BUDGET
+    rec = json.loads(line)
+    lm = rec["queries"]["load_markers"]
+    assert lm.startswith("warm:") and ",end:" in lm
+    # each marker is tag:load1:memGB
+    part = lm.split(",")[0].split(":")
+    assert len(part) == 3 and float(part[1]) >= 0.0

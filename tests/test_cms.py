@@ -361,3 +361,256 @@ def test_ewma_weights_overflow_guard():
     with pytest.raises(ValueError, match="2\\*\\*53"):
         ewma_weights(64, 1, 2)
     assert len(ewma_weights(20, 1, 4)) == 20  # inside the budget
+
+
+# -- HyperLogLog (portable registers) -----------------------------------------
+
+
+def _hll_py_est(true_vals, m=64, salt="hll"):
+    """Pure-Python twin of hll_registers + hll_estimate (same md5 bits)."""
+    import hashlib
+    import math
+
+    regs = {}
+    for v in true_vals:
+        hr = hashlib.md5(f"{salt}:r:{v}".encode()).hexdigest()
+        reg = int(hr[:8], 16) % m
+        hh = hashlib.md5(f"{salt}:h:{v}".encode()).hexdigest()[:15]
+        stripped = hh.lstrip("0")
+        first = stripped[:1]
+        extra = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+            first, 0
+        )
+        rho = min((15 - len(stripped)) * 4 + extra + 1, 40)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = m - len(regs)
+    sum_scaled = sum(1 << (40 - r) for r in regs.values()) + zeros * (1 << 40)
+    raw = 0.709 * m * m * float(1 << 40) / sum_scaled
+    if zeros > 0 and raw <= 2.5 * m:
+        return m * math.log(m / zeros), zeros, sum_scaled
+    return raw, zeros, sum_scaled
+
+
+def test_hll_matches_python_and_accuracy(spark):
+    """Register table + estimate equal the pure-Python md5 twin exactly
+    (sum_scaled is exact int64), and the estimate lands within ~3 sigma
+    (1.04/sqrt(64) ~ 13%) of the true cardinality."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit("item-"), F.col("id")).alias("v")
+    )
+    # duplicates must not move the sketch
+    df = df.union(df.limit(500))
+    est = hll_estimate(hll_registers(df, "g", "v"), "g").collect()[0]
+    want, zeros, sum_scaled = _hll_py_est([f"item-{i}" for i in range(n)])
+    assert est["sum_scaled"] == sum_scaled
+    assert est["zeros"] == zeros
+    assert est["est"] == want  # bit-identical raw-branch double
+    assert abs(est["est"] - n) / n < 0.4  # 3 sigma at m=64
+
+
+def test_hll_linear_counting_small_range(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    est = hll_estimate(hll_registers(df, "g", "v"), "g").collect()[0]
+    want, _, _ = _hll_py_est([f"x{i}" for i in range(10)])
+    assert est["est"] == pytest.approx(want, abs=1e-3)
+    assert est["zeros"] > 0 and est["est"] < 2.5 * 64
+    with pytest.raises(ValueError, match="m must be"):
+        hll_registers(df, "g", "v", m=48)
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Mergeable-summaries contract: per-half register tables merged by
+    max(rho) == the whole corpus's registers, hence identical estimate."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 2).alias("half"),
+        F.lit("g").alias("g"),
+        F.concat(F.lit("m"), (F.col("id") % 1700)).alias("v"),
+    )
+    whole = hll_registers(df, "g", "v")
+    halves = [
+        hll_registers(df.filter(F.col("half") == i), "g", "v")
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert {(r["reg"], r["rho"]) for r in merged.collect()} == {
+        (r["reg"], r["rho"]) for r in whole.collect()
+    }
+    assert (
+        hll_estimate(merged, "g").collect()[0]["est"]
+        == hll_estimate(whole, "g").collect()[0]["est"]
+    )
+
+
+# -- Bloom filter --------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """The Bloom guarantee: every inserted value probes true; the FP
+    rate on non-members sits near the published (1-e^{-kn/m})^k."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+
+    n, m, k = 800, 8192, 4
+    members = spark.range(n).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v")
+    )
+    outsiders = spark.range(4000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v", n_bits=m, n_hashes=k)
+    hits = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_probe(
+            bloom, members.union(outsiders), "v", n_bits=m, n_hashes=k
+        ).collect()
+    }
+    assert all(hits[f"in-{i}"] for i in range(n))  # NO false negatives
+    fp = sum(hits[f"out-{i}"] for i in range(4000)) / 4000
+    expected = (1 - math.exp(-k * n / m)) ** 4
+    assert fp < 3 * expected + 0.02, (fp, expected)
+
+
+def test_bloom_merge_equals_whole_and_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+
+    a = spark.range(200).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(200).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    whole = bloom_build(a.union(b), "v")
+    merged = (
+        bloom_build(a, "v").unionByName(bloom_build(b, "v"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == {
+        (r["word_idx"], r["bits"]) for r in whole.collect()
+    }
+    with pytest.raises(ValueError, match="multiple"):
+        bloom_build(a, "v", n_bits=100)
+
+
+def test_bloom_prefilter_composes_with_incremental_dedup(spark):
+    """The scale composition the bloom exists for: a corpus-fingerprint
+    bloom in front of the standing dedup index — docs that miss the
+    bloom CANNOT be exact dups (no false negatives), so only bloom hits
+    probe the index; decisions on the surviving docs are unchanged."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+    from rhq_metrics_spark.streaming.dedup import content_fingerprint
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different corpus document body")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # exact dup
+         (11, "a novel batch document nothing like the corpus")],
+        "doc_id long, text string",
+    )
+    bloom = bloom_build(
+        corpus.select(content_fingerprint().alias("v")), "v"
+    )
+    probed = bloom_probe(
+        bloom, batch.select("doc_id", content_fingerprint().alias("v")), "v"
+    )
+    flags = {
+        r["doc_id"]: r["maybe_present"]
+        for r in batch.select("doc_id", content_fingerprint().alias("v"))
+        .join(probed, "v").collect()
+    }
+    assert flags[10] is True  # the dup always survives the pre-filter
+    # exact membership agrees with the bloom-gated subset
+    exact = {
+        r["doc_id"]
+        for r in batch.withColumn("v", content_fingerprint())
+        .join(corpus.select(content_fingerprint().alias("v")), "v", "left_semi")
+        .collect()
+    }
+    assert exact == {10}
+    assert all(flags[d] for d in exact)  # no dup is ever pre-filtered away
+
+
+# -- temperature mixture --------------------------------------------------------
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """alpha < 1 up-weights small sources: at alpha=1 the plan equals
+    the proportional token_mixture; at alpha=1/2 the small source's
+    rate_ppm strictly exceeds its proportional rate; weights match the
+    pure-Python sqrt composition exactly."""
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rhq_metrics_spark.pipelines.sampling import (
+        temperature_mixture_plan,
+        temperature_mixture_sample,
+        token_mixture_plan,
+    )
+
+    rows = [(i, "big", "word " * 50) for i in range(40)] + [
+        (100 + i, "small", "word " * 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    p1 = {r["group"]: r for r in temperature_mixture_plan(df, 4, 1000).collect()}
+    prop = {
+        r["group"]: r
+        for r in token_mixture_plan(
+            df, F.col("available_tokens"), 1000
+        ).collect()
+    }
+    assert p1["small"]["target_tokens"] == prop["small"]["target_tokens"]
+
+    p_half = {
+        r["group"]: r for r in temperature_mixture_plan(df, 2, 1000).collect()
+    }
+    assert p_half["small"]["rate_ppm"] > prop["small"]["rate_ppm"]
+    assert p_half["big"]["rate_ppm"] < prop["big"]["rate_ppm"]
+    # exact integer weights: floor(sqrt(n) * 1e6)
+    for g in ("big", "small"):
+        n = p_half[g]["available_tokens"]
+        assert p_half[g]["part"] == math.floor(math.sqrt(n) * 1_000_000)
+
+    out = temperature_mixture_sample(df, 2, 1000)
+    assert out.count() > 0
+    assert set(out.columns) == {"doc_id", "group", "copy_idx", "n_tokens"}
+    with pytest.raises(ValueError, match="alpha_quarters"):
+        temperature_mixture_plan(df, 5, 1000)
