@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "w11_seasonal",        # seasonal profile agg + broadcast rejoin
     "a15_mad_outliers",    # robust median/MAD flags, one exchange
     "a16_slo_burn",        # multiwindow burn-rate over A2 buckets
+    "sketch_hll",          # portable-register HLL (1 agg, groups x 64 keys)
+    "sketch_bloom",        # bloom build + broadcast probe
+    "pipe_temperature_mixture",  # p ~ n^(1/2) mixture plan + realization
     "text_boilerplate",    # cross-doc repeated-line removal + rewrite
     "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",

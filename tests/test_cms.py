@@ -614,3 +614,104 @@ def test_temperature_mixture_flattens_shares(spark):
     assert set(out.columns) == {"doc_id", "group", "copy_idx", "n_tokens"}
     with pytest.raises(ValueError, match="alpha_quarters"):
         temperature_mixture_plan(df, 5, 1000)
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Streaming HLL twin: a finalized slice's registers equal
+    hll_registers over that slice's rows, and max-merging the per-slice
+    registers + hll_estimate reproduces the whole-range estimate."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from rhq_metrics_spark.streaming.hll import streaming_hll_registers
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"g": "a", "sec": base + i * 60, "v": f"val{(i * 7) % 40}"}
+        for i in range(60)
+    ]
+    rows2 = [{"g": "a", "sec": base + 7200, "v": "late"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("g string, sec long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    out = streaming_hll_registers(
+        stream, "g", "v", "30 minutes", watermark_delay="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    batch = spark.createDataFrame(
+        [(r["g"], r["sec"], r["v"]) for r in rows1],
+        "g string, sec long, v string",
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql("select count(*) from hll_out").collect()[0][0] == 0
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+        # both 30-min slices of rows1 must finalize
+        while (
+            spark.sql(
+                "select count(distinct slice_start) from hll_out"
+            ).collect()[0][0] < 2 and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    slices = spark.sql("select * from hll_out").collect()
+    assert slices
+    # per-slice registers == batch hll_registers over the slice's rows
+    for s0 in {int(r["slice_start"].timestamp()) for r in slices}:
+        in_slice = batch.filter(
+            (F.col("sec") >= s0) & (F.col("sec") < s0 + 1800)
+        )
+        exp = {
+            (r["g"], r["reg"]): r["rho"]
+            for r in hll_registers(in_slice, "g", "v").collect()
+        }
+        got = {
+            (r["g"], r["reg"]): r["rho"]
+            for r in slices
+            if int(r["slice_start"].timestamp()) == s0
+        }
+        # memory-sink rows for this slice
+        got = {
+            (r["g"], r["reg"]): r["rho"]
+            for r in slices
+            if int(r["slice_start"].timestamp()) == s0
+        }
+        assert got == exp, s0
+    # max-merged per-slice registers -> whole-range estimate
+    merged = (
+        spark.sql("select g, reg, rho from hll_out")
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(batch, "g", "v")
+    assert (
+        hll_estimate(merged, "g").collect()[0]["est"]
+        == hll_estimate(whole, "g").collect()[0]["est"]
+    )
