@@ -5435,6 +5435,117 @@ FROM c WHERE n_copies > 0
 """
 
 
+IMP_EXPECTED_N = 200
+
+
+def q_pipe_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted document sampling (pipelines/sampling.py
+    importance_sample — the classifier-score resampling step of curated
+    corpora): keep probability ∝ token count (the stand-in quality
+    weight), targeting {IMP_EXPECTED_N} kept docs.  Rates are exact
+    integer ppm (min(1e6, n·1e6·w div Σw)); the keep decision is the
+    repo's 20-bit-hash compare — bit-identical in the DuckDB oracle."""
+    from rhq_metrics_spark.pipelines.sampling import importance_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("w"),
+    )
+    kept = importance_sample(weighted, "w", IMP_EXPECTED_N)
+    return kept.select(
+        "doc_id", F.col("w").alias("n_tokens"), "rate_ppm"
+    )
+
+
+SQL_PIPE_IMPORTANCE = f"""
+WITH toks AS (SELECT doc_id,
+                greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '')), 1) AS w
+              FROM documents),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM toks),
+rated AS (SELECT doc_id, w,
+            least(1000000, {IMP_EXPECTED_N * 1_000_000} * w // sw) AS rate_ppm,
+            ('0x' || substr(md5('impsamp:' || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS h20
+          FROM toks, tot)
+SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm
+FROM rated WHERE h20 * 1000000 < rate_ppm * 1048576
+"""
+
+
+W12_WINDOW_N = 12
+W12_MIN_N = 6
+
+
+def q_w12_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: two-window mean-shift changepoint scores per series
+    (operators/anomaly.py mean_shift_changepoints) — trailing vs
+    leading window means over exact integer sums, normalized by the
+    pooled std; every double a fixed IEEE op sequence, bit-identical
+    in the DuckDB oracle."""
+    from rhq_metrics_spark.operators.anomaly import mean_shift_changepoints
+
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "click")
+    q = ev.select(
+        "metric", "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = mean_shift_changepoints(
+        q, on=["metric", "user_id"], order=["ts", "v100"],
+        value_col="v100", window_n=W12_WINDOW_N, min_n=W12_MIN_N,
+        threshold=2.0, value_scale=1,
+    )
+    return out.select(
+        "metric", "user_id", "ts", "v100", "n_prev", "n_next",
+        "mean_prev", "mean_next", "score", "is_change",
+    )
+
+
+SQL_W12 = f"""
+WITH ev AS ({EV_SQL}),
+q AS (SELECT metric, ts, user_id,
+        CAST(round(value * 100, 0) AS BIGINT) AS v100
+      FROM ev WHERE metric = 'click'),
+w AS (SELECT metric, user_id, ts, v100,
+        count(v100) OVER p AS np, CAST(sum(v100) OVER p AS BIGINT) AS sp,
+        CAST(sum(v100 * v100) OVER p AS BIGINT) AS sqp,
+        count(v100) OVER n AS nn, CAST(sum(v100) OVER n AS BIGINT) AS sn,
+        CAST(sum(v100 * v100) OVER n AS BIGINT) AS sqn
+      FROM q
+      WINDOW p AS (PARTITION BY metric, user_id ORDER BY ts, v100
+                   ROWS BETWEEN {W12_WINDOW_N - 1} PRECEDING AND CURRENT ROW),
+             n AS (PARTITION BY metric, user_id ORDER BY ts, v100
+                   ROWS BETWEEN 1 FOLLOWING AND {W12_WINDOW_N} FOLLOWING)),
+m AS (SELECT *,
+        CAST(sp AS DOUBLE) / np AS mp,
+        CAST(sn AS DOUBLE) / nn AS mn,
+        greatest(CAST(sqp AS DOUBLE) / np
+                 - (CAST(sp AS DOUBLE) / np) * (CAST(sp AS DOUBLE) / np),
+                 0.0) AS varp,
+        greatest(CAST(sqn AS DOUBLE) / nn
+                 - (CAST(sn AS DOUBLE) / nn) * (CAST(sn AS DOUBLE) / nn),
+                 0.0) AS varn
+      FROM w),
+s AS (SELECT *, sqrt((varp * np + varn * nn) / (np + nn)) AS pooled FROM m)
+SELECT metric, user_id, ts, v100, np AS n_prev, nn AS n_next,
+  mp / 1 AS mean_prev, mn / 1 AS mean_next,
+  CASE WHEN np >= {W12_MIN_N} AND nn >= {W12_MIN_N} AND pooled > 0
+       THEN (mn - mp) / pooled END AS score,
+  coalesce(abs(CASE WHEN np >= {W12_MIN_N} AND nn >= {W12_MIN_N}
+                     AND pooled > 0
+                    THEN (mn - mp) / pooled END) > 2.0, FALSE) AS is_change
+FROM s
+"""
+
+
 W11_BINS = 24
 
 
@@ -5549,6 +5660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_bloom": q_sketch_bloom,
         "pipe_temperature_mixture": q_pipe_temperature_mixture,
+        "pipe_importance_sample": q_pipe_importance_sample,
+        "w12_changepoint": q_w12_changepoint,
         # -- last driver-sampled r7: sketches / embeddings / dedup tail
         "sketch_kmv": q_sketch_kmv,
         "embed_rp_reduce": q_embed_rp_reduce,
@@ -5597,9 +5710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cap": q_sample_cap,
         "s1_raw_scan": q_s1_raw_scan,
         "f2_scan_limit": q_f2_scan_limit,
+        # ---- 50-key driver window ends here ----
         "a1_bucket_stats": q_a1_bucket_stats,
         "a1_counter_stats": q_a1_counter_stats,
-        # ---- 50-key driver window ends here ----
         "a1_gapfill": q_a1_gapfill,
         "w1_gauge_rate": q_w1_gauge_rate,
         "w1_counter_rate": q_w1_counter_rate,
@@ -5693,6 +5806,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,
         "pipe_temperature_mixture": SQL_PIPE_TEMPERATURE,
+        "pipe_importance_sample": SQL_PIPE_IMPORTANCE,
+        "w12_changepoint": SQL_W12,
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "sketch_hll",          # portable-register HLL (1 agg, groups x 64 keys)
     "sketch_bloom",        # bloom build + broadcast probe
     "pipe_temperature_mixture",  # p ~ n^(1/2) mixture plan + realization
+    "pipe_importance_sample",    # weight-proportional doc resampling
+    "w12_changepoint",     # two-window mean-shift level detector
     "text_boilerplate",    # cross-doc repeated-line removal + rewrite
     "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",

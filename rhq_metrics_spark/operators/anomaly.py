@@ -352,3 +352,79 @@ def bucket_mad_outliers(
             "is_outlier"
         ),
     )
+
+
+def mean_shift_changepoints(
+    df: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    value_col: str = "value",
+    window_n: int = 10,
+    min_n: int = 5,
+    threshold: float = 3.0,
+    value_scale: int = 100,
+) -> DataFrame:
+    """W12+ (beyond reference): two-window mean-shift changepoint score
+    per point — the window-expressible level-shift detector (the
+    offline cousin of CUSUM, whose running reset is inherently
+    sequential): at each point, compare the TRAILING ``window_n``
+    points (inclusive) against the LEADING ``window_n`` points;
+    ``score = (mean_next - mean_prev) / pooled_std`` flags a sustained
+    level change without a spike tripping it (a single outlier moves
+    one mean by 1/w and inflates the pooled std).
+
+    Exactness contract (same family as rolling_zscore): values
+    quantize to ``value_scale`` integers; counts / sums / sums of
+    squares are exact int64 frame aggregates; every double is then a
+    FIXED op sequence (two divisions per mean, the textbook var
+    identity with a max(0) guard, one sqrt, one final division) —
+    bit-identical cross-engine, emitted unrounded.  Overflow headroom:
+    ``window_n * (|v| * value_scale)^2`` must fit int64.
+
+    Rows with fewer than ``min_n`` points on either side, or zero
+    pooled variance, get null score and no flag.
+
+    100 TB shape: ONE exchange on the series key; both window frames
+    ride the same sort (six frame aggregates, no join, no Python).
+    Output: ``(on…, order…, value, n_prev, n_next, mean_prev,
+    mean_next, score, is_change)``.
+    """
+    on, order = list(on), list(order)
+
+    def frames(lo: int, hi: int):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*[F.col(c).asc() for c in order])
+            .rowsBetween(lo, hi)
+        )
+        n = F.count("_vq").over(w)
+        s = F.sum("_vq").over(w)
+        sq = F.sum(F.col("_vq") * F.col("_vq")).over(w)
+        return n, s, sq
+
+    base = df.withColumn(
+        "_vq", F.round(F.col(value_col).cast("double") * value_scale).cast("long")
+    )
+    n_p, s_p, sq_p = frames(-(window_n - 1), 0)
+    n_n, s_n, sq_n = frames(1, window_n)
+    m_p = s_p.cast("double") / n_p
+    m_n = s_n.cast("double") / n_n
+    var_p = F.greatest(sq_p.cast("double") / n_p - m_p * m_p, F.lit(0.0))
+    var_n = F.greatest(sq_n.cast("double") / n_n - m_n * m_n, F.lit(0.0))
+    pooled = F.sqrt((var_p * n_p + var_n * n_n) / (n_p + n_n))
+    ok = (n_p >= min_n) & (n_n >= min_n) & (pooled > 0)
+    score = F.when(ok, (m_n - m_p) / pooled)
+    out = base.select(
+        *on,
+        *order,
+        value_col,
+        n_p.alias("n_prev"),
+        n_n.alias("n_next"),
+        (m_p / value_scale).alias("mean_prev"),
+        (m_n / value_scale).alias("mean_next"),
+        score.alias("score"),
+    )
+    return out.withColumn(
+        "is_change",
+        F.coalesce(F.abs(F.col("score")) > F.lit(threshold), F.lit(False)),
+    )

@@ -341,3 +341,70 @@ def temperature_mixture_sample(
         text_col=text_col,
         salt=salt,
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    expected_n: int,
+    id_col: str = "doc_id",
+    salt: str = "impsamp",
+) -> DataFrame:
+    """Quality-WEIGHTED document sampling: keep each row with
+    probability proportional to its integer weight (a quantized
+    classifier/quality score), targeting ``expected_n`` kept rows —
+    the resampling step of classifier-curated corpora (keep the good
+    docs with high probability, the mediocre ones occasionally,
+    instead of a hard threshold).
+
+    Exact integer plan: ``rate_ppm = min(1e6, expected_n * 1e6 * w div
+    sum(w))`` (probabilities clamp at 1, so the realized expectation
+    undershoots ``expected_n`` exactly by the clamped mass — the
+    standard weighted-sampling contract); the keep decision is the
+    repo's 20-bit-hash compare (``h20 * 1e6 < rate_ppm * 2^20``, both
+    sides well inside int64) — deterministic, stable under corpus
+    growth, bit-identical cross-engine.
+
+    Bounds: requires ``0 < weight <= 1e6`` (quantize scores first) and
+    ``expected_n <= 1e6`` so ``expected_n * 1e6 * w`` stays inside
+    int64; violations raise/filter loudly rather than overflow.
+
+    100 TB shape: ONE scalar aggregate (sum of weights) broadcast onto
+    the corpus; the hash filter fuses with the scan — no shuffle of
+    data rows.  Output: the kept rows + ``rate_ppm``.
+    """
+    if not 0 < expected_n <= 1_000_000:
+        raise ValueError("expected_n must be in 1..1e6 (int64 headroom)")
+    w = F.col(weight_col).cast("long")
+    checked = df.withColumn(
+        "_w",
+        F.when((w > 0) & (w <= 1_000_000), w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"importance_sample: {weight_col} out of (0, 1e6]: "),
+                    w.cast("string"),
+                )
+            )
+        ),
+    )
+    total = checked.select(F.sum("_w").alias("_sw"))
+    h20 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1, 5,
+        ),
+        16, 10,
+    ).cast("long")
+    rated = checked.crossJoin(F.broadcast(total)).withColumn(
+        "rate_ppm",
+        # integer div keeps the rate an exact long (/, by contrast,
+        # widens to double)
+        F.expr(
+            f"least(1000000L, {int(expected_n) * 1_000_000}L * _w div _sw)"
+        ).cast("long"),
+    )
+    return (
+        rated.withColumn("_h20", h20)
+        .filter(F.col("_h20") * 1_000_000 < F.col("rate_ppm") * 1_048_576)
+        .drop("_w", "_sw", "_h20")
+    )

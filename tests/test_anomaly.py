@@ -106,3 +106,85 @@ def test_rolling_quantile_validation(spark):
                                "metric string, user_id string, ts long, v double")
     with pytest.raises(ValueError):
         rolling_quantile(df, on=["metric"], order=["ts"], value_col="v", q=1.5)
+
+
+def test_mean_shift_changepoint_flags_step_not_spike(spark):
+    """W12+: a sustained level shift scores highest exactly at the step
+    boundary; a lone spike and a constant series flag nothing."""
+    from rhq_metrics_spark.operators.anomaly import mean_shift_changepoints
+
+    # alternating ±0.1 texture keeps the pooled variance nonzero at the
+    # boundary (two perfectly-constant levels hit the zero-variance
+    # guard exactly there)
+    step = [("s", t, 10.0 + (t % 2) * 0.2) for t in range(30)] + [
+        ("s", 30 + t, 20.0 + (t % 2) * 0.2) for t in range(30)
+    ]
+    spike = [("p", t, 10.0 if t != 30 else 500.0) for t in range(60)]
+    const = [("c", t, 7.0) for t in range(60)]
+    df = spark.createDataFrame(
+        step + spike + const, "key string, ts long, value double"
+    )
+    out = mean_shift_changepoints(
+        df, on=["key"], order=["ts"], window_n=10, min_n=10, threshold=3.0
+    )
+    rows = {(r["key"], r["ts"]): r for r in out.collect()}
+    # the step: max score at the last point of the old level
+    s_scores = {
+        t: rows[("s", t)]["score"]
+        for t in range(60)
+        if rows[("s", t)]["score"] is not None
+    }
+    assert max(s_scores, key=lambda t: abs(s_scores[t])) == 29
+    assert rows[("s", 29)]["is_change"]
+    assert rows[("s", 29)]["mean_prev"] == 10.1  # avg of 10.0/10.2
+    assert rows[("s", 29)]["mean_next"] == 20.1
+    # far from the boundary: no flags
+    assert not rows[("s", 5)]["is_change"] and not rows[("s", 55)]["is_change"]
+    # a lone spike inflates the pooled std instead of shifting the mean
+    assert not any(rows[("p", t)]["is_change"] for t in range(60))
+    # constant series: pooled std 0 -> null score, no flag
+    assert all(rows[("c", t)]["score"] is None for t in range(60))
+    assert not any(rows[("c", t)]["is_change"] for t in range(60))
+    # min_n guard: head/tail rows have too few points on one side
+    assert rows[("s", 3)]["score"] is None
+    assert rows[("s", 58)]["score"] is None
+
+
+def test_mean_shift_matches_python_twin(spark):
+    """Exactness: every emitted double equals the same fixed op
+    sequence over Python ints/floats, bit for bit."""
+    import math
+
+    from rhq_metrics_spark.operators.anomaly import mean_shift_changepoints
+
+    vals = [3.17, 5.0, 4.42, 9.01, 2.76, 8.8, 7.3, 1.14, 6.6, 5.55,
+            12.3, 11.7, 10.09, 13.4, 12.01]
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)],
+        "key string, ts long, value double",
+    )
+    W, MINN = 4, 2
+    out = {
+        r["ts"]: r
+        for r in mean_shift_changepoints(
+            df, on=["key"], order=["ts"], window_n=W, min_n=MINN,
+            value_scale=100,
+        ).collect()
+    }
+    vq = [round(v * 100) for v in vals]
+    for t in range(len(vals)):
+        prev = vq[max(0, t - W + 1): t + 1]
+        nxt = vq[t + 1: t + 1 + W]
+        r = out[t]
+        assert (r["n_prev"], r["n_next"]) == (len(prev), len(nxt))
+        if len(prev) < MINN or len(nxt) < MINN:
+            assert r["score"] is None
+            continue
+        mp = sum(prev) / len(prev)
+        mn = sum(nxt) / len(nxt)
+        vp = max(sum(x * x for x in prev) / len(prev) - mp * mp, 0.0)
+        vn = max(sum(x * x for x in nxt) / len(nxt) - mn * mn, 0.0)
+        pooled = math.sqrt((vp * len(prev) + vn * len(nxt)) / (len(prev) + len(nxt)))
+        assert r["mean_prev"] == mp / 100 and r["mean_next"] == mn / 100
+        if pooled > 0:
+            assert r["score"] == (mn - mp) / pooled, t

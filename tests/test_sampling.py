@@ -159,3 +159,64 @@ def test_token_mixture_plan_and_sample(spark):
     a3 = token_mixture_sample(df, parts, budget_tokens=250) \
         .filter("group = 'A'").groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in a3} == counts
+
+
+def test_importance_sample_rates_and_expectation(spark):
+    """Quality-weighted sampling: rate_ppm is the exact integer
+    min(1e6, n*1e6*w div sum_w); high-weight docs keep with probability
+    ~rate; realized count sits near the (clamp-adjusted) expectation;
+    the decision equals the Python md5 twin exactly."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sampling import importance_sample
+
+    n_docs = 2000
+    # weights 1..4: doc_id % 4 + 1 (sum = 2000 * 2.5)
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 4) + 1).cast("long").alias("w"),
+    )
+    expected_n = 500
+    kept = importance_sample(df, "w", expected_n).collect()
+    sum_w = sum(i % 4 + 1 for i in range(n_docs))
+    by_id = {r["doc_id"]: r for r in kept}
+    # exact rate arithmetic + exact hash decision (Python twin)
+    n_exp = 0
+    for i in range(n_docs):
+        w = i % 4 + 1
+        rate = min(1_000_000, expected_n * 1_000_000 * w // sum_w)
+        h20 = int(hashlib.md5(f"impsamp:{i}".encode()).hexdigest()[:5], 16)
+        keep = h20 * 1_000_000 < rate * 1_048_576
+        n_exp += keep
+        assert (i in by_id) == keep, i
+        if keep:
+            assert by_id[i]["rate_ppm"] == rate
+    assert len(kept) == n_exp
+    # realized count near the target (hash is uniform; 3 sigma slack)
+    assert abs(len(kept) - expected_n) < 3 * (expected_n ** 0.5) + 10
+    # weight-4 docs kept ~4x as often as weight-1 docs
+    k4 = sum(1 for r in kept if r["w"] == 4)
+    k1 = sum(1 for r in kept if r["w"] == 1)
+    assert k4 > 2 * k1
+
+
+def test_importance_sample_clamp_and_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rhq_metrics_spark.pipelines.sampling import importance_sample
+
+    df = spark.createDataFrame(
+        [(1, 1_000_000), (2, 1), (3, 1)], "doc_id long, w long"
+    )
+    # the huge-weight doc clamps at 1e6 ppm (always kept)
+    kept = {r["doc_id"]: r["rate_ppm"] for r in
+            importance_sample(df, "w", 100).collect()}
+    assert kept[1] == 1_000_000
+    with pytest.raises(ValueError, match="expected_n"):
+        importance_sample(df, "w", 0)
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="out of"):
+        importance_sample(bad, "w", 10).collect()
