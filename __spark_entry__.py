@@ -5549,6 +5549,52 @@ FROM s
 W11_BINS = 24
 
 
+def q_w13_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: seasonal-naive forecast bands per (metric, hour-of-day bin)
+    (operators/anomaly.py seasonal_forecast_bands) — baseline ± 2σ from
+    the profile's exact integer moments; moments merge across partials
+    where rank statistics can't, so the same bands serve from an
+    attached long-run profile with zero raw reads (pytest-pinned); every
+    double a fixed IEEE op sequence, bit-identical in the oracle."""
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_forecast_bands,
+        seasonal_profile,
+    )
+
+    ev = _events_points(spark, sf_dir)
+    binned = _seasonal_binned(
+        ev.select("metric", "ts", "value"), "ts", "value",
+        86_400_000, W11_BINS, 100,
+    )
+    prof = seasonal_profile(binned, ["metric"])
+    return seasonal_forecast_bands(prof, ["metric"], k=2.0)
+
+
+SQL_W13 = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT metric,
+        CAST((ts % 86400000) // 3600000 AS INTEGER) AS bin,
+        CAST(round(value * 100, 0) AS BIGINT) AS vq
+      FROM ev),
+prof AS (SELECT metric, bin, CAST(sum(vq) AS BIGINT) AS s,
+           CAST(sum(vq * vq) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY 1, 2),
+m AS (SELECT metric, bin, n,
+        CAST(s AS DOUBLE) / n AS mu,
+        sqrt(greatest(CAST(sq AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                      0.0)) AS sd
+      FROM prof)
+SELECT metric, bin, n AS bin_samples,
+  mu / 100 AS baseline, sd / 100 AS sd,
+  (mu - 2.0 * sd) / 100 AS lo,
+  (mu + 2.0 * sd) / 100 AS hi
+FROM m
+"""
+
+
 def q_w11_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W11: hour-of-day seasonal baseline + residual per metric
     (operators/anomaly.py seasonal_baseline) — one profile hash-agg
@@ -5662,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_temperature_mixture": q_pipe_temperature_mixture,
         "pipe_importance_sample": q_pipe_importance_sample,
         "w12_changepoint": q_w12_changepoint,
+        "w13_seasonal_forecast": q_w13_seasonal_forecast,
         # -- last driver-sampled r7: sketches / embeddings / dedup tail
         "sketch_kmv": q_sketch_kmv,
         "embed_rp_reduce": q_embed_rp_reduce,
@@ -5709,8 +5756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
         "s1_raw_scan": q_s1_raw_scan,
-        "f2_scan_limit": q_f2_scan_limit,
         # ---- 50-key driver window ends here ----
+        "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
         "a1_counter_stats": q_a1_counter_stats,
         "a1_gapfill": q_a1_gapfill,
@@ -5808,6 +5855,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_temperature_mixture": SQL_PIPE_TEMPERATURE,
         "pipe_importance_sample": SQL_PIPE_IMPORTANCE,
         "w12_changepoint": SQL_W12,
+        "w13_seasonal_forecast": SQL_W13,
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,

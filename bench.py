@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "pipe_temperature_mixture",  # p ~ n^(1/2) mixture plan + realization
     "pipe_importance_sample",    # weight-proportional doc resampling
     "w12_changepoint",     # two-window mean-shift level detector
+    "w13_seasonal_forecast",  # profile moments -> baseline +- 2sigma bands
     "text_boilerplate",    # cross-doc repeated-line removal + rewrite
     "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",

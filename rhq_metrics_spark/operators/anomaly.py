@@ -230,14 +230,62 @@ def _seasonal_binned(
 
 def seasonal_profile(binned: DataFrame, on: Sequence[str]) -> DataFrame:
     """The seasonal profile as MERGEABLE partials: ``(on…, bin, sum_vq,
-    bin_samples)`` — exact integer sums, so per-slice / per-day
-    profiles union + re-aggregate (sum both columns) into any range's
-    profile, the same contract as the histogram rollups.  The streaming
-    twin (streaming/seasonal.py) emits exactly these rows per finalized
-    slice."""
+    sum_sq_vq, bin_samples)`` — exact integer sums, so per-slice /
+    per-day profiles union + re-aggregate (sum all three columns) into
+    any range's profile, the same contract as the histogram rollups.
+    The streaming twin (streaming/seasonal.py) emits exactly these rows
+    per finalized slice.  ``sum_sq_vq`` (r10) carries the second moment
+    so :func:`seasonal_forecast_bands` can serve baseline ± k·σ bands
+    from partials — moments merge where rank statistics cannot.
+    Overflow headroom: ``bin_samples × (|v|·value_scale)²`` per (series,
+    bin) must fit int64."""
     return binned.groupBy(*on, "bin").agg(
         F.sum("_vq").alias("sum_vq"),
+        F.sum(F.col("_vq") * F.col("_vq")).alias("sum_sq_vq"),
         F.count(F.lit(1)).alias("bin_samples"),
+    )
+
+
+def seasonal_forecast_bands(
+    profile: DataFrame,
+    on: Sequence[str],
+    value_scale: int = 100,
+    k: float = 2.0,
+) -> DataFrame:
+    """W13 (beyond reference): seasonal-naive FORECAST with
+    mergeable-moments bands — per (series, bin): ``baseline`` (the
+    profile mean, what the next period's bin is forecast to look like)
+    and ``lo/hi = baseline ∓ k·σ`` from the profile's exact first and
+    second moments.  σ-bands rather than residual quantiles by design:
+    moments MERGE across partials (per-slice profiles sum), rank
+    statistics don't — so the forecast serves from an attached long-run
+    profile with zero raw reads, same contract as the stats rollups.
+
+    Exactness: the moment sums are exact int64; the finalization is a
+    fixed IEEE op sequence (two divisions, the var identity with a
+    max(0) guard, one sqrt, two fused multiply-adds) — bit-identical
+    cross-engine, emitted unrounded.
+
+    Output: ``(on…, bin, bin_samples, baseline, sd, lo, hi)``.
+    """
+    on = list(on)
+    if value_scale <= 0 or 10_000 % value_scale != 0:
+        raise ValueError(
+            f"value_scale must be a positive divisor of 10000; got "
+            f"{value_scale}"
+        )
+    n = F.col("bin_samples")
+    m = F.col("sum_vq").cast("double") / n
+    msq = F.col("sum_sq_vq").cast("double") / n
+    sd = F.sqrt(F.greatest(msq - m * m, F.lit(0.0)))
+    return profile.select(
+        *on,
+        "bin",
+        "bin_samples",
+        (m / value_scale).alias("baseline"),
+        (sd / value_scale).alias("sd"),
+        ((m - F.lit(float(k)) * sd) / value_scale).alias("lo"),
+        ((m + F.lit(float(k)) * sd) / value_scale).alias("hi"),
     )
 
 

@@ -1796,6 +1796,96 @@ FROM (
             period_ms=period_ms, n_bins=n_bins, value_scale=value_scale,
         )
 
+    def seasonal_forecast(
+        self,
+        tenant_id,
+        metric,
+        start,
+        end,
+        period_ms: int = 86_400_000,
+        n_bins: int = 24,
+        metric_type=MetricType.GAUGE,
+        value_scale: int = 100,
+        k: float = 2.0,
+        history: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """W13 seasonal-naive forecast for a (typically FUTURE) range:
+        one row per bin-grid timestamp in ``[start, end)`` with the
+        profile baseline and the mergeable-moments ``lo/hi = baseline ∓
+        k·σ`` band (operators/anomaly.py seasonal_forecast_bands).
+
+        With attached partials (:meth:`attach_seasonal_profile`,
+        matching params, ``sum_sq_vq`` present) the forecast reads ZERO
+        raw points — a forecast needs no request-range data, and the
+        profile side is the partials (inputFiles-asserted in tests).
+        Without a matching attachment, ``history=(h_start, h_end)``
+        names the range to scan for the profile."""
+        from rhq_metrics_spark.operators.anomaly import (
+            _seasonal_binned,
+            seasonal_forecast_bands,
+            seasonal_profile,
+        )
+
+        prof = None
+        entry = self._seasonal_profiles.get(MetricType.check(metric_type))
+        if entry is not None:
+            df, att_period, att_bins, att_scale = entry
+            if (
+                att_period == period_ms and att_bins == n_bins
+                and att_scale == value_scale and "sum_sq_vq" in df.columns
+            ):
+                prof = (
+                    df.filter(
+                        (F.col("tenant_id") == tenant_id)
+                        & (F.col("metric") == metric)
+                    )
+                    .groupBy("metric", "bin")
+                    .agg(
+                        F.sum("sum_vq").alias("sum_vq"),
+                        F.sum("sum_sq_vq").alias("sum_sq_vq"),
+                        F.sum("bin_samples").alias("bin_samples"),
+                    )
+                )
+        if prof is None:
+            if history is None:
+                raise ValueError(
+                    "no attached seasonal profile matches these params; "
+                    "pass history=(start_ms, end_ms) to build one from a "
+                    "raw scan"
+                )
+            pts = self._scan(metric_type, tenant_id, metric, *history)
+            prof = seasonal_profile(
+                _seasonal_binned(
+                    pts.select("metric", "ts", "value"), "ts", "value",
+                    period_ms, n_bins, value_scale,
+                ),
+                ["metric"],
+            )
+        bands = seasonal_forecast_bands(
+            prof, ["metric"], value_scale=value_scale, k=k
+        ).drop("metric")
+        bin_ms = period_ms // n_bins
+        first = -(-int(start) // bin_ms) * bin_ms  # ceil to the bin grid
+        n_pts = max(0, -(-(int(end) - first) // bin_ms)) if end > first else 0
+        grid = self.spark.range(n_pts).select(
+            (F.lit(first) + F.col("id") * bin_ms).cast("long").alias("ts")
+        ).withColumn(
+            "bin",
+            F.expr(f"(ts % {int(period_ms)}) div {bin_ms}").cast("int"),
+        )
+        return grid.join(F.broadcast(bands), "bin", "left").select(
+            F.lit(str(metric)).alias("metric"),
+            "ts",
+            "bin",
+            F.coalesce(F.col("bin_samples"), F.lit(0).cast("long")).alias(
+                "bin_samples"
+            ),
+            "baseline",
+            "sd",
+            "lo",
+            "hi",
+        )
+
     # -- availability (A2/A7) -----------------------------------------------------
 
     def availability_stats(self, tenant_id, metric, buckets: Buckets) -> DataFrame:

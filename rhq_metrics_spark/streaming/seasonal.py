@@ -2,12 +2,13 @@
 the per-slice seasonal-profile partials as the stream arrives.
 
 The profile's cells are exact integer sums — ``(series, bin, sum_vq,
-bin_samples)`` add — so the stream emits one finalized partial set per
-watermark-closed slice, and summing the slices of any range reproduces
-the batch profile over that range exactly (tested).  Serving then
-scores live points with ``seasonal_apply`` over the merged partials,
-zero extra aggregations.  State per key is two longs, bounded by
-live-slices × series × n_bins.
+sum_sq_vq, bin_samples)`` add — so the stream emits one finalized
+partial set per watermark-closed slice, and summing the slices of any
+range reproduces the batch profile over that range exactly (tested).
+Serving then scores live points with ``seasonal_apply`` (or forecasts
+with ``seasonal_forecast_bands``) over the merged partials, zero extra
+aggregations.  State per key is three longs, bounded by live-slices ×
+series × n_bins.
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ def streaming_seasonal_profile(
         )
         .agg(
             F.sum("_vq").alias("sum_vq"),
+            F.sum(F.col("_vq") * F.col("_vq")).alias("sum_sq_vq"),
             F.count(F.lit(1)).alias("bin_samples"),
         )
         .select(
@@ -57,6 +59,7 @@ def streaming_seasonal_profile(
             *gcols,
             "bin",
             "sum_vq",
+            "sum_sq_vq",
             "bin_samples",
         )
     )

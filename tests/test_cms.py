@@ -275,7 +275,7 @@ def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
     )
     binned = _seasonal_binned(batch, "ts", "value", 86_400_000, 24, 100)
     want = {
-        (r["metric"], r["bin"]): (r["sum_vq"], r["bin_samples"])
+        (r["metric"], r["bin"]): (r["sum_vq"], r["sum_sq_vq"], r["bin_samples"])
         for r in seasonal_profile(binned, ["metric"]).collect()
     }
     try:
@@ -292,10 +292,11 @@ def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
 
     parts = spark.sql("select * from sp_out")
     merged = {
-        (r["metric"], r["bin"]): (r["sum_vq"], r["bin_samples"])
+        (r["metric"], r["bin"]): (r["sum_vq"], r["sum_sq_vq"], r["bin_samples"])
         for r in parts.groupBy("metric", "bin")
         .agg(
             F.sum("sum_vq").alias("sum_vq"),
+            F.sum("sum_sq_vq").alias("sum_sq_vq"),
             F.sum("bin_samples").alias("bin_samples"),
         )
         .collect()
@@ -715,3 +716,99 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         hll_estimate(merged, "g").collect()[0]["est"]
         == hll_estimate(whole, "g").collect()[0]["est"]
     )
+
+
+def test_seasonal_forecast_bands_python_twin(spark):
+    """W13: per-bin baseline ± k·sigma from the profile's exact moments
+    equals the same fixed op sequence in Python, bit for bit."""
+    import math
+
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_forecast_bands,
+        seasonal_profile,
+    )
+
+    hour = 3_600_000
+    rows = [
+        ("m", 0 * hour + 1, 10.0), ("m", 24 * hour + 2, 14.0),
+        ("m", 48 * hour + 3, 12.33), ("m", 1 * hour + 4, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    binned = _seasonal_binned(df, "ts", "value", 86_400_000, 24, 100)
+    prof = seasonal_profile(binned, ["metric"])
+    out = {r["bin"]: r for r in
+           seasonal_forecast_bands(prof, ["metric"], k=2.0).collect()}
+    vq0 = [1000, 1400, 1233]
+    n, sv, sq = len(vq0), sum(vq0), sum(x * x for x in vq0)
+    m = sv / n
+    sd = math.sqrt(max(sq / n - m * m, 0.0))
+    b0 = out[0]
+    assert b0["bin_samples"] == 3
+    assert b0["baseline"] == m / 100 and b0["sd"] == sd / 100
+    assert b0["lo"] == (m - 2.0 * sd) / 100
+    assert b0["hi"] == (m + 2.0 * sd) / 100
+    # single-point bin: sd 0, band collapses to the baseline
+    b1 = out[1]
+    assert b1["sd"] == 0.0 and b1["lo"] == b1["hi"] == b1["baseline"] == 30.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisor"):
+        seasonal_forecast_bands(prof, ["metric"], value_scale=3)
+
+
+def test_service_seasonal_forecast_routed_zero_raw_reads(spark, tmp_path):
+    """The forecast serves ENTIRELY from attached profile partials —
+    no raw-point files in the plan — and equals the history-scan
+    route over the same data."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    rows = [
+        ("t", "cpu", d * 86_400_000 + h * 3_600_000 + 5,
+         float((h * 13 + d * 7) % 40) + 0.5, None)
+        for d in range(3) for h in range(24)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_profile,
+    )
+
+    binned = _seasonal_binned(
+        store.points("gauge").select("tenant_id", "metric", "ts", "value"),
+        "ts", "value", 86_400_000, 24, 100,
+    )
+    seasonal_profile(binned, ["tenant_id", "metric"]).write.parquet(
+        str(tmp_path / "prof")
+    )
+    svc.attach_seasonal_profile(str(tmp_path / "prof"))
+
+    start, end = 3 * 86_400_000, 4 * 86_400_000  # the NEXT (unseen) day
+    fc = svc.seasonal_forecast("t", "cpu", start, end)
+    assert not any("points" in f for f in fc.inputFiles())
+    got = {r["ts"]: r for r in fc.collect()}
+    assert len(got) == 24
+    assert all(r["bin_samples"] == 3 for r in got.values())
+    # history-scan route over the same data gives identical bands
+    svc._seasonal_profiles = {}
+    raw = {r["ts"]: r for r in svc.seasonal_forecast(
+        "t", "cpu", start, end, history=(0, 3 * 86_400_000)
+    ).collect()}
+    for ts, r in got.items():
+        for c in ("bin", "baseline", "sd", "lo", "hi"):
+            assert r[c] == raw[ts][c], (ts, c)
+    # band sanity: lo <= baseline <= hi everywhere
+    assert all(r["lo"] <= r["baseline"] <= r["hi"] for r in got.values())
+    # no attachment + no history -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="history"):
+        svc.seasonal_forecast("t", "cpu", start, end)
