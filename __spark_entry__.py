@@ -5435,6 +5435,158 @@ FROM c WHERE n_copies > 0
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (pipelines/text.py canonical_url /
+    url_canonical_dedup): deterministic URL variants synthesized from
+    doc_id arithmetic — case-folded scheme/host, www., default ports,
+    utm/gclid tracking params, fragments, trailing slashes — collapse
+    onto one canonical form per page; the oracle rebuilds the SAME
+    variants and runs the SAME portable regex chain (no backrefs, no
+    lookaround — Java regex and RE2 agree verbatim)."""
+    from rhq_metrics_spark.pipelines.text import url_canonical_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 20).cast("string")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+        F.when(d % 3 == 1, F.lit("Site")).otherwise(F.lit("site")),
+        k,
+        F.lit(".com"),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/page"),
+        k,
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=m&utm_b=2")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return url_canonical_dedup(urls)
+
+
+SQL_URL_CANONICAL = r"""
+WITH urls AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+      CASE WHEN doc_id % 3 = 1 THEN 'Site' ELSE 'site' END,
+      CAST(doc_id % 20 AS VARCHAR), '.com',
+      CASE WHEN doc_id % 4 = 0 THEN ':443'
+           WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+      '/page', CAST(doc_id % 20 AS VARCHAR),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN '?utm_source=m&utm_b=2' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+s0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM urls),
+s1 AS (SELECT doc_id, url, u0,
+         regexp_extract(u0, '(?i)^(https?://[^/?#]+)', 1) AS prefix
+       FROM s0),
+s2 AS (SELECT doc_id, url,
+         lower(prefix) AS p0,
+         substr(u0, length(prefix) + 1) AS rest
+       FROM s1),
+s3 AS (SELECT doc_id, url, rest,
+         CASE WHEN p0 LIKE 'http://%' AND p0 LIKE '%:80'
+                THEN substr(p0, 1, length(p0) - 3)
+              WHEN p0 LIKE 'https://%' AND p0 LIKE '%:443'
+                THEN substr(p0, 1, length(p0) - 4)
+              ELSE p0 END AS p1
+       FROM s2),
+s4 AS (SELECT doc_id, url, rest,
+         regexp_replace(regexp_replace(p1, '^http://www\.', 'http://'),
+                        '^https://www\.', 'https://') AS p
+       FROM s3),
+s5 AS (SELECT doc_id, url, p,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(rest,
+                 '&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
+               '\?(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*&', '?'),
+             '\?(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*$', ''),
+           '/$', '') AS r
+       FROM s4)
+SELECT p || r AS canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(url) AS sample_url
+FROM s5 GROUP BY 1
+"""
+
+
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language (pipelines/text.py
+    tokenizer_fertility): BPE-ish tokens per whitespace word and UTF-8
+    bytes per token, as exact ppm integers — the cost/fairness view
+    behind tokenizer choice."""
+    from rhq_metrics_spark.pipelines.text import tokenizer_fertility
+
+    return tokenizer_fertility(_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FERTILITY = r"""
+WITH per AS (
+  SELECT lang,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS w,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      AS BIGINT) AS t,
+    CAST(strlen(text) AS BIGINT) AS b
+  FROM documents),
+agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(w) AS BIGINT) AS n_words,
+          CAST(sum(t) AS BIGINT) AS n_tokens,
+          CAST(sum(b) AS BIGINT) AS n_bytes
+        FROM per GROUP BY lang)
+SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+  CASE WHEN n_words > 0 THEN n_tokens * 1000000 // n_words
+       ELSE 0 END AS tokens_per_word_ppm,
+  CASE WHEN n_tokens > 0 THEN n_bytes * 1000000 // n_tokens
+       ELSE 0 END AS bytes_per_token_ppm
+FROM agg
+"""
+
+
+W14_TOP_K = 10
+
+
+def q_w14_top_anomalous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: fleet triage — which series are misbehaving
+    (operators/anomaly.py rank_anomalous_series): per (metric, user)
+    series the max |z| and flagged count from the W5 rolling z-score,
+    globally ranked, top {W14_TOP_K}.  The z-score exchange collapses to
+    one row per series before the tiny global rank."""
+    from rhq_metrics_spark.operators.anomaly import rank_anomalous_series
+
+    ev = _events_points(spark, sf_dir).filter(F.col("metric") == "click")
+    q = ev.select(
+        "metric", "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    return rank_anomalous_series(
+        q, on=["metric", "user_id"], order=["ts", "v100"], value_col="v100",
+        window_n=Z_WINDOW_N, min_n=Z_MIN_N, threshold=Z_THRESHOLD,
+        top_k=W14_TOP_K,
+    )
+
+
+def _w14_sql() -> str:
+    return f"""
+WITH w5 AS ({SQL_W5}),
+per AS (SELECT metric, user_id,
+          CAST(count(*) AS BIGINT) AS n_points,
+          CAST(count(CASE WHEN is_anomaly THEN 1 END) AS BIGINT) AS n_flagged,
+          max(abs(z)) AS max_abs_z
+        FROM w5 GROUP BY 1, 2)
+SELECT metric, user_id, n_points, n_flagged, max_abs_z,
+       CAST(row_number() OVER (ORDER BY max_abs_z DESC NULLS LAST,
+                               metric, user_id) AS INTEGER) AS rank
+FROM per QUALIFY rank <= {W14_TOP_K}
+"""
+
+
 IMP_EXPECTED_N = 200
 
 
@@ -5709,6 +5861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_importance_sample": q_pipe_importance_sample,
         "w12_changepoint": q_w12_changepoint,
         "w13_seasonal_forecast": q_w13_seasonal_forecast,
+        "url_canonical": q_url_canonical,
+        "text_fertility": q_text_fertility,
+        "w14_top_anomalous": q_w14_top_anomalous,
         # -- last driver-sampled r7: sketches / embeddings / dedup tail
         "sketch_kmv": q_sketch_kmv,
         "embed_rp_reduce": q_embed_rp_reduce,
@@ -5753,10 +5908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
+        # ---- 50-key driver window ends here ----
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
         "s1_raw_scan": q_s1_raw_scan,
-        # ---- 50-key driver window ends here ----
         "f2_scan_limit": q_f2_scan_limit,
         "a1_bucket_stats": q_a1_bucket_stats,
         "a1_counter_stats": q_a1_counter_stats,
@@ -5856,6 +6011,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_importance_sample": SQL_PIPE_IMPORTANCE,
         "w12_changepoint": SQL_W12,
         "w13_seasonal_forecast": SQL_W13,
+        "url_canonical": SQL_URL_CANONICAL,
+        "text_fertility": SQL_TEXT_FERTILITY,
+        "w14_top_anomalous": _w14_sql(),
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,

@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "pipe_importance_sample",    # weight-proportional doc resampling
     "w12_changepoint",     # two-window mean-shift level detector
     "w13_seasonal_forecast",  # profile moments -> baseline +- 2sigma bands
+    "url_canonical",       # portable-regex canonicalization + dedup agg
+    "text_fertility",      # tokens/word + bytes/token ppm per lang
+    "w14_top_anomalous",   # per-series max-z collapse + global top-k
     "text_boilerplate",    # cross-doc repeated-line removal + rewrite
     "pipe_quality_mixture", # filter->dedup->mix 3-stage composition
     "text_contamination",

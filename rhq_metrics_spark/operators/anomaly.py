@@ -476,3 +476,45 @@ def mean_shift_changepoints(
         "is_change",
         F.coalesce(F.abs(F.col("score")) > F.lit(threshold), F.lit(False)),
     )
+
+
+def rank_anomalous_series(
+    df: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str],
+    value_col: str = "value",
+    window_n: int = 20,
+    min_n: int = 5,
+    threshold: float = 3.0,
+    top_k: int = 10,
+) -> DataFrame:
+    """W14 (beyond reference): WHICH series are misbehaving — the
+    fleet-triage view over :func:`rolling_zscore`: per series the max
+    |z| in range and the flagged-point count, globally ranked, top-k.
+
+    100 TB shape: the z-score's one exchange on the series key
+    collapses to ONE ROW PER SERIES in the same aggregation; the
+    global rank then orders #series rows (a single tiny partition
+    AFTER the per-series agg — raw points never reach it).  Ties and
+    all-null series (constant values → null z) rank deterministically
+    (nulls last, then the series key).
+
+    Output: ``(on…, n_points, n_flagged, max_abs_z, rank)``.
+    """
+    on = list(on)
+    z = rolling_zscore(
+        df, on, order, value_col, window_n, min_n, threshold
+    )
+    per = z.groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count(F.when(F.col("is_anomaly"), 1)).alias("n_flagged"),
+        F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+    )
+    w = Window.orderBy(
+        F.col("max_abs_z").desc_nulls_last(),
+        *[F.col(c).asc() for c in on],
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -1409,3 +1409,38 @@ def embed_cross_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def lsh_tuning(num_hashes: int, threshold: float) -> dict:
+    """Pick the banded-LSH ``(bands, rows)`` for a target Jaccard
+    ``threshold`` (the classic S-curve sizing from Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets ch. 3, public): over every
+    factorization ``bands × rows = num_hashes``, the curve
+    ``P(candidate | s) = 1 - (1 - s^rows)^bands`` crosses 1/2 near
+    ``(1/bands)^(1/rows)``; choose the factorization whose crossover is
+    closest to the target.  Returns the chosen shape, its crossover,
+    and the collision-probability curve at the decile similarities —
+    the numbers a deployment needs to justify its bucket shape (and the
+    false-positive/-negative trade it accepts).
+
+    Driver-side pure math (no Spark): sizing happens once per pipeline,
+    not per row."""
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        crossover = (1.0 / bands) ** (1.0 / rows)
+        if best is None or abs(crossover - threshold) < abs(
+            best["crossover"] - threshold
+        ):
+            best = {"bands": bands, "rows": rows, "crossover": crossover}
+    curve = {
+        round(s, 1): 1.0 - (1.0 - s ** best["rows"]) ** best["bands"]
+        for s in (x / 10 for x in range(1, 10))
+    }
+    return {**best, "p_candidate": curve}

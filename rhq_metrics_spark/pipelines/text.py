@@ -1344,3 +1344,115 @@ def boilerplate_line_filter(
             "clean_text"
         ),
     )
+
+
+#: tracking query parameters stripped by URL canonicalization (the
+#: public utm_* convention + the two big click identifiers)
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|gclid|fbclid)"
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for crawl-level dedup (the public
+    SURT-adjacent ruleset): strip the fragment, lowercase the
+    scheme://host[:port] prefix (the path stays case-sensitive), drop
+    the scheme's default port, drop a leading ``www.``, remove
+    tracking query params (``utm_*``/``gclid``/``fbclid``), and trim a
+    single trailing slash.  Pure JVM regex with NO backreferences or
+    lookaround, so the identical chain runs under both Java regex and
+    RE2 — the oracle recomputes it verbatim.
+    """
+    u0 = F.regexp_replace(url, r"#.*$", "")
+    # (?i): the scheme/host may arrive in any case ("HTTP://WWW.…");
+    # inline case-folding is portable across Java regex and RE2
+    prefix = F.regexp_extract(u0, r"(?i)^(https?://[^/?#]+)", 1)
+    rest = F.substr(u0, F.length(prefix) + 1)
+    p = F.lower(prefix)
+    # default ports, per scheme — suffix-test + trim rather than a
+    # backreference replace (Java writes $1 where RE2 writes \1; the
+    # whole chain must be portable verbatim)
+    p = F.when(
+        p.startswith("http://") & p.endswith(":80"),
+        F.substr(p, F.lit(1), F.length(p) - 3),
+    ).when(
+        p.startswith("https://") & p.endswith(":443"),
+        F.substr(p, F.lit(1), F.length(p) - 4),
+    ).otherwise(p)
+    p = F.regexp_replace(p, r"^http://www\.", "http://")
+    p = F.regexp_replace(p, r"^https://www\.", "https://")
+    r = F.regexp_replace(rest, rf"&{TRACKING_PARAM_RE}=[^&]*", "")
+    r = F.regexp_replace(r, rf"\?{TRACKING_PARAM_RE}=[^&]*&", "?")
+    r = F.regexp_replace(r, rf"\?{TRACKING_PARAM_RE}=[^&]*$", "")
+    r = F.regexp_replace(r, r"/$", "")
+    return F.concat(p, r)
+
+
+def url_canonical_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level dedup view: group raw URLs by :func:`canonical_url` —
+    the crawl-frontier dedup that collapses tracking-param/www/port/
+    slash variants of one page before any content is fetched or
+    compared.  Output: ``(canon_url, n_urls, n_docs, sample_url)``
+    with ``sample_url`` the lexicographically-first raw form (a
+    deterministic representative).
+
+    100 TB shape: one hash-agg on the canonical key (head pages are
+    absorbed map-side); canonicalization is scan-fused JVM regex."""
+    urls = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(url_col).alias("_url"),
+        canonical_url(F.col(url_col)).alias("canon_url"),
+    )
+    return urls.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("_id").alias("n_docs"),
+        F.min("_url").alias("sample_url"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per group (typically language): how
+    many subword-ish tokens the BPE-ish regex spends per whitespace
+    word, and how many UTF-8 bytes per token — the standard fairness /
+    cost audit behind tokenizer choice (a tokenizer that is 3× more
+    fertile on one language triples that language's sequence lengths
+    and cost).
+
+    Exact integers end to end: per-group sums of word/token/byte
+    counts, ratios as ppm integer divisions — bit-identical
+    cross-engine.  One hash-agg on the (tiny) group key; the counts are
+    scan-fused column expressions.
+
+    Output: ``(group, n_docs, n_words, n_tokens, n_bytes,
+    tokens_per_word_ppm, bytes_per_token_ppm)``.
+    """
+    text = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long").alias("_w"),
+        F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long").alias("_t"),
+        F.octet_length(text).cast("long").alias("_b"),
+    )
+    agg = per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_b").alias("n_bytes"),
+    )
+    return agg.selectExpr(
+        group_col, "n_docs", "n_words", "n_tokens", "n_bytes",
+        "CASE WHEN n_words > 0 THEN n_tokens * 1000000L div n_words"
+        " ELSE 0L END AS tokens_per_word_ppm",
+        "CASE WHEN n_tokens > 0 THEN n_bytes * 1000000L div n_tokens"
+        " ELSE 0L END AS bytes_per_token_ppm",
+    )

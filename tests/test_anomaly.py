@@ -188,3 +188,33 @@ def test_mean_shift_matches_python_twin(spark):
         assert r["mean_prev"] == mp / 100 and r["mean_next"] == mn / 100
         if pooled > 0:
             assert r["score"] == (mn - mp) / pooled, t
+
+
+def test_rank_anomalous_series_triage(spark):
+    """W14: the fleet-triage view ranks the spiking series first, a
+    mildly-noisy series later, and constant series (null z) last —
+    deterministically — and raw points never reach the global rank."""
+    from rhq_metrics_spark.operators.anomaly import rank_anomalous_series
+
+    rows = (
+        # light texture keeps the trailing std nonzero, so the spikes
+        # score huge z instead of hitting the zero-variance guard
+        [("spiky", t, 10.0 + (t % 3) * 0.1 if t % 25 else 90.0)
+         for t in range(1, 75)]
+        + [("noisy", t, 10.0 + (t % 5) * 0.3) for t in range(75)]
+        + [("flat", t, 5.0) for t in range(75)]
+    )
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = rank_anomalous_series(
+        df, on=["key"], order=["ts"], window_n=10, min_n=5,
+        threshold=3.0, top_k=3,
+    )
+    got = [r.asDict() for r in out.orderBy("rank").collect()]
+    assert [r["key"] for r in got] == ["spiky", "noisy", "flat"]
+    assert got[0]["n_flagged"] > 0 and got[0]["max_abs_z"] > 3
+    assert got[2]["max_abs_z"] is None  # constant series: null z, ranked last
+    assert got[0]["n_points"] == 74
+    # top_k truncates
+    assert rank_anomalous_series(
+        df, on=["key"], order=["ts"], top_k=1
+    ).count() == 1

@@ -592,3 +592,28 @@ def test_incremental_dedup_kmv_verify_beats_estimator(spark):
     # novel docs never match
     for i in range(5):
         assert kmv_dec[200 + i]["is_new"]
+
+
+def test_lsh_tuning_s_curve():
+    """Sizing helper: crossover nearest the target among factorizations
+    of num_hashes; the S-curve is monotone and correct at the ends."""
+    import pytest
+
+    from rhq_metrics_spark.pipelines.dedup import lsh_tuning
+
+    t = lsh_tuning(12, 0.5)
+    assert t["bands"] * t["rows"] == 12
+    # 6 bands x 2 rows: crossover (1/6)^(1/2) ~ 0.41 — the closest to 0.5
+    assert (t["bands"], t["rows"]) == (6, 2)
+    assert abs(t["crossover"] - (1 / 6) ** 0.5) < 1e-12
+    curve = t["p_candidate"]
+    assert curve[0.1] < 0.2 and curve[0.9] > 0.98
+    assert all(curve[round(s / 10, 1)] <= curve[round((s + 1) / 10, 1)]
+               for s in range(1, 9))
+    # a high threshold prefers more rows per band
+    hi = lsh_tuning(12, 0.9)
+    assert hi["rows"] > t["rows"]
+    with pytest.raises(ValueError):
+        lsh_tuning(1, 0.5)
+    with pytest.raises(ValueError):
+        lsh_tuning(12, 1.5)

@@ -401,3 +401,83 @@ def test_bpe_learn_merges_early_stop_and_validation(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_learn_merges(df, 0)
+
+
+# -- URL canonicalization ------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.text import canonical_url
+
+    cases = [
+        # fragment stripped
+        ("https://site.com/a#frag", "https://site.com/a"),
+        # scheme+host lowercased, path case preserved
+        ("HTTPS://Site.COM/CaseSensitive", None),  # checked below
+        # default ports dropped, non-default kept
+        ("http://site.com:80/a", "http://site.com/a"),
+        ("https://site.com:443/a", "https://site.com/a"),
+        ("http://site.com:8080/a", "http://site.com:8080/a"),
+        # www stripped
+        ("https://www.site.com/a", "https://site.com/a"),
+        # tracking params stripped in every position
+        ("https://s.com/a?utm_source=x", "https://s.com/a"),
+        ("https://s.com/a?utm_source=x&id=7", "https://s.com/a?id=7"),
+        ("https://s.com/a?id=7&utm_medium=y", "https://s.com/a?id=7"),
+        ("https://s.com/a?id=7&gclid=g&fbclid=f", "https://s.com/a?id=7"),
+        ("https://s.com/a?utm_a=1&utm_b=2", "https://s.com/a"),
+        # trailing slash trimmed
+        ("https://s.com/path/", "https://s.com/path"),
+        # everything at once
+        ("HTTP://WWW.Site.com:80/P age".replace(" ", "") + "/?utm_x=1#f",
+         "http://site.com/Page"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        if want is not None:
+            assert got[i] == want, (u, got[i], want)
+    assert got[1] == "https://site.com/CaseSensitive"
+
+
+def test_url_canonical_dedup_groups_variants(spark):
+    from rhq_metrics_spark.pipelines.text import url_canonical_dedup
+
+    rows = [
+        (1, "https://www.shop.com/item?utm_source=mail"),
+        (2, "https://shop.com/item"),
+        (3, "HTTPS://SHOP.COM:443/item#reviews"),
+        (4, "https://shop.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canon_url"]: r for r in url_canonical_dedup(df).collect()}
+    item = out["https://shop.com/item"]
+    assert item["n_urls"] == 3 and item["n_docs"] == 3
+    assert item["sample_url"] == "HTTPS://SHOP.COM:443/item#reviews"
+    assert out["https://shop.com/other"]["n_urls"] == 1
+
+
+def test_tokenizer_fertility_exact(spark):
+    from rhq_metrics_spark.pipelines.text import tokenizer_fertility
+
+    rows = [
+        (1, "en", "hello world"),          # 2 words, 2 bpe tokens
+        (2, "en", "don't stop"),           # 2 words, 4 bpe (don ' t stop)
+        (3, "zh", "abc123 x"),             # 2 words, 3 bpe (abc 123 x)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 4 and en["n_tokens"] == 6
+    assert en["n_bytes"] == len("hello world") + len("don't stop")
+    assert en["tokens_per_word_ppm"] == 6 * 1_000_000 // 4
+    assert en["bytes_per_token_ppm"] == en["n_bytes"] * 1_000_000 // 6
+    zh = out["zh"]
+    assert zh["n_words"] == 2 and zh["n_tokens"] == 3
