@@ -1932,6 +1932,42 @@ FROM (
         )
         return availability_stats(pts, buckets)
 
+    def top_anomalous(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        window_n: int = 20,
+        min_n: int = 5,
+        threshold: float = 3.0,
+        top_k: int = 10,
+        value_scale: int = 100,
+    ) -> DataFrame:
+        """W14 fleet triage through the facade: rank ALL of a tenant's
+        series in the range by rolling-zscore severity (max |z| +
+        flagged count) — "which of my metrics are misbehaving".  One
+        pruned whole-tenant scan, one exchange on the metric key that
+        collapses to a row per series inside the z-score aggregation,
+        then a #series-sized global rank — raw points never reach the
+        rank.  Values quantize to ``value_scale`` integers so the z
+        arithmetic is the exact contract of the W5 operator."""
+        from rhq_metrics_spark.operators.anomaly import (
+            rank_anomalous_series,
+        )
+
+        pts = self._scan(metric_type, tenant_id, None, start, end)
+        q = pts.select(
+            "metric",
+            "ts",
+            F.round(F.col("value") * value_scale).cast("long").alias("_vq"),
+        )
+        return rank_anomalous_series(
+            q, on=["metric"], order=["ts", "_vq"], value_col="_vq",
+            window_n=window_n, min_n=min_n, threshold=threshold,
+            top_k=top_k,
+        )
+
     def slo_burn(
         self,
         tenant_id,

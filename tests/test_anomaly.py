@@ -218,3 +218,30 @@ def test_rank_anomalous_series_triage(spark):
     assert rank_anomalous_series(
         df, on=["key"], order=["ts"], top_k=1
     ).count() == 1
+
+
+def test_service_top_anomalous_fleet_triage(spark, tmp_path):
+    """W14 facade: one whole-tenant scan ranks the spiking metric first
+    across the fleet; other tenants' series are pruned out."""
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    svc = MetricsService(spark, MetricsStore(spark, str(tmp_path / "s")))
+    rows = []
+    for m, gen in (
+        ("api_errors", lambda t: 1.0 + (t % 3) * 0.1 if t != 60 else 500.0),
+        ("cpu", lambda t: 50.0 + (t % 7) * 0.5),
+        ("steady", lambda t: 9.0),
+    ):
+        rows += [("t1", m, t * 60_000, float(gen(t)), None) for t in range(80)]
+    rows += [("other", "api_errors", 0, 1.0, None)]  # another tenant
+    svc.add_data_points("gauge", spark.createDataFrame(
+        rows, "tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>"))
+    out = [r.asDict() for r in svc.top_anomalous(
+        "t1", 0, 80 * 60_000, top_k=5
+    ).orderBy("rank").collect()]
+    assert [r["metric"] for r in out] == ["api_errors", "cpu", "steady"]
+    assert out[0]["n_flagged"] >= 1 and out[0]["max_abs_z"] > 3
+    assert out[2]["max_abs_z"] is None  # constant series ranks last
+    assert out[0]["n_points"] == 80  # the other tenant's row is pruned
