@@ -2698,6 +2698,48 @@ WHERE t.doc_id % 10 <> 0
 """
 
 
+def q_text_substr_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTSUBSTR removal leg (pipelines/text.py substring_self_dedup,
+    Lee et al. 2022 "keep one copy"): every {SUBSTR_W}-token span
+    occurring at 2+ corpus sites keeps only its globally-first
+    occurrence; later sites' tokens are stripped and the docs
+    rewritten.  Completes detect (text_substr_dups) / remove-vs-eval
+    (text_decontaminate) with remove-within-corpus."""
+    from rhq_metrics_spark.pipelines.text import substring_self_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    return substring_self_dedup(docs, window=SUBSTR_W)
+
+
+SQL_TEXT_SELF_DEDUP = f"""
+WITH ttoks AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  x -> x <> '') AS t
+               FROM documents),
+w AS (SELECT doc_id, i AS pos,
+             md5(concat_ws(' ', list_slice(t, i + 1, i + {SUBSTR_W}))) AS h
+      FROM ttoks, unnest(range(0, len(t) - {SUBSTR_W} + 1)) AS u(i)
+      WHERE len(t) >= {SUBSTR_W}),
+f AS (SELECT h, min(doc_id * 1048576 + pos) AS fkey, count(*) AS n
+      FROM w GROUP BY h),
+bad AS (SELECT w.doc_id, w.pos
+        FROM w JOIN f ON w.h = f.h
+        WHERE f.n >= 2 AND w.doc_id * 1048576 + w.pos <> f.fkey),
+cov AS (SELECT DISTINCT doc_id, pos + j.i AS p
+        FROM bad, unnest(range(0, {SUBSTR_W})) AS j(i)),
+covs AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed_tokens,
+       coalesce(array_to_string(
+         list_filter(list_transform(range(0, len(t.t)),
+             i -> CASE WHEN c.cov IS NULL OR NOT list_contains(c.cov, i)
+                       THEN t.t[i + 1] END),
+             x -> x IS NOT NULL), ' '), '') AS clean_text
+FROM ttoks t LEFT JOIN covs c USING (doc_id)
+"""
+
+
 def q_text_substr_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring duplication (pipelines/text.py
     substring_dup_spans — the EXACTSUBSTR criterion of Lee et al.
@@ -5864,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "text_fertility": q_text_fertility,
         "w14_top_anomalous": q_w14_top_anomalous,
+        "text_substr_self_dedup": q_text_substr_self_dedup,
         # -- last driver-sampled r7: sketches / embeddings / dedup tail
         "sketch_kmv": q_sketch_kmv,
         "embed_rp_reduce": q_embed_rp_reduce,
@@ -5907,8 +5950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
-        "mm_meta": q_mm_meta,
         # ---- 50-key driver window ends here ----
+        "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
         "s1_raw_scan": q_s1_raw_scan,
@@ -6014,6 +6057,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": SQL_URL_CANONICAL,
         "text_fertility": SQL_TEXT_FERTILITY,
         "w14_top_anomalous": _w14_sql(),
+        "text_substr_self_dedup": SQL_TEXT_SELF_DEDUP,
         "text_gopher_filter": SQL_TEXT_GOPHER,
         "text_c4_clean": SQL_TEXT_C4,
         "w10_ewma": SQL_W10,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "text_tfidf",    # explode->agg->rejoin + per-doc top-k window
     "text_lm_score", # corpus bigram LM: two-level agg + window + rejoin
     "text_substr_dups",  # EXACTSUBSTR span fingerprints + distinct-doc agg
+    "text_substr_self_dedup",  # keep-one-copy span removal + rewrite
     "substr_dups_incremental",  # batch vs standing window-hash index
     "text_decontaminate",  # span-level eval-set removal (broadcast hash set)
     "pipe_token_mixture",  # token-budget mixture plan + epoch realization

@@ -1456,3 +1456,78 @@ def tokenizer_fertility(
         "CASE WHEN n_tokens > 0 THEN n_bytes * 1000000L div n_tokens"
         " ELSE 0L END AS bytes_per_token_ppm",
     )
+
+
+#: (doc, pos) packing base for the first-occurrence total order; spans
+#: of docs with >= 2^20 tokens would fold — far beyond any real doc.
+_SELF_DEDUP_PACK = 1 << 20
+
+
+def substring_self_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """EXACTSUBSTR REMOVAL leg (Lee et al. 2022's "keep one copy"):
+    for every ``window``-token span occurring at 2+ (doc, pos) sites
+    across the corpus — including repeats WITHIN one document — the
+    globally FIRST site (lexicographic (doc_id, pos), realized as the
+    packed int64 ``doc_id·2^20 + pos`` so both engines order
+    identically) keeps its tokens; every other site's positions are
+    removed and the document is rewritten.  Completes the family:
+    ``substring_dup_spans`` detects, ``decontaminate_spans`` removes
+    against an eval set, this removes within the corpus itself.
+
+    Output per input doc: ``(id, n_tokens, n_removed_tokens,
+    clean_text)`` — same contract as :func:`decontaminate_spans`
+    (normalized token space; docs shorter than ``window`` pass through
+    unchanged).
+
+    100 TB shape: one hash-agg on the window hash builds the
+    first-occurrence table for DUPLICATED hashes only (the min/count
+    partials absorb exactly the boilerplate skew that makes a span
+    duplicated), one shuffle join stamps each site, the removed-
+    position explode is bounded by duplicated sites, and the rewrite
+    is a JVM higher-order filter — no UDF, nothing all-pairs, never
+    the suffix array's global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    wins = toks.filter(F.size("_toks") >= window).select(
+        "_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(_toks) - {int(window)}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {int(window)}))))"
+        )).alias("pos", "_h"),
+    )
+    pk = F.col("_id") * _SELF_DEDUP_PACK + F.col("pos")
+    firsts = (
+        wins.groupBy("_h")
+        .agg(F.min(pk).alias("_first"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    bad = wins.join(firsts, "_h").filter(pk != F.col("_first"))
+    covered = (
+        bad.select(
+            "_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {int(window) - 1})")
+            ).alias("_p"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_p").alias("_cov"))
+    )
+    return (
+        toks.join(covered, "_id", "left")
+        .selectExpr(
+            f"_id AS {id_col}",
+            "cast(size(_toks) as bigint) AS n_tokens",
+            "cast(coalesce(size(_cov), 0) as bigint) AS n_removed_tokens",
+            "concat_ws(' ', filter(_toks,"
+            " (x, i) -> _cov IS NULL OR NOT array_contains(_cov, i)))"
+            " AS clean_text",
+        )
+    )

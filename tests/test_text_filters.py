@@ -481,3 +481,41 @@ def test_tokenizer_fertility_exact(spark):
     assert en["bytes_per_token_ppm"] == en["n_bytes"] * 1_000_000 // 6
     zh = out["zh"]
     assert zh["n_words"] == 2 and zh["n_tokens"] == 3
+
+
+def test_substring_self_dedup_keeps_one_copy(spark):
+    """EXACTSUBSTR removal: the global first occurrence of a duplicated
+    span survives, later copies are stripped (cross-doc AND within-doc);
+    short docs and unique content pass through unchanged."""
+    from rhq_metrics_spark.pipelines.text import substring_self_dedup
+
+    passage = "alpha beta gamma delta"
+    docs = [
+        (1, f"intro words here {passage} tail one"),
+        (2, f"other opener {passage} tail two"),            # later copy
+        (3, "totally unique content of document three ok"),
+        (4, "pp qq rr ss zz pp qq rr ss"),                   # internal repeat
+        (5, "tiny doc"),                                     # < window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_self_dedup(df, window=4).collect()}
+    assert len(out) == 5
+    # doc 1 holds the first occurrence of every shared window: intact
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["clean_text"] == docs[0][1]
+    # doc 2's copy is stripped ("tail" goes too: "beta gamma delta
+    # tail" is itself a shared window); unique head and final token stay
+    assert out[2]["n_removed_tokens"] >= 5
+    assert passage not in out[2]["clean_text"]
+    assert out[2]["clean_text"].startswith("other opener")
+    assert out[2]["clean_text"].endswith("two")
+    # unique doc untouched
+    assert out[3]["n_removed_tokens"] == 0
+    # within-doc repeat: the second copy goes (doc 4's own passage at
+    # pos 5.. loses to pos 0..)
+    assert out[4]["n_removed_tokens"] == 4
+    assert out[4]["clean_text"] == "pp qq rr ss zz"
+    # short doc passes through
+    assert out[5]["clean_text"] == "tiny doc"
+    assert out[5]["n_removed_tokens"] == 0
