@@ -812,3 +812,89 @@ def test_service_seasonal_forecast_routed_zero_raw_reads(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="history"):
         svc.seasonal_forecast("t", "cpu", start, end)
+
+
+def test_streaming_bloom_matches_batch(spark, tmp_path):
+    """Streaming Bloom twin: a finalized slice's words equal bloom_build
+    over that slice's rows; OR-ing the per-slice words reproduces the
+    whole-range filter, so every inserted value still probes true."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+    from rhq_metrics_spark.streaming.bloom import streaming_bloom
+
+    src = tmp_path / "bl_in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"sec": base + i * 60, "v": f"member-{i}"} for i in range(50)
+    ]
+    rows2 = [{"sec": base + 7200, "v": "late"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = (
+        spark.readStream.schema("sec long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    out = streaming_bloom(
+        stream, "v", "30 minutes", watermark_delay="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    batch = spark.createDataFrame([(r["v"],) for r in rows1], "v string")
+    try:
+        deadline = time.time() + 120
+        time.sleep(3)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        while (
+            spark.sql(
+                "select count(distinct slice_start) from bl_out"
+            ).collect()[0][0] < 2 and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    slices = spark.sql("select * from bl_out").collect()
+    assert slices
+    # per-slice words == batch bloom_build over the slice's rows
+    for s0 in {int(r["slice_start"].timestamp()) for r in slices}:
+        rows_in = [
+            (x["v"],) for x in rows1 if s0 <= x["sec"] < s0 + 1800
+        ]
+        exp = {
+            (b["word_idx"], b["bits"])
+            for b in bloom_build(
+                spark.createDataFrame(rows_in, "v string"), "v"
+            ).collect()
+        }
+        got = {
+            (r["word_idx"], r["bits"])
+            for r in slices
+            if int(r["slice_start"].timestamp()) == s0
+        }
+        assert got == exp, s0
+    # OR-merged per-slice words == the whole-range filter; no false
+    # negatives through the batch probe
+    merged = (
+        spark.sql("select word_idx, bits from bl_out")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = {
+        (r["word_idx"], r["bits"]) for r in bloom_build(batch, "v").collect()
+    }
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == whole
+    hits = bloom_probe(merged, batch, "v")
+    assert hits.filter("NOT maybe_present").count() == 0
