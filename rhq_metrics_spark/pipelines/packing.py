@@ -130,3 +130,129 @@ def chunk_documents(
         F.size("_chunk").cast("long").alias("n_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def ffd_pack_bins(tokens_and_ids: list[tuple[int, int]], capacity: int) -> list[int]:
+    """First-fit-decreasing bin packing over ``(n_tokens, id)`` pairs —
+    the pure-Python kernel shared by :func:`pack_bins`'s Arrow batches
+    and the tests.  Input need not be sorted; the FFD order is
+    (n_tokens desc, id asc).  Returns the bin index per input pair, in
+    the INPUT order.  Docs longer than ``capacity`` get a bin of their
+    own (flagged by the caller)."""
+    order = sorted(range(len(tokens_and_ids)),
+                   key=lambda i: (-tokens_and_ids[i][0], tokens_and_ids[i][1]))
+    fills: list[int] = []
+    out = [0] * len(tokens_and_ids)
+    for i in order:
+        n = tokens_and_ids[i][0]
+        placed = None
+        if n <= capacity:
+            for b, f in enumerate(fills):
+                if f + n <= capacity:
+                    placed = b
+                    break
+        if placed is None:
+            placed = len(fills)
+            fills.append(0)
+        fills[placed] += n
+        out[i] = placed
+    return out
+
+
+def pack_bins(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 256,
+    salt: str = "packbins",
+) -> DataFrame:
+    """WHOLE-document sequence packing (first-fit-decreasing): assign
+    each document to a training-sequence bin of ``capacity`` tokens
+    without ever splitting a document — the packing mode for pipelines
+    that must not fragment documents across sequence boundaries
+    (:func:`pack_chunks` is the concat-and-chunk mode that does split).
+    FFD's classic guarantee (≤ 11/9·OPT + 1 bins) bounds the padding
+    waste; ``efficiency = Σtokens / (bins × capacity)`` is the metric
+    to watch.
+
+    Deterministic AND partitioning-independent: documents hash to
+    ``n_shards`` independent packing groups (md5), each shard's FFD
+    runs over the complete shard in one Arrow batch with a fixed
+    (n_tokens desc, id asc) order — the same answer on any cluster
+    layout, reproducible after an append for existing shards' relative
+    structure.  Intrinsically sequential within a shard (bin state), so
+    Python — but bounded by docs/shard, never the corpus; token
+    counting stays JVM.  Docs longer than ``capacity`` get a dedicated
+    bin and ``oversize=true`` (the caller chunks those separately).
+
+    Output: ``(id, n_tokens, shard, bin_idx, bin_id, oversize)`` with
+    ``bin_id`` globally unique (``shard·2^32 + bin_idx``).
+    """
+    import pandas as _pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.lit(":"),
+                                   F.col(id_col).cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % n_shards
+        ).cast("int").alias("shard"),
+    )
+
+    def _pack(key, pdf):
+        # untyped on purpose: applyInPandas infers the (key, pdf) eval
+        # type from the arity; string-forward-ref hints trip a warning
+        pairs = list(zip(pdf["n_tokens"].astype(int), pdf["_id"].astype(int)))
+        bins = ffd_pack_bins(pairs, capacity)
+        out = pdf.copy()
+        out["bin_idx"] = bins
+        return out
+
+    packed = toks.groupBy("shard").applyInPandas(
+        _pack, "_id long, n_tokens long, shard int, bin_idx int"
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "shard",
+        "bin_idx",
+        (F.col("shard").cast("long") * F.lit(1 << 32)
+         + F.col("bin_idx")).alias("bin_id"),
+        (F.col("n_tokens") > capacity).alias("oversize"),
+    )
+
+
+def packing_efficiency(packed: DataFrame, capacity: int) -> DataFrame:
+    """One-row summary of a :func:`pack_bins` result: bins, padded
+    token share, and ``efficiency = Σtokens / (bins × capacity)``
+    (oversize docs excluded from the denominator's waste accounting —
+    they are chunked separately by contract)."""
+    ok = packed.filter(~F.col("oversize"))
+    return ok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    ).select(
+        "n_docs",
+        "n_bins",
+        "sum_tokens",
+        (
+            F.col("sum_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(capacity))
+        ).alias("efficiency"),
+    )

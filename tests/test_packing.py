@@ -95,3 +95,55 @@ def test_chunk_documents_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_bins_ffd_matches_python_and_is_partitioning_independent(spark):
+    """Whole-doc FFD packing == the Python kernel per shard; documents
+    never split; oversize docs get their own flagged bin; the result is
+    identical under a different input partitioning."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.packing import (
+        ffd_pack_bins,
+        pack_bins,
+        packing_efficiency,
+    )
+
+    rows = [(i, "tok " * ((i * 37) % 900 + 10)) for i in range(300)]
+    rows.append((1000, "big " * 3000))  # oversize
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    CAP = 1024
+    out = {r["doc_id"]: r for r in
+           pack_bins(df, CAP, n_shards=8).collect()}
+    assert len(out) == 301
+    assert out[1000]["oversize"]
+    # per-bin fill never exceeds capacity (except dedicated oversize bins)
+    import collections
+
+    fill = collections.Counter()
+    for r in out.values():
+        if not r["oversize"]:
+            fill[r["bin_id"]] += r["n_tokens"]
+    assert all(v <= CAP for v in fill.values())
+    # python-twin equality per shard
+    by_shard = collections.defaultdict(list)
+    for r in out.values():
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs_sorted = sorted(rs, key=lambda r: r["doc_id"])
+        pairs = [(r["n_tokens"], r["doc_id"]) for r in rs_sorted]
+        want = ffd_pack_bins(pairs, CAP)
+        assert [r["bin_idx"] for r in rs_sorted] == want, shard
+    # partitioning independence: same answer from a repartitioned input
+    out2 = {r["doc_id"]: (r["shard"], r["bin_idx"]) for r in
+            pack_bins(df.repartition(13), CAP, n_shards=8).collect()}
+    assert out2 == {k: (r["shard"], r["bin_idx"]) for k, r in out.items()}
+    # efficiency summary: FFD over many medium docs beats 60% fill
+    eff = packing_efficiency(
+        pack_bins(df, CAP, n_shards=2), CAP
+    ).collect()[0]
+    assert eff["n_docs"] == 300 and eff["efficiency"] > 0.6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_bins(df, 0)
