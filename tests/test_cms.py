@@ -663,20 +663,23 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         [(r["g"], r["sec"], r["v"]) for r in rows1],
         "g string, sec long, v string",
     )
+    # completeness target (see the bloom twin: "slices present" can
+    # observe a partially-written finalization batch)
+    starts = sorted({r["sec"] - (r["sec"] % 1800) for r in rows1})
+    expected_rows = sum(
+        hll_registers(
+            batch.filter((F.col("sec") >= s0) & (F.col("sec") < s0 + 1800)),
+            "g", "v",
+        ).count()
+        for s0 in starts
+    )
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 120
         time.sleep(3)
         (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
         while (
-            spark.sql("select count(*) from hll_out").collect()[0][0] == 0
-            and time.time() < deadline
-        ):
-            time.sleep(0.5)
-        # both 30-min slices of rows1 must finalize
-        while (
-            spark.sql(
-                "select count(distinct slice_start) from hll_out"
-            ).collect()[0][0] < 2 and time.time() < deadline
+            spark.sql("select count(*) from hll_out").collect()[0][0]
+            < expected_rows and time.time() < deadline
         ):
             time.sleep(0.5)
     finally:
@@ -853,14 +856,28 @@ def test_streaming_bloom_matches_batch(spark, tmp_path):
         .start()
     )
     batch = spark.createDataFrame([(r["v"],) for r in rows1], "v string")
+    # completeness target: the finalization micro-batch writes one row
+    # per (slice, word) — waiting on "slices present" can observe a
+    # PARTIALLY-written batch and stop() would truncate it (flaked once)
+    # true window grid: F.window aligns to the EPOCH, not to base
+    starts = sorted({r["sec"] - (r["sec"] % 1800) for r in rows1})
+    expected_rows = sum(
+        bloom_build(
+            spark.createDataFrame(
+                [(x["v"],) for x in rows1 if s0 <= x["sec"] < s0 + 1800],
+                "v string",
+            ),
+            "v",
+        ).count()
+        for s0 in starts
+    )
     try:
         deadline = time.time() + 120
         time.sleep(3)
         (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
         while (
-            spark.sql(
-                "select count(distinct slice_start) from bl_out"
-            ).collect()[0][0] < 2 and time.time() < deadline
+            spark.sql("select count(*) from bl_out").collect()[0][0]
+            < expected_rows and time.time() < deadline
         ):
             time.sleep(0.5)
     finally:
