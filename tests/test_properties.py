@@ -940,3 +940,91 @@ def test_bpe_learn_matches_reference_property(spark, words, n_merges):
                     i += 1
             vocab[w] = out
     assert got == want
+
+
+@given(
+    host=st.from_regex(r"[a-z]{2,8}(\.[a-z]{2,5}){1,2}", fullmatch=True),
+    www=st.booleans(),
+    upper=st.booleans(),
+    scheme=st.sampled_from(["http", "https"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9]{1,6}){0,3}/?", fullmatch=True),
+    params=st.lists(
+        st.sampled_from(
+            ["utm_source=x", "utm_b=2", "gclid=g", "fbclid=f",
+             "id=7", "q=abc", "page=2"]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#sec", "#a/b"]),
+)
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_url_idempotent_and_tracking_free_property(
+    spark, host, www, upper, scheme, port, path, params, frag
+):
+    """canonical_url is IDEMPOTENT (a canonical form canonicalizes to
+    itself — the property that catches rule interactions), never emits
+    tracking params or fragments, and always lowercases the prefix."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.text import canonical_url
+
+    prefix = f"{scheme}://{'www.' if www else ''}{host}{port}"
+    if upper:
+        prefix = prefix.upper()
+    q = ("?" + "&".join(params)) if params else ""
+    url = prefix + path + q + frag
+    df = spark.createDataFrame([(url,), ], "url string")
+    c1 = df.select(canonical_url(F.col("url")).alias("c"))
+    first = c1.collect()[0]["c"]
+    second = c1.select(
+        canonical_url(F.col("c")).alias("c2")
+    ).collect()[0]["c2"]
+    assert second == first, (url, first, second)
+    assert "#" not in first
+    for bad in ("utm_", "gclid=", "fbclid="):
+        assert bad not in first, (url, first)
+    # surviving non-tracking params are kept
+    for keep in ("id=7", "q=abc", "page=2"):
+        if keep in params:
+            assert keep in first, (url, first)
+    # prefix case-folded
+    assert first.startswith(("http://", "https://"))
+
+
+@given(
+    counts=st.lists(st.integers(1, 10**9), min_size=1, max_size=8),
+    alpha_quarters=st.sampled_from([1, 2, 3, 4]),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_temperature_parts_match_python_property(spark, counts, alpha_quarters):
+    """floor(n^alpha * 1e6) via sqrt compositions == Python's identical
+    IEEE sequence, bit for bit, at every quarter alpha."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sampling import temperature_parts
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(counts)],
+        "i long, available_tokens long",
+    )
+    got = {
+        r["i"]: r["part"]
+        for r in df.select(
+            "i", temperature_parts(alpha_quarters).alias("part")
+        ).collect()
+    }
+    for i, n in enumerate(counts):
+        x = float(n)
+        r2 = math.sqrt(x)
+        r4 = math.sqrt(r2)
+        w = {1: r4, 2: r2, 3: r2 * r4, 4: x}[alpha_quarters]
+        assert got[i] == math.floor(w * 1_000_000.0), (n, alpha_quarters)
