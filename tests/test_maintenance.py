@@ -457,3 +457,42 @@ def test_on_event_time_emits_seasonal_partials(spark, tmp_path):
     # these partials exist ONLY because the hook emitted them
     rep = runner.run_once(now_ms=SLICE0 + TWO_HOURS_MS + 10)
     assert rep["compacted"]["gauge"] == []
+
+
+def test_hook_emitted_seasonal_partials_serve_forecast(spark, tmp_path):
+    """End-to-end production loop: the streaming event-time hook
+    compacts a slice and emits seasonal partials (the r10 ADVICE fix);
+    the service then answers a FUTURE-range forecast entirely from
+    those partials — zero raw-point reads — matching the history-scan
+    route over the same data."""
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    runner = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        seasonal_sink={"path": str(tmp_path / "seasonal")},
+    )
+    rows = [
+        ("t1", "m", SLICE0 + i * 240_000, float((i * 11) % 25) + 0.5)
+        for i in range(30)
+    ]
+    store.add_data_points("gauge", _gauge(spark, rows))
+    assert runner.on_event_time("gauge", SLICE0 + TWO_HOURS_MS + 10) == [SLICE0]
+    # partials carry the second moment the forecast bands need
+    parts = spark.read.parquet(str(tmp_path / "seasonal"))
+    assert "sum_sq_vq" in parts.columns
+
+    start = SLICE0 + 10 * 86_400_000
+    fc = svc.seasonal_forecast("t1", "m", start, start + 86_400_000)
+    assert not any("points" in f for f in fc.inputFiles())
+    got = {r["ts"]: r for r in fc.collect()}
+    assert len(got) == 24
+    svc._seasonal_profiles = {}
+    raw = {r["ts"]: r for r in svc.seasonal_forecast(
+        "t1", "m", start, start + 86_400_000,
+        history=(SLICE0, SLICE0 + TWO_HOURS_MS),
+    ).collect()}
+    for ts, r in got.items():
+        assert (r["baseline"], r["sd"], r["lo"], r["hi"]) == (
+            raw[ts]["baseline"], raw[ts]["sd"], raw[ts]["lo"], raw[ts]["hi"]
+        ), ts
