@@ -138,11 +138,13 @@ def train_logistic(
     The distributed form is the classic full-batch step (one pass per
     iteration, the shape MLlib's own LR uses): per iteration, the
     broadcast weight table joins the CACHED feature rows, a doc-key agg
-    produces scores, the per-doc residual ``sigma(s) - y`` joins back
-    (co-partitioned: features are repartitioned by doc once), and one
-    bucket-key agg emits the ``dim``-row gradient collected to the
-    driver.  Per-iteration driver state is ``dim + 1`` floats; corpus
-    rows are touched exactly twice per iteration, never collected.
+    produces scores (persisted: the loss/bias collect and the gradient
+    job both read it, so the feats-×-weights join runs once), the
+    per-doc residual ``sigma(s) - y`` joins back (co-partitioned:
+    features are repartitioned by doc once), and one bucket-key agg
+    emits the ``dim``-row gradient collected to the driver.
+    Per-iteration driver state is ``dim + 1`` floats; corpus rows are
+    touched exactly twice per iteration, never collected.
 
     Intrinsically iterative and float-transcendental (``exp``), so —
     like ``bpe_learn_merges``/LTTB — no single-SQL oracle: tests pin it
@@ -186,6 +188,7 @@ def train_logistic(
             )
             .withColumn("_p", F.expr("1.0 / (1.0 + exp(-_s))"))
             .withColumn("_r", F.col("_p") - F.col("_y"))
+            .persist()  # two collects read it: loss/bias, then gradient
         )
         glob = scored.agg(
             F.sum("_r").alias("gb"),
@@ -206,6 +209,7 @@ def train_logistic(
             .agg(F.sum(F.col("cnt") * F.col("_r")).alias("g"))
             .collect()
         }
+        scored.unpersist()
         for j, g in grad.items():
             w[j] -= lr * g / n_docs
         b -= lr * float(glob["gb"]) / n_docs

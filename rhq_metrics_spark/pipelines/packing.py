@@ -132,13 +132,14 @@ def chunk_documents(
     )
 
 
-def ffd_pack_bins(tokens_and_ids: list[tuple[int, int]], capacity: int) -> list[int]:
+def ffd_pack_bins(tokens_and_ids: list, capacity: int) -> list[int]:
     """First-fit-decreasing bin packing over ``(n_tokens, id)`` pairs —
     the pure-Python kernel shared by :func:`pack_bins`'s Arrow batches
-    and the tests.  Input need not be sorted; the FFD order is
-    (n_tokens desc, id asc).  Returns the bin index per input pair, in
-    the INPUT order.  Docs longer than ``capacity`` get a bin of their
-    own (flagged by the caller)."""
+    and the tests.  Ids are OPAQUE: any orderable type (int, string,
+    UUID-as-string) works; they only break ties.  Input need not be
+    sorted; the FFD order is (n_tokens desc, id asc).  Returns the bin
+    index per input pair, in the INPUT order.  Docs longer than
+    ``capacity`` get a bin of their own (flagged by the caller)."""
     order = sorted(range(len(tokens_and_ids)),
                    key=lambda i: (-tokens_and_ids[i][0], tokens_and_ids[i][1]))
     fills: list[int] = []
@@ -217,14 +218,19 @@ def pack_bins(
     def _pack(key, pdf):
         # untyped on purpose: applyInPandas infers the (key, pdf) eval
         # type from the arity; string-forward-ref hints trip a warning
-        pairs = list(zip(pdf["n_tokens"].astype(int), pdf["_id"].astype(int)))
+        # (ids stay in their input type — opaque, tie-break only)
+        pairs = list(zip(pdf["n_tokens"].astype(int), pdf["_id"]))
         bins = ffd_pack_bins(pairs, capacity)
         out = pdf.copy()
         out["bin_idx"] = bins
         return out
 
+    # ADVICE r10: ids are opaque — carry the INPUT id type through the
+    # Arrow schema instead of hardcoding long (string/UUID ids are
+    # accepted by every sibling pipeline operator)
+    id_ddl = toks.schema["_id"].dataType.simpleString()
     packed = toks.groupBy("shard").applyInPandas(
-        _pack, "_id long, n_tokens long, shard int, bin_idx int"
+        _pack, f"_id {id_ddl}, n_tokens long, shard int, bin_idx int"
     )
     return packed.select(
         F.col("_id").alias(id_col),

@@ -527,6 +527,14 @@ def bloom_probe(
     hit = F.coalesce(
         F.col("bits").bitwiseAND(F.col("_mask")) != 0, F.lit(False)
     )
-    return joined.groupBy(value_col).agg(
-        (F.count(F.when(hit, 1)) == n_hashes).alias("maybe_present")
+    # bool_and over the fan rows, NOT count == n_hashes: a duplicated
+    # probe value (two docs sharing one fingerprint — exactly the dedup
+    # pre-filter composition) contributes 2×n_hashes fan rows, which a
+    # count comparison would read as "not all set" — a false negative.
+    # bool_and is invariant under row multiplicity and under two hash
+    # functions colliding on one position.
+    return (
+        joined.withColumn("_hit", hit)
+        .groupBy(value_col)
+        .agg(F.expr("bool_and(_hit)").alias("maybe_present"))
     )

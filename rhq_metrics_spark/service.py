@@ -1738,8 +1738,18 @@ FROM (
             if isinstance(profile, str)
             else profile
         )
+        # ADVICE r10: a partials dir mixing pre-second-moment files (no
+        # sum_sq_vq) with new ones reads as the merged schema with NULL
+        # sum_sq_vq in old rows — F.sum would then cover only the new
+        # slices while sum_vq/bin_samples span all, silently deflating
+        # the forecast sd.  Validate ONCE at attach (the partials table
+        # is slices×series-bounded, tiny): the second moment is usable
+        # only when every row carries it.
+        sq_ok = "sum_sq_vq" in df.columns
+        if sq_ok and df.filter(F.col("sum_sq_vq").isNull()).limit(1).count():
+            sq_ok = False
         self._seasonal_profiles[MetricType.check(metric_type)] = (
-            df, int(period_ms), int(n_bins), int(value_scale),
+            df, int(period_ms), int(n_bins), int(value_scale), sq_ok,
         )
 
     def seasonal_profile(
@@ -1768,7 +1778,7 @@ FROM (
         pts = self._scan(metric_type, tenant_id, metric, start, end)
         entry = self._seasonal_profiles.get(MetricType.check(metric_type))
         if entry is not None:
-            df, att_period, att_bins, att_scale = entry
+            df, att_period, att_bins, att_scale = entry[:4]
             if (
                 att_period == period_ms and att_bins == n_bins
                 and att_scale == value_scale
@@ -1815,7 +1825,8 @@ FROM (
         k·σ`` band (operators/anomaly.py seasonal_forecast_bands).
 
         With attached partials (:meth:`attach_seasonal_profile`,
-        matching params, ``sum_sq_vq`` present) the forecast reads ZERO
+        matching params, ``sum_sq_vq`` on EVERY row — a mixed-schema
+        attachment falls back to ``history``) the forecast reads ZERO
         raw points — a forecast needs no request-range data, and the
         profile side is the partials (inputFiles-asserted in tests).
         Without a matching attachment, ``history=(h_start, h_end)``
@@ -1829,10 +1840,10 @@ FROM (
         prof = None
         entry = self._seasonal_profiles.get(MetricType.check(metric_type))
         if entry is not None:
-            df, att_period, att_bins, att_scale = entry
+            df, att_period, att_bins, att_scale, sq_ok = entry
             if (
                 att_period == period_ms and att_bins == n_bins
-                and att_scale == value_scale and "sum_sq_vq" in df.columns
+                and att_scale == value_scale and sq_ok
             ):
                 prof = (
                     df.filter(

@@ -503,6 +503,34 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     assert fp < 3 * expected + 0.02, (fp, expected)
 
 
+def test_bloom_probe_duplicate_values_no_false_negative(spark):
+    """ADVICE r10 (medium): a probe value appearing TWICE (two batch
+    docs sharing one content fingerprint — the dedup pre-filter
+    composition) must still read maybe_present=true.  The old
+    count==n_hashes aggregation saw 2×n_hashes hit rows and returned
+    false — a false negative that silently let real duplicates skip
+    the index."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.sketches import bloom_build, bloom_probe
+
+    members = spark.range(50).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v")
+    # every member probed 3×, plus a triplicated outsider
+    probes = (
+        members.union(members).union(members)
+        .union(spark.createDataFrame([("nope",)] * 3, "v string"))
+    )
+    hits = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_probe(bloom, probes, "v").collect()
+    }
+    assert all(hits[f"m-{i}"] for i in range(50)), "false negative on dup probe"
+    assert len(hits) == 51  # one row per distinct value
+
+
 def test_bloom_merge_equals_whole_and_validation(spark):
     import pyspark.sql.functions as F
     import pytest
@@ -815,6 +843,29 @@ def test_service_seasonal_forecast_routed_zero_raw_reads(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="history"):
         svc.seasonal_forecast("t", "cpu", start, end)
+
+    # ADVICE r10: a MIXED attachment (pre-r10 partials without
+    # sum_sq_vq unioned with new ones → nulls in old rows) must NOT be
+    # used for the band's second moment — the forecast falls back to
+    # the history scan and the bands stay exact instead of silently
+    # deflating sd.
+    prof_df = spark.read.parquet(str(tmp_path / "prof"))
+    mixed = prof_df.unionByName(
+        prof_df.limit(1).withColumn(
+            "sum_sq_vq", F.lit(None).cast("long")
+        ).withColumn("bin", F.lit(999))
+    )
+    svc.attach_seasonal_profile(mixed)
+    with _pytest.raises(ValueError, match="history"):
+        svc.seasonal_forecast("t", "cpu", start, end)
+    mixed_hist = {r["ts"]: r for r in svc.seasonal_forecast(
+        "t", "cpu", start, end, history=(0, 3 * 86_400_000)
+    ).collect()}
+    for ts, r in got.items():
+        assert r["sd"] == mixed_hist[ts]["sd"], ts
+    # seasonal_profile scoring (first moment only) still accepts it
+    scored = svc.seasonal_profile("t", "cpu", 0, 86_400_000)
+    assert scored.count() == 24
 
 
 def test_streaming_bloom_matches_batch(spark, tmp_path):

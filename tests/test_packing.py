@@ -147,3 +147,34 @@ def test_pack_bins_ffd_matches_python_and_is_partitioning_independent(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         pack_bins(df, 0)
+
+
+def test_pack_bins_string_and_uuid_ids(spark):
+    """ADVICE r10: ids are opaque — string/UUID doc ids (accepted by
+    every sibling pipeline operator) pack fine, keep their input type
+    in the output, and match the Python kernel with string tie-break."""
+    import collections
+
+    from rhq_metrics_spark.pipelines.packing import ffd_pack_bins, pack_bins
+
+    rows = [
+        (f"doc-{i:04d}-aaaa-bbbb", "tok " * ((i * 41) % 500 + 5))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    CAP = 512
+    out = {r["doc_id"]: r for r in pack_bins(df, CAP, n_shards=4).collect()}
+    assert len(out) == 120
+    assert all(isinstance(k, str) for k in out)
+    fill = collections.Counter()
+    for r in out.values():
+        assert not r["oversize"]
+        fill[r["bin_id"]] += r["n_tokens"]
+    assert all(v <= CAP for v in fill.values())
+    by_shard = collections.defaultdict(list)
+    for r in out.values():
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs_sorted = sorted(rs, key=lambda r: r["doc_id"])
+        pairs = [(r["n_tokens"], r["doc_id"]) for r in rs_sorted]
+        assert [r["bin_idx"] for r in rs_sorted] == ffd_pack_bins(pairs, CAP)
