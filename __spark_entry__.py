@@ -5591,6 +5591,49 @@ FROM agg
 """
 
 
+UNIGRAM_SEED_K = 200
+
+
+def q_text_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer seed candidates (pipelines/text.py
+    unigram_seed_pieces, Kudo 2018): frequency-weighted substrings
+    (length 1..8) of the word table — every single char plus the top
+    {UNIGRAM_SEED_K} multi-char candidates.  The SQL-expressible seed
+    leg of unigram_lm_train (the EM loop itself is pytest-pinned
+    against a pure-Python reference, like bpe_learn_merges)."""
+    from rhq_metrics_spark.pipelines.text import unigram_seed_pieces
+
+    return unigram_seed_pieces(
+        _table(spark, sf_dir, "documents"), UNIGRAM_SEED_K
+    )
+
+
+SQL_TEXT_UNIGRAM_SEED = r"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents) t
+  WHERE w <> ''
+  GROUP BY w
+), starts AS (
+  SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM words
+), pieces AS (
+  SELECT substring(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS freq
+  FROM (SELECT w, freq, i,
+               unnest(range(1, least(8, length(w) - i + 1) + 1)) AS l
+        FROM starts) s
+  GROUP BY 1
+)
+SELECT piece, freq, TRUE AS is_char FROM pieces WHERE length(piece) = 1
+UNION ALL
+SELECT piece, freq, FALSE AS is_char
+FROM (SELECT piece, freq,
+             row_number() OVER (ORDER BY freq DESC, piece ASC) AS rk
+      FROM pieces WHERE length(piece) >= 2) s
+WHERE rk <= 200
+"""
+
+
 W14_TOP_K = 10
 
 
@@ -5887,70 +5930,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
-    # whose driver-green row is oldest (or absent).  Round 10 leads
-    # with the 3 never-sampled r10 additions, then the 30 keys last
-    # sampled in r7 (the dedup/embed tail + the whole TPC-H family —
-    # the r9 window's 50 ended at dedup_segments, so these were skipped
-    # two rounds running), then 17 of the r8-green block; the rest of
-    # the r8 block leads r11 and the r9-green window rotates to the
-    # back.  tools/verify_all.py checks ALL keys locally regardless of
-    # order.
+    # whose driver-green row is oldest (or absent).  Round 11 leads
+    # with the new unigram-seed key, then the 40 keys last sampled in
+    # r8 (two rounds stale), then 9 of the r9-sampled block; the
+    # r10-sampled window (TPC-H + dedup/embed/text + the 10 r10 keys)
+    # rotates to the back.  tools/verify_all.py checks ALL keys
+    # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in r10, never driver-sampled
-        "sketch_hll": q_sketch_hll,
-        "sketch_bloom": q_sketch_bloom,
-        "pipe_temperature_mixture": q_pipe_temperature_mixture,
-        "pipe_importance_sample": q_pipe_importance_sample,
-        "w12_changepoint": q_w12_changepoint,
-        "w13_seasonal_forecast": q_w13_seasonal_forecast,
-        "url_canonical": q_url_canonical,
-        "text_fertility": q_text_fertility,
-        "w14_top_anomalous": q_w14_top_anomalous,
-        "text_substr_self_dedup": q_text_substr_self_dedup,
-        # -- last driver-sampled r7: sketches / embeddings / dedup tail
-        "sketch_kmv": q_sketch_kmv,
-        "embed_rp_reduce": q_embed_rp_reduce,
-        "embed_quantize": q_embed_quantize,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        # -- last driver-sampled r7: the TPC-H family
-        "tpch_q1": q_tpch_q1,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # -- last driver-sampled r8 (head of that block; rest leads r11)
-        "dedup_incremental": q_dedup_incremental,
-        "text_lm_score": q_text_lm_score,
-        "embed_kmeans": q_embed_kmeans,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_vocab": q_text_vocab,
-        "text_contamination": q_text_contamination,
-        "doc_fingerprint": q_doc_fingerprint,
-        # ---- 50-key driver window ends here ----
+        # -- r11 driver window: new key first, then the 40 keys last
+        # -- driver-sampled in r8 (the stalest), then 9 of the r9 block
+        # -- (a12-a16 / b13-b14 / s10); b15/b16 + the rest of the r9
+        # -- block lead r12.  tools/verify_all.py checks ALL keys.
+        "text_unigram_seed": q_text_unigram_seed,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -5991,18 +5982,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_histogram": q_a11_histogram,
         "w7_increase": q_w7_increase,
         "w8_increase_rollup": q_w8_increase_rollup,
-        # r9-green window rotates to the back
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "a12_twa_rollup": q_a12_twa_rollup,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
+        "a14_trimmed_stats": q_a14_trimmed_stats,
+        "a15_mad_outliers": q_a15_mad_outliers,
+        "a16_slo_burn": q_a16_slo_burn,
+        "b13_hist_quantile": q_b13_hist_quantile,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
+        # ---- 50-key driver window ends here ----
+        "sketch_hll": q_sketch_hll,
+        "sketch_bloom": q_sketch_bloom,
+        "pipe_temperature_mixture": q_pipe_temperature_mixture,
+        "pipe_importance_sample": q_pipe_importance_sample,
+        "w12_changepoint": q_w12_changepoint,
+        "w13_seasonal_forecast": q_w13_seasonal_forecast,
+        "url_canonical": q_url_canonical,
+        "text_fertility": q_text_fertility,
+        "w14_top_anomalous": q_w14_top_anomalous,
+        "text_substr_self_dedup": q_text_substr_self_dedup,
+        "sketch_kmv": q_sketch_kmv,
+        "embed_rp_reduce": q_embed_rp_reduce,
+        "embed_quantize": q_embed_quantize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "dedup_incremental": q_dedup_incremental,
+        "text_lm_score": q_text_lm_score,
+        "embed_kmeans": q_embed_kmeans,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "text_contamination": q_text_contamination,
+        "doc_fingerprint": q_doc_fingerprint,
         "text_gopher_filter": q_text_gopher_filter,
         "text_c4_clean": q_text_c4_clean,
         "w10_ewma": q_w10_ewma,
-        "a14_trimmed_stats": q_a14_trimmed_stats,
         "text_bpe_pairs": q_text_bpe_pairs,
         "sketch_cms": q_sketch_cms,
         "w11_seasonal": q_w11_seasonal,
-        "a15_mad_outliers": q_a15_mad_outliers,
         "pipe_quality_mixture": q_pipe_quality_mixture,
         "text_boilerplate": q_text_boilerplate,
-        "a16_slo_burn": q_a16_slo_burn,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
@@ -6012,14 +6059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_rolling_zscore": q_w5_rolling_zscore,
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
-        "b13_hist_quantile": q_b13_hist_quantile,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "w8_rolling_median": q_w8_rolling_median,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "a12_twa_rollup": q_a12_twa_rollup,
         "w9_increase_hybrid": q_w9_increase_hybrid,
-        "a13_twa_hybrid": q_a13_twa_hybrid,
         "a2_availability_hybrid": q_a2_availability_hybrid,
         "b15_hybrid_serving": q_b15_hybrid_serving,
         "b16_hybrid_production": q_b16_hybrid_production,
@@ -6048,6 +6089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,
         "pipe_temperature_mixture": SQL_PIPE_TEMPERATURE,

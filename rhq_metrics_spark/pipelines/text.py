@@ -14,6 +14,8 @@ fingerprint).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -1530,4 +1532,327 @@ def substring_self_dedup(
             " (x, i) -> _cov IS NULL OR NOT array_contains(_cov, i)))"
             " AS clean_text",
         )
+    )
+
+
+# -- unigram-LM (SentencePiece-style) tokenizer training ----------------------
+# Kudo 2018 ("Subword Regularization", arXiv:1804.10959) + the
+# SentencePiece trainer (Kudo & Richardson 2018) — public algorithms.
+# This is the Viterbi-EM variant: hard best-segmentation counts in the
+# E-step (exact integers, so the distributed counts are bit-identical
+# to a sequential reference), maximum-likelihood piece probabilities in
+# the M-step, and periodic pruning of the lowest-count multi-char
+# pieces until the vocabulary reaches the target size.  Single
+# characters are never pruned (coverage guarantee, as in SentencePiece).
+
+#: log-probability charged for a character absent from the piece table
+#: (keeps Viterbi total even on unseen input; single chars in-vocab
+#: make this unreachable during training).
+UNIGRAM_UNK_LOGPROB = -100.0
+
+
+def unigram_seed_pieces(
+    df: DataFrame,
+    seed_size: int = 1000,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Seed candidate table for :func:`unigram_lm_train`: every
+    substring (all occurrences) of length ``1..max_piece_len`` of the
+    corpus's words, frequency-weighted by the word-frequency table —
+    ALL single characters kept unconditionally, plus the ``seed_size``
+    most frequent multi-char candidates (ties broken lexicographically
+    asc — deterministic, so the trainer and its pure-Python reference
+    seed identically).
+
+    100 TB shape: the corpus collapses once to the word-frequency
+    table (one hash-agg, vocabulary-bounded); the substring explode
+    and top-k run over that table only.  Exact integer frequencies —
+    SQL-expressible, oracle-checked by the driver.
+
+    Output: ``(piece, freq, is_char)``.
+    """
+    if seed_size < 1:
+        raise ValueError("seed_size must be >= 1")
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    toks = df.select(
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pieces = (
+        wf.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)),"
+                    f" i -> transform(sequence(1, least({int(max_piece_len)},"
+                    " length(w) - i + 1)),"
+                    " l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    chars = pieces.filter(F.length("piece") == 1)
+    w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+    multi = (
+        pieces.filter(F.length("piece") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= seed_size)
+        .drop("rk")
+    )
+    return chars.withColumn("is_char", F.lit(True)).unionByName(
+        multi.withColumn("is_char", F.lit(False))
+    )
+
+
+def unigram_encode_word(
+    word: str,
+    logprobs: dict[str, float],
+    max_piece_len: int = 8,
+    unk_logprob: float = UNIGRAM_UNK_LOGPROB,
+) -> tuple[list[str], float]:
+    """Viterbi best segmentation of one word under a unigram piece LM
+    (Kudo 2018 §3.2, public algorithm): maximize the sum of piece
+    log-probabilities; ties prefer the SHORTER last piece
+    (deterministic).  Out-of-vocab single characters cost
+    ``unk_logprob`` so a segmentation always exists.  Pure-Python
+    reference kernel, shared by the Arrow UDFs in
+    :func:`unigram_lm_train` / :func:`unigram_apply` and the tests —
+    identical floats on both sides by construction."""
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for plen in range(1, min(max_piece_len, i) + 1):
+            j = i - plen
+            if best[j] == neg:
+                continue
+            lp = logprobs.get(word[j:i])
+            if lp is None:
+                if plen > 1:
+                    continue
+                lp = unk_logprob
+            s = best[j] + lp
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out, best[n]
+
+
+def unigram_mstep(counts: dict[str, int]) -> dict[str, float]:
+    """M-step shared by the trainer and the pure-Python reference:
+    maximum-likelihood piece log-probs from Viterbi counts.  Single
+    characters get +1 Laplace smoothing (a char whose every occurrence
+    is covered by longer pieces must stay reachable — the coverage
+    guarantee); multi-char pieces with zero count drop out (unreachable
+    under the current model — SentencePiece prunes them the same
+    way)."""
+    sm = {
+        p: c + 1 if len(p) == 1 else c
+        for p, c in counts.items()
+        if len(p) == 1 or c > 0
+    }
+    total = sum(sm.values())
+    return {p: math.log(c) - math.log(total) for p, c in sm.items()}
+
+
+def unigram_prune(
+    counts: dict[str, int], vocab_size: int, prune_frac: float = 0.25
+) -> dict[str, int]:
+    """Prune step shared by the trainer and the reference: drop the
+    lowest-count multi-char pieces — at most ``prune_frac`` of them per
+    round, never below ``vocab_size`` total pieces, never a single
+    char.  Ties broken lexicographically asc (dropped first) —
+    deterministic."""
+    multi = sorted(
+        ((c, p) for p, c in counts.items() if len(p) > 1),
+    )
+    n_over = len(counts) - vocab_size
+    if n_over <= 0 or not multi:
+        return counts
+    n_drop = min(max(1, math.ceil(prune_frac * len(multi))), n_over, len(multi))
+    dropped = {p for _, p in multi[:n_drop]}
+    return {p: c for p, c in counts.items() if p not in dropped}
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    prune_frac: float = 0.25,
+    max_rounds: int = 50,
+) -> dict:
+    """TRAIN a unigram-LM (SentencePiece-style) tokenizer in-engine —
+    the OTHER tokenizer a data-pipeline team actually trains, next to
+    :func:`bpe_learn_merges`: seed a candidate vocabulary from frequent
+    substrings of the word table, run Viterbi-EM rounds (E-step =
+    best-segmentation counts over DISTINCT words, M-step = ML piece
+    probabilities), and prune the lowest-count multi-char pieces until
+    the vocabulary reaches ``vocab_size``.
+
+    100 TB shape — the same discipline as ``bpe_learn_merges``: the
+    corpus collapses ONCE to the word-frequency table (one hash-agg,
+    vocabulary-bounded, localCheckpoint'd); every E-step is an
+    Arrow-batched ``mapInPandas`` over that table with the piece
+    log-probs riding the closure (vocab-bounded broadcast), partially
+    aggregated inside each batch and finished by one JVM hash-agg whose
+    output — the per-piece count table — is the only thing collected
+    (≤ |pieces| rows of exact integers).  Python work is bounded by
+    |distinct words| × |word|² per round, independent of corpus size;
+    driver state is the piece dict.
+
+    Exact-integer counts make the distributed E-step bit-identical to a
+    sequential pass, so tests pin the whole trainer against a
+    pure-Python reference (same shared kernels) — piece set AND
+    log-probs equal.  Intrinsically iterative, so — like
+    ``bpe_learn_merges`` — no single-SQL oracle; the SEED stage
+    (:func:`unigram_seed_pieces`) is the driver-oracled leg.
+
+    Returns ``{"logprobs": {piece: logprob}, "pieces": DataFrame(piece,
+    logprob), "rounds": n, "seed_n": m}``; feed ``logprobs`` to
+    :func:`unigram_apply`.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1")
+    spark = df.sparkSession
+    if seed_size is None:
+        seed_size = max(4 * vocab_size, 64)
+    toks = df.select(
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("w")
+    )
+    wf = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    seed = unigram_seed_pieces(df, seed_size, text_col, max_piece_len)
+    counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
+    seed_n = len(counts)
+    logprobs = unigram_mstep(counts)
+
+    def _estep_counts(lp: dict[str, float]) -> dict[str, int]:
+        def _run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+            for pdf in batches:
+                local: dict[str, int] = {}
+                for word, freq in zip(pdf["w"], pdf["freq"]):
+                    pieces, _ = unigram_encode_word(word, lp, max_piece_len)
+                    for p in pieces:
+                        local[p] = local.get(p, 0) + int(freq)
+                yield _pd.DataFrame(
+                    {"piece": list(local), "n": list(local.values())}
+                )
+
+        agg = (
+            wf.mapInPandas(_run, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        return {r["piece"]: int(r["n"]) for r in agg}
+
+    rounds = 0
+    while True:
+        rounds += 1
+        for _ in range(em_iters):
+            raw = _estep_counts(logprobs)
+            # pieces absent from every Viterbi path count 0 (multi-char
+            # ones then drop in the M-step; chars are smoothed)
+            counts = {p: raw.get(p, 0) for p in logprobs}
+            logprobs = unigram_mstep(counts)
+        counts = {p: c for p, c in counts.items() if p in logprobs}
+        if len(logprobs) <= vocab_size or rounds >= max_rounds:
+            break
+        pruned = unigram_prune(counts, vocab_size, prune_frac)
+        if len(pruned) == len(counts):
+            break  # only chars left above target — can't shrink further
+        counts = pruned
+        logprobs = unigram_mstep(counts)
+    pieces = spark.createDataFrame(
+        sorted(logprobs.items()), "piece string, logprob double"
+    )
+    return {
+        "logprobs": logprobs,
+        "pieces": pieces,
+        "rounds": rounds,
+        "seed_n": seed_n,
+    }
+
+
+def unigram_apply(
+    df: DataFrame,
+    logprobs: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize documents with a TRAINED unigram LM (the apply leg of
+    :func:`unigram_lm_train`, mirror of :func:`bpe_apply`): Viterbi
+    best segmentation per word.  Output: ``(id, n_words, n_subwords,
+    subwords)``.
+
+    100 TB shape — encode the VOCABULARY, not the corpus: the Viterbi
+    DP runs via Arrow-batched ``mapInPandas`` over DISTINCT words only;
+    documents rejoin their words' encodings on the word key and
+    re-assemble by position (all corpus-size work JVM).  The piece
+    table rides the UDF closure — vocab-bounded by construction."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    vocab = toks.select("w").distinct()
+
+    def _encode(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "enc": [
+                        unigram_encode_word(w, logprobs, max_piece_len)[0]
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    encoded = vocab.mapInPandas(_encode, "w string, enc array<string>")
+    joined = toks.join(encoded, "w")
+    return (
+        joined.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda x: x.enc,
+                )
+            ).alias("subwords"),
+        )
+        .withColumn("n_subwords", F.size("subwords"))
+        .select(id_col, "n_words", "n_subwords", "subwords")
     )

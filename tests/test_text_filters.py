@@ -519,3 +519,151 @@ def test_substring_self_dedup_keeps_one_copy(spark):
     # short doc passes through
     assert out[5]["clean_text"] == "tiny doc"
     assert out[5]["n_removed_tokens"] == 0
+
+
+# -- unigram-LM (SentencePiece-style) tokenizer training ----------------------
+
+
+def _ref_unigram_train(texts, vocab_size, max_piece_len=4, seed_size=40,
+                       em_iters=2, prune_frac=0.25, max_rounds=50):
+    """Pure-Python Kudo 2018 Viterbi-EM trainer: the oracle for
+    unigram_lm_train (same seeding, same shared mstep/prune/encode
+    kernels, same loop structure — exact-integer counts make the two
+    bit-identical)."""
+    from collections import Counter
+
+    from rhq_metrics_spark.pipelines.text import (
+        unigram_encode_word,
+        unigram_mstep,
+        unigram_prune,
+    )
+
+    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        n = len(w)
+        for i in range(n):
+            for plen in range(1, min(max_piece_len, n - i) + 1):
+                pc[w[i:i + plen]] += f
+    counts = {p: c for p, c in pc.items() if len(p) == 1}
+    for p, c in sorted(
+        ((p, c) for p, c in pc.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]:
+        counts[p] = c
+    seed_n = len(counts)
+    logprobs = unigram_mstep(counts)
+    rounds = 0
+    while True:
+        rounds += 1
+        for _ in range(em_iters):
+            raw: Counter = Counter()
+            for w, f in wf.items():
+                pieces, _ = unigram_encode_word(w, logprobs, max_piece_len)
+                for p in pieces:
+                    raw[p] += f
+            counts = {p: raw.get(p, 0) for p in logprobs}
+            logprobs = unigram_mstep(counts)
+        counts = {p: c for p, c in counts.items() if p in logprobs}
+        if len(logprobs) <= vocab_size or rounds >= max_rounds:
+            break
+        pruned = unigram_prune(counts, vocab_size, prune_frac)
+        if len(pruned) == len(counts):
+            break
+        counts = pruned
+        logprobs = unigram_mstep(counts)
+    return logprobs, rounds, seed_n
+
+
+_UNI_TEXTS = [
+    "internationalization international internal nation nationalize",
+    "the nation the national anthem the internal affairs",
+    "internally national nation nation inter inter alia",
+    "ization ization ize ize izer the the the",
+]
+
+
+def test_unigram_lm_train_matches_python_reference(spark):
+    """The distributed Viterbi-EM trainer (mapInPandas over the
+    word-frequency table, exact-integer counts) equals the classic
+    in-memory trainer — piece set AND log-probs bit-identical,
+    including the prune rounds."""
+    from rhq_metrics_spark.pipelines.text import unigram_lm_train
+
+    df = spark.createDataFrame(
+        list(enumerate(_UNI_TEXTS)), "doc_id long, text string"
+    )
+    got = unigram_lm_train(
+        df, vocab_size=24, max_piece_len=4, seed_size=40, em_iters=2
+    )
+    want, rounds, seed_n = _ref_unigram_train(_UNI_TEXTS, 24)
+    assert got["seed_n"] == seed_n
+    assert got["rounds"] == rounds
+    assert got["logprobs"] == want  # exact float equality: shared kernels
+    assert len(got["logprobs"]) <= 24 + 0  # hit the target (chars can exceed)
+    # multi-char pieces were learned, chars all survive
+    pieces = set(got["logprobs"])
+    assert any(len(p) > 1 for p in pieces)
+    chars = {c for t in _UNI_TEXTS for c in t.lower() if not c.isspace()}
+    assert chars <= pieces
+    # the pieces DataFrame mirrors the dict
+    tbl = {r["piece"]: r["logprob"] for r in got["pieces"].collect()}
+    assert tbl == want
+
+
+def test_unigram_apply_roundtrip_and_fertility(spark):
+    """unigram_apply segments every word exactly as the shared Viterbi
+    kernel; the trained tokenizer is less fertile (fewer pieces per
+    word) than character splitting — the fertility comparison row."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.text import (
+        unigram_apply,
+        unigram_encode_word,
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(_UNI_TEXTS)), "doc_id long, text string"
+    )
+    model = unigram_lm_train(
+        df, vocab_size=24, max_piece_len=4, seed_size=40, em_iters=2
+    )
+    lp = model["logprobs"]
+    out = {r["doc_id"]: r for r in unigram_apply(df, lp, max_piece_len=4).collect()}
+    for i, t in enumerate(_UNI_TEXTS):
+        words = t.lower().split()
+        want = [p for w in words for p in unigram_encode_word(w, lp, 4)[0]]
+        assert list(out[i]["subwords"]) == want, i
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_subwords"] == len(want)
+    n_words = sum(r["n_words"] for r in out.values())
+    n_sub = sum(r["n_subwords"] for r in out.values())
+    n_chars = sum(len(w) for t in _UNI_TEXTS for w in t.lower().split())
+    assert n_words <= n_sub < n_chars  # trained fertility beats char-split
+    # re-encoding the corpus under the final model reproduces the
+    # trainer's own final counts (train->apply consistency)
+    counted = (
+        unigram_apply(df, lp, max_piece_len=4)
+        .select(F.explode("subwords").alias("p"))
+        .groupBy("p").count().collect()
+    )
+    assert {r["p"] for r in counted} <= set(lp)
+
+
+def test_unigram_validation_and_charset_floor(spark):
+    from rhq_metrics_spark.pipelines.text import (
+        unigram_lm_train,
+        unigram_seed_pieces,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab ba")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab_size"):
+        unigram_lm_train(df, 0)
+    with _pytest.raises(ValueError, match="seed_size"):
+        unigram_seed_pieces(df, 0)
+    # vocab_size below the charset: prune stops at the char floor
+    got = unigram_lm_train(df, vocab_size=1, max_piece_len=2, seed_size=4)
+    assert {p for p in got["logprobs"] if len(p) == 1} == {"a", "b"}
