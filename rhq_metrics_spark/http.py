@@ -32,6 +32,19 @@ Endpoint parity (reference handler file:line):
 - ``GET  /{type}s/{id}/rate``     GaugeHandler.java:775
 - ``GET  /{type}s/{id}/rate/stats``  GaugeHandler.java:807
 
+Analytics views over the same conventions (round 11; engine-only —
+the reference has no analogue, so the param/JSON shapes mirror the
+stats handlers above):
+
+- ``GET  /{type}s/anomalies``     W14 fleet triage (?start&end&windowN
+  &minN&threshold&topK&valueScale) → ranked series
+- ``GET  /availability/{id}/burn``  A16 SLO burn-rate (?start&end&
+  buckets|bucketDuration&sloPpm&fastN&slowN&burnThreshold) — rides the
+  attached availability rollup when the range is finalized
+- ``GET  /{type}s/{id}/forecast``  W13 seasonal forecast bands
+  (?start&end&periodMs&bins&k&valueScale&historyStart&historyEnd) —
+  zero raw reads with attached seasonal partials
+
 Multi-metric query surface (round 6):
 
 - ``POST /metrics/stats/query``   MetricHandler.java:305-319 cross-type
@@ -324,6 +337,9 @@ class MetricsApp:
         if rest == ["stats"]:
             self._require(method, {"GET"})
             return self._multi_stats(mt, tenant, qs, environ)
+        if rest == ["anomalies"]:
+            self._require(method, {"GET"})
+            return self._anomalies(mt, tenant, qs)
         if rest == ["stats", "query"]:
             self._require(method, {"POST"})
             return self._multi_stats(
@@ -389,6 +405,12 @@ class MetricsApp:
         if sub == ["rate", "stats"]:
             self._require(method, {"GET"})
             return self._rate_stats(mt, tenant, metric_id, qs)
+        if sub == ["burn"]:
+            self._require(method, {"GET"})
+            return self._burn(mt, tenant, metric_id, qs)
+        if sub == ["forecast"]:
+            self._require(method, {"GET"})
+            return self._forecast(mt, tenant, metric_id, qs)
         raise NotFound(f"no such resource: {path}")
 
     @staticmethod
@@ -666,6 +688,118 @@ class MetricsApp:
                     percentiles=percentiles,
                 )
         respond(bucket_points_json(df))
+
+    @staticmethod
+    def _float(qs, key, default=None):
+        v = qs.get(key)
+        if v is None:
+            return default
+        try:
+            return float(v)
+        except ValueError:
+            raise BadRequest(f"Invalid {key} parameter: {v!r}") from None
+
+    def _anomalies(self, metric_type, tenant, qs):
+        """W14 fleet triage over HTTP: rank the tenant's series of this
+        type in the range by rolling-zscore severity
+        (service.top_anomalous) — 'which of my metrics are
+        misbehaving'.  Param shape follows the reference's query
+        endpoints (GaugeHandler.java query params, camelCase)."""
+        start, end = self._time_range(qs)
+        with api_errors():
+            df = self.service.top_anomalous(
+                tenant, start, end, metric_type=metric_type,
+                window_n=self._int(qs, "windowN", 20),
+                min_n=self._int(qs, "minN", 5),
+                threshold=self._float(qs, "threshold", 3.0),
+                top_k=self._int(qs, "topK", 10),
+                value_scale=self._int(qs, "valueScale", 100),
+            )
+            rows = df.orderBy("rank").collect()
+        raise _collection([
+            {
+                "metric": r["metric"],
+                "rank": r["rank"],
+                "samples": r["n_points"],
+                "flagged": r["n_flagged"],
+                "maxAbsZ": r["max_abs_z"],
+            }
+            for r in rows
+        ])
+
+    def _burn(self, metric_type, tenant, metric_id, qs):
+        """A16 multiwindow SLO burn-rate over HTTP (service.slo_burn):
+        per-bucket fast/slow burns + alert flag, served from the
+        attached availability rollup when the range is finalized."""
+        if metric_type != MetricType.AVAILABILITY:
+            raise NotFound("burn exists for availability only")
+        bks = self._buckets(metric_type, tenant, metric_id, qs)
+        with api_errors():
+            df = self.service.slo_burn(
+                tenant, metric_id, bks,
+                slo_ppm=self._int(qs, "sloPpm", 999_000),
+                fast_n=self._int(qs, "fastN", 1),
+                slow_n=self._int(qs, "slowN", 6),
+                burn_threshold=self._float(qs, "burnThreshold", 1.0),
+            )
+            rows = df.orderBy("start").collect()
+        raise _collection([
+            {
+                "start": r["start"],
+                "end": r["end"],
+                "burnFast": r["burn_fast"],
+                "burnSlow": r["burn_slow"],
+                "downFastMs": r["down_fast_ms"],
+                "obsFastMs": r["obs_fast_ms"],
+                "downSlowMs": r["down_slow_ms"],
+                "obsSlowMs": r["obs_slow_ms"],
+                "alert": r["alert"],
+            }
+            for r in rows
+        ])
+
+    def _forecast(self, metric_type, tenant, metric_id, qs):
+        """W13 seasonal-naive forecast bands over HTTP
+        (service.seasonal_forecast): baseline ∓ k·σ per bin-grid
+        timestamp.  With attached seasonal partials the forecast reads
+        zero raw points; otherwise historyStart/historyEnd name the
+        profile scan (missing both → the facade's 400)."""
+        if metric_type not in (MetricType.GAUGE, MetricType.COUNTER):
+            raise BadRequest(f"Metric type does not match {metric_type}")
+        start, end = self._time_range(qs)
+        hs, he = qs.get("historyStart"), qs.get("historyEnd")
+        if (hs is None) != (he is None):
+            raise BadRequest(
+                "historyStart and historyEnd must be given together"
+            )
+        history = (
+            (self._int(qs, "historyStart"), self._int(qs, "historyEnd"))
+            if hs is not None
+            else None
+        )
+        with api_errors():
+            df = self.service.seasonal_forecast(
+                tenant, metric_id, start, end,
+                period_ms=self._int(qs, "periodMs", 86_400_000),
+                n_bins=self._int(qs, "bins", 24),
+                metric_type=metric_type,
+                value_scale=self._int(qs, "valueScale", 100),
+                k=self._float(qs, "k", 2.0),
+                history=history,
+            )
+            rows = df.orderBy("ts").collect()
+        raise _collection([
+            {
+                "timestamp": r["ts"],
+                "bin": r["bin"],
+                "samples": r["bin_samples"],
+                "baseline": r["baseline"],
+                "sd": r["sd"],
+                "lo": r["lo"],
+                "hi": r["hi"],
+            }
+            for r in rows
+        ])
 
     def _periods(self, metric_type, tenant, metric_id, qs):
         if metric_type != MetricType.GAUGE:

@@ -893,3 +893,126 @@ def test_cross_type_stats_query_percentile_impl(mm_app):
                       {**req, "percentileImpl": "nope"})
     assert code == 400
     assert "percentileImpl" in body["errorMsg"]
+
+
+# -- analytics views: anomalies / burn / forecast (round 11) ------------------
+
+
+def test_anomalies_endpoint_ranks_series(mm_app):
+    code, body = call(
+        mm_app, "GET",
+        f"{P}/gauges/anomalies?start=0&end=240000"
+        "&windowN=4&minN=2&threshold=1.0&topK=5",
+    )
+    assert code == 200
+    assert 1 <= len(body) <= 5
+    metrics = [r["metric"] for r in body]
+    assert set(metrics) <= {"m1", "m2", "m3", "mt"}
+    assert [r["rank"] for r in body] == list(range(1, len(body) + 1))
+    for r in body:
+        assert set(r) == {"metric", "rank", "samples", "flagged", "maxAbsZ"}
+        assert r["samples"] > 0 and r["maxAbsZ"] >= 0.0
+    # method + param validation
+    assert call(mm_app, "POST", f"{P}/gauges/anomalies", [])[0] == 405
+    code, err = call(
+        mm_app, "GET", f"{P}/gauges/anomalies?start=0&end=1&threshold=abc"
+    )
+    assert code == 400 and "threshold" in err["errorMsg"]
+
+
+def test_burn_endpoint_availability_only(mm_app):
+    code, body = call(
+        mm_app, "GET",
+        f"{P}/availability/a1/burn?start=0&end=240000&buckets=4"
+        "&sloPpm=900000&fastN=1&slowN=2",
+    )
+    assert code == 200 and len(body) == 4
+    assert [r["start"] for r in body] == sorted(r["start"] for r in body)
+    for r in body:
+        assert set(r) == {
+            "start", "end", "burnFast", "burnSlow", "downFastMs",
+            "obsFastMs", "downSlowMs", "obsSlowMs", "alert",
+        }
+        assert isinstance(r["alert"], bool)
+    # the fixture has down slices (i % 3 == 0) — some budget burns
+    assert any(r["downFastMs"] > 0 for r in body)
+    # burn is an availability view: gauges get the periods-style 404
+    assert call(mm_app, "GET",
+                f"{P}/gauges/m1/burn?start=0&end=240000&buckets=4")[0] == 404
+    # slo_ppm validation surfaces as the facade 400
+    code, err = call(
+        mm_app, "GET",
+        f"{P}/availability/a1/burn?start=0&end=240000&buckets=4"
+        "&sloPpm=1000000",
+    )
+    assert code == 400 and "slo_ppm" in err["errorMsg"]
+
+
+def test_forecast_endpoint_history_route(mm_app):
+    q = ("start=240000&end=480000&periodMs=240000&bins=4"
+         "&historyStart=0&historyEnd=240000")
+    code, body = call(mm_app, "GET", f"{P}/gauges/m1/forecast?{q}")
+    assert code == 200 and len(body) == 4  # one per bin-grid ts
+    assert [r["timestamp"] for r in body] == [240000, 300000, 360000, 420000]
+    for r in body:
+        assert set(r) == {
+            "timestamp", "bin", "samples", "baseline", "sd", "lo", "hi",
+        }
+        assert r["lo"] <= r["baseline"] <= r["hi"]
+        assert r["samples"] > 0  # every bin saw history points
+    # no attached partials and no history window -> facade 400
+    code, err = call(
+        mm_app, "GET",
+        f"{P}/gauges/m1/forecast?start=240000&end=480000&periodMs=240000"
+        "&bins=4",
+    )
+    assert code == 400 and "history" in err["errorMsg"]
+    # half a history window -> 400
+    code, err = call(
+        mm_app, "GET",
+        f"{P}/gauges/m1/forecast?start=240000&end=480000&historyStart=0",
+    )
+    assert code == 400 and "historyStart" in err["errorMsg"]
+    # availability has no forecast
+    assert call(
+        mm_app, "GET",
+        f"{P}/availability/a1/forecast?start=0&end=1&historyStart=0"
+        "&historyEnd=1",
+    )[0] == 400
+
+
+def test_forecast_endpoint_serves_from_attached_partials(spark, tmp_path_factory):
+    """The HTTP forecast rides the zero-raw-read serving path when
+    seasonal partials are attached (same routing as the facade test)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from rhq_metrics_spark.operators.anomaly import (
+        _seasonal_binned,
+        seasonal_profile,
+    )
+
+    base = tmp_path_factory.mktemp("http_fc_store")
+    store = MetricsStore(spark, str(base / "store"))
+    svc = MetricsService(spark, store)
+    app = MetricsApp(svc, base_path="/hawkular/metrics")
+    pts = [{"timestamp": d * 240_000 + b * 60_000, "value": float(b * 10)}
+           for d in range(3) for b in range(4)]
+    assert call(app, "POST", f"{P}/gauges/g/raw", pts)[0] == 200
+    prof = seasonal_profile(
+        _seasonal_binned(
+            store.points("gauge").select("tenant_id", "metric", "ts", "value"),
+            "ts", "value", 240_000, 4, 100,
+        ),
+        ["tenant_id", "metric"],
+    )
+    prof.write.parquet(str(base / "prof"))
+    svc.attach_seasonal_profile(str(base / "prof"),
+                                period_ms=240_000, n_bins=4)
+    code, body = call(
+        app, "GET",
+        f"{P}/gauges/g/forecast?start=720000&end=960000&periodMs=240000"
+        "&bins=4",
+    )
+    assert code == 200 and len(body) == 4
+    assert all(r["samples"] == 3 for r in body)
+    assert [round(r["baseline"]) for r in body] == [0, 10, 20, 30]
