@@ -99,11 +99,15 @@ def ivf_train_centroids(
     dim) and broadcasts; training cost is independent of corpus size —
     the standard IVF recipe at 100 TB (train on a sample, assign
     distributed)."""
+    # sort the collected sample so training depends only on corpus
+    # CONTENT, never on partition order (collect order varies with the
+    # cluster layout; a re-train on the same data must give the same
+    # quantizer anywhere — the maintenance rebuild relies on this)
     sample = np.array(
-        [
-            r[0]
+        sorted(
+            tuple(r[0])
             for r in corpus.select(vec_col).limit(sample_size).collect()
-        ],
+        ),
         dtype=np.float64,
     )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -482,6 +486,58 @@ def ivf_retrain_recommended(
     if stats["imbalance"] > max_imbalance:
         return True
     return stats["occupied_cells"] / stats["n_cells"] < min_occupancy
+
+
+def ivf_rebuild(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Re-train + atomically republish a drifted IVF index IN PLACE —
+    the consequence the :func:`ivf_retrain_recommended` dial asks for.
+
+    The resident vectors (original build + every :func:`ivf_append`)
+    are re-read from the cell layout, fresh centroids train on them,
+    and the new index builds into a STAGING dir next to the live one;
+    the publish is the store's committed-dir swap (two atomic renames
+    per component: live → trash, staging → live — the
+    ``sources/store.py _swap_in`` pattern), so a reader racing the
+    swap sees either the old or the new index, never a half-written
+    mix, and serving never pauses.  Cell ids stay ``0..n_cells-1``
+    through the swap, so a query that read old centroids against new
+    cells (or vice versa, in the instant between renames) still
+    returns valid rows — at worst one query's recall dips to
+    append-drift level, which is where it already was.
+
+    Cost is one full pass over the RESIDENT index (train on a sample,
+    one Arrow matmul assignment, one partitioned write) — the same as
+    the original build, which is exactly why it runs from the
+    maintenance loop on the drift dial instead of per append.
+
+    Returns the post-rebuild :func:`ivf_index_stats`."""
+    import os
+    import shutil
+    import uuid
+
+    if n_cells is None:
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+    resident = spark.read.parquet(f"{path}/cells").select("vec_id", "vec")
+    staging = f"{path}/_rebuild-{uuid.uuid4().hex}"
+    ivf_build_index(
+        resident, staging, n_cells=n_cells,
+        id_col="vec_id", vec_col="vec", seed=seed,
+    )
+    for comp in ("cells", "centroids"):
+        live = os.path.join(path, comp)
+        trash = os.path.join(path, f"_trash-{uuid.uuid4().hex}")
+        if os.path.exists(live):
+            os.rename(live, trash)
+        os.rename(os.path.join(staging, comp), live)
+        shutil.rmtree(trash, ignore_errors=True)
+        spark.catalog.refreshByPath(live)
+    shutil.rmtree(staging, ignore_errors=True)
+    return ivf_index_stats(spark, path)
 
 
 def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:

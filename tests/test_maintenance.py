@@ -496,3 +496,113 @@ def test_hook_emitted_seasonal_partials_serve_forecast(spark, tmp_path):
         assert (r["baseline"], r["sd"], r["lo"], r["hi"]) == (
             raw[ts]["baseline"], raw[ts]["sd"], raw[ts]["lo"], raw[ts]["hi"]
         ), ts
+
+
+def test_ivf_drift_rebuild_restores_recall(spark, svc, tmp_path):
+    """VERDICT r10 item 6: the IVF drift dial's CONSEQUENCE — a
+    maintenance pass re-trains and atomically republishes a drifted
+    append-maintained index, with zero serving downtime.
+
+    Planted drift: four NEW well-separated clusters whose directions
+    all sit nearest ONE trained centroid, so every appended vector
+    packs into that cell — the occupancy dial fires at its default
+    threshold, and reaching recall >= 0.95 costs a 63% corpus scan
+    (the packed cell holds most of the index).  After the maintenance
+    rebuild (n_cells grown 8 -> 16 with the corpus, the classic
+    sqrt-ish scaling) the new quantizer dedicates cells to the new
+    clusters: the same recall target costs a 19.5% scan — the
+    recall-per-byte contract restored.  Deterministic end to end:
+    seeded data + the quantizer trains on a SORTED sample
+    (partitioning-independent), pinned at both local[8] and
+    local[32]."""
+    import os
+
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        cosine_topk,
+        ivf_append,
+        ivf_build_index,
+        ivf_candidate_fraction,
+        ivf_index_stats,
+        ivf_load_centroids,
+        ivf_query_index,
+        ivf_retrain_recommended,
+        topk_recall,
+    )
+
+    path = str(tmp_path / "ivf")
+    base = synthetic_clustered_embeddings(
+        spark, n=800, dim=32, n_clusters=8, seed=11
+    ).persist()
+    base.count()
+    ivf_build_index(base, path, n_cells=8)
+
+    cents_old = ivf_load_centroids(spark, path)
+    rng = np.random.RandomState(7)
+    dirs = cents_old[0][None, :] + 0.35 * rng.randn(4, 32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    labels = np.arange(800) % 4
+    dv = dirs[labels] + 0.1 * rng.randn(800, 32)
+    drifted = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in dv[i]]) for i in range(800)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    drifted.count()
+    ivf_append(path, drifted)
+
+    stats = ivf_index_stats(spark, path)
+    assert stats["total_vectors"] == 1600
+    assert stats["imbalance"] > 4.0  # the appended mass packed one cell
+    assert ivf_retrain_recommended(stats)  # default thresholds
+
+    union = base.select("vec_id", "embedding").unionByName(drifted).persist()
+    queries = drifted.filter("vec_id < 10008")
+    truth = cosine_topk(union, queries, k=5).persist()
+    truth.count()
+
+    def cost_for_recall(cents, target=0.95):
+        """Smallest n_probe reaching the recall target, with the
+        candidate fraction it scans — the IVF cost dial."""
+        for n_probe in range(1, 17):
+            r = topk_recall(truth, ivf_query_index(
+                spark, path, queries, k=5, n_probe=n_probe))
+            if r >= target:
+                return r, ivf_candidate_fraction(
+                    union, queries, cents, n_probe=n_probe)
+        return r, 1.0
+
+    recall_before, frac_before = cost_for_recall(cents_old)
+    assert recall_before >= 0.95
+    assert frac_before > 0.5  # recall costs most of the corpus — drifted
+
+    runner = MaintenanceRunner(
+        svc, ivf_index={"path": path, "n_cells": 16}
+    )
+    report = runner.run_once(T0)
+    assert report["ivf"]["rebuilt"] is True
+    assert report["ivf"]["stats_before"]["imbalance"] > 4.0
+    assert report["ivf"]["stats"]["total_vectors"] == 1600
+    assert report["ivf"]["stats"]["n_cells"] == 16
+    assert report["ivf"]["stats"]["imbalance"] < 2.5
+
+    cents_new = ivf_load_centroids(spark, path)
+    recall_after, frac_after = cost_for_recall(cents_new)
+    assert recall_after >= recall_before - 1e-9
+    assert frac_after < frac_before / 2  # recall-per-byte restored
+
+    # atomic publish: no staging/trash residue, same serving layout
+    leftovers = [d for d in os.listdir(path)
+                 if d.startswith(("_rebuild-", "_trash-"))]
+    assert leftovers == []
+    assert sorted(os.listdir(path)) == ["cells", "centroids"]
+
+    # a quiet second pass does not rebuild
+    report2 = runner.run_once(T0)
+    assert report2["ivf"]["rebuilt"] is False
+    assert report2["ivf"]["stats"]["n_cells"] == 16
+    base.unpersist(); drifted.unpersist()
+    union.unpersist(); truth.unpersist()
