@@ -139,23 +139,57 @@ def ffd_pack_bins(tokens_and_ids: list, capacity: int) -> list[int]:
     UUID-as-string) works; they only break ties.  Input need not be
     sorted; the FFD order is (n_tokens desc, id asc).  Returns the bin
     index per input pair, in the INPUT order.  Docs longer than
-    ``capacity`` get a bin of their own (flagged by the caller)."""
-    order = sorted(range(len(tokens_and_ids)),
+    ``capacity`` get a bin of their own (flagged by the caller).
+
+    First-fit is found with a max-segment-tree over per-bin residual
+    capacity ("first bin index whose residual >= n" in O(log bins)),
+    so a shard packs in O(n log n) instead of the naive O(n × bins)
+    scan — the difference between 13 s and hours once shards reach
+    tens of thousands of docs (the r11 ×100 checkpoint's 10M-doc
+    smoke).  Placements are bit-identical to the naive scan: the tree
+    descends left-first, which IS first-fit order."""
+    n_docs = len(tokens_and_ids)
+    order = sorted(range(n_docs),
                    key=lambda i: (-tokens_and_ids[i][0], tokens_and_ids[i][1]))
-    fills: list[int] = []
-    out = [0] * len(tokens_and_ids)
+    # leaves = worst case one bin per doc; unopened bins carry residual
+    # 0, which no doc (n >= 1 after the n <= capacity gate... n may be
+    # 0 for empty docs — those fit bin 0 once opened, or open bin 0)
+    size = 1
+    while size < n_docs + 1:
+        size <<= 1
+    # unopened bins sit at -inf so a 0-token doc can only match an
+    # OPENED bin (an open full bin has residual 0 and takes it, exactly
+    # like the naive fill + 0 <= capacity scan; oversize bins go
+    # negative and never match)
+    neg = -(1 << 62)
+    tree = [neg] * (2 * size)  # max residual per segment
+    out = [0] * n_docs
+    n_bins = 0
     for i in order:
         n = tokens_and_ids[i][0]
         placed = None
-        if n <= capacity:
-            for b, f in enumerate(fills):
-                if f + n <= capacity:
-                    placed = b
-                    break
+        if n <= capacity and tree[1] >= n:
+            # descend left-first: the leftmost (lowest-index, i.e.
+            # FIRST-fit) bin whose residual fits n
+            node = 1
+            while node < size:
+                node = 2 * node if tree[2 * node] >= n else 2 * node + 1
+            placed = node - size
         if placed is None:
-            placed = len(fills)
-            fills.append(0)
-        fills[placed] += n
+            placed = n_bins
+            n_bins += 1
+            node = placed + size
+            tree[node] = capacity
+            node >>= 1
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node >>= 1
+        node = placed + size
+        tree[node] -= n
+        node >>= 1
+        while node:
+            tree[node] = max(tree[2 * node], tree[2 * node + 1])
+            node >>= 1
         out[i] = placed
     return out
 

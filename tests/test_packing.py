@@ -178,3 +178,79 @@ def test_pack_bins_string_and_uuid_ids(spark):
         rs_sorted = sorted(rs, key=lambda r: r["doc_id"])
         pairs = [(r["n_tokens"], r["doc_id"]) for r in rs_sorted]
         assert [r["bin_idx"] for r in rs_sorted] == ffd_pack_bins(pairs, CAP)
+
+
+def test_ffd_segment_tree_matches_naive_first_fit():
+    """The O(n log n) segment-tree kernel must place every doc in the
+    SAME bin the naive first-fit scan would — including the edges:
+    zero-token docs (match the first OPENED bin, even a full one),
+    oversize docs (dedicated bin that never accepts others), exact
+    fills, and ties broken by id."""
+    import random
+
+    from rhq_metrics_spark.pipelines.packing import ffd_pack_bins
+
+    def naive(tokens_and_ids, capacity):
+        order = sorted(
+            range(len(tokens_and_ids)),
+            key=lambda i: (-tokens_and_ids[i][0], tokens_and_ids[i][1]),
+        )
+        fills, out = [], [0] * len(tokens_and_ids)
+        for i in order:
+            n = tokens_and_ids[i][0]
+            placed = None
+            if n <= capacity:
+                for b, f in enumerate(fills):
+                    if f + n <= capacity:
+                        placed = b
+                        break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            out[i] = placed
+        return out
+
+    rng = random.Random(17)
+    for trial in range(40):
+        cap = rng.choice([1, 7, 64, 1024])
+        n = rng.randrange(0, 300)
+        # skew toward edge masses: zeros, exact-capacity, oversize
+        pairs = [
+            (
+                rng.choice(
+                    [0, 1, cap, cap + rng.randrange(1, 50),
+                     rng.randrange(0, cap + 1)]
+                ),
+                rng.randrange(0, 50),  # duplicate ids force tie-breaks
+            )
+            for _ in range(n)
+        ]
+        assert ffd_pack_bins(pairs, cap) == naive(pairs, cap), (trial, cap)
+    # string ids keep working (opaque, tie-break only)
+    pairs = [(3, "b"), (3, "a"), (2, "z"), (9, "m")]
+    assert ffd_pack_bins(pairs, 5) == naive(pairs, 5)
+
+
+def test_ffd_kernel_is_subquadratic():
+    """20k docs in one shard must pack in well under a second — the
+    naive O(n x bins) scan takes ~20 s here; the segment tree makes
+    docs-per-shard a free dial at the 10M-doc scale smoke."""
+    import random
+    import time
+
+    from rhq_metrics_spark.pipelines.packing import ffd_pack_bins
+
+    rng = random.Random(5)
+    pairs = [(rng.randrange(50, 1950), i) for i in range(20_000)]
+    t0 = time.time()
+    bins = ffd_pack_bins(pairs, 2048)
+    dt = time.time() - t0
+    assert dt < 2.0, dt
+    fills = {}
+    for (n, _), b in zip(pairs, bins):
+        fills[b] = fills.get(b, 0) + n
+    assert all(f <= 2048 for f in fills.values())
+    # FFD quality: packing efficiency stays near 1 on mixed lengths
+    eff = sum(n for n, _ in pairs) / (len(fills) * 2048)
+    assert eff > 0.97, eff
