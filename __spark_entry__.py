@@ -106,7 +106,12 @@ from rhq_metrics_spark.pipelines.embeddings import (
     semantic_dedup,
 )
 from rhq_metrics_spark.pipelines.packing import chunk_documents, pack_chunks
-from rhq_metrics_spark.pipelines.sketches import heavy_hitters, kmv_distinct
+from rhq_metrics_spark.pipelines.sketches import (
+    heavy_hitters,
+    kmv_distinct,
+    kmv_set_ops,
+    kmv_sketch_rows,
+)
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -3766,6 +3771,58 @@ FROM bk GROUP BY 1
 """
 
 
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (pipelines/sketches.py kmv_set_ops, Beyer et al.
+    SIGMOD 2007): pairwise vocabulary |A∪B| / |A∩B| / Jaccard between
+    languages, estimated from the ≤k-row sketches alone — the corpus is
+    touched once to build them.  Deterministic md5 fractions make even
+    the ESTIMATES hash-checkable cross-engine."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch_rows(toks, "lang", "tok", k=KMV_K, n_salts=KMV_SALTS)
+    return kmv_set_ops(sk, k=KMV_K).withColumnsRenamed(
+        {"grp_a": "lang_a", "grp_b": "lang_b"}
+    )
+
+
+SQL_SKETCH_KMV_SETOPS = r"""
+WITH toks AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+dv AS (SELECT DISTINCT lang AS grp, tok AS val FROM toks WHERE tok <> ''),
+h AS (SELECT grp, val,
+        CAST(concat('0x', substr(md5(concat('kmv', ':', val)), 1, 15)) AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) AS h,
+        CAST(concat('0x', substr(md5(concat('kmv', ':b:', val)), 1, 8)) AS BIGINT) % 16 AS bucket
+      FROM dv),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY grp, bucket ORDER BY h ASC, val ASC) AS r1 FROM h),
+sk AS (SELECT grp, val, h FROM
+        (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h ASC, val ASC) AS r2
+         FROM r1 WHERE r1 <= 64) WHERE r2 <= 64),
+pairs AS (SELECT a.grp AS lang_a, b.grp AS lang_b
+          FROM (SELECT DISTINCT grp FROM sk) a
+          JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+fan AS (SELECT p.lang_a, p.lang_b, s.grp, s.val, s.h
+        FROM pairs p JOIN sk s ON s.grp = p.lang_a OR s.grp = p.lang_b),
+pv AS (SELECT lang_a, lang_b, val, min(h) AS h,
+              max(CASE WHEN grp = lang_a THEN 1 ELSE 0 END) AS in_a,
+              max(CASE WHEN grp = lang_b THEN 1 ELSE 0 END) AS in_b
+       FROM fan GROUP BY 1, 2, 3),
+m AS (SELECT * FROM
+        (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h ASC, val ASC) AS r
+         FROM pv) WHERE r <= 64),
+agg AS (SELECT lang_a, lang_b, count(*) AS k_used, max(h) AS hk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS rho
+        FROM m GROUP BY 1, 2)
+SELECT lang_a, lang_b, k_used, rho,
+       CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE) ELSE 63.0 / hk END AS union_est,
+       (CASE WHEN k_used < 64 THEN rho / CAST(k_used AS DOUBLE) ELSE rho / 64.0 END)
+         * (CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE) ELSE 63.0 / hk END) AS inter_est,
+       CASE WHEN k_used < 64 THEN rho / CAST(k_used AS DOUBLE) ELSE rho / 64.0 END AS jaccard
+FROM agg
+"""
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-point Lloyd k-means (k=8, one update) over
     the embeddings table (pipelines/embeddings.py kmeans_assign) — the
@@ -5937,11 +5994,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: new key first, then the 40 keys last
-        # -- driver-sampled in r8 (the stalest), then 9 of the r9 block
-        # -- (a12-a16 / b13-b14 / s10); b15/b16 + the rest of the r9
-        # -- block lead r12.  tools/verify_all.py checks ALL keys.
+        # -- r11 driver window: the two never-sampled keys first, then
+        # -- the 40 keys last driver-sampled in r8 (the stalest), then
+        # -- 8 of the r9 block (a12-a16 / b13-b14); s10 + b15/b16 + the
+        # -- rest of the r9 block lead r12.  tools/verify_all.py checks
+        # -- ALL keys.
         "text_unigram_seed": q_text_unigram_seed,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -5990,8 +6049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_slo_burn": q_a16_slo_burn,
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
         # ---- 50-key driver window ends here ----
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
         "sketch_hll": q_sketch_hll,
         "sketch_bloom": q_sketch_bloom,
         "pipe_temperature_mixture": q_pipe_temperature_mixture,
@@ -6228,6 +6287,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": SQL_PACK_CHUNKS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,
         "sketch_kmv": SQL_SKETCH_KMV,
+        "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

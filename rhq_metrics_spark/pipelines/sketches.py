@@ -34,7 +34,7 @@ def _hash_frac(value: Column, salt: str) -> Column:
     )
 
 
-def kmv_distinct(
+def kmv_sketch_rows(
     df: DataFrame,
     group_col: str,
     value_col: str,
@@ -42,13 +42,13 @@ def kmv_distinct(
     salt: str = "kmv",
     n_salts: int = 32,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate.
-
-    Output: ``(group, k_used, hk, est)`` — ``k_used`` < k means the
-    group had fewer than k distinct values and ``est`` is exact
-    (``k_used``); otherwise ``est = (k-1)/hk``, one correctly-rounded
-    IEEE division over the portable hash fraction.
-    """
+    """Per-group bottom-k sketch ROWS — ``(grp, val, h)``, ≤ k rows per
+    group, the k smallest portable hash fractions of the group's
+    distinct values.  This is the KMV synopsis itself: store it, merge
+    it (union rows, re-rank), estimate from it (:func:`kmv_distinct`),
+    or combine two groups' rows for set algebra (:func:`kmv_set_ops`).
+    State per group is ~k × (value + double), independent of group
+    size."""
     vals = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
         .distinct()
@@ -70,9 +70,29 @@ def kmv_distinct(
     w1 = Window.partitionBy("grp", "bucket").orderBy(F.col("h").asc(), F.col("val").asc())
     survivors = vals.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= k)
     w2 = Window.partitionBy("grp").orderBy(F.col("h").asc(), F.col("val").asc())
-    bottomk = survivors.withColumn("r2", F.row_number().over(w2)).filter(
-        F.col("r2") <= k
+    return (
+        survivors.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k)
+        .select("grp", "val", "h")
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: ``(group, k_used, hk, est)`` — ``k_used`` < k means the
+    group had fewer than k distinct values and ``est`` is exact
+    (``k_used``); otherwise ``est = (k-1)/hk``, one correctly-rounded
+    IEEE division over the portable hash fraction.
+    """
+    bottomk = kmv_sketch_rows(df, group_col, value_col, k, salt, n_salts)
     return (
         bottomk.groupBy(F.col("grp").alias(group_col))
         .agg(
@@ -85,6 +105,79 @@ def kmv_distinct(
                 F.lit(float(k - 1)) / F.col("hk")
             ),
         )
+    )
+
+
+def kmv_set_ops(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Pairwise set algebra over per-group KMV sketch rows (the
+    multiset-synopsis estimators of Beyer et al., SIGMOD 2007): for
+    every unordered group pair, estimate ``|A ∪ B|``, ``|A ∩ B|``, and
+    the Jaccard similarity — from the sketches alone, never the data.
+
+    ``sketch`` is :func:`kmv_sketch_rows` output (``grp, val, h``) built
+    with the same ``k``/salt.  Per pair: the combined bottom-k ``M`` of
+    the two groups' sketch values is itself the union's KMV sketch, so
+    ``union_est = (k-1)/h_k(M)``; ``rho = |{v ∈ M : v in BOTH
+    sketches}|`` gives ``jaccard_est = rho/k`` and ``inter_est =
+    jaccard × union``.  When the combined sketch has fewer than k
+    values, BOTH sets are entirely inside their sketches and all three
+    outputs are exact (``union = k_used``, ``inter = rho``, ``jaccard =
+    rho/k_used``).
+
+    Deterministic end-to-end (md5 fractions, value-tie-broken ranks) —
+    the estimates, not just the contract, are oracle-checkable.
+
+    Output: ``(grp_a, grp_b, k_used, rho, union_est, inter_est,
+    jaccard)`` with ``grp_a < grp_b``.
+
+    100 TB shape: the data-sized work already happened in
+    :func:`kmv_sketch_rows` (one distinct + two bounded rank passes);
+    this operator touches ≤ G²·k sketch rows — for 10k groups × k=64
+    that is ~6×10⁹ tiny rows at the theoretical worst, but pairs are
+    normally constrained by the caller (languages, sources, dated
+    snapshots), and the pair fan-out is a broadcast nested-loop over a
+    G-row dimension, never a shuffle of data."""
+    groups = sketch.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .join(
+            groups.select(F.col("grp").alias("grp_b")),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+    )
+    fan = sketch.join(
+        F.broadcast(pairs),
+        (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+    )
+    per_val = fan.groupBy("grp_a", "grp_b", "val").agg(
+        F.min("h").alias("h"),  # same val -> same h; min is just "the"
+        F.max((F.col("grp") == F.col("grp_a")).cast("int")).alias("in_a"),
+        F.max((F.col("grp") == F.col("grp_b")).cast("int")).alias("in_b"),
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy(
+        F.col("h").asc(), F.col("val").asc()
+    )
+    m = per_val.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    agg = m.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    )
+    exact = F.col("k_used") < k
+    union_est = F.when(exact, F.col("k_used").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("hk")
+    )
+    jaccard = F.when(exact, F.col("rho") / F.col("k_used")).otherwise(
+        F.col("rho") / F.lit(float(k))
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "k_used",
+        "rho",
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("inter_est"),
+        jaccard.alias("jaccard"),
     )
 
 

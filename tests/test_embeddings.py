@@ -212,3 +212,79 @@ def test_semantic_dedup_planted_near_dups(spark):
     # dup pairs always share a cluster
     for i, j in ((1, 0), (2, 0), (11, 10)):
         assert out[i]["cluster"] == out[j]["cluster"]
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """When the combined sketch holds the whole union (k_used < k) all
+    three outputs are EXACT: union, intersection, Jaccard."""
+    from rhq_metrics_spark.pipelines.sketches import (
+        kmv_set_ops,
+        kmv_sketch_rows,
+    )
+
+    rows = [("a", f"v{i}") for i in range(20)] + [
+        ("b", f"v{i}") for i in range(12, 40)
+    ]
+    df = spark.createDataFrame(rows * 2, "grp string, val string")
+    sk = kmv_sketch_rows(df, "grp", "val", k=64, n_salts=4)
+    out = kmv_set_ops(sk, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+    assert r["k_used"] == 40  # |A u B|
+    assert r["rho"] == 8  # |A n B| = v12..v19
+    assert r["union_est"] == 40.0
+    assert r["inter_est"] == 8.0
+    assert abs(r["jaccard"] - 8 / 40) < 1e-12
+
+
+def test_kmv_set_ops_estimates_track_truth(spark):
+    """Planted 1/3 overlap at 3000 distinct values per set: the k=128
+    estimates land within 4 relative sigma (~1/sqrt(k-2)) of truth."""
+    import math
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        kmv_set_ops,
+        kmv_sketch_rows,
+    )
+
+    n = 3000
+    rows = [("a", f"val-{i}") for i in range(n)] + [
+        ("b", f"val-{i}") for i in range(2 * n // 3, 2 * n // 3 + n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    sk = kmv_sketch_rows(df, "grp", "val", k=128, n_salts=8)
+    r = kmv_set_ops(sk, k=128).collect()[0]
+    true_union = 2 * n - n // 3
+    true_inter = n // 3
+    tol = 4 / math.sqrt(126)
+    assert abs(r["union_est"] - true_union) / true_union < tol
+    assert abs(r["inter_est"] - true_inter) / true_inter < 2 * tol
+    assert abs(r["jaccard"] - true_inter / true_union) < 2 * tol * (
+        true_inter / true_union
+    ) + 0.02
+
+
+def test_kmv_set_ops_pairs_and_partition_invariance(spark):
+    """3 groups -> 3 ordered pairs; byte-identical results under any
+    input partitioning (the md5 rank order is content-only)."""
+    from rhq_metrics_spark.pipelines.sketches import (
+        kmv_set_ops,
+        kmv_sketch_rows,
+    )
+
+    rows = [(g, f"w{i + off}") for g, off in [("x", 0), ("y", 50), ("z", 100)]
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    a = sorted(
+        map(tuple, kmv_set_ops(kmv_sketch_rows(df, "grp", "val", k=32), k=32)
+            .collect())
+    )
+    b = sorted(
+        map(tuple,
+            kmv_set_ops(
+                kmv_sketch_rows(df.repartition(17), "grp", "val", k=32), k=32
+            ).collect())
+    )
+    assert [(r[0], r[1]) for r in a] == [("x", "y"), ("x", "z"), ("y", "z")]
+    assert a == b
