@@ -240,3 +240,94 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected  # bit-identical, incl. across the boundary
+
+
+def test_streaming_changepoints_match_batch(spark, tmp_path):
+    """Streaming mean-shift rows must be BIT-IDENTICAL to the batch
+    mean_shift_changepoints rows whose leading frame is complete
+    (n_next == window_n) over a replay of the same points — including
+    points whose two frames straddle the micro-batch boundary.  The
+    trailing window_n points stay pending (their leading frame needs
+    the future), which is the documented two-sided-detector latency."""
+    from rhq_metrics_spark.operators.anomaly import mean_shift_changepoints
+    from rhq_metrics_spark.streaming.anomaly import streaming_changepoints
+
+    T = 1_700_000_000_000
+    W = 5
+    # level shift at index 12: 10-ish -> 30-ish, with jitter so the
+    # pooled variance is nonzero; .25 steps exercise the HALF_UP
+    # quantization at value_scale=100
+    vals = [10.0, 10.25, 9.75, 10.5, 10.0, 9.5, 10.25, 10.0, 9.75, 10.5,
+            10.0, 10.25, 30.0, 29.75, 30.25, 30.5, 29.5, 30.0, 30.25,
+            29.75, 30.0, 30.5]
+    pts = [
+        {"tenant_id": "t", "metric": "m", "ts": T + i * 1000, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "cp_in"
+    src.mkdir()
+    out_dir = tmp_path / "cp_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:10]))
+
+    schema = "tenant_id string, metric string, ts long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_changepoints(stream, window_n=W, min_n=3, threshold=3.0)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "cp_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows() < 10 - W and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in pts[10:]))
+        while rows() < len(pts) - W and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    key = lambda r: r["ts"]  # noqa: E731
+    got = {
+        key(r): (r["value"], r["n_prev"], r["n_next"], r["mean_prev"],
+                 r["mean_next"], r["score"], r["is_change"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert len(got) == len(pts) - W  # trailing W pending, everything else out
+
+    batch_df = spark.createDataFrame(
+        [(p["tenant_id"], p["metric"], p["ts"], p["value"]) for p in pts],
+        schema,
+    )
+    batch = mean_shift_changepoints(
+        batch_df, on=["tenant_id", "metric"], order=["ts"],
+        value_col="value", window_n=W, min_n=3, threshold=3.0,
+        value_scale=100,
+    ).collect()
+    expected = {
+        key(r): (r["value"], r["n_prev"], r["n_next"], r["mean_prev"],
+                 r["mean_next"], r["score"], r["is_change"])
+        for r in batch
+        if r["n_next"] == W
+    }
+    assert got == expected  # bit-identical doubles, no tolerance
+    # the last pre-shift point (trailing frame all-low, leading frame
+    # all-high) flags, and its leading frame crossed the micro-batch
+    # boundary
+    shift_ts = T + 11_000
+    assert got[shift_ts][6] is True
+    assert sum(1 for v in got.values() if v[6]) == 1
