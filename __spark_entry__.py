@@ -5648,6 +5648,40 @@ FROM agg
 """
 
 
+def q_pipe_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile / data card (pipelines/profile.py
+    dataset_profile): per-source + corpus-total doc/token/char counts,
+    language spread, exact corpus-wide duplicate rate — all integer or
+    floor-fixed-point, so snapshots diff byte-for-byte.  ONE rollup
+    aggregation emits the group and total rows; the dup flag costs one
+    fingerprint exchange (the exact-dedup cost class)."""
+    from rhq_metrics_spark.pipelines.profile import dataset_profile
+
+    return dataset_profile(_table(spark, sf_dir, "documents"))
+
+
+SQL_PIPE_DATASET_PROFILE = r"""
+WITH base AS (
+  SELECT source AS grp, lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok,
+         CAST(length(text) AS BIGINT) AS nch,
+         md5(text) AS fp
+  FROM documents),
+copies AS (SELECT fp, count(*) AS c FROM base GROUP BY 1),
+fl AS (SELECT b.*, c.c FROM base b JOIN copies c USING (fp))
+SELECT CASE WHEN GROUPING(grp) = 1 THEN 'ALL' ELSE grp END AS source,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(nch) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS uniq_texts,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS dup_ppm,
+       CAST(sum(ntok) AS BIGINT) * 1000000 // count(*) AS mean_tokens_micro
+FROM fl GROUP BY ROLLUP(grp)
+"""
+
+
 UNIGRAM_SEED_K = 200
 
 
@@ -5994,13 +6028,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: the two never-sampled keys first, then
-        # -- the 40 keys last driver-sampled in r8 (the stalest), then
-        # -- 8 of the r9 block (a12-a16 / b13-b14); s10 + b15/b16 + the
-        # -- rest of the r9 block lead r12.  tools/verify_all.py checks
-        # -- ALL keys.
+        # -- r11 driver window: the three never-sampled keys first,
+        # -- then the 40 keys last driver-sampled in r8 (the stalest),
+        # -- then 7 of the r9 block (a12-a16 / b13); b14 + s10 + b15/
+        # -- b16 + the rest of the r9 block lead r12.
+        # -- tools/verify_all.py checks ALL keys.
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
+        "pipe_dataset_profile": q_pipe_dataset_profile,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -6048,8 +6083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_mad_outliers": q_a15_mad_outliers,
         "a16_slo_burn": q_a16_slo_burn,
         "b13_hist_quantile": q_b13_hist_quantile,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         # ---- 50-key driver window ends here ----
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
         "sketch_hll": q_sketch_hll,
         "sketch_bloom": q_sketch_bloom,
@@ -6288,6 +6323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_segments": SQL_DEDUP_SEGMENTS,
         "sketch_kmv": SQL_SKETCH_KMV,
         "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
+        "pipe_dataset_profile": SQL_PIPE_DATASET_PROFILE,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

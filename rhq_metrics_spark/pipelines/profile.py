@@ -1,0 +1,87 @@
+"""Dataset profile — the "data card" a training-data pipeline stamps
+on every corpus snapshot: per-source (plus corpus-total) document /
+token / char counts, language spread, and exact duplicate rates, in
+one declarative plan.
+
+Every output is integer or floor-divided fixed point (ppm / micro
+units), so the whole card is hash-exact cross-engine — profiles of two
+snapshots can be diffed byte-for-byte.
+
+100 TB shape: one exchange on the text fingerprint (the same cost
+class as exact dedup — it IS the dup-rate computation, with map-side
+count partials absorbing hot boilerplate), the copies join reusing
+that partitioning, then ROLLUP gives the per-group and total rows in
+ONE aggregation pass (no second scan for the corpus row).  No Python,
+no collect; output is #groups + 1 rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rhq_metrics_spark.pipelines.text import _tokens
+
+#: fixed-point denominators for the ratio columns
+PPM = 1_000_000
+
+
+def dataset_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-``group_col`` + total profile of a document corpus.
+
+    Output (one row per group, plus a ``group = 'ALL'`` corpus row):
+
+    - ``n_docs``, ``n_tokens`` (whitespace), ``n_chars``
+    - ``n_langs`` — distinct ``lang_col`` values
+    - ``uniq_texts`` — distinct exact text fingerprints
+    - ``dup_docs`` — docs whose EXACT text occurs 2+ times CORPUS-wide
+      (a group row counts its members of corpus-wide clusters, so
+      cross-source copies are charged to every source holding one —
+      the provenance question a per-group dedup would get wrong)
+    - ``dup_ppm`` — ``dup_docs / n_docs`` in parts-per-million (floor)
+    - ``mean_tokens_micro`` — ``n_tokens / n_docs`` in micro-tokens
+      (floor) — exact integer arithmetic, no float mean
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(lang_col).alias("_lang"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("_ntok"),
+        F.length(text_col).cast("long").alias("_nch"),
+        F.md5(F.col(text_col)).alias("_fp"),
+    )
+    copies = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_copies"))
+    flagged = base.join(copies, "_fp")
+    prof = (
+        flagged.rollup("grp")
+        .agg(
+            # grouping() only resolves inside the rollup agg itself
+            F.grouping("grp").alias("_is_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.sum("_nch").alias("n_chars"),
+            F.countDistinct("_lang").alias("n_langs"),
+            F.countDistinct("_fp").alias("uniq_texts"),
+            F.sum((F.col("_copies") >= 2).cast("long")).alias("dup_docs"),
+        )
+        .select(
+            # grouping(), not coalesce: a genuinely-NULL group value
+            # must not collide with the total row
+            F.when(F.col("_is_total") == 1, F.lit("ALL"))
+            .otherwise(F.col("grp"))
+            .alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "uniq_texts",
+            "dup_docs",
+            F.expr(f"dup_docs * {PPM} div n_docs").alias("dup_ppm"),
+            F.expr(f"n_tokens * {PPM} div n_docs").alias("mean_tokens_micro"),
+        )
+    )
+    return prof

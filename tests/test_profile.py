@@ -1,0 +1,58 @@
+"""Tests for pipelines/profile.py dataset_profile — the data card."""
+
+from __future__ import annotations
+
+
+def test_dataset_profile_counts_and_total_row(spark):
+    from rhq_metrics_spark.pipelines.profile import dataset_profile
+
+    rows = [
+        # s1: 3 docs, one corpus-wide dup pair WITHIN s1
+        (1, "same text here", "en", "s1"),
+        (2, "same text here", "en", "s1"),
+        (3, "unique alpha", "en", "s1"),
+        # s2: 2 docs, one copy of an s1 text (cross-source dup) and one
+        # unique doc in another language
+        (4, "same text here", "en", "s2"),
+        (5, "otro texto", "es", "s2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in dataset_profile(df).collect()}
+    assert set(out) == {"s1", "s2", "ALL"}
+
+    s1, s2, al = out["s1"], out["s2"], out["ALL"]
+    assert (s1["n_docs"], s2["n_docs"], al["n_docs"]) == (3, 2, 5)
+    # "same text here"=3 tokens x2 + "unique alpha"=2 -> 8 in s1
+    assert s1["n_tokens"] == 8
+    assert al["n_tokens"] == s1["n_tokens"] + s2["n_tokens"]
+    assert (s1["n_langs"], s2["n_langs"], al["n_langs"]) == (1, 2, 2)
+    # dup flag is CORPUS-wide: all 3 copies of "same text here" count,
+    # including the single copy held by s2
+    assert (s1["dup_docs"], s2["dup_docs"], al["dup_docs"]) == (2, 1, 3)
+    assert s1["uniq_texts"] == 2 and s2["uniq_texts"] == 2
+    assert al["uniq_texts"] == 3
+    # floor fixed point
+    assert s2["dup_ppm"] == 500_000
+    assert al["dup_ppm"] == 3 * 1_000_000 // 5
+    assert s1["mean_tokens_micro"] == 8 * 1_000_000 // 3
+
+
+def test_dataset_profile_null_group_does_not_collide_with_total(spark):
+    from rhq_metrics_spark.pipelines.profile import dataset_profile
+
+    rows = [
+        (1, "a b", "en", None),  # genuinely-NULL source
+        (2, "c d e", "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = dataset_profile(df).collect()
+    srcs = sorted(r["source"] if r["source"] is not None else "<null>"
+                  for r in out)
+    # three rows: the null group, s1, and the total — no collision
+    assert srcs == ["<null>", "ALL", "s1"]
+    al = next(r for r in out if r["source"] == "ALL")
+    assert al["n_docs"] == 2 and al["n_tokens"] == 5
