@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "o5_minmax_downsample",  # arg-extreme struct aggregation
     "a11_histogram",         # value distribution binning
     "b14_hist_quantiles_multi",  # one-pass multi-quantile from partials
+    "text_unigram_seed",    # unigram-LM candidate vocab off the word table
+    "sketch_kmv_setops",    # pairwise KMV union/intersection/Jaccard
+    "pipe_dataset_profile", # one-rollup data card incl. corpus dup rates
 ]
 
 
@@ -438,7 +441,7 @@ _TAIL_BUDGET = 1800
 #: tail even after shedding every diagnostic KPI, so per-query timings
 #: now rotate instead of all riding the final line every round; the
 #: full record always goes to stderr).
-_FINAL_LINE_ROUND = 10
+_FINAL_LINE_ROUND = 11
 
 
 def _sys_marker(markers: list[str], tag: str) -> None:
