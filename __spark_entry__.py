@@ -5682,6 +5682,71 @@ FROM fl GROUP BY ROLLUP(grp)
 """
 
 
+def q_pipe_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (pipelines/profile.py dataset_diff): adds /
+    removes / in-place edits and exact token deltas per source between
+    two corpus versions — one co-partitioned full-outer join + one agg.
+    The "old" snapshot is derived deterministically from the documents
+    table: src0 missing (→ added), every doc_id % 5 carrying a stale
+    ' legacy' suffix (→ changed), plus a retired block of ids not in
+    "new" (→ removed)."""
+    from rhq_metrics_spark.pipelines.profile import dataset_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    old_base = docs.filter(F.col("source") != "src0").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" legacy")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    retired = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("retired doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("retired").alias("source"),
+    )
+    return dataset_diff(old_base.unionByName(retired), docs)
+
+
+SQL_PIPE_DATASET_DIFF = r"""
+WITH oldd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END AS text,
+         source
+  FROM documents WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc_id + 1000000, 'retired doc ' || CAST(doc_id AS VARCHAR), 'retired'
+  FROM documents WHERE doc_id % 9 = 0),
+o AS (SELECT doc_id AS id, source AS g, md5(text) AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+      FROM oldd),
+n AS (SELECT doc_id AS id, source AS g, md5(text) AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+      FROM documents),
+j AS (SELECT coalesce(n.g, o.g) AS source,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS st,
+             coalesce(o.nt, 0) AS nto, coalesce(n.nt, 0) AS ntn
+      FROM o FULL OUTER JOIN n ON o.id = n.id)
+SELECT source,
+       CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+       CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+       CAST(sum(nto) AS BIGINT) AS tokens_old,
+       CAST(sum(ntn) AS BIGINT) AS tokens_new,
+       CAST(sum(ntn) - sum(nto) AS BIGINT) AS token_delta
+FROM j GROUP BY 1
+"""
+
+
 UNIGRAM_SEED_K = 200
 
 
@@ -6028,14 +6093,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: the three never-sampled keys first,
+        # -- r11 driver window: the four never-sampled keys first,
         # -- then the 40 keys last driver-sampled in r8 (the stalest),
-        # -- then 7 of the r9 block (a12-a16 / b13); b14 + s10 + b15/
-        # -- b16 + the rest of the r9 block lead r12.
+        # -- then 6 of the r9 block (a12-a16); b13/b14 + s10 + b15/b16
+        # -- + the rest of the r9 block lead r12.
         # -- tools/verify_all.py checks ALL keys.
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
+        "pipe_dataset_diff": q_pipe_dataset_diff,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -6082,8 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_trimmed_stats": q_a14_trimmed_stats,
         "a15_mad_outliers": q_a15_mad_outliers,
         "a16_slo_burn": q_a16_slo_burn,
-        "b13_hist_quantile": q_b13_hist_quantile,
         # ---- 50-key driver window ends here ----
+        "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
         "sketch_hll": q_sketch_hll,
@@ -6324,6 +6390,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv": SQL_SKETCH_KMV,
         "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
         "pipe_dataset_profile": SQL_PIPE_DATASET_PROFILE,
+        "pipe_dataset_diff": SQL_PIPE_DATASET_DIFF,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

@@ -85,3 +85,59 @@ def dataset_profile(
         )
     )
     return prof
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — what changed, per
+    group: document adds / removes / in-place edits and the exact token
+    delta, keyed by ``id_col`` with content compared by fingerprint.
+
+    Output per group (removed docs report under their OLD group):
+    ``(group, added, removed, changed, unchanged, tokens_old,
+    tokens_new, token_delta)`` — all exact integers, so two runs of the
+    diff are byte-comparable like the :func:`dataset_profile` card.
+
+    100 TB shape: one full-outer join co-partitioned on the id (each
+    side shuffles once on the same key), then a single group
+    aggregation; per-doc rows never leave the join stage.  Fingerprint
+    compare (md5) rather than text compare keeps the join row narrow.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias(f"_grp_{tag}"),
+            F.md5(F.col(text_col)).alias(f"_fp_{tag}"),
+            F.size(_tokens(F.col(text_col))).cast("long").alias(f"_ntok_{tag}"),
+        )
+
+    j = side(old, "old").join(side(new, "new"), "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_grp_new"), F.col("_grp_old")).alias(group_col),
+            status.alias("_st"),
+            F.coalesce(F.col("_ntok_old"), F.lit(0)).alias("_ntok_old"),
+            F.coalesce(F.col("_ntok_new"), F.lit(0)).alias("_ntok_new"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum((F.col("_st") == "added").cast("long")).alias("added"),
+            F.sum((F.col("_st") == "removed").cast("long")).alias("removed"),
+            F.sum((F.col("_st") == "changed").cast("long")).alias("changed"),
+            F.sum((F.col("_st") == "unchanged").cast("long")).alias("unchanged"),
+            F.sum("_ntok_old").alias("tokens_old"),
+            F.sum("_ntok_new").alias("tokens_new"),
+            (F.sum("_ntok_new") - F.sum("_ntok_old")).alias("token_delta"),
+        )
+    )

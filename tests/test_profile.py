@@ -56,3 +56,50 @@ def test_dataset_profile_null_group_does_not_collide_with_total(spark):
     assert srcs == ["<null>", "ALL", "s1"]
     al = next(r for r in out if r["source"] == "ALL")
     assert al["n_docs"] == 2 and al["n_tokens"] == 5
+
+
+def test_dataset_diff_statuses_and_token_delta(spark):
+    from rhq_metrics_spark.pipelines.profile import dataset_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),      # unchanged
+            (2, "old text", "s1"),   # changed in new
+            (3, "bye bye", "s2"),    # removed
+        ],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "new longer text here", "s1"),
+            (4, "hello", "s2"),      # added
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dataset_diff(old, new).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["added"], s1["removed"], s1["changed"], s1["unchanged"]) == (
+        0, 0, 1, 1,
+    )
+    # removed docs report under their OLD group
+    assert (s2["added"], s2["removed"], s2["changed"], s2["unchanged"]) == (
+        1, 1, 0, 0,
+    )
+    assert s1["tokens_old"] == 5 and s1["tokens_new"] == 7
+    assert s1["token_delta"] == 2
+    assert s2["token_delta"] == 1 - 2  # added 1 token, removed 2
+
+
+def test_dataset_diff_identical_snapshots_are_all_unchanged(spark):
+    from rhq_metrics_spark.pipelines.profile import dataset_diff
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    r = dataset_diff(df, df).collect()[0]
+    assert (r["added"], r["removed"], r["changed"], r["unchanged"]) == (
+        0, 0, 0, 10,
+    )
+    assert r["token_delta"] == 0
