@@ -48,7 +48,9 @@ def main() -> int:
     pytest_cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if quick:
         pytest_cmd.append("-x")
-    results.append(run("pytest", pytest_cmd, 900))
+    # 600+ tests run ~14-15 min on a quiet machine; 900 s started
+    # false-flagging TIMEOUT as the suite grew (r11)
+    results.append(run("pytest", pytest_cmd, 1500))
 
     if not quick:
         # both scale factors: float-summation-order bugs only show where
