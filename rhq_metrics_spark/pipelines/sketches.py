@@ -136,7 +136,14 @@ def kmv_set_ops(sketch: DataFrame, k: int = 64) -> DataFrame:
     that is ~6×10⁹ tiny rows at the theoretical worst, but pairs are
     normally constrained by the caller (languages, sources, dated
     snapshots), and the pair fan-out is a broadcast nested-loop over a
-    G-row dimension, never a shuffle of data."""
+    G-row dimension, never a shuffle of data.
+
+    The sketch plan is consumed twice (group list + fan join) and
+    Catalyst does not reuse common subtrees, so a live sketch pipeline
+    is checkpointed lazily first — the data-sized build runs ONCE; a
+    sketch already read from storage (the streaming twin's standing
+    state) checkpoints its few rows for free."""
+    sketch = sketch.localCheckpoint(eager=False)
     groups = sketch.select("grp").distinct()
     pairs = (
         groups.select(F.col("grp").alias("grp_a"))
