@@ -31,6 +31,7 @@ from rhq_metrics_spark.sources.store import MetricsStore  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark(app_name="probe-ingest")
     pts = entry._events_points(spark, sf_dir).select(
         F.lit("bench").alias("tenant_id"),
@@ -42,7 +43,7 @@ def main() -> None:
     n_pts = pts.count()
     print(f"points: {n_pts}; loadavg at start: {os.getloadavg()}")
 
-    def run(df, tag: str, n_runs: int = 3) -> float:
+    def run(df, tag: str) -> float:
         dts = []
         for _ in range(n_runs):
             d = tempfile.mkdtemp(prefix=f"probe_{tag}_")
@@ -58,7 +59,7 @@ def main() -> None:
         return n_pts / med
 
     # backfill shape: 30-day span -> ~360 slices (per-slice commit bound)
-    run(pts, "backfill")
+    run(pts, "backfill")  # noqa: the warmed tail is the steady state
     # dense shape: same rows in an 8h window, metrics fanned x20
     lo = pts.agg(F.min("ts")).collect()[0][0]
     window_ms = 8 * 3_600_000
