@@ -5682,6 +5682,88 @@ FROM fl GROUP BY ROLLUP(grp)
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_MS = 7 * 86_400_000
+COHORT_PERIOD_MS = 7 * 86_400_000
+
+
+def q_w15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 (beyond reference): ordered-funnel conversion
+    (operators/funnel.py funnel_steps) — first-touch view → click →
+    purchase within a 7-day window of the view anchor.  Per step one
+    pushed-down filter + per-user min agg + co-partitioned user join;
+    anchors are #users rows, never events."""
+    from rhq_metrics_spark.operators.funnel import funnel_steps
+
+    pts = _events_points(spark, sf_dir)
+    return funnel_steps(
+        pts, FUNNEL_STEPS, user_col="user_id", type_col="metric",
+        ts_col="ts", window_ms=FUNNEL_WINDOW_MS,
+    )
+
+
+SQL_W15_FUNNEL = f"""
+WITH ev AS (SELECT user_id, event_type AS et, epoch_ms(ts) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tk
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.et = 'click' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + {FUNNEL_WINDOW_MS}
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(s2.t1) AS t1, min(e.ts) AS tk
+       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.et = 'purchase' AND e.ts > s2.tk
+         AND e.ts <= s2.t1 + {FUNNEL_WINDOW_MS}
+       GROUP BY 1),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+       CAST(n1 AS BIGINT) AS users,
+       CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS conversion_ppm
+FROM n
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', CAST(n2 AS BIGINT),
+       CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END FROM n
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', CAST(n3 AS BIGINT),
+       CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 ELSE 0 END FROM n
+"""
+
+
+def q_w16_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16 (beyond reference): weekly cohort retention matrix
+    (operators/funnel.py cohort_retention) — users labeled by the
+    epoch-aligned week of first activity, distinct-active counts per
+    (cohort, offset), floor-ppm retention.  Two keyed aggregations,
+    all-integer outputs."""
+    from rhq_metrics_spark.operators.funnel import cohort_retention
+
+    pts = _events_points(spark, sf_dir)
+    return cohort_retention(
+        pts, user_col="user_id", ts_col="ts", period_ms=COHORT_PERIOD_MS
+    )
+
+
+SQL_W16_COHORT = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+f AS (SELECT user_id, min(ts) AS t0 FROM ev GROUP BY 1),
+act AS (SELECT f.t0 // {COHORT_PERIOD_MS} AS cohort_period,
+               ev.ts // {COHORT_PERIOD_MS} - f.t0 // {COHORT_PERIOD_MS} AS period_k,
+               ev.user_id
+        FROM ev JOIN f ON ev.user_id = f.user_id),
+c AS (SELECT cohort_period, period_k,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM act GROUP BY 1, 2),
+s AS (SELECT t0 // {COHORT_PERIOD_MS} AS cohort_period,
+             CAST(count(*) AS BIGINT) AS cohort_size
+      FROM f GROUP BY 1)
+SELECT c.cohort_period, c.period_k, c.active_users, s.cohort_size,
+       c.active_users * 1000000 // s.cohort_size AS retention_ppm
+FROM c JOIN s ON c.cohort_period = s.cohort_period
+"""
+
+
 def q_pipe_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (pipelines/profile.py dataset_diff): adds /
     removes / in-place edits and exact token deltas per source between
@@ -6093,15 +6175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: the four never-sampled keys first,
+        # -- r11 driver window: the six never-sampled keys first,
         # -- then the 40 keys last driver-sampled in r8 (the stalest),
-        # -- then 6 of the r9 block (a12-a16); b13/b14 + s10 + b15/b16
-        # -- + the rest of the r9 block lead r12.
+        # -- then 4 of the r9 block (a12-a14); a15/a16 + b13/b14 + s10
+        # -- + b15/b16 + the rest of the r9 block lead r12.
         # -- tools/verify_all.py checks ALL keys.
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
         "pipe_dataset_diff": q_pipe_dataset_diff,
+        "w15_funnel": q_w15_funnel,
+        "w16_cohort": q_w16_cohort,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -6146,9 +6230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_twa_rollup": q_a12_twa_rollup,
         "a13_twa_hybrid": q_a13_twa_hybrid,
         "a14_trimmed_stats": q_a14_trimmed_stats,
+        # ---- 50-key driver window ends here ----
         "a15_mad_outliers": q_a15_mad_outliers,
         "a16_slo_burn": q_a16_slo_burn,
-        # ---- 50-key driver window ends here ----
         "b13_hist_quantile": q_b13_hist_quantile,
         "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
         "s10_wire_roundtrip": q_s10_wire_roundtrip,
@@ -6391,6 +6475,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
         "pipe_dataset_profile": SQL_PIPE_DATASET_PROFILE,
         "pipe_dataset_diff": SQL_PIPE_DATASET_DIFF,
+        "w15_funnel": SQL_W15_FUNNEL,
+        "w16_cohort": SQL_W16_COHORT,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "text_unigram_seed",    # unigram-LM candidate vocab off the word table
     "sketch_kmv_setops",    # pairwise KMV union/intersection/Jaccard
     "pipe_dataset_profile", # one-rollup data card incl. corpus dup rates
+    "w15_funnel",           # chained per-user min-agg funnel stages
+    "w16_cohort",           # first-activity cohort retention matrix
 ]
 
 

@@ -1,0 +1,85 @@
+"""Tests for operators/funnel.py: ordered-funnel conversion and cohort
+retention — first-touch semantics, strict ordering, window bounds."""
+
+from __future__ import annotations
+
+DAY = 86_400_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, metric string, ts long")
+
+
+def test_funnel_ordering_window_and_first_touch(spark):
+    from rhq_metrics_spark.operators.funnel import funnel_steps
+
+    W = 10 * DAY
+    rows = [
+        # A: full conversion in order
+        (1, "view", 1 * DAY), (1, "click", 2 * DAY), (1, "purchase", 3 * DAY),
+        # B: purchase without click -> stops at view
+        (2, "view", 1 * DAY), (2, "purchase", 2 * DAY),
+        # C: click BEFORE the first view doesn't count; later click does
+        (3, "click", 1 * DAY), (3, "view", 2 * DAY), (3, "click", 5 * DAY),
+        (3, "purchase", 6 * DAY),
+        # D: purchase outside the window anchored at the view
+        (4, "view", 1 * DAY), (4, "click", 2 * DAY),
+        (4, "purchase", 1 * DAY + W + 1),
+        # E: never views -> not in the funnel at all
+        (5, "click", 1 * DAY), (5, "purchase", 2 * DAY),
+        # F: click at the SAME ts as the view -> strict > excludes it
+        (6, "view", 1 * DAY), (6, "click", 1 * DAY),
+    ]
+    out = {
+        r["step"]: r
+        for r in funnel_steps(
+            _ev(spark, rows), ["view", "click", "purchase"], window_ms=W
+        ).collect()
+    }
+    assert out["view"]["users"] == 5  # A B C D F
+    assert out["click"]["users"] == 3  # A C D
+    assert out["purchase"]["users"] == 2  # A C
+    assert out["view"]["conversion_ppm"] == 1_000_000
+    assert out["click"]["conversion_ppm"] == 3 * 1_000_000 // 5
+    assert out["purchase"]["conversion_ppm"] == 2 * 1_000_000 // 5
+    assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] == [
+        1, 2, 3,
+    ]
+
+
+def test_funnel_without_window_counts_any_later_step(spark):
+    from rhq_metrics_spark.operators.funnel import funnel_steps
+
+    rows = [
+        (1, "view", 0), (1, "click", 400 * DAY),
+    ]
+    out = {r["step"]: r["users"]
+           for r in funnel_steps(_ev(spark, rows), ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from rhq_metrics_spark.operators.funnel import cohort_retention
+
+    WEEK = 7 * DAY
+    rows = [
+        # cohort week 0: users 1, 2 (first activity in [0, WEEK))
+        (1, "view", 1 * DAY), (1, "view", 8 * DAY),   # active weeks 0, 1
+        (2, "click", 2 * DAY), (2, "view", 16 * DAY),  # active weeks 0, 2
+        # cohort week 1: user 3
+        (3, "view", 8 * DAY), (3, "view", 15 * DAY),   # active weeks 1, 2 -> k 0, 1
+        # a ts one ms shy of the next week boundary stays in its week
+        (4, "view", WEEK - 1),                          # cohort 0, k 0 only
+    ]
+    got = {
+        (r["cohort_period"], r["period_k"]): (
+            r["active_users"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got[(0, 0)] == (3, 3, 1_000_000)  # users 1, 2, 4
+    assert got[(0, 1)] == (1, 3, 333_333)
+    assert got[(0, 2)] == (1, 3, 333_333)
+    assert got[(1, 0)] == (1, 1, 1_000_000)
+    assert got[(1, 1)] == (1, 1, 1_000_000)
+    assert set(got) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1)}
