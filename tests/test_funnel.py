@@ -83,3 +83,83 @@ def test_cohort_retention_matrix(spark):
     assert got[(1, 0)] == (1, 1, 1_000_000)
     assert got[(1, 1)] == (1, 1, 1_000_000)
     assert set(got) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1)}
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Advance rows emitted across micro-batches yield per-step user
+    sets equal to the batch funnel over an in-order replay — including
+    a user whose click and purchase land in different batches."""
+    import json
+    import time
+
+    from rhq_metrics_spark.operators.funnel import funnel_steps
+    from rhq_metrics_spark.streaming.funnel import streaming_funnel
+
+    W = 10 * DAY
+    rows = [
+        (1, "view", 1 * DAY), (1, "click", 2 * DAY), (1, "purchase", 3 * DAY),
+        (2, "view", 1 * DAY), (2, "purchase", 2 * DAY),
+        (3, "click", 1 * DAY), (3, "view", 2 * DAY), (3, "click", 5 * DAY),
+        (3, "purchase", 6 * DAY),
+        (4, "view", 1 * DAY), (4, "click", 2 * DAY),
+        (4, "purchase", 1 * DAY + W + 1),
+        (5, "click", 1 * DAY), (5, "purchase", 2 * DAY),
+        (6, "view", 1 * DAY), (6, "click", 1 * DAY),
+    ]
+    rows = sorted(rows, key=lambda r: (r[2], r[0]))  # in-order stream
+    pts = [{"user_id": u, "metric": m, "ts": t} for u, m, t in rows]
+    src = tmp_path / "fn_in"
+    src.mkdir()
+    out_dir = tmp_path / "fn_out"
+    split = len(pts) // 2
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:split]))
+
+    schema = "user_id long, metric string, ts long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_funnel(stream, ["view", "click", "purchase"], window_ms=W)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "fn_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows_out():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows_out() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in pts[split:])
+        )
+        # expected advances: 5 views + 3 clicks + 2 purchases = 10
+        while rows_out() < 10 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    adv = spark.read.parquet(str(out_dir)).collect()
+    by_step: dict = {}
+    for r in adv:
+        by_step.setdefault(r["step"], set()).add(r["user_id"])
+    batch = {
+        r["step"]: r["users"]
+        for r in funnel_steps(
+            _ev(spark, rows), ["view", "click", "purchase"], window_ms=W
+        ).collect()
+    }
+    assert {s: len(us) for s, us in by_step.items()} == batch
+    assert by_step["purchase"] == {1, 3}
+    # one advance row per (user, step): idempotent first-touch
+    assert len(adv) == sum(batch.values())
