@@ -5682,6 +5682,76 @@ FROM fl GROUP BY ROLLUP(grp)
 """
 
 
+PQ_M, PQ_K, PQ_D = 2, 4, 32  # subspaces, codes, dims/subspace (dim 64)
+
+
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + encoding (pipelines/
+    similarity.py pq_train_encode, Jégou et al. 2011): vectors split
+    into {PQ_M} subspaces, each coded by the deterministic fixed-point
+    kmeans — m codes per vector replace dim floats, the memory dial
+    that fits an embedding index at 100 TB.  Exact int64 arithmetic
+    end-to-end, so even this trained quantizer is hash-checkable."""
+    from rhq_metrics_spark.pipelines.similarity import pq_train_encode
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return pq_train_encode(emb, m=PQ_M, k=PQ_K, iters=1)
+
+
+def _pq_sql() -> str:
+    """The kmeans-mirror SQL (see SQL_EMBED_KMEANS) instantiated per
+    subspace over the sliced vector, UNION ALL'd with the subspace
+    tag."""
+    blocks = []
+    for j in range(PQ_M):
+        lo, hi = j * PQ_D + 1, (j + 1) * PQ_D
+        blocks.append(f"""
+(WITH q AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, {lo}, {hi}),
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT) + 1048576) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM q ORDER BY vec_id LIMIT {PQ_K}),
+a1 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT q.vec_id, c0.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i]))),
+                              c0.cid) AS rk
+    FROM q, c0)
+  WHERE rk = 1),
+upd AS (
+  SELECT a1.cid, u.i AS pos, sum(q.v[u.i]) AS s, count(*) AS n
+  FROM a1 JOIN q USING (vec_id), unnest(range(1, len(q.v) + 1)) AS u(i)
+  GROUP BY 1, 2),
+c1 AS (
+  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+  FROM upd GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT q.vec_id, c1.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i]))) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                i -> (q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i]))),
+                              c1.cid) AS rk
+    FROM q, c1)
+  WHERE rk = 1)
+SELECT vec_id, CAST({j} AS INTEGER) AS subspace,
+       CAST(cid AS INTEGER) AS code, d2 AS dist2
+FROM a2)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_EMBED_PQ_CODES = _pq_sql()
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_MS = 7 * 86_400_000
 COHORT_PERIOD_MS = 7 * 86_400_000
@@ -6175,17 +6245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the back.  tools/verify_all.py checks ALL keys
     # locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: the six never-sampled keys first,
+        # -- r11 driver window: the seven never-sampled keys first,
         # -- then the 40 keys last driver-sampled in r8 (the stalest),
-        # -- then 4 of the r9 block (a12-a14); a15/a16 + b13/b14 + s10
-        # -- + b15/b16 + the rest of the r9 block lead r12.
-        # -- tools/verify_all.py checks ALL keys.
+        # -- then 3 of the r9 block (a12/a12-rollup/a13); a14-a16 +
+        # -- b13/b14 + s10 + b15/b16 + the rest of the r9 block lead
+        # -- r12.  tools/verify_all.py checks ALL keys.
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
         "pipe_dataset_diff": q_pipe_dataset_diff,
         "w15_funnel": q_w15_funnel,
         "w16_cohort": q_w16_cohort,
+        "embed_pq_codes": q_embed_pq_codes,
         "mm_meta": q_mm_meta,
         "sample_split": q_sample_split,
         "sample_cap": q_sample_cap,
@@ -6229,8 +6300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "a12_twa_rollup": q_a12_twa_rollup,
         "a13_twa_hybrid": q_a13_twa_hybrid,
-        "a14_trimmed_stats": q_a14_trimmed_stats,
         # ---- 50-key driver window ends here ----
+        "a14_trimmed_stats": q_a14_trimmed_stats,
         "a15_mad_outliers": q_a15_mad_outliers,
         "a16_slo_burn": q_a16_slo_burn,
         "b13_hist_quantile": q_b13_hist_quantile,
@@ -6477,6 +6548,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_dataset_diff": SQL_PIPE_DATASET_DIFF,
         "w15_funnel": SQL_W15_FUNNEL,
         "w16_cohort": SQL_W16_COHORT,
+        "embed_pq_codes": SQL_EMBED_PQ_CODES,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

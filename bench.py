@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "pipe_dataset_profile", # one-rollup data card incl. corpus dup rates
     "w15_funnel",           # chained per-user min-agg funnel stages
     "w16_cohort",           # first-activity cohort retention matrix
+    "embed_pq_codes",       # per-subspace PQ codebook training + encode
 ]
 
 

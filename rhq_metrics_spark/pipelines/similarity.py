@@ -735,3 +735,211 @@ def _vec_matrix(vecs) -> np.ndarray:
         return np.vstack(vals).astype(np.float64, copy=False)
     except ValueError:  # ragged / object fallbacks
         return np.array(vecs.tolist(), dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011, public): split the
+# vector into m subspaces, k-means each subspace independently, store
+# only the m one-byte-ish codes per vector; queries score candidates
+# with an asymmetric-distance (ADC) table of m x k precomputed
+# distances.  Memory per vector drops dim x 4 bytes -> m codes — the
+# standard way an embedding index fits 100 TB of vectors in RAM.
+# Built on the deterministic fixed-point kmeans (embeddings.py), so
+# training + encoding are engine-portable and ORACLE-CHECKABLE.
+
+
+def pq_train_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks and encode every vector in the same
+    pass: vectors split into ``m`` equal slices, each slice assigned by
+    the deterministic fixed-point Lloyd kmeans (lowest-id init, exact
+    int64 distances, ties to the lowest code).
+
+    Output: ``(id, subspace, code, dist2)`` — ``m`` rows per vector,
+    ``dist2`` the exact fixed-point squared L2 to the assigned
+    centroid (the per-vector quantization error, summed over
+    subspaces, is the PQ reconstruction error to watch).
+
+    100 TB shape: per subspace the kmeans assignment is a broadcast of
+    k centroids + one fused argmin expression per row — no shuffle on
+    the corpus; the only exchanges are the k x (dim/m)-row centroid
+    updates.  Dimension must divide evenly by ``m`` (raise otherwise —
+    silent padding would corrupt the codebook)."""
+    from rhq_metrics_spark.pipelines.embeddings import kmeans_assign
+
+    dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("empty input")
+    dim = dim_row[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    parts = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias("_pqid"),
+            F.slice(F.col(vec_col), j * d + 1, d).alias("embedding"),
+        )
+        parts.append(
+            kmeans_assign(sub, k=k, iters=iters, id_col="_pqid").select(
+                F.col("_pqid").alias(id_col),
+                F.lit(j).alias("subspace"),
+                F.col("cluster").cast("int").alias("code"),
+                "dist2",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_codebook(
+    df: DataFrame,
+    codes: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook consistent with :func:`pq_train_encode`'s assignment:
+    the element-wise integer mean (fixed-point, non-negative operands
+    -> ``div`` floor division everywhere) of each code's members per
+    subspace.  Output: ``(subspace, code, cv array<bigint>)`` —
+    m x k rows, broadcast-sized."""
+    from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
+
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    d = dim // m
+    q = df.select(
+        F.col(id_col).alias("_pqid"),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
+            f" + {EMB_SCALE}L)"
+        ).alias("_v"),
+    )
+    joined = codes.join(
+        q, codes[id_col] == q["_pqid"]
+    ).select(
+        "subspace",
+        "code",
+        F.expr(f"slice(_v, subspace * {d} + 1, {d})").alias("_sv"),
+    )
+    upd = (
+        joined.select(
+            "subspace", "code", F.posexplode("_sv").alias("pos", "val")
+        )
+        .groupBy("subspace", "code", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return upd.groupBy("subspace", "code").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s div n as c))),"
+            " p -> p.c)"
+        ).alias("cv")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k_top: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query precomputes its m x k
+    distance table against the codebook (fixed-point exact ints), then
+    every corpus vector's approximate distance is the SUM of m table
+    lookups on its codes — the vectors themselves are never touched.
+
+    Coarse codes blur near-neighbors that share cells, so the
+    production shape (Jégou §V) is ADC SHORTLIST → exact re-rank: pass
+    the vector table as ``rerank_with`` and the ADC keeps a
+    ``shortlist`` (default ``8 × k_top``) per query, re-scored with
+    exact fixed-point L2 on shortlist × Q rows only — the corpus is
+    still never scanned.
+
+    Output: ``(query_id, id, adist2, rank)`` — ``rank`` 1..k_top per
+    query by (adist2, id); with re-rank, ``adist2`` is the EXACT
+    fixed-point distance of the surviving rows.
+
+    100 TB shape: the table join broadcasts Q x m x k rows onto the
+    codes (one lookup join, no corpus shuffle beyond the (query, id)
+    partial-sum agg); the re-rank touches shortlist × Q vectors via a
+    semi-join on the id.  Compose with the IVF cells for candidate
+    pruning when Q is large."""
+    from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
+
+    dim = queries.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    d = dim // m
+    qv = queries.select(
+        F.col(query_id_col),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
+            f" + {EMB_SCALE}L)"
+        ).alias("_qv"),
+    )
+    table = qv.crossJoin(F.broadcast(codebook)).select(
+        query_id_col,
+        "subspace",
+        "code",
+        F.expr(
+            f"aggregate(zip_with(slice(_qv, subspace * {d} + 1, {d}), cv,"
+            " (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+        ).alias("_d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_d2").alias("adist2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist2").asc(), F.col(id_col).asc()
+    )
+    if rerank_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+        )
+    r = shortlist or 8 * k_top
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= r)
+        .select(query_id_col, id_col)
+    )
+    vecs = rerank_with.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
+            f" + {EMB_SCALE}L)"
+        ).alias("_cv"),
+    )
+    exact = (
+        short.join(vecs, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.expr(
+                "aggregate(zip_with(_qv, _cv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (s, x) -> s + x)"
+            ).alias("adist2"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+    )

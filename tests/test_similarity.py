@@ -350,3 +350,113 @@ def test_ivf_append_roundtrip_and_drift(spark, tmp_path):
     assert skewed["max_cell"] > after["max_cell"]
     assert ivf_retrain_recommended(skewed, max_imbalance=1.5)
     emb.unpersist()
+
+
+def test_pq_encode_deterministic_and_error_shrinks_with_k(spark):
+    """PQ codes are partitioning-independent (fixed-point kmeans), and
+    the summed reconstruction error shrinks as the codebook grows."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import pq_train_encode
+
+    emb = synthetic_clustered_embeddings(spark, n=200, dim=16, n_clusters=4,
+                                         seed=3)
+    a = sorted(map(tuple, pq_train_encode(emb, m=4, k=4).collect()))
+    b = sorted(map(tuple,
+                   pq_train_encode(emb.repartition(13), m=4, k=4).collect()))
+    assert a == b
+    assert len(a) == 200 * 4  # m rows per vector
+    err4 = pq_train_encode(emb, m=4, k=4).agg(F.sum("dist2")).collect()[0][0]
+    err16 = pq_train_encode(emb, m=4, k=16, iters=2).agg(
+        F.sum("dist2")
+    ).collect()[0][0]
+    assert err16 < err4
+
+
+def test_pq_dim_must_divide(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import pq_train_encode
+
+    emb = synthetic_clustered_embeddings(spark, n=10, dim=10, n_clusters=2,
+                                         seed=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_encode(emb, m=3)
+
+
+def test_pq_adc_topk_recall_vs_brute_force(spark):
+    """ADC top-k from codes alone recovers most true L2 neighbors on
+    clustered data — and never touches the corpus vectors."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_train_encode,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n=400, dim=16, n_clusters=8,
+                                         seed=7).persist()
+    emb.count()
+    codes = pq_train_encode(emb, m=4, k=16, iters=2).persist()
+    codes.count()
+    cb = pq_codebook(emb, codes, m=4).persist()
+    cb.count()
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_adc_topk(codes, cb, queries, k_top=5, m=4,
+                         rerank_with=emb, shortlist=40)
+    raw = pq_adc_topk(codes, cb, queries, k_top=5, m=4)
+    # exact L2 top-5 via the same fixed-point space
+    from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
+
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(x * cast({EMB_SCALE} as"
+            f" double)) as bigint) + {EMB_SCALE}L)"
+        ).alias("v"),
+    ).persist()
+    qq = q.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = (
+        qq.crossJoin(q)
+        .select(
+            "query_id", "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    truth = exact.withColumn("r", F.row_number().over(w)).filter("r <= 5")
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    g = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.9, recall  # ADC shortlist + exact re-rank
+    # raw coarse codes alone blur same-cell neighbors: much lower, the
+    # reason the production path re-ranks
+    graw = {(r["query_id"], r["vec_id"]) for r in raw.collect()}
+    assert len(t & graw) / len(t) >= 0.2
+    # each query returns exactly k_top ranked rows
+    per_q = {}
+    for qid, _ in g:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values())
+    emb.unpersist(); codes.unpersist(); cb.unpersist(); q.unpersist()
