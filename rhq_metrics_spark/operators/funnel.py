@@ -110,9 +110,12 @@ def cohort_retention(
     Output: ``(cohort_period, period_k, active_users, cohort_size,
     retention_ppm)`` — all integers, hash-exact.
     """
+    # `first` feeds both the activity join and the cohort sizes, and
+    # Catalyst does not reuse common subtrees — checkpoint the
+    # #users-row table lazily so the event scan behind it runs once
     first = df.groupBy(F.col(user_col).alias("_u")).agg(
         F.min(ts_col).alias("_t0")
-    )
+    ).localCheckpoint(eager=False)
     # integer div, never float division: a ts one ms shy of a period
     # boundary must not round into the next cohort
     act = (
