@@ -943,3 +943,177 @@ def pq_adc_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_top)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ: the composed 100 TB index layout (FAISS-style, public).  IVF
+# prunes WHICH cells are read (partition pruning); PQ shrinks WHAT a
+# cell stores (m code ints instead of dim floats, ~x32 here); the ADC
+# shortlist re-ranks against the source corpus by id.  Both pieces are
+# the deterministic operators above, so the composed index inherits
+# their reproducibility.
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF+PQ index: IVF centroids + per-cell parquet of
+    (vec_id, codes) + the PQ codebook.  Codes are PQ over the RAW
+    vectors (not cell residuals — residuals go negative and would
+    break the fixed-point kmeans' non-negative `div` contract that
+    keeps training engine-portable; the exact re-rank recovers the
+    accuracy a residual codebook would buy).
+
+    Build cost: the IVF assignment pass + the PQ training/encode pass
+    — each one broadcast-argmin over the corpus, no corpus shuffle
+    beyond the partitioned write."""
+    spark = corpus.sparkSession
+    centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    assign1 = _cell_assignment_udf(centroids, 1)
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    ).select("vec_id", "vec", F.explode(assign1(F.col("vec"))).alias("cell"))
+
+    codes = pq_train_encode(
+        corpus, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    packed = codes.groupBy(F.col(id_col).alias("vec_id")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))),"
+            " p -> p.code)"
+        ).alias("codes")
+    )
+    (
+        cells.select("vec_id", "cell")
+        .join(packed, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = pq_codebook(corpus, codes, m=m, id_col=id_col, vec_col=vec_col)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k over a persisted IVF+PQ index: probe ``n_probe`` cells
+    (literal IN-list — partition pruning, the unprobed bytes are never
+    read), ADC-score the probed CODES against each query's m × k
+    distance table, keep a ``shortlist`` (default ``8 × k``), and
+    re-rank it with exact cosine against the SOURCE corpus by id (a
+    shortlist × Q join — the raw vectors are read for those rows only).
+
+    Output matches ``ivf_query_index``: (query_id, neighbor_id,
+    cosine, rank).  For unit-normalized vectors the ADC's fixed-point
+    L2 is monotone with cosine, so the shortlist ordering is
+    metric-consistent."""
+    from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
+
+    centroids = ivf_load_centroids(spark, path)
+    assignp = _cell_assignment_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qraw"),
+    ).select(
+        "query_id", "_qraw", F.explode(assignp(F.col("_qraw"))).alias("cell")
+    ).persist()
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+
+    # candidates are restricted to EACH query's own probed cells (the
+    # IVF contract — joining on (subspace, code) alone would score
+    # every query against the union of all queries' cells: wider than
+    # n_probe promises, and N_cand × Q work at fleet query volume)
+    q_cells = q.select("query_id", "cell").distinct()
+    codes_long = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id", "cell", F.posexplode("codes").alias("subspace", "code"))
+        .join(F.broadcast(q_cells), "cell")
+        .drop("cell")
+    )
+    codebook = spark.read.parquet(f"{path}/codebook")
+    qv = q.select(
+        "query_id",
+        F.expr(
+            f"transform(_qraw,"
+            f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
+            f" + {EMB_SCALE}L)"
+        ).alias("_qv"),
+    ).dropDuplicates(["query_id"])
+    dim = len(centroids[0])
+    d = dim // m
+    table = qv.crossJoin(F.broadcast(codebook)).select(
+        "query_id",
+        "subspace",
+        "code",
+        F.expr(
+            f"aggregate(zip_with(slice(_qv, subspace * {d} + 1, {d}), cv,"
+            " (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+        ).alias("_d2"),
+    )
+    scored = (
+        codes_long.join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("_d2").alias("adist2"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    r = shortlist or 8 * k
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adist2").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= r)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    )
+    exact = (
+        short.join(vecs, "neighbor_id")
+        .join(F.broadcast(q.dropDuplicates(["query_id"]).select("query_id", "_qraw")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_cv"), F.col("_qraw"))
+                / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qraw")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    q.unpersist()
+    return out

@@ -460,3 +460,54 @@ def test_pq_adc_topk_recall_vs_brute_force(spark):
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == 5 for v in per_q.values())
     emb.unpersist(); codes.unpersist(); cb.unpersist(); q.unpersist()
+
+
+def test_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
+    """The composed 100 TB layout: IVF prunes which cells are READ
+    (inputFiles-asserted), PQ shrinks what a cell stores (codes, no
+    vectors), the exact re-rank recovers recall against brute force."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        cosine_topk,
+        ivfpq_build_index,
+        ivfpq_query_index,
+        topk_recall,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n=600, dim=32, n_clusters=8,
+                                         seed=9).persist()
+    emb.count()
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, path, n_cells=8, m=8, k_codes=16, iters=2)
+
+    # cells hold codes, never vectors
+    cells = spark.read.parquet(f"{path}/cells")
+    assert set(cells.columns) == {"vec_id", "codes", "cell"}
+    assert cells.count() == 600
+    assert cells.select(F.size("codes")).distinct().collect()[0][0] == 8
+
+    queries = emb.filter("vec_id < 8")
+    got = ivfpq_query_index(
+        spark, path, queries, emb, k=5, m=8, n_probe=3, shortlist=60
+    )
+    # partition pruning: the scan reads at most n_probe * n_queries
+    # distinct cell dirs (usually far fewer — co-clustered queries)
+    files = got._jdf.inputFiles()
+    cell_dirs = {f.split("cell=")[1].split("/")[0]
+                 for f in files if "cell=" in f}
+    assert 0 < len(cell_dirs) <= 8
+    truth = cosine_topk(emb, queries, k=5)
+    r = topk_recall(truth, got)
+    assert r >= 0.9, r
+    # self excluded, exactly k ranked rows per query
+    rows = got.collect()
+    assert all(rw["query_id"] != rw["neighbor_id"] for rw in rows)
+    per_q = {}
+    for rw in rows:
+        per_q[rw["query_id"]] = per_q.get(rw["query_id"], 0) + 1
+    assert all(v == 5 for v in per_q.values())
+    emb.unpersist()
