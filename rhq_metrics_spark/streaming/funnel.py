@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -120,6 +121,99 @@ def streaming_funnel(
         _make_funnel_fn(steps, window_ms),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W16: live cohort retention — the continuous twin of
+# operators/funnel.py cohort_retention.
+
+COHORT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("cohort_period", LongType(), False),
+        StructField("period_k", LongType(), False),
+        StructField("ts", LongType(), False),
+    ]
+)
+
+COHORT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("t0", LongType(), True),
+        StructField("seen_ks", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_cohort_fn(period_ms: int):
+    def _group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, t0, seen = state.get
+            seen = set(seen or [])
+        else:
+            last_ts, t0, seen = None, None, set()
+
+        out: dict[str, list] = {"cohort_period": [], "period_k": [], "ts": []}
+        entry_ts = last_ts
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            merged = merged.sort_values(["ts"])
+            for ts in merged["ts"]:
+                ts = int(ts)
+                if entry_ts is not None and ts <= entry_ts:
+                    continue
+                last_ts = ts
+                if t0 is None:
+                    t0 = ts  # in-order stream: first event IS min(ts)
+                k = ts // period_ms - t0 // period_ms
+                if k in seen:
+                    continue
+                seen.add(k)
+                out["cohort_period"].append(t0 // period_ms)
+                out["period_k"].append(k)
+                out["ts"].append(ts)
+
+        state.update((last_ts, t0, sorted(seen)))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "cohort_period": out["cohort_period"],
+                    "period_k": out["period_k"],
+                    "ts": out["ts"],
+                }
+            )
+
+    return _group
+
+
+def streaming_cohort_activity(
+    stream_df: DataFrame,
+    period_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Input: streaming ``(user_id, ts)`` events (extra columns
+    ignored).  Output stream: one append row per user's FIRST activity
+    in each period offset — ``groupBy(cohort_period, period_k).count``
+    on the sink is exactly the batch ``cohort_retention`` matrix's
+    ``active_users`` over an in-order replay (every later event in the
+    same offset dedups against the per-user ``seen`` set).
+
+    State per user: first-activity ts + the distinct period offsets
+    seen — bounded by the user's lifetime in periods (weeks of weekly
+    periods), not by event volume."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _make_cohort_fn(period_ms),
+        outputStructType=COHORT_OUTPUT_SCHEMA,
+        stateStructType=COHORT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -163,3 +163,77 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert by_step["purchase"] == {1, 3}
     # one advance row per (user, step): idempotent first-touch
     assert len(adv) == sum(batch.values())
+
+
+def test_streaming_cohort_matches_batch(spark, tmp_path):
+    """First-activity-in-period rows across micro-batches aggregate to
+    the batch cohort matrix; repeats within a period dedup."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.operators.funnel import cohort_retention
+    from rhq_metrics_spark.streaming.funnel import streaming_cohort_activity
+
+    WEEK = 7 * DAY
+    rows = [
+        (1, 1 * DAY), (1, 2 * DAY), (1, 8 * DAY),   # cohort 0: k 0, 1
+        (2, 2 * DAY), (2, 16 * DAY),                # cohort 0: k 0, 2
+        (3, 8 * DAY), (3, 15 * DAY), (3, 16 * DAY), # cohort 1: k 0, 1
+        (4, WEEK - 1),                              # cohort 0: k 0 only
+    ]
+    rows = sorted(rows, key=lambda r: (r[1], r[0]))
+    pts = [{"user_id": u, "ts": t} for u, t in rows]
+    src = tmp_path / "co_in"
+    src.mkdir()
+    out_dir = tmp_path / "co_out"
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:5]))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_cohort_activity(stream, period_ms=WEEK)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "co_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def n():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while n() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in pts[5:]))
+        while n() < 7 and time.time() < deadline:  # 7 first-activity rows
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    live = (
+        spark.read.parquet(str(out_dir))
+        .groupBy("cohort_period", "period_k")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    got = {(r["cohort_period"], r["period_k"]): r["active_users"]
+           for r in live.collect()}
+    ev = spark.createDataFrame(
+        [(u, "e", t) for u, t in rows],
+        "user_id long, metric string, ts long",
+    )
+    want = {(r["cohort_period"], r["period_k"]): r["active_users"]
+            for r in cohort_retention(ev, period_ms=WEEK).collect()}
+    assert got == want
+    # exactly one row per (user, offset): in-period repeats deduped
+    assert spark.read.parquet(str(out_dir)).count() == 7
