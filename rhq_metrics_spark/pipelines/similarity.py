@@ -99,14 +99,23 @@ def ivf_train_centroids(
     dim) and broadcasts; training cost is independent of corpus size —
     the standard IVF recipe at 100 TB (train on a sample, assign
     distributed)."""
-    # sort the collected sample so training depends only on corpus
-    # CONTENT, never on partition order (collect order varies with the
-    # cluster layout; a re-train on the same data must give the same
-    # quantizer anywhere — the maintenance rebuild relies on this)
+    # the SAMPLE SELECTION must also depend only on corpus CONTENT: a
+    # bare limit() takes a partition-layout-dependent subset whenever
+    # the corpus exceeds sample_size, so "same quantizer anywhere"
+    # would only hold for small corpora.  Order by a content hash
+    # before the limit (Catalyst turns orderBy+limit into a
+    # TakeOrderedAndProject — per-partition top-K, no global sort) so
+    # the selected subset is a deterministic pseudo-random sample; the
+    # vector itself tie-breaks hash collisions.  Then sort the
+    # collected rows so training order is content-determined too (the
+    # maintenance rebuild relies on re-trains being bit-identical).
     sample = np.array(
         sorted(
             tuple(r[0])
-            for r in corpus.select(vec_col).limit(sample_size).collect()
+            for r in corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col))
+            .limit(sample_size)
+            .collect()
         ),
         dtype=np.float64,
     )
@@ -449,16 +458,38 @@ def ivf_append(
     spark.catalog.refreshByPath(f"{path}/cells")
 
 
+def _read_index_component(spark: SparkSession, path: str, comp: str) -> DataFrame:
+    """Read a persisted-index component (``cells`` / ``centroids`` /
+    ``codebook``), retrying once on a missing path: the two-rename
+    publish (:func:`ivf_rebuild`, the store's ``_swap_in`` pattern) has
+    an instant where the component is ABSENT — live→trash has happened
+    but staging→live has not — so a reader racing maintenance would
+    otherwise fail with a path-not-found.  One short-pause retry spans
+    the rename window (two ``os.rename`` calls, microseconds); a
+    second failure is a genuinely missing index and propagates."""
+    import time as _time
+
+    full = f"{path}/{comp}"
+    try:
+        df = spark.read.parquet(full)
+        df.schema  # force resolution so a missing path surfaces HERE
+        return df
+    except Exception:
+        _time.sleep(0.05)
+        spark.catalog.refreshByPath(full)
+        return spark.read.parquet(full)
+
+
 def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     """Cell-occupancy profile of a persisted IVF index: one count-agg
     over the cells table (cell is a partition column — the scan reads
     footers, not vectors).  Returns total/occupied/max plus
     ``imbalance`` = max cell count / mean over ALL trained cells (an
     empty cell drags the mean down, which is itself a drift signal)."""
-    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    n_cells = _read_index_component(spark, path, "centroids").count()
     counts = [
         r["count"]
-        for r in spark.read.parquet(f"{path}/cells")
+        for r in _read_index_component(spark, path, "cells")
         .groupBy("cell").count().collect()
     ]
     total = sum(counts)
@@ -503,8 +534,12 @@ def ivf_rebuild(
     the publish is the store's committed-dir swap (two atomic renames
     per component: live → trash, staging → live — the
     ``sources/store.py _swap_in`` pattern), so a reader racing the
-    swap sees either the old or the new index, never a half-written
-    mix, and serving never pauses.  Cell ids stay ``0..n_cells-1``
+    swap sees either the old or the new index (or, for the instant
+    between the two renames, NEITHER — the same caveat ``_swap_in``
+    documents; :func:`_read_index_component` spans that window with a
+    single short-pause retry, so queries racing maintenance succeed),
+    never a half-written mix, and serving never pauses.  Cell ids stay
+    ``0..n_cells-1``
     through the swap, so a query that read old centroids against new
     cells (or vice versa, in the instant between renames) still
     returns valid rows — at worst one query's recall dips to
@@ -521,8 +556,8 @@ def ivf_rebuild(
     import uuid
 
     if n_cells is None:
-        n_cells = spark.read.parquet(f"{path}/centroids").count()
-    resident = spark.read.parquet(f"{path}/cells").select("vec_id", "vec")
+        n_cells = _read_index_component(spark, path, "centroids").count()
+    resident = _read_index_component(spark, path, "cells").select("vec_id", "vec")
     staging = f"{path}/_rebuild-{uuid.uuid4().hex}"
     ivf_build_index(
         resident, staging, n_cells=n_cells,
@@ -541,7 +576,7 @@ def ivf_rebuild(
 
 
 def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{path}/centroids").collect()
+    rows = _read_index_component(spark, path, "centroids").collect()
     rows.sort(key=lambda r: r["cell"])
     return np.array([r["centroid"] for r in rows])
 
@@ -569,7 +604,7 @@ def ivf_query_index(
     q = q.persist()
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
-        spark.read.parquet(f"{path}/cells")
+        _read_index_component(spark, path, "cells")
         .filter(F.col("cell").isin(probed))
         .select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("_cv"), "cell")
     )
@@ -814,8 +849,10 @@ def pq_codebook(
     m x k rows, broadcast-sized."""
     from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
 
-    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    d = dim // m
+    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not probe:
+        raise ValueError("empty input")
+    d = probe[0]["d"] // m
     q = df.select(
         F.col(id_col).alias("_pqid"),
         F.expr(
@@ -881,8 +918,10 @@ def pq_adc_topk(
     pruning when Q is large."""
     from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
 
-    dim = queries.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    d = dim // m
+    probe = queries.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not probe:
+        raise ValueError("empty input")
+    d = probe[0]["d"] // m
     qv = queries.select(
         F.col(query_id_col),
         F.expr(
@@ -1049,13 +1088,13 @@ def ivfpq_query_index(
     # n_probe promises, and N_cand × Q work at fleet query volume)
     q_cells = q.select("query_id", "cell").distinct()
     codes_long = (
-        spark.read.parquet(f"{path}/cells")
+        _read_index_component(spark, path, "cells")
         .filter(F.col("cell").isin(probed))
         .select("vec_id", "cell", F.posexplode("codes").alias("subspace", "code"))
         .join(F.broadcast(q_cells), "cell")
         .drop("cell")
     )
-    codebook = spark.read.parquet(f"{path}/codebook")
+    codebook = _read_index_component(spark, path, "codebook")
     qv = q.select(
         "query_id",
         F.expr(

@@ -108,7 +108,9 @@ def kmv_distinct(
     )
 
 
-def kmv_set_ops(sketch: DataFrame, k: int = 64) -> DataFrame:
+def kmv_set_ops(
+    sketch: DataFrame, k: int = 64, max_pairs: int = 100_000
+) -> DataFrame:
     """Pairwise set algebra over per-group KMV sketch rows (the
     multiset-synopsis estimators of Beyer et al., SIGMOD 2007): for
     every unordered group pair, estimate ``|A ∪ B|``, ``|A ∩ B|``, and
@@ -142,9 +144,24 @@ def kmv_set_ops(sketch: DataFrame, k: int = 64) -> DataFrame:
     Catalyst does not reuse common subtrees, so a live sketch pipeline
     is checkpointed lazily first — the data-sized build runs ONCE; a
     sketch already read from storage (the streaming twin's standing
-    state) checkpoints its few rows for free."""
+    state) checkpoints its few rows for free.
+
+    ``max_pairs`` ENFORCES the constrained-pairs contract (no silent
+    caps): the G-row group list is counted (cheap — it is collected
+    into the broadcast anyway) and a fan-out beyond the bound raises
+    with the measured pair count, so an unconstrained 10k-group call
+    fails loudly instead of materializing G²·k rows.  Raise the bound
+    deliberately when the pair count is the point."""
     sketch = sketch.localCheckpoint(eager=False)
     groups = sketch.select("grp").distinct()
+    n_groups = groups.count()
+    n_pairs = n_groups * (n_groups - 1) // 2
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"kmv_set_ops: {n_groups} groups -> {n_pairs} pairs exceeds "
+            f"max_pairs={max_pairs}; constrain the groups (filter the "
+            f"sketch) or raise max_pairs explicitly"
+        )
     pairs = (
         groups.select(F.col("grp").alias("grp_a"))
         .join(

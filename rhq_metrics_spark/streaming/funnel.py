@@ -12,8 +12,12 @@ path owns out-of-order history.
 
 Advances are idempotent under same-ts replays by construction: a
 replayed event's type no longer matches the NEXT expected step, so it
-is ignored; the cross-batch ``last_ts`` guard handles whole-batch
-replays like the sibling twins.
+is ignored.  The cross-batch replay guard is keyed on the full
+in-order sort key ``(ts, metric)`` — not ts alone — so a genuinely
+NEW event arriving in a later micro-batch at the same timestamp as
+the previous batch's last event still advances the funnel (matching
+batch ``funnel_steps``); only events at or before the last processed
+``(ts, metric)`` key are treated as whole-batch replays.
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
 FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("last_ts", LongType(), True),
+        StructField("last_metric", StringType(), True),
         StructField("t1", LongType(), True),
         StructField("k", IntegerType(), True),
         StructField("tk", LongType(), True),
@@ -62,21 +67,24 @@ def _make_funnel_fn(steps: Sequence[str], window_ms: int | None):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            last_ts, t1, k, tk = state.get
+            last_ts, last_metric, t1, k, tk = state.get
         else:
-            last_ts, t1, k, tk = None, None, 0, None
+            last_ts, last_metric, t1, k, tk = None, None, None, 0, None
 
         out: dict[str, list] = {"step_idx": [], "step": [], "ts": []}
-        entry_ts = last_ts  # replay guard, same as the z-score twin
+        # replay guard on the FULL in-order sort key (ts, metric): a new
+        # event in a later batch that shares the previous batch's last
+        # timestamp must still be processed (ADVICE r11)
+        entry_key = (last_ts, last_metric or "") if last_ts is not None else None
         frames = list(pdfs)
         merged = pd.concat(frames) if frames else pd.DataFrame()
         if len(merged):
             merged = merged.sort_values(["ts", "metric"])
             for ts, et in zip(merged["ts"], merged["metric"]):
                 ts = int(ts)
-                if entry_ts is not None and ts <= entry_ts:
+                if entry_key is not None and (ts, str(et)) <= entry_key:
                     continue
-                last_ts = ts
+                last_ts, last_metric = ts, str(et)
                 if k >= n_steps or et != steps[k]:
                     continue
                 if k == 0:
@@ -92,7 +100,7 @@ def _make_funnel_fn(steps: Sequence[str], window_ms: int | None):
                 out["step"].append(steps[k - 1])
                 out["ts"].append(ts)
 
-        state.update((last_ts, t1, k, tk))
+        state.update((last_ts, last_metric, t1, k, tk))
         if out["ts"]:
             yield pd.DataFrame(
                 {

@@ -265,6 +265,25 @@ def test_kmv_set_ops_estimates_track_truth(spark):
     ) + 0.02
 
 
+def test_kmv_set_ops_max_pairs_guard(spark):
+    """The G²-shaped pair fan-out is BOUNDED (no silent caps): beyond
+    max_pairs the call raises with the measured count; raising the
+    bound explicitly restores the full fan-out."""
+    import pytest
+
+    from rhq_metrics_spark.pipelines.sketches import (
+        kmv_set_ops,
+        kmv_sketch_rows,
+    )
+
+    rows = [(f"g{g}", f"w{g}-{i}") for g in range(6) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    sk = kmv_sketch_rows(df, "grp", "val", k=16)
+    with pytest.raises(ValueError, match="15 pairs exceeds max_pairs=10"):
+        kmv_set_ops(sk, k=16, max_pairs=10)
+    assert len(kmv_set_ops(sk, k=16, max_pairs=15).collect()) == 15
+
+
 def test_kmv_set_ops_pairs_and_partition_invariance(spark):
     """3 groups -> 3 ordered pairs; byte-identical results under any
     input partitioning (the md5 rank order is content-only)."""

@@ -103,6 +103,35 @@ def test_segments_same_ts_within_batch():
     assert state.get == (T + 2000, "up")
 
 
+def test_funnel_same_ts_cross_batch_new_event_advances():
+    """A genuinely NEW event in a later micro-batch sharing the prior
+    batch's last timestamp must still advance the funnel (ADVICE r11):
+    the replay guard keys on the full (ts, metric) sort key, not ts.
+    """
+    from rhq_metrics_spark.streaming.funnel import _make_funnel_fn
+
+    fn = _make_funnel_fn(["view", "click"], window_ms=None)
+    T = 1_000_000
+    # batch N: a non-matching event at ts=T (funnel still at step 0)
+    state = FakeState()
+    b1 = _pdf({"ts": [T], "metric": ["other"]})
+    out1 = list(fn((7,), iter([b1]), state))
+    assert not out1  # no advance
+    assert state.get[0] == T and state.get[1] == "other"
+    # batch N+1: the qualifying first step arrives AT THE SAME ts
+    b2 = _pdf({"ts": [T], "metric": ["view"]})
+    out2 = pd.concat(list(fn((7,), iter([b2]), state)))
+    assert list(out2["step"]) == ["view"] and list(out2["ts"]) == [T]
+    # ...and a whole-batch REPLAY of that same event stays skipped
+    out3 = list(fn((7,), iter([_pdf({"ts": [T], "metric": ["view"]})]), state))
+    assert not out3
+    # a later event still advances normally after the same-ts dance
+    out4 = pd.concat(
+        list(fn((7,), iter([_pdf({"ts": [T + 1], "metric": ["click"]})]), state))
+    )
+    assert list(out4["step"]) == ["click"]
+
+
 def test_p2_same_ts_within_batch_feeds_estimator():
     from rhq_metrics_spark.operators.percentile import P2Estimator
     from rhq_metrics_spark.streaming.percentile import _make_p2_fn
