@@ -5752,6 +5752,89 @@ FROM a2)""")
 SQL_EMBED_PQ_CODES = _pq_sql()
 
 
+PQ_TOPK, PQ_SHORTLIST, PQ_QUERY_MOD = 3, 12, 97
+
+
+def q_embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING leg (pipelines/similarity.py pq_adc_topk — the
+    production shape of Jégou et al. 2011 §V): each query precomputes
+    its m × k asymmetric-distance table against the codebook, every
+    corpus vector's approximate distance is the sum of m table lookups
+    on its codes (vectors never touched), and the ADC shortlist is
+    re-ranked with the EXACT fixed-point L2 on shortlist × Q rows.
+    Deterministic integer arithmetic end-to-end — codes, codebook
+    means, ADC sums, and the re-rank are all int64 — so the full
+    serving path is oracle-checkable, matching the repo convention
+    that every servable query gets an oracle row (VERDICT r11 item 3).
+    Queries = every {PQ_QUERY_MOD}th vector; k_top {PQ_TOPK} after a
+    {PQ_SHORTLIST}-deep shortlist."""
+    from rhq_metrics_spark.pipelines.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_train_encode,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # codes feed BOTH the codebook build and the ADC join — checkpoint
+    # so the (cheap, but why pay twice) training plan runs once
+    codes = pq_train_encode(emb, m=PQ_M, k=PQ_K, iters=1).localCheckpoint(
+        eager=False
+    )
+    book = pq_codebook(emb, codes, m=PQ_M)
+    qs = emb.filter(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(
+        codes, book, qs, k_top=PQ_TOPK, m=PQ_M,
+        rerank_with=emb, shortlist=PQ_SHORTLIST,
+    )
+
+
+SQL_EMBED_PQ_ADC_TOPK = f"""
+WITH codes AS ({SQL_EMBED_PQ_CODES}),
+fixq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT) + 1048576) AS v
+  FROM embeddings),
+book AS (
+  SELECT c.subspace, c.code, u.i AS pos,
+         CAST(sum(f.v[c.subspace * {PQ_D} + u.i]) // count(*) AS BIGINT) AS cvp
+  FROM codes c JOIN fixq f USING (vec_id), unnest(range(1, {PQ_D} + 1)) AS u(i)
+  GROUP BY 1, 2, 3),
+bookl AS (
+  SELECT subspace, code, list(cvp ORDER BY pos) AS cv FROM book GROUP BY 1, 2),
+qs AS (SELECT vec_id AS query_id, v FROM fixq WHERE vec_id % {PQ_QUERY_MOD} = 0),
+adc AS (
+  SELECT q.query_id, b.subspace, b.code,
+         CAST(list_sum(list_transform(range(1, {PQ_D} + 1),
+              i -> (q.v[b.subspace * {PQ_D} + i] - b.cv[i])
+                 * (q.v[b.subspace * {PQ_D} + i] - b.cv[i]))) AS BIGINT) AS d2
+  FROM qs q, bookl b),
+scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS adist2
+  FROM codes c JOIN adc t ON c.subspace = t.subspace AND c.code = t.code
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist2, vec_id) AS r
+    FROM scored) WHERE r <= {PQ_SHORTLIST}),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(list_sum(list_transform(range(1, {PQ_M} * {PQ_D} + 1),
+              i -> (qv.v[i] - cv.v[i]) * (qv.v[i] - cv.v[i]))) AS BIGINT) AS adist2
+  FROM short s
+  JOIN fixq cv ON cv.vec_id = s.vec_id
+  JOIN fixq qv ON qv.vec_id = s.query_id)
+SELECT query_id, vec_id, adist2, CAST(r AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist2, vec_id) AS r
+  FROM exact) WHERE r <= {PQ_TOPK}
+"""
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_MS = 7 * 86_400_000
 COHORT_PERIOD_MS = 7 * 86_400_000
@@ -6250,6 +6333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- then 3 of the r9 block (a12/a12-rollup/a13); a14-a16 +
         # -- b13/b14 + s10 + b15/b16 + the rest of the r9 block lead
         # -- r12.  tools/verify_all.py checks ALL keys.
+        "embed_pq_adc_topk": q_embed_pq_adc_topk,
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6549,6 +6633,7 @@ def oracle_sql() -> dict[str, str]:
         "w15_funnel": SQL_W15_FUNNEL,
         "w16_cohort": SQL_W16_COHORT,
         "embed_pq_codes": SQL_EMBED_PQ_CODES,
+        "embed_pq_adc_topk": SQL_EMBED_PQ_ADC_TOPK,
         "embed_rp_reduce": SQL_EMBED_RP,
         "embed_quantize": SQL_EMBED_QUANTIZE,
     }

@@ -722,6 +722,38 @@ def main() -> None:
         timings["embed_ivf_clustered_candidate_frac"] = round(
             ivf_candidate_fraction(cemb, cq, cents, n_probe=4), 4
         )
+        # the COMPOSED IVF+PQ index (r12, VERDICT r11 item 3): the IVF
+        # cell assignment rides numpy float64 matmuls (pairwise
+        # summation — not bit-reproducible in SQL), so the composed
+        # path is pinned here as a recall-vs-exact KPI instead of a
+        # driver-oracle row; the PQ/ADC arithmetic inside it IS
+        # oracle-checked via embed_pq_adc_topk.
+        import shutil
+        import tempfile
+
+        from rhq_metrics_spark.pipelines.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_index,
+        )
+
+        ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        try:
+            ivfpq_build_index(
+                cemb, ivfpq_dir, n_cells=64, m=8, k_codes=16, iters=2
+            )
+            t0 = time.time()
+            ipq = ivfpq_query_index(
+                spark, ivfpq_dir, cq, cemb, k=5, m=8, n_probe=4,
+                shortlist=60,
+            ).persist()
+            ipq.count()
+            timings["embed_ivfpq_query_sec"] = round(time.time() - t0, 3)
+            timings["embed_ivfpq_recall_at5"] = round(
+                topk_recall(ctruth, ipq), 3
+            )
+            ipq.unpersist()
+        finally:
+            shutil.rmtree(ivfpq_dir, ignore_errors=True)
         ctruth.unpersist()
         civf.unpersist()
         cemb.unpersist()

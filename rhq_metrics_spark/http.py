@@ -45,6 +45,15 @@ stats handlers above):
   (?start&end&periodMs&bins&k&valueScale&historyStart&historyEnd) —
   zero raw reads with attached seasonal partials
 
+Product-analytics views (round 12, same conventions):
+
+- ``GET  /{type}s/funnel``        W15 ordered-funnel conversion
+  (?start&end&steps=a,b,c&windowMs&userTag) → per-step users +
+  floor-ppm conversion vs step 1
+- ``GET  /{type}s/cohorts``       W16 cohort retention matrix
+  (?start&end&periodMs&metrics=a,b&userTag) → (cohortPeriod, periodK,
+  activeUsers, cohortSize, retentionPpm)
+
 Multi-metric query surface (round 6):
 
 - ``POST /metrics/stats/query``   MetricHandler.java:305-319 cross-type
@@ -340,6 +349,12 @@ class MetricsApp:
         if rest == ["anomalies"]:
             self._require(method, {"GET"})
             return self._anomalies(mt, tenant, qs)
+        if rest == ["funnel"]:
+            self._require(method, {"GET"})
+            return self._funnel(mt, tenant, qs)
+        if rest == ["cohorts"]:
+            self._require(method, {"GET"})
+            return self._cohorts(mt, tenant, qs)
         if rest == ["stats", "query"]:
             self._require(method, {"POST"})
             return self._multi_stats(
@@ -723,6 +738,67 @@ class MetricsApp:
                 "samples": r["n_points"],
                 "flagged": r["n_flagged"],
                 "maxAbsZ": r["max_abs_z"],
+            }
+            for r in rows
+        ])
+
+    def _funnel(self, metric_type, tenant, qs):
+        """W15 ordered-funnel conversion over HTTP (service.funnel):
+        ?steps=view,click,purchase names the ordered step metrics,
+        ?windowMs bounds conversions to a window anchored at each
+        user's step-1 time, ?userTag reads the user identity from that
+        tag key (default: the point value).  Param shape mirrors the
+        anomalies/burn/forecast handlers (GaugeHandler.java query
+        endpoints, camelCase)."""
+        start, end = self._time_range(qs)
+        steps_raw = qs.get("steps")
+        if not steps_raw:
+            raise BadRequest("Missing steps parameter")
+        steps = [s for s in steps_raw.split(",") if s]
+        if not steps:
+            raise BadRequest("Missing steps parameter")
+        window_ms = (
+            self._int(qs, "windowMs") if qs.get("windowMs") is not None
+            else None
+        )
+        with api_errors():
+            df = self.service.funnel(
+                tenant, steps, start, end, metric_type=metric_type,
+                window_ms=window_ms, user_tag=qs.get("userTag"),
+            )
+            rows = df.orderBy("step_idx").collect()
+        raise _collection([
+            {
+                "stepIdx": r["step_idx"],
+                "step": r["step"],
+                "users": r["users"],
+                "conversionPpm": r["conversion_ppm"],
+            }
+            for r in rows
+        ])
+
+    def _cohorts(self, metric_type, tenant, qs):
+        """W16 cohort retention over HTTP (service.cohorts): users
+        labeled by the epoch-aligned ?periodMs period of first
+        activity; ?metrics=… (repeatable) restricts the activity set;
+        ?userTag as in the funnel handler.  All-integer matrix."""
+        start, end = self._time_range(qs)
+        metrics = [s for s in (qs.get("metrics") or "").split(",") if s]
+        with api_errors():
+            df = self.service.cohorts(
+                tenant, start, end, metric_type=metric_type,
+                period_ms=self._int(qs, "periodMs", 7 * 86_400_000),
+                metrics=metrics or None,
+                user_tag=qs.get("userTag"),
+            )
+            rows = df.orderBy("cohort_period", "period_k").collect()
+        raise _collection([
+            {
+                "cohortPeriod": r["cohort_period"],
+                "periodK": r["period_k"],
+                "activeUsers": r["active_users"],
+                "cohortSize": r["cohort_size"],
+                "retentionPpm": r["retention_ppm"],
             }
             for r in rows
         ])

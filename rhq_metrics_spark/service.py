@@ -1979,6 +1979,95 @@ FROM (
             top_k=top_k,
         )
 
+    def _user_events(
+        self, metric_type, tenant_id, start, end, user_tag: str | None
+    ) -> DataFrame:
+        """Points of the type in the range as (user, metric, ts) user
+        events: the user identity is ``tags[user_tag]`` when a tag key
+        is given, else the point VALUE cast to long (the ingest
+        convention for product events — the actor id rides the value).
+        Rows without a resolvable user are dropped (they can't count
+        toward any per-user aggregate).
+
+        Store-model caveat: point identity is (tenant, metric, ts) —
+        the reference's Cassandra LWW key — so two users' events on
+        the same step metric at the SAME millisecond collapse to one
+        on ingest.  Product-event ingestion must de-collide timestamps
+        (or shard the step across metrics); the underlying operators
+        (``operators/funnel.py``) have no such constraint when fed an
+        event table directly."""
+        pts = self._scan(metric_type, tenant_id, None, start, end)
+        user = (
+            F.element_at(F.col("tags"), user_tag).cast("long")
+            if user_tag
+            else F.col("value").cast("long")
+        )
+        return pts.select(
+            user.alias("user_id"), "metric", "ts"
+        ).filter(F.col("user_id").isNotNull())
+
+    def funnel(
+        self,
+        tenant_id,
+        steps,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        window_ms: int | None = None,
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W15 through the facade: ordered-funnel conversion over the
+        tenant's points in the range — step names are metric names,
+        users resolve per :meth:`_user_events`.  One pruned scan feeds
+        the operator's per-step min-agg chain (anchors are #users
+        rows, never events)."""
+        from rhq_metrics_spark.operators.funnel import funnel_steps
+
+        if not steps:
+            from rhq_metrics_spark.errors import BadRequest
+
+            raise BadRequest("steps must be non-empty")
+        ev = self._user_events(metric_type, tenant_id, start, end, user_tag)
+        return funnel_steps(
+            ev, list(steps), user_col="user_id", type_col="metric",
+            ts_col="ts", window_ms=window_ms,
+        )
+
+    def cohorts(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        period_ms: int = 7 * 86_400_000,
+        metrics=None,
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W16 through the facade: cohort retention matrix over the
+        tenant's points in the range (optionally restricted to
+        ``metrics`` as the activity set).  Cohort = epoch-aligned
+        ``period_ms`` period of first activity; all-integer output."""
+        from rhq_metrics_spark.operators.funnel import cohort_retention
+
+        if period_ms <= 0:
+            from rhq_metrics_spark.errors import BadRequest
+
+            raise BadRequest("periodMs must be positive")
+        pts = self.store.find_data_points(
+            metric_type, tenant_id, metrics, start, end, order=None
+        )
+        user = (
+            F.element_at(F.col("tags"), user_tag).cast("long")
+            if user_tag
+            else F.col("value").cast("long")
+        )
+        ev = pts.select(user.alias("user_id"), "ts").filter(
+            F.col("user_id").isNotNull()
+        )
+        return cohort_retention(
+            ev, user_col="user_id", ts_col="ts", period_ms=period_ms
+        )
+
     def slo_burn(
         self,
         tenant_id,
