@@ -88,6 +88,7 @@ from rhq_metrics_spark.pipelines.dedup import (
     embed_cross_near_dup,
     embedding_near_dup_pairs,
     exact_dedup,
+    fuzzy_blocked_pairs,
     minhash_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -117,6 +118,7 @@ from rhq_metrics_spark.pipelines.sampling import (
     hash_split,
     leakage_safe_split,
     mixture_sample,
+    priority_sample,
     temperature_mixture_sample,
     token_mixture_sample,
 )
@@ -3128,6 +3130,61 @@ WHERE frac < (CASE WHEN lang = 'en' THEN 0.9
                    WHEN lang = 'zh' THEN 0.25
                    WHEN lang = 'de' THEN 0.5
                    ELSE 0.1 END)
+"""
+
+
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): weight-sensitive
+    top-40 sample by q = n_chars/u with unbiased max(w, τ) subset-sum
+    estimators (pipelines/sampling.py priority_sample).  Selection is a
+    TakeOrderedAndProject — no global sort shuffle."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, k=40, weight_col="n_chars")
+
+
+SQL_SAMPLE_PRIORITY = """
+WITH h AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+    CAST(n_chars AS DOUBLE) /
+      ((CAST(concat('0x', substr(md5(concat('prio', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        / 1152921504606846976.0) AS q
+  FROM documents WHERE n_chars > 0),
+top AS (SELECT * FROM h ORDER BY q DESC, doc_id LIMIT 41),
+tau AS (SELECT CASE WHEN count(*) > 40 THEN min(q) ELSE 0.0 END AS tau FROM top)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, round(q, 6) AS priority_r,
+       round(greatest(w, tau), 6) AS est_weight_r
+FROM (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 40), tau
+ORDER BY priority_r DESC, doc_id
+"""
+
+
+def q_dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: standard blocking on
+    (lang, first token), normalized Levenshtein over a 48-char prefix,
+    pairs with sim ≥ 0.4 (pipelines/dedup.py fuzzy_blocked_pairs).
+    Equi-join on the block key, never all-pairs; levenshtein is a JVM
+    intrinsic inside codegen."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return fuzzy_blocked_pairs(docs, min_sim=0.4)
+
+
+SQL_DEDUP_FUZZY = r"""
+WITH base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+pairs AS (
+  SELECT a._id AS id_a, b._id AS id_b,
+         levenshtein(a._pfx, b._pfx) AS lev,
+         1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+             / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) AS sim
+  FROM kept a JOIN kept b USING (_b0, _b_tok) WHERE a._id < b._id)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
+FROM pairs WHERE sim >= 0.4
+ORDER BY id_a, id_b
 """
 
 
@@ -6321,19 +6378,70 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for evidence, not semantics: the correctness driver
     # samples the FIRST 50 keys, so each round leads with the queries
-    # whose driver-green row is oldest (or absent).  Round 11 leads
-    # with the new unigram-seed key, then the 40 keys last sampled in
-    # r8 (two rounds stale), then 9 of the r9-sampled block; the
-    # r10-sampled window (TPC-H + dedup/embed/text + the 10 r10 keys)
-    # rotates to the back.  tools/verify_all.py checks ALL keys
-    # locally regardless of order.
+    # whose driver-green row is oldest (or absent).  Round 12 leads
+    # with the 2 new r12 keys and the never-driver-sampled PQ-serving
+    # key, then the full 47-key block last sampled in r9 (three rounds
+    # stale); the r10- and r11-sampled windows rotate to the back.
+    # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- r11 driver window: the seven never-sampled keys first,
-        # -- then the 40 keys last driver-sampled in r8 (the stalest),
-        # -- then 3 of the r9 block (a12/a12-rollup/a13); a14-a16 +
-        # -- b13/b14 + s10 + b15/b16 + the rest of the r9 block lead
-        # -- r12.  tools/verify_all.py checks ALL keys.
+        # -- r12 driver window: the 2 new r12 keys + the never-sampled
+        # -- PQ-serving key first, then ALL 47 keys last driver-sampled
+        # -- in r9 (the stalest block: a14-a16, b11/b13-b16, s10, w5/
+        # -- w8-w10/w11, the text family, sketch_cms, mixtures, the
+        # -- embed family, dedup legs, sample/split/chunk/pack, mm_*,
+        # -- o4, url_domains).  The r10- and r11-sampled blocks rotate
+        # -- to the back.  tools/verify_all.py checks ALL keys.
+        "sample_priority": q_sample_priority,
+        "dedup_fuzzy_blocked": q_dedup_fuzzy_blocked,
         "embed_pq_adc_topk": q_embed_pq_adc_topk,
+        "a14_trimmed_stats": q_a14_trimmed_stats,
+        "a15_mad_outliers": q_a15_mad_outliers,
+        "a16_slo_burn": q_a16_slo_burn,
+        "b13_hist_quantile": q_b13_hist_quantile,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
+        "text_gopher_filter": q_text_gopher_filter,
+        "text_c4_clean": q_text_c4_clean,
+        "w10_ewma": q_w10_ewma,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "sketch_cms": q_sketch_cms,
+        "w11_seasonal": q_w11_seasonal,
+        "pipe_quality_mixture": q_pipe_quality_mixture,
+        "text_boilerplate": q_text_boilerplate,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
+        "embed_semdedup": q_embed_semdedup,
+        "text_substr_dups": q_text_substr_dups,
+        "text_decontaminate": q_text_decontaminate,
+        "pipe_token_mixture": q_pipe_token_mixture,
+        "substr_dups_incremental": q_substr_dups_incremental,
+        "w5_rolling_zscore": q_w5_rolling_zscore,
+        "o4_topk_per_group": q_o4_topk_per_group,
+        "b11_rollup_serving": q_b11_rollup_serving,
+        "w8_rolling_median": q_w8_rolling_median,
+        "w9_increase_hybrid": q_w9_increase_hybrid,
+        "a2_availability_hybrid": q_a2_availability_hybrid,
+        "b15_hybrid_serving": q_b15_hybrid_serving,
+        "b16_hybrid_production": q_b16_hybrid_production,
+        "embed_contamination": q_embed_contamination,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
+        # ---- 50-key driver window ends here ----
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6384,13 +6492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_time_weighted_avg": q_a12_time_weighted_avg,
         "a12_twa_rollup": q_a12_twa_rollup,
         "a13_twa_hybrid": q_a13_twa_hybrid,
-        # ---- 50-key driver window ends here ----
-        "a14_trimmed_stats": q_a14_trimmed_stats,
-        "a15_mad_outliers": q_a15_mad_outliers,
-        "a16_slo_burn": q_a16_slo_burn,
-        "b13_hist_quantile": q_b13_hist_quantile,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
         "sketch_hll": q_sketch_hll,
         "sketch_bloom": q_sketch_bloom,
         "pipe_temperature_mixture": q_pipe_temperature_mixture,
@@ -6441,53 +6542,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_contamination": q_text_contamination,
         "doc_fingerprint": q_doc_fingerprint,
-        "text_gopher_filter": q_text_gopher_filter,
-        "text_c4_clean": q_text_c4_clean,
-        "w10_ewma": q_w10_ewma,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "sketch_cms": q_sketch_cms,
-        "w11_seasonal": q_w11_seasonal,
-        "pipe_quality_mixture": q_pipe_quality_mixture,
-        "text_boilerplate": q_text_boilerplate,
-        "dedup_incremental_verified": q_dedup_incremental_verified,
-        "embed_semdedup": q_embed_semdedup,
-        "text_substr_dups": q_text_substr_dups,
-        "text_decontaminate": q_text_decontaminate,
-        "pipe_token_mixture": q_pipe_token_mixture,
-        "substr_dups_incremental": q_substr_dups_incremental,
-        "w5_rolling_zscore": q_w5_rolling_zscore,
-        "o4_topk_per_group": q_o4_topk_per_group,
-        "b11_rollup_serving": q_b11_rollup_serving,
-        "w8_rolling_median": q_w8_rolling_median,
-        "w9_increase_hybrid": q_w9_increase_hybrid,
-        "a2_availability_hybrid": q_a2_availability_hybrid,
-        "b15_hybrid_serving": q_b15_hybrid_serving,
-        "b16_hybrid_production": q_b16_hybrid_production,
-        "embed_contamination": q_embed_contamination,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_lsh_recall": q_embed_lsh_recall,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "embed_near_dup": q_embed_near_dup,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
-        "url_domains": q_url_domains,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,
-        "mm_real_roundtrip": q_mm_real_roundtrip,
-        "sample_mixture": q_sample_mixture,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25": q_text_bm25,
-        "text_classify": q_text_classify,
-        "chunk_docs": q_chunk_docs,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pack_chunks": q_pack_chunks,
-        "dedup_segments": q_dedup_segments,
     }
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_priority": SQL_SAMPLE_PRIORITY,
+        "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,

@@ -1444,3 +1444,99 @@ def lsh_tuning(num_hashes: int, threshold: float) -> dict:
         for s in (x / 10 for x in range(1, 10))
     }
     return {**best, "p_candidate": curve}
+
+
+def fuzzy_blocked_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 48,
+    min_sim: float = 0.5,
+    max_block: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Entity-resolution-style fuzzy matching by STANDARD BLOCKING +
+    edit distance: candidate pairs share a blocking key (the given
+    columns plus the text's first token — the classic cheap blocking
+    predicate), and within a block similarity is normalized Levenshtein
+    over a ``prefix_len``-char prefix:
+
+        sim = 1 - lev(a, b) / max(len(a), len(b))
+
+    This is the record-linkage companion to the token-set deduplicators
+    above: Jaccard/MinHash see REORDERED duplicates, edit distance sees
+    TYPO-level ones (OCR noise, near-identical boilerplate variants)
+    that token-set measures dilute.
+
+    Scale shape: the self-join is an EQUI-join on the block key (never
+    all-pairs across blocks); Levenshtein is a JVM intrinsic inside
+    codegen (O(prefix_len²) per pair, constant-bounded by the prefix);
+    blocks larger than ``max_block`` are dropped WITH A WARNING and a
+    count — same no-silent-caps contract as the LSH hot-bucket cap
+    (oversize blocks are exactly the boilerplate keys where edit
+    distance is meaningless and O(B²) would straggle).
+
+    Output: ``(id_a, id_b, lev, sim_r)`` for pairs with sim ≥ min_sim,
+    id_a < id_b.  Deterministic; integer lev + IEEE division make it
+    oracle-checkable bit-for-bit.
+
+    Reference analogue: extends the tag-matching exact joins
+    (core/metrics-core-service/.../MetricsServiceImpl.java
+    findMetricsWithFilters) with an approximate-match tier the
+    reference lacks.
+    """
+    if prefix_len < 4:
+        raise ValueError(f"fuzzy_blocked_pairs: prefix_len too small: {prefix_len}")
+    if not 0 < min_sim <= 1:
+        raise ValueError(f"fuzzy_blocked_pairs: min_sim out of (0, 1]: {min_sim}")
+    first_tok = F.element_at(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), 1
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).cast("string").alias(f"_b{i}") for i, c in enumerate(block_cols)],
+        first_tok.alias("_b_tok"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    bkeys = [f"_b{i}" for i in range(len(block_cols))] + ["_b_tok"]
+    # narrow frame (ids + keys + short prefix) but its lineage holds the
+    # document scan; persist so the accounting pass and both join sides
+    # read cached rows — same treatment as _bucket_join_pairs above.
+    base = base.persist()
+    sizes = base.groupBy(*bkeys).agg(F.count(F.lit(1)).alias("_bn"))
+    hot = sizes.filter(F.col("_bn") > max_block)
+    hot_rows = hot.select(F.sum("_bn").alias("n"), F.count(F.lit(1)).alias("b")).first()
+    if hot_rows["b"]:
+        _LOG.warning(
+            "fuzzy_blocked_pairs: dropping %d oversize blocks (> %d members, "
+            "%d rows total) — boilerplate keys; raise max_block to force",
+            hot_rows["b"], max_block, hot_rows["n"],
+        )
+        base = base.join(F.broadcast(hot.select(*bkeys)), bkeys, "left_anti")
+    a = base.select(
+        *[F.col(k) for k in bkeys],
+        F.col("_id").alias("id_a"),
+        F.col("_pfx").alias("_pa"),
+    )
+    b = base.select(
+        *[F.col(k) for k in bkeys],
+        F.col("_id").alias("id_b"),
+        F.col("_pfx").alias("_pb"),
+    )
+    lev = F.levenshtein(F.col("_pa"), F.col("_pb"))
+    longest = F.greatest(F.length("_pa"), F.length("_pb"))
+    sim = F.lit(1.0) - lev.cast("double") / longest.cast("double")
+    return (
+        a.join(b, bkeys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", lev.cast("long"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= min_sim)
+        .select(
+            "id_a",
+            "id_b",
+            "lev",
+            F.round("_sim", 6).alias("sim_r"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -408,3 +408,93 @@ def importance_sample(
         .filter(F.col("_h20") * 1_000_000 < F.col("rate_ppm") * 1_048_576)
         .drop("_w", "_sw", "_h20")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    weight-sensitive size-``k`` sample with unbiased subset-sum
+    estimators — the sampler to use when downstream wants "a fixed
+    budget of documents, biased toward the heavy ones, but still able
+    to estimate any subpopulation's total weight".
+
+    Each row draws ``u ∈ (0, 1]`` deterministically from
+    ``md5(salt:id)`` (same 60-bit primitive as every sampler here, so a
+    DuckDB oracle reproduces the draw bit-for-bit) and gets priority
+    ``q = w / u``.  The sample is the top ``k`` by priority; with
+    ``τ`` = the (k+1)-th priority, each sampled row's weight estimate
+    is ``max(w, τ)`` — E[Σ estimates over any subset] equals that
+    subset's true total weight (DLT Theorem 1).  If the input has ≤ k
+    rows, everything is sampled and the estimate is the exact weight
+    (τ = 0).
+
+    Scale shape: priorities are scan-fused column expressions; the
+    top-(k+1) is a ``TakeOrderedAndProject`` (per-partition partial
+    top-k, no global sort shuffle), and τ comes from that ≤ k+1-row
+    frame — nothing data-sized is collected or re-scanned.  All
+    arithmetic is int64 → IEEE double division, identical in any
+    engine.
+
+    Output: ``(id, weight, priority_r, est_weight_r)`` (doubles rounded
+    to 6 dp for display; selection uses full precision), ordered by
+    priority descending.
+
+    Reference analogue: the reference has no weighted sampler; this
+    extends its uniform sampling surface the way its own stats
+    operators extend raw scans (core/metrics-core-service/.../
+    MetricsServiceImpl.java query-shaping conventions).
+    """
+    if k <= 0:
+        raise ValueError(f"priority_sample: k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    checked = df.withColumn(
+        "_w",
+        F.when(w > 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"priority_sample: {weight_col} must be > 0: "),
+                    w.cast("string"),
+                )
+            )
+        ),
+    )
+    # u ∈ (0, 1]: (h60 + 1) / 2^60 — the +1 is BEFORE the int→double
+    # conversion so both engines round the same sum.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1, _HASH_BITS // 4,
+        ),
+        16, 10,
+    ).cast("long")
+    prio = checked.withColumn(
+        "_q", F.col("_w") / ((h + F.lit(1)) / F.lit(_HASH_DENOM))
+    )
+    # top-(k+1): TakeOrderedAndProject — per-partition partial top-k.
+    top = (
+        prio.select(id_col, "_w", "_q")
+        .orderBy(F.col("_q").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+        .localCheckpoint(eager=True)  # ≤ k+1 rows; scan runs once
+    )
+    # τ = (k+1)-th priority, or 0 when the input had ≤ k rows.
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("_q")).otherwise(F.lit(0.0)).alias("_tau")
+    )
+    return (
+        top.orderBy(F.col("_q").desc(), F.col(id_col).asc())
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col(id_col),
+            F.col("_w").cast("long").alias("weight"),
+            F.round("_q", 6).alias("priority_r"),
+            F.round(F.greatest(F.col("_w"), F.col("_tau")), 6).alias("est_weight_r"),
+        )
+        .orderBy(F.col("priority_r").desc(), F.col(id_col).asc())
+    )

@@ -617,3 +617,72 @@ def test_lsh_tuning_s_curve():
         lsh_tuning(1, 0.5)
     with pytest.raises(ValueError):
         lsh_tuning(12, 1.5)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_blocked_pairs_planted_typos(spark):
+    """Typo-level near-dups inside a block are found with the exact
+    normalized-Levenshtein similarity; different blocks never pair."""
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+    rows = [
+        (1, "en", "alpha quick brown fox jumps over the lazy dog"),
+        (2, "en", "alpha quick brown fox jumps ovre the lazy dog"),   # typo
+        (3, "en", "alpha totally different words entirely here now zz"),
+        (4, "en", "beta quick brown fox jumps over the lazy dog"),    # other block
+        (5, "de", "alpha quick brown fox jumps over the lazy dog"),   # other lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["sim_r"])
+        for r in fuzzy_blocked_pairs(df, min_sim=0.6).collect()
+    }
+    assert set(out) == {(1, 2)}
+    a, b = rows[0][2][:48], rows[1][2][:48]
+    want_lev = _lev(a, b)
+    assert out[(1, 2)][0] == want_lev
+    assert out[(1, 2)][1] == round(1.0 - want_lev / max(len(a), len(b)), 6)
+
+
+def test_fuzzy_blocked_pairs_drops_oversize_blocks(spark, caplog):
+    """Blocks over max_block are dropped WITH a warning (no silent
+    caps), smaller blocks still pair."""
+    import logging
+
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+    hot = [(i, "en", "spam identical boilerplate text") for i in range(10)]
+    cold = [
+        (100, "en", "rare document body one x"),
+        (101, "en", "rare document body one y"),
+    ]
+    df = spark.createDataFrame(
+        hot + cold, "doc_id long, lang string, text string"
+    )
+    with caplog.at_level(logging.WARNING, logger="rhq_metrics_spark.pipelines.dedup"):
+        out = fuzzy_blocked_pairs(df, min_sim=0.5, max_block=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+    assert any("oversize block" in rec.message for rec in caplog.records)
+
+
+def test_fuzzy_blocked_pairs_validation(spark):
+    import pytest as _pytest
+
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="prefix_len"):
+        fuzzy_blocked_pairs(df, prefix_len=2)
+    with _pytest.raises(ValueError, match="min_sim"):
+        fuzzy_blocked_pairs(df, min_sim=0.0)

@@ -41,6 +41,7 @@ NO_CROSS = [
     "embed_ivf_topk",
     "j6_interval_join",
     "text_classify",
+    "dedup_fuzzy_blocked",
 ]
 
 
@@ -213,3 +214,13 @@ def test_b16_production_route_reads_rollup_and_prunes_tail(spark):
     bounds = [int(m) for m in re.findall(r"date_slice#\d+L? >= (\d+)", plan)]
     assert bounds, plan
     assert all(x == first_open for x in bounds), (first_open, bounds)
+
+
+def test_sample_priority_is_partial_topk(spark):
+    """Priority sampling must select via TakeOrderedAndProject
+    (per-partition partial top-k, no global sort shuffle); the only
+    nested-loop join allowed is the broadcast of the 1-row tau frame."""
+    df = entry.queries()["sample_priority"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

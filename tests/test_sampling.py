@@ -220,3 +220,55 @@ def test_importance_sample_clamp_and_validation(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
     with pytest.raises(Exception, match="out of"):
         importance_sample(bad, "w", 10).collect()
+
+
+def test_priority_sample_matches_reference_and_estimates(spark):
+    """Top-k by q = w/u with u from md5 must match an independent
+    pure-Python recomputation exactly (same 60-bit hash, same IEEE
+    arithmetic), and the DLT estimate is max(w, tau)."""
+    import hashlib
+
+    from rhq_metrics_spark.pipelines.sampling import priority_sample
+
+    n, k = 300, 25
+    rows = [(i, (i * 37) % 900 + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def u_of(i):
+        h = hashlib.md5(f"prio:{i}".encode()).hexdigest()[:15]
+        return (int(h, 16) + 1) / float(1 << 60)
+
+    ref = sorted(
+        ((w / u_of(i), i, w) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )
+    tau = ref[k][0]
+    expect = [
+        (i, w, round(q, 6), round(max(float(w), tau), 6))
+        for q, i, w in ref[:k]
+    ]
+
+    got = [
+        (r["doc_id"], r["weight"], r["priority_r"], r["est_weight_r"])
+        for r in priority_sample(df, k=k).collect()
+    ]
+    assert got == expect
+
+
+def test_priority_sample_small_input_and_validation(spark):
+    from rhq_metrics_spark.pipelines.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id long, n_chars long"
+    )
+    out = priority_sample(df, k=10).collect()
+    # n <= k: everything sampled, tau = 0 so the estimate is exact
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert all(r["est_weight_r"] == float(r["weight"]) for r in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        priority_sample(df, k=0)
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, n_chars long")
+    with _pytest.raises(Exception, match="must be > 0"):
+        priority_sample(bad, k=1).collect()
