@@ -140,6 +140,7 @@ from rhq_metrics_spark.pipelines.text import (
     document_fingerprint,
     gopher_quality_filter,
     language_id,
+    kneser_ney_score,
     lm_bigram_score,
     pii_from_documents,
     pii_scan,
@@ -3256,6 +3257,56 @@ SELECT doc_id,
        CAST(sum(p_bp) AS DOUBLE) / count(*) AS avg_p_bp,
        min(p_bp) AS min_p_bp,
        CAST(sum(21 - len(bin(p_bp))) AS DOUBLE) / count(*) AS xent_qbits
+FROM scored
+GROUP BY doc_id
+"""
+
+
+def q_text_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (pipelines/text.py
+    kneser_ney_score): absolute discount D=0.75 with distinct-
+    continuation backoff, per-bigram probability floored to fixed
+    point BEFORE doc aggregation so sums are order-independent."""
+    docs = _table(spark, sf_dir, "documents")
+    return kneser_ney_score(docs)
+
+
+# mirrors kneser_ney_score exactly: the same integer counts, the same
+# FIXED IEEE expression tree (every +,-,*,/ correctly rounded in both
+# engines), the same floor-to-fixed-point before any aggregate, and
+# the same bin()-length surprisal quantization.
+SQL_TEXT_KN_SCORE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2),
+bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+counts AS (
+  SELECT w1, w2, c_bg,
+         CAST(sum(c_bg) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx,
+         count(*) OVER (PARTITION BY w1) AS n1p_fwd,
+         count(*) OVER (PARTITION BY w2) AS n1p_bwd
+  FROM bgc),
+nt AS (SELECT count(*) AS n_types FROM bgc),
+prob AS (
+  SELECT w1, w2,
+         CAST(floor((
+             CAST(4 * c_bg - 3 AS DOUBLE) / CAST(4 * c_ctx AS DOUBLE)
+             + (CAST(3 * n1p_fwd AS DOUBLE) / CAST(4 * c_ctx AS DOUBLE))
+               * (CAST(n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE))
+           ) * 1000000) AS BIGINT) AS p_bp
+  FROM counts, nt),
+scored AS (SELECT bg.doc_id, prob.p_bp FROM bg JOIN prob USING (w1, w2))
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(p_bp) AS BIGINT) AS sum_p_bp,
+       min(p_bp) AS min_p_bp,
+       CAST(sum(21 - len(bin(p_bp))) AS BIGINT) AS kn_xent_qbits
 FROM scored
 GROUP BY doc_id
 """
@@ -6442,6 +6493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "dedup_segments": q_dedup_segments,
         # ---- 50-key driver window ends here ----
+        # (keys below are verified by tools/verify_all.py this round and
+        #  lead the r13 window; text_kn_score is new in r12)
+        "text_kn_score": q_text_kn_score,
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6549,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "sample_priority": SQL_SAMPLE_PRIORITY,
+        "text_kn_score": SQL_TEXT_KN_SCORE,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,

@@ -410,6 +410,22 @@ def importance_sample(
     )
 
 
+def priority_q(weight: Column, id_col: Column, salt: str = "prio") -> Column:
+    """The DLT priority ``q = w / u`` with ``u ∈ (0, 1]`` drawn
+    deterministically from ``md5(salt:id)`` — the shared kernel of
+    :func:`priority_sample` and its streaming twin
+    (``streaming/priority.py``).  The ``+ 1`` is applied BEFORE the
+    int→double conversion so both engines round the same sum."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))),
+            1, _HASH_BITS // 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return weight.cast("double") / ((h + F.lit(1)) / F.lit(_HASH_DENOM))
+
+
 def priority_sample(
     df: DataFrame,
     k: int,
@@ -463,17 +479,8 @@ def priority_sample(
             )
         ),
     )
-    # u ∈ (0, 1]: (h60 + 1) / 2^60 — the +1 is BEFORE the int→double
-    # conversion so both engines round the same sum.
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1, _HASH_BITS // 4,
-        ),
-        16, 10,
-    ).cast("long")
     prio = checked.withColumn(
-        "_q", F.col("_w") / ((h + F.lit(1)) / F.lit(_HASH_DENOM))
+        "_q", priority_q(F.col("_w"), F.col(id_col), salt)
     )
     # top-(k+1): TakeOrderedAndProject — per-partition partial top-k.
     top = (

@@ -1856,3 +1856,103 @@ def unigram_apply(
         .withColumn("n_subwords", F.size("subwords"))
         .select(id_col, "n_words", "n_subwords", "subwords")
     )
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p_scale: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.25) — the stronger sibling of
+    :func:`lm_bigram_score`'s add-one model, and the smoothing every
+    serious n-gram perplexity filter actually uses.  With absolute
+    discount D = 0.75 over the corpus's own counts:
+
+        P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1·)
+                 + (D · N1+(w1 ·) / c(w1·)) · N1+(· w2) / N1+(· ·)
+
+    where N1+(w1 ·) / N1+(· w2) are the distinct-continuation counts
+    and N1+(· ·) the total distinct bigram types — the "how many
+    contexts has this word followed" backoff that makes KN rank
+    versatile words above merely frequent ones.
+
+    Engine determinism: all inputs are exact int64 counts; with
+    D = 3/4 the discounted numerator is the integer ``4·c − 3``; each
+    division/product is ONE correctly-rounded IEEE double op in a
+    FIXED expression tree (written identically in the DuckDB oracle —
+    +,−,×,÷ are exactly specified, unlike ``ln``), and the per-bigram
+    probability is floored to ``p_bp = floor(p · p_scale)`` BEFORE any
+    doc aggregate, so sums are integer and order-independent.
+    Cross-entropy is served quantized to whole bits via
+    ``length(bin(p_bp))`` exactly like :func:`lm_bigram_score`.
+
+    Plan shape at 100 TB: one hash-agg on the bigram key; the three
+    KN count tables are two windows over the TYPES table (|distinct
+    bigrams| rows, partitioned by w1 and by w2) plus one broadcast
+    scalar; one join of doc bigrams against the probability table;
+    one final doc-id hash-agg.  Nothing all-pairs, nothing collected.
+
+    Output: ``(id, n_bigrams, sum_p_bp, min_p_bp, kn_xent_qbits)``,
+    one row per document with ≥ 1 bigram.
+    """
+    bits = max(1, (p_scale).bit_length())
+    toks_all = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    bg = (
+        toks_all.filter(F.size("_toks") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    # window over the TYPES table: c(w1 .) and N1+(w1 .) share one
+    # exchange on w1; N1+(. w2) is the second exchange on w2.
+    w1win = Window.partitionBy("w1")
+    w2win = Window.partitionBy("w2")
+    counts = (
+        bgc.withColumn("c_ctx", F.sum("c_bg").over(w1win))
+        .withColumn("n1p_fwd", F.count(F.lit(1)).over(w1win))
+        .withColumn("n1p_bwd", F.count(F.lit(1)).over(w2win))
+    )
+    n_types = bgc.agg(F.count(F.lit(1)).alias("n_types"))
+    # fixed IEEE expression tree — identical text in the DuckDB oracle
+    prob = counts.crossJoin(F.broadcast(n_types)).withColumn(
+        "p_bp",
+        F.expr(
+            f"""CAST(floor((
+                  CAST(4 * c_bg - 3 AS DOUBLE) / CAST(4 * c_ctx AS DOUBLE)
+                  + (CAST(3 * n1p_fwd AS DOUBLE) / CAST(4 * c_ctx AS DOUBLE))
+                    * (CAST(n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE))
+                ) * {p_scale}) AS BIGINT)"""
+        ),
+    ).select("w1", "w2", "p_bp")
+    scored = bg.join(prob, ["w1", "w2"])
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_bp").alias("sum_p_bp"),
+            F.min("p_bp").alias("min_p_bp"),
+            F.sum(
+                F.lit(bits + 1) - F.length(F.bin(F.col("p_bp")))
+            ).alias("kn_xent_qbits"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "sum_p_bp",
+            "min_p_bp",
+            "kn_xent_qbits",
+        )
+    )

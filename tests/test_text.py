@@ -364,3 +364,80 @@ def test_substring_index_incremental_roundtrip(spark):
     assert rerun[11]["max_share"] == 3  # 11+12 in index + this probe
     assert rerun[13]["n_dup_windows"] == rerun[13]["n_windows"]
     assert rerun[13]["max_share"] == 2  # only its own indexed spans
+
+
+def _kn_reference(texts: dict[int, str], p_scale: int = 1_000_000):
+    """Pure-Python interpolated KN (D=3/4) mirroring kneser_ney_score."""
+    import math
+    from collections import Counter, defaultdict
+
+    toks = {i: [t for t in s.strip().lower().split() if t] for i, s in texts.items()}
+    bg_occ = defaultdict(list)
+    bgc = Counter()
+    for i, ts in toks.items():
+        for a, b in zip(ts, ts[1:]):
+            bg_occ[i].append((a, b))
+            bgc[(a, b)] += 1
+    c_ctx = Counter(); n1p_fwd = Counter(); n1p_bwd = Counter()
+    for (a, b), c in bgc.items():
+        c_ctx[a] += c
+        n1p_fwd[a] += 1
+        n1p_bwd[b] += 1
+    n_types = len(bgc)
+    p_bp = {}
+    for (a, b), c in bgc.items():
+        p = (4 * c - 3) / (4 * c_ctx[a]) + (3 * n1p_fwd[a]) / (4 * c_ctx[a]) * (
+            n1p_bwd[b] / n_types
+        )
+        p_bp[(a, b)] = int(math.floor(p * p_scale))
+    out = {}
+    for i, occ in bg_occ.items():
+        if not occ:
+            continue
+        ps = [p_bp[x] for x in occ]
+        out[i] = (
+            len(ps),
+            sum(ps),
+            min(ps),
+            sum(21 - max(1, v.bit_length()) for v in ps),
+        )
+    return out
+
+
+def test_kneser_ney_score_matches_pure_python_reference(spark):
+    from rhq_metrics_spark.pipelines.text import kneser_ney_score
+
+    texts = {
+        0: "a b a b c a",
+        1: "a b",
+        2: "b c b a c c",
+        3: "x",          # no bigram
+        4: "c a c a b b a",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    want = _kn_reference(texts)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_bp"], r["min_p_bp"], r["kn_xent_qbits"])
+        for r in kneser_ney_score(docs).collect()
+    }
+    assert got == want
+
+
+def test_kneser_ney_prefers_versatile_continuations(spark):
+    """The KN signature: a word seen after MANY distinct contexts gets
+    more backoff mass than one frequent in a single context."""
+    from rhq_metrics_spark.pipelines.text import kneser_ney_score
+
+    # 'glue' follows 6 distinct words once each; 'spam' follows only
+    # 'fixed' but 6 times.  Both bigrams under 'probe' are unseen-ish:
+    # compare the two probe bigrams' floor probabilities via min_p_bp
+    # of the one-bigram probe docs.
+    corpus = [(i, f"w{i} glue") for i in range(6)] + [
+        (10 + j, "fixed spam") for j in range(6)
+    ]
+    probes = [(100, "glue spam"), (101, "spam glue")]
+    docs = spark.createDataFrame(corpus + probes, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kneser_ney_score(docs).collect()}
+    # P(glue | spam) backoff: n1p_bwd(glue)=6 contexts beats
+    # P(spam | glue): n1p_bwd(spam)=1 context (equal c_bg=1 each)
+    assert out[101]["min_p_bp"] > out[100]["min_p_bp"]
