@@ -113,6 +113,7 @@ from rhq_metrics_spark.pipelines.sketches import (
     kmv_set_ops,
     kmv_sketch_rows,
 )
+from rhq_metrics_spark.pipelines.graph import pagerank
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -3186,6 +3187,73 @@ pairs AS (
 SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
 FROM pairs WHERE sim >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (pipelines/graph.py pagerank) over the blocked
+    fuzzy near-dup pair graph: exact int64 ppb ranks, 8 supersteps of
+    join + hash-agg with localCheckpoint lineage truncation.  Restricted
+    to nodes IN the pair graph, so the undirected symmetrized edges
+    leave zero dangling mass and the update is pure join+agg — the same
+    restriction the recursive-CTE oracle carries."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # the pair list feeds BOTH the node set and the edge list: checkpoint
+    # it so the blocked levenshtein join runs once (Catalyst-no-CSE
+    # discipline, same as w15/kmv)
+    pairs = (
+        fuzzy_blocked_pairs(docs, min_sim=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return pagerank(nodes, pairs, iters=8).orderBy("doc_id")
+
+
+# mirrors pagerank() exactly: same symmetrized edges, same integer
+# teleport/update arithmetic (every op an int64 floor division), same
+# 8 fixed supersteps — DuckDB's recursive CTE allows GROUP BY in the
+# recursive term, so the superstep is one join+agg per level exactly
+# like the Spark loop.
+SQL_GRAPH_PAGERANK = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+fpairs AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM kept a JOIN kept b USING (_b0, _b_tok)
+  WHERE a._id < b._id
+    AND 1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+            / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) >= 0.4),
+edges AS (
+  SELECT id_a AS _src, id_b AS _dst FROM fpairs
+  UNION
+  SELECT id_b AS _src, id_a AS _dst FROM fpairs),
+nodes AS (SELECT DISTINCT _src AS id FROM edges),
+deg AS (SELECT _src, count(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr(iter, id, rank) AS (
+  SELECT 0, id, CAST(1000000000 AS BIGINT) FROM nodes
+  UNION ALL
+  SELECT pr.iter + 1, e._dst,
+         CAST((SELECT (15 * CAST(1000000000 AS BIGINT)) // (100 * n) FROM nn)
+              + 85 * SUM(pr.rank // d.deg) // 100 AS BIGINT)
+  FROM pr
+  JOIN deg d ON pr.id = d._src
+  JOIN edges e ON pr.id = e._src
+  WHERE pr.iter < 8
+  GROUP BY pr.iter, e._dst)
+SELECT id AS doc_id, rank AS rank_ppb
+FROM pr WHERE iter = 8
+ORDER BY doc_id
 """
 
 
@@ -6496,6 +6564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (keys below are verified by tools/verify_all.py this round and
         #  lead the r13 window; text_kn_score is new in r12)
         "text_kn_score": q_text_kn_score,
+        "graph_pagerank": q_graph_pagerank,
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6604,6 +6673,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sample_priority": SQL_SAMPLE_PRIORITY,
         "text_kn_score": SQL_TEXT_KN_SCORE,
+        "graph_pagerank": SQL_GRAPH_PAGERANK,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "w15_funnel",           # chained per-user min-agg funnel stages
     "w16_cohort",           # first-activity cohort retention matrix
     "embed_pq_codes",       # per-subspace PQ codebook training + encode
+    "sample_priority",      # weighted top-k via TakeOrderedAndProject (r12)
+    "dedup_fuzzy_blocked",  # blocked levenshtein ER pairs (r12)
+    "text_kn_score",        # interpolated Kneser-Ney bigram LM (r12)
 ]
 
 
@@ -458,7 +461,7 @@ _TAIL_BUDGET = 1800
 #: tail even after shedding every diagnostic KPI, so per-query timings
 #: now rotate instead of all riding the final line every round; the
 #: full record always goes to stderr).
-_FINAL_LINE_ROUND = 11
+_FINAL_LINE_ROUND = 12
 
 
 def _sys_marker(markers: list[str], tag: str) -> None:

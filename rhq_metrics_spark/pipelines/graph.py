@@ -1,0 +1,164 @@
+"""Graph centrality over document-pair graphs: deterministic integer
+PageRank (Brin & Page 1998) and centrality-based canonical selection.
+
+Why here: the dedup family emits PAIR graphs (``fuzzy_blocked_pairs``,
+``minhash_lsh_pairs``, …) and ``dup_clusters`` picks each cluster's
+canonical doc by MIN ID — fine for reproducibility, blind to quality.
+``pagerank`` ranks members by how connected they are (the hub of a
+near-dup star is the best exemplar of its cluster; a crawl's link
+graph ranks the same way), and :func:`canonical_by_centrality` swaps
+the min-id rule for highest-rank-wins.
+
+Determinism: ranks are exact int64 parts-per-billion.  Every update is
+integer floor arithmetic —
+
+    contrib(v)   = rank(v) div degree(v)
+    rank'(v)     = (15 · S) div (100 · N)
+                 + 85 · (Σ contribs into v + dangling div N) div 100
+
+so partial-aggregation ORDER cannot change a result (integer sums
+commute exactly; doubles don't), and two runs — or two engines — agree
+bit-for-bit.  The mass lost to flooring (< 1 ppb per edge) dissipates
+like dangling mass; total rank is ≤ S·N and monotone comparisons are
+unaffected.  Iterative, so pytest-pinned against a pure-Python twin
+rather than SQL-oracled (same convention as bpe_apply / LTTB / dup
+cluster contraction).
+
+Scale shape: per superstep ONE join of the rank table onto the edge
+list (shuffle on the edge key) + ONE hash-agg on the destination +
+a 1-row dangling-mass agg; ``localCheckpoint`` per superstep truncates
+lineage exactly like ``dup_clusters`` (plan depth stays O(1) in
+iterations).  State is one int64 per node.  Degrees are computed once.
+
+Reference analogue: the reference has no graph operator; this extends
+the dedup-cluster machinery (``dedup.py dup_clusters``) the way its
+own rollups extend raw scans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: rank scale: parts-per-billion — big enough that div-floor loss is
+#: invisible, small enough that S·N fits int64 for any real N.
+RANK_SCALE = 1_000_000_000
+
+
+def pagerank(
+    ids: DataFrame,
+    pairs: DataFrame,
+    damping_pct: int = 85,
+    iters: int = 10,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph (edges are symmetrized;
+    pass a directed edge list twice-oriented if direction matters).
+
+    ``ids`` is the full node table (isolated nodes rank at the
+    teleport floor); ``pairs`` the edge list.  ``damping_pct`` is the
+    damping factor as an integer percentage (85 = the classic 0.85) —
+    integers keep every engine's arithmetic identical.
+
+    Output: ``(id, rank_ppb)`` — exact int64, deterministic.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"pagerank: damping_pct out of (0, 100): {damping_pct}")
+    if iters < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
+    spark = ids.sparkSession
+    nodes = ids.select(F.col(id_col).alias("_id")).distinct().localCheckpoint(
+        eager=False
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n")).first()
+    n = int(n_row["n"])
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, rank_ppb long").select(
+            F.col(id_col), "rank_ppb"
+        )
+    # symmetrized edge list + out-degrees, computed once
+    edges = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    teleport = (100 - damping_pct) * RANK_SCALE // (100 * n)
+    d = damping_pct
+    # the DANGLING SET is fixed across iterations (degrees never
+    # change) — detect it once; the common case (symmetrized pair
+    # graph restricted to its members) has none, and then the loop
+    # runs zero per-iteration driver actions.
+    dangling_nodes = (
+        nodes.join(deg, nodes["_id"] == deg["_src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    has_dangling = bool(dangling_nodes.limit(1).count())
+    ranks = nodes.withColumn("_rank", F.lit(RANK_SCALE).cast("long"))
+    for _ in range(iters):
+        # dangling mass: nodes with no out-edges spread everywhere
+        dangling = (
+            int(
+                ranks.join(dangling_nodes, "_id", "left_semi")
+                .agg(F.coalesce(F.sum("_rank"), F.lit(0)).alias("s"))
+                .first()["s"]
+            )
+            if has_dangling
+            else 0
+        )
+        contribs = (
+            ranks.join(deg, ranks["_id"] == deg["_src"])
+            .select("_id", F.expr("_rank div _deg").alias("_c"))
+            .join(edges, F.col("_id") == edges["_src"])
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["_id"] == contribs["_dst"], "left")
+            .select(
+                "_id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{d} * (coalesce(_in, 0) + {dangling // n}) div 100"
+                    )
+                ).cast("long").alias("_rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_ppb"))
+
+
+def canonical_by_centrality(
+    ids: DataFrame,
+    pairs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    **pagerank_kwargs,
+) -> DataFrame:
+    """Re-pick each dup cluster's canonical doc by PageRank centrality
+    (highest rank wins, ties by min id) instead of ``dup_clusters``'s
+    min-id rule — the hub of a near-dup star is the best exemplar.
+
+    ``clusters`` is ``dup_clusters`` output (``id_col, cluster_col``).
+    Output: the clusters frame with ``rank_ppb`` and a recomputed
+    ``is_canonical``.  One extra join + one window over cluster keys on
+    top of the rank computation."""
+    pr = pagerank(ids, pairs, id_col=id_col, **pagerank_kwargs)
+    joined = clusters.join(pr, id_col, "left").withColumn(
+        "rank_ppb", F.coalesce(F.col("rank_ppb"), F.lit(0))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("rank_ppb").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("_rn") == 1)
+        .drop("_rn")
+    )
