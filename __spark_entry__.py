@@ -88,7 +88,9 @@ from rhq_metrics_spark.pipelines.dedup import (
     embed_cross_near_dup,
     embedding_near_dup_pairs,
     exact_dedup,
+    fuzzy_against_index,
     fuzzy_blocked_pairs,
+    fuzzy_index,
     minhash_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -3187,6 +3189,50 @@ pairs AS (
 SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
 FROM pairs WHERE sim >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER: a 10% batch (doc_id % 10 == 9) fuzzy-matched
+    against the standing fuzzy_index of the other 90% WITHOUT
+    re-pairing the corpus (pipelines/dedup.py fuzzy_against_index) —
+    batch side broadcast, corpus never shuffled; corpus-internal pairs
+    + this output == a full re-pair (equivalence pytest-pinned)."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.filter("doc_id % 10 != 9")
+    batch = docs.filter("doc_id % 10 = 9")
+    return fuzzy_against_index(
+        fuzzy_index(corpus), fuzzy_index(batch), min_sim=0.4
+    )
+
+
+SQL_DEDUP_FUZZY_INC = r"""
+WITH base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+corpus AS (SELECT * FROM base WHERE _id % 10 <> 9),
+batch  AS (SELECT * FROM base WHERE _id % 10 = 9),
+hot AS (SELECT _b0, _b_tok FROM corpus GROUP BY 1, 2 HAVING count(*) > 2000),
+c2 AS (SELECT * FROM corpus ANTI JOIN hot USING (_b0, _b_tok)),
+b2 AS (SELECT * FROM batch  ANTI JOIN hot USING (_b0, _b_tok)),
+cross_pairs AS (
+  SELECT n._id AS id_new, o._id AS id_old,
+         levenshtein(n._pfx, o._pfx) AS lev,
+         1.0 - CAST(levenshtein(n._pfx, o._pfx) AS DOUBLE)
+             / CAST(greatest(length(n._pfx), length(o._pfx)) AS DOUBLE) AS sim
+  FROM b2 n JOIN c2 o USING (_b0, _b_tok)),
+internal_pairs AS (
+  SELECT n._id AS id_new, o._id AS id_old,
+         levenshtein(n._pfx, o._pfx) AS lev,
+         1.0 - CAST(levenshtein(n._pfx, o._pfx) AS DOUBLE)
+             / CAST(greatest(length(n._pfx), length(o._pfx)) AS DOUBLE) AS sim
+  FROM b2 n JOIN b2 o USING (_b0, _b_tok) WHERE n._id < o._id)
+SELECT id_new, id_old, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal_pairs)
+WHERE sim >= 0.4
+ORDER BY id_new, id_old
 """
 
 
@@ -6565,6 +6611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  lead the r13 window; text_kn_score is new in r12)
         "text_kn_score": q_text_kn_score,
         "graph_pagerank": q_graph_pagerank,
+        "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6674,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_priority": SQL_SAMPLE_PRIORITY,
         "text_kn_score": SQL_TEXT_KN_SCORE,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
+        "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INC,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,

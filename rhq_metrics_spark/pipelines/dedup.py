@@ -1540,3 +1540,108 @@ def fuzzy_blocked_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def fuzzy_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 48,
+) -> DataFrame:
+    """The standing ER index for :func:`fuzzy_against_index`: one
+    narrow row per document — ``(id, _b0.., _b_tok, _pfx)`` — the
+    blocking keys plus the comparison prefix.  A 100 TB corpus becomes
+    a prefix-sized index; persist it as parquet PARTITIONED BY the
+    block columns so an incremental pass reads only the blocks the
+    batch touches (the same corpus-never-rescanned contract as
+    ``minhash_index``)."""
+    if prefix_len < 4:
+        raise ValueError(f"fuzzy_index: prefix_len too small: {prefix_len}")
+    first_tok = F.element_at(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), 1
+    )
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).cast("string").alias(f"_b{i}") for i, c in enumerate(block_cols)],
+        first_tok.alias("_b_tok"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+
+
+def fuzzy_against_index(
+    corpus_index: DataFrame,
+    batch_index: DataFrame,
+    min_sim: float = 0.5,
+    max_block: int = DEFAULT_MAX_BUCKET_SIZE,
+    include_batch_internal: bool = True,
+    block_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental entity resolution: fuzzy-match a new BATCH against
+    the standing :func:`fuzzy_index` without re-pairing the corpus —
+    the daily-increment shape (same role ``dedup_against_index`` plays
+    for MinHash).  Emits ``(id_new, id_old, lev, sim_r)`` for
+    batch-vs-corpus matches and, with ``include_batch_internal``
+    (default), batch-vs-batch pairs as ``(min_id, max_id, ...)`` — so
+    corpus-internal pairs (already known) plus this output equals a
+    full :func:`fuzzy_blocked_pairs` over corpus ∪ batch.
+
+    100 TB shape: the batch side is BROADCAST, so the block join is
+    map-side over the corpus index — the corpus is never shuffled, and
+    a block-partitioned index store prunes to the blocks the batch
+    touches.  Oversize corpus blocks (> ``max_block``, priced by the
+    precomputed ``block_stats`` maintenance artifact — computed here
+    as a fallback when absent) are dropped WITH a warning and exact
+    counts, the shared no-silent-caps contract.
+    """
+    if not 0 < min_sim <= 1:
+        raise ValueError(f"fuzzy_against_index: min_sim out of (0, 1]: {min_sim}")
+    bkeys = [c for c in corpus_index.columns if c.startswith("_b")]
+    if block_stats is None:
+        block_stats = corpus_index.groupBy(*bkeys).agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+    hot = block_stats.filter(F.col("_bn") > max_block)
+    hot_rows = hot.select(
+        F.coalesce(F.sum("_bn"), F.lit(0)).alias("n"), F.count(F.lit(1)).alias("b")
+    ).first()
+    corpus = corpus_index
+    batch = batch_index
+    if hot_rows["b"]:
+        _LOG.warning(
+            "fuzzy_against_index: dropping %d oversize corpus blocks (> %d "
+            "members, %d rows total) — boilerplate keys; raise max_block "
+            "or pass refreshed block_stats to force",
+            hot_rows["b"], max_block, hot_rows["n"],
+        )
+        corpus = corpus.join(F.broadcast(hot.select(*bkeys)), bkeys, "left_anti")
+        batch = batch.join(F.broadcast(hot.select(*bkeys)), bkeys, "left_anti")
+
+    def _pairs(left: DataFrame, right: DataFrame, batch_internal: bool) -> DataFrame:
+        ln = left.select(
+            *[F.col(k) for k in bkeys],
+            F.col("_id").alias("id_new"),
+            F.col("_pfx").alias("_pn"),
+        )
+        rn = right.select(
+            *[F.col(k) for k in bkeys],
+            F.col("_id").alias("id_old"),
+            F.col("_pfx").alias("_po"),
+        )
+        lev = F.levenshtein(F.col("_pn"), F.col("_po"))
+        longest = F.greatest(F.length("_pn"), F.length("_po"))
+        sim = F.lit(1.0) - lev.cast("double") / longest.cast("double")
+        joined = F.broadcast(ln).join(rn, bkeys)
+        if batch_internal:
+            joined = joined.filter(F.col("id_new") < F.col("id_old"))
+        return (
+            joined.withColumn("lev", lev.cast("long"))
+            .withColumn("_sim", sim)
+            .filter(F.col("_sim") >= min_sim)
+            .select("id_new", "id_old", "lev", F.round("_sim", 6).alias("sim_r"))
+        )
+
+    out = _pairs(batch, corpus, batch_internal=False)
+    if include_batch_internal:
+        out = out.unionByName(_pairs(batch, batch, batch_internal=True))
+    return out.orderBy("id_new", "id_old")

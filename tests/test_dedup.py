@@ -686,3 +686,79 @@ def test_fuzzy_blocked_pairs_validation(spark):
         fuzzy_blocked_pairs(df, prefix_len=2)
     with _pytest.raises(ValueError, match="min_sim"):
         fuzzy_blocked_pairs(df, min_sim=0.0)
+
+
+def test_fuzzy_against_index_equals_full_repair(spark):
+    """Corpus-internal pairs + the incremental output == a full
+    fuzzy_blocked_pairs over corpus u batch (the minhash-index
+    equivalence, ER edition)."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        fuzzy_against_index,
+        fuzzy_blocked_pairs,
+        fuzzy_index,
+    )
+
+    corpus_rows = [
+        (1, "en", "alpha quick brown fox jumps over the lazy dog"),
+        (2, "en", "alpha quick brown fox jumps ovre the lazy dog"),
+        (3, "en", "alpha completely unrelated words here zz yy xx"),
+        (4, "de", "beta ein zwei drei vier funf sechs sieben acht"),
+    ]
+    batch_rows = [
+        (10, "en", "alpha quick brown fox jumps over the lazy dot"),  # near 1,2
+        (11, "de", "beta ein zwei drei vier funf sechs sieben acgt"),  # near 4
+        (12, "en", "alpha quick brown fox jumps over the lazy dos"),  # near 10 too
+    ]
+    schema = "doc_id long, lang string, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    min_sim = 0.6
+
+    inc = fuzzy_against_index(
+        fuzzy_index(corpus), fuzzy_index(batch), min_sim=min_sim
+    )
+    inc_pairs = {
+        tuple(sorted((r["id_new"], r["id_old"]))): (r["lev"], r["sim_r"])
+        for r in inc.collect()
+    }
+    corpus_internal = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["sim_r"])
+        for r in fuzzy_blocked_pairs(corpus, min_sim=min_sim).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["sim_r"])
+        for r in fuzzy_blocked_pairs(
+            corpus.unionByName(batch), min_sim=min_sim
+        ).collect()
+    }
+    assert {**corpus_internal, **inc_pairs} == full
+    # the increment found batch-vs-corpus AND batch-internal matches
+    assert any(10 in p and 1 in p for p in inc_pairs)
+    assert any(10 in p and 12 in p for p in inc_pairs)
+    assert any(11 in p and 4 in p for p in inc_pairs)
+
+
+def test_fuzzy_against_index_broadcasts_batch_and_caps_blocks(spark, caplog):
+    import logging
+
+    from rhq_metrics_spark.pipelines.dedup import (
+        fuzzy_against_index,
+        fuzzy_index,
+    )
+
+    hot_corpus = [(i, "en", "spam same text") for i in range(10)]
+    cold_corpus = [(100, "en", "rare document body x")]
+    batch = [(200, "en", "rare document body y"), (201, "en", "spam same text")]
+    schema = "doc_id long, lang string, text string"
+    ci = fuzzy_index(spark.createDataFrame(hot_corpus + cold_corpus, schema))
+    bi = fuzzy_index(spark.createDataFrame(batch, schema))
+    with caplog.at_level(logging.WARNING, logger="rhq_metrics_spark.pipelines.dedup"):
+        df = fuzzy_against_index(ci, bi, min_sim=0.5, max_block=5)
+        out = df.collect()
+    # the hot 'spam' block is dropped on BOTH sides; the cold pair matches
+    assert {(r["id_new"], r["id_old"]) for r in out} == {(200, 100)}
+    assert any("oversize corpus block" in rec.message for rec in caplog.records)
+    # the batch side must broadcast — the corpus is never shuffled
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
