@@ -238,3 +238,110 @@ def start_incremental_neardup_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def process_fuzzy_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 48,
+    min_sim: float = 0.5,
+    max_block: int | None = None,
+) -> None:
+    """One micro-batch of the incremental FUZZY-ER loop (the
+    edit-distance sibling of :func:`process_incremental_batch`) —
+    idempotent under at-least-once replay by the same construction:
+    matches land in ``out_dir`` partitioned by ``_batch_id`` with
+    dynamic overwrite, the batch's blocked prefixes overwrite
+    ``index_dir/batch-{id}``, and the index read EXCLUDES this and
+    later batches so a replay never self-matches."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        fuzzy_against_index,
+        fuzzy_index,
+    )
+
+    batch_ix = fuzzy_index(
+        batch_df, text_col, id_col, block_cols, prefix_len
+    ).persist()
+    srcs = _index_sources(spark, index_dir, batch_id)
+    if srcs:
+        corpus_ix = spark.read.option("recursiveFileLookup", "true").parquet(
+            *srcs
+        )
+        pairs = fuzzy_against_index(
+            corpus_ix,
+            batch_ix,
+            min_sim=min_sim,
+            max_block=(
+                max_block if max_block is not None else DEFAULT_MAX_BUCKET_SIZE
+            ),
+            include_batch_internal=True,
+        )
+    else:  # first batch: only batch-internal pairs exist
+        from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+        pairs = fuzzy_blocked_pairs(
+            batch_df, text_col, id_col, block_cols, prefix_len, min_sim,
+            max_block if max_block is not None else DEFAULT_MAX_BUCKET_SIZE,
+        ).select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_old"),
+            "lev",
+            "sim_r",
+        )
+    try:
+        pairs.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        batch_ix.write.mode("overwrite").parquet(
+            index_dir.rstrip("/") + f"/batch-{batch_id}"
+        )
+    finally:
+        batch_ix.unpersist()
+
+
+def start_incremental_fuzzy_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 48,
+    min_sim: float = 0.5,
+    max_block: int | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming twin of the incremental fuzzy-ER family: every
+    micro-batch is edit-distance-matched against the standing
+    ``fuzzy_index`` at ``index_dir``, matches land in ``out_dir``, and
+    the batch's blocked prefixes append as a per-batch directory so the
+    next micro-batch sees them.  ``foreachBatch`` for the same reason
+    as the near-dup twin: the index IS the state, shared with batch
+    jobs and unbounded by the state store.  Batch-internal pairs are
+    emitted too, so the cumulative output over any prefix of batches
+    equals one :func:`fuzzy_blocked_pairs` over everything seen
+    (equivalence-tested)."""
+    spark = stream_df.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_fuzzy_batch(
+            spark, batch_df, batch_id, index_dir, out_dir,
+            id_col, text_col, block_cols, prefix_len, min_sim, max_block,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -903,3 +903,55 @@ def test_substr_batch_replay_idempotent(spark, tmp_path):
     got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
     assert got[20]["n_dup_windows"] == got[20]["n_windows"] > 0
     assert got[20]["max_share"] == 2
+
+
+def test_streaming_fuzzy_er_matches_full_repair(spark, tmp_path):
+    """Cumulative incremental fuzzy-ER output over three folded
+    micro-batches == one fuzzy_blocked_pairs over everything seen, and
+    a replay of the last batch converges instead of duplicating."""
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+    from rhq_metrics_spark.streaming.dedup import process_fuzzy_batch
+
+    schema = "doc_id long, lang string, text string"
+    batches = [
+        [
+            (1, "en", "alpha quick brown fox jumps over the lazy dog"),
+            (2, "en", "alpha quick brown fox jumps ovre the lazy dog"),
+            (3, "de", "beta ein zwei drei vier funf sechs sieben acht"),
+        ],
+        [
+            (10, "en", "alpha quick brown fox jumps over the lazy dot"),
+            (11, "de", "beta ein zwei drei vier funf sechs sieben acgt"),
+        ],
+        [
+            (20, "en", "alpha quick brown fox jumps over the lazy dos"),
+            (21, "en", "alpha nothing like the others at all zz yy xx"),
+        ],
+    ]
+    index_dir = str(tmp_path / "fuzzy_ix")
+    out_dir = str(tmp_path / "fuzzy_out")
+    for i, rows in enumerate(batches):
+        process_fuzzy_batch(
+            spark, spark.createDataFrame(rows, schema), i,
+            index_dir, out_dir, min_sim=0.6,
+        )
+    got = {
+        tuple(sorted((r["id_new"], r["id_old"]))): (r["lev"], r["sim_r"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    every = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["sim_r"])
+        for r in fuzzy_blocked_pairs(every, min_sim=0.6).collect()
+    }
+    assert got == want
+    # at-least-once replay of the last batch: same cumulative output
+    process_fuzzy_batch(
+        spark, spark.createDataFrame(batches[-1], schema),
+        len(batches) - 1, index_dir, out_dir, min_sim=0.6,
+    )
+    replayed = {
+        tuple(sorted((r["id_new"], r["id_old"]))): (r["lev"], r["sim_r"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert replayed == got
