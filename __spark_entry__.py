@@ -157,6 +157,7 @@ from rhq_metrics_spark.pipelines.text import (
     token_stats,
     url_domain_stats,
     vocab_stats,
+    readability_scores,
 )
 from rhq_metrics_spark.tags import find_metric_ids
 
@@ -3233,6 +3234,36 @@ SELECT id_new, id_old, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal_pairs)
 WHERE sim >= 0.4
 ORDER BY id_new, id_old
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + FK grade per document (pipelines/text.py
+    readability_scores): three exact integer counts through a fixed
+    IEEE formula — scan-fused, zero exchanges."""
+    docs = _table(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+SQL_TEXT_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+         AS fre_r,
+       round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4)
+         AS fk_grade_r
+FROM c WHERE n_words >= 1
 """
 
 
@@ -6612,6 +6643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_score": q_text_kn_score,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
+        "text_readability": q_text_readability,
         "text_unigram_seed": q_text_unigram_seed,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipe_dataset_profile": q_pipe_dataset_profile,
@@ -6722,6 +6754,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_score": SQL_TEXT_KN_SCORE,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INC,
+        "text_readability": SQL_TEXT_READABILITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,

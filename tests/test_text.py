@@ -441,3 +441,42 @@ def test_kneser_ney_prefers_versatile_continuations(spark):
     # P(glue | spam) backoff: n1p_bwd(glue)=6 contexts beats
     # P(spam | glue): n1p_bwd(spam)=1 context (equal c_bg=1 each)
     assert out[101]["min_p_bp"] > out[100]["min_p_bp"]
+
+
+def test_readability_scores_hand_computed(spark):
+    from rhq_metrics_spark.pipelines.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (1, "simple"),                      # fragment -> 1 sentence
+            (2, "   "),                         # no words -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_sentences"]) == (6, 2)
+    # vowel groups: e-a-a-e-o-a -> "the cat sat. the dog ran!" = 6
+    assert r0["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r0["fre_r"] == round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    assert r0["fk_grade_r"] == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    assert out[1]["n_sentences"] == 1
+
+
+def test_readability_orders_simple_above_polysyllabic(spark):
+    from rhq_metrics_spark.pipelines.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat on the mat. It was fun."),
+            (1, "Incomprehensibility characterizes multisyllabic terminological "
+                "administrative documentation extraordinarily."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert out[0]["fre_r"] > out[1]["fre_r"]
+    assert out[0]["fk_grade_r"] < out[1]["fk_grade_r"]
