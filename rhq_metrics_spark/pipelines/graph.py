@@ -69,9 +69,12 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
     spark = ids.sparkSession
-    nodes = ids.select(F.col(id_col).alias("_id")).distinct().localCheckpoint(
-        eager=False
-    )
+    # nodes/edges are reused every superstep but need NO lineage
+    # truncation — persist() caches them columnar-compressed and
+    # EVICTABLE (recomputable under memory pressure), where
+    # localCheckpoint would pin raw row blocks on-heap: at 10M nodes /
+    # 30M edges the pinned blocks OOM'd an 8 GiB heap (×100 checkpoint).
+    nodes = ids.select(F.col(id_col).alias("_id")).distinct().persist()
     n_row = nodes.agg(F.count(F.lit(1)).alias("n")).first()
     n = int(n_row["n"])
     if n == 0:
@@ -85,9 +88,12 @@ def pagerank(
             pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # degrees never change: persist the one 59M-row-class aggregation
+    # instead of recomputing it every superstep (found by the ×100
+    # checkpoint at 10M nodes / 30M edges)
+    deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     teleport = (100 - damping_pct) * RANK_SCALE // (100 * n)
     d = damping_pct
     # the DANGLING SET is fixed across iterations (degrees never
@@ -100,6 +106,12 @@ def pagerank(
     )
     has_dangling = bool(dangling_nodes.limit(1).count())
     ranks = nodes.withColumn("_rank", F.lit(RANK_SCALE).cast("long"))
+    # EAGER checkpoint per superstep + unpersist of the PREVIOUS
+    # snapshot: local-checkpoint blocks are pinned (never evicted), so
+    # a lazy 8-deep chain pins 8 full rank tables at once — the ×100
+    # checkpoint OOM'd an 8 GiB heap at 10M nodes exactly this way.
+    # Eager + unpersist keeps at most TWO snapshots live.
+    prev = None
     for _ in range(iters):
         # dangling mass: nodes with no out-edges spread everywhere
         dangling = (
@@ -129,8 +141,14 @@ def pagerank(
                     )
                 ).cast("long").alias("_rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    deg.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
     return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_ppb"))
 
 
