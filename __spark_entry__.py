@@ -122,6 +122,7 @@ from rhq_metrics_spark.pipelines.sampling import (
     leakage_safe_split,
     mixture_sample,
     priority_sample,
+    priority_sample_per_group,
     temperature_mixture_sample,
     token_mixture_sample,
 )
@@ -3160,6 +3161,33 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, round(q, 6) AS priority_r,
        round(greatest(w, tau), 6) AS est_weight_r
 FROM (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 40), tau
 ORDER BY priority_r DESC, doc_id
+"""
+
+
+def q_sample_priority_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang priority sampling (pipelines/sampling.py
+    priority_sample_per_group): top-8 weighted docs per lang with
+    per-group max(w, tau) estimators — one window shuffle, rank filter
+    triggers WindowGroupLimit so the exchange carries O(groups*k)."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return priority_sample_per_group(docs, k=8, group_cols=["lang"])
+
+
+SQL_SAMPLE_PRIORITY_GROUP = """
+WITH h AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+    CAST(n_chars AS DOUBLE) /
+      ((CAST(concat('0x', substr(md5(concat('prio', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        / 1152921504606846976.0) AS q
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rn
+      FROM h),
+t AS (SELECT *, max(CASE WHEN rn = 9 THEN q END) OVER (PARTITION BY lang) AS tau
+      FROM r WHERE rn <= 9)
+SELECT lang, doc_id, CAST(w AS BIGINT) AS weight, round(q, 6) AS priority_r,
+       round(greatest(w, coalesce(tau, 0.0)), 6) AS est_weight_r
+FROM t WHERE rn <= 8
+ORDER BY lang, priority_r DESC, doc_id
 """
 
 
@@ -6641,6 +6669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (keys below are verified by tools/verify_all.py this round and
         #  lead the r13 window; text_kn_score is new in r12)
         "text_kn_score": q_text_kn_score,
+        "sample_priority_group": q_sample_priority_group,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_readability": q_text_readability,
@@ -6756,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INC,
         "text_readability": SQL_TEXT_READABILITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
+        "sample_priority_group": SQL_SAMPLE_PRIORITY_GROUP,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,

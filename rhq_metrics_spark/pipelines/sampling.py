@@ -505,3 +505,66 @@ def priority_sample(
         )
         .orderBy(F.col("priority_r").desc(), F.col(id_col).asc())
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: Sequence[str],
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Per-group priority sampling: :func:`priority_sample`'s top-k and
+    ``max(w, τ)`` estimators, independently per group — the WEIGHTED
+    analogue of :func:`cap_per_group` ("at most k docs per source,
+    biased toward the heavy ones, with unbiased per-source subset-sum
+    estimates"), the shape a mixture builder actually wants.
+
+    One window shuffle on the group key; the rank filter triggers
+    Spark's ``WindowGroupLimit`` rewrite, so each task keeps k+2 rows
+    per group BEFORE the exchange — the shuffle carries O(groups · k),
+    never the corpus.  τ is each group's (k+1)-th priority (0 when the
+    group has ≤ k rows), read from the same window pass.
+
+    Output: ``(group_cols..., id, weight, priority_r, est_weight_r)``.
+    """
+    if k <= 0:
+        raise ValueError(f"priority_sample_per_group: k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    checked = df.withColumn(
+        "_w",
+        F.when(w > 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"priority_sample_per_group: {weight_col} must be > 0: "),
+                    w.cast("string"),
+                )
+            )
+        ),
+    ).withColumn("_q", priority_q(F.col(weight_col), F.col(id_col), salt))
+    rank_w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    grp_w = Window.partitionBy(*group_cols)
+    ranked = (
+        checked.withColumn("_r", F.row_number().over(rank_w))
+        .filter(F.col("_r") <= k + 1)
+        .withColumn(
+            "_tau",
+            F.max(F.when(F.col("_r") == k + 1, F.col("_q"))).over(grp_w),
+        )
+    )
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .select(
+            *group_cols,
+            F.col(id_col),
+            F.col("_w").cast("long").alias("weight"),
+            F.round("_q", 6).alias("priority_r"),
+            F.round(
+                F.greatest(F.col("_w"), F.coalesce(F.col("_tau"), F.lit(0.0))), 6
+            ).alias("est_weight_r"),
+        )
+        .orderBy(*group_cols, F.col("priority_r").desc(), F.col(id_col).asc())
+    )

@@ -272,3 +272,45 @@ def test_priority_sample_small_input_and_validation(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, n_chars long")
     with _pytest.raises(Exception, match="must be > 0"):
         priority_sample(bad, k=1).collect()
+
+
+def test_priority_sample_per_group_matches_global_per_group(spark):
+    """Each group's sample+estimates == the global operator run on that
+    group alone (same hash, same tau rule)."""
+    from rhq_metrics_spark.pipelines.sampling import (
+        priority_sample,
+        priority_sample_per_group,
+    )
+
+    rows = [(i, ["web", "code", "tiny"][i % 3] if i < 60 else "tiny",
+             (i * 37) % 900 + 1) for i in range(62)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = priority_sample_per_group(df, k=5, group_cols=["source"]).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["source"], []).append(
+            (r["doc_id"], r["weight"], r["priority_r"], r["est_weight_r"])
+        )
+    for g in ["web", "code", "tiny"]:
+        solo = priority_sample(
+            df.filter(F.col("source") == g).select("doc_id", "n_chars"), k=5
+        ).collect()
+        want = [
+            (r["doc_id"], r["weight"], r["priority_r"], r["est_weight_r"])
+            for r in solo
+        ]
+        assert by_grp[g] == want, g
+
+
+def test_priority_sample_per_group_windowgrouplimit_plan(spark):
+    """The rank filter must trigger WindowGroupLimit — the exchange
+    carries O(groups*k), never the corpus."""
+    from rhq_metrics_spark.pipelines.sampling import priority_sample_per_group
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS source",
+        "id % 100 + 1 AS n_chars"
+    )
+    out = priority_sample_per_group(df, k=3, group_cols=["source"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
