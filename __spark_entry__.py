@@ -3295,6 +3295,40 @@ FROM c WHERE n_words >= 1
 """
 
 
+def q_pipe_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (pipelines/profile.py
+    ngram_diversity): the data-card repetitiveness metric — one
+    hash-agg per (source, n) over scan-fused n-gram legs, integer
+    fixed-point output."""
+    from rhq_metrics_spark.pipelines.profile import ngram_diversity
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return ngram_diversity(docs)
+
+
+SQL_PIPE_NGRAM_DIVERSITY = r"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+g1 AS (SELECT source, 1 AS n, unnest(toks) AS gram FROM d),
+g2 AS (SELECT source, 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram
+       FROM d, unnest(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2),
+g3 AS (SELECT source, 3 AS n,
+              toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+       FROM d, unnest(range(1, len(toks) - 1)) AS t(i) WHERE len(toks) >= 3),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+SELECT source, n,
+       count(*) AS total_ngrams,
+       count(DISTINCT gram) AS distinct_ngrams,
+       CAST(count(DISTINCT gram) * 1000000 // count(*) AS BIGINT) AS diversity_ppm
+FROM grams
+GROUP BY source, n
+ORDER BY source, n
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (pipelines/graph.py pagerank) over the blocked
     fuzzy near-dup pair graph: exact int64 ppb ranks, 8 supersteps of
@@ -6670,6 +6704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  lead the r13 window; text_kn_score is new in r12)
         "text_kn_score": q_text_kn_score,
         "sample_priority_group": q_sample_priority_group,
+        "pipe_ngram_diversity": q_pipe_ngram_diversity,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_readability": q_text_readability,
@@ -6786,6 +6821,7 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": SQL_TEXT_READABILITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "sample_priority_group": SQL_SAMPLE_PRIORITY_GROUP,
+        "pipe_ngram_diversity": SQL_PIPE_NGRAM_DIVERSITY,
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,

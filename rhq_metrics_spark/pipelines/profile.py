@@ -141,3 +141,73 @@ def dataset_diff(
             (F.sum("_ntok_new") - F.sum("_ntok_old")).alias("token_delta"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per group — the corpus-repetitiveness data-
+    card metric (distinct-1/2/3 of Li et al. 2016): for each group and
+    each n, total n-gram occurrences, distinct n-grams, and
+
+        diversity_ppm = distinct · 1e6 div total
+
+    Low distinct-2/3 flags template-heavy or self-repetitive sources a
+    mixture builder should down-weight before training.
+
+    Plan shape at 100 TB: n-gram extraction is scan-fused (one JVM
+    ``transform``/``explode`` per n over the SAME tokenized scan —
+    Spark unions the three legs, no re-read); per (group, n) one
+    hash-agg with ``count_distinct`` on the n-gram key (map-side
+    partials absorb head-gram skew).  Integer output — hash-exact
+    cross-engine.
+
+    Output: ``(group, n, total_ngrams, distinct_ngrams, diversity_ppm)``
+    ordered by (group, n).
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ngram_diversity: ns must be positive ints: {ns}")
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    legs = []
+    for n in ns:
+        if n == 1:
+            gram = F.explode("_toks").alias("gram")
+            leg = toks.select("grp", gram)
+        else:
+            leg = toks.filter(F.size("_toks") >= n).select(
+                "grp",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(_toks) - {n}),"
+                        f" i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+                    )
+                ).alias("gram"),
+            )
+        legs.append(leg.withColumn("n", F.lit(int(n))))
+    grams = legs[0]
+    for leg in legs[1:]:
+        grams = grams.unionByName(leg)
+    return (
+        grams.groupBy("grp", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(f"distinct_ngrams * {PPM} div total_ngrams").alias(
+                "diversity_ppm"
+            ),
+        )
+        .orderBy(group_col, "n")
+    )

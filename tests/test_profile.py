@@ -103,3 +103,49 @@ def test_dataset_diff_identical_snapshots_are_all_unchanged(spark):
         0, 0, 0, 10,
     )
     assert r["token_delta"] == 0
+
+
+def test_ngram_diversity_hand_computed(spark):
+    from rhq_metrics_spark.pipelines.profile import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "x y x y"),      # 1grams: 4 tot / 2 distinct
+            (1, "a", "x y"),          # a 2grams: "x y","y x","x y","x y" = 4 tot/2 distinct
+            (2, "b", "z z z"),        # b: 3 tot / 1 distinct; 2grams 2/1; 3grams 1/1
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source"], r["n"]): (
+            r["total_ngrams"], r["distinct_ngrams"], r["diversity_ppm"]
+        )
+        for r in ngram_diversity(docs).collect()
+    }
+    assert out[("a", 1)] == (6, 2, 2 * 1_000_000 // 6)
+    assert out[("a", 2)] == (4, 2, 500_000)
+    assert out[("a", 3)] == (2, 2, 1_000_000)   # "x y x", "y x y"
+    assert out[("b", 1)] == (3, 1, 333_333)
+    assert out[("b", 2)] == (2, 1, 500_000)
+    assert out[("b", 3)] == (1, 1, 1_000_000)
+
+
+def test_ngram_diversity_flags_repetitive_source(spark):
+    from rhq_metrics_spark.pipelines.profile import ngram_diversity
+
+    import pytest as _pytest
+
+    rep = " ".join(["the cat sat"] * 10)
+    var = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, "rep", rep), (1, "var", var)], "doc_id long, source string, text string"
+    )
+    out = {
+        (r["source"], r["n"]): r["diversity_ppm"]
+        for r in ngram_diversity(docs).collect()
+    }
+    assert out[("var", 2)] > out[("rep", 2)]
+    assert out[("var", 3)] > out[("rep", 3)]
+
+    with _pytest.raises(ValueError, match="ns must be"):
+        ngram_diversity(docs, ns=())
