@@ -6700,8 +6700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "dedup_segments": q_dedup_segments,
         # ---- 50-key driver window ends here ----
-        # (keys below are verified by tools/verify_all.py this round and
-        #  lead the r13 window; text_kn_score is new in r12)
+        # (keys below are verified by tools/verify_all.py this round;
+        #  the four r12 back-block keys — text_kn_score,
+        #  sample_priority_group, pipe_ngram_diversity, graph_pagerank,
+        #  plus dedup_fuzzy_incremental and text_readability — lead the
+        #  r13 window together with whatever r13 adds)
         "text_kn_score": q_text_kn_score,
         "sample_priority_group": q_sample_priority_group,
         "pipe_ngram_diversity": q_pipe_ngram_diversity,
