@@ -3329,6 +3329,35 @@ ORDER BY source, n
 """
 
 
+def q_w17_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 event-transition matrix (operators/funnel.py
+    event_transitions): adjacent-pair counts + fixed-point transition
+    probabilities per source type — one user-key window + one pair-key
+    hash-agg; deterministic (ts, type, value) timeline order."""
+    from rhq_metrics_spark.operators.funnel import event_transitions
+
+    ev = _events_points(spark, sf_dir)
+    return event_transitions(ev)
+
+
+SQL_W17 = f"""
+WITH ev AS ({{ev_sql}}),
+o AS (SELECT user_id, metric AS from_type, ts, value,
+        lead(metric) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, metric ASC, value ASC) AS to_type
+      FROM ev),
+p AS (SELECT from_type, to_type, count(*) AS transitions
+      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT *, CAST(sum(transitions) OVER (PARTITION BY from_type) AS BIGINT)
+          AS from_total
+      FROM p)
+SELECT from_type, to_type, transitions, from_total,
+       CAST(transitions * 1000000 // from_total AS BIGINT) AS prob_ppm
+FROM t
+ORDER BY from_type, to_type
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (pipelines/graph.py pagerank) over the blocked
     fuzzy near-dup pair graph: exact int64 ppb ranks, 8 supersteps of
@@ -6708,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_score": q_text_kn_score,
         "sample_priority_group": q_sample_priority_group,
         "pipe_ngram_diversity": q_pipe_ngram_diversity,
+        "w17_transitions": q_w17_transitions,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_readability": q_text_readability,
@@ -6825,6 +6855,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "sample_priority_group": SQL_SAMPLE_PRIORITY_GROUP,
         "pipe_ngram_diversity": SQL_PIPE_NGRAM_DIVERSITY,
+        "w17_transitions": SQL_W17.format(ev_sql=EV_SQL),
         "text_unigram_seed": SQL_TEXT_UNIGRAM_SEED,
         "sketch_hll": SQL_SKETCH_HLL,
         "sketch_bloom": SQL_SKETCH_BLOOM,

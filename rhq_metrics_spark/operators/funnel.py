@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 PPM = 1_000_000
 
@@ -146,4 +146,66 @@ def cohort_retention(
         "active_users",
         "cohort_size",
         F.expr(f"active_users * {PPM} div cohort_size").alias("retention_ppm"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """W17: event-transition matrix — for every adjacent pair of events
+    in each user's timeline, how often type A is followed by type B,
+    plus the per-source transition probability.  The path-analysis
+    (Sankey / Markov-chain) sibling of the funnel and cohort operators:
+    funnels answer "how many reached step k", transitions answer "where
+    do users actually GO next".
+
+    Ordering inside a user's timeline is the deterministic composite
+    ``(ts, type, value)`` — two events sharing a timestamp order by
+    type then value, the same total order in any engine (the funnel
+    twins' same-ts discipline).
+
+    Output: ``(from_type, to_type, transitions, from_total,
+    prob_ppm)`` with ``prob_ppm = transitions · 1e6 div from_total``
+    (integer fixed point), ordered by (from_type, to_type).
+
+    Plan shape at 100 TB: ONE window shuffle on the user key (lead over
+    the composite order), then ONE hash-agg on the (from, to) pair key
+    — map-side partials absorb hot transitions; the from-totals ride a
+    second window over the PAIR table (#type² rows, not events).
+
+    Reference analogue: beyond the reference; extends its rate/funnel
+    event shapes (core/metrics-core-service/.../MetricsServiceImpl.java
+    findRateData conventions) with the adjacent-pair reduction.
+    """
+    order_cols = [F.col(ts_col).asc(), F.col("from_type").asc()]
+    if value_col is not None:
+        order_cols.append(F.col(value_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col),
+            *([F.col(value_col)] if value_col is not None else []),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    gw = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("from_total", F.sum("transitions").over(gw))
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            "from_total",
+            F.expr("transitions * 1000000 div from_total").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
     )

@@ -237,3 +237,42 @@ def test_streaming_cohort_matches_batch(spark, tmp_path):
     assert got == want
     # exactly one row per (user, offset): in-period repeats deduped
     assert spark.read.parquet(str(out_dir)).count() == 7
+
+
+def test_event_transitions_hand_computed(spark):
+    """Adjacent-pair counts, per-source totals and ppm probabilities on
+    a planted two-user timeline, including the same-ts composite-order
+    tie-break."""
+    from rhq_metrics_spark.operators.funnel import event_transitions
+
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, "view", 10, 1.0), (1, "click", 20, 1.0),
+        (1, "view", 30, 1.0), (1, "purchase", 40, 1.0),
+        # user 2: same-ts tie at 20 orders (click, view) by type
+        (2, "view", 10, 1.0), (2, "click", 20, 1.0), (2, "view", 20, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (
+            r["transitions"], r["from_total"], r["prob_ppm"]
+        )
+        for r in event_transitions(df).collect()
+    }
+    # user1: view->click, click->view, view->purchase
+    # user2: view->click (ts10->20 click first by type), click->view
+    assert out[("view", "click")] == (2, 3, 666_666)
+    assert out[("view", "purchase")] == (1, 3, 333_333)
+    assert out[("click", "view")] == (2, 2, 1_000_000)
+    assert set(out) == {("view", "click"), ("view", "purchase"), ("click", "view")}
+
+
+def test_event_transitions_single_event_user_emits_nothing(spark):
+    from rhq_metrics_spark.operators.funnel import event_transitions
+
+    df = spark.createDataFrame(
+        [(1, "view", 10, 1.0)], "user_id long, metric string, ts long, value double"
+    )
+    assert event_transitions(df).count() == 0
