@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "sample_priority",      # weighted top-k via TakeOrderedAndProject (r12)
     "dedup_fuzzy_blocked",  # blocked levenshtein ER pairs (r12)
     "text_kn_score",        # interpolated Kneser-Ney bigram LM (r12)
+    "pipe_ngram_diversity", # distinct-1/2/3 data-card metric (r12)
+    "w17_transitions",      # event-transition matrix / path analysis (r12)
 ]
 
 
