@@ -225,3 +225,93 @@ def streaming_cohort_activity(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W17: live event-transition pairs — the continuous twin of
+# operators/funnel.py event_transitions.
+
+TRANSITIONS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("from_type", StringType(), False),
+        StructField("to_type", StringType(), False),
+        StructField("ts", LongType(), False),
+    ]
+)
+
+#: last event of the user's timeline so far: the (ts, type, value_q)
+#: composite ORDER key doubles as the replay guard; value is carried
+#: quantized to micro-units so the state row stays all-integer.
+TRANSITIONS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("last_type", StringType(), True),
+        StructField("last_vq", LongType(), True),
+    ]
+)
+
+_VQ = 1_000_000
+
+
+def _transitions_group(
+    key: tuple,
+    pdfs: "Iterator[pd.DataFrame]",
+    state: "GroupState",
+) -> "Iterator[pd.DataFrame]":
+    (user_id,) = key
+    if state.exists:
+        last_ts, last_type, last_vq = state.get
+    else:
+        last_ts, last_type, last_vq = None, None, None
+    entry_key = (
+        (last_ts, last_type or "", last_vq) if last_ts is not None else None
+    )
+    out: dict[str, list] = {"from_type": [], "to_type": [], "ts": []}
+    frames = list(pdfs)
+    merged = pd.concat(frames) if frames else pd.DataFrame()
+    if len(merged):
+        merged = merged.assign(_vq=(merged["value"] * _VQ).round().astype("int64"))
+        merged = merged.sort_values(["ts", "metric", "_vq"])
+        for ts, et, vq in zip(merged["ts"], merged["metric"], merged["_vq"]):
+            ts, et, vq = int(ts), str(et), int(vq)
+            # replay guard on the FULL composite order key, same
+            # discipline as the funnel twin (ADVICE r11)
+            if entry_key is not None and (ts, et, vq) <= entry_key:
+                continue
+            if last_type is not None:
+                out["from_type"].append(last_type)
+                out["to_type"].append(et)
+                out["ts"].append(ts)
+            last_ts, last_type, last_vq = ts, et, vq
+            entry_key = (ts, et, vq)
+    state.update((last_ts, last_type, last_vq))
+    if out["ts"]:
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "from_type": out["from_type"],
+                "to_type": out["to_type"],
+                "ts": out["ts"],
+            }
+        )
+
+
+def streaming_transitions(stream_df: DataFrame) -> DataFrame:
+    """Input: streaming ``(user_id, metric, ts, value)`` events.
+    Output stream: one append row per TRANSITION — (user, from_type,
+    to_type, ts of the destination event).  ``groupBy(from_type,
+    to_type).count()`` on the sink gives the live transition matrix;
+    over an in-order replay the pair multiset equals the batch
+    ``event_transitions`` pair expansion (the batch operator's
+    (from_total, prob_ppm) finalization is one tiny agg over it).
+    State is three scalars per user — the last event of the timeline;
+    transitions spanning micro-batch boundaries are emitted exactly
+    once."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _transitions_group,
+        outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+        stateStructType=TRANSITIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

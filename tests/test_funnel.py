@@ -276,3 +276,82 @@ def test_event_transitions_single_event_user_emits_nothing(spark):
         [(1, "view", 10, 1.0)], "user_id long, metric string, ts long, value double"
     )
     assert event_transitions(df).count() == 0
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """Transition rows emitted across micro-batches equal the batch
+    operator's pair expansion over an in-order replay — including a
+    transition that SPANS the micro-batch boundary."""
+    import json
+    import time
+
+    from rhq_metrics_spark.operators.funnel import event_transitions
+    from rhq_metrics_spark.streaming.funnel import streaming_transitions
+
+    rows = [
+        (1, "view", 10, 1.0), (1, "click", 20, 1.0), (1, "view", 30, 1.0),
+        (1, "purchase", 40, 1.0),
+        (2, "view", 10, 1.0), (2, "click", 25, 1.0),
+        (3, "error", 15, 1.0),
+    ]
+    rows = sorted(rows, key=lambda r: (r[2], r[0]))
+    pts = [
+        {"user_id": u, "metric": m, "ts": t, "value": v} for u, m, t, v in rows
+    ]
+    src = tmp_path / "tr_in"
+    src.mkdir()
+    out_dir = tmp_path / "tr_out"
+    split = len(pts) // 2
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:split]))
+
+    schema = "user_id long, metric string, ts long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "tr_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows_out():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        # the first half holds each user's FIRST event only — zero
+        # transitions — so wait for the checkpoint commit, not output
+        first_commit = tmp_path / "tr_ckpt" / "commits" / "0"
+        while not first_commit.exists() and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in pts[split:])
+        )
+        # expected transitions: user1 has 3, user2 has 1, user3 has 0
+        while rows_out() < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    streamed = spark.read.parquet(str(out_dir)).collect()
+    from collections import Counter
+
+    got = Counter((r["from_type"], r["to_type"]) for r in streamed)
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    want = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in event_transitions(batch_df).collect()
+    }
+    assert dict(got) == want
+    assert len(streamed) == sum(want.values())  # exactly-once per pair
