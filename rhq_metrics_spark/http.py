@@ -48,6 +48,9 @@ stats handlers above):
 Product-analytics views (round 12, same conventions):
 
 - ``GET  /{type}s/funnel``        W15 ordered-funnel conversion
+- ``GET  /{type}s/transitions``   W17 event-transition matrix
+  (?start&end&userTag) → (fromType, toType, transitions,
+  fromTotal, probPpm)
   (?start&end&steps=a,b,c&windowMs&userTag) → per-step users +
   floor-ppm conversion vs step 1
 - ``GET  /{type}s/cohorts``       W16 cohort retention matrix
@@ -355,6 +358,9 @@ class MetricsApp:
         if rest == ["cohorts"]:
             self._require(method, {"GET"})
             return self._cohorts(mt, tenant, qs)
+        if rest == ["transitions"]:
+            self._require(method, {"GET"})
+            return self._transitions(mt, tenant, qs)
         if rest == ["stats", "query"]:
             self._require(method, {"POST"})
             return self._multi_stats(
@@ -773,6 +779,29 @@ class MetricsApp:
                 "step": r["step"],
                 "users": r["users"],
                 "conversionPpm": r["conversion_ppm"],
+            }
+            for r in rows
+        ])
+
+    def _transitions(self, metric_type, tenant, qs):
+        """W17 event-transition matrix over HTTP (service.transitions):
+        adjacent-pair counts + ppm probabilities per source type;
+        ?userTag as in the funnel handler.  Param shape mirrors the
+        funnel/cohorts handlers (GaugeHandler.java query endpoints)."""
+        start, end = self._time_range(qs)
+        with api_errors():
+            df = self.service.transitions(
+                tenant, start, end, metric_type=metric_type,
+                user_tag=qs.get("userTag"),
+            )
+            rows = df.orderBy("from_type", "to_type").collect()
+        raise _collection([
+            {
+                "fromType": r["from_type"],
+                "toType": r["to_type"],
+                "transitions": r["transitions"],
+                "fromTotal": r["from_total"],
+                "probPpm": r["prob_ppm"],
             }
             for r in rows
         ])

@@ -2033,6 +2033,28 @@ FROM (
             ts_col="ts", window_ms=window_ms,
         )
 
+    def transitions(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W17 through the facade: the event-transition matrix over the
+        tenant's points in the range — users resolve per
+        :meth:`_user_events` (where point identity also de-collides
+        same-ts events, so the timeline order key reduces to
+        (ts, metric)).  One pruned scan feeds the operator's user-key
+        window + pair-key hash-agg."""
+        from rhq_metrics_spark.operators.funnel import event_transitions
+
+        ev = self._user_events(metric_type, tenant_id, start, end, user_tag)
+        return event_transitions(
+            ev, user_col="user_id", type_col="metric", ts_col="ts",
+            value_col=None,
+        )
+
     def cohorts(
         self,
         tenant_id,

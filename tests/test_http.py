@@ -1148,3 +1148,37 @@ def test_cohorts_endpoint_validation(pa_app):
     code, err = call(
         pa_app, "GET", f"{P}/gauges/cohorts?start=0&end=1&periodMs=abc")
     assert code == 400 and "periodMs" in err["errorMsg"]
+
+
+def test_transitions_endpoint(pa_app):
+    """W17 over HTTP: the full transition matrix for the product-event
+    store, including the tag-identified signup pair collapsing to the
+    default value-identity user 0."""
+    code, body = call(
+        pa_app, "GET", f"{P}/gauges/transitions?start=0&end={20 * DAY}"
+    )
+    assert code == 200
+    got = {(r["fromType"], r["toType"]): r for r in body}
+    assert got[("view", "click")]["transitions"] == 3
+    assert got[("view", "purchase")]["transitions"] == 1
+    assert got[("view", "click")]["fromTotal"] == 4
+    assert got[("view", "click")]["probPpm"] == 750_000
+    assert got[("click", "purchase")]["transitions"] == 4
+    assert got[("click", "view")]["transitions"] == 1
+    assert got[("click", "purchase")]["probPpm"] == 800_000
+    # the two signup points carry value 0.0 -> both land on user 0
+    assert got[("signup", "signup")]["transitions"] == 1
+    # rows come sorted by (fromType, toType)
+    keys = [(r["fromType"], r["toType"]) for r in body]
+    assert keys == sorted(keys)
+
+
+def test_transitions_endpoint_user_tag_and_methods(pa_app):
+    # tag identity: two single-event users -> no transitions -> 204
+    code, body = call(
+        pa_app, "GET",
+        f"{P}/gauges/transitions?start=0&end={20 * DAY}&userTag=user",
+    )
+    assert code == 204
+    # GET only, like the sibling analytics views
+    assert call(pa_app, "POST", f"{P}/gauges/transitions", [])[0] == 405
