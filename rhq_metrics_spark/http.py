@@ -48,11 +48,11 @@ stats handlers above):
 Product-analytics views (round 12, same conventions):
 
 - ``GET  /{type}s/funnel``        W15 ordered-funnel conversion
+  (?start&end&steps=a,b,c&windowMs&userTag) → per-step users +
+  floor-ppm conversion vs step 1
 - ``GET  /{type}s/transitions``   W17 event-transition matrix
   (?start&end&userTag) → (fromType, toType, transitions,
   fromTotal, probPpm)
-  (?start&end&steps=a,b,c&windowMs&userTag) → per-step users +
-  floor-ppm conversion vs step 1
 - ``GET  /{type}s/cohorts``       W16 cohort retention matrix
   (?start&end&periodMs&metrics=a,b&userTag) → (cohortPeriod, periodK,
   activeUsers, cohortSize, retentionPpm)

@@ -1589,10 +1589,17 @@ def fuzzy_against_index(
     100 TB shape: the batch side is BROADCAST, so the block join is
     map-side over the corpus index — the corpus is never shuffled, and
     a block-partitioned index store prunes to the blocks the batch
-    touches.  Oversize corpus blocks (> ``max_block``, priced by the
-    precomputed ``block_stats`` maintenance artifact — computed here
-    as a fallback when absent) are dropped WITH a warning and exact
-    counts, the shared no-silent-caps contract.
+    touches.  Oversize blocks are sized on CORPUS + BATCH combined
+    (ADVICE r12): a corpus block just under ``max_block`` that crosses
+    the threshold once the batch lands, or a hot block concentrated in
+    the batch alone, is dropped from BOTH sides — exactly the blocks a
+    full :func:`fuzzy_blocked_pairs` over corpus ∪ batch would drop,
+    so the documented equivalence holds and no batch-side O(B²)
+    straggler survives.  Corpus-side counts come from the precomputed
+    ``block_stats`` maintenance artifact when given (computed here as
+    a fallback); batch counts are always re-counted — the batch is the
+    small, new side.  Drops warn with exact counts, the shared
+    no-silent-caps contract.
     """
     if not 0 < min_sim <= 1:
         raise ValueError(f"fuzzy_against_index: min_sim out of (0, 1]: {min_sim}")
@@ -1601,7 +1608,18 @@ def fuzzy_against_index(
         block_stats = corpus_index.groupBy(*bkeys).agg(
             F.count(F.lit(1)).alias("_bn")
         )
-    hot = block_stats.filter(F.col("_bn") > max_block)
+    batch_stats = batch_index.groupBy(*bkeys).agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    # union + re-agg, not a full-outer join: both frames are tiny
+    # per-block counts, and a hash-agg keeps the plan join-free
+    combined = (
+        block_stats.select(*bkeys, "_bn")
+        .unionByName(batch_stats)
+        .groupBy(*bkeys)
+        .agg(F.sum("_bn").alias("_bn"))
+    )
+    hot = combined.filter(F.col("_bn") > max_block)
     hot_rows = hot.select(
         F.coalesce(F.sum("_bn"), F.lit(0)).alias("n"), F.count(F.lit(1)).alias("b")
     ).first()
@@ -1609,9 +1627,9 @@ def fuzzy_against_index(
     batch = batch_index
     if hot_rows["b"]:
         _LOG.warning(
-            "fuzzy_against_index: dropping %d oversize corpus blocks (> %d "
-            "members, %d rows total) — boilerplate keys; raise max_block "
-            "or pass refreshed block_stats to force",
+            "fuzzy_against_index: dropping %d oversize blocks (> %d members "
+            "across corpus+batch, %d rows total) — boilerplate keys; raise "
+            "max_block or pass refreshed block_stats to force",
             hot_rows["b"], max_block, hot_rows["n"],
         )
         corpus = corpus.join(F.broadcast(hot.select(*bkeys)), bkeys, "left_anti")

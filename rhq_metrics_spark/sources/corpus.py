@@ -139,9 +139,21 @@ def read_corpus_csv(
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-read a CSV corpus (header row required).  Malformed rows
     ride Spark's native PERMISSIVE corrupt-record column; the same
-    required-field validation as JSONL applies on top."""
+    required-field validation as JSONL applies on top.
+
+    ``enforceSchema`` defaults to ``false`` here (ADVICE r12): with a
+    user schema Spark otherwise binds columns POSITIONALLY and ignores
+    the header names, so a dump whose columns are ordered differently
+    from the schema would silently misparse (text landing in doc_id) —
+    the opposite of this module's no-silent-corruption contract.  With
+    ``enforceSchema=false`` Spark validates the header against the
+    schema field names (the corrupt-record column is excluded from the
+    check) and FAILS LOUDLY on a mismatched dump.  Pass
+    ``enforceSchema="true"`` explicitly to restore positional binding
+    for headerless-style dumps whose names genuinely differ."""
     m = {**_DEFAULT_MAP, **(field_map or {})}
     schema = corpus_schema(field_map)
+    reader_options.setdefault("enforceSchema", "false")
     raw = spark.read.csv(
         path,
         schema=schema,

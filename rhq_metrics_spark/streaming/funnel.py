@@ -253,6 +253,13 @@ TRANSITIONS_STATE_SCHEMA = StructType(
 
 _VQ = 1_000_000
 
+#: null values sort BEFORE any real quantized value in the composite
+#: order key — matching the batch ``event_transitions`` window order
+#: (Spark ASC = NULLS FIRST).  Well inside int64 so the state row
+#: stays all-integer; any real value quantizing near it would have
+#: overflowed the µ-unit fixed point long before.
+_VQ_NULL = -(2**62)
+
 
 def _transitions_group(
     key: tuple,
@@ -271,7 +278,13 @@ def _transitions_group(
     frames = list(pdfs)
     merged = pd.concat(frames) if frames else pd.DataFrame()
     if len(merged):
-        merged = merged.assign(_vq=(merged["value"] * _VQ).round().astype("int64"))
+        # null-tolerant quantization (ADVICE r12): a null/NaN value
+        # must not crash the int64 cast — it maps to the NULLS FIRST
+        # sentinel, the same order the batch operator's ASC window
+        # gives null values.
+        vq = (merged["value"] * _VQ).round()
+        vq = vq.where(merged["value"].notna(), _VQ_NULL).astype("int64")
+        merged = merged.assign(_vq=vq)
         merged = merged.sort_values(["ts", "metric", "_vq"])
         for ts, et, vq in zip(merged["ts"], merged["metric"], merged["_vq"]):
             ts, et, vq = int(ts), str(et), int(vq)

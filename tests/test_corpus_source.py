@@ -105,3 +105,22 @@ def test_read_corpus_stream_twin(spark, tmp_path):
     got = spark.read.parquet(str(out_docs))
     assert got.count() == 5
     assert sorted(got.columns) == ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def test_read_corpus_csv_misordered_header_fails_loudly(spark, tmp_path):
+    """ADVICE r12: with a user schema Spark binds CSV columns
+    positionally unless enforceSchema=false — a dump whose columns are
+    ordered differently must ERROR, not silently land text in doc_id."""
+    import pytest
+
+    p = tmp_path / "swapped.csv"
+    p.write_text("text,doc_id,lang,source,n_chars\nhello,a,en,web,5\n")
+    docs, _ = read_corpus_csv(spark, str(p))
+    with pytest.raises(Exception, match="CSV header does not conform"):
+        docs.collect()
+    # explicit opt-out restores positional binding for name-mismatched
+    # dumps whose ORDER genuinely matches the canonical schema
+    p2 = tmp_path / "renamed.csv"
+    p2.write_text("id,body,lang,source,n_chars\na,hello,en,web,5\n")
+    docs2, _ = read_corpus_csv(spark, str(p2), enforceSchema="true")
+    assert docs2.collect()[0]["text"] == "hello"

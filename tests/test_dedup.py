@@ -757,8 +757,57 @@ def test_fuzzy_against_index_broadcasts_batch_and_caps_blocks(spark, caplog):
         out = df.collect()
     # the hot 'spam' block is dropped on BOTH sides; the cold pair matches
     assert {(r["id_new"], r["id_old"]) for r in out} == {(200, 100)}
-    assert any("oversize corpus block" in rec.message for rec in caplog.records)
+    assert any("oversize block" in rec.message for rec in caplog.records)
     # the batch side must broadcast — the corpus is never shuffled
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_against_index_sizes_blocks_on_corpus_plus_batch(spark, caplog):
+    """ADVICE r12: a corpus block just UNDER max_block that crosses the
+    threshold once the batch lands — and a hot block concentrated in
+    the batch alone — are both dropped, so corpus-internal pairs + the
+    incremental output still equals a full fuzzy_blocked_pairs over
+    corpus u batch at the same max_block."""
+    import logging
+
+    from rhq_metrics_spark.pipelines.dedup import (
+        fuzzy_against_index,
+        fuzzy_blocked_pairs,
+        fuzzy_index,
+    )
+
+    max_block = 5
+    # 'edge' block: 4 in corpus (under cap), batch adds 2 -> 6 > 5
+    edge_corpus = [(i, "en", f"edge shared text v{i}") for i in range(4)]
+    # 'hot' block lives ONLY in the batch: 6 rows > 5
+    hot_batch = [(300 + i, "en", "hotb same text") for i in range(6)]
+    cold_corpus = [(100, "en", "rare document body x")]
+    batch_edge = [(200, "en", "edge shared text v0"), (201, "en", "edge shared text v1")]
+    batch_cold = [(202, "en", "rare document body y")]
+    schema = "doc_id long, lang string, text string"
+    corpus = spark.createDataFrame(edge_corpus + cold_corpus, schema)
+    batch = spark.createDataFrame(hot_batch + batch_edge + batch_cold, schema)
+
+    with caplog.at_level(logging.WARNING, logger="rhq_metrics_spark.pipelines.dedup"):
+        inc = fuzzy_against_index(
+            fuzzy_index(corpus), fuzzy_index(batch),
+            min_sim=0.5, max_block=max_block,
+        ).collect()
+    inc_pairs = {tuple(sorted((r["id_new"], r["id_old"]))) for r in inc}
+    # only the cold pair survives: edge crossed the combined cap, hotb
+    # is batch-internal hot
+    assert inc_pairs == {(100, 202)}
+    assert any("corpus+batch" in rec.message for rec in caplog.records)
+    # equivalence against the full run at the same cap: the increment
+    # emits exactly the batch-touching pairs the full run emits (the
+    # combined sizing makes the two drop the SAME blocks)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_blocked_pairs(
+            corpus.unionByName(batch), min_sim=0.5, max_block=max_block
+        ).collect()
+    }
+    batch_ids = {r[0] for r in hot_batch + batch_edge + batch_cold}
+    assert inc_pairs == {p for p in full if set(p) & batch_ids}

@@ -157,3 +157,42 @@ def test_p2_same_ts_within_batch_feeds_estimator():
         ref.add(float(v[1]))
         expected.append(ref.result())
     assert list(out["p50"]) == expected
+
+
+def test_transitions_null_value_tolerated_and_ordered_nulls_first():
+    """ADVICE r12: a null/NaN value must not crash the int64 quantize;
+    it orders BEFORE any real value in the (ts, type, value) composite
+    — the batch window's ASC NULLS FIRST — and the replay guard still
+    works when the state's last value was null."""
+    import numpy as np
+
+    from rhq_metrics_spark.streaming.funnel import _transitions_group
+
+    # same (ts, type) with a null and a real value: null first, so the
+    # emitted transition is view->view at ts 10, then view->click
+    batch = _pdf(
+        {
+            "ts": [10, 10, 20],
+            "metric": ["view", "view", "click"],
+            "value": [np.nan, 2.0, np.nan],
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(_transitions_group((1,), iter([batch]), state)))
+    assert list(zip(out["from_type"], out["to_type"], out["ts"])) == [
+        ("view", "view", 10),
+        ("view", "click", 20),
+    ]
+    last_ts, last_type, last_vq = state.get
+    assert (last_ts, last_type) == (20, "click")
+
+    # replay of the null-valued last event from a prior batch: skipped;
+    # a NEW same-ts event with a real value still advances
+    state2 = FakeState((10, "view", last_vq))  # last_vq is the null sentinel
+    batch2 = _pdf(
+        {"ts": [10, 10], "metric": ["view", "view"], "value": [np.nan, 2.0]}
+    )
+    out2 = pd.concat(list(_transitions_group((1,), iter([batch2]), state2)))
+    assert list(zip(out2["from_type"], out2["to_type"], out2["ts"])) == [
+        ("view", "view", 10)
+    ]
