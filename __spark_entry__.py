@@ -115,7 +115,7 @@ from rhq_metrics_spark.pipelines.sketches import (
     kmv_set_ops,
     kmv_sketch_rows,
 )
-from rhq_metrics_spark.pipelines.graph import pagerank
+from rhq_metrics_spark.pipelines.graph import canonical_by_centrality, pagerank
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -3386,8 +3386,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # teleport/update arithmetic (every op an int64 floor division), same
 # 8 fixed supersteps — DuckDB's recursive CTE allows GROUP BY in the
 # recursive term, so the superstep is one join+agg per level exactly
-# like the Spark loop.
-SQL_GRAPH_PAGERANK = r"""
+# like the Spark loop.  Shared by the pagerank and canonical oracles.
+_GRAPH_PR_CTES = r"""
 WITH RECURSIVE base AS (
   SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
          (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
@@ -3418,9 +3418,58 @@ pr(iter, id, rank) AS (
   JOIN deg d ON pr.id = d._src
   JOIN edges e ON pr.id = e._src
   WHERE pr.iter < 8
-  GROUP BY pr.iter, e._dst)
+  GROUP BY pr.iter, e._dst)"""
+
+SQL_GRAPH_PAGERANK = _GRAPH_PR_CTES + r"""
 SELECT id AS doc_id, rank AS rank_ppb
 FROM pr WHERE iter = 8
+ORDER BY doc_id
+"""
+
+
+def q_graph_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-canonical re-pick (pipelines/graph.py
+    canonical_by_centrality): connected components over the SAME
+    blocked fuzzy pair graph as ``graph_pagerank``, with each cluster's
+    canonical document chosen by highest integer PageRank (ties by min
+    id) instead of ``dup_clusters``'s min-id rule — the hub of a
+    near-dup star is the best exemplar."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pairs = (
+        fuzzy_blocked_pairs(docs, min_sim=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    clusters = dup_clusters(nodes, pairs)
+    return canonical_by_centrality(nodes, pairs, clusters, iters=8).orderBy(
+        "doc_id"
+    )
+
+
+# the pagerank CTE chain verbatim, plus a second recursive CTE for the
+# min-reachable-id components over the SAME symmetrized edges, plus the
+# one ranking window canonical_by_centrality adds.
+SQL_GRAPH_CANONICAL = _GRAPH_PR_CTES + r""",
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e._dst, r.lab FROM reach r JOIN edges e ON e._src = r.id),
+clus AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.id, c.cluster_id, p.rank AS rank_ppb,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY p.rank DESC, c.id ASC) AS rn
+  FROM clus c JOIN (SELECT id, rank FROM pr WHERE iter = 8) p
+    ON p.id = c.id)
+SELECT id AS doc_id, cluster_id, (rn = 1) AS is_canonical,
+       CAST(rank_ppb AS BIGINT) AS rank_ppb
+FROM ranked
 ORDER BY doc_id
 """
 
@@ -6739,6 +6788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_ngram_diversity": q_pipe_ngram_diversity,
         "w17_transitions": q_w17_transitions,
         "graph_pagerank": q_graph_pagerank,
+        "graph_canonical": q_graph_canonical,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_readability": q_text_readability,
         "text_unigram_seed": q_text_unigram_seed,
@@ -6850,6 +6900,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_priority": SQL_SAMPLE_PRIORITY,
         "text_kn_score": SQL_TEXT_KN_SCORE,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
+        "graph_canonical": SQL_GRAPH_CANONICAL,
         "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INC,
         "text_readability": SQL_TEXT_READABILITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,

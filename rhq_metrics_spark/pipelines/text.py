@@ -1863,6 +1863,7 @@ def kneser_ney_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     p_scale: int = 1_000_000,
+    min_count: int = 1,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995;
     Chen & Goodman 1998 eq. 4.25) — the stronger sibling of
@@ -1896,7 +1897,21 @@ def kneser_ney_score(
 
     Output: ``(id, n_bigrams, sum_p_bp, min_p_bp, kn_xent_qbits)``,
     one row per document with ≥ 1 bigram.
+
+    ``min_count`` (default 1 = exact) prunes the bigram TYPES table to
+    types seen at least that often BEFORE the count windows — the
+    standard n-gram-LM count cutoff (Chen & Goodman 1998 §5).  The
+    adversarial corpus where |types| ≈ |tokens| (uniform-random text:
+    143M types at 10M docs, ×100 = 33.8 in SCALE.md) collapses to the
+    repeated-type core, while Zipfian real corpora lose only the
+    singleton tail.  Pruned bigrams simply don't score: ``n_bigrams``
+    counts only surviving bigrams, and a document whose every bigram
+    was pruned drops from the output — the same contract as the
+    "≥ 1 bigram" floor.  At ``min_count=1`` output is bit-identical to
+    the unpruned exact computation.
     """
+    if min_count < 1:
+        raise ValueError(f"kneser_ney_score: min_count must be >= 1: {min_count}")
     bits = max(1, (p_scale).bit_length())
     toks_all = df.select(
         F.col(id_col).alias("_id"),
@@ -1916,6 +1931,8 @@ def kneser_ney_score(
         .select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    if min_count > 1:
+        bgc = bgc.filter(F.col("c_bg") >= min_count)
     # window over the TYPES table: c(w1 .) and N1+(w1 .) share one
     # exchange on w1; N1+(. w2) is the second exchange on w2.
     w1win = Window.partitionBy("w1")

@@ -423,6 +423,66 @@ def test_kneser_ney_score_matches_pure_python_reference(spark):
     assert got == want
 
 
+def test_kneser_ney_min_count_prune(spark):
+    """min_count=1 is bit-identical to the default exact computation;
+    min_count=2 recomputes the KN count tables over the pruned TYPES
+    table (the Chen & Goodman count cutoff) — matching the pure-Python
+    reference run on only the surviving types."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from rhq_metrics_spark.pipelines.text import kneser_ney_score
+
+    texts = {
+        0: "a b a b c a",
+        1: "a b",
+        2: "b c b a c c",
+        3: "q z",        # singleton bigram: pruned at min_count=2
+        4: "c a c a b b a",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    exact = sorted(map(tuple, kneser_ney_score(docs).collect()))
+    mc1 = sorted(map(tuple, kneser_ney_score(docs, min_count=1).collect()))
+    assert mc1 == exact
+
+    # pure-Python reference restricted to types with count >= 2
+    toks = {i: [t for t in s.split() if t] for i, s in texts.items()}
+    bgc = Counter()
+    occ = defaultdict(list)
+    for i, ts in toks.items():
+        for p in zip(ts, ts[1:]):
+            bgc[p] += 1
+            occ[i].append(p)
+    kept = {p: c for p, c in bgc.items() if c >= 2}
+    c_ctx = Counter(); n1p_fwd = Counter(); n1p_bwd = Counter()
+    for (a, b), c in kept.items():
+        c_ctx[a] += c; n1p_fwd[a] += 1; n1p_bwd[b] += 1
+    n_types = len(kept)
+    p_bp = {
+        p: int(math.floor(((4 * c - 3) / (4 * c_ctx[p[0]])
+             + (3 * n1p_fwd[p[0]]) / (4 * c_ctx[p[0]]) * (n1p_bwd[p[1]] / n_types))
+             * 1_000_000))
+        for p, c in kept.items()
+    }
+    want = {}
+    for i, pairs in occ.items():
+        ps = [p_bp[p] for p in pairs if p in kept]
+        if ps:
+            want[i] = (len(ps), sum(ps), min(ps),
+                       sum(21 - max(1, v.bit_length()) for v in ps))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_bp"], r["min_p_bp"], r["kn_xent_qbits"])
+        for r in kneser_ney_score(docs, min_count=2).collect()
+    }
+    assert got == want
+    assert 3 not in got and 1 in got  # all-singleton doc 3 ('q z') dropped
+
+    with pytest.raises(ValueError, match="min_count"):
+        kneser_ney_score(docs, min_count=0)
+
+
 def test_kneser_ney_prefers_versatile_continuations(spark):
     """The KN signature: a word seen after MANY distinct contexts gets
     more backoff mass than one frequent in a single context."""
