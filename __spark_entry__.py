@@ -2026,6 +2026,40 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+#: hard-negative ceiling — sits INSIDE the corpus's top-cosine band
+#: (~0.32-0.40 at sf0.01), so the filter genuinely reshapes ranks
+#: versus cosine_topk rather than passing everything through.
+HN_MAX = 0.35
+
+
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (pipelines/similarity.py
+    hard_negatives): per query, the top-k most similar corpus vectors
+    with cosine BELOW the near-dup ceiling — the ceiling filter applies
+    before the rank window, so excluded near-dups never hold a rank."""
+    from rhq_metrics_spark.pipelines.similarity import hard_negatives
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    out = hard_negatives(emb, queries, k=TOPK_K, max_cosine=HN_MAX)
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
+SQL_HARD_NEG = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {TOPK_NQ}),
+scored AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(v.e, q.qe) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+           FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored WHERE c < {HN_MAX})
+SELECT query_id, neighbor_id, round(c, 5) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 def q_embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via md5-plane LSH (integer-exact signatures) +
     exact re-rank — fully SQL-oracle-able: the oracle recomputes the
@@ -3355,6 +3389,125 @@ SELECT from_type, to_type, transitions, from_total,
        CAST(transitions * 1000000 // from_total AS BIGINT) AS prob_ppm
 FROM t
 ORDER BY from_type, to_type
+"""
+
+
+def q_w18_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 rolling active users (operators/funnel.py active_users):
+    exact DAU/WAU/MAU per day via interval-merge — distinct (user,
+    period) reduction, per-user gaps-and-islands to merged coverage
+    intervals, ±1 deltas, one cumulative sum over the period spine.
+    No sliding count_distinct recounting; the spine is #periods rows."""
+    from rhq_metrics_spark.operators.funnel import active_users
+
+    pts = _events_points(spark, sf_dir)
+    return active_users(
+        pts, user_col="user_id", ts_col="ts", period_ms=86_400_000,
+        windows=(1, 7, 30),
+    )
+
+
+# brute-force semantics: a user is window-w active at period p iff
+# they have any event in (p - w, p] — the oracle recounts every
+# (period, window) cell directly; the Spark side's interval-merge must
+# match it exactly.
+SQL_W18 = """
+WITH ev AS ({ev_sql}),
+act AS (SELECT DISTINCT user_id, ts // 86400000 AS p FROM ev),
+b AS (SELECT min(p) AS lo, max(p) AS hi FROM act),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS period FROM b),
+win(w) AS (SELECT unnest([1, 7, 30])),
+grid AS (SELECT s.period, w.w FROM spine s CROSS JOIN win w)
+SELECT g.period, CAST(g.w AS INTEGER) AS window_periods,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM grid g LEFT JOIN act a ON a.p > g.period - g.w AND a.p <= g.period
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_w19_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 frequent event paths (operators/funnel.py frequent_paths):
+    top-20 length-3 event sequences over user timelines with
+    occurrence + distinct-user support — one user-key window computes
+    both leads in one pass, one path-key hash-agg, top-k via
+    TakeOrderedAndProject."""
+    from rhq_metrics_spark.operators.funnel import frequent_paths
+
+    ev = _events_points(spark, sf_dir)
+    return frequent_paths(ev, length=3, k=20)
+
+
+SQL_W19 = """
+WITH ev AS ({ev_sql}),
+o AS (SELECT user_id, metric, ts, value,
+        lead(metric, 1) OVER uw AS m1,
+        lead(metric, 2) OVER uw AS m2
+      FROM ev
+      WINDOW uw AS (PARTITION BY user_id
+                    ORDER BY ts ASC, metric ASC, value ASC)),
+p AS (SELECT user_id, metric || '>' || m1 || '>' || m2 AS path
+      FROM o WHERE m2 IS NOT NULL),
+c AS (SELECT path, count(*) AS occurrences,
+             count(DISTINCT user_id) AS n_users
+      FROM p GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY occurrences DESC, path ASC)
+          AS rank
+      FROM c)
+SELECT path, occurrences, n_users, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+def q_w15_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15b funnel time-to-convert (operators/funnel.py
+    funnel_step_latency): per funnel step >= 2, integer latency stats
+    from the previous step's first-touch completion — exact lower
+    median and floor mean, all int64 (no percentile_approx).  Same
+    anchor chain and 7-day window as w15_funnel."""
+    from rhq_metrics_spark.operators.funnel import funnel_step_latency
+
+    pts = _events_points(spark, sf_dir)
+    return funnel_step_latency(
+        pts, FUNNEL_STEPS, user_col="user_id", type_col="metric",
+        ts_col="ts", window_ms=FUNNEL_WINDOW_MS,
+    )
+
+
+def _step_latency_sql() -> str:
+    w = FUNNEL_WINDOW_MS
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH ev AS ({EV_SQL}),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE metric = '{s1}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tk,
+              min(s1.t1) AS tprev
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.metric = '{s2}' AND e.ts > s1.t1 AND e.ts <= s1.t1 + {w}
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(s2.t1) AS t1, min(e.ts) AS tk,
+              min(s2.tk) AS tprev
+       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.metric = '{s3}' AND e.ts > s2.tk AND e.ts <= s2.t1 + {w}
+       GROUP BY 1),
+lat AS (SELECT 2 AS step_idx, '{s2}' AS step, user_id, tk - tprev AS lat
+        FROM s2
+        UNION ALL
+        SELECT 3, '{s3}', user_id, tk - tprev FROM s3),
+agg AS (SELECT step_idx, step, lat,
+               count(*) OVER (PARTITION BY step_idx) AS n,
+               sum(lat) OVER (PARTITION BY step_idx) AS s,
+               max(lat) OVER (PARTITION BY step_idx) AS mx,
+               row_number() OVER (PARTITION BY step_idx
+                                  ORDER BY lat ASC, user_id ASC) AS rn
+        FROM lat)
+SELECT CAST(step_idx AS INTEGER) AS step_idx, step,
+       CAST(n AS BIGINT) AS users, CAST(s AS BIGINT) AS sum_ms,
+       CAST(s // n AS BIGINT) AS mean_ms, CAST(lat AS BIGINT) AS p50_ms,
+       CAST(mx AS BIGINT) AS max_ms
+FROM agg WHERE rn = (n + 1) // 2
+ORDER BY step_idx
 """
 
 
@@ -6789,6 +6942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_transitions": q_w17_transitions,
         "graph_pagerank": q_graph_pagerank,
         "graph_canonical": q_graph_canonical,
+        "w18_active_users": q_w18_active_users,
+        "w19_frequent_paths": q_w19_frequent_paths,
+        "w15_step_latency": q_w15_step_latency,
+        "embed_hard_negatives": q_embed_hard_negatives,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
         "text_readability": q_text_readability,
         "text_unigram_seed": q_text_unigram_seed,
@@ -6901,6 +7058,10 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_score": SQL_TEXT_KN_SCORE,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "graph_canonical": SQL_GRAPH_CANONICAL,
+        "w18_active_users": SQL_W18.format(ev_sql=EV_SQL),
+        "w19_frequent_paths": SQL_W19.format(ev_sql=EV_SQL),
+        "w15_step_latency": _step_latency_sql(),
+        "embed_hard_negatives": SQL_HARD_NEG,
         "dedup_fuzzy_incremental": SQL_DEDUP_FUZZY_INC,
         "text_readability": SQL_TEXT_READABILITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,

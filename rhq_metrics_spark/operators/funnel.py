@@ -209,3 +209,254 @@ def event_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ms: int = 86_400_000,
+    windows: Sequence[int] = (1, 7, 30),
+) -> DataFrame:
+    """W18: rolling active-user counts — the DAU/WAU/MAU family.  For
+    every period in the data's span and every window ``w``: how many
+    distinct users had ≥ 1 event in the trailing ``w`` periods
+    ``(p − w, p]``.  DAU/MAU stickiness is ``w=1`` over ``w=30`` of
+    the same output.
+
+    Exactness WITHOUT per-period recounting: a user active at periods
+    {p₁ < p₂ < …} is window-w-active exactly on ∪ᵢ [pᵢ, pᵢ+w−1] — so
+    after reducing events to DISTINCT (user, period) pairs, a per-user
+    lag merges overlapping intervals (gaps-and-islands, the W2
+    machinery), each merged interval becomes a +1/−1 delta pair, and
+    one cumulative sum over the period spine yields every period's
+    exact distinct count.  No count_distinct over a sliding range, no
+    user×window fan-out.
+
+    Plan shape at 100 TB: one hash-agg to (user, period) [≤ users ×
+    span rows], one user-key window per requested w over that reduced
+    table, one tiny delta agg per period, and a cumulative window over
+    the PERIOD SPINE — #periods rows (a decade of days is 3,653 rows),
+    single partition by construction, never the corpus.
+
+    Output: ``(period, window_periods, active_users)`` — all integers,
+    hash-exact cross-engine; every period of the span appears (zero
+    when nobody was active), ordered by (period, window_periods).
+
+    Reference analogue: beyond the reference; extends its availability
+    uptime-ratio rollups (core/metrics-core-service/.../
+    MetricsServiceImpl.java findAvailabilityStats conventions) to
+    distinct-entity activity.
+    """
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError(f"active_users: windows must be positive: {windows}")
+    act = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.expr(f"{ts_col} div {period_ms}").alias("_p"),
+        )
+        .distinct()
+        .persist()
+    )
+    bounds = act.agg(
+        F.min("_p").alias("_lo"), F.max("_p").alias("_hi")
+    ).first()
+    if bounds["_lo"] is None:
+        act.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "period long, window_periods int, active_users long"
+        )
+    spine = df.sparkSession.range(bounds["_lo"], bounds["_hi"] + 1).select(
+        F.col("id").alias("period")
+    )
+    uw = Window.partitionBy("_u").orderBy("_p")
+    legs = []
+    for w in windows:
+        # merged-interval starts: gap from the previous activity >= w
+        marked = act.withColumn("_prev", F.lag("_p").over(uw)).withColumn(
+            "_next", F.lead("_p").over(uw)
+        )
+        starts = marked.filter(
+            F.col("_prev").isNull() | (F.col("_p") - F.col("_prev") >= w)
+        ).select(F.col("_p").alias("period"), F.lit(1).alias("_d"))
+        ends = marked.filter(
+            F.col("_next").isNull() | (F.col("_next") - F.col("_p") >= w)
+        ).select((F.col("_p") + w).alias("period"), F.lit(-1).alias("_d"))
+        deltas = (
+            starts.unionByName(ends)
+            .groupBy("period")
+            .agg(F.sum("_d").alias("_d"))
+        )
+        cum = Window.orderBy("period").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        leg = (
+            spine.join(deltas, "period", "left")
+            .select("period", F.coalesce(F.col("_d"), F.lit(0)).alias("_d"))
+            .withColumn("active_users", F.sum("_d").over(cum))
+            .select(
+                "period",
+                F.lit(int(w)).alias("window_periods"),
+                F.col("active_users").cast("long"),
+            )
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("period", "window_periods")
+
+
+def frequent_paths(
+    df: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """W19: top-k frequent event paths — every run of ``length``
+    consecutive events in a user's timeline becomes the path string
+    ``"a>b>c"``; paths are counted corpus-wide with distinct-user
+    support.  The sequence-mining sibling of :func:`event_transitions`
+    (which is the ``length=2`` pair matrix before ranking).
+
+    Ordering inside a timeline is the same deterministic composite
+    ``(ts, type, value)`` as W17, so the path multiset is a pure
+    function of the data in any engine.
+
+    Plan shape at 100 TB: ONE window shuffle on the user key computes
+    all ``length−1`` leads in one pass (same window spec → one
+    exchange, plan-guarded in tests), then one hash-agg on the path
+    key; top-k is ``orderBy(...).limit(k)`` — TakeOrderedAndProject
+    over the path table (|distinct paths| rows), never a global sort
+    of events.
+
+    Output: ``(path, occurrences, n_users, rank)`` — rank by
+    (occurrences desc, path asc), ties deterministic.
+    """
+    if length < 2:
+        raise ValueError(f"frequent_paths: length must be >= 2: {length}")
+    if k < 1:
+        raise ValueError(f"frequent_paths: k must be >= 1: {k}")
+    order_cols = [F.col(ts_col).asc(), F.col(type_col).asc()]
+    if value_col is not None:
+        order_cols.append(F.col(value_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    paths = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.concat_ws(">", *steps).alias("path"),
+            steps[-1].isNotNull().alias("_complete"),
+        )
+        .filter(F.col("_complete"))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("_u").alias("n_users"),
+        )
+    )
+    ranked = paths.orderBy(
+        F.col("occurrences").desc(), F.col("path").asc()
+    ).limit(k)
+    rw = Window.orderBy(F.col("occurrences").desc(), F.col("path").asc())
+    return ranked.withColumn("rank", F.row_number().over(rw)).select(
+        "path", "occurrences", "n_users", "rank"
+    )
+
+
+def funnel_step_latency(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "metric",
+    ts_col: str = "ts",
+    window_ms: int | None = None,
+) -> DataFrame:
+    """W15b: time-to-convert between adjacent funnel steps — for every
+    user who completed step k (same first-touch semantics and window
+    anchoring as :func:`funnel_steps`), the latency from their step-
+    (k−1) completion to their step-k completion, aggregated per step.
+
+    The median is the exact lower median (element at position
+    ``(n+1) div 2`` of the sorted latencies) and the mean is floor
+    integer division — every output is an int64, hash-exact
+    cross-engine (the shared discipline: no percentile_approx, no
+    float averaging).
+
+    Output: one row per step k ≥ 2 — ``(step_idx, step, users,
+    sum_ms, mean_ms, p50_ms, max_ms)``.
+
+    100 TB shape: the funnel chain is the same per-step pushed-down
+    filter + per-user min-agg joins as ``funnel_steps`` (anchor tables
+    are #users rows); the latency union holds one row per CONVERTING
+    user per step, and the median window partitions by step over that
+    users-row table — never events.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_step_latency needs >= 2 steps")
+    anchors = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    # each stage table is #users rows: eager localCheckpoint (the
+    # priority_sample discipline) so the event scan behind a stage runs
+    # once and nothing stays pinned in the cache after return
+    prev = anchors.withColumn("_tk", F.col("_t1")).localCheckpoint(eager=True)
+    lat_legs = []
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        joined = ev.join(prev.select("_u", "_t1", "_tk"), "_u").filter(
+            F.col("_ts") > F.col("_tk")
+        )
+        if window_ms is not None:
+            joined = joined.filter(F.col("_ts") <= F.col("_t1") + window_ms)
+        nxt = (
+            joined.groupBy("_u")
+            .agg(
+                F.min("_t1").alias("_t1"),
+                F.min("_ts").alias("_tk"),
+                F.min("_tk").alias("_tprev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        lat_legs.append(
+            nxt.select(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                "_u",
+                (F.col("_tk") - F.col("_tprev")).alias("_lat"),
+            )
+        )
+        prev = nxt.select("_u", "_t1", "_tk")
+    lats = lat_legs[0]
+    for leg in lat_legs[1:]:
+        lats = lats.unionByName(leg)
+    sw = Window.partitionBy("step_idx")
+    ow = Window.partitionBy("step_idx").orderBy(
+        F.col("_lat").asc(), F.col("_u").asc()
+    )
+    return (
+        lats.withColumn("_n", F.count(F.lit(1)).over(sw))
+        .withColumn("_rn", F.row_number().over(ow))
+        .withColumn("_sum", F.sum("_lat").over(sw))
+        .withColumn("_max", F.max("_lat").over(sw))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(
+            "step_idx",
+            "step",
+            F.col("_n").alias("users"),
+            F.col("_sum").alias("sum_ms"),
+            F.expr("_sum div _n").alias("mean_ms"),
+            F.col("_lat").alias("p50_ms"),
+            F.col("_max").alias("max_ms"),
+        )
+        .orderBy("step_idx")
+    )

@@ -632,6 +632,68 @@ def ivf_query_index(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    ``k`` MOST similar corpus vectors whose cosine stays BELOW
+    ``max_cosine`` — the classic training-pair construction for
+    bi-encoder retrieval models (Karpukhin et al. 2020 DPR; Gao et al.
+    2021 SimCSE): near-duplicates at/above the ceiling are positives
+    or leakage, not negatives, and the most informative negatives are
+    the hardest ones just under it.
+
+    Exact brute-force leg (this function): the :func:`cosine_topk`
+    scoring subtree with the ceiling filter applied BEFORE the rank
+    window, so excluded near-dups never occupy a rank.  At corpus
+    scale, compose the same ceiling+rank over an ANN shortlist instead
+    (:func:`ivf_query_index` / :func:`lsh_cosine_topk` with k inflated
+    by the expected near-dup count) — the filter is a one-line
+    post-pass on any candidate frame.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)``, rank 1 = the
+    hardest negative; ties broken by neighbor id (deterministic).
+    """
+    if not 0 < max_cosine <= 1:
+        raise ValueError(
+            f"hard_negatives: max_cosine out of (0, 1]: {max_cosine}"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", _l2norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", _l2norm(F.col("_qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < max_cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # -- recall measurement & sizing (the target-recall dial) --------------------
 
 

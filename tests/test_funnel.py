@@ -355,3 +355,163 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
     }
     assert dict(got) == want
     assert len(streamed) == sum(want.values())  # exactly-once per pair
+
+
+def test_active_users_hand_computed(spark):
+    """DAU/WAU interval-merge counts on a planted activity grid,
+    including a gap that splits a user's coverage interval."""
+    from rhq_metrics_spark.operators.funnel import active_users
+
+    P = 1000  # period_ms
+    rows = [
+        # user 1 active periods {0, 1, 4}; user 2 active {1}; two
+        # events in one period collapse to one activity
+        (1, 10), (1, 20), (1, 1500), (1, 4100),
+        (2, 1999),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r["period"], r["window_periods"]): r["active_users"]
+        for r in active_users(df, period_ms=P, windows=(1, 3)).collect()
+    }
+    # w=1 (DAU): p0={1}, p1={1,2}, p2={}, p3={}, p4={1}
+    assert [out[(p, 1)] for p in range(5)] == [1, 2, 0, 0, 1]
+    # w=3: p covers users active in (p-3, p]
+    # p0={1}, p1={1,2}, p2={1,2}, p3={1,2}, p4={1}
+    assert [out[(p, 3)] for p in range(5)] == [1, 2, 2, 2, 1]
+    assert len(out) == 10  # full spine x 2 windows
+
+
+def test_active_users_matches_brute_force(spark):
+    """Interval-merge == naive per-period distinct recount on a random
+    fixture (the oracle semantics)."""
+    import hashlib
+
+    from rhq_metrics_spark.operators.funnel import active_users
+
+    rows = []
+    for i in range(500):
+        h = int(hashlib.md5(f"au:{i}".encode()).hexdigest(), 16)
+        rows.append((h % 37, (h // 37) % 60_000))
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    P = 1000
+    acts = {(u, t // P) for u, t in rows}
+    lo = min(p for _, p in acts)
+    hi = max(p for _, p in acts)
+    got = {
+        (r["period"], r["window_periods"]): r["active_users"]
+        for r in active_users(df, period_ms=P, windows=(1, 7, 30)).collect()
+    }
+    for w in (1, 7, 30):
+        for p in range(lo, hi + 1):
+            want = len({u for (u, pa) in acts if p - w < pa <= p})
+            assert got[(p, w)] == want, (p, w)
+
+
+def test_active_users_empty_and_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.operators.funnel import active_users
+
+    df = spark.createDataFrame([], "user_id long, ts long")
+    assert active_users(df).count() == 0
+    with pytest.raises(ValueError, match="windows"):
+        active_users(df, windows=())
+    with pytest.raises(ValueError, match="windows"):
+        active_users(df, windows=(0,))
+
+
+def test_frequent_paths_hand_computed(spark):
+    from rhq_metrics_spark.operators.funnel import frequent_paths
+
+    rows = [
+        # user 1: v>c>v>p  -> paths v>c>v, c>v>p
+        (1, "v", 10, 1.0), (1, "c", 20, 1.0), (1, "v", 30, 1.0),
+        (1, "p", 40, 1.0),
+        # user 2: v>c>v    -> path v>c>v
+        (2, "v", 10, 1.0), (2, "c", 20, 1.0), (2, "v", 30, 1.0),
+        # user 3: one event, no complete path
+        (3, "v", 10, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    got = [
+        (r["path"], r["occurrences"], r["n_users"], r["rank"])
+        for r in frequent_paths(df, length=3, k=10).collect()
+    ]
+    assert got == [("v>c>v", 2, 2, 1), ("c>v>p", 1, 1, 2)]
+    # length=2 degenerates to the transition pair multiset
+    pairs = {
+        r["path"]: r["occurrences"]
+        for r in frequent_paths(df, length=2, k=10).collect()
+    }
+    assert pairs == {"v>c": 2, "c>v": 2, "v>p": 1}
+
+
+def test_frequent_paths_same_ts_composite_order_and_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.operators.funnel import frequent_paths
+
+    rows = [(1, "b", 10, 2.0), (1, "a", 10, 1.0), (1, "c", 20, 1.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    got = [r["path"] for r in frequent_paths(df, length=2, k=10).collect()]
+    # same-ts tie orders by type: a before b
+    assert sorted(got) == ["a>b", "b>c"]
+    with pytest.raises(ValueError, match="length"):
+        frequent_paths(df, length=1)
+    with pytest.raises(ValueError, match="k"):
+        frequent_paths(df, k=0)
+
+
+def test_funnel_step_latency_hand_computed(spark):
+    """Latencies between first-touch completions, exact lower median
+    (odd and even n), window_ms exclusion."""
+    from rhq_metrics_spark.operators.funnel import funnel_step_latency
+
+    rows = [
+        # u1: view@10 -> click@30 (lat 20) -> buy@100 (lat 70)
+        (1, "view", 10), (1, "click", 30), (1, "buy", 100),
+        # u2: view@10 -> click@20 (lat 10), no buy
+        (2, "view", 10), (2, "click", 20),
+        # u3: view@10 -> click@50 (lat 40) -> buy@60 (lat 10)
+        (3, "view", 10), (3, "click", 50), (3, "buy", 60),
+        # u4: click@5 only (no anchor -> excluded)
+        (4, "click", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, metric string, ts long")
+    got = {
+        r["step_idx"]: (
+            r["step"], r["users"], r["sum_ms"], r["mean_ms"], r["p50_ms"],
+            r["max_ms"],
+        )
+        for r in funnel_step_latency(df, ["view", "click", "buy"]).collect()
+    }
+    # click latencies: 20, 10, 40 -> n=3, sum=70, mean=23, p50=20, max=40
+    assert got[2] == ("click", 3, 70, 23, 20, 40)
+    # buy latencies: 70, 10 -> n=2 (even), sum=80, mean=40, p50=10 (lower
+    # median = element (n+1) div 2 = 1st), max=70
+    assert got[3] == ("buy", 2, 80, 40, 10, 70)
+    # window_ms=45 anchored at step 1: u1 buy@100 > 10+45 excluded;
+    # u3 click@50 > 55? no: 50 <= 55 kept, buy@60 excluded
+    got_w = {
+        r["step_idx"]: (r["users"], r["p50_ms"])
+        for r in funnel_step_latency(
+            df, ["view", "click", "buy"], window_ms=45
+        ).collect()
+    }
+    assert got_w[2] == (3, 20)
+    assert 3 not in got_w  # nobody converted to buy inside the window
+
+
+def test_funnel_step_latency_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.operators.funnel import funnel_step_latency
+
+    df = spark.createDataFrame([(1, "a", 1)], "user_id long, metric string, ts long")
+    with pytest.raises(ValueError, match="steps"):
+        funnel_step_latency(df, ["a"])

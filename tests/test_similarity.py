@@ -511,3 +511,68 @@ def test_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
         per_q[rw["query_id"]] = per_q.get(rw["query_id"], 0) + 1
     assert all(v == 5 for v in per_q.values())
     emb.unpersist()
+
+
+def test_hard_negatives_excludes_near_dups_and_ranks(spark):
+    """The ceiling filter applies BEFORE ranking: a near-duplicate at
+    cosine >= max_cosine never occupies a rank, and the hardest
+    surviving negative is rank 1.  Pinned against brute force."""
+    import numpy as np
+
+    from rhq_metrics_spark.pipelines.similarity import hard_negatives
+
+    rng = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0 (cos ~ 0.9999)
+        (2, [0.8, 0.6, 0.0]),      # cos 0.8 with 0
+        (3, [0.6, 0.8, 0.0]),      # cos 0.6
+        (4, [0.0, 1.0, 0.0]),      # cos 0
+        (5, [0.0, 0.0, 1.0]),      # cos 0
+    ]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negatives(emb, q, k=3, max_cosine=0.95).collect()
+    ]
+    assert out == [(2, 1), (3, 2), (4, 3)]  # 1 excluded, ties by id
+
+    # brute-force pin on a random fixture
+    import hashlib
+
+    def vec(i):
+        h = int(hashlib.md5(f"hn:{i}".encode()).hexdigest(), 16)
+        return [((h >> (8 * j)) % 1000) / 1000.0 + 0.001 for j in range(4)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb2.filter("vec_id < 3")
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in hard_negatives(emb2, queries, k=4, max_cosine=0.99).collect()
+    ]
+    arr = {i: np.array(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(arr[a] @ arr[b] / (np.linalg.norm(arr[a]) * np.linalg.norm(arr[b])))
+
+    want = []
+    for qid in range(3):
+        cands = [
+            (i, cos(qid, i)) for i in arr if i != qid and cos(qid, i) < 0.99
+        ]
+        cands.sort(key=lambda p: (-p[1], p[0]))
+        want += [(qid, nid, rk + 1) for rk, (nid, _) in enumerate(cands[:4])]
+    assert sorted(got) == sorted(want)
+
+
+def test_hard_negatives_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_cosine"):
+        hard_negatives(emb, emb, max_cosine=0.0)
