@@ -328,3 +328,86 @@ def streaming_transitions(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W19: live event paths — the continuous twin of
+# operators/funnel.py frequent_paths (fixed length = PATHS_LENGTH).
+
+PATHS_LENGTH = 3
+
+PATHS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("path", StringType(), False),
+        StructField("ts", LongType(), False),
+    ]
+)
+
+#: the last (PATHS_LENGTH - 1) events of the user's timeline, newest
+#: last, as parallel arrays — plus the composite replay-guard key of
+#: the newest one (same discipline as the transitions twin).
+PATHS_STATE_SCHEMA = StructType(
+    [
+        StructField("tss", ArrayType(LongType()), True),
+        StructField("types", ArrayType(StringType()), True),
+        StructField("vqs", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _paths_group(
+    key: tuple,
+    pdfs: "Iterator[pd.DataFrame]",
+    state: "GroupState",
+) -> "Iterator[pd.DataFrame]":
+    (user_id,) = key
+    keep = PATHS_LENGTH - 1
+    if state.exists:
+        tss, types, vqs = (list(x) for x in state.get)
+    else:
+        tss, types, vqs = [], [], []
+    entry_key = (tss[-1], types[-1], vqs[-1]) if tss else None
+    out: dict[str, list] = {"path": [], "ts": []}
+    frames = list(pdfs)
+    merged = pd.concat(frames) if frames else pd.DataFrame()
+    if len(merged):
+        vq = (merged["value"] * _VQ).round()
+        vq = vq.where(merged["value"].notna(), _VQ_NULL).astype("int64")
+        merged = merged.assign(_vq=vq)
+        merged = merged.sort_values(["ts", "metric", "_vq"])
+        for ts, et, v in zip(merged["ts"], merged["metric"], merged["_vq"]):
+            ts, et, v = int(ts), str(et), int(v)
+            if entry_key is not None and (ts, et, v) <= entry_key:
+                continue
+            if len(types) == keep:
+                out["path"].append(">".join(types + [et]))
+                out["ts"].append(ts)
+            tss = (tss + [ts])[-keep:]
+            types = (types + [et])[-keep:]
+            vqs = (vqs + [v])[-keep:]
+            entry_key = (ts, et, v)
+    state.update((tss, types, vqs))
+    if out["ts"]:
+        yield pd.DataFrame(
+            {"user_id": user_id, "path": out["path"], "ts": out["ts"]}
+        )
+
+
+def streaming_paths(stream_df: DataFrame) -> DataFrame:
+    """Input: streaming ``(user_id, metric, ts, value)`` events.
+    Output stream: one append row per COMPLETED length-``PATHS_LENGTH``
+    path (ts = the closing event).  ``groupBy(path).count()`` on the
+    sink equals the batch :func:`~rhq_metrics_spark.operators.funnel.
+    frequent_paths` occurrence multiset over an in-order replay —
+    the top-k ranking is one tiny agg over it.  State is the last
+    ``PATHS_LENGTH − 1`` events per user (three short arrays); paths
+    spanning micro-batch boundaries are emitted exactly once via the
+    composite (ts, type, value) replay guard."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _paths_group,
+        outputStructType=PATHS_OUTPUT_SCHEMA,
+        stateStructType=PATHS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -196,3 +196,43 @@ def test_transitions_null_value_tolerated_and_ordered_nulls_first():
     assert list(zip(out2["from_type"], out2["to_type"], out2["ts"])) == [
         ("view", "view", 10)
     ]
+
+
+def test_paths_cross_batch_and_replay_guard():
+    """Length-3 paths spanning micro-batch boundaries are emitted
+    exactly once; a replayed prefix is skipped; path multiset equals
+    the batch sliding-window expansion."""
+    from rhq_metrics_spark.streaming.funnel import _paths_group
+
+    b1 = _pdf({"ts": [10, 20], "metric": ["v", "c"], "value": [1.0, 1.0]})
+    state = FakeState()
+    out1 = list(_paths_group((1,), iter([b1]), state))
+    assert out1 == []  # only 2 events seen, no complete path yet
+    # batch 2 replays (20, c) and adds two new events
+    b2 = _pdf(
+        {"ts": [20, 30, 40], "metric": ["c", "v", "p"], "value": [1.0, 1.0, 1.0]}
+    )
+    out2 = pd.concat(list(_paths_group((1,), iter([b2]), state)))
+    assert list(zip(out2["path"], out2["ts"])) == [("v>c>v", 30), ("c>v>p", 40)]
+    tss, types, vqs = state.get
+    assert list(types) == ["v", "p"]
+
+
+def test_paths_same_ts_composite_order_and_null_value():
+    """Same-ts events order by (type, value) with null values first —
+    matching the batch frequent_paths window order."""
+    import numpy as np
+
+    from rhq_metrics_spark.streaming.funnel import _paths_group
+
+    batch = _pdf(
+        {
+            "ts": [10, 10, 10, 20],
+            "metric": ["b", "a", "a", "c"],
+            "value": [1.0, 2.0, np.nan, 1.0],
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(_paths_group((1,), iter([batch]), state)))
+    # order: (10,a,null), (10,a,2.0), (10,b,1.0), (20,c,1.0)
+    assert list(out["path"]) == ["a>a>b", "a>b>c"]
