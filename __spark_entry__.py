@@ -3511,6 +3511,151 @@ ORDER BY step_idx
 """
 
 
+ATTR_TOUCHES = ["view", "click"]
+ATTR_LOOKBACK_MS = 86_400_000
+
+
+def q_w20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 last-touch attribution (operators/funnel.py attribution):
+    each purchase credits the user's most recent view/click within a
+    1-day lookback, else '(none)' — ONE user-key window
+    (last-ignore-nulls over preceding rows, composite order) + one
+    touch-type hash-agg over conversions; exact micro-unit value sums."""
+    from rhq_metrics_spark.operators.funnel import attribution
+
+    pts = _events_points(spark, sf_dir)
+    return attribution(
+        pts, "purchase", ATTR_TOUCHES, lookback_ms=ATTR_LOOKBACK_MS,
+    )
+
+
+def _attribution_sql() -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+WITH ev AS ({EV_SQL}),
+o AS (SELECT user_id, metric, ts, value,
+        last_value(CASE WHEN metric IN ({touches}) THEN ts END IGNORE NULLS)
+          OVER uw AS t_ts,
+        last_value(CASE WHEN metric IN ({touches}) THEN metric END IGNORE NULLS)
+          OVER uw AS t_tt
+      FROM ev
+      WINDOW uw AS (PARTITION BY user_id
+                    ORDER BY ts ASC, metric ASC, value ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+c AS (SELECT CASE WHEN t_tt IS NOT NULL AND ts - t_ts <= {ATTR_LOOKBACK_MS}
+                  THEN t_tt ELSE '(none)' END AS touch_type,
+             user_id,
+             coalesce(CAST(floor(value * 1000000) AS BIGINT), 0) AS vq
+      FROM o WHERE metric = 'purchase')
+SELECT touch_type, count(*) AS conversions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(sum(vq) AS BIGINT) AS value_micro
+FROM c GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_w18_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 sketch twin (operators/funnel.py active_users_hll): per-day
+    HLL register tables over user ids merged by max(rho) across each
+    trailing window — the rollup-serving scale path; integer register
+    summaries + the one-division raw estimate (the ln-free branch, so
+    the double is bit-identical cross-engine)."""
+    from rhq_metrics_spark.operators.funnel import active_users_hll
+
+    pts = _events_points(spark, sf_dir)
+    return active_users_hll(
+        pts, user_col="user_id", ts_col="ts", period_ms=86_400_000,
+        windows=(1, 7, 30),
+    )
+
+
+# same literal as HLL_NUMERATOR below (defined there next to the
+# sketch_hll oracle); duplicated here because this f-string renders at
+# import time, before that line runs
+_W18_HLL_NUMERATOR = 0.709 * 64 * 64 * float(1 << 40)
+
+SQL_W18_HLL = rf"""
+WITH ev AS ({{ev_sql}}),
+act AS (SELECT DISTINCT ts // 86400000 AS p, user_id AS u FROM ev),
+rr AS (SELECT p,
+         CAST(CAST(concat('0x', substr(md5(concat('hll:r:',
+                CAST(u AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS INTEGER)
+           AS reg,
+         least((15 - length(regexp_replace(substr(md5(concat('hll:h:',
+                  CAST(u AS VARCHAR))), 1, 15), '^0*', ''))) * 4
+               + CASE substr(regexp_replace(substr(md5(concat('hll:h:',
+                        CAST(u AS VARCHAR))), 1, 15), '^0*', ''), 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                   WHEN '7' THEN 1 ELSE 0 END
+               + 1, 40) AS rho
+       FROM act),
+regs AS (SELECT p, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+b AS (SELECT min(p) AS lo, max(p) AS hi FROM regs),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS period FROM b),
+win(w) AS (SELECT unnest([1, 7, 30])),
+served AS (SELECT s.period, w.w, r.reg, max(r.rho) AS rho
+           FROM spine s CROSS JOIN win w
+           JOIN regs r ON r.p > s.period - w.w AND r.p <= s.period
+           GROUP BY 1, 2, 3),
+agg AS (SELECT period, w, count(*) AS regs_used,
+          CAST(sum(CAST(pow(2, 40 - rho) AS BIGINT)) AS BIGINT) AS sp
+        FROM served GROUP BY 1, 2)
+SELECT period, CAST(w AS INTEGER) AS window_periods,
+       CAST(regs_used AS BIGINT) AS regs_used,
+       CAST(64 - regs_used AS BIGINT) AS zeros,
+       CAST(sp + (64 - regs_used) * 1099511627776 AS BIGINT) AS sum_scaled,
+       {_W18_HLL_NUMERATOR!r}
+         / CAST(sp + (64 - regs_used) * 1099511627776 AS DOUBLE) AS raw_est
+FROM agg
+ORDER BY period, window_periods
+"""
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise lift (pipelines/text.py
+    collocations, Church & Hanks 1990 association ratio without the
+    log): exact int64 counts, fixed IEEE lift tree, min_count=3 sparse
+    floor; one bigram + one unigram hash-agg, TakeOrderedAndProject."""
+    from rhq_metrics_spark.pipelines.text import collocations
+
+    docs = _table(spark, sf_dir, "documents")
+    return collocations(docs, k=20, min_count=3)
+
+
+SQL_TEXT_COLLOC = r"""
+WITH d AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM d),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       FROM d, unnest(range(1, len(toks))) AS t(i)
+       WHERE len(toks) >= 2),
+bgc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n_bg FROM bgc),
+j AS (SELECT w1, w2, pair_count, a.c AS c1, b.c AS c2, n_tok, n_bg
+      FROM bgc
+      JOIN uc a ON a.w = bgc.w1
+      JOIN uc b ON b.w = bgc.w2, nt, nb
+      WHERE pair_count >= 3 AND a.c >= 3 AND b.c >= 3),
+s AS (SELECT w1, w2, pair_count, c1, c2,
+        (CAST(pair_count AS DOUBLE) / CAST(n_bg AS DOUBLE))
+          / ((CAST(c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             * (CAST(c2 AS DOUBLE) / CAST(n_tok AS DOUBLE))) AS lift
+      FROM j),
+r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC)
+          AS rank
+      FROM s)
+SELECT w1, w2, pair_count, c1, c2, round(lift, 6) AS lift_r,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 20
+ORDER BY rank
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (pipelines/graph.py pagerank) over the blocked
     fuzzy near-dup pair graph: exact int64 ppb ranks, 8 supersteps of
@@ -6877,6 +7022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "w20_attribution": q_w20_attribution,
+        "w18_active_users_hll": q_w18_active_users_hll,
+        "text_collocations": q_text_collocations,
         "graph_canonical": q_graph_canonical,
         "w18_active_users": q_w18_active_users,
         "w19_frequent_paths": q_w19_frequent_paths,
@@ -7055,6 +7203,9 @@ def oracle_sql() -> dict[str, str]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "w20_attribution": _attribution_sql(),
+        "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),
+        "text_collocations": SQL_TEXT_COLLOC,
         "graph_canonical": SQL_GRAPH_CANONICAL,
         "w18_active_users": SQL_W18.format(ev_sql=EV_SQL),
         "w19_frequent_paths": SQL_W19.format(ev_sql=EV_SQL),

@@ -460,3 +460,172 @@ def funnel_step_latency(
         )
         .orderBy("step_idx")
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_ms: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """W20: last-touch conversion attribution — for every conversion
+    event, credit the user's most recent preceding touch event (type in
+    ``touch_types``), optionally only if it fell within ``lookback_ms``
+    before the conversion; conversions with no qualifying touch credit
+    ``(none)``.  The marketing-attribution shape (last non-direct
+    click) on the same event model as the funnel family.
+
+    Value is credited in exact micro-units (``floor(value · 1e6)`` per
+    conversion BEFORE the sum, so the total is an order-independent
+    int64 — the shared fixed-point discipline; null values credit 0).
+
+    Plan shape at 100 TB: ONE user-key window (last-ignore-nulls over
+    rows preceding the current one, same deterministic (ts, type,
+    value) composite order as W17) + one touch-type hash-agg over the
+    CONVERSION rows only.  No self-join of events with events.
+
+    Output: ``(touch_type, conversions, users, value_micro)`` ordered
+    by touch_type — all integers, hash-exact.
+    """
+    if not touch_types:
+        raise ValueError("attribution: touch_types must be non-empty")
+    if conversion_type in set(touch_types):
+        raise ValueError(
+            "attribution: conversion_type cannot be a touch type"
+        )
+    order_cols = [
+        F.col(ts_col).asc(), F.col(type_col).asc(), F.col(value_col).asc()
+    ]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tt")),
+    )
+    marked = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.last(touch, ignorenulls=True).over(w).alias("_touch"),
+    ).filter(F.col(type_col) == conversion_type)
+    qualified = F.col("_touch").isNotNull() & (
+        F.lit(True)
+        if lookback_ms is None
+        else (F.col(ts_col) - F.col("_touch.ts") <= lookback_ms)
+    )
+    credited = marked.select(
+        F.when(qualified, F.col("_touch.tt"))
+        .otherwise(F.lit("(none)"))
+        .alias("touch_type"),
+        "_u",
+        F.coalesce(
+            F.floor(F.col(value_col) * 1_000_000).cast("long"), F.lit(0)
+        ).alias("_vq"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.countDistinct("_u").alias("users"),
+            F.sum("_vq").alias("value_micro"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def active_users_hll(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ms: int = 86_400_000,
+    windows: Sequence[int] = (1, 7, 30),
+    m: int = 64,
+) -> DataFrame:
+    """The SKETCH serving twin of :func:`active_users`: per-period HLL
+    register tables over user ids (pipelines/sketches.py
+    hll_registers — md5-derived, engine-portable), merged by
+    ``max(rho)`` across each trailing window — the rollup-serving
+    contract: registers are built from the data ONCE, and any window's
+    estimate is a merge of #periods × m tiny register rows, with zero
+    re-scans of the events.  This is the 100 TB serving path when the
+    exact interval-merge's distinct (user, period) reduction is itself
+    too large to rebuild per query window.
+
+    Output: ``(period, window_periods, regs_used, zeros, sum_scaled,
+    raw_est)`` — the integer register summaries are hash-exact
+    cross-engine and ``raw_est`` is the one-division raw HLL estimate
+    (bit-identical IEEE); the linear-counting small-range correction
+    (which calls ``ln``) is deliberately NOT applied here — apply
+    ``hll_estimate``'s correction at the serving edge when absolute
+    small-count accuracy matters more than cross-engine exactness.
+    """
+    from rhq_metrics_spark.pipelines.sketches import (
+        _HLL_ALPHA,
+        _HLL_RHO_CAP,
+        hll_registers,
+    )
+
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError(
+            f"active_users_hll: windows must be positive: {windows}"
+        )
+    act = df.select(
+        F.expr(f"{ts_col} div {period_ms}").alias("_p"),
+        F.col(user_col).alias("_u"),
+    )
+    regs = hll_registers(act, group_col="_p", value_col="_u", m=m).persist()
+    bounds = regs.agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi")).first()
+    if bounds["_lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "period long, window_periods int, regs_used long, zeros long,"
+            " sum_scaled long, raw_est double",
+        )
+    hi = bounds["_hi"]
+    numerator = _HLL_ALPHA[m] * m * m * float(1 << _HLL_RHO_CAP)
+    cap_term = 1 << _HLL_RHO_CAP
+    legs = []
+    for w in windows:
+        served = (
+            regs.select(
+                F.explode(
+                    F.sequence(F.col("_p"), F.least(F.col("_p") + w - 1, F.lit(hi)))
+                ).alias("period"),
+                "reg",
+                "rho",
+            )
+            .groupBy("period", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        agg = served.groupBy("period").agg(
+            F.count(F.lit(1)).alias("regs_used"),
+            F.sum(
+                F.expr(f"cast(pow(2, {_HLL_RHO_CAP} - rho) as bigint)")
+            ).alias("_sp"),
+        )
+        legs.append(
+            agg.select(
+                "period",
+                F.lit(int(w)).alias("window_periods"),
+                F.col("regs_used").cast("long"),
+                (F.lit(m) - F.col("regs_used")).cast("long").alias("zeros"),
+                (
+                    F.col("_sp") + (F.lit(m) - F.col("regs_used")) * F.lit(cap_term)
+                ).cast("long").alias("sum_scaled"),
+            ).withColumn(
+                "raw_est",
+                F.lit(numerator) / F.col("sum_scaled").cast("double"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("period", "window_periods")

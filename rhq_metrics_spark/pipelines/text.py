@@ -2034,3 +2034,111 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
         ).alias("fk_grade_r"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise lift — adjacent word pairs whose
+    observed frequency most exceeds the independence expectation
+    (Church & Hanks 1990's association-ratio / PMI family, served as a
+    ratio instead of its log so no ``ln`` enters the cross-engine
+    contract):
+
+        lift = P(w1 w2) / (P(w1) · P(w2))
+             = (c_bg / N_bg) / ((c1 / N_tok) · (c2 / N_tok))
+
+    High-lift pairs are the corpus's multiword expressions ("new york",
+    "machine learning") — the vocabulary-analysis signal a tokenizer /
+    data-card builder reports next to distinct-n diversity.
+    ``min_count`` (on both the pair and each word) applies the standard
+    sparse-count floor, without which singleton pairs dominate.
+
+    Determinism: all counts are exact int64; lift is the FIXED IEEE
+    expression tree above (two divisions, one multiply, one divide —
+    each correctly rounded, so the double is bit-identical in any
+    engine and the (lift desc, pair asc) ranking cannot diverge);
+    output rounds to 6 dp for display AFTER ranking.
+
+    Plan shape at 100 TB: one bigram hash-agg + one unigram hash-agg
+    over the same tokenized scan; unigram counts re-join the bigram
+    TYPE table (|distinct pairs| rows, twice, by word key); top-k is
+    TakeOrderedAndProject.  Nothing all-pairs — only ADJACENT pairs
+    are candidates.
+
+    Output: ``(w1, w2, pair_count, c1, c2, lift_r, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"collocations: k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"collocations: min_count must be >= 1: {min_count}")
+    toks = df.select(
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks")
+    ).persist()
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tok"), F.lit(1).alias("_one")
+    )
+    bg = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_b")
+        )
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    n_bg = bgc.agg(
+        F.sum("pair_count").alias("n_bg"), F.lit(1).alias("_one")
+    )
+    kept = bgc.filter(F.col("pair_count") >= min_count)
+    joined = (
+        kept.join(
+            F.broadcast(
+                uni.filter(F.col("c") >= min_count).select(
+                    F.col("w").alias("w1"), F.col("c").alias("c1")
+                )
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.filter(F.col("c") >= min_count).select(
+                    F.col("w").alias("w2"), F.col("c").alias("c2")
+                )
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals.select("n_tok")))
+        .crossJoin(F.broadcast(n_bg.select("n_bg")))
+    )
+    lift = F.expr(
+        "(CAST(pair_count AS DOUBLE) / CAST(n_bg AS DOUBLE))"
+        " / ((CAST(c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))"
+        "    * (CAST(c2 AS DOUBLE) / CAST(n_tok AS DOUBLE)))"
+    )
+    ranked = (
+        joined.withColumn("_lift", lift)
+        .orderBy(
+            F.col("_lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
+    )
+    rw = Window.orderBy(
+        F.col("_lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return ranked.withColumn("rank", F.row_number().over(rw)).select(
+        "w1", "w2", "pair_count", "c1", "c2",
+        F.round("_lift", 6).alias("lift_r"), "rank",
+    )

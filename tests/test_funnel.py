@@ -515,3 +515,115 @@ def test_funnel_step_latency_validation(spark):
     df = spark.createDataFrame([(1, "a", 1)], "user_id long, metric string, ts long")
     with pytest.raises(ValueError, match="steps"):
         funnel_step_latency(df, ["a"])
+
+
+def test_attribution_last_touch_hand_computed(spark):
+    """Last-touch credit with lookback exclusion, (none) bucket, and
+    exact micro-unit value sums."""
+    from rhq_metrics_spark.operators.funnel import attribution
+
+    rows = [
+        # u1: ad@10, email@20, BUY@30(v=1.5) -> email; BUY@100(v=2) ->
+        #     email but outside lookback 50 -> (none)
+        (1, "ad", 10, 0.0), (1, "email", 20, 0.0),
+        (1, "buy", 30, 1.5), (1, "buy", 100, 2.0),
+        # u2: BUY@5 with no touch -> (none)
+        (2, "buy", 5, 0.5),
+        # u3: ad@10, BUY@40(v=null) -> ad, credits 0 value
+        (3, "ad", 10, 0.0), (3, "buy", 40, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    got = {
+        r["touch_type"]: (r["conversions"], r["users"], r["value_micro"])
+        for r in attribution(
+            df, "buy", ["ad", "email"], lookback_ms=50
+        ).collect()
+    }
+    assert got == {
+        "email": (1, 1, 1_500_000),
+        "ad": (1, 1, 0),
+        "(none)": (2, 2, 2_500_000),
+    }
+    # no lookback: the late buy credits email
+    got2 = {
+        r["touch_type"]: r["conversions"]
+        for r in attribution(df, "buy", ["ad", "email"]).collect()
+    }
+    assert got2 == {"email": 2, "ad": 1, "(none)": 1}
+
+
+def test_attribution_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.operators.funnel import attribution
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, 1.0)], "user_id long, metric string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="touch_types"):
+        attribution(df, "buy", [])
+    with pytest.raises(ValueError, match="conversion_type"):
+        attribution(df, "buy", ["buy", "ad"])
+
+
+def test_active_users_hll_registers_match_exact_merge(spark):
+    """The windowed register merge equals building registers directly
+    over each window's activity (mergeability), and raw_est tracks the
+    exact count within HLL error at m=64."""
+    import hashlib
+
+    from rhq_metrics_spark.operators.funnel import active_users, active_users_hll
+    from rhq_metrics_spark.pipelines.sketches import hll_registers
+
+    rows = []
+    for i in range(3000):
+        h = int(hashlib.md5(f"hau:{i}".encode()).hexdigest(), 16)
+        rows.append((h % 400, (h // 7) % 20_000))
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    P = 1000
+    out = active_users_hll(df, period_ms=P, windows=(1, 7)).collect()
+    got = {(r["period"], r["window_periods"]): r for r in out}
+
+    # mergeability pin for one (period, window) cell: registers built
+    # directly over the window's raw activity give the same summary
+    import pyspark.sql.functions as F
+
+    acts = {(u, t // P) for u, t in rows}
+    hi = max(p for _, p in acts)
+    probe_p, probe_w = hi, 7
+    direct_rows = [
+        (u, pa) for (u, pa) in acts if probe_p - probe_w < pa <= probe_p
+    ]
+    ddf = spark.createDataFrame(direct_rows, "user_id long, p long").select(
+        F.lit(1).alias("g"), F.col("user_id")
+    )
+    direct = hll_registers(ddf, group_col="g", value_col="user_id")
+    d_sum = direct.agg(
+        F.count(F.lit(1)), F.sum(F.expr("cast(pow(2, 40 - rho) as bigint)"))
+    ).first()
+    cell = got[(probe_p, probe_w)]
+    assert cell["regs_used"] == d_sum[0]
+    assert cell["sum_scaled"] == d_sum[1] + (64 - d_sum[0]) * (1 << 40)
+
+    # estimate sanity vs exact (HLL at m=64 ~ 13% rse; allow 4 sigma)
+    exact = {
+        (r["period"], r["window_periods"]): r["active_users"]
+        for r in active_users(df, period_ms=P, windows=(1, 7)).collect()
+    }
+    for key, r in got.items():
+        true = exact[key]
+        if true >= 50:  # raw branch meaningful above linear-count range
+            assert abs(r["raw_est"] - true) / true < 0.55, (key, r["raw_est"], true)
+
+
+def test_active_users_hll_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.operators.funnel import active_users_hll
+
+    df = spark.createDataFrame([], "user_id long, ts long")
+    assert active_users_hll(df).count() == 0
+    with pytest.raises(ValueError, match="windows"):
+        active_users_hll(df, windows=())

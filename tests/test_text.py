@@ -540,3 +540,53 @@ def test_readability_orders_simple_above_polysyllabic(spark):
     out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
     assert out[0]["fre_r"] > out[1]["fre_r"]
     assert out[0]["fk_grade_r"] < out[1]["fk_grade_r"]
+
+
+def test_collocations_hand_computed(spark):
+    """Lift ranks the bound pair above the frequent-but-independent
+    pair; min_count floors apply to pairs and words."""
+    from rhq_metrics_spark.pipelines.text import collocations
+
+    # 'new york' always adjacent (bound); 'the cat' frequent but 'the'
+    # is everywhere (independent); 'rare gem' appears once (floored)
+    docs = [
+        *["new york " + "the cat " * 2] * 3,
+        "the dog the bird the fish",
+        "rare gem",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    out = [
+        (r["w1"], r["w2"], r["pair_count"], r["rank"])
+        for r in collocations(df, k=5, min_count=3).collect()
+    ]
+    assert out[0][:2] == ("new", "york")
+    assert ("rare", "gem") not in {(a, b) for a, b, _, _ in out}
+    # pure-Python lift pin for the top pair
+    import re
+    toks = [t for d in docs for t in d.split()]
+    n_tok = len(toks)
+    pairs = []
+    for d in docs:
+        ws = d.split()
+        pairs += list(zip(ws, ws[1:]))
+    n_bg = len(pairs)
+    c_ny = pairs.count(("new", "york"))
+    c1 = toks.count("new"); c2 = toks.count("york")
+    want = (c_ny / n_bg) / ((c1 / n_tok) * (c2 / n_tok))
+    got_lift = [
+        r["lift_r"] for r in collocations(df, k=5, min_count=3).collect()
+    ][0]
+    assert abs(got_lift - round(want, 6)) < 1e-9
+
+
+def test_collocations_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.text import collocations
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k"):
+        collocations(df, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        collocations(df, min_count=0)
