@@ -270,12 +270,17 @@ def active_users(
         F.col("id").alias("period")
     )
     uw = Window.partitionBy("_u").orderBy("_p")
+    # the lag/lead columns are window-INDEPENDENT: one user-key window
+    # pass serves every requested w (only the gap comparisons differ),
+    # so the per-w legs are narrow filters over this cached frame
+    marked = (
+        act.withColumn("_prev", F.lag("_p").over(uw))
+        .withColumn("_next", F.lead("_p").over(uw))
+        .persist()
+    )
     legs = []
     for w in windows:
         # merged-interval starts: gap from the previous activity >= w
-        marked = act.withColumn("_prev", F.lag("_p").over(uw)).withColumn(
-            "_next", F.lead("_p").over(uw)
-        )
         starts = marked.filter(
             F.col("_prev").isNull() | (F.col("_p") - F.col("_prev") >= w)
         ).select(F.col("_p").alias("period"), F.lit(1).alias("_d"))

@@ -224,3 +224,48 @@ def test_sample_priority_is_partial_topk(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_w19_paths_single_window_and_partial_topk(spark):
+    """frequent_paths: all L-1 leads must share ONE window exchange on
+    the user key, and top-k must be TakeOrderedAndProject, never a
+    global sort of the path table."""
+    plan = _plan(spark, "w19_frequent_paths")
+    assert "TakeOrderedAndProject" in plan
+    # one window over the user key: exactly one 'Window' operator node
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window\n") + final.count("Window [") <= 2  # leads + rank
+    assert "CartesianProduct" not in plan
+
+
+def test_w18_active_users_no_data_sized_join(spark):
+    """active_users: deltas aggregate before the spine join; no
+    cartesian, and the cumulative sum runs over the spine partition."""
+    plan = _plan(spark, "w18_active_users")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w20_attribution_no_event_self_join(spark):
+    """attribution must not self-join events with events: one window +
+    one agg; the only joins allowed are broadcast-sized."""
+    plan = _plan(spark, "w20_attribution")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocations_broadcasts_word_counts(spark):
+    """collocations joins unigram counts onto the pair table via
+    broadcast; top-k is TakeOrderedAndProject."""
+    plan = _plan(spark, "text_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_w15_step_latency_anchor_joins_stay_hash(spark):
+    """funnel_step_latency: the per-stage anchor joins key on the user
+    column — no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "w15_step_latency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
