@@ -53,6 +53,14 @@ Product-analytics views (round 12, same conventions):
 - ``GET  /{type}s/transitions``   W17 event-transition matrix
   (?start&end&userTag) → (fromType, toType, transitions,
   fromTotal, probPpm)
+- ``GET  /{type}s/active``        W18 rolling active users (r13)
+  (?start&end&periodMs&windows=1,7,30&userTag) → (period,
+  windowPeriods, activeUsers)
+- ``GET  /{type}s/paths``         W19 frequent event paths (r13)
+  (?start&end&length&k&userTag) → (path, occurrences, users, rank)
+- ``GET  /{type}s/attribution``   W20 last-touch attribution (r13)
+  (?start&end&conversion&touches=a,b&lookbackMs&userTag) →
+  (touchType, conversions, users, valueMicro)
 - ``GET  /{type}s/cohorts``       W16 cohort retention matrix
   (?start&end&periodMs&metrics=a,b&userTag) → (cohortPeriod, periodK,
   activeUsers, cohortSize, retentionPpm)
@@ -361,6 +369,15 @@ class MetricsApp:
         if rest == ["transitions"]:
             self._require(method, {"GET"})
             return self._transitions(mt, tenant, qs)
+        if rest == ["active"]:
+            self._require(method, {"GET"})
+            return self._active_users(mt, tenant, qs)
+        if rest == ["paths"]:
+            self._require(method, {"GET"})
+            return self._paths(mt, tenant, qs)
+        if rest == ["attribution"]:
+            self._require(method, {"GET"})
+            return self._attribution(mt, tenant, qs)
         if rest == ["stats", "query"]:
             self._require(method, {"POST"})
             return self._multi_stats(
@@ -802,6 +819,94 @@ class MetricsApp:
                 "transitions": r["transitions"],
                 "fromTotal": r["from_total"],
                 "probPpm": r["prob_ppm"],
+            }
+            for r in rows
+        ])
+
+    def _active_users(self, metric_type, tenant, qs):
+        """W18 rolling active users over HTTP (service.active_users):
+        ?periodMs sets the period (default 1 day), ?windows=1,7,30 the
+        trailing window sizes in periods, ?userTag as in the funnel
+        handler.  All-integer rows; every period of the span appears."""
+        start, end = self._time_range(qs)
+        windows_raw = qs.get("windows") or "1,7,30"
+        try:
+            windows = tuple(int(w) for w in windows_raw.split(",") if w)
+        except ValueError:
+            raise BadRequest(f"Invalid windows: {windows_raw!r}")
+        if not windows or any(w < 1 for w in windows):
+            raise BadRequest(f"Invalid windows: {windows_raw!r}")
+        with api_errors():
+            df = self.service.active_users(
+                tenant, start, end, metric_type=metric_type,
+                period_ms=self._int(qs, "periodMs", 86_400_000),
+                windows=windows, user_tag=qs.get("userTag"),
+            )
+            rows = df.collect()
+        raise _collection([
+            {
+                "period": r["period"],
+                "windowPeriods": r["window_periods"],
+                "activeUsers": r["active_users"],
+            }
+            for r in rows
+        ])
+
+    def _paths(self, metric_type, tenant, qs):
+        """W19 frequent event paths over HTTP (service.paths):
+        ?length (default 3) and ?k (default 20) size the mining,
+        ?userTag as in the funnel handler."""
+        start, end = self._time_range(qs)
+        length = self._int(qs, "length", 3)
+        k = self._int(qs, "k", 20)
+        if length < 2 or k < 1:
+            raise BadRequest("length must be >= 2 and k >= 1")
+        with api_errors():
+            df = self.service.paths(
+                tenant, start, end, metric_type=metric_type,
+                length=length, k=k, user_tag=qs.get("userTag"),
+            )
+            rows = df.orderBy("rank").collect()
+        raise _collection([
+            {
+                "path": r["path"],
+                "occurrences": r["occurrences"],
+                "users": r["n_users"],
+                "rank": r["rank"],
+            }
+            for r in rows
+        ])
+
+    def _attribution(self, metric_type, tenant, qs):
+        """W20 last-touch attribution over HTTP (service.attribution):
+        ?conversion names the conversion metric, ?touches=a,b the touch
+        metrics, ?lookbackMs bounds the credit window, ?userTag as in
+        the funnel handler (value sums require it — without it the
+        point value IS the user id)."""
+        start, end = self._time_range(qs)
+        conversion = qs.get("conversion")
+        if not conversion:
+            raise BadRequest("Missing conversion parameter")
+        touches = [s for s in (qs.get("touches") or "").split(",") if s]
+        if not touches:
+            raise BadRequest("Missing touches parameter")
+        lookback = (
+            self._int(qs, "lookbackMs")
+            if qs.get("lookbackMs") is not None else None
+        )
+        with api_errors():
+            df = self.service.attribution(
+                tenant, conversion, touches, start, end,
+                metric_type=metric_type, lookback_ms=lookback,
+                user_tag=qs.get("userTag"),
+            )
+            rows = df.orderBy("touch_type").collect()
+        raise _collection([
+            {
+                "touchType": r["touch_type"],
+                "conversions": r["conversions"],
+                "users": r["users"],
+                "valueMicro": r["value_micro"],
             }
             for r in rows
         ])

@@ -2090,6 +2090,98 @@ FROM (
             ev, user_col="user_id", ts_col="ts", period_ms=period_ms
         )
 
+    def active_users(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        period_ms: int = 86_400_000,
+        windows=(1, 7, 30),
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W18 through the facade: exact rolling active-user counts
+        (DAU/WAU/MAU) over the tenant's points in the range — users
+        resolve per :meth:`_user_events`; the interval-merge operator
+        never recounts a sliding distinct (see operators/funnel.py
+        active_users)."""
+        from rhq_metrics_spark.operators.funnel import active_users
+
+        if period_ms <= 0:
+            from rhq_metrics_spark.errors import BadRequest
+
+            raise BadRequest("periodMs must be positive")
+        ev = self._user_events(metric_type, tenant_id, start, end, user_tag)
+        return active_users(
+            ev, user_col="user_id", ts_col="ts", period_ms=period_ms,
+            windows=tuple(windows),
+        )
+
+    def paths(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        length: int = 3,
+        k: int = 20,
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W19 through the facade: top-k frequent event paths over the
+        tenant's points in the range (same user resolution and same-ts
+        caveat as :meth:`transitions` — point identity de-collides
+        same-ts events, so the order key reduces to (ts, metric))."""
+        from rhq_metrics_spark.operators.funnel import frequent_paths
+
+        ev = self._user_events(metric_type, tenant_id, start, end, user_tag)
+        return frequent_paths(
+            ev, length=length, k=k, user_col="user_id",
+            type_col="metric", ts_col="ts", value_col=None,
+        )
+
+    def attribution(
+        self,
+        tenant_id,
+        conversion,
+        touches,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        lookback_ms: int | None = None,
+        user_tag: str | None = None,
+    ) -> DataFrame:
+        """W20 through the facade: last-touch attribution — conversion
+        and touch names are metric names, users resolve per
+        :meth:`_user_events`.  The conversion's VALUE is the credited
+        amount only when a ``user_tag`` carries user identity
+        (otherwise the value IS the user id per the ingest convention,
+        and credit is counted, not summed — value_micro reports 0)."""
+        from rhq_metrics_spark.operators.funnel import attribution
+
+        if not touches or conversion in set(touches):
+            from rhq_metrics_spark.errors import BadRequest
+
+            raise BadRequest(
+                "touches must be non-empty and must not contain the conversion"
+            )
+        pts = self._scan(metric_type, tenant_id, None, start, end)
+        user = (
+            F.element_at(F.col("tags"), user_tag).cast("long")
+            if user_tag
+            else F.col("value").cast("long")
+        )
+        value = (
+            F.col("value") if user_tag else F.lit(None).cast("double")
+        )
+        ev = pts.select(
+            user.alias("user_id"), "metric", "ts", value.alias("value")
+        ).filter(F.col("user_id").isNotNull())
+        return attribution(
+            ev, conversion, list(touches), lookback_ms=lookback_ms,
+            user_col="user_id", type_col="metric", ts_col="ts",
+            value_col="value",
+        )
+
     def slo_burn(
         self,
         tenant_id,

@@ -22,6 +22,7 @@ batch ``funnel_steps``); only events at or before the last processed
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -408,6 +409,126 @@ def streaming_paths(stream_df: DataFrame) -> DataFrame:
         _paths_group,
         outputStructType=PATHS_OUTPUT_SCHEMA,
         stateStructType=PATHS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W20: live last-touch attribution — the continuous twin of
+# operators/funnel.py attribution.
+
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("touch_type", StringType(), False),
+        StructField("ts", LongType(), False),
+        StructField("value_micro", LongType(), False),
+    ]
+)
+
+#: the user's most recent touch event (ts + type) plus the composite
+#: replay-guard key of the newest PROCESSED event (any type).
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("last_type", StringType(), True),
+        StructField("last_vq", LongType(), True),
+        StructField("touch_ts", LongType(), True),
+        StructField("touch_type", StringType(), True),
+    ]
+)
+
+
+def _make_attribution_fn(
+    conversion: str, touches: set, lookback_ms: int | None
+):
+    def _group(
+        key: tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: "GroupState",
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_type, last_vq, touch_ts, touch_type = state.get
+        else:
+            last_ts, last_type, last_vq, touch_ts, touch_type = (
+                None, None, None, None, None,
+            )
+        entry_key = (
+            (last_ts, last_type or "", last_vq)
+            if last_ts is not None else None
+        )
+        out: dict[str, list] = {"touch_type": [], "ts": [], "vq": []}
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            vq = (merged["value"] * _VQ).round()
+            vq = vq.where(merged["value"].notna(), _VQ_NULL).astype("int64")
+            merged = merged.assign(_vq=vq)
+            merged = merged.sort_values(["ts", "metric", "_vq"])
+            for ts, et, v, val in zip(
+                merged["ts"], merged["metric"], merged["_vq"], merged["value"]
+            ):
+                ts, et, v = int(ts), str(et), int(v)
+                if entry_key is not None and (ts, et, v) <= entry_key:
+                    continue
+                if et == conversion:
+                    ok = touch_ts is not None and (
+                        lookback_ms is None or ts - touch_ts <= lookback_ms
+                    )
+                    out["touch_type"].append(
+                        touch_type if ok else "(none)"
+                    )
+                    out["ts"].append(ts)
+                    # same fixed point as the batch operator:
+                    # floor(value * 1e6), null credits 0
+                    out["vq"].append(
+                        0 if pd.isna(val)
+                        else int(math.floor(float(val) * _VQ))
+                    )
+                elif et in touches:
+                    touch_ts, touch_type = ts, et
+                last_ts, last_type, last_vq = ts, et, v
+                entry_key = (ts, et, v)
+        state.update((last_ts, last_type, last_vq, touch_ts, touch_type))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "touch_type": out["touch_type"],
+                    "ts": out["ts"],
+                    "value_micro": out["vq"],
+                }
+            )
+
+    return _group
+
+
+def streaming_attribution(
+    stream_df: DataFrame,
+    conversion: str,
+    touches: "Sequence[str]",
+    lookback_ms: int | None = None,
+) -> DataFrame:
+    """Input: streaming ``(user_id, metric, ts, value)`` events.
+    Output stream: one append row per CONVERSION with the credited
+    touch type — ``groupBy(touch_type).agg(count, sum(value_micro))``
+    on the sink equals the batch :func:`~rhq_metrics_spark.operators.
+    funnel.attribution` aggregate over an in-order replay.  State is
+    five scalars per user (the replay-guard composite + the standing
+    last touch); conversions spanning micro-batch boundaries credit
+    exactly once."""
+    if not touches:
+        raise ValueError("streaming_attribution: touches must be non-empty")
+    if conversion in set(touches):
+        raise ValueError(
+            "streaming_attribution: conversion cannot be a touch type"
+        )
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _make_attribution_fn(conversion, set(touches), lookback_ms),
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1182,3 +1182,76 @@ def test_transitions_endpoint_user_tag_and_methods(pa_app):
     assert code == 204
     # GET only, like the sibling analytics views
     assert call(pa_app, "POST", f"{P}/gauges/transitions", [])[0] == 405
+
+
+def test_active_users_endpoint(pa_app):
+    """W18 over HTTP: exact DAU + trailing-7 counts on the product
+    store, full period spine including zero days."""
+    code, body = call(
+        pa_app, "GET",
+        f"{P}/gauges/active?start=0&end={20 * DAY}&windows=1,7",
+    )
+    assert code == 200
+    got = {(r["period"], r["windowPeriods"]): r["activeUsers"] for r in body}
+    # span = day 1 .. day 11, two windows
+    assert len(body) == 11 * 2
+    assert got[(1, 1)] == 6 and got[(2, 1)] == 6
+    assert got[(4, 1)] == 0          # zero day present on the spine
+    assert got[(3, 1)] == 1
+    assert got[(8, 7)] == 6          # everyone active within 7 days
+    assert got[(9, 7)] == 2          # u1 (day 3) + u3 (days 5, 6)
+    assert got[(10, 7)] == 1 and got[(11, 7)] == 2
+    # bad windows -> 400; GET only
+    assert call(pa_app, "GET",
+                f"{P}/gauges/active?start=0&end={DAY}&windows=0")[0] == 400
+    assert call(pa_app, "POST", f"{P}/gauges/active", [])[0] == 405
+
+
+def test_paths_endpoint(pa_app):
+    """W19 over HTTP: default length-3 mining and the length-2
+    degeneration to the transition multiset."""
+    code, body = call(
+        pa_app, "GET", f"{P}/gauges/paths?start=0&end={20 * DAY}"
+    )
+    assert code == 200
+    assert body[0]["path"] == "view>click>purchase"
+    assert body[0]["occurrences"] == 3 and body[0]["users"] == 3
+    assert body[0]["rank"] == 1
+    code, body2 = call(
+        pa_app, "GET", f"{P}/gauges/paths?start=0&end={20 * DAY}&length=2"
+    )
+    got = {r["path"]: r["occurrences"] for r in body2}
+    assert got["click>purchase"] == 4 and got["view>click"] == 3
+    assert call(pa_app, "GET",
+                f"{P}/gauges/paths?start=0&end={DAY}&length=1")[0] == 400
+    assert call(pa_app, "POST", f"{P}/gauges/paths", [])[0] == 405
+
+
+def test_attribution_endpoint(pa_app):
+    """W20 over HTTP: last-touch credit with and without a lookback;
+    value sums report 0 under the value-identity convention."""
+    q = (f"start=0&end={20 * DAY}&conversion=purchase"
+         f"&touches=view,click")
+    code, body = call(pa_app, "GET", f"{P}/gauges/attribution?{q}")
+    assert code == 200
+    got = {r["touchType"]: r for r in body}
+    assert got["click"]["conversions"] == 4 and got["click"]["users"] == 4
+    assert got["view"]["conversions"] == 1
+    assert "(none)" not in got
+    assert all(r["valueMicro"] == 0 for r in body)
+    # a 2-day lookback pushes u4's stale click credit to (none)
+    code, body2 = call(
+        pa_app, "GET",
+        f"{P}/gauges/attribution?{q}&lookbackMs={2 * DAY}",
+    )
+    got2 = {r["touchType"]: r["conversions"] for r in body2}
+    assert got2 == {"click": 3, "view": 1, "(none)": 1}
+    # missing params -> 400; conversion inside touches -> 400; GET only
+    assert call(pa_app, "GET",
+                f"{P}/gauges/attribution?start=0&end={DAY}")[0] == 400
+    assert call(
+        pa_app, "GET",
+        f"{P}/gauges/attribution?start=0&end={DAY}"
+        "&conversion=a&touches=a,b",
+    )[0] == 400
+    assert call(pa_app, "POST", f"{P}/gauges/attribution", [])[0] == 405

@@ -236,3 +236,66 @@ def test_paths_same_ts_composite_order_and_null_value():
     out = pd.concat(list(_paths_group((1,), iter([batch]), state)))
     # order: (10,a,null), (10,a,2.0), (10,b,1.0), (20,c,1.0)
     assert list(out["path"]) == ["a>a>b", "a>b>c"]
+
+
+def test_attribution_cross_batch_credit_and_replay():
+    """A conversion in a later batch credits the touch from a PRIOR
+    batch exactly once; replayed prefixes skip; lookback applies."""
+    from rhq_metrics_spark.streaming.funnel import _make_attribution_fn
+
+    fn = _make_attribution_fn("buy", {"ad", "email"}, lookback_ms=50)
+    state = FakeState()
+    b1 = _pdf({"ts": [10], "metric": ["ad"], "value": [0.0]})
+    assert list(fn((1,), iter([b1]), state)) == []
+    # batch 2 replays the ad, then converts twice (second outside
+    # lookback)
+    b2 = _pdf(
+        {"ts": [10, 30, 100], "metric": ["ad", "buy", "buy"],
+         "value": [0.0, 1.5, 2.0]}
+    )
+    out = pd.concat(list(fn((1,), iter([b2]), state)))
+    assert list(zip(out["touch_type"], out["ts"], out["value_micro"])) == [
+        ("ad", 30, 1_500_000), ("(none)", 100, 2_000_000),
+    ]
+
+
+def test_attribution_matches_batch_operator(spark):
+    """Stream rows aggregated == the batch attribution table on a
+    planted in-order fixture."""
+    from rhq_metrics_spark.operators.funnel import attribution
+    from rhq_metrics_spark.streaming.funnel import _make_attribution_fn
+
+    rows = [
+        (1, "ad", 10, 0.0), (1, "email", 20, 0.0), (1, "buy", 30, 1.5),
+        (1, "buy", 100, 2.0),
+        (2, "buy", 5, 0.5),
+        (3, "ad", 10, 0.0), (3, "buy", 40, None),
+    ]
+    fn = _make_attribution_fn("buy", {"ad", "email"}, lookback_ms=50)
+    import collections
+    agg = collections.defaultdict(lambda: [0, set(), 0])
+    for u in (1, 2, 3):
+        batch = _pdf(
+            {
+                "ts": [r[2] for r in rows if r[0] == u],
+                "metric": [r[1] for r in rows if r[0] == u],
+                "value": [r[3] for r in rows if r[0] == u],
+            }
+        )
+        for df_out in fn((u,), iter([batch]), FakeState()):
+            for _, r in df_out.iterrows():
+                a = agg[r["touch_type"]]
+                a[0] += 1
+                a[1].add(u)
+                a[2] += int(r["value_micro"])
+    bdf = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    batch_out = {
+        r["touch_type"]: (r["conversions"], r["users"], r["value_micro"])
+        for r in attribution(bdf, "buy", ["ad", "email"], lookback_ms=50).collect()
+    }
+    stream_out = {
+        k: (v[0], len(v[1]), v[2]) for k, v in agg.items()
+    }
+    assert stream_out == batch_out
