@@ -3613,6 +3613,39 @@ ORDER BY period, window_periods
 """
 
 
+def q_pipe_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card length histogram (pipelines/profile.py
+    length_histogram): per-source doc counts / total chars in
+    power-of-two buckets via the engine-portable bit-length
+    quantization (length(bin(n)) — no float log2); group totals ride a
+    window over the histogram table."""
+    from rhq_metrics_spark.pipelines.profile import length_histogram
+
+    docs = _table(spark, sf_dir, "documents")
+    return length_histogram(docs)
+
+
+SQL_LENGTH_HIST = """
+WITH h AS (SELECT source AS grp,
+             CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1)))
+                  AS INTEGER) AS bucket_log2,
+             CAST(n_chars AS BIGINT) AS len
+           FROM documents),
+a AS (SELECT grp, bucket_log2, count(*) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS total_chars
+      FROM h GROUP BY 1, 2),
+t AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY grp) AS BIGINT) AS tot
+      FROM a)
+SELECT grp AS source, bucket_log2,
+       CAST(1 << (bucket_log2 - 1) AS BIGINT) AS lo,
+       CAST((1 << bucket_log2) - 1 AS BIGINT) AS hi,
+       n_docs, total_chars,
+       CAST(n_docs * 1000000 // tot AS BIGINT) AS share_ppm
+FROM t
+ORDER BY source, bucket_log2
+"""
+
+
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise lift (pipelines/text.py
     collocations, Church & Hanks 1990 association ratio without the
@@ -7022,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "pipe_length_histogram": q_pipe_length_histogram,
         "w20_attribution": q_w20_attribution,
         "w18_active_users_hll": q_w18_active_users_hll,
         "text_collocations": q_text_collocations,
@@ -7203,6 +7237,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),
         "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),
         "text_collocations": SQL_TEXT_COLLOC,

@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "text_kn_score",        # interpolated Kneser-Ney bigram LM (r12)
     "pipe_ngram_diversity", # distinct-1/2/3 data-card metric (r12)
     "w17_transitions",      # event-transition matrix / path analysis (r12)
+    "w19_frequent_paths",   # top-k length-3 event sequences (r13)
+    "w20_attribution",      # last-touch conversion attribution (r13)
+    "embed_hard_negatives", # contrastive mining under a near-dup ceiling (r13)
 ]
 
 

@@ -211,3 +211,58 @@ def ngram_diversity(
         )
         .orderBy(group_col, "n")
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Data-card length histogram: per group, document counts and total
+    characters in power-of-two length buckets — the standard
+    length-distribution panel of a dataset card (a source whose mass
+    sits in the 1–64-char buckets is boilerplate/fragments; one with a
+    heavy 64k+ tail needs chunking before packing).
+
+    Bucketing is the engine-portable log2 quantization: ``bucket =
+    length(bin(max(len, 1)))`` — the bit length of the integer, exact
+    in both Spark and DuckDB (no float ``log2`` whose last ulp could
+    flip a floor), so bucket b spans ``[2^(b-1), 2^b)``.  ``share_ppm``
+    is floor fixed point of the group's doc share.
+
+    Plan shape at 100 TB: ONE hash-agg on (group, bucket) — the bucket
+    expression is scan-fused; the per-group totals ride a window over
+    the HISTOGRAM table (#groups × ~40 buckets), never the corpus.
+
+    Output: ``(group, bucket_log2, lo, hi, n_docs, total_chars,
+    share_ppm)`` ordered by (group, bucket_log2).
+    """
+    from pyspark.sql import Window
+
+    n = F.greatest(F.col(length_col).cast("long"), F.lit(1))
+    hist = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.length(F.bin(n)).cast("int").alias("bucket_log2"),
+            F.col(length_col).cast("long").alias("_len"),
+        )
+        .groupBy("grp", "bucket_log2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("total_chars"),
+        )
+    )
+    gw = Window.partitionBy("grp")
+    return (
+        hist.withColumn("_tot", F.sum("n_docs").over(gw))
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_log2",
+            F.expr("shiftleft(1L, bucket_log2 - 1)").cast("long").alias("lo"),
+            F.expr("shiftleft(1L, bucket_log2) - 1").cast("long").alias("hi"),
+            "n_docs",
+            "total_chars",
+            F.expr(f"n_docs * {PPM} div _tot").alias("share_ppm"),
+        )
+        .orderBy(group_col, "bucket_log2")
+    )

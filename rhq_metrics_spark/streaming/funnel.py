@@ -532,3 +532,89 @@ def streaming_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming W18: live activity rows — the continuous leg of
+# operators/funnel.py active_users.
+
+ACTIVITY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("period", LongType(), False),
+        StructField("ts", LongType(), False),
+    ]
+)
+
+ACTIVITY_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("seen_periods", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_activity_fn(period_ms: int):
+    def _group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, seen = state.get
+            seen = set(seen or [])
+        else:
+            last_ts, seen = None, set()
+        out: dict[str, list] = {"period": [], "ts": []}
+        frames = list(pdfs)
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged):
+            merged = merged.sort_values(["ts"])
+            for ts in merged["ts"]:
+                ts = int(ts)
+                if last_ts is not None and ts <= last_ts:
+                    continue
+                last_ts = ts
+                p = ts // period_ms
+                if p in seen:
+                    continue
+                seen.add(p)
+                out["period"].append(p)
+                out["ts"].append(ts)
+        state.update((last_ts, sorted(seen)))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {"user_id": user_id, "period": out["period"], "ts": out["ts"]}
+            )
+
+    return _group
+
+
+def streaming_activity(
+    stream_df: DataFrame,
+    period_ms: int = 86_400_000,
+) -> DataFrame:
+    """Input: streaming ``(user_id, ts)`` events (extra columns
+    ignored).  Output stream: one append row per user's FIRST activity
+    in each ABSOLUTE period — the sink table IS the distinct
+    ``(user, period)`` reduction that batch
+    :func:`~rhq_metrics_spark.operators.funnel.active_users` starts
+    from, so any window's exact DAU/WAU/MAU is one interval-merge pass
+    over the standing sink with zero event re-reads (and
+    ``groupBy(period).count()`` on the sink is live exact DAU
+    directly).  The W18 twin completes the W15–W20 family: every
+    product-analytics operator has a streaming leg.
+
+    State per user: last processed ts + the distinct periods seen —
+    bounded by the user's lifetime in periods (days of daily periods),
+    not by event volume; the same bound class as the cohort twin."""
+    if period_ms <= 0:
+        raise ValueError(f"streaming_activity: period_ms must be > 0: {period_ms}")
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _make_activity_fn(period_ms),
+        outputStructType=ACTIVITY_OUTPUT_SCHEMA,
+        stateStructType=ACTIVITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

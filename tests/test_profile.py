@@ -149,3 +149,30 @@ def test_ngram_diversity_flags_repetitive_source(spark):
 
     with _pytest.raises(ValueError, match="ns must be"):
         ngram_diversity(docs, ns=())
+
+
+def test_length_histogram_hand_computed(spark):
+    """Power-of-two buckets by bit length, per-group shares, and the
+    zero/one-length floor."""
+    from rhq_metrics_spark.pipelines.profile import length_histogram
+
+    rows = [
+        (1, "a", 1), (2, "a", 1), (3, "a", 7), (4, "a", 8),
+        (5, "b", 100), (6, "b", 0),   # 0 floors to bucket 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {
+        (r["source"], r["bucket_log2"]): r
+        for r in length_histogram(df).collect()
+    }
+    # len 1 -> bucket 1 [1,1]; len 7 -> bucket 3 [4,7]; len 8 -> bucket 4
+    assert out[("a", 1)]["n_docs"] == 2 and out[("a", 1)]["lo"] == 1
+    assert out[("a", 1)]["hi"] == 1
+    assert out[("a", 3)]["n_docs"] == 1 and out[("a", 3)]["lo"] == 4
+    assert out[("a", 3)]["hi"] == 7
+    assert out[("a", 4)]["n_docs"] == 1
+    assert out[("a", 1)]["share_ppm"] == 500_000
+    # len 100 -> bucket 7 [64,127]; the 0-length doc floors to bucket 1
+    assert out[("b", 7)]["n_docs"] == 1 and out[("b", 7)]["lo"] == 64
+    assert out[("b", 1)]["n_docs"] == 1
+    assert out[("b", 1)]["total_chars"] == 0  # chars sum stays exact

@@ -299,3 +299,30 @@ def test_attribution_matches_batch_operator(spark):
         k: (v[0], len(v[1]), v[2]) for k, v in agg.items()
     }
     assert stream_out == batch_out
+
+
+def test_streaming_activity_is_distinct_user_period_reduction():
+    """The activity twin's cumulative rows equal the distinct
+    (user, period) table batch active_users reduces to — in-period
+    repeats dedup, replays skip, cross-batch state holds."""
+    from rhq_metrics_spark.streaming.funnel import _make_activity_fn
+
+    fn = _make_activity_fn(period_ms=1000)
+    state = FakeState()
+    b1 = _pdf({"ts": [100, 200, 1500]})
+    out1 = pd.concat(list(fn((1,), iter([b1]), state)))
+    assert list(out1["period"]) == [0, 1]
+    # replay of ts<=1500 skips; new period 4 emits; repeat in 4 dedups
+    b2 = _pdf({"ts": [1500, 4200, 4800]})
+    out2 = pd.concat(list(fn((1,), iter([b2]), state)))
+    assert list(out2["period"]) == [4]
+    assert state.get[0] == 4800 and list(state.get[1]) == [0, 1, 4]
+
+
+def test_streaming_activity_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.streaming.funnel import streaming_activity
+
+    with pytest.raises(ValueError, match="period_ms"):
+        streaming_activity(None, period_ms=0)
