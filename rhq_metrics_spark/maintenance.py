@@ -47,6 +47,7 @@ class MaintenanceRunner:
         twa_sink: dict | None = None,
         availability_sink: dict | None = None,
         seasonal_sink: dict | None = None,
+        activity_sink: dict | None = None,
         ivf_index: dict | None = None,
     ):
         self.service = service
@@ -93,6 +94,15 @@ class MaintenanceRunner:
         #: ``service.attach_seasonal_profile`` so seasonal scoring uses
         #: the long-run profile with zero raw reads on the baseline side.
         self.seasonal_sink = seasonal_sink
+        #: optional activity-register partials (W18 sketch serving,
+        #: operators/funnel.py active_users_hll / active_window_estimates
+        #: + pipelines/sketches.py hll_registers, r13): ``{"path",
+        #: "metric_type": "gauge", "period_ms": 86400000, "user_tag":
+        #: None, "m": 64, "attach": True}`` — per compacted slice, one
+        #: mergeable HLL register row set per (tenant, period); serving
+        #: merges by max(rho) across slices, so rolling DAU/WAU/MAU
+        #: estimates read #periods x m tiny rows with ZERO raw scans.
+        self.activity_sink = activity_sink
         #: optional append-maintained IVF index under this runner's
         #: care: ``{"path": str, "max_imbalance": 4.0,
         #: "min_occupancy": 0.5, "n_cells": None, "seed": 42}`` — each
@@ -115,6 +125,7 @@ class MaintenanceRunner:
         twa_slices = self._emit_twa_partials(compacted)
         avail_slices = self._emit_availability_partials(compacted)
         seasonal_slices = self._emit_seasonal_partials(compacted)
+        activity_slices = self._emit_activity_partials(compacted)
         retention = self.service.apply_retention_policies(
             now_ms, self.default_retention_days
         )
@@ -131,6 +142,7 @@ class MaintenanceRunner:
             "twa_slices": twa_slices,
             "availability_slices": avail_slices,
             "seasonal_slices": seasonal_slices,
+            "activity_slices": activity_slices,
             "retention": retention,
             "expiration_rows": expiration,
             "ivf": ivf,
@@ -212,6 +224,47 @@ class MaintenanceRunner:
                 svc.refresh_rollup_watermark(mt)
             else:
                 svc.attach_rollup(mt, cfg["path"], win_ms)
+
+        return self._emit_partials(cfg, compacted, "gauge", build, attach)
+
+    def _emit_activity_partials(self, compacted: dict[str, list[int]]) -> int:
+        cfg = self.activity_sink
+        if not cfg:
+            return 0
+
+        def build(pts, store, cfg):
+            import pyspark.sql.functions as F
+
+            from rhq_metrics_spark.pipelines.sketches import hll_registers
+
+            period_ms = int(cfg.get("period_ms", 86_400_000))
+            user_tag = cfg.get("user_tag")
+            user = (
+                F.element_at(F.col("tags"), user_tag).cast("long")
+                if user_tag
+                else F.col("value").cast("long")
+            )
+            act = pts.select(
+                (
+                    F.floor(F.col("ts") / store.slice_ms) * store.slice_ms
+                ).cast("long").alias("slice_start"),
+                "tenant_id",
+                F.expr(f"ts div {period_ms}").alias("period"),
+                user.alias("_u"),
+            ).filter(F.col("_u").isNotNull())
+            return hll_registers(
+                act,
+                group_col=["slice_start", "tenant_id", "period"],
+                value_col="_u",
+                m=int(cfg.get("m", 64)),
+            )
+
+        def attach(svc, store, cfg, mt):
+            svc.attach_activity_registers(
+                mt, cfg["path"],
+                period_ms=int(cfg.get("period_ms", 86_400_000)),
+                m=int(cfg.get("m", 64)),
+            )
 
         return self._emit_partials(cfg, compacted, "gauge", build, attach)
 
@@ -413,6 +466,7 @@ class MaintenanceRunner:
             self._emit_twa_partials({metric_type: done})
             self._emit_availability_partials({metric_type: done})
             self._emit_seasonal_partials({metric_type: done})
+            self._emit_activity_partials({metric_type: done})
         return done
 
     # -- wall-clock loop ----------------------------------------------------

@@ -250,13 +250,18 @@ def active_users(
     """
     if not windows or any(w < 1 for w in windows):
         raise ValueError(f"active_users: windows must be positive: {windows}")
+    # eager localCheckpoint, NOT persist: the cache registry matches by
+    # analyzed plan, so a persisted frame from an earlier call over the
+    # same source path would silently serve STALE data after new files
+    # land (found by the r13 maintenance round-trip test); a checkpoint
+    # materializes this call's snapshot and cannot be plan-matched
     act = (
         df.select(
             F.col(user_col).alias("_u"),
             F.expr(f"{ts_col} div {period_ms}").alias("_p"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bounds = act.agg(
         F.min("_p").alias("_lo"), F.max("_p").alias("_hi")
@@ -276,7 +281,7 @@ def active_users(
     marked = (
         act.withColumn("_prev", F.lag("_p").over(uw))
         .withColumn("_next", F.lead("_p").over(uw))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     legs = []
     for w in windows:
@@ -572,29 +577,52 @@ def active_users_hll(
     ``hll_estimate``'s correction at the serving edge when absolute
     small-count accuracy matters more than cross-engine exactness.
     """
-    from rhq_metrics_spark.pipelines.sketches import (
-        _HLL_ALPHA,
-        _HLL_RHO_CAP,
-        hll_registers,
-    )
+    from rhq_metrics_spark.pipelines.sketches import hll_registers
 
     if not windows or any(w < 1 for w in windows):
         raise ValueError(
             f"active_users_hll: windows must be positive: {windows}"
         )
     act = df.select(
-        F.expr(f"{ts_col} div {period_ms}").alias("_p"),
+        F.expr(f"{ts_col} div {period_ms}").alias("period"),
         F.col(user_col).alias("_u"),
     )
-    regs = hll_registers(act, group_col="_p", value_col="_u", m=m).persist()
-    bounds = regs.agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi")).first()
+    # eager localCheckpoint, not persist — the same stale-cache trap as
+    # active_users above; the register table is #periods x m tiny rows
+    regs = hll_registers(
+        act, group_col="period", value_col="_u", m=m
+    ).localCheckpoint(eager=True)
+    return active_window_estimates(regs, windows=windows, m=m)
+
+
+def active_window_estimates(
+    regs: DataFrame,
+    windows: Sequence[int] = (1, 7, 30),
+    m: int = 64,
+    hi: int | None = None,
+) -> DataFrame:
+    """Finalize a mergeable activity REGISTER table ``(period, reg,
+    rho)`` — fresh from :func:`active_users_hll`'s build, or read back
+    from the maintenance-persisted partials sink (where per-slice
+    register rows for the same (period, reg) merge here by max) —
+    into per-(period, window) summaries + the raw HLL estimate.
+    ``hi`` caps the served periods (default: the register table's max
+    period)."""
+    from rhq_metrics_spark.pipelines.sketches import _HLL_ALPHA, _HLL_RHO_CAP
+
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"active_window_estimates: unsupported m: {m}")
+    regs = regs.groupBy("period", "reg").agg(F.max("rho").alias("rho"))
+    bounds = regs.agg(
+        F.min("period").alias("_lo"), F.max("period").alias("_hi")
+    ).first()
     if bounds["_lo"] is None:
-        return df.sparkSession.createDataFrame(
+        return regs.sparkSession.createDataFrame(
             [],
             "period long, window_periods int, regs_used long, zeros long,"
             " sum_scaled long, raw_est double",
         )
-    hi = bounds["_hi"]
+    hi = bounds["_hi"] if hi is None else min(hi, bounds["_hi"])
     numerator = _HLL_ALPHA[m] * m * m * float(1 << _HLL_RHO_CAP)
     cap_term = 1 << _HLL_RHO_CAP
     legs = []
@@ -602,7 +630,10 @@ def active_users_hll(
         served = (
             regs.select(
                 F.explode(
-                    F.sequence(F.col("_p"), F.least(F.col("_p") + w - 1, F.lit(hi)))
+                    F.sequence(
+                        F.col("period"),
+                        F.least(F.col("period") + w - 1, F.lit(hi)),
+                    )
                 ).alias("period"),
                 "reg",
                 "rho",

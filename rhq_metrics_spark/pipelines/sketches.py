@@ -465,21 +465,25 @@ def _hll_rho(value: Column, salt: str) -> Column:
 
 def hll_registers(
     df: DataFrame,
-    group_col: str,
+    group_col,
     value_col: str,
     m: int = HLL_M,
     salt: str = "hll",
 ) -> DataFrame:
-    """Per-group HLL register table ``(group, reg, rho)`` — MERGEABLE by
-    ``max(rho)`` per (group, reg): per-slice / per-partition register
+    """Per-group HLL register table ``(group..., reg, rho)`` — MERGEABLE
+    by ``max(rho)`` per (group, reg): per-slice / per-partition register
     tables union + re-aggregate into any range's sketch (equality-
     tested), the same serving contract as the histogram rollups.
+    ``group_col`` may be one column name or a sequence (composite key —
+    e.g. the activity-register partials key on (slice, tenant,
+    period), r13).
 
     100 TB shape: one hash-agg whose key space is #groups × m registers
     — map-side partials absorb all value skew; the sketch itself is
     broadcast-sized (m rows per group) regardless of cardinality."""
     if m not in _HLL_ALPHA:
         raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}; got {m}")
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     reg = (
         F.conv(
             F.substring(
@@ -492,11 +496,11 @@ def hll_registers(
     ).cast("int")
     return (
         df.select(
-            F.col(group_col).alias("grp"),
+            *[F.col(c) for c in gcols],
             reg.alias("reg"),
             _hll_rho(F.col(value_col), salt).alias("_rho"),
         )
-        .groupBy(F.col("grp").alias(group_col), "reg")
+        .groupBy(*gcols, "reg")
         .agg(F.max("_rho").alias("rho"))
     )
 

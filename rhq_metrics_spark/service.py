@@ -77,6 +77,8 @@ class MetricsService:
         # metric_type -> (rollup DataFrame, window_ms): continuous
         # aggregates registered for read routing (attach_rollup)
         self._rollups: dict[str, tuple[DataFrame, int]] = {}
+        #: W18 activity-register serving sources (r13)
+        self._activity_regs: dict[str, dict] = {}
         self._hist_rollups: dict[str, tuple] = {}
         self._increase_rollups: dict[str, tuple] = {}
         self._twa_rollups: dict[str, tuple] = {}
@@ -2180,6 +2182,63 @@ FROM (
             ev, conversion, list(touches), lookback_ms=lookback_ms,
             user_col="user_id", type_col="metric", ts_col="ts",
             value_col="value",
+        )
+
+    def attach_activity_registers(
+        self,
+        metric_type: str,
+        registers,
+        period_ms: int = 86_400_000,
+        m: int = 64,
+    ) -> None:
+        """Register the maintenance-persisted activity-register partials
+        (maintenance.py activity_sink: per (slice, tenant, period) HLL
+        register rows over user identity) as the W18 sketch serving
+        source.  ``registers`` may be a DataFrame or a parquet path; a
+        path is re-read lazily per query so an advancing sink needs no
+        re-attach."""
+        self._activity_regs[metric_type] = {
+            "src": registers, "period_ms": int(period_ms), "m": int(m),
+        }
+
+    def active_users_sketch(
+        self,
+        tenant_id,
+        start,
+        end,
+        metric_type=MetricType.GAUGE,
+        windows=(1, 7, 30),
+    ) -> DataFrame:
+        """W18 served from the attached activity registers with ZERO
+        raw-point reads: per-slice register rows for the range's
+        periods merge by max(rho) (the HLL mergeability contract,
+        equality-tested against registers built directly from raw
+        events), then finalize into per-(period, window) summaries +
+        the raw estimate (operators/funnel.py
+        active_window_estimates).  The rollup analogue of
+        :meth:`active_users` — use the exact operator when the distinct
+        (user, period) reduction is affordable, this when only the
+        partials are."""
+        from rhq_metrics_spark.errors import BadRequest
+        from rhq_metrics_spark.operators.funnel import (
+            active_window_estimates,
+        )
+
+        cfg = self._activity_regs.get(metric_type)
+        if cfg is None:
+            raise BadRequest(
+                f"no activity registers attached for {metric_type!r}"
+            )
+        src = cfg["src"]
+        df = self.spark.read.parquet(src) if isinstance(src, str) else src
+        p = cfg["period_ms"]
+        lo, hi = int(start) // p, (int(end) - 1) // p
+        regs = df.filter(
+            (F.col("tenant_id") == tenant_id)
+            & F.col("period").between(lo, hi)
+        ).select("period", "reg", "rho")
+        return active_window_estimates(
+            regs, windows=tuple(windows), m=cfg["m"], hi=hi
         )
 
     def slo_burn(

@@ -606,3 +606,95 @@ def test_ivf_drift_rebuild_restores_recall(spark, svc, tmp_path):
     assert report2["ivf"]["stats"]["n_cells"] == 16
     base.unpersist(); drifted.unpersist()
     union.unpersist(); truth.unpersist()
+
+
+def test_maintenance_emits_activity_registers(spark, tmp_path):
+    """activity_sink (r13): compaction passes persist per-slice HLL
+    activity registers; active_users_sketch serves rolling counts from
+    the partials with ZERO raw reads, and the slice-merged registers
+    equal registers built directly from raw events (mergeability) —
+    including incrementally across two maintenance cycles."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.maintenance import MaintenanceRunner
+    from rhq_metrics_spark.operators.funnel import active_users_hll
+    from rhq_metrics_spark.service import MetricsService
+    from rhq_metrics_spark.sources.store import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    svc = MetricsService(spark, store)
+    slice_ms = store.slice_ms
+    period_ms = slice_ms // 2  # two periods per slice
+    schema = ("tenant_id string, metric string, ts long, value double, "
+              "tags map<string,string>")
+    sink = str(tmp_path / "activity")
+    runner = MaintenanceRunner(
+        svc, activity_sink={"path": sink, "period_ms": period_ms},
+    )
+
+    # value IS the user id (the product-event ingest convention);
+    # 12 users active in varying periods across 2 slices
+    rows1 = [
+        ("t", "ev", s * slice_ms + (i % 4) * (period_ms // 2) + i,
+         float(i % 12), None)
+        for s in range(2) for i in range(60)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(rows1, schema))
+    rep = runner.run_once(now_ms=2 * slice_ms + runner.compaction_grace_ms)
+    assert rep["activity_slices"] == 2
+
+    served = svc.active_users_sketch(
+        "t", 0, 2 * slice_ms, windows=(1, 2)
+    )
+    # zero raw reads: every input file is under the sink
+    assert served.inputFiles() and all(
+        "activity" in f for f in served.inputFiles()
+    )
+    got = {
+        (r["period"], r["window_periods"]): (r["sum_scaled"], r["raw_est"])
+        for r in served.collect()
+    }
+    # mergeability: registers built straight from the raw events give
+    # the same summaries
+    pts = store.points("gauge").select(
+        F.col("value").cast("long").alias("user_id"), "ts"
+    )
+    want = {
+        (r["period"], r["window_periods"]): (r["sum_scaled"], r["raw_est"])
+        for r in active_users_hll(
+            pts, period_ms=period_ms, windows=(1, 2)
+        ).collect()
+    }
+    assert got == want
+
+    # second cycle: a third slice lands; the serve window extends
+    rows2 = [
+        ("t", "ev", 2 * slice_ms + i * 997, float(i % 5), None)
+        for i in range(30)
+    ]
+    svc.add_data_points("gauge", spark.createDataFrame(rows2, schema))
+    rep2 = runner.run_once(now_ms=3 * slice_ms + runner.compaction_grace_ms)
+    assert rep2["activity_slices"] == 1
+    served3 = svc.active_users_sketch("t", 0, 3 * slice_ms, windows=(1,))
+    pts3 = store.points("gauge").select(
+        F.col("value").cast("long").alias("user_id"), "ts"
+    )
+    want3 = {
+        (r["period"], r["window_periods"]): r["sum_scaled"]
+        for r in active_users_hll(
+            pts3, period_ms=period_ms, windows=(1,)
+        ).collect()
+    }
+    got3 = {
+        (r["period"], r["window_periods"]): r["sum_scaled"]
+        for r in served3.collect()
+    }
+    assert got3 == want3
+
+    # no registers attached for counters -> BadRequest
+    import pytest as _pytest
+
+    from rhq_metrics_spark.errors import BadRequest
+
+    with _pytest.raises(BadRequest):
+        svc.active_users_sketch("t", 0, slice_ms, metric_type="counter")
