@@ -89,6 +89,7 @@ from rhq_metrics_spark.pipelines.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     fuzzy_against_index,
+    fs_field_weights,
     fuzzy_blocked_pairs,
     fuzzy_index,
     minhash_index,
@@ -3252,6 +3253,77 @@ pairs AS (
 SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim_r
 FROM pairs WHERE sim >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def q_er_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter field agreement weights (pipelines/dedup.py
+    fs_field_weights) supervised by the blocked fuzzy pairs: pairs at
+    sim_r >= 0.7 are matches, the 0.4-0.7 band is the non-match
+    contrast; fields = source and the bit-length n_chars bucket (lang
+    is the blocking key, hence uninformative by construction).  All
+    integer fixed point — no log2 in the contract."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = fuzzy_blocked_pairs(
+        docs.select("doc_id", "lang", "text"), min_sim=0.4
+    ).select("id_a", "id_b", (F.col("sim_r") >= 0.7).alias("is_match"))
+    sides = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(1))))
+        .cast("int")
+        .alias("len_bucket"),
+    )
+    return fs_field_weights(sides, pairs, ("len_bucket", "source"))
+
+
+SQL_ER_FIELD_WEIGHTS = r"""
+WITH base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+pairs AS (
+  SELECT a._id AS id_a, b._id AS id_b,
+         1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+             / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) AS sim
+  FROM kept a JOIN kept b USING (_b0, _b_tok) WHERE a._id < b._id),
+lp AS (SELECT id_a, id_b, (round(sim, 6) >= 0.7) AS is_match
+       FROM pairs WHERE sim >= 0.4),
+d AS (SELECT doc_id, source,
+        CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1))) AS INTEGER)
+          AS len_bucket
+      FROM documents),
+j AS (SELECT lp.is_match, a.source AS a_src, b.source AS b_src,
+             a.len_bucket AS a_lb, b.len_bucket AS b_lb
+      FROM lp JOIN d a ON a.doc_id = lp.id_a
+              JOIN d b ON b.doc_id = lp.id_b),
+flags AS (
+  SELECT 'len_bucket' AS field, is_match,
+         CAST(a_lb IS NOT DISTINCT FROM b_lb AS BIGINT) AS agree
+  FROM j
+  UNION ALL
+  SELECT 'source', is_match,
+         CAST(a_src IS NOT DISTINCT FROM b_src AS BIGINT)
+  FROM j),
+rates AS (SELECT field, is_match, count(*) AS n_pairs,
+                 CAST(sum(agree) AS BIGINT) AS n_agree,
+                 CAST(sum(agree) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+          FROM flags GROUP BY 1, 2),
+wr AS (SELECT *,
+         max(CASE WHEN is_match THEN rate_ppm END)
+           OVER (PARTITION BY field) AS m_ppm,
+         max(CASE WHEN NOT is_match THEN rate_ppm END)
+           OVER (PARTITION BY field) AS u_ppm
+       FROM rates)
+SELECT field, is_match, n_pairs, n_agree, rate_ppm,
+       CAST(coalesce(m_ppm, 0) * 1000000
+            // greatest(coalesce(u_ppm, 0), 1) AS BIGINT)
+         AS weight_ratio_ppm
+FROM wr
+ORDER BY field, is_match
 """
 
 
@@ -7055,6 +7127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "er_field_weights": q_er_field_weights,
         "pipe_length_histogram": q_pipe_length_histogram,
         "w20_attribution": q_w20_attribution,
         "w18_active_users_hll": q_w18_active_users_hll,
@@ -7237,6 +7310,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "er_field_weights": SQL_ER_FIELD_WEIGHTS,
         "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),
         "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),

@@ -1663,3 +1663,96 @@ def fuzzy_against_index(
     if include_batch_internal:
         out = out.unionByName(_pairs(batch, batch, batch_internal=True))
     return out.orderBy("id_new", "id_old")
+
+
+def fs_field_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fields: tuple[str, ...],
+    label_col: str = "is_match",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fellegi–Sunter field agreement weights (Fellegi & Sunter 1969,
+    JASA 64) for the entity-resolution family: given labeled candidate
+    PAIRS (``id_a, id_b, is_match`` — e.g. :func:`fuzzy_blocked_pairs`
+    output thresholded on ``sim_r``), estimate per field
+
+        m = P(field agrees | match)      (agreement among matches)
+        u = P(field agrees | non-match)  (chance agreement)
+
+    and the match/chance ratio — the evidence weight a probabilistic
+    linker assigns when that field agrees.  Served as exact integer
+    fixed point (``m_ppm``, ``u_ppm``, ``weight_ratio_ppm = m_ppm · 1e6
+    div max(u_ppm, 1)``) — no ``log2`` enters the contract, so every
+    output is hash-exact cross-engine.
+
+    Agreement is null-safe equality on the field value — bucket
+    continuous fields first (e.g. the bit-length buckets of
+    ``profile.length_histogram``) and pass the bucketed column.
+
+    Plan shape at 100 TB: the pair table joins the (id, fields...)
+    projection twice BY ID KEY (pair-linear, never all-pairs — the
+    pairs themselves came from blocking), then ONE tiny hash-agg per
+    field over the labeled agreement flags (unioned: #fields × 2
+    output rows).
+
+    Output: ``(field, is_match, n_pairs, n_agree, rate_ppm)`` plus the
+    per-field ``weight_ratio_ppm`` repeated on both label rows.
+    """
+    if not fields:
+        raise ValueError("fs_field_weights: fields must be non-empty")
+    side = docs.select(F.col(id_col).alias("_id"), *fields)
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    joined = (
+        pairs.select("id_a", "id_b", F.col(label_col).alias("_m"))
+        .join(a, "id_a")
+        .join(b, "id_b")
+    )
+    legs = []
+    for f in fields:
+        legs.append(
+            joined.select(
+                F.lit(f).alias("field"),
+                F.col("_m").alias("is_match"),
+                F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}"))
+                .cast("long").alias("_agree"),
+            )
+        )
+    flags = legs[0]
+    for leg in legs[1:]:
+        flags = flags.unionByName(leg)
+    rates = (
+        flags.groupBy("field", "is_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_agree").alias("n_agree"),
+        )
+        .withColumn("rate_ppm", F.expr("n_agree * 1000000 div n_pairs"))
+    )
+    w = Window.partitionBy("field")
+    return (
+        rates.withColumn(
+            "_m_ppm", F.max(F.when(F.col("is_match"), F.col("rate_ppm"))).over(w)
+        )
+        .withColumn(
+            "_u_ppm", F.max(F.when(~F.col("is_match"), F.col("rate_ppm"))).over(w)
+        )
+        .withColumn(
+            "weight_ratio_ppm",
+            F.expr(
+                "coalesce(_m_ppm, 0) * 1000000 div greatest(coalesce(_u_ppm, 0), 1)"
+            ),
+        )
+        .select(
+            "field", "is_match", "n_pairs", "n_agree", "rate_ppm",
+            "weight_ratio_ppm",
+        )
+        .orderBy("field", "is_match")
+    )

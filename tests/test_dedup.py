@@ -811,3 +811,44 @@ def test_fuzzy_against_index_sizes_blocks_on_corpus_plus_batch(spark, caplog):
     }
     batch_ids = {r[0] for r in hot_batch + batch_edge + batch_cold}
     assert inc_pairs == {p for p in full if set(p) & batch_ids}
+
+
+def test_fs_field_weights_hand_computed(spark):
+    """m/u agreement rates and the match/chance ratio on a planted
+    labeled pair set, null-safe equality included."""
+    import pytest as _pytest
+
+    from rhq_metrics_spark.pipelines.dedup import fs_field_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web"), (2, "en", "web"), (3, "en", None),
+            (4, "de", None), (5, "fr", "book"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    # matches: (1,2) agree on both; (3,4) disagree lang, agree source
+    # (null == null is agreement under eqNullSafe)
+    # non-matches: (1,5) disagree both; (2,3) agree lang, disagree source
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, True), (3, 4, True),
+            (1, 5, False), (2, 3, False),
+        ],
+        "id_a long, id_b long, is_match boolean",
+    )
+    out = {
+        (r["field"], r["is_match"]): r
+        for r in fs_field_weights(docs, pairs, ("lang", "source")).collect()
+    }
+    assert out[("lang", True)]["n_agree"] == 1      # (1,2) only
+    assert out[("lang", True)]["rate_ppm"] == 500_000
+    assert out[("lang", False)]["n_agree"] == 1     # (2,3)
+    assert out[("source", True)]["n_agree"] == 2    # (1,2) + null==null
+    assert out[("source", True)]["rate_ppm"] == 1_000_000
+    assert out[("source", False)]["n_agree"] == 0
+    # weight = m_ppm * 1e6 div max(u_ppm, 1)
+    assert out[("lang", True)]["weight_ratio_ppm"] == 1_000_000  # .5/.5
+    assert out[("source", True)]["weight_ratio_ppm"] == 1_000_000 * 1_000_000
+    with _pytest.raises(ValueError, match="fields"):
+        fs_field_weights(docs, pairs, ())
