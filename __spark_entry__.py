@@ -2263,6 +2263,43 @@ FROM s
 # (alphabetical tie-break matches the Spark argmax: earliest lang wins)
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language confusion matrix (pipelines/profile.py lang_confusion):
+    declared metadata lang vs the n-gram classifier per cell, with the
+    floor-ppm share of each declared row — the data-card mislabeling
+    panel; scan-fused scoring, one matrix hash-agg."""
+    from rhq_metrics_spark.pipelines.profile import lang_confusion
+
+    docs = _table(spark, sf_dir, "documents")
+    return lang_confusion(docs)
+
+
+SQL_LANG_CONFUSION = rf"""
+WITH t AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+       {_SCORES}
+      FROM t),
+p AS (SELECT lang,
+        CASE
+          WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+          WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+          WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+          WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM s),
+c AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+w AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM c)
+SELECT lang, lang_pred, n_docs,
+       CAST(n_docs * 1000000 // tot AS BIGINT) AS share_ppm
+FROM w
+ORDER BY lang, lang_pred
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return document_fingerprint(docs).select("doc_id", "fp_roll", "fp_min_shingle")
@@ -7127,6 +7164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "text_lang_confusion": q_text_lang_confusion,
         "er_field_weights": q_er_field_weights,
         "pipe_length_histogram": q_pipe_length_histogram,
         "w20_attribution": q_w20_attribution,
@@ -7310,6 +7348,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,
         "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),

@@ -266,3 +266,48 @@ def length_histogram(
         )
         .orderBy(group_col, "bucket_log2")
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    declared_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language confusion matrix — declared metadata language vs the
+    n-gram/stopword classifier's prediction (text.py language_id): the
+    data-card mislabeling panel (a source whose declared 'en' rows
+    predict 'de' at 30% has a metadata problem the mixture builder
+    must know about before weighting by language).
+
+    Output: one row per (declared, predicted) cell with the count and
+    the floor-ppm share of the declared language's row — all integers.
+
+    Plan shape at 100 TB: language_id is scan-fused column expressions;
+    one (declared, predicted) hash-agg; row totals ride a window over
+    the #langs² matrix, never documents.
+    """
+    from rhq_metrics_spark.pipelines.text import language_id
+
+    from pyspark.sql import Window
+
+    pred = language_id(df).select(
+        F.col(id_col).alias("_id"), "lang_pred"
+    )
+    cells = (
+        df.select(F.col(id_col).alias("_id"), F.col(declared_col).alias("lang"))
+        .join(pred, "_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("_tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.expr(f"n_docs * {PPM} div _tot").alias("share_ppm"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

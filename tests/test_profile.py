@@ -176,3 +176,26 @@ def test_length_histogram_hand_computed(spark):
     assert out[("b", 7)]["n_docs"] == 1 and out[("b", 7)]["lo"] == 64
     assert out[("b", 1)]["n_docs"] == 1
     assert out[("b", 1)]["total_chars"] == 0  # chars sum stays exact
+
+
+def test_lang_confusion_hand_computed(spark):
+    """Declared-vs-predicted cells with per-declared-row ppm shares;
+    the und prediction lands in its own column cell."""
+    from rhq_metrics_spark.pipelines.profile import lang_confusion
+
+    rows = [
+        (1, "en", "the cat and the dog in a house is that it for"),
+        (2, "en", "der hund und die katze ist von dem haus nicht"),  # mislabeled
+        (3, "de", "der hund und die katze ist von dem haus nicht"),
+        (4, "en", "xyzzy qwerty plugh"),                             # und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["lang"], r["lang_pred"]): (r["n_docs"], r["share_ppm"])
+        for r in lang_confusion(df).collect()
+    }
+    assert out[("en", "en")] == (1, 333_333)
+    assert out[("en", "de")] == (1, 333_333)
+    assert out[("en", "und")] == (1, 333_333)
+    assert out[("de", "de")] == (1, 1_000_000)
+    assert len(out) == 4
