@@ -2263,6 +2263,89 @@ FROM s
 # (alphabetical tie-break matches the Spark argmax: earliest lang wins)
 
 
+def q_pipe_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE+ (r13 edition): the curation pipeline re-composed from the
+    r12/r13 operator families as ONE query — Gopher document filter →
+    blocked fuzzy-ER near-dup clustering over survivors (levenshtein
+    tier, where pipe_curation uses MinHash) → keep canonical docs →
+    per-source PRIORITY sample (k=5, weight = n_chars) with unbiased
+    per-source subset-sum estimators.  Every stage is an already-
+    oracled operator; this checks their COMPOSITION (the r11
+    pipe_curation precedent).  Output: (source, doc_id, weight,
+    priority_r, est_weight_r)."""
+    from rhq_metrics_spark.pipelines.text import gopher_quality_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    g = gopher_quality_filter(docs, min_stopword_hits=1)
+    kept = docs.join(
+        g.filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    pairs = fuzzy_blocked_pairs(
+        kept.select("doc_id", "lang", "text"), min_sim=0.4
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(kept.select("doc_id"), pairs)
+    canon = kept.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    return priority_sample_per_group(
+        canon.select("doc_id", "source", "n_chars"),
+        k=5, group_cols=["source"],
+    )
+
+
+def _pipe_curation_v2_sql() -> str:
+    gq = SQL_TEXT_GOPHER.strip()
+    return f"""
+WITH RECURSIVE
+gq AS ({gq}),
+kd AS (SELECT d.doc_id, d.lang, d.text, d.source, d.n_chars
+       FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+       WHERE gq.kept),
+fb AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM kd),
+fsizes AS (SELECT _b0, _b_tok FROM fb GROUP BY 1, 2
+           HAVING count(*) <= 2000),
+fkept AS (SELECT fb.* FROM fb JOIN fsizes USING (_b0, _b_tok)),
+fpairs AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM fkept a JOIN fkept b USING (_b0, _b_tok)
+  WHERE a._id < b._id
+    AND 1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+            / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE)
+        >= 0.4),
+edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+          UNION SELECT id_b, id_a FROM fpairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM kd
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+clus AS (SELECT id, min(lab) AS cl FROM reach GROUP BY id),
+canon AS (SELECT kd.* FROM kd JOIN clus ON clus.id = kd.doc_id
+          WHERE clus.cl = kd.doc_id),
+h AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+    CAST(n_chars AS DOUBLE) /
+      ((CAST(concat('0x', substr(md5(concat('prio', ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        / 1152921504606846976.0) AS q
+  FROM canon WHERE n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+      FROM h),
+t AS (SELECT *, max(CASE WHEN rn = 6 THEN q END)
+          OVER (PARTITION BY source) AS tau
+      FROM r WHERE rn <= 6)
+SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+       round(q, 6) AS priority_r,
+       round(greatest(w, coalesce(tau, 0.0)), 6) AS est_weight_r
+FROM t WHERE rn <= 5
+ORDER BY source, priority_r DESC, doc_id
+"""
+
+
 def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language confusion matrix (pipelines/profile.py lang_confusion):
     declared metadata lang vs the n-gram classifier per cell, with the
@@ -7164,6 +7247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "pipe_curation_v2": q_pipe_curation_v2,
         "text_lang_confusion": q_text_lang_confusion,
         "er_field_weights": q_er_field_weights,
         "pipe_length_histogram": q_pipe_length_histogram,
@@ -7348,6 +7432,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- then the 7 never-driver-sampled r12 keys, then the
         # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
         # ---- w12-w14, fingerprints, mixtures).
+        "pipe_curation_v2": _pipe_curation_v2_sql(),
         "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,
         "pipe_length_histogram": SQL_LENGTH_HIST,
