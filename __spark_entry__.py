@@ -116,7 +116,11 @@ from rhq_metrics_spark.pipelines.sketches import (
     kmv_set_ops,
     kmv_sketch_rows,
 )
-from rhq_metrics_spark.pipelines.graph import canonical_by_centrality, pagerank
+from rhq_metrics_spark.pipelines.graph import (
+    canonical_by_centrality,
+    pagerank,
+    pagerank_weighted,
+)
 from rhq_metrics_spark.pipelines.sampling import (
     cap_per_group,
     hash_split,
@@ -3950,6 +3954,77 @@ ORDER BY doc_id
 """
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted integer PageRank (pipelines/graph.py pagerank_weighted)
+    over the blocked fuzzy pair graph with similarity-ppm edge weights:
+    rank spreads proportionally to edge weight via the exact
+    split-contribution identity (hi·w + (lo·w) div W_out — no
+    overflowing product, no floats), 8 supersteps."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pairs = (
+        fuzzy_blocked_pairs(docs, min_sim=0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("sim_r") * 1_000_000).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return pagerank_weighted(nodes, pairs, iters=8).orderBy("doc_id")
+
+
+# the pagerank CTE chain with ppm edge weights and the same
+# split-contribution integer arithmetic as the Spark loop.
+SQL_GRAPH_PAGERANK_WEIGHTED = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+fpairs AS (
+  SELECT a._id AS id_a, b._id AS id_b,
+         CAST(round(round(1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+              / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE), 6)
+              * 1000000) AS BIGINT) AS w
+  FROM kept a JOIN kept b USING (_b0, _b_tok)
+  WHERE a._id < b._id
+    AND 1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+            / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) >= 0.4),
+wedges AS (
+  SELECT _src, _dst, max(w) AS _w FROM (
+    SELECT id_a AS _src, id_b AS _dst, w FROM fpairs
+    UNION ALL
+    SELECT id_b AS _src, id_a AS _dst, w FROM fpairs)
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT _src AS id FROM wedges),
+wo AS (SELECT _src, CAST(sum(_w) AS BIGINT) AS _wout FROM wedges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+prw(iter, id, rank) AS (
+  SELECT 0, id, CAST(1000000000 AS BIGINT) FROM nodes
+  UNION ALL
+  SELECT prw.iter + 1, e._dst,
+         CAST((SELECT (15 * CAST(1000000000 AS BIGINT)) // (100 * n) FROM nn)
+              + 85 * SUM((prw.rank // wo._wout) * e._w
+                         + ((prw.rank % wo._wout) * e._w) // wo._wout)
+                // 100 AS BIGINT)
+  FROM prw
+  JOIN wo ON prw.id = wo._src
+  JOIN wedges e ON prw.id = e._src
+  WHERE prw.iter < 8
+  GROUP BY prw.iter, e._dst)
+SELECT id AS doc_id, rank AS rank_ppb
+FROM prw WHERE iter = 8
+ORDER BY doc_id
+"""
+
+
 def q_graph_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality-canonical re-pick (pipelines/graph.py
     canonical_by_centrality): connected components over the SAME
@@ -7247,6 +7322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- the 7 never-driver-sampled r12 keys, then 31 of the
         # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
         # ---- legs + w12/w13).
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "pipe_curation_v2": q_pipe_curation_v2,
         "text_lang_confusion": q_text_lang_confusion,
         "er_field_weights": q_er_field_weights,
@@ -7434,6 +7510,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- the 7 never-driver-sampled r12 keys, then 31 of the
         # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
         # ---- legs + w12/w13).
+        "graph_pagerank_weighted": SQL_GRAPH_PAGERANK_WEIGHTED,
         "pipe_curation_v2": _pipe_curation_v2_sql(),
         "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,

@@ -180,3 +180,137 @@ def canonical_by_centrality(
         .withColumn("is_canonical", F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pagerank_weighted(
+    ids: DataFrame,
+    pairs: DataFrame,
+    damping_pct: int = 85,
+    iters: int = 10,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over an undirected pair graph: each node
+    spreads rank to neighbors PROPORTIONALLY to integer edge weights
+    (e.g. the fuzzy/near-dup similarity in ppm) instead of uniformly —
+    the canonical-exemplar ranking then prefers the member most
+    STRONGLY tied to its cluster, not merely the most-connected one.
+
+    Exactness: the per-edge contribution ``floor(rank · w / W_out)`` is
+    computed WITHOUT the overflowing product via the split identity
+
+        rank = hi · W_out + lo   (hi = rank div W_out, lo = rank % W_out)
+        floor(rank · w / W_out) = hi · w + (lo · w) div W_out
+
+    — every term int64 (``lo < W_out``, so ``lo · w < W_out · max_w``:
+    with ppm weights the bound holds while a node's weighted out-degree
+    stays under ~9.2e6 edges — far past any blocked pair graph), every
+    op a floor division or sum, so partial-agg order cannot change a
+    bit and two engines agree exactly.  With UNIFORM weights the
+    rational ``rank·c/(deg·c)`` equals ``rank/deg`` term-for-term, so
+    output is bit-identical to :func:`pagerank` (pytest-pinned).
+
+    Duplicate (a, b) rows keep the MAX weight (deterministic);
+    symmetrized like :func:`pagerank`.  Same superstep shape: one edge
+    join + one destination hash-agg + eager localCheckpoint with
+    unpersist-previous (≤ 2 live snapshots — the ×100 OOM lesson).
+
+    Output: ``(id, rank_ppb)`` — exact int64.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(
+            f"pagerank_weighted: damping_pct out of (0, 100): {damping_pct}"
+        )
+    if iters < 1:
+        raise ValueError(f"pagerank_weighted: iters must be >= 1, got {iters}")
+    spark = ids.sparkSession
+    nodes = ids.select(F.col(id_col).alias("_id")).distinct().persist()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n")).first()
+    n = int(n_row["n"])
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, rank_ppb long").select(
+            F.col(id_col), "rank_ppb"
+        )
+    w = F.col(weight_col).cast("long")
+    checked = pairs.withColumn(
+        "_w",
+        F.when(w > 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pagerank_weighted: {weight_col} must be > 0: "),
+                    w.cast("string"),
+                )
+            )
+        ),
+    )
+    edges = (
+        checked.select(
+            F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"), "_w"
+        )
+        .unionByName(
+            checked.select(
+                F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"), "_w"
+            )
+        )
+        .groupBy("_src", "_dst")
+        .agg(F.max("_w").alias("_w"))
+        .persist()
+    )
+    wout = edges.groupBy("_src").agg(F.sum("_w").alias("_wout")).persist()
+    teleport = (100 - damping_pct) * RANK_SCALE // (100 * n)
+    d = damping_pct
+    dangling_nodes = (
+        nodes.join(wout, nodes["_id"] == wout["_src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    has_dangling = bool(dangling_nodes.limit(1).count())
+    ranks = nodes.withColumn("_rank", F.lit(RANK_SCALE).cast("long"))
+    prev = None
+    for _ in range(iters):
+        dangling = (
+            int(
+                ranks.join(dangling_nodes, "_id", "left_semi")
+                .agg(F.coalesce(F.sum("_rank"), F.lit(0)).alias("s"))
+                .first()["s"]
+            )
+            if has_dangling
+            else 0
+        )
+        contribs = (
+            ranks.join(wout, ranks["_id"] == wout["_src"])
+            .select(
+                "_id",
+                F.expr("_rank div _wout").alias("_hi"),
+                F.expr("_rank % _wout").alias("_lo"),
+                "_wout",
+            )
+            .join(edges, F.col("_id") == edges["_src"])
+            .select(
+                "_dst",
+                F.expr("_hi * _w + (_lo * _w) div _wout").alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["_id"] == contribs["_dst"], "left")
+            .select(
+                "_id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{d} * (coalesce(_in, 0) + {dangling // n}) div 100"
+                    )
+                ).cast("long").alias("_rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    wout.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_ppb"))

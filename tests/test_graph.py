@@ -104,3 +104,73 @@ def test_canonical_by_centrality_picks_the_hub(spark):
         per_cluster.setdefault(r["cluster_id"], 0)
         per_cluster[r["cluster_id"]] += bool(r["is_canonical"])
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    """With uniform weights the rational rank*c/(deg*c) equals rank/deg
+    term-for-term — bit-identical output."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.graph import pagerank, pagerank_weighted
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (6, 7)],
+        "id_a long, id_b long",
+    )
+    un = {r["doc_id"]: r["rank_ppb"] for r in pagerank(ids, pairs, iters=6).collect()}
+    wp = pairs.withColumn("w", F.lit(777))
+    wt = {
+        r["doc_id"]: r["rank_ppb"]
+        for r in pagerank_weighted(ids, wp, iters=6).collect()
+    }
+    assert un == wt
+
+
+def test_pagerank_weighted_prefers_heavy_edge_and_matches_python(spark):
+    """Rank flows along the heavy edge; pinned against a pure-Python
+    twin using the same split-contribution integer arithmetic."""
+    from rhq_metrics_spark.pipelines.graph import RANK_SCALE, pagerank_weighted
+
+    ids = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    # star: 0-1 heavy, 0-2 light
+    pairs = spark.createDataFrame(
+        [(0, 1, 900_000), (0, 2, 100_000)], "id_a long, id_b long, w long"
+    )
+    iters, d = 5, 85
+    got = {
+        r["doc_id"]: r["rank_ppb"]
+        for r in pagerank_weighted(ids, pairs, iters=iters).collect()
+    }
+    # pure-Python twin
+    edges = {}
+    for a, b, w in [(0, 1, 900_000), (0, 2, 100_000)]:
+        edges[(a, b)] = max(edges.get((a, b), 0), w)
+        edges[(b, a)] = max(edges.get((b, a), 0), w)
+    wout = {}
+    for (s, _), w in edges.items():
+        wout[s] = wout.get(s, 0) + w
+    n = 3
+    teleport = (100 - d) * RANK_SCALE // (100 * n)
+    rank = {i: RANK_SCALE for i in range(3)}
+    for _ in range(iters):
+        inc = {i: 0 for i in range(3)}
+        for (s, t), w in edges.items():
+            hi, lo = rank[s] // wout[s], rank[s] % wout[s]
+            inc[t] += hi * w + (lo * w) // wout[s]
+        rank = {i: teleport + d * inc[i] // 100 for i in range(3)}
+    assert got == rank
+    assert got[1] > got[2]  # the heavy neighbor outranks the light one
+
+
+def test_pagerank_weighted_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.graph import pagerank_weighted
+
+    ids = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1, 0)], "id_a long, id_b long, w long")
+    with pytest.raises(Exception, match="must be > 0"):
+        pagerank_weighted(ids, pairs, iters=1).collect()
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_weighted(ids, pairs, iters=0)
