@@ -7318,8 +7318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r13 driver window (50 keys): the 12 new r13 keys, then
-        # ---- the 7 never-driver-sampled r12 keys, then 31 of the
+        # ---- r13 driver window (50 keys): the 13 new r13 keys, then
+        # ---- the 7 never-driver-sampled r12 keys, then 30 of the
         # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
         # ---- legs + w12/w13).
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
@@ -7506,8 +7506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # ---- r13 driver window (50 keys): the 12 new r13 keys, then
-        # ---- the 7 never-driver-sampled r12 keys, then 31 of the
+        # ---- r13 driver window (50 keys): the 13 new r13 keys, then
+        # ---- the 7 never-driver-sampled r12 keys, then 30 of the
         # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
         # ---- legs + w12/w13).
         "graph_pagerank_weighted": SQL_GRAPH_PAGERANK_WEIGHTED,
