@@ -2065,6 +2065,25 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+def q_embed_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-composed hard-negative mining (pipelines/similarity.py
+    hard_negatives_ann, VERDICT r13 item 4): the ceiling+rank post-pass
+    over an IVF shortlist.  Run at FULL probe with the default
+    over-fetch allowance (2k+8 = 18 ≫ the ≤4 above-ceiling neighbors
+    any sf0.01 query has), the composition EQUALS the brute-force leg —
+    so the brute-force SQL is the oracle, the same identity
+    `embed_ivf_topk` uses.  Partial-probe recall is pytest-pinned on
+    the clustered fixture."""
+    from rhq_metrics_spark.pipelines.similarity import hard_negatives_ann
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    out = hard_negatives_ann(
+        emb, queries, k=TOPK_K, max_cosine=HN_MAX, n_cells=16, n_probe=16
+    )
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
 def q_embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via md5-plane LSH (integer-exact signatures) +
     exact re-rank — fully SQL-oracle-able: the oracle recomputes the
@@ -3451,6 +3470,103 @@ ORDER BY field, is_match
 """
 
 
+def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter decision half (pipelines/dedup.py fs_score_pairs,
+    VERDICT r13 item 5): candidate pairs from the blocked fuzzy leg,
+    m/u weights estimated by fs_field_weights on the sim_r-labeled
+    pairs (the er_field_weights chain), then every candidate scored by
+    the composite likelihood ratio — a fixed IEEE multiply tree over
+    ppm ints, no log — and banded match/possible/non_match."""
+    from rhq_metrics_spark.pipelines.dedup import fs_score_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = fuzzy_blocked_pairs(
+        docs.select("doc_id", "lang", "text"), min_sim=0.4
+    )
+    labeled = pairs.select(
+        "id_a", "id_b", (F.col("sim_r") >= 0.7).alias("is_match")
+    )
+    sides = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(1))))
+        .cast("int")
+        .alias("len_bucket"),
+    )
+    weights = fs_field_weights(sides, labeled, ("len_bucket", "source"))
+    return fs_score_pairs(
+        sides, pairs.select("id_a", "id_b"), weights,
+        ("len_bucket", "source"),
+    )
+
+
+SQL_ER_SCORE_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+pairs AS (
+  SELECT a._id AS id_a, b._id AS id_b,
+         1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+             / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) AS sim
+  FROM kept a JOIN kept b USING (_b0, _b_tok) WHERE a._id < b._id),
+lp AS (SELECT id_a, id_b, (round(sim, 6) >= 0.7) AS is_match
+       FROM pairs WHERE sim >= 0.4),
+d AS (SELECT doc_id, source,
+        CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1))) AS INTEGER)
+          AS len_bucket
+      FROM documents),
+j AS (SELECT lp.is_match, a.source AS a_src, b.source AS b_src,
+             a.len_bucket AS a_lb, b.len_bucket AS b_lb
+      FROM lp JOIN d a ON a.doc_id = lp.id_a
+              JOIN d b ON b.doc_id = lp.id_b),
+flags AS (
+  SELECT 'len_bucket' AS field, is_match,
+         CAST(a_lb IS NOT DISTINCT FROM b_lb AS BIGINT) AS agree
+  FROM j
+  UNION ALL
+  SELECT 'source', is_match,
+         CAST(a_src IS NOT DISTINCT FROM b_src AS BIGINT)
+  FROM j),
+rates AS (SELECT field, is_match,
+                 CAST(sum(agree) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+          FROM flags GROUP BY 1, 2),
+mu AS (SELECT
+  coalesce(max(CASE WHEN field = 'len_bucket' AND is_match THEN rate_ppm END), 0) AS m_lb,
+  coalesce(max(CASE WHEN field = 'len_bucket' AND NOT is_match THEN rate_ppm END), 0) AS u_lb,
+  coalesce(max(CASE WHEN field = 'source' AND is_match THEN rate_ppm END), 0) AS m_src,
+  coalesce(max(CASE WHEN field = 'source' AND NOT is_match THEN rate_ppm END), 0) AS u_src
+  FROM rates),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(a.len_bucket IS NOT DISTINCT FROM b.len_bucket AS BIGINT)
+           + CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT) AS n_agree,
+         (CASE WHEN a.len_bucket IS NOT DISTINCT FROM b.len_bucket
+               THEN CAST(greatest(mu.m_lb, 1) AS DOUBLE)
+                    / CAST(greatest(mu.u_lb, 1) AS DOUBLE)
+               ELSE CAST(greatest(1000000 - mu.m_lb, 1) AS DOUBLE)
+                    / CAST(greatest(1000000 - mu.u_lb, 1) AS DOUBLE) END)
+         * (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+                 THEN CAST(greatest(mu.m_src, 1) AS DOUBLE)
+                      / CAST(greatest(mu.u_src, 1) AS DOUBLE)
+                 ELSE CAST(greatest(1000000 - mu.m_src, 1) AS DOUBLE)
+                      / CAST(greatest(1000000 - mu.u_src, 1) AS DOUBLE) END)
+           AS score
+  FROM lp c JOIN d a ON a.doc_id = c.id_a
+            JOIN d b ON b.doc_id = c.id_b
+            CROSS JOIN mu)
+SELECT id_a, id_b, n_agree, round(score, 6) AS score_r,
+       CASE WHEN score >= 10.0 THEN 'match'
+            WHEN score <= 0.1 THEN 'non_match'
+            ELSE 'possible' END AS band
+FROM scored
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ER: a 10% batch (doc_id % 10 == 9) fuzzy-matched
     against the standing fuzzy_index of the other 90% WITHOUT
@@ -3473,7 +3589,10 @@ WITH base AS (
   FROM documents),
 corpus AS (SELECT * FROM base WHERE _id % 10 <> 9),
 batch  AS (SELECT * FROM base WHERE _id % 10 = 9),
-hot AS (SELECT _b0, _b_tok FROM corpus GROUP BY 1, 2 HAVING count(*) > 2000),
+hot AS (SELECT _b0, _b_tok
+        FROM (SELECT _b0, _b_tok FROM corpus
+              UNION ALL SELECT _b0, _b_tok FROM batch)
+        GROUP BY 1, 2 HAVING count(*) > 2000),
 c2 AS (SELECT * FROM corpus ANTI JOIN hot USING (_b0, _b_tok)),
 b2 AS (SELECT * FROM batch  ANTI JOIN hot USING (_b0, _b_tok)),
 cross_pairs AS (
@@ -3635,7 +3754,7 @@ def q_w19_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_W19 = """
-WITH ev AS ({ev_sql}),
+WITH ev AS (SELECT * FROM ({ev_sql}) WHERE metric IS NOT NULL),
 o AS (SELECT user_id, metric, ts, value,
         lead(metric, 1) OVER uw AS m1,
         lead(metric, 2) OVER uw AS m2
@@ -7318,60 +7437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r13 driver window (50 keys): the 13 new r13 keys, then
-        # ---- the 7 never-driver-sampled r12 keys, then 30 of the
-        # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
-        # ---- legs + w12/w13).
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "pipe_curation_v2": q_pipe_curation_v2,
-        "text_lang_confusion": q_text_lang_confusion,
-        "er_field_weights": q_er_field_weights,
-        "pipe_length_histogram": q_pipe_length_histogram,
-        "w20_attribution": q_w20_attribution,
-        "w18_active_users_hll": q_w18_active_users_hll,
-        "text_collocations": q_text_collocations,
-        "graph_canonical": q_graph_canonical,
-        "w18_active_users": q_w18_active_users,
-        "w19_frequent_paths": q_w19_frequent_paths,
-        "w15_step_latency": q_w15_step_latency,
-        "embed_hard_negatives": q_embed_hard_negatives,
-        "text_kn_score": q_text_kn_score,
-        "sample_priority_group": q_sample_priority_group,
-        "pipe_ngram_diversity": q_pipe_ngram_diversity,
-        "w17_transitions": q_w17_transitions,
-        "graph_pagerank": q_graph_pagerank,
-        "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
-        "text_readability": q_text_readability,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "sketch_hll": q_sketch_hll,
-        "sketch_bloom": q_sketch_bloom,
-        "sketch_kmv": q_sketch_kmv,
-        "embed_rp_reduce": q_embed_rp_reduce,
-        "embed_quantize": q_embed_quantize,
-        "embed_kmeans": q_embed_kmeans,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "w12_changepoint": q_w12_changepoint,
+        # ---- r14 driver window (50 keys): the 2 NEW r14 keys first
+        # ---- (er_score_pairs, embed_hard_negatives_ann), then the 20
+        # ---- r10-stale keys VERDICT r13 item 3 prescribes to lead,
+        # ---- then 28 of the r11-sampled block (stalest remainder).
+        "er_score_pairs": q_er_score_pairs,
+        "embed_hard_negatives_ann": q_embed_hard_negatives_ann,
         "w13_seasonal_forecast": q_w13_seasonal_forecast,
         "w14_top_anomalous": q_w14_top_anomalous,
         "doc_fingerprint": q_doc_fingerprint,
@@ -7380,13 +7451,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_importance_sample": q_pipe_importance_sample,
         "text_fertility": q_text_fertility,
         "text_substr_self_dedup": q_text_substr_self_dedup,
+        "text_lm_score": q_text_lm_score,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "text_contamination": q_text_contamination,
+        "text_unigram_seed": q_text_unigram_seed,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "pipe_dataset_profile": q_pipe_dataset_profile,
+        "pipe_dataset_diff": q_pipe_dataset_diff,
+        "w15_funnel": q_w15_funnel,
+        "w16_cohort": q_w16_cohort,
+        "embed_pq_codes": q_embed_pq_codes,
+        "mm_meta": q_mm_meta,
+        "sample_split": q_sample_split,
+        "sample_cap": q_sample_cap,
+        "s1_raw_scan": q_s1_raw_scan,
+        "f2_scan_limit": q_f2_scan_limit,
+        "a1_bucket_stats": q_a1_bucket_stats,
+        "a1_counter_stats": q_a1_counter_stats,
+        "a1_gapfill": q_a1_gapfill,
+        "w1_gauge_rate": q_w1_gauge_rate,
+        "w1_counter_rate": q_w1_counter_rate,
+        "w1_rate_stats": q_w1_rate_stats,
+        "a2_availability_stats": q_a2_availability_stats,
+        "a2_availability_rollup": q_a2_availability_rollup,
+        "a7_distinct_adjacent": q_a7_distinct_adjacent,
+        "w2_periods": q_w2_periods,
+        "a3_stacked_stats": q_a3_stacked_stats,
+        "a4_pooled_stats": q_a4_pooled_stats,
+        "a5_tagged_stats": q_a5_tagged_stats,
+        "a6_scalar_aggs": q_a6_scalar_aggs,
+        "a8_minmax_ts": q_a8_minmax_ts,
+        "f4_metric_regex": q_f4_metric_regex,
         # ---- 50-key driver window ends here ----
         # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; 19 r10-stale keys remain to
-        #  lead the r14 window: w14, doc_fingerprint, url_canonical,
-        #  the mixtures, text_fertility/substr_self_dedup/lm_score, the
-        #  dedup_* legacy legs, text_token_stats/quality/langid/vocab/
-        #  contamination.)
+        #  judge's oracle run each round; remainder ordered by
+        #  staleness so future rotations read off this list.)
+        "s7_tag_query": q_s7_tag_query,
+        "s7_tag_query_simple": q_s7_tag_query_simple,
+        "b1_slice_rollup": q_b1_slice_rollup,
+        "j5_asof_join": q_j5_asof_join,
+        "w4_sessions": q_w4_sessions,
+        "j6_interval_join": q_j6_interval_join,
+        "a9_time_rollup": q_a9_time_rollup,
+        "a10_correlation": q_a10_correlation,
+        "w6_trend": q_w6_trend,
+        "b12_distinct_rollup": q_b12_distinct_rollup,
+        "fz_vocab_pairs": q_fz_vocab_pairs,
+        "hybrid_topk": q_hybrid_topk,
+        "text_heavy_hitters": q_text_heavy_hitters,
+        "hh_int_values": q_hh_int_values,
+        "pipe_curation": q_pipe_curation,
+        "o5_minmax_downsample": q_o5_minmax_downsample,
+        "a11_histogram": q_a11_histogram,
+        "w7_increase": q_w7_increase,
+        "w8_increase_rollup": q_w8_increase_rollup,
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "a12_twa_rollup": q_a12_twa_rollup,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
         "sample_priority": q_sample_priority,
         "dedup_fuzzy_blocked": q_dedup_fuzzy_blocked,
         "embed_pq_adc_topk": q_embed_pq_adc_topk,
@@ -7437,69 +7567,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "pack_chunks": q_pack_chunks,
         "dedup_segments": q_dedup_segments,
-        # ---- 50-key driver window ends here ----
-        "text_unigram_seed": q_text_unigram_seed,
-        "sketch_kmv_setops": q_sketch_kmv_setops,
-        "pipe_dataset_profile": q_pipe_dataset_profile,
-        "pipe_dataset_diff": q_pipe_dataset_diff,
-        "w15_funnel": q_w15_funnel,
-        "w16_cohort": q_w16_cohort,
-        "embed_pq_codes": q_embed_pq_codes,
-        "mm_meta": q_mm_meta,
-        "sample_split": q_sample_split,
-        "sample_cap": q_sample_cap,
-        "s1_raw_scan": q_s1_raw_scan,
-        "f2_scan_limit": q_f2_scan_limit,
-        "a1_bucket_stats": q_a1_bucket_stats,
-        "a1_counter_stats": q_a1_counter_stats,
-        "a1_gapfill": q_a1_gapfill,
-        "w1_gauge_rate": q_w1_gauge_rate,
-        "w1_counter_rate": q_w1_counter_rate,
-        "w1_rate_stats": q_w1_rate_stats,
-        "a2_availability_stats": q_a2_availability_stats,
-        "a2_availability_rollup": q_a2_availability_rollup,
-        "a7_distinct_adjacent": q_a7_distinct_adjacent,
-        "w2_periods": q_w2_periods,
-        "a3_stacked_stats": q_a3_stacked_stats,
-        "a4_pooled_stats": q_a4_pooled_stats,
-        "a5_tagged_stats": q_a5_tagged_stats,
-        "a6_scalar_aggs": q_a6_scalar_aggs,
-        "a8_minmax_ts": q_a8_minmax_ts,
-        "f4_metric_regex": q_f4_metric_regex,
-        "s7_tag_query": q_s7_tag_query,
-        "s7_tag_query_simple": q_s7_tag_query_simple,
-        "b1_slice_rollup": q_b1_slice_rollup,
-        "j5_asof_join": q_j5_asof_join,
-        "w4_sessions": q_w4_sessions,
-        "j6_interval_join": q_j6_interval_join,
-        "a9_time_rollup": q_a9_time_rollup,
-        "a10_correlation": q_a10_correlation,
-        "w6_trend": q_w6_trend,
-        "b12_distinct_rollup": q_b12_distinct_rollup,
-        "fz_vocab_pairs": q_fz_vocab_pairs,
-        "hybrid_topk": q_hybrid_topk,
-        "text_heavy_hitters": q_text_heavy_hitters,
-        "hh_int_values": q_hh_int_values,
-        "pipe_curation": q_pipe_curation,
-        "o5_minmax_downsample": q_o5_minmax_downsample,
-        "a11_histogram": q_a11_histogram,
-        "w7_increase": q_w7_increase,
-        "w8_increase_rollup": q_w8_increase_rollup,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
-        "a12_twa_rollup": q_a12_twa_rollup,
-        "a13_twa_hybrid": q_a13_twa_hybrid,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "text_lm_score": q_text_lm_score,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_vocab": q_text_vocab,
-        "text_contamination": q_text_contamination,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "pipe_curation_v2": q_pipe_curation_v2,
+        "text_lang_confusion": q_text_lang_confusion,
+        "er_field_weights": q_er_field_weights,
+        "pipe_length_histogram": q_pipe_length_histogram,
+        "w20_attribution": q_w20_attribution,
+        "w18_active_users_hll": q_w18_active_users_hll,
+        "text_collocations": q_text_collocations,
+        "graph_canonical": q_graph_canonical,
+        "w18_active_users": q_w18_active_users,
+        "w19_frequent_paths": q_w19_frequent_paths,
+        "w15_step_latency": q_w15_step_latency,
+        "embed_hard_negatives": q_embed_hard_negatives,
+        "text_kn_score": q_text_kn_score,
+        "sample_priority_group": q_sample_priority_group,
+        "pipe_ngram_diversity": q_pipe_ngram_diversity,
+        "w17_transitions": q_w17_transitions,
+        "graph_pagerank": q_graph_pagerank,
+        "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
+        "text_readability": q_text_readability,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "sketch_hll": q_sketch_hll,
+        "sketch_bloom": q_sketch_bloom,
+        "sketch_kmv": q_sketch_kmv,
+        "embed_rp_reduce": q_embed_rp_reduce,
+        "embed_quantize": q_embed_quantize,
+        "embed_kmeans": q_embed_kmeans,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "w12_changepoint": q_w12_changepoint,
     }
     return qs
 
@@ -7514,6 +7631,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_curation_v2": _pipe_curation_v2_sql(),
         "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,
+        "er_score_pairs": SQL_ER_SCORE_PAIRS,
         "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),
         "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),
@@ -7523,6 +7641,10 @@ def oracle_sql() -> dict[str, str]:
         "w19_frequent_paths": SQL_W19.format(ev_sql=EV_SQL),
         "w15_step_latency": _step_latency_sql(),
         "embed_hard_negatives": SQL_HARD_NEG,
+        # full-probe + over-fetch allowance ==> the ANN composition
+        # equals brute force (the embed_ivf_topk identity); the oracle
+        # is therefore the same brute-force SQL
+        "embed_hard_negatives_ann": SQL_HARD_NEG,
         "text_kn_score": SQL_TEXT_KN_SCORE,
         "sample_priority_group": SQL_SAMPLE_PRIORITY_GROUP,
         "pipe_ngram_diversity": SQL_PIPE_NGRAM_DIVERSITY,

@@ -343,6 +343,17 @@ def frequent_paths(
     over the path table (|distinct paths| rows), never a global sort
     of events.
 
+    Null event types are filtered UP FRONT (ADVICE r13): ``concat_ws``
+    would otherwise silently skip a null step and count a shortened
+    path as complete.  The streaming twin applies the same filter, so
+    stream == batch holds on null-typed timelines too.  The ``>``
+    separator is part of the output contract: an event type that
+    itself contains ``>`` renders an ambiguous path string, and since
+    counting groups on that string, distinct step sequences that
+    collide textually would merge — keep ``>`` out of event-type
+    names (the reference applies the same reserved-character rule to
+    metric ids).
+
     Output: ``(path, occurrences, n_users, rank)`` — rank by
     (occurrences desc, path asc), ties deterministic.
     """
@@ -350,6 +361,7 @@ def frequent_paths(
         raise ValueError(f"frequent_paths: length must be >= 2: {length}")
     if k < 1:
         raise ValueError(f"frequent_paths: k must be >= 1: {k}")
+    df = df.filter(F.col(type_col).isNotNull())
     order_cols = [F.col(ts_col).asc(), F.col(type_col).asc()]
     if value_col is not None:
         order_cols.append(F.col(value_col).asc())

@@ -108,11 +108,13 @@ def _bucket_join_pairs(
         return _all_pairs(plain).distinct()
 
     # The bucket frame is narrow (id + short keys — never the documents)
-    # but its lineage holds the whole signature pipeline; persist it so
-    # the accounting pass below materializes the signatures exactly once
+    # but its lineage holds the whole signature pipeline; materialize it
+    # so the accounting pass below computes the signatures exactly once
     # and every later branch (all-pairs sides, refinement) reads the
-    # cached rows instead of recomputing the pipeline per reference.
-    buckets = buckets.persist()
+    # snapshot rows instead of recomputing the pipeline per reference.
+    # Eager localCheckpoint, not persist: no cache-registry entry to
+    # leak or serve stale on a later call over a grown source path.
+    buckets = buckets.localCheckpoint(eager=True)
     plain = buckets.drop("_refine") if refined else buckets
 
     # account for oversize buckets with ONE small aggregation (exact
@@ -331,8 +333,10 @@ def ngram_jaccard_pairs(
     drop out of the join.
     """
     # shingle sets are reused by several branches (index, sizes, verify):
-    # persist once instead of recomputing the tokenization per branch
-    sh = _shingle_df(df, id_col, text_col, n).persist()
+    # materialize once instead of recomputing the tokenization per
+    # branch — eager localCheckpoint so nothing stays in the cache
+    # registry to leak or go stale across calls
+    sh = _shingle_df(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_shingles").alias("_size"))
     exploded = sh.select("_id", F.explode("_shingles").alias("_sh"))
 
@@ -451,7 +455,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sh = _shingle_df(df, id_col, text_col, n).persist()
+    sh = _shingle_df(df, id_col, text_col, n).localCheckpoint(eager=True)
     sig = sh.select("_id", "_shingles", *minhash_signature("_shingles", num_hashes))
 
     band_exprs = [
@@ -575,9 +579,12 @@ def simhash_pairs(
             )
         ).cast("long"),
     ).otherwise(F.expr(" + ".join(sig_terms)))
-    # persisted: the bucket self-join would otherwise evaluate the whole
-    # tokenize→hash→vote pipeline once per join side
-    sigd = agg.select("_id", sig.cast("long").alias("_sig")).persist()
+    # materialized: the bucket self-join would otherwise evaluate the
+    # whole tokenize→hash→vote pipeline once per join side; eager
+    # localCheckpoint leaves no cache-registry entry to leak or go stale
+    sigd = agg.select("_id", sig.cast("long").alias("_sig")).localCheckpoint(
+        eager=True
+    )
     chunk = bits // bands
     mask = (1 << chunk) - 1
     buckets = sigd.select(
@@ -1363,7 +1370,7 @@ def embed_cross_near_dup(
         )
 
     lb = prep(left, "left_id")
-    rb = prep(right, "right_id").persist()
+    rb = prep(right, "right_id").localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = rb.groupBy("_bucket").agg(F.count("*").alias("_bsz"))
         hot = sizes.filter(F.col("_bsz") > max_bucket_size)
@@ -1500,9 +1507,13 @@ def fuzzy_blocked_pairs(
     )
     bkeys = [f"_b{i}" for i in range(len(block_cols))] + ["_b_tok"]
     # narrow frame (ids + keys + short prefix) but its lineage holds the
-    # document scan; persist so the accounting pass and both join sides
-    # read cached rows — same treatment as _bucket_join_pairs above.
-    base = base.persist()
+    # document scan; materialize it so the accounting pass and both join
+    # sides read snapshot rows.  Eager localCheckpoint, NOT persist: the
+    # cache registry matches by analyzed plan, so a persisted frame
+    # derived from a source PATH would serve stale rows on a later call
+    # after new files land (the serving-loop trap documented at
+    # operators/funnel.py active_users).
+    base = base.localCheckpoint(eager=True)
     sizes = base.groupBy(*bkeys).agg(F.count(F.lit(1)).alias("_bn"))
     hot = sizes.filter(F.col("_bn") > max_block)
     hot_rows = hot.select(F.sum("_bn").alias("n"), F.count(F.lit(1)).alias("b")).first()
@@ -1755,4 +1766,129 @@ def fs_field_weights(
             "weight_ratio_ppm",
         )
         .orderBy("field", "is_match")
+    )
+
+
+def fs_score_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: DataFrame,
+    fields: tuple[str, ...],
+    id_col: str = "doc_id",
+    upper_odds: float = 10.0,
+    lower_odds: float = 0.1,
+) -> DataFrame:
+    """The decision half of the Fellegi–Sunter model (Fellegi & Sunter
+    1969, JASA 64 — the half users run AFTER :func:`fs_field_weights`
+    estimates m/u): score each candidate pair by the composite
+    likelihood ratio of its field agreement pattern and band it into
+    ``match`` / ``possible`` / ``non_match``.
+
+    Per field the evidence ratio is ``m/u`` on agreement and
+    ``(1−m)/(1−u)`` on disagreement, taken from the estimated ppm rates
+    with a 1-ppm floor on every term (add-one smoothing on the ppm
+    grid: a 0 or 1e6 rate estimated from finite training pairs must
+    not make one field's evidence absolute).  The composite score is
+    the PRODUCT over fields — FS's log-weight SUM without the ``log``:
+    ratios and their product form a FIXED IEEE expression tree
+    (each ppm int casts exactly to double; /, × are correctly rounded),
+    so the double is bit-identical in any engine and the banding
+    cannot diverge — the same log-free discipline as ``collocations``'
+    lift.  Display rounds to 6 dp AFTER banding.
+
+    Banding: ``score >= upper_odds`` → match, ``score <= lower_odds``
+    → non_match, else possible (the FS clerical-review band).
+
+    Plan shape at 100 TB: pair-linear — the pair table joins the
+    ``(id, fields…)`` projection twice BY ID (the pairs came from
+    blocking, never all-pairs), the per-field m/u rates arrive as ONE
+    broadcast row, and the score is a scan-fused column expression;
+    no shuffle beyond the two id joins.
+
+    Output: ``(id_a, id_b, n_agree, score_r, band)``.
+    """
+    if not fields:
+        raise ValueError("fs_score_pairs: fields must be non-empty")
+    if not 0 < lower_odds < upper_odds:
+        raise ValueError(
+            f"fs_score_pairs: need 0 < lower_odds < upper_odds: "
+            f"{lower_odds}, {upper_odds}"
+        )
+    # per-field m/u ppm as ONE broadcastable row (bounded: 2·|fields|
+    # input rows), missing label sides coalesce to 0 then hit the floor
+    wrow = weights.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("field") == f) & F.col("is_match"),
+                        F.col("rate_ppm"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"_m_{f}")
+            for f in fields
+        ],
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("field") == f) & ~F.col("is_match"),
+                        F.col("rate_ppm"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"_u_{f}")
+            for f in fields
+        ],
+    )
+    side = docs.select(F.col(id_col).alias("_id"), *fields)
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .crossJoin(F.broadcast(wrow))
+    )
+    ppm = 1_000_000
+    score = None
+    agree_terms = []
+    for f in fields:
+        agree = F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}"))
+        agree_terms.append(agree.cast("long"))
+        ratio = F.when(
+            agree,
+            F.greatest(F.col(f"_m_{f}"), F.lit(1)).cast("double")
+            / F.greatest(F.col(f"_u_{f}"), F.lit(1)).cast("double"),
+        ).otherwise(
+            F.greatest(F.lit(ppm) - F.col(f"_m_{f}"), F.lit(1)).cast("double")
+            / F.greatest(F.lit(ppm) - F.col(f"_u_{f}"), F.lit(1)).cast("double")
+        )
+        # fixed LEFT fold in the given field order: the multiply tree —
+        # hence the correctly-rounded double — is identical cross-engine
+        score = ratio if score is None else score * ratio
+    band = (
+        F.when(score >= F.lit(upper_odds), F.lit("match"))
+        .when(score <= F.lit(lower_odds), F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )
+    n_agree = agree_terms[0]
+    for t in agree_terms[1:]:
+        n_agree = n_agree + t
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            n_agree.alias("n_agree"),
+            F.round(score, 6).alias("score_r"),
+            band.alias("band"),
+        )
+        .orderBy("id_a", "id_b")
     )

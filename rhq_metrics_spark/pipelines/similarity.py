@@ -601,7 +601,11 @@ def ivf_query_index(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qv"),
     ).select("query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("cell"))
-    q = q.persist()
+    # eager localCheckpoint, not persist: this is a SERVING-loop entry
+    # point (standing index, repeated query batches) — a cache-registry
+    # entry keyed on the analyzed plan would leak per call and serve
+    # stale cells after the query source grows
+    q = q.localCheckpoint(eager=True)
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
         _read_index_component(spark, path, "cells")
@@ -692,6 +696,96 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives_from_candidates(
+    candidates: DataFrame,
+    k: int = 5,
+    max_cosine: float = 0.95,
+) -> DataFrame:
+    """The ceiling+rank post-pass of :func:`hard_negatives` over ANY
+    scored candidate frame in the ``(query_id, neighbor_id, cosine)``
+    shape — the composition point the brute-force docstring prescribes
+    for corpus scale: feed it an ANN shortlist (:func:`ivf_cosine_topk`,
+    :func:`ivf_query_index`, :func:`lsh_cosine_topk`) instead of the
+    full cross product.  Near-dups at/above the ceiling are filtered
+    BEFORE the rank window, so they never occupy a rank; any ``rank``
+    column already on the shortlist is discarded and recomputed over
+    the surviving rows.
+
+    Cost: one filter + one per-query row_number over shortlist-sized
+    input — candidate-linear, corpus-independent."""
+    if k < 1:
+        raise ValueError(f"hard_negatives_from_candidates: k must be >= 1: {k}")
+    if not 0 < max_cosine <= 1:
+        raise ValueError(
+            f"hard_negatives_from_candidates: max_cosine out of (0, 1]: {max_cosine}"
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.select("query_id", "neighbor_id", "cosine")
+        .filter(F.col("cosine") < max_cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_cosine: float = 0.95,
+    shortlist_k: int | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN-composed hard-negative mining (VERDICT r13 item 4): the
+    :func:`hard_negatives` ceiling+rank post-pass over an
+    :func:`ivf_cosine_topk` shortlist instead of the brute-force cross
+    product — the corpus-scale leg.  Per-query scan cost drops to
+    ~``n_probe / n_cells`` of the corpus (the IVF contract); recall vs
+    the exact leg is the ``n_probe`` dial, pinned in tests.
+
+    ``shortlist_k`` must over-fetch by the expected per-query count of
+    above-ceiling near-dups: every neighbor with cosine >= ``max_cosine``
+    outranks every admissible negative in the shortlist (cosine sorts
+    the shortlist), so with allowance ``a`` the post-pass returns the
+    true (within-probe) top-k negatives whenever a query has <= ``a``
+    near-dups.  Default ``2*k + 8``.  With ``n_probe == n_cells`` (full
+    probe) and enough allowance the output EQUALS the brute-force
+    :func:`hard_negatives` — that identity is both the correctness
+    oracle and the pytest pin.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)``, same contract as
+    the exact leg."""
+    if shortlist_k is None:
+        shortlist_k = 2 * k + 8
+    if shortlist_k < k:
+        raise ValueError(
+            f"hard_negatives_ann: shortlist_k {shortlist_k} < k {k}"
+        )
+    shortlist = ivf_cosine_topk(
+        corpus,
+        queries,
+        k=shortlist_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        seed=seed,
+        exclude_self=True,
+        centroids=centroids,
+    )
+    return hard_negatives_from_candidates(shortlist, k=k, max_cosine=max_cosine)
 
 
 # -- recall measurement & sizing (the target-recall dial) --------------------

@@ -2075,9 +2075,15 @@ def collocations(
         raise ValueError(f"collocations: k must be >= 1: {k}")
     if min_count < 1:
         raise ValueError(f"collocations: min_count must be >= 1: {min_count}")
+    # eager localCheckpoint, not persist: the cache registry matches by
+    # analyzed plan, so a persisted frame derived from a source PATH
+    # would serve stale tokens on a later call after new files land
+    # (the serving-loop trap documented at operators/funnel.py
+    # active_users); a checkpoint is a materialized snapshot with no
+    # registry entry to leak or go stale.
     toks = df.select(
         F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("_toks")
-    ).persist()
+    ).localCheckpoint(eager=True)
     uni = (
         toks.select(F.explode("_toks").alias("w"))
         .groupBy("w")

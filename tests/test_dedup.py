@@ -674,6 +674,39 @@ def test_fuzzy_blocked_pairs_drops_oversize_blocks(spark, caplog):
     assert any("oversize block" in rec.message for rec in caplog.records)
 
 
+def test_fuzzy_blocked_pairs_fresh_after_source_grows(spark, tmp_path):
+    """Serving-loop freshness (VERDICT r13 item 6): a second call over
+    the SAME source path after new files land must see the new rows —
+    the old persist() keyed the cache on the analyzed plan and would
+    have served the first call's snapshot; eager localCheckpoint takes
+    a per-call snapshot instead."""
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "en", "alpha quick brown fox jumps over the lazy dog"),
+            (2, "en", "alpha quick brown fox jumps ovre the lazy dog"),
+        ],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    first = fuzzy_blocked_pairs(
+        spark.read.parquet(path), min_sim=0.6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in first} == {(1, 2)}
+    # a third near-duplicate lands in the same path
+    spark.createDataFrame(
+        [(3, "en", "alpha quick brown fox jumps over the lazy dgo")],
+        "doc_id long, lang string, text string",
+    ).write.mode("append").parquet(path)
+    second = fuzzy_blocked_pairs(
+        spark.read.parquet(path), min_sim=0.6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in second} == {
+        (1, 2), (1, 3), (2, 3),
+    }
+
+
 def test_fuzzy_blocked_pairs_validation(spark):
     import pytest as _pytest
 
@@ -852,3 +885,61 @@ def test_fs_field_weights_hand_computed(spark):
     assert out[("source", True)]["weight_ratio_ppm"] == 1_000_000 * 1_000_000
     with _pytest.raises(ValueError, match="fields"):
         fs_field_weights(docs, pairs, ())
+
+
+def test_fs_score_pairs_hand_computed(spark):
+    """The FS decision half (VERDICT r13 item 5) on the same planted
+    fixture as the estimation test.  Hand-derived rates: lang m=u=0.5
+    (uninformative: both ratios 1.0), source m=1e6 ppm, u=0 — so with
+    the 1-ppm floor, source agreement multiplies the score by 1e6 and
+    source disagreement by 1e-6; lang contributes nothing either way."""
+    import pytest as _pytest
+
+    from rhq_metrics_spark.pipelines.dedup import (
+        fs_field_weights,
+        fs_score_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web"), (2, "en", "web"), (3, "en", None),
+            (4, "de", None), (5, "fr", "book"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    labeled = spark.createDataFrame(
+        [(1, 2, True), (3, 4, True), (1, 5, False), (2, 3, False)],
+        "id_a long, id_b long, is_match boolean",
+    )
+    weights = fs_field_weights(docs, labeled, ("lang", "source"))
+    cands = labeled.select("id_a", "id_b")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["score_r"], r["band"])
+        for r in fs_score_pairs(
+            docs, cands, weights, ("lang", "source")
+        ).collect()
+    }
+    # (1,2): lang agree (×1.0), source agree (×1e6) -> 1e6, match
+    assert got[(1, 2)] == (2, 1_000_000.0, "match")
+    # (3,4): lang disagree (×1.0), null==null source agree -> match
+    assert got[(3, 4)] == (1, 1_000_000.0, "match")
+    # (1,5): both disagree -> 1.0 × 1e-6 -> non_match
+    assert got[(1, 5)] == (0, 0.000001, "non_match")
+    # (2,3): lang agree, source web vs null disagree -> non_match
+    assert got[(2, 3)] == (1, 0.000001, "non_match")
+    # custom thresholds expose the clerical-review band
+    banded = {
+        (r["id_a"], r["id_b"]): r["band"]
+        for r in fs_score_pairs(
+            docs, cands, weights, ("lang", "source"),
+            upper_odds=2e6, lower_odds=1e-5,
+        ).collect()
+    }
+    assert banded[(1, 2)] == "possible"   # 1e6 < 2e6 upper
+    assert banded[(1, 5)] == "non_match"  # 1e-6 <= 1e-5 lower
+    with _pytest.raises(ValueError, match="fields"):
+        fs_score_pairs(docs, cands, weights, ())
+    with _pytest.raises(ValueError, match="lower_odds"):
+        fs_score_pairs(
+            docs, cands, weights, ("lang",), upper_odds=1.0, lower_odds=2.0
+        )

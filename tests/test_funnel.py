@@ -165,6 +165,102 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert len(adv) == sum(batch.values())
 
 
+def test_streaming_step_latency_matches_batch(spark, tmp_path):
+    """W15b twin (VERDICT r13 item 7): per-step latency rows emitted
+    across micro-batches aggregate to the batch funnel_step_latency
+    stats over an in-order replay — including a user whose click and
+    purchase land in different batches."""
+    import json
+    import time
+
+    from rhq_metrics_spark.operators.funnel import funnel_step_latency
+    from rhq_metrics_spark.streaming.funnel import streaming_step_latency
+
+    W = 10 * DAY
+    rows = [
+        (1, "view", 1 * DAY), (1, "click", 2 * DAY), (1, "purchase", 3 * DAY),
+        (2, "view", 1 * DAY), (2, "purchase", 2 * DAY),
+        (3, "click", 1 * DAY), (3, "view", 2 * DAY), (3, "click", 5 * DAY),
+        (3, "purchase", 6 * DAY),
+        (4, "view", 1 * DAY), (4, "click", 2 * DAY),
+        (4, "purchase", 1 * DAY + W + 1),
+        (5, "click", 1 * DAY), (5, "purchase", 2 * DAY),
+        (6, "view", 1 * DAY), (6, "click", 1 * DAY),
+    ]
+    rows = sorted(rows, key=lambda r: (r[2], r[0]))  # in-order stream
+    pts = [{"user_id": u, "metric": m, "ts": t} for u, m, t in rows]
+    src = tmp_path / "sl_in"
+    src.mkdir()
+    out_dir = tmp_path / "sl_out"
+    split = len(pts) // 2
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in pts[:split]))
+
+    schema = "user_id long, metric string, ts long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_step_latency(
+            stream, ["view", "click", "purchase"], window_ms=W
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "sl_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows_out():
+            try:
+                return spark.read.parquet(str(out_dir)).count()
+            except Exception:
+                return 0
+
+        while rows_out() < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in pts[split:])
+        )
+        # expected k>=2 advances: 3 clicks (users 1, 3, 4) + 2
+        # purchases (users 1, 3) = 5 latency rows
+        while rows_out() < 5 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(out_dir)).collect()
+    by_step: dict = {}
+    for r in got:
+        by_step.setdefault(r["step_idx"], []).append(
+            (r["user_id"], r["latency_ms"])
+        )
+    # per-user latencies match the batch chain exactly
+    assert sorted(by_step[2]) == [
+        (1, 1 * DAY), (3, 3 * DAY), (4, 1 * DAY),
+    ]
+    assert sorted(by_step[3]) == [(1, 1 * DAY), (3, 1 * DAY)]
+    # the batch stats are one tiny agg over the stream's sink
+    batch = {
+        r["step_idx"]: r
+        for r in funnel_step_latency(
+            _ev(spark, rows), ["view", "click", "purchase"], window_ms=W
+        ).collect()
+    }
+    for idx, pairs in by_step.items():
+        lats = sorted(lat for _, lat in pairs)
+        b = batch[idx]
+        assert b["users"] == len(lats)
+        assert b["sum_ms"] == sum(lats)
+        assert b["mean_ms"] == sum(lats) // len(lats)
+        assert b["p50_ms"] == lats[(len(lats) + 1) // 2 - 1]
+        assert b["max_ms"] == max(lats)
+
+
 def test_streaming_cohort_matches_batch(spark, tmp_path):
     """First-activity-in-period rows across micro-batches aggregate to
     the batch cohort matrix; repeats within a period dedup."""
@@ -465,6 +561,28 @@ def test_frequent_paths_same_ts_composite_order_and_validation(spark):
         frequent_paths(df, length=1)
     with pytest.raises(ValueError, match="k"):
         frequent_paths(df, k=0)
+
+
+def test_frequent_paths_null_type_filtered(spark):
+    """ADVICE r13: a NULL event type must not yield a silently
+    shortened 'complete' path via concat_ws — null-type rows are
+    filtered up front, so the surviving events become adjacent."""
+    from rhq_metrics_spark.operators.funnel import frequent_paths
+
+    rows = [
+        (1, "v", 10, 1.0), (1, None, 20, 1.0), (1, "c", 30, 1.0),
+        (1, "p", 40, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, metric string, ts long, value double"
+    )
+    got = [
+        (r["path"], r["occurrences"])
+        for r in frequent_paths(df, length=3, k=10).collect()
+    ]
+    # without the filter, concat_ws('>', v, null, c) -> "v>c" would be
+    # counted as complete at length 3; with it the timeline is v,c,p
+    assert got == [("v>c>p", 1)]
 
 
 def test_funnel_step_latency_hand_computed(spark):

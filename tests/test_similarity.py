@@ -576,3 +576,99 @@ def test_hard_negatives_validation(spark):
     )
     with pytest.raises(ValueError, match="max_cosine"):
         hard_negatives(emb, emb, max_cosine=0.0)
+
+
+def test_hard_negatives_ann_full_probe_equals_exact(emb):
+    """VERDICT r13 item 4: with n_probe == n_cells (exact shortlist)
+    and the default over-fetch allowance, the ANN-composed leg EQUALS
+    the brute-force hard_negatives — the identity the registry oracle
+    relies on."""
+    from rhq_metrics_spark.pipelines.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+    )
+
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in hard_negatives(
+            emb, queries, k=5, max_cosine=0.35
+        ).collect()
+    }
+    ann = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in hard_negatives_ann(
+            emb, queries, k=5, max_cosine=0.35, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert ann == exact
+
+
+def test_hard_negatives_ann_partial_probe_recall(spark):
+    """Partial probe on the clustered corpus: the negatives recovered
+    by a 2-of-16-cell probe overlap >= 0.9 with the exact leg — the
+    recall-vs-exact pin prescribed by VERDICT r13 item 4."""
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+        topk_recall,
+    )
+
+    emb2 = synthetic_clustered_embeddings(
+        spark, n=2000, dim=32, n_clusters=16, sigma=0.1, seed=7
+    ).cache()
+    queries = emb2.filter("vec_id < 20")
+    exact = hard_negatives(emb2, queries, k=5, max_cosine=0.99)
+    approx = hard_negatives_ann(
+        emb2, queries, k=5, max_cosine=0.99, n_cells=16, n_probe=2
+    )
+    r = topk_recall(exact, approx)
+    assert r >= 0.9, f"ANN hard-negative recall {r} < 0.9 on clustered corpus"
+    emb2.unpersist()
+
+
+def test_hard_negatives_from_candidates_refilters_and_redoes_ranks(spark):
+    """The post-pass discards any incoming rank and recomputes it over
+    the surviving rows, so above-ceiling shortlist entries never leave
+    a rank hole."""
+    import pytest
+
+    from rhq_metrics_spark.pipelines.similarity import (
+        hard_negatives_from_candidates,
+    )
+
+    shortlist = spark.createDataFrame(
+        [
+            (0, 10, 0.999, 1),   # near-dup — must be excluded
+            (0, 11, 0.80, 2),
+            (0, 12, 0.60, 3),
+            (0, 13, 0.60, 4),    # cosine tie — id breaks it
+        ],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negatives_from_candidates(
+            shortlist, k=2, max_cosine=0.95
+        ).collect()
+    ]
+    assert got == [(11, 1), (12, 2)]
+    with pytest.raises(ValueError, match="k"):
+        hard_negatives_from_candidates(shortlist, k=0)
+    with pytest.raises(ValueError, match="max_cosine"):
+        hard_negatives_from_candidates(shortlist, max_cosine=1.5)
+
+
+def test_hard_negatives_ann_shortlist_k_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.similarity import hard_negatives_ann
+
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="shortlist_k"):
+        hard_negatives_ann(emb2, emb2, k=5, shortlist_k=3)

@@ -238,6 +238,50 @@ def test_paths_same_ts_composite_order_and_null_value():
     assert list(out["path"]) == ["a>a>b", "a>b>c"]
 
 
+def test_paths_null_type_filtered_matches_batch():
+    """ADVICE r13: null event TYPES are dropped up front in the
+    streaming twin, mirroring the batch frequent_paths filter — the
+    surviving events become adjacent instead of producing a 'None'
+    step string."""
+    import numpy as np
+
+    from rhq_metrics_spark.streaming.funnel import _paths_group
+
+    batch = _pdf(
+        {
+            "ts": [10, 20, 30, 40],
+            "metric": ["v", np.nan, "c", "p"],
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(_paths_group((1,), iter([batch]), state)))
+    assert list(out["path"]) == ["v>c>p"]
+
+
+def test_quantize_sentinel_below_every_real_value():
+    """ADVICE r13: the null order-key sentinel is int64 MIN and real
+    quantized values saturate at +/-2**62, so a huge-magnitude
+    negative value (the old -(2**62) sentinel's blind spot, e.g.
+    -5e12 µ-quantized to -5e18) can no longer sort below null."""
+    import numpy as np
+
+    from rhq_metrics_spark.streaming.funnel import (
+        _VQ_NULL,
+        _quantize_order_values,
+    )
+
+    vals = pd.Series([np.nan, -5.0e12, -9.3e12, 9.3e12, 2.0])
+    vq = _quantize_order_values(vals)
+    assert vq.iloc[0] == _VQ_NULL
+    # every REAL value stays strictly above the sentinel, even the
+    # band that undercut the old -(2**62) sentinel and magnitudes
+    # whose µ-quantization would overflow int64 without saturation
+    assert (vq.iloc[1:] > _VQ_NULL).all()
+    assert vq.iloc[2] == -(2**62) and vq.iloc[3] == 2**62
+    assert vq.iloc[4] == 2_000_000
+
+
 def test_attribution_cross_batch_credit_and_replay():
     """A conversion in a later batch credits the touch from a PRIOR
     batch exactly once; replayed prefixes skip; lookback applies."""
