@@ -254,34 +254,36 @@ def active_users(
     # analyzed plan, so a persisted frame from an earlier call over the
     # same source path would silently serve STALE data after new files
     # land (found by the r13 maintenance round-trip test); a checkpoint
-    # materializes this call's snapshot and cannot be plan-matched
-    act = (
+    # materializes this call's snapshot and cannot be plan-matched.
+    # ONE snapshot total (r14, the ×100 heap lesson): the distinct
+    # reduction and the shared lag/lead window materialize in the SAME
+    # job — local-checkpoint blocks are pinned, so a separate
+    # intermediate (user, period) snapshot would hold a second full
+    # copy of the distinct table for the whole call.
+    uw = Window.partitionBy("_u").orderBy("_p")
+    # the lag/lead columns are window-INDEPENDENT: one user-key window
+    # pass serves every requested w (only the gap comparisons differ),
+    # so the per-w legs are narrow filters over this snapshot
+    marked = (
         df.select(
             F.col(user_col).alias("_u"),
             F.expr(f"{ts_col} div {period_ms}").alias("_p"),
         )
         .distinct()
+        .withColumn("_prev", F.lag("_p").over(uw))
+        .withColumn("_next", F.lead("_p").over(uw))
         .localCheckpoint(eager=True)
     )
-    bounds = act.agg(
+    bounds = marked.agg(
         F.min("_p").alias("_lo"), F.max("_p").alias("_hi")
     ).first()
     if bounds["_lo"] is None:
-        act.unpersist()
+        marked.unpersist()
         return df.sparkSession.createDataFrame(
             [], "period long, window_periods int, active_users long"
         )
     spine = df.sparkSession.range(bounds["_lo"], bounds["_hi"] + 1).select(
         F.col("id").alias("period")
-    )
-    uw = Window.partitionBy("_u").orderBy("_p")
-    # the lag/lead columns are window-INDEPENDENT: one user-key window
-    # pass serves every requested w (only the gap comparisons differ),
-    # so the per-w legs are narrow filters over this cached frame
-    marked = (
-        act.withColumn("_prev", F.lag("_p").over(uw))
-        .withColumn("_next", F.lead("_p").over(uw))
-        .localCheckpoint(eager=True)
     )
     legs = []
     for w in windows:

@@ -707,6 +707,50 @@ def test_fuzzy_blocked_pairs_fresh_after_source_grows(spark, tmp_path):
     }
 
 
+def test_fuzzy_inc_oracle_matches_combined_block_sizing(spark, tmp_path):
+    """ADVICE r13: the dedup_fuzzy_incremental DuckDB oracle must size
+    hot blocks on corpus UNION ALL batch exactly like
+    fuzzy_against_index does — pinned on a fixture whose hot block
+    crosses the 2000 cap ONLY once the batch is included (no sf0.01
+    block straddles, so only this test exercises the divergence the
+    old corpus-only oracle CTE had)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    # block (en, 'spam'): 1809 corpus + 201 batch = 2010 > 2000
+    # combined, but corpus alone (1809) is under the cap — the old
+    # oracle kept it, the implementation drops it
+    rows = [(i, "en", "spam identical boilerplate body") for i in range(2010)]
+    # cold block with one planted cross near-dup (2029 % 10 == 9 ->
+    # batch side)
+    rows += [
+        (2021, "en", "alpha quick brown fox jumps over the lazy dog"),
+        (2029, "en", "alpha quick brown fox jumps ovre the lazy dog"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["id_new"], r["id_old"])
+        for r in entry.q_dedup_fuzzy_incremental(spark, sf_dir).collect()
+    }
+    assert got == {(2029, 2021)}, got  # hot block dropped on BOTH sides
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1])
+        for r in con.execute(entry.SQL_DEDUP_FUZZY_INC).fetchall()
+    }
+    assert oracle == got, "oracle hot-CTE sizing diverges from the operator"
+
+
 def test_fuzzy_blocked_pairs_validation(spark):
     import pytest as _pytest
 

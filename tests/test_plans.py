@@ -269,3 +269,25 @@ def test_w15_step_latency_anchor_joins_stay_hash(spark):
     plan = _plan(spark, "w15_step_latency")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_ann_no_cross_product(spark):
+    """hard_negatives_ann (r14): the shortlist comes from the IVF
+    cell equi-join — unlike the exact leg there must be NO cartesian
+    and no nested-loop join anywhere in the composition; the ceiling
+    post-pass adds only a filter + one rank window."""
+    plan = _plan(spark, "embed_hard_negatives_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_score_pairs_broadcast_weights_and_hash_joins(spark):
+    """fs_score_pairs (r14): pair-linear — the two doc-side joins key
+    on id (hash/broadcast), the m/u rates arrive as ONE broadcast row
+    (the only nested-loop allowed), and the score is a scan-fused
+    expression: no SortMergeJoin, no cartesian."""
+    plan = _plan(spark, "er_score_pairs")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # the 1-row m/u frame broadcast is the only nested-loop join
+    assert final.count("BroadcastNestedLoopJoin") <= 1
