@@ -3567,6 +3567,114 @@ ORDER BY id_a, id_b
 """
 
 
+def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter m/u estimation by EM (pipelines/
+    dedup.py fs_em_weights, Winkler 1988): the same blocked candidate
+    pairs as er_field_weights but WITHOUT the sim_r labels — EM over
+    the 2^2 agreement-pattern counts recovers m/u/p by itself.  The
+    whole recurrence is exact integer ppm arithmetic (fixed-order
+    folds, floor divisions, order-free integer sums), so the DuckDB
+    recursive CTE replays all 20 iterations bit-for-bit on HUGEINT —
+    the weighted-PageRank oracle discipline applied to EM."""
+    from rhq_metrics_spark.pipelines.dedup import fs_em_weights
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = fuzzy_blocked_pairs(
+        docs.select("doc_id", "lang", "text"), min_sim=0.4
+    ).select("id_a", "id_b")
+    sides = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(1))))
+        .cast("int")
+        .alias("len_bucket"),
+    )
+    return fs_em_weights(sides, pairs, ("len_bucket", "source"), iters=20)
+
+
+SQL_ER_EM_WEIGHTS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM documents),
+sizes AS (SELECT _b0, _b_tok FROM base GROUP BY 1, 2 HAVING count(*) <= 2000),
+kept AS (SELECT base.* FROM base JOIN sizes USING (_b0, _b_tok)),
+cand AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM kept a JOIN kept b USING (_b0, _b_tok)
+  WHERE a._id < b._id
+    AND 1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+            / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE) >= 0.4),
+d AS (SELECT doc_id, source,
+        CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1))) AS INTEGER)
+          AS len_bucket
+      FROM documents),
+pat AS (
+  SELECT CAST(a.len_bucket IS NOT DISTINCT FROM b.len_bucket AS HUGEINT) AS g1,
+         CAST(a.source IS NOT DISTINCT FROM b.source AS HUGEINT) AS g2,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM cand JOIN d a ON a.doc_id = cand.id_a
+            JOIN d b ON b.doc_id = cand.id_b
+  GROUP BY 1, 2),
+np AS (SELECT coalesce(sum(c), 0) AS n_pairs FROM pat),
+em AS (
+  SELECT 0 AS it,
+         CAST(100000 AS HUGEINT) AS p,
+         CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
+         CAST(100000 AS HUGEINT) AS u1, CAST(100000 AS HUGEINT) AS u2
+  UNION ALL
+  SELECT s.it + 1,
+         s.sw // greatest(np.n_pairs, 1),
+         s.swg1 * 1000000 // greatest(s.sw, 1),
+         s.swg2 * 1000000 // greatest(s.sw, 1),
+         s.sug1 * 1000000 // greatest(s.su, 1),
+         s.sug2 * 1000000 // greatest(s.su, 1)
+  FROM (
+    SELECT it,
+           sum(c * w) AS sw, sum(c * (1000000 - w)) AS su,
+           sum(c * w * g1) AS swg1, sum(c * w * g2) AS swg2,
+           sum(c * (1000000 - w) * g1) AS sug1,
+           sum(c * (1000000 - w) * g2) AS sug2
+    FROM (
+      SELECT em.it, pat.c, pat.g1, pat.g2,
+             (em.p * ((CASE WHEN pat.g1 = 1 THEN em.m1 ELSE 1000000 - em.m1 END)
+                    * (CASE WHEN pat.g2 = 1 THEN em.m2 ELSE 1000000 - em.m2 END)
+                      // 1000000) * 1000000)
+             // greatest(
+                  em.p * ((CASE WHEN pat.g1 = 1 THEN em.m1 ELSE 1000000 - em.m1 END)
+                        * (CASE WHEN pat.g2 = 1 THEN em.m2 ELSE 1000000 - em.m2 END)
+                          // 1000000)
+                + (1000000 - em.p)
+                  * ((CASE WHEN pat.g1 = 1 THEN em.u1 ELSE 1000000 - em.u1 END)
+                   * (CASE WHEN pat.g2 = 1 THEN em.u2 ELSE 1000000 - em.u2 END)
+                     // 1000000), 1) AS w
+      FROM em, pat
+      WHERE em.it < 20
+    )
+    GROUP BY it
+  ) s, np
+),
+fin AS (SELECT * FROM em WHERE it = 20)
+SELECT field, m_ppm, u_ppm, weight_ratio_ppm, p_match_ppm, n_pairs
+FROM (
+  SELECT 'len_bucket' AS field,
+         CAST(fin.m1 AS BIGINT) AS m_ppm, CAST(fin.u1 AS BIGINT) AS u_ppm,
+         CAST(fin.m1 * 1000000 // greatest(fin.u1, 1) AS BIGINT)
+           AS weight_ratio_ppm,
+         CAST(fin.p AS BIGINT) AS p_match_ppm,
+         CAST(np.n_pairs AS BIGINT) AS n_pairs
+  FROM fin, np
+  UNION ALL
+  SELECT 'source',
+         CAST(fin.m2 AS BIGINT), CAST(fin.u2 AS BIGINT),
+         CAST(fin.m2 * 1000000 // greatest(fin.u2, 1) AS BIGINT),
+         CAST(fin.p AS BIGINT), CAST(np.n_pairs AS BIGINT)
+  FROM fin, np)
+ORDER BY field
+"""
+
+
 def q_dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ER: a 10% batch (doc_id % 10 == 9) fuzzy-matched
     against the standing fuzzy_index of the other 90% WITHOUT
@@ -7437,10 +7545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r14 driver window (50 keys): the 2 NEW r14 keys first
-        # ---- (er_score_pairs, embed_hard_negatives_ann), then the 20
-        # ---- r10-stale keys VERDICT r13 item 3 prescribes to lead,
-        # ---- then 28 of the r11-sampled block (stalest remainder).
+        # ---- r14 driver window (50 keys): the 3 NEW r14 keys first
+        # ---- (er_em_weights, er_score_pairs, embed_hard_negatives_ann),
+        # ---- then the 20 r10-stale keys VERDICT r13 item 3 prescribes
+        # ---- to lead, then 27 of the r11-sampled block (stalest
+        # ---- remainder; f4_metric_regex slides just past the cut).
+        "er_em_weights": q_er_em_weights,
         "er_score_pairs": q_er_score_pairs,
         "embed_hard_negatives_ann": q_embed_hard_negatives_ann,
         "w13_seasonal_forecast": q_w13_seasonal_forecast,
@@ -7632,6 +7742,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_confusion": SQL_LANG_CONFUSION,
         "er_field_weights": SQL_ER_FIELD_WEIGHTS,
         "er_score_pairs": SQL_ER_SCORE_PAIRS,
+        # EM replayed bit-for-bit: 20 recursive-CTE iterations over the
+        # agreement-pattern counts in HUGEINT ppm arithmetic
+        "er_em_weights": SQL_ER_EM_WEIGHTS,
         "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),
         "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),

@@ -1892,3 +1892,179 @@ def fs_score_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _fs_em_iterate(
+    patterns: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    iters: int,
+    init_p_ppm: int,
+    init_m_ppm: int,
+    init_u_ppm: int,
+) -> tuple[int, list[int], list[int]]:
+    """The EM recurrence of :func:`fs_em_weights` in EXACT integer ppm
+    arithmetic (Python ints are arbitrary precision, so no overflow and
+    no float anywhere): given agreement-pattern counts, return
+    ``(p_ppm, [m_f_ppm...], [u_f_ppm...])`` after ``iters`` steps.
+    Every operation is a product, sum, or floor division of
+    non-negative integers in a FIXED order — the DuckDB oracle replays
+    the identical recurrence (HUGEINT) and lands on the same bits.
+    """
+    ppm = 1_000_000
+    p = init_p_ppm
+    m = [init_m_ppm] * n_fields
+    u = [init_u_ppm] * n_fields
+    n_pairs = sum(c for _, c in patterns)
+    for _ in range(iters):
+        sw = swu = 0
+        swg = [0] * n_fields
+        sug = [0] * n_fields
+        for g, c in patterns:
+            pm = ppm
+            pu = ppm
+            # fixed LEFT fold in field order — the oracle mirrors it
+            for f in range(n_fields):
+                tm = m[f] if g[f] else ppm - m[f]
+                tu = u[f] if g[f] else ppm - u[f]
+                pm = pm * tm // ppm
+                pu = pu * tu // ppm
+            num = p * pm
+            den = num + (ppm - p) * pu
+            w = num * ppm // max(den, 1)
+            cw = c * w
+            cu = c * (ppm - w)
+            sw += cw
+            swu += cu
+            for f in range(n_fields):
+                if g[f]:
+                    swg[f] += cw
+                    sug[f] += cu
+        p = sw // max(n_pairs, 1)
+        m = [swg[f] * ppm // max(sw, 1) for f in range(n_fields)]
+        u = [sug[f] * ppm // max(swu, 1) for f in range(n_fields)]
+    return p, m, u
+
+
+def fs_em_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fields: tuple[str, ...],
+    id_col: str = "doc_id",
+    iters: int = 20,
+    init_p_ppm: int = 100_000,
+    init_m_ppm: int = 900_000,
+    init_u_ppm: int = 100_000,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter m/u estimation by EM (Winkler 1988,
+    "Using the EM algorithm for weight computation in the
+    Fellegi-Sunter model" — the label-free workflow real record
+    linkage runs, where :func:`fs_field_weights` needs labeled pairs):
+    candidate pairs' per-field agreement PATTERNS are sufficient
+    statistics under conditional independence, so EM runs over the
+    ≤ 2^F-row pattern table, never the pairs.
+
+        E: w(g) = p·Π m-terms / (p·Π m-terms + (1−p)·Π u-terms)
+        M: p = Σ c·w / N,  m_f = Σ c·w·g_f / Σ c·w,
+           u_f = Σ c·(1−w)·g_f / Σ c·(1−w)
+
+    Determinism: the whole recurrence is EXACT integer ppm arithmetic
+    (fixed-order folds, floor divisions, integer sums — Python big
+    ints driver-side), so a DuckDB recursive CTE replays it
+    bit-for-bit; no float, no ln, no order-sensitive aggregate
+    anywhere.  Fixed ``iters`` (EM with ppm truncation is a
+    deterministic map; convergence to the ppm grid is typically < 20
+    steps).
+
+    Plan shape at 100 TB: pair-linear once — the pair table joins the
+    ``(id, fields…)`` projection twice BY ID, one hash-agg reduces to
+    agreement-pattern counts (≤ 2^F rows, F validated ≤ 16), and EM is
+    driver-side over that bounded table (the classify-trainer
+    dim-bounded-driver-state precedent).
+
+    Output: one row per field — ``(field, m_ppm, u_ppm,
+    weight_ratio_ppm, p_match_ppm, n_pairs)``; feed straight into
+    :func:`fs_score_pairs` (it reads ``rate_ppm`` per ``is_match`` —
+    use :func:`fs_em_as_rates` below) or band on ``weight_ratio_ppm``.
+    """
+    if not fields:
+        raise ValueError("fs_em_weights: fields must be non-empty")
+    if len(fields) > 16:
+        raise ValueError(
+            f"fs_em_weights: {len(fields)} fields; the pattern table is "
+            f"2^F — bucket or drop fields (F <= 16)"
+        )
+    if iters < 1:
+        raise ValueError(f"fs_em_weights: iters must be >= 1: {iters}")
+    ppm = 1_000_000
+    for name, v in (
+        ("init_p_ppm", init_p_ppm),
+        ("init_m_ppm", init_m_ppm),
+        ("init_u_ppm", init_u_ppm),
+    ):
+        if not 0 < v < ppm:
+            raise ValueError(f"fs_em_weights: {name} out of (0, 1e6): {v}")
+    side = docs.select(F.col(id_col).alias("_id"), *fields)
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    flags = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            *[
+                F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}"))
+                .cast("int")
+                .alias(f"_g_{f}")
+                for f in fields
+            ]
+        )
+    )
+    rows = (
+        flags.groupBy(*[f"_g_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    # fixed pattern order (sorted flag tuples) so the fold order — and
+    # therefore every truncated intermediate — is engine-independent
+    patterns = sorted(
+        (tuple(int(r[f"_g_{f}"]) for f in fields), int(r["_c"])) for r in rows
+    )
+    n_pairs = sum(c for _, c in patterns)
+    p, m, u = _fs_em_iterate(
+        patterns, len(fields), iters, init_p_ppm, init_m_ppm, init_u_ppm
+    )
+    out_rows = [
+        (
+            f,
+            m[i],
+            u[i],
+            m[i] * ppm // max(u[i], 1),
+            p,
+            n_pairs,
+        )
+        for i, f in enumerate(fields)
+    ]
+    return docs.sparkSession.createDataFrame(
+        out_rows,
+        "field string, m_ppm long, u_ppm long, weight_ratio_ppm long, "
+        "p_match_ppm long, n_pairs long",
+    ).orderBy("field")
+
+
+def fs_em_as_rates(em: DataFrame) -> DataFrame:
+    """Adapt :func:`fs_em_weights` output to the ``(field, is_match,
+    rate_ppm)`` shape :func:`fs_score_pairs` reads — the unsupervised
+    estimation then drives the same scoring/banding leg."""
+    m_rows = em.select(
+        "field", F.lit(True).alias("is_match"), F.col("m_ppm").alias("rate_ppm")
+    )
+    u_rows = em.select(
+        "field", F.lit(False).alias("is_match"), F.col("u_ppm").alias("rate_ppm")
+    )
+    return m_rows.unionByName(u_rows)

@@ -518,28 +518,48 @@ class MetricsStore:
         if self.manifest is not None:
             return self._read_layer_manifest(metric_type, layer, snap, slices)
         if layer == "hot":
-            segs = self._hot_segments(metric_type)
-            if slices is not None:
-                segs = [
-                    s
-                    for s in segs
-                    if any(
-                        self._want_slice(x, slices)
-                        for x in self._seg_meta(s)["slices"]
-                    )
-                ]
-            key = ("hot", metric_type, tuple(str(s) for s in segs))
-            df = self._plan_cache.get(key)
-            if df is None:
-                df = self._read_segment_paths(metric_type, segs)
-                if df is not None:
-                    self._cache_put(key, df)
-            if df is not None and slices is not None:
-                # belt-and-braces: path pruning is segment-granular, the
-                # column filter makes the selection slice-exact (pushed
-                # to the scan; sorted date_slice → row-group skipping)
-                df = df.filter(self._slice_pred(slices))
-            return df
+            # retry loop (r14): rename-mode compaction retires a hot
+            # segment between a reader's directory listing and Spark's
+            # plan-time path resolution — the read then raises
+            # PATH_NOT_FOUND for a segment whose rows are already
+            # LWW-identical in cold.  Re-list and re-plan: the fresh
+            # listing excludes the retired segment and the caller's
+            # cold read (same merged view) serves its rows.  Manifest
+            # mode never needs this — snapshots pin the segment set.
+            from pyspark.errors.exceptions.captured import AnalysisException
+
+            last_exc: Exception | None = None
+            for _attempt in range(3):
+                segs = self._hot_segments(metric_type)
+                if slices is not None:
+                    segs = [
+                        s
+                        for s in segs
+                        if any(
+                            self._want_slice(x, slices)
+                            for x in self._seg_meta(s)["slices"]
+                        )
+                    ]
+                key = ("hot", metric_type, tuple(str(s) for s in segs))
+                df = self._plan_cache.get(key)
+                if df is None:
+                    try:
+                        df = self._read_segment_paths(metric_type, segs)
+                    except AnalysisException as exc:
+                        if "PATH_NOT_FOUND" not in str(exc):
+                            raise
+                        last_exc = exc
+                        continue
+                    if df is not None:
+                        self._cache_put(key, df)
+                if df is not None and slices is not None:
+                    # belt-and-braces: path pruning is segment-granular,
+                    # the column filter makes the selection slice-exact
+                    # (pushed to the scan; sorted date_slice → row-group
+                    # skipping)
+                    df = df.filter(self._slice_pred(slices))
+                return df
+            raise last_exc  # three listings in a row raced compaction
         path = self._points_path(metric_type, layer)
         if not path.exists() or not any(path.iterdir()):
             return None

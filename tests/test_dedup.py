@@ -987,3 +987,114 @@ def test_fs_score_pairs_hand_computed(spark):
         fs_score_pairs(
             docs, cands, weights, ("lang",), upper_odds=1.0, lower_odds=2.0
         )
+
+
+def _em_reference_per_pair(pair_flags, n_fields, iters=20,
+                           p=100_000, m0=900_000, u0=100_000):
+    """Independent EM reference that iterates over PAIRS (not the
+    pattern table) — mathematically identical sufficient statistics,
+    different code path; exact ints throughout."""
+    ppm = 1_000_000
+    m = [m0] * n_fields
+    u = [u0] * n_fields
+    n = len(pair_flags)
+    for _ in range(iters):
+        sw = su = 0
+        swg = [0] * n_fields
+        sug = [0] * n_fields
+        for g in pair_flags:
+            pm = ppm
+            pu = ppm
+            for f in range(n_fields):
+                pm = pm * (m[f] if g[f] else ppm - m[f]) // ppm
+                pu = pu * (u[f] if g[f] else ppm - u[f]) // ppm
+            num = p * pm
+            den = num + (ppm - p) * pu
+            w = num * ppm // max(den, 1)
+            sw += w
+            su += ppm - w
+            for f in range(n_fields):
+                if g[f]:
+                    swg[f] += w
+                    sug[f] += ppm - w
+        p = sw // max(n, 1)
+        m = [swg[f] * ppm // max(sw, 1) for f in range(n_fields)]
+        u = [sug[f] * ppm // max(su, 1) for f in range(n_fields)]
+    return p, m, u
+
+
+def test_fs_em_weights_matches_per_pair_reference(spark):
+    """The pattern-table EM equals an independently-written per-pair
+    EM bit-for-bit (same sufficient statistics, different code path)."""
+    from rhq_metrics_spark.pipelines.dedup import fs_em_weights
+
+    # 60 pairs: 20 duplicate-ish (agree on both fields), 40 random-ish
+    docs_rows = []
+    pairs_rows = []
+    flags = []
+    for i in range(20):  # matches: same city, same zip
+        docs_rows += [(2 * i, "A", "X"), (2 * i + 1, "A", "X")]
+        pairs_rows.append((2 * i, 2 * i + 1))
+        flags.append((1, 1))
+    base = 1000
+    for i in range(40):  # non-matches: differ on both
+        docs_rows += [
+            (base + 2 * i, f"C{i}", f"Z{i}"),
+            (base + 2 * i + 1, f"D{i}", f"Y{i}"),
+        ]
+        pairs_rows.append((base + 2 * i, base + 2 * i + 1))
+        flags.append((0, 0))
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, city string, zip string"
+    )
+    pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+    out = {
+        r["field"]: r
+        for r in fs_em_weights(docs, pairs, ("city", "zip")).collect()
+    }
+    p_ref, m_ref, u_ref = _em_reference_per_pair(flags, 2)
+    assert out["city"]["m_ppm"] == m_ref[0]
+    assert out["zip"]["m_ppm"] == m_ref[1]
+    assert out["city"]["u_ppm"] == u_ref[0]
+    assert out["zip"]["u_ppm"] == u_ref[1]
+    assert out["city"]["p_match_ppm"] == p_ref
+    assert out["city"]["n_pairs"] == 60
+    # and EM actually separated the planted structure without labels:
+    # ~1/3 of pairs are duplicates, agreement is perfectly predictive
+    assert out["city"]["m_ppm"] > 900_000 and out["city"]["u_ppm"] < 100_000
+    assert 250_000 < out["city"]["p_match_ppm"] < 400_000
+
+
+def test_fs_em_weights_validation_and_rates_adapter(spark):
+    import pytest as _pytest
+
+    from rhq_metrics_spark.pipelines.dedup import (
+        fs_em_as_rates,
+        fs_em_weights,
+        fs_score_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A", "X"), (2, "A", "X"), (3, "B", "Y")],
+        "doc_id long, city string, zip string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ValueError, match="fields"):
+        fs_em_weights(docs, pairs, ())
+    with _pytest.raises(ValueError, match="iters"):
+        fs_em_weights(docs, pairs, ("city",), iters=0)
+    with _pytest.raises(ValueError, match="init_p_ppm"):
+        fs_em_weights(docs, pairs, ("city",), init_p_ppm=0)
+    with _pytest.raises(ValueError, match="fields"):
+        fs_em_weights(
+            docs, pairs, tuple(f"f{i}" for i in range(17))
+        )
+    # unsupervised estimation feeds the supervised scoring leg
+    em = fs_em_weights(docs, pairs, ("city", "zip"))
+    scored = fs_score_pairs(
+        docs, pairs, fs_em_as_rates(em), ("city", "zip")
+    ).collect()
+    assert {r["band"] for r in scored} <= {"match", "possible", "non_match"}
+    assert len(scored) == 2

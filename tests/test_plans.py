@@ -281,6 +281,45 @@ def test_hard_negatives_ann_no_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_er_em_weights_pattern_agg_stays_pair_linear(spark):
+    """fs_em_weights (r14): the only distributed work is the double id
+    join + ONE pattern hash-agg; EM is driver-side over <= 2^F rows.
+    The output frame itself is driver-created, so guard the pattern
+    aggregation plan directly."""
+    import pyspark.sql.functions as F
+
+    from rhq_metrics_spark.pipelines.dedup import fuzzy_blocked_pairs
+
+    docs = entry._table(spark, SF, "documents")
+    pairs = fuzzy_blocked_pairs(
+        docs.select("doc_id", "lang", "text"), min_sim=0.4
+    ).select("id_a", "id_b")
+    sides = docs.select(
+        "doc_id", "source",
+        F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(1))))
+        .cast("int").alias("len_bucket"),
+    )
+    a = sides.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("len_bucket").alias("_a_lb"), F.col("source").alias("_a_s"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("len_bucket").alias("_b_lb"), F.col("source").alias("_b_s"),
+    )
+    flags = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            F.col("_a_lb").eqNullSafe(F.col("_b_lb")).cast("int").alias("g1"),
+            F.col("_a_s").eqNullSafe(F.col("_b_s")).cast("int").alias("g2"),
+        )
+        .groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_er_score_pairs_broadcast_weights_and_hash_joins(spark):
     """fs_score_pairs (r14): pair-linear — the two doc-side joins key
     on id (hash/broadcast), the m/u rates arrive as ONE broadcast row

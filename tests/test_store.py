@@ -213,3 +213,44 @@ def test_delete_tenant_removes_tenant_row(spark, store):
     remaining = [r["id"] for r in store.tenants().collect()]
     assert remaining == ["t2"]
     assert store.points("gauge").filter("tenant_id = 't1'").count() == 0
+
+
+def test_hot_read_relists_when_segment_compacted_away(spark, tmp_path, monkeypatch):
+    """r14: rename-mode compaction can retire a hot segment between a
+    reader's directory listing and Spark's plan-time path resolution —
+    the read must re-list instead of surfacing PATH_NOT_FOUND (the
+    retired rows are LWW-identical in cold).  Simulated by injecting a
+    vanished segment into the first listing."""
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0 + 1, 2.0)]))
+    real = store._hot_segments("gauge")
+    assert len(real) == 2
+    ghost = tmp_path / "store" / "points" / "gauge" / "hot" / "seg-ghost"
+    calls = {"n": 0}
+
+    def fake(metric_type):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real + [ghost]
+        return real
+
+    monkeypatch.setattr(store, "_hot_segments", fake)
+    assert store.points("gauge").count() == 2
+    assert calls["n"] >= 2  # first listing raced, second served
+
+
+def test_hot_read_raises_after_persistent_path_loss(spark, tmp_path, monkeypatch):
+    """The retry is bounded: a listing that keeps returning vanished
+    segments (a genuinely broken store, not a compaction race) must
+    still fail loudly, not loop or silently serve nothing."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    real = store._hot_segments("gauge")
+    ghost = tmp_path / "store" / "points" / "gauge" / "hot" / "seg-ghost"
+    monkeypatch.setattr(store, "_hot_segments", lambda mt: real + [ghost])
+    with _pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        store.points("gauge").count()

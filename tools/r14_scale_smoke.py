@@ -9,6 +9,10 @@
   queries, 64 cells / 4-probe — the ANN-composed leg whose per-query
   scan cost is ~n_probe/n_cells of the corpus (the exact brute leg was
   smoked in r13b and is honestly linear by design).
+- fs_em_weights: 1M and 10M UNLABELED pairs over the same doc side —
+  the EM's only distributed work is the double id join + one
+  agreement-pattern hash-agg (2^F output rows); the 20 EM iterations
+  are driver-side over that bounded table.
 
 Usage: python tools/r14_scale_smoke.py   (run QUIET)
 """
@@ -77,6 +81,21 @@ def main() -> None:
         out["fs_score_1000000_sec"] / out["fs_score_100000_sec"], 2
     )
     weights.unpersist()
+
+    from rhq_metrics_spark.pipelines.dedup import fs_em_weights
+
+    for n in (1_000_000, 10_000_000):
+        cands = spark.range(n).select(
+            (F.abs(F.xxhash64(F.col("id") * 5)) % N_DOCS).alias("id_a"),
+            (F.abs(F.xxhash64(F.col("id") * 5 + 1)) % N_DOCS).alias("id_b"),
+        ).filter("id_a != id_b")
+        t0 = time.time()
+        em = fs_em_weights(docs, cands, ("source", "len_bucket")).collect()
+        out[f"fs_em_{n}_sec"] = round(time.time() - t0, 1)
+        assert len(em) == 2 and em[0]["n_pairs"] > 0
+    out["fs_em_x10_ratio"] = round(
+        out["fs_em_10000000_sec"] / out["fs_em_1000000_sec"], 2
+    )
     docs.unpersist()
 
     for n in (100_000, 1_000_000):
