@@ -2172,6 +2172,167 @@ SELECT perq.query_id,
 FROM perq LEFT JOIN hits ON hits.query_id = perq.query_id
 """
 
+BM25_QUERIES = [
+    (0, "hash join batch"),
+    (1, "vector scan filter"),
+    (2, "customer order data"),
+]
+BM25_K = 10
+# the same driver-side ppm constants the operator computes (k1 = 1.2,
+# b = 0.75) — embedded as literals in BOTH plans
+_BM25_K1, _BM25_B = 1_200_000, 750_000
+_BM25_C_SAT = _BM25_K1 * (1_000_000 - _BM25_B) // 1_000_000
+_BM25_C_LEN = _BM25_K1 * _BM25_B // 1_000_000
+_BM25_C_NUM = 1_000_000 + _BM25_K1
+
+
+def q_text_bm25_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-k with the TRUE Robertson log-idf
+    (pipelines/retrieval.py bm25_topk) — upgrades the rational-idf
+    `text_bm25` leg to the exact log formulation via the EXACT-INTEGER
+    log2 gadget (square-and-shift fixed point; ln is not correctly
+    rounded cross-engine, this is), so the score — not just the
+    ranking — hash-matches.  Three literal queries over the documents
+    corpus; the oracle re-derives postings, df, the log2 chain (as a
+    recursive CTE — iterative execution is the one SQL shape that
+    keeps the mantissa chain linear), and the ppm saturation
+    arithmetic from scratch."""
+    from rhq_metrics_spark.pipelines.retrieval import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    return bm25_topk(docs, queries, k=BM25_K).orderBy("query_id", "rank")
+
+
+_BM25_Q_VALUES = ", ".join(
+    f"({i}, '{q}')" for i, q in BM25_QUERIES
+)
+
+_SQL_BM25_LOG2_TMPL = rf"""
+WITH RECURSIVE q(query_id, query) AS (VALUES {_BM25_Q_VALUES}),
+toks AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS t
+         FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS s FROM lens),
+pt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       GROUP BY 1, 2),
+qt AS (SELECT DISTINCT query_id,
+              unnest(list_filter(string_split_regex(trim(lower(query)), '\s+'),
+                                 x -> x <> '')) AS term
+       FROM q),
+hit AS (SELECT pt.* FROM pt JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM hit GROUP BY 1),
+lgn_src AS (SELECT term, 2 * n - 2 * df + 1 AS nval FROM dfreq, stats),
+lgd_src AS (SELECT term, 2 * df + 1 AS nval FROM dfreq),
+{{lgn_cte}},
+{{lgd_cte}},
+idf AS (SELECT lgn.term, lgn.l2 - lgd.l2 AS idf_fx
+        FROM lgn JOIN lgd USING (term)),
+sc AS (
+  SELECT qt.query_id, hit.doc_id,
+         sum(idf.idf_fx *
+             (hit.tf * {_BM25_C_NUM} * 1000000
+              // (hit.tf * 1000000 + {_BM25_C_SAT}
+                  + ({_BM25_C_LEN} *
+                     (lens.dl * 1000000 * 1000000
+                      // (stats.s * 1000000 // stats.n))) // 1000000)))
+           AS score_fx
+  FROM hit JOIN qt USING (term)
+           JOIN idf USING (term)
+           JOIN lens USING (doc_id), stats
+  GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, CAST(score_fx AS BIGINT) AS score_fx,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_fx DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score_fx, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+def _sql_bm25_log2() -> str:
+    from rhq_metrics_spark.pipelines.retrieval import log2_fxp_sql_ctes
+
+    return _SQL_BM25_LOG2_TMPL.format(
+        lgn_cte=log2_fxp_sql_ctes("lgn_src", ["term"], "nval", "lgn"),
+        lgd_cte=log2_fxp_sql_ctes("lgd_src", ["term"], "nval", "lgd"),
+    )
+
+
+SQL_BM25_LOG2 = _sql_bm25_log2()
+
+
+def q_embed_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QUERY reciprocal-rank fusion (pipelines/hybrid.py rrf_fuse,
+    query_cols form) of two retrieval runs over the embeddings corpus
+    — the exact cosine top-k and the LSH top-k — the multi-query
+    sibling of `hybrid_topk` (which fuses one lexical + one vector
+    ranking for a single query).  Fixed-order float sum of 1/(60+rank)
+    terms over exact integer ranks, hash-exact; the oracle re-derives
+    both runs (the TOPK/LSH CTE constructions) and the fusion from
+    scratch."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ)
+    exact = cosine_topk(emb, queries, k=TOPK_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    approx = lsh_cosine_topk(
+        emb, queries, k=TOPK_K, num_planes=LSHK_PLANES, tables=LSHK_TABLES
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return (
+        rrf_fuse(
+            {"exact": exact, "lsh": approx},
+            query_cols=("query_id",),
+            rrf_k=HY_RRF_K,
+            top_k=TOPK_K,
+        )
+        .select(
+            "query_id", "doc_id", "exact_rank", "lsh_rank",
+            # raw double, NOT rounded: both engines build the identical
+            # fixed-order IEEE sum over exact integer ranks, and
+            # rounding is the step that can diverge (shortest-repr vs
+            # binary round — the SQL_HYBRID precedent ships raw too)
+            "rrf_score", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_EMBED_RRF_FUSION = f"""
+WITH exact AS ({{topk_sql}}),
+lsh AS ({{lsh_sql}}),
+e AS (SELECT query_id, neighbor_id AS doc_id, rank AS exact_rank FROM exact),
+l AS (SELECT query_id, neighbor_id AS doc_id, rank AS lsh_rank FROM lsh),
+fused AS (
+  SELECT coalesce(e.query_id, l.query_id) AS query_id,
+         coalesce(e.doc_id, l.doc_id) AS doc_id,
+         e.exact_rank, l.lsh_rank
+  FROM e FULL OUTER JOIN l
+    ON e.query_id = l.query_id AND e.doc_id = l.doc_id),
+s AS (SELECT query_id, doc_id,
+        CAST(exact_rank AS INTEGER) AS exact_rank,
+        CAST(lsh_rank AS INTEGER) AS lsh_rank,
+        coalesce(1.0/(60 + exact_rank), 0.0)
+          + coalesce(1.0/(60 + lsh_rank), 0.0) AS rrf_score
+      FROM fused)
+SELECT query_id, doc_id, exact_rank, lsh_rank,
+       rrf_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rk
+      FROM s)
+WHERE rk <= {{k}}
+ORDER BY query_id, rank
+"""
+
+
 IVF_CELLS = 16
 
 
@@ -7545,11 +7706,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r14 driver window (50 keys): the 3 NEW r14 keys first
-        # ---- (er_em_weights, er_score_pairs, embed_hard_negatives_ann),
-        # ---- then the 20 r10-stale keys VERDICT r13 item 3 prescribes
-        # ---- to lead, then 27 of the r11-sampled block (stalest
-        # ---- remainder; f4_metric_regex slides just past the cut).
+        # ---- r14 driver window (50 keys): the 5 NEW r14 keys first
+        # ---- (text_bm25_log2, embed_rrf_fusion, er_em_weights,
+        # ---- er_score_pairs, embed_hard_negatives_ann), then the 20
+        # ---- r10-stale keys VERDICT r13 item 3 prescribes to lead,
+        # ---- then 25 of the r11-sampled block (stalest remainder;
+        # ---- a6/a8/f4 slide just past the cut — verify_all covers
+        # ---- every key regardless).
+        "text_bm25_log2": q_text_bm25_log2,
+        "embed_rrf_fusion": q_embed_rrf_fusion,
         "er_em_weights": q_er_em_weights,
         "er_score_pairs": q_er_score_pairs,
         "embed_hard_negatives_ann": q_embed_hard_negatives_ann,
@@ -7745,6 +7910,12 @@ def oracle_sql() -> dict[str, str]:
         # EM replayed bit-for-bit: 20 recursive-CTE iterations over the
         # agreement-pattern counts in HUGEINT ppm arithmetic
         "er_em_weights": SQL_ER_EM_WEIGHTS,
+        # log2-BM25: the oracle replays the square-and-shift integer
+        # log2 as a recursive CTE, then the same ppm saturation sums
+        "text_bm25_log2": SQL_BM25_LOG2,
+        "embed_rrf_fusion": SQL_EMBED_RRF_FUSION.format(
+            topk_sql=SQL_TOPK, lsh_sql=SQL_LSH_TOPK, k=TOPK_K
+        ),
         "pipe_length_histogram": SQL_LENGTH_HIST,
         "w20_attribution": _attribution_sql(),
         "w18_active_users_hll": SQL_W18_HLL.format(ev_sql=EV_SQL),

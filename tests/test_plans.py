@@ -320,6 +320,23 @@ def test_er_em_weights_pattern_agg_stays_pair_linear(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bm25_log2_postings_joins_broadcast(spark):
+    """bm25_topk (r14): query terms, idf, and corpus stats broadcast —
+    the posting scan-side join never sort-merges, and the only
+    nested-loop joins are the 1-row stats broadcasts."""
+    plan = _plan(spark, "text_bm25_log2")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final
+
+
+def test_embed_rrf_fusion_no_cross_product(spark):
+    """Per-query RRF fusion: mode runs join full-outer on (query, doc)
+    keys; fusion input is Σ mode-depths rows, no cartesian."""
+    plan = _plan(spark, "embed_rrf_fusion")
+    assert "CartesianProduct" not in plan
+
+
 def test_er_score_pairs_broadcast_weights_and_hash_joins(spark):
     """fs_score_pairs (r14): pair-linear — the two doc-side joins key
     on id (hash/broadcast), the m/u rates arrive as ONE broadcast row

@@ -1,0 +1,176 @@
+"""Lexical retrieval + fusion: the exact-integer log2 gadget (vs
+math.log2 and the pure-Python reference), BM25 vs an independent
+float implementation, RRF hand-computed."""
+
+import math
+import random
+
+import pytest
+
+from rhq_metrics_spark.pipelines.retrieval import (
+    bm25_topk,
+    log2_fxp_int,
+    with_log2_fxp,
+)
+
+DOCS = [
+    (0, "spark distributed query engine for big data"),
+    (1, "duck database analytical query engine"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "spark streaming and spark sql power the engine"),
+    (4, "a completely unrelated cooking recipe with basil"),
+]
+QUERIES = [(0, "spark engine"), (1, "lazy dog")]
+
+
+def test_log2_fxp_int_tracks_math_log2():
+    random.seed(7)
+    ns = [1, 2, 3, 7, 10, 65535, 10**12, 10**15] + [
+        random.randrange(1, 10**15) for _ in range(300)
+    ]
+    for n in ns:
+        got = log2_fxp_int(n) / 65536
+        assert abs(got - math.log2(n)) < 3e-5, n
+        # truncation contract: never above the true value by more
+        # than one output ulp
+        assert got <= math.log2(n) + 1 / 65536
+    with pytest.raises(ValueError, match="n must be"):
+        log2_fxp_int(0)
+    with pytest.raises(ValueError, match="frac_bits"):
+        log2_fxp_int(5, frac_bits=0)
+
+
+def test_with_log2_fxp_matches_python_reference(spark):
+    ns = [1, 2, 3, 7, 10, 65535, 982451653, 10**12]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    for fb in (8, 16):
+        out = {
+            r["n"]: r["l2"]
+            for r in with_log2_fxp(df, "n", "l2", frac_bits=fb).collect()
+        }
+        assert out == {n: log2_fxp_int(n, fb) for n in ns}
+
+
+def _ref_bm25(query, k):
+    """Independent float BM25 (math.log2 idf, same ±0.5-cleared
+    integers) — ranking oracle for the integer implementation."""
+    k1, b = 1.2, 0.75
+    toks = [d[1].lower().split() for d in DOCS]
+    n = len(DOCS)
+    avg = sum(len(t) for t in toks) / n
+    scores = {}
+    for i, t in enumerate(toks):
+        s, hit = 0.0, False
+        for term in set(query.split()):
+            tf = t.count(term)
+            if not tf:
+                continue
+            hit = True
+            df = sum(term in set(tt) for tt in toks)
+            idf = math.log2((2 * n - 2 * df + 1) / (2 * df + 1))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avg))
+        if hit:
+            scores[i] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bm25_matches_float_reference(spark):
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    got = bm25_topk(ddf, qdf, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, query in QUERIES:
+        mine = sorted(by_q[qid], key=lambda r: r["rank"])
+        want = _ref_bm25(query, 3)
+        assert [r["doc_id"] for r in mine] == [d for d, _ in want], qid
+        for r, (_, sf) in zip(mine, want):
+            # score_fx is 2^-16·1e-6 units of the log2-BM25 value
+            assert r["score_fx"] / (65536 * 1e6) == pytest.approx(
+                sf, abs=2e-3
+            )
+    # doc 0 matches both query-0 terms with idfs that cancel exactly:
+    # a matched document with net score 0 HOLDS a rank (it tied the
+    # float reference's 0.0 — the `if hit` semantics, not `if score`)
+    q0 = [r["doc_id"] for r in sorted(by_q[0], key=lambda r: r["rank"])]
+    assert 0 in q0
+
+
+def test_bm25_length_normalization_and_validation(spark):
+    # same tf, shorter doc wins under b > 0 (fillers keep df < N/2 so
+    # the idf is positive — with df = N the Robertson idf goes
+    # negative and the ordering legitimately flips)
+    docs = [
+        (0, "apple pie"),
+        (1, "apple pie with a very long tail of unrelated words here"),
+        (2, "one filler document"),
+        (3, "another filler document"),
+        (4, "yet more filler text"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "apple")], "query_id long, query string")
+    out = sorted(
+        bm25_topk(ddf, qdf, k=2).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in out] == [0, 1]
+    # b = 0 removes length normalization: scores tie, id breaks
+    out0 = sorted(
+        bm25_topk(ddf, qdf, k=2, b_ppm=0).collect(), key=lambda r: r["rank"]
+    )
+    assert out0[0]["score_fx"] == out0[1]["score_fx"]
+    assert [r["doc_id"] for r in out0] == [0, 1]
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(ddf, qdf, k=0)
+    with pytest.raises(ValueError, match="k1_ppm"):
+        bm25_topk(ddf, qdf, k1_ppm=0)
+    with pytest.raises(ValueError, match="b_ppm"):
+        bm25_topk(ddf, qdf, b_ppm=2_000_000)
+
+
+def test_rrf_fuses_lexical_and_dense_runs(spark):
+    """The intended composition: a bm25_topk run over doc text fused
+    (pipelines/hybrid.py rrf_fuse, query_cols form) with a dense
+    cosine run over doc-aligned embeddings — a doc strong in both
+    runs outranks docs strong in only one."""
+    from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
+    from rhq_metrics_spark.pipelines.similarity import cosine_topk
+
+    docs = [
+        (1, "spark query engine"),
+        (2, "spark engine tuning"),
+        (3, "cooking with basil"),
+        (4, "gardening tools"),
+    ]
+    # embeddings aligned with doc ids; query vector id 0
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.95, 0.30]),
+        (2, [0.99, 0.10]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.99]),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, "spark engine")], "query_id long, query string"
+    )
+    lex = bm25_topk(ddf, qdf, k=4).select("query_id", "doc_id", "rank")
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    dense = cosine_topk(emb, emb.filter("vec_id = 0"), k=4).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = sorted(
+        rrf_fuse(
+            {"lex": lex, "vec": dense},
+            query_cols=("query_id",),
+            top_k=4,
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    # docs 1 and 2 appear in both runs; 3 and 4 in at most one
+    assert {fused[0]["doc_id"], fused[1]["doc_id"]} == {1, 2}
+
+
+import pyspark.sql.functions as F  # noqa: E402  (used in the test above)

@@ -13,6 +13,9 @@
   the EM's only distributed work is the double id join + one
   agreement-pattern hash-agg (2^F output rows); the 20 EM iterations
   are driver-side over that bounded table.
+- bm25_topk (log2-idf): 100k and 1M docs × 3 queries — only the query
+  terms' postings survive the scan-side broadcast join; idf (the
+  exact-integer log2 chain) runs over ≤ |query terms| rows.
 
 Usage: python tools/r14_scale_smoke.py   (run QUIET)
 """
@@ -113,6 +116,25 @@ def main() -> None:
         emb.unpersist()
     out["hn_ann_x10_ratio"] = round(
         out["hn_ann_1000000_sec"] / out["hn_ann_100000_sec"], 2
+    )
+
+    from rhq_metrics_spark.pipelines.retrieval import bm25_topk
+    from tools.r13_scale_smoke import synth_skewed_docs
+
+    qdf = spark.createDataFrame(
+        [(0, "w0 w7 w13"), (1, "w1 w2"), (2, "w3 w11 w29")],
+        "query_id long, query string",
+    )
+    for n in (100_000, 1_000_000):
+        d = synth_skewed_docs(spark, n).persist()
+        d.count()
+        t0 = time.time()
+        got = bm25_topk(d, qdf, k=10).count()
+        out[f"bm25_{n}_sec"] = round(time.time() - t0, 1)
+        assert got == 30, got
+        d.unpersist()
+    out["bm25_x10_ratio"] = round(
+        out["bm25_1000000_sec"] / out["bm25_100000_sec"], 2
     )
 
     print(json.dumps(out))
