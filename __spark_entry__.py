@@ -4342,6 +4342,49 @@ ORDER BY doc_id
 """
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (pipelines/graph.py
+    label_propagation, Raghavan et al. 2007) over the blocked fuzzy
+    near-dup pair graph — the community-structure complement of
+    graph_canonical's connected components (CC lumps everything
+    reachable; LPA splits bridged near-dup families).  10 fixed
+    synchronous rounds, (count desc, label asc) argmax — deterministic
+    before convergence; the recursive-CTE oracle replays every round
+    from scratch."""
+    from rhq_metrics_spark.pipelines.graph import label_propagation
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pairs = (
+        fuzzy_blocked_pairs(docs, min_sim=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return label_propagation(nodes, pairs, iters=10).orderBy("doc_id")
+
+
+SQL_GRAPH_COMMUNITIES = _GRAPH_PR_CTES + r""",
+lp(iter, id, lbl) AS (
+  SELECT 0, id, CAST(id AS BIGINT) FROM nodes
+  UNION ALL
+  SELECT iter + 1, id, lbl FROM (
+    SELECT lp.iter AS iter, e._dst AS id, lp.lbl AS lbl,
+           row_number() OVER (PARTITION BY lp.iter, e._dst
+                              ORDER BY count(*) DESC, lp.lbl ASC) AS rn
+    FROM lp JOIN edges e ON e._src = lp.id
+    WHERE lp.iter < 10
+    GROUP BY lp.iter, e._dst, lp.lbl)
+  WHERE rn = 1)
+SELECT id AS doc_id, lbl AS community
+FROM lp WHERE iter = 10
+ORDER BY doc_id
+"""
+
+
 def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted integer PageRank (pipelines/graph.py pagerank_weighted)
     over the blocked fuzzy pair graph with similarity-ppm edge weights:
@@ -7713,6 +7756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- then 25 of the r11-sampled block (stalest remainder;
         # ---- a6/a8/f4 slide just past the cut — verify_all covers
         # ---- every key regardless).
+        "graph_communities": q_graph_communities,
         "text_bm25_log2": q_text_bm25_log2,
         "embed_rrf_fusion": q_embed_rrf_fusion,
         "er_em_weights": q_er_em_weights,
@@ -7913,6 +7957,9 @@ def oracle_sql() -> dict[str, str]:
         # log2-BM25: the oracle replays the square-and-shift integer
         # log2 as a recursive CTE, then the same ppm saturation sums
         "text_bm25_log2": SQL_BM25_LOG2,
+        # LPA: 10 synchronous rounds replayed in a recursive CTE with
+        # the same (count desc, label asc) argmax
+        "graph_communities": SQL_GRAPH_COMMUNITIES,
         "embed_rrf_fusion": SQL_EMBED_RRF_FUSION.format(
             topk_sql=SQL_TOPK, lsh_sql=SQL_LSH_TOPK, k=TOPK_K
         ),

@@ -314,3 +314,88 @@ def pagerank_weighted(
     edges.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_ppb"))
+
+
+def label_propagation(
+    ids: DataFrame,
+    pairs: DataFrame,
+    iters: int = 10,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, Phys. Rev. E 76) over an undirected pair
+    graph — the community-structure complement of the connected
+    components in :func:`~rhq_metrics_spark.pipelines.dedup.
+    dup_clusters`: CC lumps everything reachable into one cluster, LPA
+    splits a reachable blob into its densely-linked communities (two
+    near-dup families bridged by one accidental pair stop merging).
+
+    Every node starts labeled with its own id; each synchronous round
+    relabels every node with the most frequent label among its
+    NEIGHBORS, ties to the SMALLEST label; a node with no neighbors
+    keeps its own id.  Classic synchronous LPA can oscillate on
+    bipartite structures — the FIXED ``iters`` round count makes the
+    output a pure function of the graph anyway (determinism before
+    convergence, the engine-wide contract), and the (count desc, label
+    asc) argmax is a total order, so two engines agree bit-for-bit.
+
+    Plan shape at 100 TB: per round one |edges| join + one
+    (node, label) hash-agg + one per-node argmax window over the VOTE
+    table (≤ |edges| rows); eager localCheckpoint + unpersist-previous
+    keeps ≤ 2 label snapshots live (the pagerank superstep
+    discipline); nodes/edges persist() once (evictable, recomputable).
+
+    Output: ``(id, community)`` — community = the winning label, an
+    int64 node id.
+    """
+    if iters < 1:
+        raise ValueError(f"label_propagation: iters must be >= 1, got {iters}")
+    spark = ids.sparkSession
+    nodes = ids.select(F.col(id_col).alias("_id")).distinct().persist()
+    if nodes.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, community long"
+        ).select(F.col(id_col), "community")
+    edges = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("_id", F.col("_id").alias("_lbl")).localCheckpoint(
+        eager=True
+    )
+    prev = labels
+    for _ in range(iters):
+        votes = (
+            edges.join(labels, edges["_src"] == labels["_id"])
+            .groupBy(F.col("_dst").alias("_nid"), "_lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("_nid").orderBy(
+            F.col("_c").desc(), F.col("_lbl").asc()
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_nid").alias("_id"), F.col("_lbl").alias("_new"))
+        )
+        labels = (
+            nodes.join(best, "_id", "left")
+            .select(
+                "_id",
+                F.coalesce(F.col("_new"), F.col("_id")).alias("_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        prev = labels
+    edges.unpersist()
+    nodes.unpersist()
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_lbl").alias("community")
+    )

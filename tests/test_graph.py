@@ -174,3 +174,83 @@ def test_pagerank_weighted_validation(spark):
         pagerank_weighted(ids, pairs, iters=1).collect()
     with pytest.raises(ValueError, match="iters"):
         pagerank_weighted(ids, pairs, iters=0)
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Barbell graph: two triangles {1,2,3} and {10,11,12} joined by
+    ONE bridge edge 3-10.  Connected components lump all six into one
+    cluster; LPA keeps the two dense communities apart (each triangle
+    converges to its minimum label) — the near-dup-families-bridged-
+    by-one-accidental-pair case the operator exists for."""
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+    from rhq_metrics_spark.pipelines.graph import label_propagation
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(ids, pairs, iters=10).collect()
+    }
+    # exact labels from an independent per-node Python replay: the
+    # bridge's min-tie-break pulls label 3 INTO the second triangle,
+    # but the two communities stay distinct
+    assert out == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    # CC on the same graph merges everything — the contrast LPA adds
+    cc = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(ids, pairs).collect()}
+    assert len(set(cc.values())) == 1
+
+    # denser communities resist the bridge pull entirely: two
+    # 4-cliques bridged by one edge keep their own minimum labels
+    ids4 = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 13)], "doc_id long"
+    )
+    c1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    pairs4 = spark.createDataFrame(
+        c1 + c2 + [(4, 10)], "id_a long, id_b long"
+    )
+    out4 = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(ids4, pairs4, iters=10).collect()
+    }
+    assert all(out4[i] == 1 for i in (1, 2, 3, 4))
+    assert all(out4[i] == 10 for i in (10, 11, 12, 13))
+
+
+def test_label_propagation_isolated_ties_and_validation(spark):
+    import pytest
+
+    from rhq_metrics_spark.pipelines.graph import label_propagation
+
+    # isolated node keeps its own id; a 2-node edge ties at count 1
+    # per label and the SMALLER label wins on both endpoints
+    ids = spark.createDataFrame([(5,), (7,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(ids, pairs, iters=4).collect()
+    }
+    assert out[5] == 5
+    # round 1: 7 takes 9's label, 9 takes 7's (synchronous swap);
+    # round 2: each takes the other's CURRENT label back — with even
+    # iters both end on their own start labels... unless the argmax
+    # tie-break settles it: each node has ONE neighbor, so the vote is
+    # that neighbor's current label each round (no tie to break).
+    # Deterministic either way — pin the fixed-point the recurrence
+    # actually reaches at iters=4 (the oscillation case the fixed
+    # iteration count makes reproducible).
+    assert out[7] == 7 and out[9] == 9
+    odd = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(ids, pairs, iters=3).collect()
+    }
+    assert odd[7] == 9 and odd[9] == 7  # the opposite phase, exactly
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(ids, pairs, iters=0)
+    empty = spark.createDataFrame([], "doc_id long")
+    assert label_propagation(empty, pairs).count() == 0

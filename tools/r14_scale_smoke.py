@@ -16,6 +16,9 @@
 - bm25_topk (log2-idf): 100k and 1M docs × 3 queries — only the query
   terms' postings survive the scan-side broadcast join; idf (the
   exact-integer log2 chain) runs over ≤ |query terms| rows.
+- label_propagation: 100k and 1M nodes at 3 edges/node, 10 synchronous
+  rounds — per round one |edges| join + one vote hash-agg + one argmax
+  window; ≤ 2 label snapshots live.
 
 Usage: python tools/r14_scale_smoke.py   (run QUIET)
 """
@@ -135,6 +138,26 @@ def main() -> None:
         d.unpersist()
     out["bm25_x10_ratio"] = round(
         out["bm25_1000000_sec"] / out["bm25_100000_sec"], 2
+    )
+
+    from rhq_metrics_spark.pipelines.graph import label_propagation
+
+    for n in (100_000, 1_000_000):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = (
+            spark.range(n * 3)
+            .select(
+                (F.col("id") % n).alias("id_a"),
+                (F.abs(F.xxhash64(F.col("id"))) % n).alias("id_b"),
+            )
+            .filter("id_a != id_b")
+        )
+        t0 = time.time()
+        got = label_propagation(ids, pairs, iters=10).count()
+        out[f"lpa_{n}_sec"] = round(time.time() - t0, 1)
+        assert got == n
+    out["lpa_x10_ratio"] = round(
+        out["lpa_1000000_sec"] / out["lpa_100000_sec"], 2
     )
 
     print(json.dumps(out))
