@@ -571,6 +571,15 @@ def test_streaming_incremental_neardup_matches_batch_loop(spark, tmp_path):
         (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
         while rows() < 4 and time.time() < deadline:
             time.sleep(0.5)
+        # decisions land BEFORE the index append inside foreachBatch —
+        # wait for the final batch's _SUCCESS, or stop() races the
+        # append and the final-index assertion reads half a batch
+        # (the substr twin's fix, same layout)
+        while (
+            not (index_dir / "batch-1" / "_SUCCESS").exists()
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
     finally:
         q.stop()
 
@@ -814,6 +823,16 @@ def test_streaming_substr_matches_batch_loop(spark, tmp_path):
         (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
         while rows() < 4 and time.time() < deadline:
             time.sleep(0.5)
+        # decisions land BEFORE the batch's index partial inside the
+        # same foreachBatch — wait for the final batch's _SUCCESS, or
+        # stop() races the index append and the merged-index assertion
+        # below reads half a batch (an at-least-once replay would
+        # repair it on restart; this test has no restart)
+        while (
+            not (index_dir / "batch-1" / "_SUCCESS").exists()
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
     finally:
         q.stop()
 
