@@ -1028,3 +1028,54 @@ def test_temperature_parts_match_python_property(spark, counts, alpha_quarters):
         r4 = math.sqrt(r2)
         w = {1: r4, 2: r2, 3: r2 * r4, 4: x}[alpha_quarters]
         assert got[i] == math.floor(w * 1_000_000.0), (n, alpha_quarters)
+
+
+@given(st.integers(min_value=1, max_value=2**62))
+@settings(max_examples=500, deadline=None)
+def test_log2_fxp_int_bounds_and_monotone(n):
+    """The exact integer log2 gadget: always within one output ulp
+    BELOW the true log2 (truncation contract), never above, and
+    monotone across the power-of-two boundary neighbors."""
+    import math
+
+    from rhq_metrics_spark.pipelines.retrieval import log2_fxp_int
+
+    got = log2_fxp_int(n)
+    true = math.log2(n)
+    assert got / 65536 <= true + 1e-12
+    # 20-bit mantissa + 16 fractional output bits: error < 2^-15
+    assert true - got / 65536 < 2 ** -15 + 1e-12
+    if n > 1:
+        assert log2_fxp_int(n - 1) <= got
+    # exact at powers of two
+    if n & (n - 1) == 0:
+        assert got == (n.bit_length() - 1) * 65536
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.tuples(st.integers(0, 1), st.integers(0, 1)),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda p: p[0],
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_fs_em_recurrence_invariants(patterns, iters):
+    """The integer-ppm EM recurrence: every estimate stays on the ppm
+    grid in [0, 1e6], and the result is invariant under pattern-order
+    permutation (integer sums are order-free — the property the
+    DuckDB recursive-CTE oracle relies on)."""
+    from rhq_metrics_spark.pipelines.dedup import _fs_em_iterate
+
+    p, m, u = _fs_em_iterate(patterns, 2, iters, 100_000, 900_000, 100_000)
+    assert 0 <= p <= 1_000_000
+    assert all(0 <= x <= 1_000_000 for x in m + u)
+    p2, m2, u2 = _fs_em_iterate(
+        list(reversed(patterns)), 2, iters, 100_000, 900_000, 100_000
+    )
+    assert (p, m, u) == (p2, m2, u2)
