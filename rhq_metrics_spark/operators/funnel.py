@@ -168,6 +168,15 @@ def event_transitions(
     type then value, the same total order in any engine (the funnel
     twins' same-ts discipline).
 
+    Stream==batch contract bound (ADVICE r14): the streaming twin keeps
+    its per-user state all-integer by quantizing the value tiebreak to
+    µ-units saturated at ±2**62 — i.e. values beyond ±2**62/1e6 ≈
+    ±4.61e12 compare EQUAL in the stream, while this batch operator
+    orders by the raw double.  Two same-``(ts, type)`` events whose
+    values BOTH exceed that magnitude can therefore order differently
+    across the twins; within ±4.61e12 (any real event payload) the
+    twins agree bit-for-bit.
+
     Output: ``(from_type, to_type, transitions, from_total,
     prob_ppm)`` with ``prob_ppm = transitions · 1e6 div from_total``
     (integer fixed point), ordered by (from_type, to_type).
@@ -336,7 +345,11 @@ def frequent_paths(
 
     Ordering inside a timeline is the same deterministic composite
     ``(ts, type, value)`` as W17, so the path multiset is a pure
-    function of the data in any engine.
+    function of the data in any engine — including W17's stream==batch
+    value-magnitude bound: the streaming twin's µ-unit value tiebreak
+    saturates at ±2**62, so same-``(ts, type)`` events with values both
+    beyond ±2**62/1e6 ≈ ±4.61e12 may order differently across the
+    twins (see :func:`event_transitions`).
 
     Plan shape at 100 TB: ONE window shuffle on the user key computes
     all ``length−1`` leads in one pass (same window spec → one

@@ -355,6 +355,10 @@ def label_propagation(
     spark = ids.sparkSession
     nodes = ids.select(F.col(id_col).alias("_id")).distinct().persist()
     if nodes.limit(1).count() == 0:
+        # release before the early return — an abandoned cache-registry
+        # entry is the leak class the r14 persist sweep removed (ADVICE
+        # r14); the non-empty path unpersists at the bottom as before
+        nodes.unpersist()
         return spark.createDataFrame(
             [], f"{id_col} long, community long"
         ).select(F.col(id_col), "community")

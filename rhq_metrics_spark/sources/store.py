@@ -530,28 +530,34 @@ class MetricsStore:
 
             last_exc: Exception | None = None
             for _attempt in range(3):
-                segs = self._hot_segments(metric_type)
-                if slices is not None:
-                    segs = [
-                        s
-                        for s in segs
-                        if any(
-                            self._want_slice(x, slices)
-                            for x in self._seg_meta(s)["slices"]
-                        )
-                    ]
-                key = ("hot", metric_type, tuple(str(s) for s in segs))
-                df = self._plan_cache.get(key)
-                if df is None:
-                    try:
+                # the WHOLE per-attempt body sits inside the try (ADVICE
+                # r14): for slice-filtered reads, _seg_meta on a segment
+                # retired between listing and sidecar read falls back to
+                # spark.read.parquet on the vanished dir — the same
+                # PATH_NOT_FOUND race as the plan-time resolution, so it
+                # must trigger the same re-list
+                try:
+                    segs = self._hot_segments(metric_type)
+                    if slices is not None:
+                        segs = [
+                            s
+                            for s in segs
+                            if any(
+                                self._want_slice(x, slices)
+                                for x in self._seg_meta(s)["slices"]
+                            )
+                        ]
+                    key = ("hot", metric_type, tuple(str(s) for s in segs))
+                    df = self._plan_cache.get(key)
+                    if df is None:
                         df = self._read_segment_paths(metric_type, segs)
-                    except AnalysisException as exc:
-                        if "PATH_NOT_FOUND" not in str(exc):
-                            raise
-                        last_exc = exc
-                        continue
-                    if df is not None:
-                        self._cache_put(key, df)
+                        if df is not None:
+                            self._cache_put(key, df)
+                except AnalysisException as exc:
+                    if "PATH_NOT_FOUND" not in str(exc):
+                        raise
+                    last_exc = exc
+                    continue
                 if df is not None and slices is not None:
                     # belt-and-braces: path pruning is segment-granular,
                     # the column filter makes the selection slice-exact

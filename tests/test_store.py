@@ -240,6 +240,36 @@ def test_hot_read_relists_when_segment_compacted_away(spark, tmp_path, monkeypat
     assert calls["n"] >= 2  # first listing raced, second served
 
 
+def test_hot_sliced_read_relists_when_segment_compacted_away(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: for SLICE-FILTERED hot reads, the retired-segment
+    race can surface one step earlier — inside ``_seg_meta`` (missing
+    sidecar → fallback parquet scan of the vanished dir).  That
+    PATH_NOT_FOUND must also trigger a re-list, not escape the retry
+    loop."""
+    store = MetricsStore(spark, str(tmp_path / "store"))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0, 1.0)]))
+    store.add_data_points("gauge", _gauge(spark, [("t1", "m", T0 + 1, 2.0)]))
+    real = store._hot_segments("gauge")
+    assert len(real) == 2
+    ghost = tmp_path / "store" / "points" / "gauge" / "hot" / "seg-ghost"
+    calls = {"n": 0}
+
+    def fake(metric_type):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real + [ghost]
+        return real
+
+    monkeypatch.setattr(store, "_hot_segments", fake)
+    # the wide half-open range matches every slice, so the ghost's
+    # sidecar is consulted during listing — before any segment read
+    df = store._read_layer("gauge", "hot", slices=(0, 2**62))
+    assert df.count() == 2
+    assert calls["n"] >= 2  # first listing raced inside _seg_meta
+
+
 def test_hot_read_raises_after_persistent_path_loss(spark, tmp_path, monkeypatch):
     """The retry is bounded: a listing that keeps returning vanished
     segments (a genuinely broken store, not a compaction race) must
