@@ -2210,8 +2210,10 @@ _BM25_Q_VALUES = ", ".join(
     f"({i}, '{q}')" for i, q in BM25_QUERIES
 )
 
-_SQL_BM25_LOG2_TMPL = rf"""
-WITH RECURSIVE q(query_id, query) AS (VALUES {_BM25_Q_VALUES}),
+# the CTE body (through the ranked CTE `r`) is split from the final
+# select so composed oracles (hybrid_multiquery_rrf) can splice the
+# SAME lexical construction as one mode of a larger WITH RECURSIVE
+_SQL_BM25_CTES_TMPL = rf"""q(query_id, query) AS (VALUES {_BM25_Q_VALUES}),
 toks AS (SELECT doc_id,
                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
                             x -> x <> '') AS t
@@ -2251,23 +2253,143 @@ sc AS (
 r AS (SELECT query_id, doc_id, CAST(score_fx AS BIGINT) AS score_fx,
         row_number() OVER (PARTITION BY query_id
                            ORDER BY score_fx DESC, doc_id ASC) AS rank
-      FROM sc)
-SELECT query_id, doc_id, score_fx, CAST(rank AS INTEGER) AS rank
-FROM r WHERE rank <= {BM25_K}
-ORDER BY query_id, rank
-"""
+      FROM sc)"""
 
 
-def _sql_bm25_log2() -> str:
+def _sql_bm25_ctes() -> str:
     from rhq_metrics_spark.pipelines.retrieval import log2_fxp_sql_ctes
 
-    return _SQL_BM25_LOG2_TMPL.format(
+    return _SQL_BM25_CTES_TMPL.format(
         lgn_cte=log2_fxp_sql_ctes("lgn_src", ["term"], "nval", "lgn"),
         lgd_cte=log2_fxp_sql_ctes("lgd_src", ["term"], "nval", "lgd"),
     )
 
 
-SQL_BM25_LOG2 = _sql_bm25_log2()
+SQL_BM25_LOG2 = (
+    "WITH RECURSIVE "
+    + _sql_bm25_ctes()
+    + f"""
+SELECT query_id, doc_id, score_fx, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+)
+
+
+def q_text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the STANDING inverted index (pipelines/
+    retrieval.py bm25_index / bm25_against_index, VERDICT r14 item 1):
+    postings + df + corpus stats persisted once (term-bucket
+    partitioned parquet — query terms resolve to literal bucket ids, so
+    the serve scan partition-prunes to the query's terms), then the
+    same exact-integer scoring as `text_bm25_log2` over the persisted
+    rows.  Must be BIT-IDENTICAL to the direct leg (pytest-pinned), so
+    the oracle IS the direct leg's SQL — the full-probe==exact
+    discipline applied to lexical serving."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    path = "/tmp/rhq_bm25_index_" + sf_dir.strip("/").replace("/", "_")
+    bm25_index(docs, path)
+    return bm25_against_index(spark, path, queries, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+HYMQ_NQ = len(BM25_QUERIES)
+
+
+def q_hybrid_multiquery_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production retrieval stack (VERDICT r14 item 2):
+    multi-query BM25 lexical ranking (the exact-log2 leg) fused with a
+    FULL-PROBE IVF dense run per query by reciprocal-rank fusion
+    (pipelines/hybrid.py rrf_fuse, query_cols=("query_id",)) — the
+    composition retrieval.py prescribes, with query ids shared across
+    modes (lexical query q ↔ dense query vector vec_id=q, the
+    hybrid_topk id-space precedent).  Full probe == brute force
+    (pinned identity), so the dense oracle is the brute-force cosine
+    CTE; the lexical oracle is the spliced SQL_BM25_LOG2 chain; the
+    fused score is a fixed-order IEEE sum over exact integer ranks,
+    served raw (the embed_rrf_fusion rounding discipline)."""
+    from rhq_metrics_spark.pipelines.retrieval import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    lex = bm25_topk(docs, queries, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < HYMQ_NQ),
+        k=BM25_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_CELLS,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return (
+        rrf_fuse(
+            {"dense": dense, "lex": lex},
+            query_cols=("query_id",),
+            rrf_k=HY_RRF_K,
+            top_k=BM25_K,
+        )
+        .select(
+            "query_id", "doc_id", "dense_rank", "lex_rank",
+            "rrf_score", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_hybrid_multiquery_rrf() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_bm25_ctes()
+        + f""",
+lex AS (SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank
+        FROM r WHERE rank <= {BM25_K}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dq AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {HYMQ_NQ}),
+dsc AS (SELECT dq.query_id, v.vec_id AS doc_id,
+          list_dot_product(v.e, dq.qe) /
+          (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(dq.qe, dq.qe))) AS c
+        FROM v CROSS JOIN dq WHERE v.vec_id <> dq.query_id),
+dense AS (SELECT query_id, doc_id, CAST(dr AS INTEGER) AS dense_rank FROM (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, doc_id ASC) AS dr
+            FROM dsc)
+          WHERE dr <= {BM25_K}),
+fused AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+                 coalesce(d.doc_id, l.doc_id) AS doc_id,
+                 d.dense_rank, l.lex_rank
+          FROM dense d FULL OUTER JOIN lex l
+            ON d.query_id = l.query_id AND d.doc_id = l.doc_id),
+s AS (SELECT query_id, doc_id, dense_rank, lex_rank,
+        coalesce(1.0/({HY_RRF_K} + dense_rank), 0.0)
+          + coalesce(1.0/({HY_RRF_K} + lex_rank), 0.0) AS rrf_score
+      FROM fused)
+SELECT query_id, doc_id, dense_rank, lex_rank,
+       rrf_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rk
+      FROM s)
+WHERE rk <= {BM25_K}
+ORDER BY query_id, rank
+"""
+    )
 
 
 def q_embed_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,6 +2631,109 @@ reach AS (
 clus AS (SELECT id, min(lab) AS cl FROM reach GROUP BY id),
 canon AS (SELECT kd.* FROM kd JOIN clus ON clus.id = kd.doc_id
           WHERE clus.cl = kd.doc_id),
+h AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+    CAST(n_chars AS DOUBLE) /
+      ((CAST(concat('0x', substr(md5(concat('prio', ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        / 1152921504606846976.0) AS q
+  FROM canon WHERE n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+      FROM h),
+t AS (SELECT *, max(CASE WHEN rn = 6 THEN q END)
+          OVER (PARTITION BY source) AS tau
+      FROM r WHERE rn <= 6)
+SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+       round(q, 6) AS priority_r,
+       round(greatest(w, coalesce(tau, 0.0)), 6) AS est_weight_r
+FROM t WHERE rn <= 5
+ORDER BY source, priority_r DESC, doc_id
+"""
+
+
+def q_pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE+ (r15 edition, VERDICT r14 item 5): curation with LABEL-
+    PROPAGATION COMMUNITIES as the cluster stage — Gopher document
+    filter → blocked fuzzy near-dup pairs → community_clusters
+    (pipelines/graph.py: LPA communities under the dup_clusters
+    interface) → keep canonical docs → per-source PRIORITY sample
+    (k=5, weight = n_chars).  Where v2's connected components merge
+    two dense near-dup families bridged by ONE accidental pair into
+    one cluster (losing a canonical), LPA keeps them apart — the
+    over-merge fix the operator was built for (pytest-pinned on a
+    bridged-families fixture).  Every stage is an already-oracled
+    operator; the oracle replays the full chain including all 10 LPA
+    rounds in a recursive CTE.  Output: (source, doc_id, weight,
+    priority_r, est_weight_r) — the v2 shape."""
+    from rhq_metrics_spark.pipelines.graph import community_clusters
+    from rhq_metrics_spark.pipelines.text import gopher_quality_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    g = gopher_quality_filter(docs, min_stopword_hits=1)
+    kept = docs.join(g.filter(F.col("kept")).select("doc_id"), "doc_id")
+    pairs = (
+        fuzzy_blocked_pairs(kept.select("doc_id", "lang", "text"), min_sim=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # LPA iterates over these 10×
+    )
+    clusters = community_clusters(kept.select("doc_id"), pairs, iters=10)
+    canon = kept.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    return priority_sample_per_group(
+        canon.select("doc_id", "source", "n_chars"),
+        k=5, group_cols=["source"],
+    )
+
+
+def _pipe_curation_v3_sql() -> str:
+    gq = SQL_TEXT_GOPHER.strip()
+    return f"""
+WITH RECURSIVE
+gq AS ({gq}),
+kd AS (SELECT d.doc_id, d.lang, d.text, d.source, d.n_chars
+       FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+       WHERE gq.kept),
+fb AS (
+  SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
+         (string_split_regex(trim(lower(text)), '\\s+'))[1] AS _b_tok,
+         substr(text, 1, 48) AS _pfx
+  FROM kd),
+fsizes AS (SELECT _b0, _b_tok FROM fb GROUP BY 1, 2
+           HAVING count(*) <= 2000),
+fkept AS (SELECT fb.* FROM fb JOIN fsizes USING (_b0, _b_tok)),
+fpairs AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM fkept a JOIN fkept b USING (_b0, _b_tok)
+  WHERE a._id < b._id
+    AND 1.0 - CAST(levenshtein(a._pfx, b._pfx) AS DOUBLE)
+            / CAST(greatest(length(a._pfx), length(b._pfx)) AS DOUBLE)
+        >= 0.4),
+edges AS (SELECT id_a AS _src, id_b AS _dst FROM fpairs
+          UNION SELECT id_b, id_a FROM fpairs),
+gnodes AS (SELECT DISTINCT _src AS id FROM edges),
+lp(iter, id, lbl) AS (
+  SELECT 0, id, CAST(id AS BIGINT) FROM gnodes
+  UNION ALL
+  SELECT iter + 1, id, lbl FROM (
+    SELECT lp.iter AS iter, e._dst AS id, lp.lbl AS lbl,
+           row_number() OVER (PARTITION BY lp.iter, e._dst
+                              ORDER BY count(*) DESC, lp.lbl ASC) AS rn
+    FROM lp JOIN edges e ON e._src = lp.id
+    WHERE lp.iter < 10
+    GROUP BY lp.iter, e._dst, lp.lbl)
+  WHERE rn = 1),
+comm AS (
+  SELECT id, lbl AS community FROM lp WHERE iter = 10
+  UNION ALL
+  SELECT doc_id, CAST(doc_id AS BIGINT) FROM kd
+  WHERE doc_id NOT IN (SELECT id FROM gnodes)),
+cmin AS (SELECT community, min(id) AS cluster_id FROM comm GROUP BY 1),
+canon AS (SELECT kd.* FROM kd
+          JOIN comm ON comm.id = kd.doc_id
+          JOIN cmin ON cmin.community = comm.community
+          WHERE cmin.cluster_id = kd.doc_id),
 h AS (
   SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
     CAST(n_chars AS DOUBLE) /
@@ -3753,8 +3978,10 @@ def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_em_weights(sides, pairs, ("len_bucket", "source"), iters=20)
 
 
-SQL_ER_EM_WEIGHTS = r"""
-WITH RECURSIVE base AS (
+# the EM CTE chain (through `fin`, the converged ppm parameters) is
+# shared verbatim by the er_em_weights oracle and the composed
+# er_unsupervised_bands oracle
+_SQL_ER_EM_CHAIN = r"""base AS (
   SELECT doc_id AS _id, CAST(lang AS VARCHAR) AS _b0,
          (string_split_regex(trim(lower(text)), '\s+'))[1] AS _b_tok,
          substr(text, 1, 48) AS _pfx
@@ -3816,7 +4043,12 @@ em AS (
     GROUP BY it
   ) s, np
 ),
-fin AS (SELECT * FROM em WHERE it = 20)
+fin AS (SELECT * FROM em WHERE it = 20)"""
+
+SQL_ER_EM_WEIGHTS = (
+    "WITH RECURSIVE "
+    + _SQL_ER_EM_CHAIN
+    + r"""
 SELECT field, m_ppm, u_ppm, weight_ratio_ppm, p_match_ppm, n_pairs
 FROM (
   SELECT 'len_bucket' AS field,
@@ -3834,6 +4066,77 @@ FROM (
   FROM fin, np)
 ORDER BY field
 """
+)
+
+
+def q_er_unsupervised_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-free Winkler workflow END-TO-END as one composed query
+    (VERDICT r14 item 3): blocked candidate pairs → unsupervised EM
+    m/u estimation (fs_em_weights, exact integer ppm) → the adapter
+    (fs_em_as_rates) → composite-likelihood scoring + banding
+    (fs_score_pairs) — the chain a user without labels actually runs,
+    every stage an already-oracled operator (the pipe_curation_v2
+    composition precedent).  The oracle replays the EM recurrence
+    bit-for-bit (recursive CTE on HUGEINT) and then scores the SAME
+    candidate pairs through the identical fixed IEEE multiply tree."""
+    from rhq_metrics_spark.pipelines.dedup import (
+        fs_em_as_rates,
+        fs_em_weights,
+        fs_score_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = (
+        fuzzy_blocked_pairs(docs.select("doc_id", "lang", "text"), min_sim=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # EM and scoring share the pairs
+    )
+    sides = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(1))))
+        .cast("int")
+        .alias("len_bucket"),
+    )
+    em = fs_em_weights(sides, pairs, ("len_bucket", "source"), iters=20)
+    return fs_score_pairs(
+        sides, pairs, fs_em_as_rates(em), ("len_bucket", "source")
+    )
+
+
+SQL_ER_UNSUP_BANDS = (
+    "WITH RECURSIVE "
+    + _SQL_ER_EM_CHAIN
+    + r""",
+mu AS (SELECT CAST(fin.m1 AS BIGINT) AS m_lb, CAST(fin.u1 AS BIGINT) AS u_lb,
+              CAST(fin.m2 AS BIGINT) AS m_src, CAST(fin.u2 AS BIGINT) AS u_src
+       FROM fin),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(a.len_bucket IS NOT DISTINCT FROM b.len_bucket AS BIGINT)
+           + CAST(a.source IS NOT DISTINCT FROM b.source AS BIGINT) AS n_agree,
+         (CASE WHEN a.len_bucket IS NOT DISTINCT FROM b.len_bucket
+               THEN CAST(greatest(mu.m_lb, 1) AS DOUBLE)
+                    / CAST(greatest(mu.u_lb, 1) AS DOUBLE)
+               ELSE CAST(greatest(1000000 - mu.m_lb, 1) AS DOUBLE)
+                    / CAST(greatest(1000000 - mu.u_lb, 1) AS DOUBLE) END)
+         * (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+                 THEN CAST(greatest(mu.m_src, 1) AS DOUBLE)
+                      / CAST(greatest(mu.u_src, 1) AS DOUBLE)
+                 ELSE CAST(greatest(1000000 - mu.m_src, 1) AS DOUBLE)
+                      / CAST(greatest(1000000 - mu.u_src, 1) AS DOUBLE) END)
+           AS score
+  FROM cand c JOIN d a ON a.doc_id = c.id_a
+              JOIN d b ON b.doc_id = c.id_b
+              CROSS JOIN mu)
+SELECT id_a, id_b, n_agree, round(score, 6) AS score_r,
+       CASE WHEN score >= 10.0 THEN 'match'
+            WHEN score <= 0.1 THEN 'non_match'
+            ELSE 'possible' END AS band
+FROM scored
+ORDER BY id_a, id_b
+"""
+)
 
 
 def q_dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7749,71 +8052,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r14 driver window (50 keys): the 5 NEW r14 keys first
-        # ---- (text_bm25_log2, embed_rrf_fusion, er_em_weights,
-        # ---- er_score_pairs, embed_hard_negatives_ann), then the 20
-        # ---- r10-stale keys VERDICT r13 item 3 prescribes to lead,
-        # ---- then 25 of the r11-sampled block (stalest remainder;
-        # ---- a6/a8/f4 slide just past the cut — verify_all covers
-        # ---- every key regardless).
-        "graph_communities": q_graph_communities,
-        "text_bm25_log2": q_text_bm25_log2,
-        "embed_rrf_fusion": q_embed_rrf_fusion,
-        "er_em_weights": q_er_em_weights,
-        "er_score_pairs": q_er_score_pairs,
-        "embed_hard_negatives_ann": q_embed_hard_negatives_ann,
-        "w13_seasonal_forecast": q_w13_seasonal_forecast,
-        "w14_top_anomalous": q_w14_top_anomalous,
-        "doc_fingerprint": q_doc_fingerprint,
-        "url_canonical": q_url_canonical,
-        "pipe_temperature_mixture": q_pipe_temperature_mixture,
-        "pipe_importance_sample": q_pipe_importance_sample,
-        "text_fertility": q_text_fertility,
-        "text_substr_self_dedup": q_text_substr_self_dedup,
-        "text_lm_score": q_text_lm_score,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_vocab": q_text_vocab,
-        "text_contamination": q_text_contamination,
-        "text_unigram_seed": q_text_unigram_seed,
-        "sketch_kmv_setops": q_sketch_kmv_setops,
-        "pipe_dataset_profile": q_pipe_dataset_profile,
-        "pipe_dataset_diff": q_pipe_dataset_diff,
-        "w15_funnel": q_w15_funnel,
-        "w16_cohort": q_w16_cohort,
-        "embed_pq_codes": q_embed_pq_codes,
-        "mm_meta": q_mm_meta,
-        "sample_split": q_sample_split,
-        "sample_cap": q_sample_cap,
-        "s1_raw_scan": q_s1_raw_scan,
-        "f2_scan_limit": q_f2_scan_limit,
-        "a1_bucket_stats": q_a1_bucket_stats,
-        "a1_counter_stats": q_a1_counter_stats,
-        "a1_gapfill": q_a1_gapfill,
-        "w1_gauge_rate": q_w1_gauge_rate,
-        "w1_counter_rate": q_w1_counter_rate,
-        "w1_rate_stats": q_w1_rate_stats,
-        "a2_availability_stats": q_a2_availability_stats,
-        "a2_availability_rollup": q_a2_availability_rollup,
-        "a7_distinct_adjacent": q_a7_distinct_adjacent,
-        "w2_periods": q_w2_periods,
-        "a3_stacked_stats": q_a3_stacked_stats,
-        "a4_pooled_stats": q_a4_pooled_stats,
-        "a5_tagged_stats": q_a5_tagged_stats,
-        "a6_scalar_aggs": q_a6_scalar_aggs,
-        "a8_minmax_ts": q_a8_minmax_ts,
-        "f4_metric_regex": q_f4_metric_regex,
-        # ---- 50-key driver window ends here ----
-        # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; remainder ordered by
-        #  staleness so future rotations read off this list.)
+        # ---- r15 driver window (50 keys): the 4 NEW r15 keys first
+        # ---- (text_bm25_index, hybrid_multiquery_rrf,
+        # ---- er_unsupervised_bands, pipe_curation_v3), then the
+        # ---- stalest 46 of the remainder — the r11-last-sampled keys
+        # ---- that did not fit the r14 window, then the r12-stale
+        # ---- block (VERDICT r14 item 7: read off the registry-dict
+        # ---- order).  The r14-sampled 50 rotate to the back.
+        "text_bm25_index": q_text_bm25_index,
+        "hybrid_multiquery_rrf": q_hybrid_multiquery_rrf,
+        "er_unsupervised_bands": q_er_unsupervised_bands,
+        "pipe_curation_v3": q_pipe_curation_v3,
         "s7_tag_query": q_s7_tag_query,
         "s7_tag_query_simple": q_s7_tag_query_simple,
         "b1_slice_rollup": q_b1_slice_rollup,
@@ -7860,6 +8109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_token_mixture": q_pipe_token_mixture,
         "substr_dups_incremental": q_substr_dups_incremental,
         "w5_rolling_zscore": q_w5_rolling_zscore,
+        # ---- 50-key driver window ends here ----
+        # (keys below are all verified by tools/verify_all.py and the
+        #  judge's oracle run each round; remainder ordered by
+        #  staleness so future rotations read off this list.)
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
         "w8_rolling_median": q_w8_rolling_median,
@@ -7936,16 +8189,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "embed_cosine_topk": q_embed_cosine_topk,
         "w12_changepoint": q_w12_changepoint,
+        # ---- r14-sampled window (driver-green in CORRECTNESS_r14),
+        # ---- rotated to the back — the freshest block.
+        "graph_communities": q_graph_communities,
+        "text_bm25_log2": q_text_bm25_log2,
+        "embed_rrf_fusion": q_embed_rrf_fusion,
+        "er_em_weights": q_er_em_weights,
+        "er_score_pairs": q_er_score_pairs,
+        "embed_hard_negatives_ann": q_embed_hard_negatives_ann,
+        "w13_seasonal_forecast": q_w13_seasonal_forecast,
+        "w14_top_anomalous": q_w14_top_anomalous,
+        "doc_fingerprint": q_doc_fingerprint,
+        "url_canonical": q_url_canonical,
+        "pipe_temperature_mixture": q_pipe_temperature_mixture,
+        "pipe_importance_sample": q_pipe_importance_sample,
+        "text_fertility": q_text_fertility,
+        "text_substr_self_dedup": q_text_substr_self_dedup,
+        "text_lm_score": q_text_lm_score,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "text_contamination": q_text_contamination,
+        "text_unigram_seed": q_text_unigram_seed,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "pipe_dataset_profile": q_pipe_dataset_profile,
+        "pipe_dataset_diff": q_pipe_dataset_diff,
+        "w15_funnel": q_w15_funnel,
+        "w16_cohort": q_w16_cohort,
+        "embed_pq_codes": q_embed_pq_codes,
+        "mm_meta": q_mm_meta,
+        "sample_split": q_sample_split,
+        "sample_cap": q_sample_cap,
+        "s1_raw_scan": q_s1_raw_scan,
+        "f2_scan_limit": q_f2_scan_limit,
+        "a1_bucket_stats": q_a1_bucket_stats,
+        "a1_counter_stats": q_a1_counter_stats,
+        "a1_gapfill": q_a1_gapfill,
+        "w1_gauge_rate": q_w1_gauge_rate,
+        "w1_counter_rate": q_w1_counter_rate,
+        "w1_rate_stats": q_w1_rate_stats,
+        "a2_availability_stats": q_a2_availability_stats,
+        "a2_availability_rollup": q_a2_availability_rollup,
+        "a7_distinct_adjacent": q_a7_distinct_adjacent,
+        "w2_periods": q_w2_periods,
+        "a3_stacked_stats": q_a3_stacked_stats,
+        "a4_pooled_stats": q_a4_pooled_stats,
+        "a5_tagged_stats": q_a5_tagged_stats,
+        "a6_scalar_aggs": q_a6_scalar_aggs,
+        "a8_minmax_ts": q_a8_minmax_ts,
+        "f4_metric_regex": q_f4_metric_regex,
     }
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # ---- r13 driver window (50 keys): the 13 new r13 keys, then
-        # ---- the 7 never-driver-sampled r12 keys, then 30 of the
-        # ---- r10-stale block (all 22 TPC-H + sketches + embed legacy
-        # ---- legs + w12/w13).
+        # ---- the 4 new r15 keys (dict order here is cosmetic; the
+        # ---- driver window is queries() order) ----
+        # index leg must be BIT-IDENTICAL to the direct leg, so the
+        # oracle IS the direct leg's SQL (full-probe==exact discipline)
+        "text_bm25_index": SQL_BM25_LOG2,
+        # the composed lexical+dense stack: spliced BM25 CTE chain +
+        # brute-force cosine (== full-probe IVF) + fixed-order RRF
+        "hybrid_multiquery_rrf": _sql_hybrid_multiquery_rrf(),
+        # label-free Winkler end-to-end: the EM recursive CTE feeds the
+        # same fixed IEEE multiply tree + banding as er_score_pairs
+        "er_unsupervised_bands": SQL_ER_UNSUP_BANDS,
+        # curation with LPA communities as the cluster stage (all 10
+        # rounds replayed in the recursive CTE)
+        "pipe_curation_v3": _pipe_curation_v3_sql(),
         "graph_pagerank_weighted": SQL_GRAPH_PAGERANK_WEIGHTED,
         "pipe_curation_v2": _pipe_curation_v2_sql(),
         "text_lang_confusion": SQL_LANG_CONFUSION,

@@ -49,6 +49,7 @@ class MaintenanceRunner:
         seasonal_sink: dict | None = None,
         activity_sink: dict | None = None,
         ivf_index: dict | None = None,
+        bm25_index: dict | None = None,
     ):
         self.service = service
         self.default_retention_days = default_retention_days
@@ -111,6 +112,20 @@ class MaintenanceRunner:
         #: and atomically republishes via ``similarity.ivf_rebuild``
         #: (committed-dir swap: serving never pauses).
         self.ivf_index = ivf_index
+        #: optional standing BM25 inverted index under this runner's
+        #: care (r15, the lexical sibling of ``ivf_index``):
+        #: ``{"path": str, "corpus_path": str, "max_growth_ppm":
+        #: 200000, "n_buckets": None, "id_col": "doc_id", "text_col":
+        #: "text"}`` — each pass compares the live corpus doc count at
+        #: ``corpus_path`` against the count the index was built at
+        #: (one persisted stats row + one column-pruned count) and,
+        #: when the ``bm25_refresh_recommended`` staleness dial fires,
+        #: re-builds and atomically republishes via
+        #: ``retrieval.bm25_rebuild`` (same committed-dir swap as IVF:
+        #: serving never pauses).  Increments that keep ids disjoint
+        #: can use ``bm25_append`` out-of-band instead; the dial then
+        #: never fires because append updates the stats row too.
+        self.bm25_index = bm25_index
 
     # -- one full pass (cron-style) ---------------------------------------
 
@@ -134,6 +149,7 @@ class MaintenanceRunner:
             for t in MetricType.USER_WRITABLE
         }
         ivf = self._maintain_ivf()
+        bm25 = self._maintain_bm25()
         return {
             "compacted": compacted,
             "stats_slices": stats_slices,
@@ -146,6 +162,7 @@ class MaintenanceRunner:
             "retention": retention,
             "expiration_rows": expiration,
             "ivf": ivf,
+            "bm25": bm25,
         }
 
     def _maintain_ivf(self) -> dict | None:
@@ -176,6 +193,47 @@ class MaintenanceRunner:
             n_cells=cfg.get("n_cells"), seed=cfg.get("seed", 42),
         )
         return {"rebuilt": True, "stats_before": stats, "stats": after}
+
+    def _maintain_bm25(self) -> dict | None:
+        """Check the standing BM25 index's staleness dial (live corpus
+        doc count vs the count the index was built at) and
+        re-build/republish when it fires — the lexical sibling of
+        :meth:`_maintain_ivf`.  Cheap when quiet: one persisted stats
+        row + one column-pruned corpus count."""
+        cfg = self.bm25_index
+        if not cfg:
+            return None
+        from rhq_metrics_spark.pipelines.retrieval import (
+            bm25_index_stats,
+            bm25_rebuild,
+            bm25_refresh_recommended,
+        )
+
+        spark = self.service.spark
+        stats = bm25_index_stats(spark, cfg["path"])
+        corpus = spark.read.parquet(cfg["corpus_path"])
+        corpus_docs = corpus.count()
+        fire = bm25_refresh_recommended(
+            stats,
+            corpus_docs,
+            max_growth_ppm=cfg.get("max_growth_ppm", 200_000),
+        )
+        if not fire:
+            return {"rebuilt": False, "stats": stats, "corpus_docs": corpus_docs}
+        after = bm25_rebuild(
+            spark,
+            cfg["path"],
+            corpus,
+            n_buckets=cfg.get("n_buckets"),
+            id_col=cfg.get("id_col", "doc_id"),
+            text_col=cfg.get("text_col", "text"),
+        )
+        return {
+            "rebuilt": True,
+            "stats_before": stats,
+            "stats": after,
+            "corpus_docs": corpus_docs,
+        }
 
     def _emit_stats_partials(self, compacted: dict[str, list[int]]) -> int:
         cfg = self.stats_sink

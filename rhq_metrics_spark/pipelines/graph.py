@@ -403,3 +403,43 @@ def label_propagation(
     return labels.select(
         F.col("_id").alias(id_col), F.col("_lbl").alias("community")
     )
+
+
+def community_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    iters: int = 10,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """:func:`~rhq_metrics_spark.pipelines.dedup.dup_clusters`' exact
+    interface — ``(doc_id, cluster_id, is_canonical)`` — with
+    :func:`label_propagation` as the cluster stage instead of connected
+    components: two densely-linked near-dup families bridged by one
+    accidental pair stay TWO clusters (two canonicals survive) where
+    CC would merge them into one (the over-merge label_propagation was
+    built to fix — curation v3, VERDICT r14 item 5).
+
+    ``cluster_id`` is the community relabeled to its smallest member id
+    (LPA's winning label is whichever id won the vote, not a stable
+    representative), so ids are deterministic and ``is_canonical =
+    (doc_id == cluster_id)`` — the dup_clusters convention.  Singleton
+    documents stay their own canonical cluster.
+
+    Plan shape at 100 TB: label_propagation's per-round cost (one
+    |edges| join + one vote hash-agg + one argmax window, ≤ 2 pinned
+    snapshots) plus ONE community-key min-window over the node table.
+    """
+    comm = label_propagation(
+        ids, pairs, iters=iters, id_col=id_col, a_col=a_col, b_col=b_col
+    )
+    w = Window.partitionBy("community")
+    return (
+        comm.withColumn("cluster_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

@@ -222,6 +222,38 @@ def test_label_propagation_splits_bridged_triangles(spark):
     assert all(out4[i] == 10 for i in (10, 11, 12, 13))
 
 
+def test_community_clusters_keeps_bridged_families_apart(spark):
+    """VERDICT r14 item 5 (curation v3's cluster stage): under the
+    dup_clusters interface, community_clusters keeps TWO canonicals
+    for two dense near-dup families bridged by one accidental pair,
+    where CC's single merged cluster keeps only one — and a singleton
+    stays its own canonical."""
+    from rhq_metrics_spark.pipelines.dedup import dup_clusters
+    from rhq_metrics_spark.pipelines.graph import community_clusters
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 13, 99)], "doc_id long"
+    )
+    c1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    pairs = spark.createDataFrame(c1 + c2 + [(4, 10)], "id_a long, id_b long")
+
+    v2 = dup_clusters(ids, pairs)
+    v2_canon = {r["doc_id"] for r in v2.filter("is_canonical").collect()}
+    assert v2_canon == {1, 99}  # CC merged both families: ONE canonical
+
+    v3 = community_clusters(ids, pairs, iters=10)
+    rows = {r["doc_id"]: r for r in v3.collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99,
+    }
+    v3_canon = {d for d, r in rows.items() if r["is_canonical"]}
+    assert v3_canon == {1, 10, 99}  # both families survive + singleton
+    assert all(
+        r["is_canonical"] == (d == r["cluster_id"]) for d, r in rows.items()
+    )
+
+
 def test_label_propagation_isolated_ties_and_validation(spark):
     import pytest
 

@@ -698,3 +698,65 @@ def test_maintenance_emits_activity_registers(spark, tmp_path):
 
     with _pytest.raises(BadRequest):
         svc.active_users_sketch("t", 0, slice_ms, metric_type="counter")
+
+
+def test_bm25_staleness_rebuild_restores_freshness(spark, svc, tmp_path):
+    """r15 (VERDICT r14 item 1, the maintenance half): the standing
+    BM25 index's staleness dial — quiet while the corpus matches the
+    indexed doc count; after the corpus grows past the drift
+    threshold, run_once re-builds + atomically republishes, and the
+    served ranking equals the direct bm25_topk over the GROWN corpus
+    bit-for-bit (new docs retrievable, df/avgdl fresh)."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+        bm25_topk,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    idx_path = str(tmp_path / "bm25idx")
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} filler") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs1.write.mode("overwrite").parquet(corpus_path)
+    bm25_index(spark.read.parquet(corpus_path), idx_path, n_buckets=8)
+    runner = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        bm25_index={"path": idx_path, "corpus_path": corpus_path},
+    )
+    rep = runner.run_once(now_ms=T0)["bm25"]
+    assert rep == {
+        "rebuilt": False,
+        "stats": rep["stats"],
+        "corpus_docs": 10,
+    }
+    # corpus grows 50% — new docs mention a brand-new term
+    docs2 = spark.createDataFrame(
+        [(100 + i, f"alpha gamma w{i % 5}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs2.write.mode("append").parquet(corpus_path)
+    rep2 = runner.run_once(now_ms=T0)["bm25"]
+    assert rep2["rebuilt"] is True
+    assert rep2["corpus_docs"] == 15
+    assert rep2["stats"]["n_docs"] == 15
+    grown = spark.read.parquet(corpus_path)
+    qdf = spark.createDataFrame(
+        [(0, "gamma"), (1, "alpha beta")], "query_id long, query string"
+    )
+    served = [
+        tuple(r)
+        for r in bm25_against_index(spark, idx_path, qdf, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    direct = [
+        tuple(r)
+        for r in bm25_topk(grown, qdf, k=5).orderBy("query_id", "rank").collect()
+    ]
+    assert served == direct
+    assert any(r[0] == 0 and r[1] >= 100 for r in served)  # new docs serve
+    # a third pass is quiet again — the rebuild refreshed the dial
+    assert runner.run_once(now_ms=T0)["bm25"]["rebuilt"] is False

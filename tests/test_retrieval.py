@@ -174,3 +174,105 @@ def test_rrf_fuses_lexical_and_dense_runs(spark):
 
 
 import pyspark.sql.functions as F  # noqa: E402  (used in the test above)
+
+
+# ---------------------------------------------------------------------------
+# Standing inverted index (r15): serving leg == direct leg, exactly.
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+
+def test_bm25_index_serving_equals_direct(spark, tmp_path):
+    """bm25_against_index must be BIT-IDENTICAL to bm25_topk on the
+    indexed corpus (scores included — both run the same exact integer
+    arithmetic), and the empty-query edge returns an empty frame of
+    the same shape."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+        bm25_index_stats,
+    )
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    path = str(tmp_path / "bm25")
+    st = bm25_index(ddf, path, n_buckets=8)
+    assert st == bm25_index_stats(spark, path)
+    assert st["n_docs"] == len(DOCS)
+    assert st["sum_dl"] == sum(len(t.split()) for _, t in DOCS)
+    assert _rows(bm25_against_index(spark, path, qdf, k=3)) == _rows(
+        bm25_topk(ddf, qdf, k=3)
+    )
+    # non-default k1/b flow through identically
+    assert _rows(
+        bm25_against_index(spark, path, qdf, k=3, k1_ppm=700_000, b_ppm=0)
+    ) == _rows(bm25_topk(ddf, qdf, k=3, k1_ppm=700_000, b_ppm=0))
+    empty_q = spark.createDataFrame(
+        [(9, "   ")], "query_id long, query string"
+    )
+    out = bm25_against_index(spark, path, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score_fx", "rank"]
+
+
+def test_bm25_append_equals_full_build(spark, tmp_path):
+    """The incremental maintenance contract: index(90%) + append(10%)
+    serves bit-identically to a from-scratch build over everything —
+    df counts, corpus stats and postings all exact."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_append,
+        bm25_index,
+        bm25_index_stats,
+    )
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    inc = str(tmp_path / "inc")
+    bm25_index(ddf.filter("doc_id < 3"), inc, n_buckets=8)
+    st = bm25_append(spark, inc, ddf.filter("doc_id >= 3"))
+    full = str(tmp_path / "full")
+    assert st == bm25_index(ddf, full, n_buckets=8)
+    assert _rows(bm25_against_index(spark, inc, qdf, k=3)) == _rows(
+        bm25_against_index(spark, full, qdf, k=3)
+    )
+
+
+def test_bm25_serve_scan_is_partition_pruned(spark, tmp_path):
+    """The 100 TB contract of the index: the serve-side postings scan
+    carries a PartitionFilters entry on the term bucket AND a pushed
+    term filter — the scan reads the query's buckets, not the index."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+    )
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "spark")], "query_id long, query string")
+    path = str(tmp_path / "bm25p")
+    bm25_index(ddf, path, n_buckets=8)
+    out = bm25_against_index(spark, path, qdf, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "PartitionFilters: [tbucket" in plan.replace(
+        "PartitionFilters: [isnotnull(tbucket", "PartitionFilters: [tbucket"
+    ), plan
+    assert "tbucket" in plan and "spark" in plan  # pushed term literal
+
+
+def test_bm25_refresh_dial():
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_refresh_recommended,
+    )
+
+    st = {"n_docs": 1000, "sum_dl": 1, "n_buckets": 8}
+    assert not bm25_refresh_recommended(st, 1000)
+    assert not bm25_refresh_recommended(st, 1150)  # 15% < 20% default
+    assert bm25_refresh_recommended(st, 1300)
+    assert bm25_refresh_recommended(st, 700)  # deletes drift too
+    assert not bm25_refresh_recommended(st, 1300, max_growth_ppm=500_000)
+    assert bm25_refresh_recommended({"n_docs": 0}, 1)
+    assert not bm25_refresh_recommended({"n_docs": 0}, 0)
