@@ -466,7 +466,7 @@ _TAIL_BUDGET = 1800
 #: tail even after shedding every diagnostic KPI, so per-query timings
 #: now rotate instead of all riding the final line every round; the
 #: full record always goes to stderr).
-_FINAL_LINE_ROUND = 14
+_FINAL_LINE_ROUND = 15
 
 
 def _sys_marker(markers: list[str], tag: str) -> None:
