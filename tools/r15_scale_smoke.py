@@ -57,6 +57,25 @@ def main() -> None:
         bm25_index,
         bm25_topk,
     )
+    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
+
+    # warm the session ONCE (codegen, Arrow, shuffle service) so the
+    # small decade doesn't eat the first-call JVM cost — without this
+    # the 100k legs read SLOWER than the 1M legs (measured: direct
+    # 10.7 s at 100k vs 7.4 s at 1M on a cold session)
+    _wd = synth_skewed_docs(spark, 10_000).select("doc_id", "text")
+    q_warm = spark.createDataFrame(
+        [(0, "w0 w1")], "query_id long, query string"
+    )
+    bm25_topk(_wd, q_warm, k=5).count()
+    from rhq_metrics_spark.pipelines.embeddings import (
+        synthetic_clustered_embeddings_distributed as _synth_emb,
+    )
+
+    _we = _synth_emb(spark, 10_000, dim=32, n_clusters=8, seed=5)
+    ivf_cosine_topk(
+        _we, _we.filter("vec_id < 2"), k=5, n_cells=8, n_probe=2
+    ).count()
 
     q_head = spark.createDataFrame(
         [(0, "w0 w7 w13"), (1, "w1 w2"), (2, "w3 w11 w29")],
@@ -170,7 +189,6 @@ def main() -> None:
         synthetic_clustered_embeddings_distributed,
     )
     from rhq_metrics_spark.pipelines.hybrid import rrf_fuse
-    from rhq_metrics_spark.pipelines.similarity import ivf_cosine_topk
 
     for n in (100_000, 1_000_000):
         d = synth_skewed_docs(spark, n).select("doc_id", "text").persist()
