@@ -974,3 +974,100 @@ def test_streaming_fuzzy_er_matches_full_repair(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert replayed == got
+
+
+def test_streaming_bm25_index_serves_exact_and_replays(spark, tmp_path):
+    """r15: the streaming BM25 index loop — a corpus landing stream
+    folds into per-batch index pieces (foreachBatch, the near-dup
+    twin's layout); the merged serve is BIT-IDENTICAL to bm25_topk
+    over the concatenated corpus; a replayed batch overwrites its own
+    piece and changes nothing; consolidation folds the pieces into the
+    root and the same queries keep serving exactly."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+        bm25_topk,
+    )
+    from rhq_metrics_spark.streaming.retrieval import (
+        bm25_consolidate,
+        bm25_query_merged,
+        process_bm25_batch,
+        start_bm25_index_stream,
+    )
+
+    corpus_rows = [
+        (1, "spark engine tuning guide"),
+        (2, "cooking with fresh basil"),
+    ]
+    b1 = [
+        {"doc_id": 10, "text": "spark query engine deep dive"},
+        {"doc_id": 11, "text": "gardening tools and sheds"},
+    ]
+    b2 = [
+        {"doc_id": 20, "text": "engine maintenance for spark clusters"},
+        {"doc_id": 21, "text": "unrelated poetry about rivers and basil"},
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index_dir = tmp_path / "bm25_stream_idx"
+    bm25_index(corpus, str(index_dir), n_buckets=8)
+
+    src = tmp_path / "bm25_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    q = start_bm25_index_stream(
+        spark, stream, str(index_dir), str(tmp_path / "bm25_ckpt"),
+        n_buckets=8, trigger_once=True,
+    )
+    assert q.awaitTermination(120)
+
+    qdf = spark.createDataFrame(
+        [(0, "spark engine"), (1, "basil rivers")],
+        "query_id long, query string",
+    )
+    every = corpus.unionByName(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in b1 + b2],
+            "doc_id long, text string",
+        )
+    )
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+    direct = rows(bm25_topk(every, qdf, k=5))
+    assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct
+
+    # at-least-once replay: re-process each batch under its own id with
+    # its own content (identified from the piece's doc set) — the piece
+    # overwrites itself and the served ranking cannot move
+    by_first_doc = {10: b1, 20: b2}
+    for bid in (0, 1):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(index_dir / f"batch-{bid}" / "postings")
+            ).select("doc_id").distinct().collect()
+        }
+        batch = by_first_doc[min(ids)]
+        assert ids == {r["doc_id"] for r in batch}
+        bdf = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in batch],
+            "doc_id long, text string",
+        )
+        process_bm25_batch(spark, bdf, bid, str(index_dir), n_buckets=8)
+    assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct
+
+    # maintenance consolidation: pieces fold into the root (disjoint
+    # docs => pure addition), the piece dirs go away, and BOTH serving
+    # legs (merged reader, plain against_index) still equal direct
+    rep = bm25_consolidate(spark, str(index_dir))
+    assert rep["folded_pieces"] == 2 and rep["n_docs"] == 6
+    assert not (index_dir / "batch-0").exists()
+    assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct
+    assert (
+        rows(bm25_against_index(spark, str(index_dir), qdf, k=5)) == direct
+    )
