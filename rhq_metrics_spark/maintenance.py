@@ -125,6 +125,12 @@ class MaintenanceRunner:
         #: serving never pauses).  Increments that keep ids disjoint
         #: can use ``bm25_append`` out-of-band instead; the dial then
         #: never fires because append updates the stats row too.
+        #: Stream-maintained stores (``streaming/retrieval.py``) add
+        #: ``"consolidate_after_pieces": N`` — when more than N
+        #: committed ``batch-*`` pieces have accumulated, the pass
+        #: folds them into the root via ``bm25_consolidate`` (piece
+        #: count is the serving dial; the fold is pure addition).
+        #: Omit ``corpus_path`` to run ONLY the consolidation dial.
         self.bm25_index = bm25_index
 
     # -- one full pass (cron-style) ---------------------------------------
@@ -210,6 +216,22 @@ class MaintenanceRunner:
         )
 
         spark = self.service.spark
+        consolidated = None
+        cap = cfg.get("consolidate_after_pieces")
+        if cap is not None:
+            from rhq_metrics_spark.streaming.retrieval import (
+                _list_pieces,
+                bm25_consolidate,
+            )
+
+            n_pieces = sum(
+                "/batch-" in p.replace("\\", "/")
+                for p in _list_pieces(spark, cfg["path"], before_batch=None)
+            )
+            if n_pieces > cap:
+                consolidated = bm25_consolidate(spark, cfg["path"])
+        if "corpus_path" not in cfg:
+            return {"rebuilt": False, "consolidated": consolidated}
         stats = bm25_index_stats(spark, cfg["path"])
         corpus = spark.read.parquet(cfg["corpus_path"])
         corpus_docs = corpus.count()
@@ -219,7 +241,12 @@ class MaintenanceRunner:
             max_growth_ppm=cfg.get("max_growth_ppm", 200_000),
         )
         if not fire:
-            return {"rebuilt": False, "stats": stats, "corpus_docs": corpus_docs}
+            return {
+                "rebuilt": False,
+                "stats": stats,
+                "corpus_docs": corpus_docs,
+                "consolidated": consolidated,
+            }
         after = bm25_rebuild(
             spark,
             cfg["path"],
@@ -233,6 +260,7 @@ class MaintenanceRunner:
             "stats_before": stats,
             "stats": after,
             "corpus_docs": corpus_docs,
+            "consolidated": consolidated,
         }
 
     def _emit_stats_partials(self, compacted: dict[str, list[int]]) -> int:

@@ -731,6 +731,7 @@ def test_bm25_staleness_rebuild_restores_freshness(spark, svc, tmp_path):
         "rebuilt": False,
         "stats": rep["stats"],
         "corpus_docs": 10,
+        "consolidated": None,
     }
     # corpus grows 50% — new docs mention a brand-new term
     docs2 = spark.createDataFrame(
@@ -760,3 +761,58 @@ def test_bm25_staleness_rebuild_restores_freshness(spark, svc, tmp_path):
     assert any(r[0] == 0 and r[1] >= 100 for r in served)  # new docs serve
     # a third pass is quiet again — the rebuild refreshed the dial
     assert runner.run_once(now_ms=T0)["bm25"]["rebuilt"] is False
+
+
+def test_bm25_piece_consolidation_dial(spark, svc, tmp_path):
+    """r15: a stream-maintained BM25 store under the maintenance loop —
+    quiet while the committed piece count is at or under the dial;
+    above it, the pass folds the pieces into the root (serving ranking
+    unchanged, piece dirs gone) and a later pass is quiet again."""
+    from rhq_metrics_spark.pipelines.retrieval import bm25_index, bm25_topk
+    from rhq_metrics_spark.streaming.retrieval import (
+        bm25_query_merged,
+        process_bm25_batch,
+    )
+
+    idx = tmp_path / "bm25s"
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 3} beta") for i in range(7)],
+        "doc_id long, text string",
+    )
+    bm25_index(docs.filter("doc_id < 2"), str(idx), n_buckets=8)
+    for bid, lo in enumerate((2, 4)):
+        process_bm25_batch(
+            spark,
+            docs.filter(f"doc_id >= {lo} and doc_id < {lo + 2}"),
+            bid, str(idx), n_buckets=8,
+        )
+    runner = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        bm25_index={"path": str(idx), "consolidate_after_pieces": 2},
+    )
+    # 2 pieces == dial: quiet (and no corpus_path => dial-only report)
+    assert runner.run_once(now_ms=T0)["bm25"] == {
+        "rebuilt": False, "consolidated": None,
+    }
+    process_bm25_batch(
+        spark, docs.filter("doc_id = 6"), 2, str(idx), n_buckets=8
+    )
+    rep = runner.run_once(now_ms=T0)["bm25"]
+    assert rep["consolidated"]["folded_pieces"] == 3
+    assert rep["consolidated"]["n_docs"] == 7
+    assert not (idx / "batch-0").exists()
+    qdf = spark.createDataFrame(
+        [(0, "alpha w1")], "query_id long, query string"
+    )
+    got = [
+        tuple(r)
+        for r in bm25_query_merged(spark, str(idx), qdf, k=6)
+        .orderBy("rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bm25_topk(docs, qdf, k=6).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert runner.run_once(now_ms=T0)["bm25"]["consolidated"] is None
