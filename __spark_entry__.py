@@ -8054,15 +8054,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ---- r15 driver window (50 keys): the 4 NEW r15 keys first
         # ---- (text_bm25_index, hybrid_multiquery_rrf,
-        # ---- er_unsupervised_bands, pipe_curation_v3), then the
-        # ---- stalest 46 of the remainder — the r11-last-sampled keys
-        # ---- that did not fit the r14 window, then the r12-stale
-        # ---- block (VERDICT r14 item 7: read off the registry-dict
-        # ---- order).  The r14-sampled 50 rotate to the back.
+        # ---- er_unsupervised_bands, pipe_curation_v3), then ALL 26
+        # ---- r11-last-sampled keys (leading with the four that sat
+        # ---- just past the r14 cut — a5/a6/a8/f4, the stalest in the
+        # ---- registry; staleness computed from CORRECTNESS_r*.json),
+        # ---- then 20 of the r12-stale block (VERDICT r14 item 7).
+        # ---- The r14-sampled 50 rotate to the back.
         "text_bm25_index": q_text_bm25_index,
         "hybrid_multiquery_rrf": q_hybrid_multiquery_rrf,
         "er_unsupervised_bands": q_er_unsupervised_bands,
         "pipe_curation_v3": q_pipe_curation_v3,
+        "a5_tagged_stats": q_a5_tagged_stats,
+        "a6_scalar_aggs": q_a6_scalar_aggs,
+        "a8_minmax_ts": q_a8_minmax_ts,
+        "f4_metric_regex": q_f4_metric_regex,
         "s7_tag_query": q_s7_tag_query,
         "s7_tag_query_simple": q_s7_tag_query_simple,
         "b1_slice_rollup": q_b1_slice_rollup,
@@ -8105,14 +8110,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
+        # ---- 50-key driver window ends here ----
+        # (keys below are all verified by tools/verify_all.py and the
+        #  judge's oracle run each round; remainder ordered by
+        #  staleness so future rotations read off this list —
+        #  text_decontaminate..w5_rolling_zscore slid past this cut and
+        #  lead the r16 window.)
         "text_decontaminate": q_text_decontaminate,
         "pipe_token_mixture": q_pipe_token_mixture,
         "substr_dups_incremental": q_substr_dups_incremental,
         "w5_rolling_zscore": q_w5_rolling_zscore,
-        # ---- 50-key driver window ends here ----
-        # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; remainder ordered by
-        #  staleness so future rotations read off this list.)
         "o4_topk_per_group": q_o4_topk_per_group,
         "b11_rollup_serving": q_b11_rollup_serving,
         "w8_rolling_median": q_w8_rolling_median,
@@ -8241,10 +8248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_periods": q_w2_periods,
         "a3_stacked_stats": q_a3_stacked_stats,
         "a4_pooled_stats": q_a4_pooled_stats,
-        "a5_tagged_stats": q_a5_tagged_stats,
-        "a6_scalar_aggs": q_a6_scalar_aggs,
-        "a8_minmax_ts": q_a8_minmax_ts,
-        "f4_metric_regex": q_f4_metric_regex,
     }
     return qs
 
