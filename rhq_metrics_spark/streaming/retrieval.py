@@ -32,14 +32,14 @@ serving dial — fold pieces back into the root with
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from rhq_metrics_spark.pipelines.retrieval import (
     PPM,
+    _score_hits,
     _term_buckets,
     _toks,
     bm25_index,
-    with_log2_fxp,
 )
 
 __all__ = [
@@ -183,9 +183,9 @@ def bm25_query_merged(
             f"{sorted(n_buckets_set)} — rebuild with one fan-out"
         )
     n_buckets = n_buckets_set.pop()
-    stats = stats_all.agg(
-        F.sum("n").alias("_n"), F.sum("s").alias("_s")
-    )
+    n_total, s_total = stats_all.agg(
+        F.coalesce(F.sum("n"), F.lit(0)), F.coalesce(F.sum("s"), F.lit(0))
+    ).first()
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(_toks(F.col(query_col))).alias("term"),
@@ -215,48 +215,11 @@ def bm25_query_merged(
             for p in pieces
         ]
     )
-    dfreq = (
-        _union(
-            [
-                spark.read.parquet(f"{p}/dfreq")
-                .filter(F.col("tbucket").isin(buckets))
-                .filter(F.col("term").isin(terms))
-                .select("term", "df")
-                for p in pieces
-            ]
-        )
-        .groupBy("term")
-        .agg(F.sum("df").alias("_df"))
-    )
-    idf = dfreq.crossJoin(F.broadcast(stats))
-    idf = with_log2_fxp(idf, "2 * _n - 2 * _df + 1", "_l2num", _prefix="_ln")
-    idf = with_log2_fxp(idf, "2 * _df + 1", "_l2den", _prefix="_ld")
-    idf = idf.select("term", F.expr("_l2num - _l2den").alias("_idf_fx"))
-    scored = (
-        hit.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("_avg_ppm", F.expr("_s * 1000000 div _n"))
-        .withColumn(
-            "_dlr_ppm", F.expr("_dl * 1000000 * 1000000 div _avg_ppm")
-        )
-        .withColumn(
-            "_den_ppm",
-            F.expr(f"tf * 1000000 + {c_sat} + ({c_len} * _dlr_ppm) div 1000000"),
-        )
-        .withColumn(
-            "_tfterm_ppm", F.expr(f"tf * {c_num} * 1000000 div _den_ppm")
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.expr("_idf_fx * _tfterm_ppm")).alias("score_fx"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_fx").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score_fx", "rank")
+    # no dfreq read: pieces hold DISJOINT docs, so the merged hit table
+    # has one row per (term, doc) and the shared tail's countDistinct
+    # yields exactly the summed per-piece dfs
+    return _score_hits(
+        hit, qterms, int(n_total), int(s_total), k, c_sat, c_len, c_num
     )
 
 

@@ -276,3 +276,44 @@ def test_bm25_refresh_dial():
     assert not bm25_refresh_recommended(st, 1300, max_growth_ppm=500_000)
     assert bm25_refresh_recommended({"n_docs": 0}, 1)
     assert not bm25_refresh_recommended({"n_docs": 0}, 0)
+
+
+def test_bm25_hit_build_has_no_corpus_shuffle(spark):
+    """r15 plan guard for the VERDICT r14 item-4 claim: the pre-
+    checkpoint hit build (the only corpus-sided subtree of bm25_topk)
+    filters to the query terms via ONE broadcast join BEFORE its single
+    hash-agg shuffle — no corpus-wide postings exchange, no sort-merge
+    join, no corpus-sized lens join anywhere in the plan."""
+    from rhq_metrics_spark.pipelines.retrieval import _build_hits, _toks
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    toks = ddf.select(F.col("doc_id"), _toks(F.col("text")).alias("_t"))
+    qterms = qdf.select(
+        F.col("query_id"),
+        F.explode(_toks(F.col("query"))).alias("term"),
+    ).distinct()
+    hits = _build_hits(toks, qterms)
+    hits.collect()  # execute so AQE finalizes the plan
+    plan = hits._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange SinglePartition")
+    # exactly two exchanges: the hit hash-agg (the only one carrying
+    # doc rows — its partitioning includes doc_id) and the query-term
+    # DISTINCT inside the broadcast subtree (|query terms|-sized)
+    assert shuffles == 2, plan
+    import re as _re
+
+    doc_exchanges = [
+        m for m in _re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if "doc_id" in m
+    ]
+    assert len(doc_exchanges) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the broadcast term filter sits BELOW the aggregate: the join
+    # appears deeper in the plan tree than the final HashAggregate
+    assert plan.index("BroadcastHashJoin") > plan.index("HashAggregate"), plan
