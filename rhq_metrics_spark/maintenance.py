@@ -215,23 +215,41 @@ class MaintenanceRunner:
             bm25_refresh_recommended,
         )
 
+        from rhq_metrics_spark.pipelines.retrieval import _resolve_sources
+
         spark = self.service.spark
         consolidated = None
         cap = cfg.get("consolidate_after_pieces")
         if cap is not None:
-            from rhq_metrics_spark.streaming.retrieval import (
-                _list_pieces,
-                bm25_consolidate,
-            )
+            from rhq_metrics_spark.streaming.retrieval import bm25_consolidate
 
             n_pieces = sum(
-                "/batch-" in p.replace("\\", "/")
-                for p in _list_pieces(spark, cfg["path"], before_batch=None)
+                1 for s in _resolve_sources(spark, cfg["path"]) if s
             )
             if n_pieces > cap:
                 consolidated = bm25_consolidate(spark, cfg["path"])
         if "corpus_path" not in cfg:
             return {"rebuilt": False, "consolidated": consolidated}
+        # ADVICE r15: with UNFOLDED stream pieces committed, skip the
+        # rebuild dial this pass — a rebuild from corpus_path while
+        # batches are landing can supersede docs the corpus snapshot
+        # does not cover yet; consolidate first (above / next pass) and
+        # check drift when the stream tail is folded.  Fold and append
+        # pieces are maintenance-owned and do not defer the dial (the
+        # store-wide stats already count them, so the dial compares
+        # apples to apples — the r15 root-only-stats false-fire is
+        # gone by construction).
+        stream_pieces = [
+            s
+            for s in _resolve_sources(spark, cfg["path"])
+            if s.startswith("batch-")
+        ]
+        if stream_pieces:
+            return {
+                "rebuilt": False,
+                "deferred": f"{len(stream_pieces)} unfolded stream pieces",
+                "consolidated": consolidated,
+            }
         stats = bm25_index_stats(spark, cfg["path"])
         corpus = spark.read.parquet(cfg["corpus_path"])
         corpus_docs = corpus.count()
@@ -239,6 +257,7 @@ class MaintenanceRunner:
             stats,
             corpus_docs,
             max_growth_ppm=cfg.get("max_growth_ppm", 200_000),
+            max_tombstone_ppm=cfg.get("max_tombstone_ppm", 200_000),
         )
         if not fire:
             return {

@@ -4,7 +4,7 @@ incremental near-dup loop: "the index IS the state".
 
 A corpus landing stream (``sources/corpus.py`` or any documents-shaped
 ``readStream``) folds into a :func:`~rhq_metrics_spark.pipelines.
-retrieval.bm25_index`-layout store via ``foreachBatch``; queries served
+retrieval.bm25_index`-layout STORE via ``foreachBatch``; queries served
 from the store see every committed batch and are BIT-IDENTICAL to
 ``bm25_topk`` over the concatenated corpus (pytest-pinned).
 
@@ -13,20 +13,25 @@ near-dup twin uses): each micro-batch writes its OWN ``batch-{id}/``
 piece — a full mini bm25_index (postings partitioned by term bucket +
 dfreq + ONE stats row) — with overwrite semantics, so a replayed batch
 overwrites its own piece and converges; nothing ever mutates a shared
-component (contrast ``bm25_append``, whose df/stats merge is exactly
-once — right for driver-controlled increments, wrong under replay).
-Batch doc ids must be disjoint from the bootstrap and from other
-batches (the ``ivf_append``/``bm25_append`` contract); commit is the
+component.  Batch doc ids must be disjoint from the bootstrap and from
+other batches (the ``ivf_append``/``bm25_append`` contract — and that
+contract SURVIVES consolidation: a folded piece's ids stay resident,
+see ``bm25_append``'s doc-id note).  Commit is two-layered: the
 ``stats/_SUCCESS`` marker (stats is the LAST component bm25_index
-writes), so a reader never counts a half-written piece.
+writes) makes the piece itself complete, and a CAS manifest commit
+(``sources/manifest.py``) publishes it into the store's piece set —
+readers resolve ONE manifest version, so piece-set changes are atomic
+(r16, VERDICT r15 item 3; legacy stores without a manifest fall back
+to the marker-gated directory listing, and the first manifest commit
+migrates them in).
 
 Query-time merge is exact because pieces hold DISJOINT documents: df
 counts and corpus stats ADD, and postings just concatenate — the same
-algebra ``bm25_append`` applies at write time, applied lazily at read
-time.  Per-query cost stays postings-sized: every piece's postings
-read prunes to the query's term buckets.  The piece count is the
-serving dial — fold pieces back into the root with
-:func:`bm25_consolidate` from the maintenance loop.
+algebra ``bm25_append`` applies, evaluated lazily at read time.
+Per-query cost stays postings-sized: every piece's postings read
+prunes to the query's term buckets.  The piece count is the serving
+dial — fold pieces down with :func:`bm25_consolidate` from the
+maintenance loop.
 """
 
 from __future__ import annotations
@@ -35,11 +40,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rhq_metrics_spark.pipelines.retrieval import (
-    PPM,
-    _score_hits,
-    _term_buckets,
-    _toks,
+    _commit_pieces,
+    _read_stats_multi,
+    _resolve_sources,
+    _source_paths,
+    _strip_file_scheme,
+    _union_all,
+    _vacuum_pieces,
+    bm25_against_index,
     bm25_index,
+    bm25_index_stats,
 )
 
 __all__ = [
@@ -51,37 +61,15 @@ __all__ = [
 
 
 def _list_pieces(spark, index_dir: str, before_batch: int | None) -> list[str]:
-    """Committed pieces of a streaming BM25 index store: the root index
-    (if bootstrapped) plus ``batch-N`` dirs with ``N < before_batch``
-    whose ``stats/_SUCCESS`` commit marker exists.  Hadoop FileSystem
-    listing, not os.listdir — the store is a path in whatever
-    filesystem Spark is configured for (the near-dup twin's ADVICE-r8
-    lesson)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    out = []
-    root_stats = jvm.org.apache.hadoop.fs.Path(root, "stats")
-    if fs.exists(root_stats):
-        out.append(str(root))
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("batch-")):
-            continue
-        try:
-            bid = int(name.split("-", 1)[1])
-        except ValueError:
-            continue
-        if before_batch is not None and bid >= before_batch:
-            continue
-        marker = jvm.org.apache.hadoop.fs.Path(
-            st.getPath(), "stats/_SUCCESS"
-        )
-        if fs.exists(marker):
-            out.append(str(st.getPath()))
-    return out
+    """Committed sources of a BM25 store as full paths (root first,
+    when bootstrapped) — kept for the maintenance loop's piece-count
+    dial; resolution itself lives in ``pipelines/retrieval.py``
+    (:func:`_resolve_sources`): one manifest read on manifest-managed
+    stores, the marker-gated Hadoop-FS listing on legacy ones."""
+    return _source_paths(
+        index_dir.rstrip("/"),
+        _resolve_sources(spark, index_dir.rstrip("/"), before_batch),
+    )
 
 
 def process_bm25_batch(
@@ -97,19 +85,26 @@ def process_bm25_batch(
     at-least-once ``foreachBatch`` replay: the batch's documents build
     a complete mini-index at ``{index_dir}/batch-{batch_id}`` with
     overwrite semantics (``bm25_index`` writes every component
-    ``mode("overwrite")``), so a replay overwrites its own piece and
-    nothing else.  An EMPTY batch writes nothing (a zero-row
-    partitioned write leaves no readable parquet behind): no piece, no
-    commit marker, and a replay converges to the same no-op."""
+    ``mode("overwrite")``), so a replay overwrites its own piece, and
+    the manifest commit that publishes it is a no-op when the piece is
+    already listed.  An EMPTY batch writes nothing and a replay
+    converges to the same no-op; a NON-empty batch whose docs all
+    tokenize to nothing is NOT a poison batch (ADVICE r15) — the
+    zero-postings guard in ``bm25_index`` writes a valid empty-postings
+    piece whose stats still count the docs, exactly as ``bm25_topk``
+    counts token-less docs toward N."""
     if batch_df.isEmpty():
         return
+    base = index_dir.rstrip("/")
+    piece = f"batch-{batch_id}"
     bm25_index(
         batch_df,
-        index_dir.rstrip("/") + f"/batch-{batch_id}",
+        f"{base}/{piece}",
         n_buckets=n_buckets,
         id_col=id_col,
         text_col=text_col,
     )
+    _commit_pieces(spark, base, add=[piece])
 
 
 def start_bm25_index_stream(
@@ -126,7 +121,7 @@ def start_bm25_index_stream(
     ``foreachBatch`` rather than a stateful operator: the state is the
     persisted index itself (unbounded corpus-sized — exactly what must
     NOT live in stream state), and each batch's effect is one
-    idempotent piece write."""
+    idempotent piece write + one CAS manifest commit."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_bm25_batch(
@@ -153,100 +148,57 @@ def bm25_query_merged(
     query_col: str = "query",
     before_batch: int | None = None,
 ) -> DataFrame:
-    """BM25 top-k served from a streaming index store: the committed
-    pieces' postings/dfreq/stats merge lazily (disjoint doc sets ⇒ df
-    and stats ADD, postings concatenate), then the exact bm25_topk
-    arithmetic — output is BIT-IDENTICAL to ``bm25_topk`` over the
-    concatenated corpus.  Every piece's postings read prunes to the
-    query's term buckets, so per-query cost is (postings of the query
-    terms) × 1, spread over #pieces directory reads — consolidate
-    pieces (:func:`bm25_consolidate`) when the piece count, not the
-    postings, starts to dominate."""
-    if k < 1:
-        raise ValueError(f"bm25_query_merged: k must be >= 1: {k}")
-    pieces = _list_pieces(spark, index_dir, before_batch)
-    if not pieces:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score_fx long, rank int"
-        )
-    c_sat = k1_ppm * (PPM - b_ppm) // PPM
-    c_len = k1_ppm * b_ppm // PPM
-    c_num = PPM + k1_ppm
-
-    stats_all = spark.read.parquet(*[f"{p}/stats" for p in pieces])
-    n_buckets_set = {
-        int(r["n_buckets"]) for r in stats_all.select("n_buckets").collect()
-    }
-    if len(n_buckets_set) != 1:
-        raise ValueError(
-            f"bm25_query_merged: pieces disagree on n_buckets: "
-            f"{sorted(n_buckets_set)} — rebuild with one fan-out"
-        )
-    n_buckets = n_buckets_set.pop()
-    n_total, s_total = stats_all.agg(
-        F.coalesce(F.sum("n"), F.lit(0)), F.coalesce(F.sum("s"), F.lit(0))
-    ).first()
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(_toks(F.col(query_col))).alias("term"),
-    ).distinct()
-    lookup = _term_buckets(qterms.select("term").distinct(), n_buckets).collect()
-    terms = sorted({r["term"] for r in lookup})
-    buckets = sorted({r["tbucket"] for r in lookup})
-    if not terms:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score_fx long, rank int"
-        )
-    # per-piece reads unioned (NOT one multi-root read: partition
-    # discovery needs a single basePath per root, and per-piece reads
-    # keep the tbucket partition prune on every piece)
-    def _union(frames):
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-
-    hit = _union(
-        [
-            spark.read.parquet(f"{p}/postings")
-            .filter(F.col("tbucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-            .select("term", "doc_id", "tf", F.col("dl").alias("_dl"))
-            for p in pieces
-        ]
-    )
-    # no dfreq read: pieces hold DISJOINT docs, so the merged hit table
-    # has one row per (term, doc) and the shared tail's countDistinct
-    # yields exactly the summed per-piece dfs
-    return _score_hits(
-        hit, qterms, int(n_total), int(s_total), k, c_sat, c_len, c_num
+    """BM25 top-k served from a streaming index store — since r16 this
+    IS ``bm25_against_index`` (the serve leg is store-aware: root +
+    committed pieces + tombstones, one manifest resolution, per-source
+    bucket-pruned reads, the shared exact scoring tail); the wrapper
+    survives for the streaming API surface and the ``before_batch``
+    replay knob."""
+    return bm25_against_index(
+        spark,
+        index_dir.rstrip("/"),
+        queries,
+        k=k,
+        k1_ppm=k1_ppm,
+        b_ppm=b_ppm,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        before_batch=before_batch,
     )
 
 
 def bm25_consolidate(spark, index_dir: str) -> dict:
-    """Fold the committed ``batch-N`` pieces into the root index — the
+    """Fold the committed pieces into ONE consolidated piece — the
     maintenance consequence of the streaming loop (piece count is the
     serving dial).  Disjoint doc sets make the merge pure addition:
     postings concatenate (re-partitioned by the shared term bucket),
-    per-term dfs sum, stats sum; the merged root publishes via the
-    staging + two-rename swap (the ``bm25_rebuild``/``ivf_rebuild``
-    committed-dir pattern) and the folded piece dirs are removed LAST.
+    per-term dfs sum, stats sum.
 
-    Race caveat (documented, like ``_swap_in``): a query that listed
-    pieces before the swap and reads after it can transiently count a
-    folded batch twice (new root + its not-yet-removed piece dir) —
-    run from the maintenance loop, ideally at a stream-quiet point; a
-    replayed in-flight batch is safe (its piece dir survives, its doc
-    ids are not in the folded root).  Returns piece/doc counts."""
-    import os
-    import shutil
+    Atomicity (r16, VERDICT r15 item 3 — this replaces the documented
+    double-count window): the fold NEVER rewrites the root.  It writes
+    a fresh ``fold-<hex>`` piece (commit marker last), then ONE CAS
+    manifest commit swaps the folded pieces out and the fold piece in
+    — a reader that resolved the manifest before the commit keeps
+    reading the old piece dirs (they are retained until no manifest
+    version inside the retention window references them, then
+    vacuumed), a reader after the commit sees only the fold: exactly
+    one copy of every batch either way, with a live stream running.
+    A replayed in-flight batch also stays safe: its piece dir is
+    untouched and its ids are not in the fold.
+
+    On a legacy store (no manifest) the first commit migrates the
+    listing in, so every store converges to manifest-managed.  Returns
+    piece/doc counts (``n_docs`` is the store-wide effective count).
+    """
     import uuid
 
-    pieces = _list_pieces(spark, index_dir, before_batch=None)
-    batch_pieces = [p for p in pieces if "/batch-" in p.replace("\\", "/")]
-    if not batch_pieces:
+    base = index_dir.rstrip("/")
+    sources = _resolve_sources(spark, base)
+    folded = [s for s in sources if s]
+    if not folded:
         return {"folded_pieces": 0}
-    stats_all = spark.read.parquet(*[f"{p}/stats" for p in pieces])
+    paths = _source_paths(base, folded)
+    stats_all = _read_stats_multi(spark, paths)
     n_buckets_set = {
         int(r["n_buckets"]) for r in stats_all.select("n_buckets").collect()
     }
@@ -257,56 +209,56 @@ def bm25_consolidate(spark, index_dir: str) -> dict:
         )
     n_buckets = n_buckets_set.pop()
     n_total, s_total = stats_all.agg(F.sum("n"), F.sum("s")).first()
-    staging = f"{index_dir}/_consolidate-{uuid.uuid4().hex}"
-    def _union(frames):
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-
-    (
-        _union(
-            [
-                spark.read.parquet(f"{p}/postings").select(
-                    "term", "doc_id", "tf", "dl", "tbucket"
-                )
-                for p in pieces
-            ]
-        )
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(f"{staging}/postings")
+    piece = f"fold-{uuid.uuid4().hex}"
+    dest = f"{base}/{piece}"
+    merged = _union_all(
+        [
+            spark.read.parquet(f"{p}/postings").select(
+                "term", "doc_id", "tf", "dl", "tbucket"
+            )
+            for p in paths
+        ]
     )
-    (
-        _union(
+    merged.write.mode("overwrite").partitionBy("tbucket").parquet(
+        f"{dest}/postings"
+    )
+    import os as _os
+
+    wrote_rows = any(
+        name.startswith("tbucket=")
+        for name in _os.listdir(_strip_file_scheme(f"{dest}/postings"))
+    )
+    if not wrote_rows:
+        # all folded pieces were token-less — keep the fold readable
+        # (the bm25_index zero-postings discipline)
+        merged.limit(0).write.mode("overwrite").parquet(f"{dest}/postings")
+    dfreq = (
+        _union_all(
             [
-                spark.read.parquet(f"{p}/dfreq").select("term", "df", "tbucket")
-                for p in pieces
+                spark.read.parquet(f"{p}/dfreq").select(
+                    "term", "df", "tbucket"
+                )
+                for p in paths
             ]
         )
         .groupBy("term", "tbucket")
         .agg(F.sum("df").alias("df"))
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(f"{staging}/dfreq")
     )
+    if wrote_rows:
+        dfreq.write.mode("overwrite").partitionBy("tbucket").parquet(
+            f"{dest}/dfreq"
+        )
+    else:
+        dfreq.limit(0).write.mode("overwrite").parquet(f"{dest}/dfreq")
     spark.createDataFrame(
         [(int(n_total), int(s_total), n_buckets)],
         "n long, s long, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/stats")
-    for comp in ("postings", "dfreq", "stats"):
-        live = os.path.join(index_dir, comp)
-        trash = os.path.join(index_dir, f"_trash-{uuid.uuid4().hex}")
-        if os.path.exists(live):
-            os.rename(live, trash)
-        os.rename(os.path.join(staging, comp), live)
-        shutil.rmtree(trash, ignore_errors=True)
-        spark.catalog.refreshByPath(live)
-    shutil.rmtree(staging, ignore_errors=True)
-    for p in batch_pieces:
-        shutil.rmtree(p.replace("file:", ""), ignore_errors=True)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dest}/stats")
+    _commit_pieces(spark, base, add=[piece], remove=folded)
+    vacuumed = _vacuum_pieces(base)
     return {
-        "folded_pieces": len(batch_pieces),
-        "n_docs": int(n_total),
-        "sum_dl": int(s_total),
+        "folded_pieces": len(folded),
+        "fold_piece": piece,
+        "vacuumed": vacuumed,
+        "n_docs": bm25_index_stats(spark, base)["n_docs"],
     }

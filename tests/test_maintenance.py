@@ -801,7 +801,12 @@ def test_bm25_piece_consolidation_dial(spark, svc, tmp_path):
     rep = runner.run_once(now_ms=T0)["bm25"]
     assert rep["consolidated"]["folded_pieces"] == 3
     assert rep["consolidated"]["n_docs"] == 7
-    assert not (idx / "batch-0").exists()
+    # r16: the fold publishes a fold-piece via the CAS manifest; folded
+    # batch dirs are vacuumed on a LATER fold (manifest retention
+    # protects in-flight readers), so they may linger here — the store
+    # must no longer SERVE them double, which the ranking check below
+    # pins
+    assert (idx / rep["consolidated"]["fold_piece"]).exists()
     qdf = spark.createDataFrame(
         [(0, "alpha w1")], "query_id long, query string"
     )

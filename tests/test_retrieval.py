@@ -220,7 +220,13 @@ def test_bm25_index_serving_equals_direct(spark, tmp_path):
 def test_bm25_append_equals_full_build(spark, tmp_path):
     """The incremental maintenance contract: index(90%) + append(10%)
     serves bit-identically to a from-scratch build over everything —
-    df counts, corpus stats and postings all exact."""
+    df counts, corpus stats and postings all exact.  r16: the append
+    is a committed PIECE + a CAS manifest commit, so a retried append
+    with the same append_id converges to the identical store, and the
+    opt-in overlap guard raises on a doc-id reuse instead of
+    double-counting it."""
+    import pytest as _pytest
+
     from rhq_metrics_spark.pipelines.retrieval import (
         bm25_against_index,
         bm25_append,
@@ -232,12 +238,128 @@ def test_bm25_append_equals_full_build(spark, tmp_path):
     qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
     inc = str(tmp_path / "inc")
     bm25_index(ddf.filter("doc_id < 3"), inc, n_buckets=8)
-    st = bm25_append(spark, inc, ddf.filter("doc_id >= 3"))
+    st = bm25_append(spark, inc, ddf.filter("doc_id >= 3"), append_id="j1")
     full = str(tmp_path / "full")
-    assert st == bm25_index(ddf, full, n_buckets=8)
+    stf = bm25_index(ddf, full, n_buckets=8)
+    # content-identical; only the physical layout differs (one piece)
+    assert st["n_pieces"] == 1 and stf["n_pieces"] == 0
+    content = lambda d: {
+        k: v for k, v in d.items() if k != "n_pieces"
+    }  # noqa: E731
+    assert content(st) == content(stf)
     assert _rows(bm25_against_index(spark, inc, qdf, k=3)) == _rows(
         bm25_against_index(spark, full, qdf, k=3)
     )
+    # at-least-once retry with the SAME append_id: piece overwrites
+    # itself, manifest commit no-ops — stats and serving cannot move
+    assert bm25_append(
+        spark, inc, ddf.filter("doc_id >= 3"), append_id="j1"
+    ) == st
+    assert _rows(bm25_against_index(spark, inc, qdf, k=3)) == _rows(
+        bm25_against_index(spark, full, qdf, k=3)
+    )
+    assert bm25_index_stats(spark, inc) == st
+    # the VERDICT r15 item-7 contract: re-appending RESIDENT ids (here:
+    # docs already folded in) trips the opt-in membership guard
+    with _pytest.raises(ValueError, match="overlap the resident"):
+        bm25_append(
+            spark, inc, ddf.filter("doc_id = 1"),
+            append_id="j2", check_overlap=True,
+        )
+    # disjoint ids pass the same guard
+    extra = spark.createDataFrame(
+        [(99, "fresh basil leaves")], "doc_id long, text string"
+    )
+    st2 = bm25_append(spark, inc, extra, append_id="j3", check_overlap=True)
+    assert st2["n_docs"] == len(DOCS) + 1 and st2["n_pieces"] == 2
+
+
+def test_bm25_zero_postings_corpus_builds_and_serves(spark, tmp_path):
+    """ADVICE r15: an empty corpus — or one whose every doc tokenizes
+    to NOTHING — must build a readable index (the zero-row partitioned
+    write used to leave no parquet behind and the read-back crashed
+    with UNABLE_TO_INFER_SCHEMA), serve empty results, count token-less
+    docs toward N exactly as bm25_topk does, and survive the
+    maintenance rebuild that used to crash every pass once a corpus
+    emptied."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+        bm25_rebuild,
+    )
+
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    p1 = str(tmp_path / "z1")
+    st = bm25_index(empty, p1, n_buckets=8)
+    assert st["n_docs"] == 0 and st["n_postings"] == 0 and st["sum_dl"] == 0
+    out = bm25_against_index(spark, p1, qdf, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score_fx", "rank"]
+    blank = spark.createDataFrame(
+        [(0, "   "), (1, "")], "doc_id long, text string"
+    )
+    p2 = str(tmp_path / "z2")
+    st2 = bm25_index(blank, p2, n_buckets=8)
+    assert st2["n_docs"] == 2 and st2["sum_dl"] == 0
+    assert st2["n_postings"] == 0 and st2["n_terms"] == 0
+    assert bm25_against_index(spark, p2, qdf, k=3).count() == 0
+    # the ADVICE repro: a store whose corpus emptied re-builds fine
+    assert bm25_rebuild(spark, p2, empty)["n_docs"] == 0
+
+
+def test_bm25_delete_serves_as_rebuild_without_ids(spark, tmp_path):
+    """VERDICT r15 item 2 — retraction: after bm25_delete the store
+    serves BIT-IDENTICALLY to a from-scratch build without the deleted
+    docs (N, Σdl, df, every score), including a token-less resident
+    doc (dl 0) and deletes on a store with append pieces; a re-delete
+    of the same id is a no-op; accumulated tombstone skew trips the
+    refresh dial."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_append,
+        bm25_delete,
+        bm25_index,
+        bm25_refresh_recommended,
+    )
+
+    docs = DOCS + [(5, "   ")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    p = str(tmp_path / "del")
+    bm25_index(ddf, p, n_buckets=8)
+    st = bm25_delete(spark, p, [3, 5])
+    assert st["n_tombstones"] == 2 and st["n_docs"] == 4
+    assert st["sum_dl"] == sum(
+        len(t.split()) for i, t in docs if i not in (3, 5)
+    )
+    ref = str(tmp_path / "ref")
+    bm25_index(ddf.filter("doc_id not in (3, 5)"), ref, n_buckets=8)
+    served = _rows(bm25_against_index(spark, p, qdf, k=5))
+    assert served == _rows(bm25_against_index(spark, ref, qdf, k=5))
+    assert served == _rows(
+        bm25_topk(ddf.filter("doc_id not in (3, 5)"), qdf, k=5)
+    )
+    # idempotent re-delete: stats cannot move (no double decrement)
+    assert bm25_delete(spark, p, [3]) == st
+    # delete composes with the piece model: append a doc, retract the
+    # root's doc 0 — serving equals the rebuilt reference throughout
+    extra = spark.createDataFrame(
+        [(9, "spark engine of spark")], "doc_id long, text string"
+    )
+    bm25_append(spark, p, extra, append_id="d1")
+    st3 = bm25_delete(spark, p, [0])
+    assert st3["n_tombstones"] == 3 and st3["n_docs"] == 4
+    remaining = ddf.filter("doc_id not in (0, 3, 5)").unionByName(extra)
+    assert _rows(bm25_against_index(spark, p, qdf, k=5)) == _rows(
+        bm25_topk(remaining, qdf, k=5)
+    )
+    # 3 tombstones over 7 resident rows = 42.9% > the 20% default dial
+    assert st3["tombstone_ppm"] == 3 * 1_000_000 // 7
+    assert bm25_refresh_recommended(st3, st3["n_docs"]) is True
+    assert bm25_refresh_recommended(
+        st3, st3["n_docs"], max_tombstone_ppm=500_000
+    ) is False
 
 
 def test_bm25_serve_scan_is_partition_pruned(spark, tmp_path):

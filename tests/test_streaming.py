@@ -1061,13 +1061,31 @@ def test_streaming_bm25_index_serves_exact_and_replays(spark, tmp_path):
         process_bm25_batch(spark, bdf, bid, str(index_dir), n_buckets=8)
     assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct
 
-    # maintenance consolidation: pieces fold into the root (disjoint
-    # docs => pure addition), the piece dirs go away, and BOTH serving
-    # legs (merged reader, plain against_index) still equal direct
+    # maintenance consolidation (r16 protocol): the fold writes ONE
+    # fold-piece + a CAS manifest commit — the root is never rewritten,
+    # so a reader that resolved the piece set BEFORE the fold and reads
+    # AFTER it still sees every batch exactly once (the r15
+    # double-count window, closed).  The in-flight reader here is the
+    # lazy DataFrame built pre-fold.
+    inflight = bm25_query_merged(spark, str(index_dir), qdf, k=5)
     rep = bm25_consolidate(spark, str(index_dir))
     assert rep["folded_pieces"] == 2 and rep["n_docs"] == 6
-    assert not (index_dir / "batch-0").exists()
+    assert rows(inflight) == direct  # pre-fold resolution, post-fold read
     assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct
     assert (
         rows(bm25_against_index(spark, str(index_dir), qdf, k=5)) == direct
     )
+    # folded batch dirs are vacuumed once outside the manifest
+    # retention window — i.e. after the NEXT fold cycle, never under an
+    # in-flight reader
+    assert (index_dir / "batch-0").exists()
+    more = spark.createDataFrame(
+        [(30, "late spark batch about engines")], "doc_id long, text string"
+    )
+    process_bm25_batch(spark, more, 9, str(index_dir), n_buckets=8)
+    rep2 = bm25_consolidate(spark, str(index_dir))
+    assert rep2["folded_pieces"] == 2  # fold-1 + batch-9
+    assert sorted(rep2["vacuumed"]) == ["batch-0", "batch-1"]
+    assert not (index_dir / "batch-0").exists()
+    direct2 = rows(bm25_topk(every.unionByName(more), qdf, k=5))
+    assert rows(bm25_query_merged(spark, str(index_dir), qdf, k=5)) == direct2
