@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -572,6 +573,71 @@ def ivf_rebuild(
         shutil.rmtree(trash, ignore_errors=True)
         spark.catalog.refreshByPath(live)
     shutil.rmtree(staging, ignore_errors=True)
+    return ivf_index_stats(spark, path)
+
+
+def ivf_delete(
+    spark: SparkSession, path: str, vec_ids: Sequence[int]
+) -> dict:
+    """Retraction for a persisted IVF index (VERDICT r15 item 2): drop
+    ``vec_ids`` from the cell lists so queries serve as if they were
+    never indexed — the takedown/decontamination flow, without waiting
+    for a drift-dial rebuild.
+
+    Mechanics: the resident cell table minus the ids (a pushed
+    ``NOT IN`` filter — the takedown list is broadcast-bounded by
+    contract) rewrites into a staging dir and republishes via the same
+    two-rename committed-dir swap as :func:`ivf_rebuild`; centroids are
+    untouched (deletes shift occupancy, not the quantizer — the
+    :func:`ivf_retrain_recommended` dial covers accumulated skew, and
+    ``occupied_cells`` dropping is exactly one of its inputs).  A
+    FULL-probe query after delete is bit-identical to one over an
+    index rebuilt without the ids (pytest-pinned: full probe scans all
+    candidates, so only membership matters); a partial probe can never
+    return a deleted id.  Cost is one cell-table rewrite (vectors are
+    spread across cells, so this is index-sized IO) — takedowns are
+    rare events; batch them.
+
+    Unlike the BM25 store (whose scoring depends on corpus-wide
+    N/Σdl/df, hence its tombstone algebra), an IVF index holds no
+    corpus statistics — physical removal is exact by construction.
+    """
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return ivf_index_stats(spark, path)
+    import os
+    import shutil
+    import uuid
+
+    def _local(p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    kept = (
+        _read_index_component(spark, path, "cells")
+        .filter(~F.col("vec_id").isin(ids))
+        .select("vec_id", "vec", "cell")
+    )
+    staging = f"{path}/_delete-{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{staging}/cells"
+    )
+    wrote_rows = any(
+        name.startswith("cell=")
+        for name in os.listdir(_local(f"{staging}/cells"))
+    )
+    if not wrote_rows:
+        # every vector deleted: keep the component readable (the BM25
+        # zero-postings discipline — a zero-row partitioned write
+        # leaves no parquet behind)
+        kept.limit(0).write.mode("overwrite").parquet(f"{staging}/cells")
+    live = os.path.join(_local(path), "cells")
+    trash = os.path.join(_local(path), f"_trash-{uuid.uuid4().hex}")
+    if os.path.exists(live):
+        os.rename(live, trash)
+    os.rename(os.path.join(_local(staging), "cells"), live)
+    shutil.rmtree(trash, ignore_errors=True)
+    spark.catalog.refreshByPath(live)
+    shutil.rmtree(_local(staging), ignore_errors=True)
     return ivf_index_stats(spark, path)
 
 

@@ -281,6 +281,55 @@ def test_ivf_candidate_fraction_clustered(spark):
     emb.unpersist()
 
 
+def test_ivf_delete_serves_as_rebuild_without_ids(spark, emb, tmp_path):
+    """VERDICT r15 item 2 (the ANN leg): ivf_delete drops ids from the
+    cell lists and republishes via the committed-dir swap — a
+    FULL-probe query after delete is bit-identical to one over an
+    index rebuilt (same centroids kept by construction: full probe
+    scans every candidate, so only membership matters) without those
+    ids, a partial probe can never return a deleted id, and deleting
+    everything leaves a readable empty index."""
+    from rhq_metrics_spark.pipelines.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_delete,
+        ivf_index_stats,
+        ivf_query_index,
+    )
+
+    path = str(tmp_path / "ivfdel")
+    ivf_build_index(emb, path, n_cells=8)
+    queries = emb.filter("vec_id < 3")
+    before = ivf_index_stats(spark, path)
+    victims = [5, 17, 40, 41, 99]
+    st = ivf_delete(spark, path, victims)
+    assert st["total_vectors"] == before["total_vectors"] - len(victims)
+    got = [
+        tuple(r)
+        for r in ivf_query_index(spark, path, queries, k=5, n_probe=8)
+        .orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in cosine_topk(
+            emb.filter(~emb.vec_id.isin(victims)), queries, k=5
+        ).select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
+    assert all(r[1] not in victims for r in got)
+    # partial probe: still no deleted ids, ranks deterministic
+    part = ivf_query_index(spark, path, queries, k=5, n_probe=2).collect()
+    assert all(r["neighbor_id"] not in victims for r in part)
+    # idempotent re-delete
+    assert ivf_delete(spark, path, victims) == st
+    # total wipe-out stays readable (zero-row partitioned-write guard)
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    st2 = ivf_delete(spark, path, all_ids)
+    assert st2["total_vectors"] == 0 and st2["occupied_cells"] == 0
+    assert ivf_query_index(spark, path, queries, k=5, n_probe=8).count() == 0
+
+
 def test_ivf_append_roundtrip_and_drift(spark, tmp_path):
     """VERDICT r5 item 6: build on a prefix, append the remainder with
     the EXISTING centroids, and the queried index matches a fresh
