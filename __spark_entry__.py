@@ -2217,7 +2217,7 @@ _SQL_BM25_CTES_TMPL = rf"""q(query_id, query) AS (VALUES {_BM25_Q_VALUES}),
 toks AS (SELECT doc_id,
                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
                             x -> x <> '') AS t
-         FROM documents),
+         FROM {{docs_rel}}),
 lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(dl) AS BIGINT) AS s FROM lens),
@@ -2256,23 +2256,37 @@ r AS (SELECT query_id, doc_id, CAST(score_fx AS BIGINT) AS score_fx,
       FROM sc)"""
 
 
-def _sql_bm25_ctes() -> str:
+def _sql_bm25_ctes(docs_rel: str = "documents") -> str:
     from rhq_metrics_spark.pipelines.retrieval import log2_fxp_sql_ctes
 
     return _SQL_BM25_CTES_TMPL.format(
         lgn_cte=log2_fxp_sql_ctes("lgn_src", ["term"], "nval", "lgn"),
         lgd_cte=log2_fxp_sql_ctes("lgd_src", ["term"], "nval", "lgd"),
+        docs_rel=docs_rel,
     )
 
 
-SQL_BM25_LOG2 = (
-    "WITH RECURSIVE "
-    + _sql_bm25_ctes()
-    + f"""
+def _sql_bm25_log2(docs_rel: str = "documents") -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_bm25_ctes(docs_rel)
+        + f"""
 SELECT query_id, doc_id, score_fx, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= {BM25_K}
 ORDER BY query_id, rank
 """
+    )
+
+
+SQL_BM25_LOG2 = _sql_bm25_log2()
+
+#: takedown list for the retraction-serving leg — a doc-id prefix so
+#: it exists at every sf, large enough (30 docs, 6% at sf0.01) to
+#: reshape N/avgdl and the rankings visibly
+BM25_RETRACT_BELOW = 30
+
+SQL_BM25_RETRACT = _sql_bm25_log2(
+    f"(SELECT * FROM documents WHERE doc_id >= {BM25_RETRACT_BELOW})"
 )
 
 
@@ -2390,6 +2404,265 @@ WHERE rk <= {BM25_K}
 ORDER BY query_id, rank
 """
     )
+
+
+def q_hybrid_served_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hybrid stack served from STANDING artifacts (VERDICT
+    r15 item 1): `bm25_against_index` over the persisted inverted
+    index + `ivf_query_index` over the persisted cell-partitioned IVF
+    index → `rrf_fuse` — the repeated-serving composition a production
+    retrieval user runs per query batch, with BOTH index builds paid
+    once out-of-band (here: per call, so the registry leg is
+    self-contained; the bench KPI times the serve alone).  Each serve
+    leg is pinned bit-identical to its direct operator (bm25:
+    pytest + the text_bm25_index discipline; ivf full probe == brute
+    force: pytest test_ivf_delete_serves_as_rebuild_without_ids), so
+    the direct stack's spliced oracle IS the served stack's oracle —
+    `hybrid_multiquery_rrf`'s SQL, verbatim."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+    )
+    from rhq_metrics_spark.pipelines.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    bpath = "/tmp/rhq_hsrv_bm25_" + tag
+    vpath = "/tmp/rhq_hsrv_ivf_" + tag
+    bm25_index(docs, bpath)
+    ivf_build_index(emb, vpath, n_cells=IVF_CELLS)
+    lex = bm25_against_index(spark, bpath, queries, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = ivf_query_index(
+        spark,
+        vpath,
+        emb.filter(F.col("vec_id") < HYMQ_NQ),
+        k=BM25_K,
+        query_id_col="vec_id",
+        n_probe=IVF_CELLS,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return (
+        rrf_fuse(
+            {"dense": dense, "lex": lex},
+            query_cols=("query_id",),
+            rrf_k=HY_RRF_K,
+            top_k=BM25_K,
+        )
+        .select(
+            "query_id", "doc_id", "dense_rank", "lex_rank",
+            "rrf_score", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_text_bm25_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction serving (VERDICT r15 item 2): build the standing
+    index over the FULL documents corpus, `bm25_delete` the takedown
+    list (doc_id < {BM25_RETRACT_BELOW}), serve from the store.  The
+    tombstones subtract from the persisted N/Σdl and drop from the
+    pruned hit table with a pushed NOT IN filter, so df/avgdl/scores
+    come out exactly as a rebuild without those docs — the oracle is
+    therefore the direct BM25 SQL over the corpus WITHOUT the deleted
+    ids (serve-after-delete == rebuild-without-ids, the pinned
+    contract; pipelines/retrieval.py bm25_delete)."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_delete,
+        bm25_index,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    path = "/tmp/rhq_bm25_retract_" + sf_dir.strip("/").replace("/", "_")
+    bm25_index(docs, path)
+    bm25_delete(spark, path, list(range(BM25_RETRACT_BELOW)))
+    return bm25_against_index(spark, path, queries, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+#: partial-probe shape of the oracled hybrid: 4 of 16 cells — the
+#: production dial, cell-restricted candidates
+HY_NPROBE = 4
+
+
+def q_hybrid_multiquery_rrf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTIAL-probe production shape of the hybrid stack, oracled
+    (VERDICT r15 item 4): the dense leg is `ivf_seeded_topk`
+    (pipelines/similarity.py) — IVF with a SQL-expressible Forgy
+    quantizer (centroids = the corpus rows vec_id < 16) probing 4/16
+    cells, assignment and scoring all sequential JVM expression trees
+    — so the DuckDB twin replays assignment, probe selection, and the
+    CELL-RESTRICTED candidate scoring exactly; fused with the same
+    exact-log2 BM25 lexical leg by RRF.  This pins the actual
+    partial-probe semantics (candidates ⊂ corpus — ranks can differ
+    from brute force), which the full-probe identity of
+    `hybrid_multiquery_rrf` by construction cannot."""
+    from rhq_metrics_spark.pipelines.retrieval import bm25_topk
+    from rhq_metrics_spark.pipelines.similarity import ivf_seeded_topk
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    lex = bm25_topk(docs, queries, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = ivf_seeded_topk(
+        emb,
+        emb.filter(F.col("vec_id") < HYMQ_NQ),
+        centroid_ids=range(IVF_CELLS),
+        k=BM25_K,
+        n_probe=HY_NPROBE,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return (
+        rrf_fuse(
+            {"dense": dense, "lex": lex},
+            query_cols=("query_id",),
+            rrf_k=HY_RRF_K,
+            top_k=BM25_K,
+        )
+        .select(
+            "query_id", "doc_id", "dense_rank", "lex_rank",
+            "rrf_score", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_hybrid_rrf_partial() -> str:
+    """DuckDB twin of the partial-probe hybrid: the spliced BM25 chain
+    + the seeded-quantizer assignment/probe/cell-restricted scoring +
+    the fixed-order RRF — every cosine the same sequential
+    list_dot_product construction the Spark expression tree builds."""
+    return (
+        "WITH RECURSIVE "
+        + _sql_bm25_ctes()
+        + f""",
+lex AS (SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank
+        FROM r WHERE rank <= {BM25_K}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < {IVF_CELLS}),
+ca AS (SELECT vec_id, cell FROM (
+         SELECT v.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.e, cent.ce) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+             cent.cell ASC) AS rn
+         FROM v CROSS JOIN cent)
+       WHERE rn = 1),
+dq AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {HYMQ_NQ}),
+qa AS (SELECT query_id, cell FROM (
+         SELECT dq.query_id, cent.cell,
+           row_number() OVER (PARTITION BY dq.query_id ORDER BY
+             list_dot_product(dq.qe, cent.ce) /
+             (sqrt(list_dot_product(dq.qe, dq.qe)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+             cent.cell ASC) AS rn
+         FROM dq CROSS JOIN cent)
+       WHERE rn <= {HY_NPROBE}),
+dsc AS (SELECT dq.query_id, v.vec_id AS doc_id,
+          list_dot_product(v.e, dq.qe) /
+          (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(dq.qe, dq.qe))) AS c
+        FROM v JOIN ca ON ca.vec_id = v.vec_id
+               JOIN qa ON qa.cell = ca.cell
+               JOIN dq ON dq.query_id = qa.query_id
+        WHERE v.vec_id <> dq.query_id),
+dense AS (SELECT query_id, doc_id, CAST(dr AS INTEGER) AS dense_rank FROM (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, doc_id ASC) AS dr
+            FROM dsc)
+          WHERE dr <= {BM25_K}),
+fused AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+                 coalesce(d.doc_id, l.doc_id) AS doc_id,
+                 d.dense_rank, l.lex_rank
+          FROM dense d FULL OUTER JOIN lex l
+            ON d.query_id = l.query_id AND d.doc_id = l.doc_id),
+s AS (SELECT query_id, doc_id, dense_rank, lex_rank,
+        coalesce(1.0/({HY_RRF_K} + dense_rank), 0.0)
+          + coalesce(1.0/({HY_RRF_K} + lex_rank), 0.0) AS rrf_score
+      FROM fused)
+SELECT query_id, doc_id, dense_rank, lex_rank,
+       rrf_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rk
+      FROM s)
+WHERE rk <= {BM25_K}
+ORDER BY query_id, rank
+"""
+    )
+
+
+#: ANN-leg takedown list (all ids >= TOPK_NQ so every query vector
+#: stays a query; present at every sf — ids are a dense 0..N-1 range)
+IVFDEL_IDS = [23, 55, 102, 301, 444]
+
+
+def q_embed_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction on the ANN leg (VERDICT r15 item 2): persist the IVF
+    index, `ivf_delete` the takedown ids (cell lists rewritten via the
+    committed-dir swap, centroids kept), then a FULL-probe serve —
+    which must equal brute force over the corpus WITHOUT the ids
+    (delete == rebuild-without-ids; the full probe makes the oracle
+    exact, the embed_ivf_topk discipline).
+    pipelines/similarity.py ivf_delete."""
+    from rhq_metrics_spark.pipelines.similarity import (
+        ivf_build_index,
+        ivf_delete,
+        ivf_query_index,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    path = "/tmp/rhq_ivfdel_" + sf_dir.strip("/").replace("/", "_")
+    ivf_build_index(emb, path, n_cells=IVF_CELLS)
+    ivf_delete(spark, path, IVFDEL_IDS)
+    out = ivf_query_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < TOPK_NQ),
+        k=TOPK_K,
+        query_id_col="vec_id",
+        n_probe=IVF_CELLS,
+    )
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
+def _sql_embed_ivf_delete() -> str:
+    ids = ", ".join(str(i) for i in IVFDEL_IDS)
+    return f"""
+WITH av AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (SELECT * FROM av WHERE vec_id NOT IN ({ids})),
+q AS (SELECT vec_id AS query_id, e AS qe FROM av WHERE vec_id < {TOPK_NQ}),
+scored AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(v.e, q.qe) /
+             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+           FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, round(c, 5) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
 
 
 def q_embed_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8052,70 +8325,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r15 driver window (50 keys): the 4 NEW r15 keys first
-        # ---- (text_bm25_index, hybrid_multiquery_rrf,
-        # ---- er_unsupervised_bands, pipe_curation_v3), then ALL 26
-        # ---- r11-last-sampled keys (leading with the four that sat
-        # ---- just past the r14 cut — a5/a6/a8/f4, the stalest in the
-        # ---- registry; staleness computed from CORRECTNESS_r*.json),
-        # ---- then 20 of the r12-stale block (VERDICT r14 item 7).
-        # ---- The r14-sampled 50 rotate to the back.
-        "text_bm25_index": q_text_bm25_index,
-        "hybrid_multiquery_rrf": q_hybrid_multiquery_rrf,
-        "er_unsupervised_bands": q_er_unsupervised_bands,
-        "pipe_curation_v3": q_pipe_curation_v3,
-        "a5_tagged_stats": q_a5_tagged_stats,
-        "a6_scalar_aggs": q_a6_scalar_aggs,
-        "a8_minmax_ts": q_a8_minmax_ts,
-        "f4_metric_regex": q_f4_metric_regex,
-        "s7_tag_query": q_s7_tag_query,
-        "s7_tag_query_simple": q_s7_tag_query_simple,
-        "b1_slice_rollup": q_b1_slice_rollup,
-        "j5_asof_join": q_j5_asof_join,
-        "w4_sessions": q_w4_sessions,
-        "j6_interval_join": q_j6_interval_join,
-        "a9_time_rollup": q_a9_time_rollup,
-        "a10_correlation": q_a10_correlation,
-        "w6_trend": q_w6_trend,
-        "b12_distinct_rollup": q_b12_distinct_rollup,
-        "fz_vocab_pairs": q_fz_vocab_pairs,
-        "hybrid_topk": q_hybrid_topk,
-        "text_heavy_hitters": q_text_heavy_hitters,
-        "hh_int_values": q_hh_int_values,
-        "pipe_curation": q_pipe_curation,
-        "o5_minmax_downsample": q_o5_minmax_downsample,
-        "a11_histogram": q_a11_histogram,
-        "w7_increase": q_w7_increase,
-        "w8_increase_rollup": q_w8_increase_rollup,
-        "a12_time_weighted_avg": q_a12_time_weighted_avg,
-        "a12_twa_rollup": q_a12_twa_rollup,
-        "a13_twa_hybrid": q_a13_twa_hybrid,
-        "sample_priority": q_sample_priority,
-        "dedup_fuzzy_blocked": q_dedup_fuzzy_blocked,
-        "embed_pq_adc_topk": q_embed_pq_adc_topk,
-        "a14_trimmed_stats": q_a14_trimmed_stats,
-        "a15_mad_outliers": q_a15_mad_outliers,
-        "a16_slo_burn": q_a16_slo_burn,
-        "b13_hist_quantile": q_b13_hist_quantile,
-        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
-        "s10_wire_roundtrip": q_s10_wire_roundtrip,
-        "text_gopher_filter": q_text_gopher_filter,
-        "text_c4_clean": q_text_c4_clean,
-        "w10_ewma": q_w10_ewma,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "sketch_cms": q_sketch_cms,
-        "w11_seasonal": q_w11_seasonal,
-        "pipe_quality_mixture": q_pipe_quality_mixture,
-        "text_boilerplate": q_text_boilerplate,
-        "dedup_incremental_verified": q_dedup_incremental_verified,
-        "embed_semdedup": q_embed_semdedup,
-        "text_substr_dups": q_text_substr_dups,
-        # ---- 50-key driver window ends here ----
-        # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; remainder ordered by
-        #  staleness so future rotations read off this list —
-        #  text_decontaminate..w5_rolling_zscore slid past this cut and
-        #  lead the r16 window.)
+        # ---- r16 driver window (50 keys): the 4 NEW r16 keys first
+        # ---- (hybrid_served_rrf, text_bm25_retract,
+        # ---- hybrid_multiquery_rrf_partial, embed_ivf_delete —
+        # ---- VERDICT r15 items 1/2/4), then the FULL 30-key
+        # ---- r12-last-sampled block (text_decontaminate ..
+        # ---- dedup_segments — the stalest in the registry; staleness
+        # ---- recomputed from CORRECTNESS_r*.json this round), then
+        # ---- the first 16 of the r13-stale block
+        # ---- (graph_pagerank_weighted .. pipe_ngram_diversity).
+        # ---- The r15-sampled 50 rotate to the back.
+        "hybrid_served_rrf": q_hybrid_served_rrf,
+        "text_bm25_retract": q_text_bm25_retract,
+        "hybrid_multiquery_rrf_partial": q_hybrid_multiquery_rrf_partial,
+        "embed_ivf_delete": q_embed_ivf_delete,
         "text_decontaminate": q_text_decontaminate,
         "pipe_token_mixture": q_pipe_token_mixture,
         "substr_dups_incremental": q_substr_dups_incremental,
@@ -8162,6 +8385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_score": q_text_kn_score,
         "sample_priority_group": q_sample_priority_group,
         "pipe_ngram_diversity": q_pipe_ngram_diversity,
+        # ---- 50-key driver window ends here ----
+        # (keys below are all verified by tools/verify_all.py and the
+        #  judge's oracle run each round; remainder ordered by
+        #  staleness so future rotations read off this list — the r13
+        #  remainder from w17_transitions slid past this cut and leads
+        #  the r17 window, then the r14 block, then the r15 block at
+        #  the very back.)
         "w17_transitions": q_w17_transitions,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
@@ -8248,14 +8478,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_periods": q_w2_periods,
         "a3_stacked_stats": q_a3_stacked_stats,
         "a4_pooled_stats": q_a4_pooled_stats,
+        # ---- r15-sampled window (driver-green in CORRECTNESS_r15),
+        # ---- rotated to the back — the freshest block.
+        "text_bm25_index": q_text_bm25_index,
+        "hybrid_multiquery_rrf": q_hybrid_multiquery_rrf,
+        "er_unsupervised_bands": q_er_unsupervised_bands,
+        "pipe_curation_v3": q_pipe_curation_v3,
+        "a5_tagged_stats": q_a5_tagged_stats,
+        "a6_scalar_aggs": q_a6_scalar_aggs,
+        "a8_minmax_ts": q_a8_minmax_ts,
+        "f4_metric_regex": q_f4_metric_regex,
+        "s7_tag_query": q_s7_tag_query,
+        "s7_tag_query_simple": q_s7_tag_query_simple,
+        "b1_slice_rollup": q_b1_slice_rollup,
+        "j5_asof_join": q_j5_asof_join,
+        "w4_sessions": q_w4_sessions,
+        "j6_interval_join": q_j6_interval_join,
+        "a9_time_rollup": q_a9_time_rollup,
+        "a10_correlation": q_a10_correlation,
+        "w6_trend": q_w6_trend,
+        "b12_distinct_rollup": q_b12_distinct_rollup,
+        "fz_vocab_pairs": q_fz_vocab_pairs,
+        "hybrid_topk": q_hybrid_topk,
+        "text_heavy_hitters": q_text_heavy_hitters,
+        "hh_int_values": q_hh_int_values,
+        "pipe_curation": q_pipe_curation,
+        "o5_minmax_downsample": q_o5_minmax_downsample,
+        "a11_histogram": q_a11_histogram,
+        "w7_increase": q_w7_increase,
+        "w8_increase_rollup": q_w8_increase_rollup,
+        "a12_time_weighted_avg": q_a12_time_weighted_avg,
+        "a12_twa_rollup": q_a12_twa_rollup,
+        "a13_twa_hybrid": q_a13_twa_hybrid,
+        "sample_priority": q_sample_priority,
+        "dedup_fuzzy_blocked": q_dedup_fuzzy_blocked,
+        "embed_pq_adc_topk": q_embed_pq_adc_topk,
+        "a14_trimmed_stats": q_a14_trimmed_stats,
+        "a15_mad_outliers": q_a15_mad_outliers,
+        "a16_slo_burn": q_a16_slo_burn,
+        "b13_hist_quantile": q_b13_hist_quantile,
+        "b14_hist_quantiles_multi": q_b14_hist_quantiles_multi,
+        "s10_wire_roundtrip": q_s10_wire_roundtrip,
+        "text_gopher_filter": q_text_gopher_filter,
+        "text_c4_clean": q_text_c4_clean,
+        "w10_ewma": q_w10_ewma,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "sketch_cms": q_sketch_cms,
+        "w11_seasonal": q_w11_seasonal,
+        "pipe_quality_mixture": q_pipe_quality_mixture,
+        "text_boilerplate": q_text_boilerplate,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
+        "embed_semdedup": q_embed_semdedup,
+        "text_substr_dups": q_text_substr_dups,
     }
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # ---- the 4 new r15 keys (dict order here is cosmetic; the
+        # ---- the 4 new r16 keys (dict order here is cosmetic; the
         # ---- driver window is queries() order) ----
+        # served stack == direct stack (each serve leg pinned
+        # bit-identical to its direct operator), so the direct stack's
+        # spliced oracle serves both
+        "hybrid_served_rrf": _sql_hybrid_multiquery_rrf(),
+        # serve-after-delete == rebuild-without-ids: the direct BM25
+        # SQL over the corpus minus the takedown list
+        "text_bm25_retract": SQL_BM25_RETRACT,
+        # the partial probe has its own exact twin: seeded quantizer
+        # assignment + probe + cell-restricted scoring replayed in SQL
+        "hybrid_multiquery_rrf_partial": _sql_hybrid_rrf_partial(),
+        # ANN retraction: full probe == brute force minus the ids
+        "embed_ivf_delete": _sql_embed_ivf_delete(),
+        # ---- the 4 r15 keys ----
         # index leg must be BIT-IDENTICAL to the direct leg, so the
         # oracle IS the direct leg's SQL (full-probe==exact discipline)
         "text_bm25_index": SQL_BM25_LOG2,

@@ -641,6 +641,128 @@ def ivf_delete(
     return ivf_index_stats(spark, path)
 
 
+def ivf_seeded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: Sequence[int],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PARTIAL-probe IVF top-k with a SQL-expressible coarse quantizer
+    (VERDICT r15 item 4): centroids are the corpus rows named by
+    ``centroid_ids`` (Forgy seeding, zero Lloyd iterations — a crude
+    but real quantizer), and BOTH assignment and probing are plain JVM
+    column expressions, so the ACTUAL served ranking of a partial
+    probe — candidates restricted to the probed cells, the thing the
+    full-probe==brute-force identity can never pin — has an exact
+    DuckDB twin.  The production partial-probe path stays
+    :func:`ivf_query_index` (k-means centroids, persisted cell-pruned
+    layout); this operator exists so the cell-restriction semantics
+    are themselves oracled, and as the honest fallback quantizer when
+    the numpy path is unavailable.
+
+    Determinism: the collected centroid vectors embed as exact double
+    literals, every cosine is the sequential ``_dot``/``_l2norm``
+    expression tree (the established ``list_dot_product`` twin), and
+    ties break (cosine desc, cell asc) via a struct max/sort — no
+    numpy matmul anywhere, hence no blocked-summation drift against
+    the SQL replay.
+
+    Plan shape at 100 TB: assignment is SCAN-FUSED — an
+    ``array_max`` over |centroids| inline cosine structs per corpus
+    row, no shuffle, no Python, embedding arrays never enter an
+    exchange; probes broadcast (|queries| × n_probe rows); the only
+    shuffle is the final rank window over ALREADY-SCORED scalar rows
+    (query_id, neighbor_id, cosine) in the probed cells —
+    ~n_probe/n_cells of the corpus, the IVF contract.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    ids = sorted({int(i) for i in centroid_ids})
+    if not ids:
+        raise ValueError("ivf_seeded_topk: centroid_ids must be non-empty")
+    if n_probe < 1:
+        raise ValueError(f"ivf_seeded_topk: n_probe must be >= 1: {n_probe}")
+    if k < 1:
+        raise ValueError(f"ivf_seeded_topk: k must be >= 1: {k}")
+    qidc = query_id_col or id_col
+    cent_rows = (
+        corpus.filter(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).cast("long").alias("cell"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .collect()
+    )
+    if len(cent_rows) != len(ids):
+        have = sorted(r["cell"] for r in cent_rows)
+        raise ValueError(
+            f"ivf_seeded_topk: centroid ids missing from corpus: "
+            f"{sorted(set(ids) - set(have))}"
+        )
+    cent_rows.sort(key=lambda r: r["cell"])
+
+    def _cell_structs(vcol: Column) -> Column:
+        out = []
+        for r in cent_rows:
+            ce = F.array(*[F.lit(float(x)) for x in r["v"]])
+            cos = _dot(vcol, ce) / (_l2norm(vcol) * _l2norm(ce))
+            out.append(
+                F.struct(
+                    cos.alias("c"),
+                    F.lit(-int(r["cell"])).cast("long").alias("nc"),
+                    F.lit(int(r["cell"])).cast("long").alias("cell"),
+                )
+            )
+        # struct comparison is lexicographic: max = (cosine desc,
+        # then nc desc == cell ASC) — the deterministic argmax
+        return F.array(*out)
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    assigned = c.withColumn(
+        "cell", F.array_max(_cell_structs(F.col("_cv")))["cell"]
+    )
+    q = queries.select(
+        F.col(qidc).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    probes = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_structs(F.col("_qv")), asc=False),
+                1,
+                n_probe,
+            )
+        ).alias("_p"),
+    ).select("query_id", "_qv", F.col("_p.cell").alias("cell"))
+    cands = assigned.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cands = cands.filter(F.col("_cid") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("_cid").alias("neighbor_id"),
+        (
+            _dot(F.col("_cv"), F.col("_qv"))
+            / (_l2norm(F.col("_cv")) * _l2norm(F.col("_qv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:
     rows = _read_index_component(spark, path, "centroids").collect()
     rows.sort(key=lambda r: r["cell"])
