@@ -127,9 +127,16 @@ class MaintenanceRunner:
         #: never fires because append updates the stats row too.
         #: Stream-maintained stores (``streaming/retrieval.py``) add
         #: ``"consolidate_after_pieces": N`` — when more than N
-        #: committed ``batch-*`` pieces have accumulated, the pass
-        #: folds them into the root via ``bm25_consolidate`` (piece
-        #: count is the serving dial; the fold is pure addition).
+        #: committed pieces have accumulated, the pass folds them into
+        #: ONE fold-piece via ``bm25_consolidate`` (r16: a CAS manifest
+        #: commit, race-free against readers; piece count is the
+        #: serving dial; the fold is pure addition).  While UNFOLDED
+        #: stream pieces remain committed, the rebuild dial defers to
+        #: the next pass (ADVICE r15 — a rebuild from a corpus
+        #: snapshot that lags the stream tail would supersede docs it
+        #: does not cover).  ``"max_tombstone_ppm": 200000`` bounds
+        #: accumulated ``bm25_delete`` retractions before the dial
+        #: forces a rebuild that bakes them out.
         #: Omit ``corpus_path`` to run ONLY the consolidation dial.
         self.bm25_index = bm25_index
 

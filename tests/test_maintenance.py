@@ -821,3 +821,79 @@ def test_bm25_piece_consolidation_dial(spark, svc, tmp_path):
     ]
     assert got == want
     assert runner.run_once(now_ms=T0)["bm25"]["consolidated"] is None
+
+
+def test_bm25_rebuild_dial_defers_under_unfolded_pieces(spark, svc, tmp_path):
+    """ADVICE r15 (the double-count repro): with ``corpus_path`` AND
+    committed-but-unfolded stream pieces, the rebuild dial DEFERS
+    instead of rebuilding the root around live pieces; once the fold
+    runs, the dial compares store-wide effective stats (pieces counted
+    in) against the corpus — quiet when they match, and a real drift
+    rebuild SUPERSEDES the whole store (pieces and fold dirs cleared,
+    nothing served twice)."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        bm25_against_index,
+        bm25_index,
+        bm25_index_stats,
+        bm25_topk,
+    )
+    from rhq_metrics_spark.streaming.retrieval import process_bm25_batch
+
+    corpus_path = str(tmp_path / "corpusx")
+    idx = str(tmp_path / "bm25x")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 4} tail") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(corpus_path)
+    bm25_index(docs.filter("doc_id < 6"), idx, n_buckets=8)
+    process_bm25_batch(spark, docs.filter("doc_id >= 6"), 0, idx, n_buckets=8)
+    runner = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        bm25_index={
+            "path": idx,
+            "corpus_path": corpus_path,
+            "consolidate_after_pieces": 8,
+        },
+    )
+    rep = runner.run_once(now_ms=T0)["bm25"]
+    assert rep["rebuilt"] is False and "unfolded" in rep["deferred"]
+    # the store serves the piece docs meanwhile (no false rebuild, no
+    # double count): store-wide stats already fold the piece in
+    assert bm25_index_stats(spark, idx)["n_docs"] == 10
+    qdf = spark.createDataFrame([(0, "alpha w2")], "query_id long, query string")
+    rows = lambda df: [  # noqa: E731
+        tuple(r) for r in df.orderBy("query_id", "rank").collect()
+    ]
+    assert rows(bm25_against_index(spark, idx, qdf, k=5)) == rows(
+        bm25_topk(docs, qdf, k=5)
+    )
+    # fold, then the dial runs quiet (store == corpus)
+    runner2 = MaintenanceRunner(
+        svc,
+        compaction_grace_ms=0,
+        bm25_index={
+            "path": idx,
+            "corpus_path": corpus_path,
+            "consolidate_after_pieces": 0,
+        },
+    )
+    rep2 = runner2.run_once(now_ms=T0)["bm25"]
+    assert rep2["consolidated"]["folded_pieces"] == 1
+    assert rep2["rebuilt"] is False and rep2["stats"]["n_docs"] == 10
+    # real drift now fires a SUPERSEDING rebuild: pieces cleared, the
+    # grown corpus served exactly once
+    grown = docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, f"gamma w{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+    )
+    grown.write.mode("overwrite").parquet(corpus_path)
+    rep3 = runner2.run_once(now_ms=T0)["bm25"]
+    assert rep3["rebuilt"] is True
+    assert rep3["stats"]["n_docs"] == 15 and rep3["stats"]["n_pieces"] == 0
+    assert rows(bm25_against_index(spark, idx, qdf, k=5)) == rows(
+        bm25_topk(grown, qdf, k=5)
+    )

@@ -385,6 +385,25 @@ def test_bm25_serve_scan_is_partition_pruned(spark, tmp_path):
     assert "tbucket" in plan and "spark" in plan  # pushed term literal
 
 
+def test_hybrid_served_stack_equals_direct_stack(spark):
+    """VERDICT r15 item 1's pin: the standing-artifact hybrid stack
+    (bm25_against_index + ivf_query_index full probe -> rrf_fuse)
+    returns BIT-IDENTICALLY what the direct stack (bm25_topk +
+    ivf_cosine_topk full probe -> rrf_fuse) returns — rrf_scores
+    included — on the real sf0.001 tables, end-to-end through the
+    registry callables."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    served = [
+        tuple(r) for r in entry.q_hybrid_served_rrf(spark, sf).collect()
+    ]
+    direct = [
+        tuple(r) for r in entry.q_hybrid_multiquery_rrf(spark, sf).collect()
+    ]
+    assert served == direct and len(served) > 0
+
+
 def test_bm25_refresh_dial():
     from rhq_metrics_spark.pipelines.retrieval import (
         bm25_refresh_recommended,
