@@ -217,6 +217,63 @@ def test_bm25_index_serving_equals_direct(spark, tmp_path):
     assert out.columns == ["query_id", "doc_id", "score_fx", "rank"]
 
 
+def test_bm25_serve_df_from_dfreq(spark, tmp_path):
+    """r16 opt: with no tombstones resident the serving leg takes
+    per-term df from the persisted dfreq components (Σ per-source df)
+    instead of a second countDistinct pass over the merged hit table.
+    Pin the store invariant that makes the two identical — pieces hold
+    disjoint docs, so per-source dfs ADD — on a multi-piece store whose
+    pieces SHARE terms, and pin the served ranking bit-identical to the
+    direct operator through the fast path."""
+    from rhq_metrics_spark.pipelines.retrieval import (
+        _resolve_sources,
+        _source_paths,
+        _union_all,
+        bm25_against_index,
+        bm25_append,
+        bm25_index,
+    )
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    path = str(tmp_path / "bm25")
+    bm25_index(ddf.filter("doc_id < 3"), path, n_buckets=8)
+    bm25_append(spark, path, ddf.filter("doc_id >= 3"), append_id="p1")
+    paths = _source_paths(path, _resolve_sources(spark, path))
+    assert len(paths) == 2  # root + piece: the summed-df case is real
+    # the invariant itself: Σ per-source dfreq == exact countDistinct
+    # over the merged postings ("spark"/"engine" span both sources)
+    from_dfreq = {
+        (r["term"], r["df"])
+        for r in _union_all(
+            [
+                spark.read.parquet(f"{p}/dfreq").select("term", "df")
+                for p in paths
+            ]
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    exact = {
+        (r["term"], r["df"])
+        for r in _union_all(
+            [
+                spark.read.parquet(f"{p}/postings").select("term", "doc_id")
+                for p in paths
+            ]
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert from_dfreq == exact
+    # and serving through the fast path stays bit-identical to direct
+    assert _rows(bm25_against_index(spark, path, qdf, k=3)) == _rows(
+        bm25_topk(ddf, qdf, k=3)
+    )
+
+
 def test_bm25_append_equals_full_build(spark, tmp_path):
     """The incremental maintenance contract: index(90%) + append(10%)
     serves bit-identically to a from-scratch build over everything —
