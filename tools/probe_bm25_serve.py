@@ -46,12 +46,14 @@ def main() -> None:
         n_eff, s_eff, n_buckets, tomb = R._store_counts(spark, bdir, paths)
         t["store_counts"] = time.time() - t0
         t0 = time.time()
-        qterms = bq.select(
+        qterms_plan = bq.select(
             F.col("query_id"), F.explode(R._toks(F.col("query"))).alias("term")
-        ).distinct()
-        lookup = R._term_buckets(qterms.select("term").distinct(), n_buckets).collect()
-        terms = sorted({r["term"] for r in lookup})
+        )
+        lookup = R._term_buckets(qterms_plan, n_buckets).collect()
+        pairs = sorted({(r["query_id"], r["term"]) for r in lookup})
+        terms = sorted({t2 for _, t2 in pairs})
         buckets = sorted({r["tbucket"] for r in lookup})
+        qterms = spark.createDataFrame(pairs, qterms_plan.schema)
         t["term_buckets"] = time.time() - t0
         t0 = time.time()
         hit = R._union_all(
@@ -67,8 +69,17 @@ def main() -> None:
         t["hit_plan"] = time.time() - t0
         t0 = time.time()
         dfreq_rows = (
-            hit.groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("_df"))
+            R._union_all(
+                [
+                    spark.read.parquet(f"{p}/dfreq")
+                    .filter(F.col("tbucket").isin(buckets))
+                    .filter(F.col("term").isin(terms))
+                    .select("term", "df")
+                    for p in paths
+                ]
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("_df"))
             .collect()
         )
         t["df_agg_collect"] = time.time() - t0
@@ -105,6 +116,7 @@ def main() -> None:
             .withColumn(
                 "_tfterm_ppm", F.expr(f"tf * {c_num} * 1000000 div _den_ppm")
             )
+            .repartition("query_id")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.expr("_idf_fx * _tfterm_ppm")).alias("score_fx"))
         )
