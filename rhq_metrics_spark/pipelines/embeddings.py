@@ -245,6 +245,7 @@ def kmeans_assign(
     fixed-point distance to the final centroid.
     """
     scale = EMB_SCALE
+    spark = df.sparkSession
     q = df.select(
         F.col(id_col).alias("_id"),
         F.expr(
@@ -254,9 +255,29 @@ def kmeans_assign(
         ).alias("_v"),
     )
 
-    def _one_row_cents(cdf: DataFrame) -> DataFrame:
-        return cdf.agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
+    # Centroids MATERIALIZE driver-side between iterations (r16 opt,
+    # guide §5: the k × dim int64 table is bounded — k centroids, not
+    # data).  The previous fully-lazy formulation nested each
+    # iteration's centroid aggregation inside the next assignment's
+    # broadcast subtree, so every broadcast build re-executed ALL
+    # prior iterations' corpus passes — iteration cost grew
+    # quadratically and an `iters=2, m=8` PQ training re-scanned the
+    # corpus dozens of times.  Collecting the k exact-int centroid
+    # rows per iteration keeps one corpus pass per Lloyd step (the
+    # algorithmic minimum) and the local relation broadcasts without
+    # a job.  All arithmetic is unchanged exact int64, so assignments
+    # and dist2 are bit-identical to the lazy form (oracle-pinned).
+    def _cents_row(rows) -> DataFrame:
+        data = [
+            (
+                [
+                    (int(r["cid"]), [int(x) for x in r["cv"]])
+                    for r in sorted(rows, key=lambda r: r["cid"])
+                ],
+            )
+        ]
+        return spark.createDataFrame(
+            data, "_cents: array<struct<cid: int, cv: array<bigint>>>"
         )
 
     def _assign(cents_row: DataFrame) -> DataFrame:
@@ -273,7 +294,7 @@ def kmeans_assign(
             ).alias("_best"),
         )
 
-    cents = _one_row_cents(
+    init = (
         q.orderBy("_id")
         .limit(k)
         .select(
@@ -282,8 +303,9 @@ def kmeans_assign(
             ).alias("cid"),
             F.col("_v").alias("cv"),
         )
+        .collect()
     )
-    assigned = _assign(cents)
+    assigned = _assign(_cents_row(init))
     for _ in range(iters):
         # element-wise integer mean per cluster; operands non-negative,
         # so `div` is floor division in every engine
@@ -301,7 +323,7 @@ def kmeans_assign(
                 " p -> p.c)"
             ).alias("cv")
         )
-        assigned = _assign(_one_row_cents(newc))
+        assigned = _assign(_cents_row(newc.collect()))
     return assigned.select(
         F.col("_id").alias(id_col),
         F.col("_best.cid").alias("cluster"),

@@ -794,7 +794,10 @@ def ivf_query_index(
     # entry keyed on the analyzed plan would leak per call and serve
     # stale cells after the query source grows
     q = q.localCheckpoint(eager=True)
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    # dedup driver-side over the map-only collected rows — the probed
+    # set is ≤ n_cells values; a .distinct() here costs a full
+    # exchange for a frame this small (r16 opt, guide §2.4)
+    probed = sorted({r["cell"] for r in q.select("cell").collect()})
     c = (
         _read_index_component(spark, path, "cells")
         .filter(F.col("cell").isin(probed))
@@ -1310,8 +1313,11 @@ def pq_adc_topk(
             f" + {EMB_SCALE}L)"
         ).alias("_cv"),
     )
+    # broadcast the bounded shortlist onto the vector table (not the
+    # reverse): an unhinted join could shuffle the corpus-sized vector
+    # side by id to meet Q × shortlist rows (r16 opt)
     exact = (
-        short.join(vecs, id_col)
+        vecs.join(F.broadcast(short), id_col)
         .join(F.broadcast(qv), query_id_col)
         .select(
             query_id_col,
@@ -1385,7 +1391,18 @@ def ivfpq_build_index(
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    cb = pq_codebook(corpus, codes, m=m, id_col=id_col, vec_col=vec_col)
+    # the codebook's (id, subspace, code) rows come from the WRITTEN
+    # cells component, not from re-executing the `codes` training
+    # chain (r16 opt): the cells write above already ran the m kmeans
+    # chains once, and the packed arrays are sorted by subspace so
+    # posexplode's position IS the subspace id — identical rows,
+    # corpus-scale work paid once instead of twice
+    spark.catalog.refreshByPath(f"{path}/cells")
+    written = spark.read.parquet(f"{path}/cells").select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    cb = pq_codebook(corpus, written, m=m, id_col=id_col, vec_col=vec_col)
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
@@ -1418,19 +1435,36 @@ def ivfpq_query_index(
 
     centroids = ivf_load_centroids(spark, path)
     assignp = _cell_assignment_udf(centroids, n_probe)
+    # eager localCheckpoint, not persist (the ivf_query_index
+    # discipline): this is a serving-loop entry point — a
+    # cache-registry entry keyed on the analyzed plan would leak per
+    # call and serve stale cells after the query source grows.
+    # posexplode so downstream "one row per query" needs `_pos = 0`
+    # instead of a dropDuplicates exchange (r16 opt).
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qraw"),
     ).select(
-        "query_id", "_qraw", F.explode(assignp(F.col("_qraw"))).alias("cell")
-    ).persist()
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+        "query_id",
+        "_qraw",
+        F.posexplode(assignp(F.col("_qraw"))).alias("_pos", "cell"),
+    ).localCheckpoint(eager=True)
+    # (query_id, cell) pairs are distinct by construction (one corpus
+    # cell set per query, exploded) — dedup of the probed-cell list
+    # runs driver-side over the collected map-only rows, no distinct
+    # exchange, and the broadcast side below re-materializes as a
+    # LOCAL relation so no job re-reads the checkpoint (r16 opt)
+    pair_rows = q.select("query_id", "cell").collect()
+    probed = sorted({r["cell"] for r in pair_rows})
 
     # candidates are restricted to EACH query's own probed cells (the
     # IVF contract — joining on (subspace, code) alone would score
     # every query against the union of all queries' cells: wider than
     # n_probe promises, and N_cand × Q work at fleet query volume)
-    q_cells = q.select("query_id", "cell").distinct()
+    q_cells = spark.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in pair_rows],
+        q.select("query_id", "cell").schema,
+    )
     codes_long = (
         _read_index_component(spark, path, "cells")
         .filter(F.col("cell").isin(probed))
@@ -1439,14 +1473,14 @@ def ivfpq_query_index(
         .drop("cell")
     )
     codebook = _read_index_component(spark, path, "codebook")
-    qv = q.select(
+    qv = q.filter(F.col("_pos") == 0).select(
         "query_id",
         F.expr(
             f"transform(_qraw,"
             f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
             f" + {EMB_SCALE}L)"
         ).alias("_qv"),
-    ).dropDuplicates(["query_id"])
+    )
     dim = len(centroids[0])
     d = dim // m
     table = qv.crossJoin(F.broadcast(codebook)).select(
@@ -1478,9 +1512,13 @@ def ivfpq_query_index(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
     )
+    # broadcast the SHORTLIST onto the corpus, never the reverse: the
+    # short side is bounded (Q × shortlist ids) while the corpus is
+    # the 100 TB table — an unhinted join here could shuffle the whole
+    # corpus by id to meet a few hundred shortlist rows (r16 opt)
     exact = (
-        short.join(vecs, "neighbor_id")
-        .join(F.broadcast(q.dropDuplicates(["query_id"]).select("query_id", "_qraw")), "query_id")
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q.filter(F.col("_pos") == 0).select("query_id", "_qraw")), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1498,5 +1536,4 @@ def ivfpq_query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
-    q.unpersist()
     return out
