@@ -53,33 +53,47 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    anchors = (
-        df.filter(F.col(type_col) == steps[0])
-        .groupBy(F.col(user_col).alias("_u"))
-        .agg(F.min(ts_col).alias("_t1"))
+    # ONE pass over the (step-typed) events (r16 opt, guide §2.4): a
+    # single user-partitioned shuffle computes EVERY stage's
+    # first-touch completion time as chained window minimums — stage
+    # k's qualifying condition references stage k-1's window column,
+    # all sharing one partitioning — and one global aggregate counts
+    # every stage's converted users in the same job.  The previous
+    # per-step formulation ran one driver action per step (scan +
+    # per-user min agg + join each).  Values are identical: min-over-
+    # qualifying-events IS the first-touch time, null when a user
+    # never qualifies, and `count(col)` skips nulls.
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_ts"),
     )
-    # each stage is persisted before its count so the event table is
-    # scanned once per step, not once per downstream stage (#users-row
-    # tables — the cache cost is the anchor, never the events)
-    prev = anchors.withColumn("_tk", F.col("_t1")).persist()
-    stages = [prev]
-    counts = [prev.count()]
-    for step in steps[1:]:
-        ev = df.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
-        )
-        joined = ev.join(prev.select("_u", "_t1", "_tk"), "_u").filter(
-            F.col("_ts") > F.col("_tk")
-        )
-        if window_ms is not None:
-            joined = joined.filter(F.col("_ts") <= F.col("_t1") + window_ms)
-        prev = joined.groupBy("_u").agg(
-            F.min("_t1").alias("_t1"), F.min("_ts").alias("_tk")
-        ).persist()
-        stages.append(prev)
-        counts.append(prev.count())
-    for st in stages:
-        st.unpersist()
+    w = Window.partitionBy("_u")
+    tcols: list[str] = []
+    cur = ev
+    for i, step in enumerate(steps):
+        tcol = f"_t{i + 1}"
+        if i == 0:
+            cond = F.col("_ty") == step
+        else:
+            prev_t = F.col(tcols[-1])
+            cond = (
+                (F.col("_ty") == step)
+                & prev_t.isNotNull()
+                & (F.col("_ts") > prev_t)
+            )
+            if window_ms is not None:
+                cond = cond & (F.col("_ts") <= F.col("_t1") + window_ms)
+        cur = cur.withColumn(tcol, F.min(F.when(cond, F.col("_ts"))).over(w))
+        tcols.append(tcol)
+    # window values are per-user constants; the user-keyed agg reuses
+    # the window's partitioning (no second exchange), the final count
+    # row is one global agg
+    per_user = cur.groupBy("_u").agg(*[F.min(c).alias(c) for c in tcols])
+    crow = per_user.agg(
+        *[F.count(c).alias(f"_c{i}") for i, c in enumerate(tcols)]
+    ).first()
+    counts = [int(crow[f"_c{i}"]) for i in range(len(tcols))]
     base = counts[0]
     spark = df.sparkSession
     rows = [
