@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import types as _T
 
 #: fixed-point scale for integer-exact signature dots: float32 inputs
 #: times 2^20 are exactly representable, so ``floor(v * EMB_SCALE)`` is
@@ -135,21 +136,71 @@ def ivf_train_centroids(
     return centroids
 
 
+def _assign_cells_np(mat: np.ndarray, centroids: np.ndarray, top: int) -> np.ndarray:
+    """Indices of the ``top`` nearest centroids (by dot product) per row
+    of ``mat`` — the ONE assignment arithmetic shared by the Arrow UDF
+    (corpus side) and the driver path (bounded query batches), so both
+    produce bit-identical cells by construction.  Deterministic: sort by
+    (-sim, cell index)."""
+    top = min(top, len(centroids))
+    sims = mat @ centroids.T  # (batch, cells)
+    order = np.lexsort(
+        (np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims), axis=1
+    )
+    return order[:, :top].astype(np.int32)
+
+
 def _cell_assignment_udf(centroids: np.ndarray, top: int):
     """Indices of the ``top`` nearest centroids (by dot product) as an
     array column — one Arrow-batched matmul against the broadcast
     centroid matrix (cells × dim)."""
-    top = min(top, len(centroids))
 
     @F.pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
         mat = _vec_matrix(vecs)
-        sims = mat @ centroids.T  # (batch, cells)
-        # deterministic: sort by (-sim, cell index)
-        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims), axis=1)
-        return pd.Series(list(order[:, :top].astype(np.int32)))
+        return pd.Series(list(_assign_cells_np(mat, centroids, top)))
 
     return _cells
+
+
+#: query batches at or below this row count resolve their probed cells
+#: DRIVER-side (one bounded collect + a numpy matmul — the same
+#: arithmetic as the Arrow UDF) instead of paying a full ArrowEvalPython
+#: job per serve call; larger/unbounded query frames fall back to the
+#: distributed UDF path.  Measured locally: every ArrowEvalPython stage
+#: costs ~0.6-0.9 s of fixed wall at local[32] regardless of row count
+#: (guide §4 — the JVM↔Python boundary), so a 10-row query batch paid
+#: as much as the 8k-row corpus pass.
+DRIVER_QUERY_CAP = 4096
+
+
+def _driver_query_cells(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    top: int,
+):
+    """Driver-side probed-cell assignment for a BOUNDED query batch.
+
+    Returns ``(schema, rows, cells)`` — the ``(query_id, _qv)`` schema,
+    the collected rows, and the per-row ``top`` nearest cells — or
+    ``None`` when the batch exceeds :data:`DRIVER_QUERY_CAP` (caller
+    falls back to the distributed Arrow path, which handles unbounded
+    query frames)."""
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    )
+    rows = q0.limit(DRIVER_QUERY_CAP + 1).collect()
+    if len(rows) > DRIVER_QUERY_CAP:
+        return None
+    if rows:
+        mat = np.array([r["_qv"] for r in rows], dtype=np.float64)
+        cells = _assign_cells_np(mat, centroids, top)
+    else:
+        cells = np.empty((0, 0), dtype=np.int32)
+    return q0.schema, rows, cells
 
 
 def ivf_cosine_topk(
@@ -174,19 +225,38 @@ def ivf_cosine_topk(
         centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
 
     assign1 = _cell_assignment_udf(centroids, 1)
-    assignp = _cell_assignment_udf(centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
     c = c.select(
         "neighbor_id", "_cv", F.explode(assign1(F.col("_cv"))).alias("_cell")
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    )
-    q = q.select(
-        "query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("_cell")
-    )
+    # query side: probed cells resolve driver-side for bounded batches
+    # (same numpy arithmetic — bit-identical cells) and re-materialize
+    # as a LocalRelation, so the broadcast build needs no Python job
+    # (r16 opt, guide §4); unbounded query frames keep the Arrow path
+    got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_probe)
+    if got is None:
+        assignp = _cell_assignment_udf(centroids, n_probe)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+        ).select(
+            "query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("_cell")
+        )
+    else:
+        schema, rows, cells = got
+        q_schema = _T.StructType(
+            list(schema.fields) + [_T.StructField("_cell", _T.IntegerType(), False)]
+        )
+        q = corpus.sparkSession.createDataFrame(
+            [
+                (r["query_id"], r["_qv"], int(cell))
+                for r, crow in zip(rows, cells)
+                for cell in crow
+            ],
+            q_schema,
+        )
     cands = c.join(F.broadcast(q), "_cell").drop("_cell")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -784,20 +854,42 @@ def ivf_query_index(
     literal IN-list — Catalyst prunes the unprobed partitions and the
     scan never touches them."""
     centroids = ivf_load_centroids(spark, path)
-    assignp = _cell_assignment_udf(centroids, n_probe)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
-    ).select("query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("cell"))
-    # eager localCheckpoint, not persist: this is a SERVING-loop entry
-    # point (standing index, repeated query batches) — a cache-registry
-    # entry keyed on the analyzed plan would leak per call and serve
-    # stale cells after the query source grows
-    q = q.localCheckpoint(eager=True)
-    # dedup driver-side over the map-only collected rows — the probed
-    # set is ≤ n_cells values; a .distinct() here costs a full
-    # exchange for a frame this small (r16 opt, guide §2.4)
-    probed = sorted({r["cell"] for r in q.select("cell").collect()})
+    # query side: probed cells resolve driver-side for bounded serving
+    # batches (same numpy arithmetic as the Arrow UDF — bit-identical
+    # cells) and the query frame re-materializes as a LocalRelation —
+    # no Python job, no localCheckpoint, no collect job per serve call
+    # (r16 opt, guide §4/§5); unbounded query frames keep the Arrow
+    # path with its serving-safe eager localCheckpoint
+    got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_probe)
+    if got is None:
+        assignp = _cell_assignment_udf(centroids, n_probe)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+        ).select("query_id", "_qv", F.explode(assignp(F.col("_qv"))).alias("cell"))
+        # eager localCheckpoint, not persist: this is a SERVING-loop entry
+        # point (standing index, repeated query batches) — a cache-registry
+        # entry keyed on the analyzed plan would leak per call and serve
+        # stale cells after the query source grows
+        q = q.localCheckpoint(eager=True)
+        # dedup driver-side over the map-only collected rows — the probed
+        # set is ≤ n_cells values; a .distinct() here costs a full
+        # exchange for a frame this small (r16 opt, guide §2.4)
+        probed = sorted({r["cell"] for r in q.select("cell").collect()})
+    else:
+        schema, rows, cells = got
+        q_schema = _T.StructType(
+            list(schema.fields) + [_T.StructField("cell", _T.IntegerType(), False)]
+        )
+        q = spark.createDataFrame(
+            [
+                (r["query_id"], r["_qv"], int(cell))
+                for r, crow in zip(rows, cells)
+                for cell in crow
+            ],
+            q_schema,
+        )
+        probed = sorted({int(cell) for crow in cells for cell in crow})
     c = (
         _read_index_component(spark, path, "cells")
         .filter(F.col("cell").isin(probed))
@@ -988,11 +1080,16 @@ def topk_recall(truth: DataFrame, approx: DataFrame) -> float:
     semi-join + two tiny aggregates — corpus-size independent given the
     result frames."""
     t = truth.select("query_id", "neighbor_id")
-    hits = t.join(
-        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    ).count()
-    denom = t.count()
-    return hits / denom if denom else 1.0
+    # ONE driver action: a left join preserves t's cardinality ((query,
+    # neighbor) pairs are unique on both sides — row_number output), so
+    # denom and hits ride the same aggregate (r16 opt, guide §5)
+    a = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    row = (
+        t.join(a, ["query_id", "neighbor_id"], "left")
+        .agg(F.count(F.lit(1)).alias("denom"), F.count("_hit").alias("hits"))
+        .collect()[0]
+    )
+    return row["hits"] / row["denom"] if row["denom"] else 1.0
 
 
 def lsh_tables_for_recall(
@@ -1044,10 +1141,58 @@ def ivf_probe_for_recall(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     )
-    truth = truth.persist()
-    truth.count()
     if centroids is None:
         centroids = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+
+    # IVF recall identity (r16 opt, guide §1.2 — don't re-search per
+    # doubling): a true top-k neighbor appears in the partial-probe
+    # result IFF its cell is among the query's first n_probe cells —
+    # any candidate ordered above it (cosine desc, id asc) is itself in
+    # the true top-k, so a candidate true-neighbor always ranks ≤ k.
+    # Hence every doubling's recall derives from ONE truth search + ONE
+    # bounded cell lookup, instead of a full partial-probe search per
+    # doubling.  Same (n_probe, recall) as the search loop, bit-exactly;
+    # test_ivf_probe_for_recall_matches_search pins the identity.
+    got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_cells)
+    if got is not None:
+        _schema, qrows, qcells = got
+        truth_pairs = [
+            (r["query_id"], r["neighbor_id"])
+            for r in truth.select("query_id", "neighbor_id").collect()
+        ]
+        denom = len(truth_pairs)
+        n_ids = sorted({n for _, n in truth_pairs})
+        nrows = (
+            corpus.filter(F.col(id_col).isin(n_ids))
+            .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+            .collect()
+        )
+        if nrows:
+            ncells = _assign_cells_np(
+                np.array([r["_v"] for r in nrows], dtype=np.float64), centroids, 1
+            )[:, 0]
+            cell_of = {r["_id"]: int(c) for r, c in zip(nrows, ncells)}
+        else:
+            cell_of = {}
+        probe_pos = {
+            r["query_id"]: {int(c): i for i, c in enumerate(crow)}
+            for r, crow in zip(qrows, qcells)
+        }
+        n_probe, best = 1, 0.0
+        while True:
+            hits = sum(
+                1
+                for qid, nid in truth_pairs
+                if probe_pos[qid].get(cell_of[nid], n_cells) < n_probe
+            )
+            best = hits / denom if denom else 1.0
+            if best >= target_recall or n_probe >= n_cells:
+                return n_probe, best
+            n_probe = min(n_cells, n_probe * 2)
+
+    # unbounded query frames: the original search-per-doubling loop
+    truth = truth.persist()
+    truth.count()
     n_probe, best = 1, 0.0
     try:
         while True:
@@ -1081,13 +1226,30 @@ def ivf_candidate_fraction(
     per-query scan cost at any size (candidates ≈ fraction × corpus).
     Cost: one assignment pass over each side + one tiny aggregate."""
     a1 = _cell_assignment_udf(centroids, 1)
-    ap = _cell_assignment_udf(centroids, n_probe)
     sizes = (
         corpus.select(_as_double(F.col(vec_col)).alias("_cv"))
         .select(F.explode(a1(F.col("_cv"))).alias("_cell"))
         .groupBy("_cell")
         .agg(F.count(F.lit(1)).alias("_sz"))
     )
+    got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_probe)
+    if got is not None:
+        # ONE corpus pass: the per-cell histogram is ≤ n_cells rows and
+        # every corpus vector lives in exactly one cell, so Σ sizes ==
+        # n_corpus — the candidate sum, query count and corpus count all
+        # derive from the collected histogram + the driver-assigned
+        # query cells (3 jobs → 1, r16 opt, guide §5)
+        _schema, qrows, qcells = got
+        size_of = {int(r["_cell"]): r["_sz"] for r in sizes.collect()}
+        n_corpus = sum(size_of.values())
+        n_queries = len(qrows)
+        if n_corpus == 0 or n_queries == 0:
+            return 0.0
+        total = sum(
+            size_of.get(int(cell), 0) for crow in qcells for cell in crow
+        )
+        return float(total) / (n_corpus * n_queries)
+    ap = _cell_assignment_udf(centroids, n_probe)
     probed = queries.select(
         F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
     ).select("_qid", F.explode(ap(F.col("_qv"))).alias("_cell"))
@@ -1434,27 +1596,46 @@ def ivfpq_query_index(
     from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
 
     centroids = ivf_load_centroids(spark, path)
-    assignp = _cell_assignment_udf(centroids, n_probe)
-    # eager localCheckpoint, not persist (the ivf_query_index
-    # discipline): this is a serving-loop entry point — a
-    # cache-registry entry keyed on the analyzed plan would leak per
-    # call and serve stale cells after the query source grows.
-    # posexplode so downstream "one row per query" needs `_pos = 0`
-    # instead of a dropDuplicates exchange (r16 opt).
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qraw"),
-    ).select(
-        "query_id",
-        "_qraw",
-        F.posexplode(assignp(F.col("_qraw"))).alias("_pos", "cell"),
-    ).localCheckpoint(eager=True)
-    # (query_id, cell) pairs are distinct by construction (one corpus
-    # cell set per query, exploded) — dedup of the probed-cell list
-    # runs driver-side over the collected map-only rows, no distinct
-    # exchange, and the broadcast side below re-materializes as a
-    # LOCAL relation so no job re-reads the checkpoint (r16 opt)
-    pair_rows = q.select("query_id", "cell").collect()
+    # query side: probed cells resolve driver-side for bounded serving
+    # batches (same numpy arithmetic as the Arrow UDF — bit-identical
+    # cells); the query frames below all re-materialize as
+    # LocalRelations, so no Python job, no localCheckpoint, and no
+    # collect job per serve call (r16 opt, guide §4/§5).  Unbounded
+    # query frames keep the Arrow path with its serving-safe eager
+    # localCheckpoint.
+    got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_probe)
+    if got is None:
+        assignp = _cell_assignment_udf(centroids, n_probe)
+        # posexplode so downstream "one row per query" needs `_pos = 0`
+        # instead of a dropDuplicates exchange (r16 opt).
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qraw"),
+        ).select(
+            "query_id",
+            "_qraw",
+            F.posexplode(assignp(F.col("_qraw"))).alias("_pos", "cell"),
+        ).localCheckpoint(eager=True)
+        # (query_id, cell) pairs are distinct by construction (one corpus
+        # cell set per query, exploded) — dedup of the probed-cell list
+        # runs driver-side over the collected map-only rows, no distinct
+        # exchange, and the broadcast side below re-materializes as a
+        # LOCAL relation so no job re-reads the checkpoint (r16 opt)
+        pair_rows = q.select("query_id", "cell").collect()
+        qraw = q.filter(F.col("_pos") == 0).select("query_id", "_qraw")
+    else:
+        schema, rows, cells = got
+        pair_rows = [
+            {"query_id": r["query_id"], "cell": int(cell)}
+            for r, crow in zip(rows, cells)
+            for cell in crow
+        ]
+        qraw = spark.createDataFrame(
+            [(r["query_id"], r["_qv"]) for r in rows],
+            _T.StructType(
+                [schema.fields[0], _T.StructField("_qraw", schema.fields[1].dataType)]
+            ),
+        )
     probed = sorted({r["cell"] for r in pair_rows})
 
     # candidates are restricted to EACH query's own probed cells (the
@@ -1463,7 +1644,12 @@ def ivfpq_query_index(
     # n_probe promises, and N_cand × Q work at fleet query volume)
     q_cells = spark.createDataFrame(
         [(r["query_id"], r["cell"]) for r in pair_rows],
-        q.select("query_id", "cell").schema,
+        _T.StructType(
+            [
+                qraw.schema.fields[0],
+                _T.StructField("cell", _T.IntegerType(), False),
+            ]
+        ),
     )
     codes_long = (
         _read_index_component(spark, path, "cells")
@@ -1473,7 +1659,7 @@ def ivfpq_query_index(
         .drop("cell")
     )
     codebook = _read_index_component(spark, path, "codebook")
-    qv = q.filter(F.col("_pos") == 0).select(
+    qv = qraw.select(
         "query_id",
         F.expr(
             f"transform(_qraw,"
@@ -1518,7 +1704,7 @@ def ivfpq_query_index(
     # corpus by id to meet a few hundred shortlist rows (r16 opt)
     exact = (
         vecs.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(q.filter(F.col("_pos") == 0).select("query_id", "_qraw")), "query_id")
+        .join(F.broadcast(qraw), "query_id")
         .select(
             "query_id",
             "neighbor_id",

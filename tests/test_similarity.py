@@ -799,3 +799,49 @@ def test_hard_negatives_ann_shortlist_k_validation(spark):
     )
     with pytest.raises(ValueError, match="shortlist_k"):
         hard_negatives_ann(emb2, emb2, k=5, shortlist_k=3)
+
+
+def test_ivf_driver_query_path_matches_arrow_path(emb, monkeypatch):
+    """r16 opt pin: bounded query batches resolve probed cells DRIVER-side
+    (LocalRelation broadcast, no Python job); forcing the distributed
+    Arrow-UDF fallback must produce identical rows — same assignment
+    arithmetic by construction."""
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    queries = emb.filter("vec_id < 5")
+    fast = sim.ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    slow = sim.ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in fast]
+    ) == sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in slow]
+    )
+
+
+def test_ivf_query_index_driver_path_matches_arrow_path(emb, tmp_path, monkeypatch):
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfidx")
+    sim.ivf_build_index(emb, path, n_cells=8)
+    queries = emb.filter("vec_id < 5")
+    fast = sim.ivf_query_index(spark, path, queries, k=5, n_probe=3).collect()
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    slow = sim.ivf_query_index(spark, path, queries, k=5, n_probe=3).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_ivf_probe_for_recall_matches_search(emb, monkeypatch):
+    """r16 opt pin: the one-pass recall identity (truth neighbor in the
+    partial-probe result IFF its cell is among the query's first n_probe
+    cells) returns the same (n_probe, recall) as the search-per-doubling
+    loop."""
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    queries = emb.filter("vec_id < 8")
+    fast = sim.ivf_probe_for_recall(emb, queries, k=5, n_cells=8, target_recall=0.9)
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    slow = sim.ivf_probe_for_recall(emb, queries, k=5, n_cells=8, target_recall=0.9)
+    assert fast == slow
