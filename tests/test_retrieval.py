@@ -515,3 +515,36 @@ def test_bm25_hit_build_has_no_corpus_shuffle(spark):
     # the broadcast term filter sits BELOW the aggregate: the join
     # appears deeper in the plan tree than the final HashAggregate
     assert plan.index("BroadcastHashJoin") > plan.index("HashAggregate"), plan
+
+
+def test_bm25_serve_local_metadata_matches_spark_path(spark, tmp_path, monkeypatch):
+    """r16 opt pin: serve metadata (per-source stats, tombstones, dfreq
+    df slices) resolves DRIVER-side via pyarrow on posix-local stores;
+    forcing the Spark fallback (as a non-posix store would) must serve
+    bit-identical rows — on a multi-piece store WITH tombstones
+    resident (exercising the countDistinct df leg) and without."""
+    import rhq_metrics_spark.pipelines.retrieval as R
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    path = str(tmp_path / "bm25loc")
+    R.bm25_index(ddf.filter("doc_id < 3"), path, n_buckets=8)
+    R.bm25_append(spark, path, ddf.filter("doc_id >= 3"), append_id="p1")
+
+    def _served():
+        return _rows(R.bm25_against_index(spark, path, qdf, k=3))
+
+    fast = _served()
+    monkeypatch.setattr(R, "_local_component_rows", lambda *a, **k: None)
+    monkeypatch.setattr(R, "_local_tombstone_rows", lambda *a, **k: None)
+    slow = _served()
+    assert fast == slow
+    monkeypatch.undo()
+
+    R.bm25_delete(spark, path, [0])
+    fast_del = _served()
+    monkeypatch.setattr(R, "_local_component_rows", lambda *a, **k: None)
+    monkeypatch.setattr(R, "_local_tombstone_rows", lambda *a, **k: None)
+    slow_del = _served()
+    assert fast_del == slow_del
+    assert fast_del != fast  # the delete is visible through both paths
