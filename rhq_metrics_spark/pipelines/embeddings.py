@@ -255,18 +255,27 @@ def kmeans_assign(
         ).alias("_v"),
     )
 
-    # Centroids MATERIALIZE driver-side between iterations (r16 opt,
-    # guide §5: the k × dim int64 table is bounded — k centroids, not
-    # data).  The previous fully-lazy formulation nested each
-    # iteration's centroid aggregation inside the next assignment's
-    # broadcast subtree, so every broadcast build re-executed ALL
-    # prior iterations' corpus passes — iteration cost grew
-    # quadratically and an `iters=2, m=8` PQ training re-scanned the
-    # corpus dozens of times.  Collecting the k exact-int centroid
+    # For iters >= 2, centroids MATERIALIZE driver-side between
+    # iterations (r16 opt, guide §5: the k × dim int64 table is
+    # bounded — k centroids, not data).  The fully-lazy formulation
+    # nested each iteration's centroid aggregation inside the next
+    # assignment's broadcast subtree, so every broadcast build
+    # re-executed ALL prior iterations' corpus passes — iteration cost
+    # grew quadratically and an `iters=2, m=8` PQ training re-scanned
+    # the corpus dozens of times.  Collecting the k exact-int centroid
     # rows per iteration keeps one corpus pass per Lloyd step (the
     # algorithmic minimum) and the local relation broadcasts without
-    # a job.  All arithmetic is unchanged exact int64, so assignments
-    # and dist2 are bit-identical to the lazy form (oracle-pinned).
+    # a job.  For iters <= 1 the nesting depth is trivially bounded,
+    # and the LAZY form wins instead: the whole train+encode evaluates
+    # inside ONE action, so independent instances (the m per-subspace
+    # trainings of pq_train_encode) run their passes CONCURRENTLY as
+    # broadcast subqueries rather than as 2m serialized driver jobs —
+    # the eager form measured 5× slower on the one-shot bench query
+    # (embed_pq_codes 0.44 → 2.29 s).  Both forms share the identical
+    # exact-int64 arithmetic (the driver _cents_row replays
+    # sort_array(collect_list(...)) ordering), so assignments and
+    # dist2 are bit-identical either way (oracle-pinned;
+    # test_kmeans_eager_matches_lazy pins the form equivalence).
     def _cents_row(rows) -> DataFrame:
         data = [
             (
@@ -294,19 +303,12 @@ def kmeans_assign(
             ).alias("_best"),
         )
 
-    init = (
-        q.orderBy("_id")
-        .limit(k)
-        .select(
-            (
-                F.row_number().over(Window.orderBy("_id")) - F.lit(1)
-            ).alias("cid"),
-            F.col("_v").alias("cv"),
+    def _one_row_cents(cdf: DataFrame) -> DataFrame:
+        return cdf.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
         )
-        .collect()
-    )
-    assigned = _assign(_cents_row(init))
-    for _ in range(iters):
+
+    def _update(assigned: DataFrame) -> DataFrame:
         # element-wise integer mean per cluster; operands non-negative,
         # so `div` is floor division in every engine
         upd = (
@@ -317,13 +319,31 @@ def kmeans_assign(
             .groupBy("cid", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        newc = upd.groupBy("cid").agg(
+        return upd.groupBy("cid").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, s div n as c))),"
                 " p -> p.c)"
             ).alias("cv")
         )
-        assigned = _assign(_cents_row(newc.collect()))
+
+    init_plan = (
+        q.orderBy("_id")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("_id")) - F.lit(1)
+            ).alias("cid"),
+            F.col("_v").alias("cv"),
+        )
+    )
+    if iters <= 1:
+        assigned = _assign(_one_row_cents(init_plan))
+        for _ in range(iters):
+            assigned = _assign(_one_row_cents(_update(assigned)))
+    else:
+        assigned = _assign(_cents_row(init_plan.collect()))
+        for _ in range(iters):
+            assigned = _assign(_cents_row(_update(assigned).collect()))
     return assigned.select(
         F.col("_id").alias(id_col),
         F.col("_best.cid").alias("cluster"),
