@@ -264,28 +264,37 @@ def bm25_score(
     are materialized as columns and added left-to-right, never via an
     unordered SUM, so two engines produce bit-identical doubles.
 
-    Plan shape at scale: tokens are filtered to the query terms BEFORE
-    the (doc, term) aggregation, so the shuffle carries only matching
-    postings; df/N/avgdl ride one broadcast row; final top-k is a sort
-    + limit (TakeOrdered), not a single-partition window.
+    Plan shape at scale (r16 opt — the lens-join half of the r15
+    bm25_topk plan fix applied here too): tokens are filtered to the
+    query terms BEFORE the (doc, term) aggregation, so the shuffle
+    carries only matching postings; ``dl`` rides through that
+    aggregation as a group key (functionally dependent on the doc id),
+    replacing the corpus-row-count-sized lens join the old plan
+    shuffled by doc id; df and the one-row corpus stats ride
+    broadcasts (the stats subtree is referenced by exactly ONE
+    broadcast, so unlike the r15 bm25_topk case it computes once per
+    action — keeping it lazy avoids an eager driver job per call);
+    final top-k is a sort + limit (TakeOrdered), not a
+    single-partition window.  All arithmetic operates on the same
+    exact integers in the same written order, so scores are
+    bit-identical to the pre-r16 plan (oracle-pinned).
     """
     text = F.col(text_col)
     dl = F.size(F.filter(_tokens(text), lambda t: t != "")).cast("long")
-    base = df.select(F.col(id_col).alias("_id"), dl.alias("dl"))
     toks = df.select(
         F.col(id_col).alias("_id"),
+        dl.alias("dl"),
         F.explode(_tokens(text)).alias("term"),
     ).filter(F.col("term").isin(query_terms))
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    glob = base.agg(
+    glob = df.select(dl.alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     # per-(doc, term) partial score; (dl*N)/sum_dl == dl/avgdl with the
     # division done once over exact integers
     part = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(base, "_id")
         .crossJoin(F.broadcast(glob))
         .withColumn("idf_bp", F.expr("n_docs * 10000 div df"))
         .withColumn(
