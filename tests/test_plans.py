@@ -105,10 +105,14 @@ def test_pack_chunks_single_shuffle(spark):
 
 def test_bm25_topk_is_take_ordered(spark):
     """BM25 top-k must plan as TakeOrderedAndProject (per-partition
-    heap + merge), never a global sort; corpus stats must broadcast."""
+    heap + merge), never a global sort.  Exactly ONE BroadcastHashJoin
+    (the df rejoin): doc length rides the tf aggregation as a group key
+    since r16, so the corpus-sized lens join the old plan re-attached
+    dl with (the second broadcast join here, a full shuffle at corpus
+    scale) must stay gone."""
     plan = _plan(spark, "text_bm25")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 

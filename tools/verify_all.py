@@ -49,8 +49,9 @@ def main() -> int:
     if quick:
         pytest_cmd.append("-x")
     # 600+ tests run ~14-15 min on a quiet machine; 900 s started
-    # false-flagging TIMEOUT as the suite grew (r11)
-    results.append(run("pytest", pytest_cmd, 1500))
+    # false-flagging TIMEOUT as the suite grew (r11), and 1500 s
+    # false-flagged again at 770+ tests on a slowed host (r16)
+    results.append(run("pytest", pytest_cmd, 2400))
 
     if not quick:
         # both scale factors: float-summation-order bugs only show where
