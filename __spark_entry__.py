@@ -44,6 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from rhq_metrics_spark.model import Buckets
+from rhq_metrics_spark.localrel import local_df  # noqa: E402
 from rhq_metrics_spark.operators import (
     availability_stats,
     distinct_adjacent,
@@ -2200,8 +2201,8 @@ def q_text_bm25_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rhq_metrics_spark.pipelines.retrieval import bm25_topk
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     return bm25_topk(docs, queries, k=BM25_K).orderBy("query_id", "rank")
 
@@ -2306,8 +2307,8 @@ def q_text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     path = "/tmp/rhq_bm25_index_" + sf_dir.strip("/").replace("/", "_")
     bm25_index(docs, path)
@@ -2335,8 +2336,8 @@ def q_hybrid_multiquery_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _table(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     lex = bm25_topk(docs, queries, k=BM25_K).select(
         "query_id", "doc_id", "rank"
@@ -2430,8 +2431,8 @@ def q_hybrid_served_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _table(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     tag = sf_dir.strip("/").replace("/", "_")
     bpath = "/tmp/rhq_hsrv_bm25_" + tag
@@ -2485,8 +2486,8 @@ def q_text_bm25_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     path = "/tmp/rhq_bm25_retract_" + sf_dir.strip("/").replace("/", "_")
     bm25_index(docs, path)
@@ -2518,8 +2519,8 @@ def q_hybrid_multiquery_rrf_partial(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _table(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id long, query string"
     )
     lex = bm25_topk(docs, queries, k=BM25_K).select(
         "query_id", "doc_id", "rank"

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry  # noqa: E402
 from rhq_metrics_spark.session import get_spark  # noqa: E402
+from rhq_metrics_spark.localrel import local_df  # noqa: E402
 
 #: the headline subset run per-round by the driver (kept fast enough to
 #: finish in minutes at sf0.1 while covering scans, window functions,
@@ -790,8 +791,8 @@ def main() -> None:
                 ),
                 bdir,
             )
-            bq = spark.createDataFrame(
-                entry.BM25_QUERIES, "query_id long, query string"
+            bq = local_df(
+                spark, entry.BM25_QUERIES, "query_id long, query string"
             )
 
             def _serve() -> float:

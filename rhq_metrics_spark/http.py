@@ -114,6 +114,8 @@ from urllib.parse import parse_qs
 
 import pyspark.sql.functions as F
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.errors import (
     ApiError,
     BadRequest,
@@ -574,8 +576,8 @@ class MetricsApp:
         if metric_id is not None:
             # POST /{type}s/{id}/raw: body is the data-point list
             body = [{"id": metric_id, "data": body}]
-        lines = self.service.spark.createDataFrame(
-            [(json.dumps(m),) for m in body], "value string"
+        lines = local_df(
+            self.service.spark, [(json.dumps(m),) for m in body], "value string"
         )
         points, rejects = parse_wire(
             lines, metric_type, default_tenant=tenant

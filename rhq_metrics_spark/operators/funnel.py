@@ -24,6 +24,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 PPM = 1_000_000
 
 
@@ -105,8 +107,8 @@ def funnel_steps(
         )
         for i, step in enumerate(steps)
     ]
-    return spark.createDataFrame(
-        rows, "step_idx int, step string, users long, conversion_ppm long"
+    return local_df(
+        spark, rows, "step_idx int, step string, users long, conversion_ppm long"
     )
 
 
@@ -302,8 +304,8 @@ def active_users(
     ).first()
     if bounds["_lo"] is None:
         marked.unpersist()
-        return df.sparkSession.createDataFrame(
-            [], "period long, window_periods int, active_users long"
+        return local_df(
+            df.sparkSession, [], "period long, window_periods int, active_users long"
         )
     spine = df.sparkSession.range(bounds["_lo"], bounds["_hi"] + 1).select(
         F.col("id").alias("period")
@@ -658,7 +660,8 @@ def active_window_estimates(
         F.min("period").alias("_lo"), F.max("period").alias("_hi")
     ).first()
     if bounds["_lo"] is None:
-        return regs.sparkSession.createDataFrame(
+        return local_df(
+            regs.sparkSession,
             [],
             "period long, window_periods int, regs_used long, zeros long,"
             " sum_scaled long, raw_est double",

@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rhq_metrics_spark.localrel import local_df
+
 TOKEN_SPLIT = r"[^a-z0-9]+"
 
 
@@ -175,8 +177,8 @@ def train_logistic(
     eps = 1e-12
     for _ in range(iters):
         wdf = F.broadcast(
-            spark.createDataFrame(
-                [(j, w[j]) for j in range(dim)], "bucket int, _w double"
+            local_df(
+                spark, [(j, w[j]) for j in range(dim)], "bucket int, _w double"
             )
         )
         scored = (
@@ -215,7 +217,7 @@ def train_logistic(
         b -= lr * float(glob["gb"]) / n_docs
         losses.append(float(glob["loss"]))
     feats.unpersist()
-    weights = spark.createDataFrame(
-        [(j, w[j]) for j in range(dim)], "bucket int, weight double"
+    weights = local_df(
+        spark, [(j, w[j]) for j in range(dim)], "bucket int, weight double"
     )
     return {"weights": weights, "bias": b, "losses": losses}

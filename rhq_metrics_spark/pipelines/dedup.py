@@ -40,6 +40,8 @@ import logging
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.pipelines.text import shingles
 
 _LOG = logging.getLogger(__name__)
@@ -146,8 +148,8 @@ def _bucket_join_pairs(
     else:  # pathological corpus: broadcast-join the hot list instead of
         # inlining a giant IN into the plan
         hot_df = F.broadcast(
-            buckets.sparkSession.createDataFrame(
-                [(b,) for b in hot_list], "_bucket string"
+            local_df(
+                buckets.sparkSession, [(b,) for b in hot_list], "_bucket string"
             )
         )
         small = plain.join(hot_df, "_bucket", "left_anti")
@@ -844,8 +846,8 @@ def _apply_cluster_labels(
             body = ",".join(f"{_q(k)},{_q(v)}" for k, v in mapping)
         root = F.expr(f"element_at(map({body}), `{id_col}`)").cast(id_type)
     else:
-        mdf = ids.sparkSession.createDataFrame(
-            mapping, f"`{id_col}` {id_type}, _root {id_type}"
+        mdf = local_df(
+            ids.sparkSession, mapping, f"`{id_col}` {id_type}, _root {id_type}"
         )
         out = ids.join(F.broadcast(mdf), id_col, "left")
         return out.select(
@@ -2057,8 +2059,8 @@ def fs_em_weights(
         )
         for i, f in enumerate(fields)
     ]
-    return docs.sparkSession.createDataFrame(
-        out_rows,
+    return local_df(
+        docs.sparkSession, out_rows,
         "field string, m_ppm long, u_ppm long, weight_ratio_ppm long, "
         "p_match_ppm long, n_pairs long",
     ).orderBy("field")

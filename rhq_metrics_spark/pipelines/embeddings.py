@@ -27,6 +27,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.pipelines.similarity import (
     EMB_SCALE,
     _vec_matrix,
@@ -145,8 +147,8 @@ def synthetic_clustered_embeddings(
         (int(i), [float(x) for x in vecs[i]], int(labels[i]))
         for i in range(n)
     ]
-    return spark.createDataFrame(
-        rows, "vec_id long, embedding array<float>, label int"
+    return local_df(
+        spark, rows, "vec_id long, embedding array<float>, label int"
     ).repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -285,8 +287,8 @@ def kmeans_assign(
                 ],
             )
         ]
-        return spark.createDataFrame(
-            data, "_cents: array<struct<cid: int, cv: array<bigint>>>"
+        return local_df(
+            spark, data, "_cents: array<struct<cid: int, cv: array<bigint>>>"
         )
 
     def _assign(cents_row: DataFrame) -> DataFrame:

@@ -40,6 +40,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 #: rank scale: parts-per-billion — big enough that div-floor loss is
 #: invisible, small enough that S·N fits int64 for any real N.
 RANK_SCALE = 1_000_000_000
@@ -78,7 +80,7 @@ def pagerank(
     n_row = nodes.agg(F.count(F.lit(1)).alias("n")).first()
     n = int(n_row["n"])
     if n == 0:
-        return spark.createDataFrame([], f"{id_col} long, rank_ppb long").select(
+        return local_df(spark, [], f"{id_col} long, rank_ppb long").select(
             F.col(id_col), "rank_ppb"
         )
     # symmetrized edge list + out-degrees, computed once
@@ -230,7 +232,7 @@ def pagerank_weighted(
     n_row = nodes.agg(F.count(F.lit(1)).alias("n")).first()
     n = int(n_row["n"])
     if n == 0:
-        return spark.createDataFrame([], f"{id_col} long, rank_ppb long").select(
+        return local_df(spark, [], f"{id_col} long, rank_ppb long").select(
             F.col(id_col), "rank_ppb"
         )
     w = F.col(weight_col).cast("long")
@@ -359,8 +361,8 @@ def label_propagation(
         # entry is the leak class the r14 persist sweep removed (ADVICE
         # r14); the non-empty path unpersists at the bottom as before
         nodes.unpersist()
-        return spark.createDataFrame(
-            [], f"{id_col} long, community long"
+        return local_df(
+            spark, [], f"{id_col} long, community long"
         ).select(F.col(id_col), "community")
     edges = (
         pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))

@@ -26,6 +26,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import types as _T
 
+from rhq_metrics_spark.localrel import local_df
+
 #: fixed-point scale for integer-exact signature dots: float32 inputs
 #: times 2^20 are exactly representable, so ``floor(v * EMB_SCALE)`` is
 #: bit-identical in numpy and in any SQL engine reading the same parquet
@@ -249,7 +251,7 @@ def ivf_cosine_topk(
         q_schema = _T.StructType(
             list(schema.fields) + [_T.StructField("_cell", _T.IntegerType(), False)]
         )
-        q = corpus.sparkSession.createDataFrame(
+        q = local_df(corpus.sparkSession,
             [
                 (r["query_id"], r["_qv"], int(cell))
                 for r, crow in zip(rows, cells)
@@ -490,7 +492,7 @@ def ivf_build_index(
         "vec_id", "vec", F.explode(assign1(F.col("vec"))).alias("cell")
     )
     c.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    spark.createDataFrame(
+    local_df(spark,
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -834,8 +836,18 @@ def ivf_seeded_topk(
 
 
 def ivf_load_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = _read_index_component(spark, path, "centroids").collect()
-    rows.sort(key=lambda r: r["cell"])
+    # driver-side pyarrow read first (r17 opt, guide §5): the centroid
+    # table is cells × dim — serving metadata, not data — and reading
+    # it through a Spark job cost two scheduling round trips per serve
+    # call.  Non-posix stores / unreadable files fall back to the Spark
+    # read (same discipline as the BM25 serve metadata).
+    from rhq_metrics_spark.pipelines.retrieval import _local_component_rows
+
+    rows = _local_component_rows([f"{path}/centroids"], ["cell", "centroid"])
+    if not rows:  # None (non-posix / unreadable) or empty (mid-swap
+        # window): the Spark read owns the rename-swap retry
+        rows = _read_index_component(spark, path, "centroids").collect()
+    rows = sorted(rows, key=lambda r: r["cell"])
     return np.array([r["centroid"] for r in rows])
 
 
@@ -881,7 +893,7 @@ def ivf_query_index(
         q_schema = _T.StructType(
             list(schema.fields) + [_T.StructField("cell", _T.IntegerType(), False)]
         )
-        q = spark.createDataFrame(
+        q = local_df(spark,
             [
                 (r["query_id"], r["_qv"], int(cell))
                 for r, crow in zip(rows, cells)
@@ -1549,7 +1561,7 @@ def ivfpq_build_index(
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
-    spark.createDataFrame(
+    local_df(spark,
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1596,18 +1608,118 @@ def ivfpq_query_index(
     from rhq_metrics_spark.pipelines.embeddings import EMB_SCALE
 
     centroids = ivf_load_centroids(spark, path)
-    # query side: probed cells resolve driver-side for bounded serving
-    # batches (same numpy arithmetic as the Arrow UDF — bit-identical
-    # cells); the query frames below all re-materialize as
-    # LocalRelations, so no Python job, no localCheckpoint, and no
-    # collect job per serve call (r16 opt, guide §4/§5).  Unbounded
-    # query frames keep the Arrow path with its serving-safe eager
-    # localCheckpoint.
+    dim = len(centroids[0])
+    d = dim // m
+    # query side: probed cells AND the per-query ADC distance tables
+    # resolve DRIVER-side for bounded serving batches (r16/r17 opt,
+    # guide §4/§5): the same numpy arithmetic as the Arrow UDF for the
+    # cells (bit-identical by construction), and the m × k distance
+    # table is exact int64 — sum over d of (a−b)² on the SAME
+    # fixed-point values the SQL expression computed, so adist2 is the
+    # same integers in a different (commutative) order.  Every bounded
+    # frame re-materializes as a true LocalRelation (localrel.local_df),
+    # so the scoring job's broadcasts need no jobs at all; the only
+    # distributed work per serve call is the probed-cell scan + one
+    # window exchange over already-scored scalar rows, then the
+    # broadcast re-rank against the source corpus.  Unbounded query
+    # frames keep the distributed Arrow path below (the 100 TB
+    # fallback).
     got = _driver_query_cells(queries, query_id_col, vec_col, centroids, n_probe)
-    if got is None:
+    if got is not None:
+        schema, rows, cells = got
+        # one ranking per query_id (ADVICE r16): a query frame carrying
+        # duplicate query_id rows would double ADC sums and emit
+        # duplicate (query_id, neighbor) rows at distinct ranks — keep
+        # the first collected row per id (unique ids with one vector
+        # per id is the input contract; this makes duplicates benign)
+        uniq_rows, uniq_cells, _seen = [], [], set()
+        for r0, crow in zip(rows, cells):
+            if r0["query_id"] in _seen:
+                continue
+            _seen.add(r0["query_id"])
+            uniq_rows.append(r0)
+            uniq_cells.append(crow)
+        qraw = local_df(
+            spark,
+            [(r0["query_id"], r0["_qv"]) for r0 in uniq_rows],
+            _T.StructType(
+                [schema.fields[0], _T.StructField("_qraw", schema.fields[1].dataType)]
+            ),
+        )
+        probed = sorted({int(c) for crow in uniq_cells for c in crow})
+        # codebook is m × k rows of serving metadata — driver-side
+        # pyarrow read with a Spark-collect fallback (mid-swap /
+        # non-posix), the ivf_load_centroids discipline
+        from rhq_metrics_spark.pipelines.retrieval import _local_component_rows
+
+        cb_rows = _local_component_rows(
+            [f"{path}/codebook"], ["subspace", "code", "cv"]
+        )
+        if not cb_rows:
+            cb_rows = _read_index_component(spark, path, "codebook").collect()
+        # default=0 keeps the empty-corpus index (zero codebook rows ⇒
+        # zero cells rows) from throwing; the scan below is then empty
+        max_code = max((int(r0["code"]) for r0 in cb_rows), default=0)
+        cb = np.zeros((m, max_code + 1, d), dtype=np.int64)
+        for r0 in cb_rows:
+            cb[int(r0["subspace"]), int(r0["code"])] = r0["cv"]
+        qmat = np.array([r0["_qv"] for r0 in uniq_rows], dtype=np.float64)
+        # the SQL fixed-point map, element-exact in numpy:
+        # cast(floor(x * double(EMB_SCALE)) as bigint) + EMB_SCALE
+        qfx = np.floor(qmat * float(EMB_SCALE)).astype(np.int64) + EMB_SCALE
+        # candidates are restricted to EACH query's own probed cells
+        # (the IVF contract); the per-subspace distance rows ride the
+        # (query, cell) pair so scoring is ONE broadcast join + a
+        # zip_with lookup per candidate — no posexplode row blowup, no
+        # (subspace, code) join, no per-pair aggregation exchange
+        pair_data = []
+        for qi, (r0, crow) in enumerate(zip(uniq_rows, uniq_cells)):
+            dtab = [
+                [
+                    int(x)
+                    for x in (
+                        (qfx[qi, j * d : (j + 1) * d][None, :] - cb[j]) ** 2
+                    ).sum(axis=1)
+                ]
+                for j in range(m)
+            ]
+            for cell in crow:
+                pair_data.append((r0["query_id"], int(cell), dtab))
+        q_cells = local_df(
+            spark,
+            pair_data,
+            _T.StructType(
+                [
+                    qraw.schema.fields[0],
+                    _T.StructField("cell", _T.IntegerType(), False),
+                    _T.StructField(
+                        "_dtab",
+                        _T.ArrayType(_T.ArrayType(_T.LongType())),
+                        False,
+                    ),
+                ]
+            ),
+        )
+        scored = (
+            _read_index_component(spark, path, "cells")
+            .filter(F.col("cell").isin(probed))
+            .join(F.broadcast(q_cells), "cell")
+            .select(
+                "query_id",
+                "vec_id",
+                F.expr(
+                    "aggregate(zip_with(codes, _dtab,"
+                    " (c, t) -> element_at(t, c + 1)), 0L, (s, x) -> s + x)"
+                ).alias("adist2"),
+            )
+        )
+    else:
+        # distributed fallback for unbounded query frames: the Arrow
+        # assignment UDF, a DISTRIBUTED (query_id, cell) frame (only
+        # the ≤ n_cells distinct probed cells collect for the IN-list —
+        # a Q × n_probe pair collect would not degrade gracefully,
+        # ADVICE r16), and the distributed ADC-table formulation
         assignp = _cell_assignment_udf(centroids, n_probe)
-        # posexplode so downstream "one row per query" needs `_pos = 0`
-        # instead of a dropDuplicates exchange (r16 opt).
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("_qraw"),
@@ -1616,73 +1728,48 @@ def ivfpq_query_index(
             "_qraw",
             F.posexplode(assignp(F.col("_qraw"))).alias("_pos", "cell"),
         ).localCheckpoint(eager=True)
-        # (query_id, cell) pairs are distinct by construction (one corpus
-        # cell set per query, exploded) — dedup of the probed-cell list
-        # runs driver-side over the collected map-only rows, no distinct
-        # exchange, and the broadcast side below re-materializes as a
-        # LOCAL relation so no job re-reads the checkpoint (r16 opt)
-        pair_rows = q.select("query_id", "cell").collect()
-        qraw = q.filter(F.col("_pos") == 0).select("query_id", "_qraw")
-    else:
-        schema, rows, cells = got
-        pair_rows = [
-            {"query_id": r["query_id"], "cell": int(cell)}
-            for r, crow in zip(rows, cells)
-            for cell in crow
-        ]
-        qraw = spark.createDataFrame(
-            [(r["query_id"], r["_qv"]) for r in rows],
-            _T.StructType(
-                [schema.fields[0], _T.StructField("_qraw", schema.fields[1].dataType)]
-            ),
+        # one ranking per query_id here too (ADVICE r16)
+        qraw = (
+            q.filter(F.col("_pos") == 0)
+            .select("query_id", "_qraw")
+            .dropDuplicates(["query_id"])
         )
-    probed = sorted({r["cell"] for r in pair_rows})
-
-    # candidates are restricted to EACH query's own probed cells (the
-    # IVF contract — joining on (subspace, code) alone would score
-    # every query against the union of all queries' cells: wider than
-    # n_probe promises, and N_cand × Q work at fleet query volume)
-    q_cells = spark.createDataFrame(
-        [(r["query_id"], r["cell"]) for r in pair_rows],
-        _T.StructType(
-            [
-                qraw.schema.fields[0],
-                _T.StructField("cell", _T.IntegerType(), False),
-            ]
-        ),
-    )
-    codes_long = (
-        _read_index_component(spark, path, "cells")
-        .filter(F.col("cell").isin(probed))
-        .select("vec_id", "cell", F.posexplode("codes").alias("subspace", "code"))
-        .join(F.broadcast(q_cells), "cell")
-        .drop("cell")
-    )
-    codebook = _read_index_component(spark, path, "codebook")
-    qv = qraw.select(
-        "query_id",
-        F.expr(
-            f"transform(_qraw,"
-            f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
-            f" + {EMB_SCALE}L)"
-        ).alias("_qv"),
-    )
-    dim = len(centroids[0])
-    d = dim // m
-    table = qv.crossJoin(F.broadcast(codebook)).select(
-        "query_id",
-        "subspace",
-        "code",
-        F.expr(
-            f"aggregate(zip_with(slice(_qv, subspace * {d} + 1, {d}), cv,"
-            " (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
-        ).alias("_d2"),
-    )
-    scored = (
-        codes_long.join(F.broadcast(table), ["query_id", "subspace", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("_d2").alias("adist2"))
-    )
+        q_cells = q.select("query_id", "cell").dropDuplicates()
+        probed = sorted(
+            r0["cell"] for r0 in q.select("cell").distinct().collect()
+        )
+        codes_long = (
+            _read_index_component(spark, path, "cells")
+            .filter(F.col("cell").isin(probed))
+            .select(
+                "vec_id", "cell", F.posexplode("codes").alias("subspace", "code")
+            )
+            .join(F.broadcast(q_cells), "cell")
+            .drop("cell")
+        )
+        codebook = _read_index_component(spark, path, "codebook")
+        qv = qraw.select(
+            "query_id",
+            F.expr(
+                f"transform(_qraw,"
+                f" x -> cast(floor(x * cast({EMB_SCALE} as double)) as bigint)"
+                f" + {EMB_SCALE}L)"
+            ).alias("_qv"),
+        )
+        table = qv.crossJoin(F.broadcast(codebook)).select(
+            "query_id",
+            "subspace",
+            "code",
+            F.expr(
+                f"aggregate(zip_with(slice(_qv, subspace * {d} + 1, {d}), cv,"
+                " (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+            ).alias("_d2"),
+        )
+        scored = (
+            codes_long.join(F.broadcast(table), ["query_id", "subspace", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("_d2").alias("adist2"))
+        )
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     r = shortlist or 8 * k

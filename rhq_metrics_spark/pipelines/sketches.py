@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 #: 60-bit md5 prefix → fraction in [0, 1); matches sampling.hash_fraction
 _HASH_BITS = 60
 _HASH_DENOM = float(1 << _HASH_BITS)
@@ -298,15 +300,15 @@ def heavy_hitters(
     cands = sorted({r["value"] for r in summary if r["value"] is not None})
     if not cands or total == 0:
         spark = values.sparkSession
-        return spark.createDataFrame([], "value string, cnt long")
+        return local_df(spark, [], "value string, cnt long")
     threshold = phi * total
     svals = values.select(F.col(col).cast("string").alias("_v"))
     if len(cands) <= 1000:
         counted = svals.filter(F.col("_v").isin(cands))
     else:
         cdf = F.broadcast(
-            values.sparkSession.createDataFrame(
-                [(c,) for c in cands], "_v string"
+            local_df(
+                values.sparkSession, [(c,) for c in cands], "_v string"
             )
         )
         counted = svals.join(cdf, "_v", "left_semi")

@@ -19,6 +19,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 # Deliberately tiny, deterministic stopword lexicons (top function words).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -1797,8 +1799,8 @@ def unigram_lm_train(
             break  # only chars left above target — can't shrink further
         counts = pruned
         logprobs = unigram_mstep(counts)
-    pieces = spark.createDataFrame(
-        sorted(logprobs.items()), "piece string, logprob double"
+    pieces = local_df(
+        spark, sorted(logprobs.items()), "piece string, logprob double"
     )
     return {
         "logprobs": logprobs,

@@ -16,6 +16,8 @@ from collections.abc import Mapping, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.model import (
     METRICS_IDX_SCHEMA,
     TENANTS_SCHEMA,
@@ -154,7 +156,7 @@ class MetricsService:
     # -- tenants / definitions ------------------------------------------------
 
     def create_tenant(self, tenant_id: str, retentions: dict[str, int] | None = None):
-        new = self.spark.createDataFrame([(tenant_id, retentions)], TENANTS_SCHEMA)
+        new = local_df(self.spark, [(tenant_id, retentions)], TENANTS_SCHEMA)
         existing = self.store.tenants()
         if existing is not None:
             new = new.unionByName(existing.filter(F.col("id") != tenant_id))
@@ -168,7 +170,8 @@ class MetricsService:
         tags: dict[str, str] | None = None,
         data_retention: int | None = None,
     ) -> None:
-        df = self.spark.createDataFrame(
+        df = local_df(
+            self.spark,
             [(tenant_id, MetricType.check(metric_type), metric, tags, data_retention)],
             METRICS_IDX_SCHEMA,
         )
@@ -186,7 +189,7 @@ class MetricsService:
         if idx is not None:
             frames.append(idx.select(F.col("tenant_id").alias("id")))
         if not frames:
-            return self.spark.createDataFrame([], "id string")
+            return local_df(self.spark, [], "id string")
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -259,7 +262,7 @@ class MetricsService:
         distinct tag KEYS across definitions, optionally regex-filtered."""
         idx = self.store.metrics_idx()
         if idx is None:
-            return self.spark.createDataFrame([], "tag string")
+            return local_df(self.spark, [], "tag string")
         if tenant_id:
             idx = idx.filter(F.col("tenant_id") == tenant_id)
         if metric_type:
@@ -282,7 +285,7 @@ class MetricsService:
         (small) definitions table."""
         idx = self.store.metrics_idx()
         if idx is None:
-            return self.spark.createDataFrame([], "tag string, value string")
+            return local_df(self.spark, [], "tag string, value string")
         if tenant_id:
             idx = idx.filter(F.col("tenant_id") == tenant_id)
         if metric_type:
@@ -343,7 +346,7 @@ class MetricsService:
         optionally enriched with data min/max timestamps (A8)."""
         idx = self.store.metrics_idx()
         if idx is None:
-            return self.spark.createDataFrame([], METRICS_IDX_SCHEMA)
+            return local_df(self.spark, [], METRICS_IDX_SCHEMA)
         if tenant_id:
             idx = idx.filter(F.col("tenant_id") == tenant_id)
         if metric_type:

@@ -81,6 +81,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql.types import IntegerType, LongType, StructType
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.model import (
     METRICS_IDX_SCHEMA,
     SCHEMAS,
@@ -730,14 +732,14 @@ class MetricsStore:
                 if lyr is not None
             ]
             if not layers:
-                return self.spark.createDataFrame([], SCHEMAS[metric_type])
+                return local_df(self.spark, [], SCHEMAS[metric_type])
             df = layers[0]
             for other in layers[1:]:
                 df = df.unionByName(other)
             return df.select("tenant_id", "metric", "ts", "value", "tags")
         merged = self._merged_lww(metric_type)
         if merged is None:
-            return self.spark.createDataFrame([], SCHEMAS[metric_type])
+            return local_df(self.spark, [], SCHEMAS[metric_type])
         return merged.select("tenant_id", "metric", "ts", "value", "tags")
 
     def find_data_points(
@@ -783,7 +785,7 @@ class MetricsStore:
 
         merged = self._merged_lww(metric_type, prune, slices=(first_slice, end))
         if merged is None:
-            return self.spark.createDataFrame([], SCHEMAS[metric_type])
+            return local_df(self.spark, [], SCHEMAS[metric_type])
         df = merged.select("tenant_id", "metric", "ts", "value", "tags")
         if order is not None:
             df = df.orderBy(

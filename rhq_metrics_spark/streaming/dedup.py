@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rhq_metrics_spark.localrel import local_df
+
 
 def content_fingerprint(text_col: str = "text") -> F.Column:
     """md5 of normalized text — identical to the batch ``exact_dedup``
@@ -151,7 +153,7 @@ def process_incremental_batch(
         ).parquet(*srcs)
     else:
         corpus = minhash_index(
-            spark.createDataFrame([], f"{id_col} long, {text_col} string"),
+            local_df(spark, [], f"{id_col} long, {text_col} string"),
             id_col, text_col, n, num_hashes, bands,
             kmv_k=kmv_k if verify == "kmv" else None,
         )

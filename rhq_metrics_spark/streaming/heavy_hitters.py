@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rhq_metrics_spark.localrel import local_df
+
 __all__ = ["mg_merge", "read_heavy_hitters", "start_heavy_hitters_stream"]
 
 _STATE_SCHEMA = "value string, cnt long, eps long"
@@ -102,7 +104,7 @@ def process_heavy_hitters_batch(
     base = (
         spark.read.parquet(base_src[1])
         if base_src
-        else spark.createDataFrame([], _STATE_SCHEMA)
+        else local_df(spark, [], _STATE_SCHEMA)
     )
     counts = (
         batch_df.select(F.col(col).cast("string").alias("value"))
@@ -161,5 +163,5 @@ def read_heavy_hitters(spark: SparkSession, state_dir: str) -> DataFrame:
     ``(value, cnt, eps)`` with ``cnt <= true count <= cnt + eps``."""
     src = _state_sources(spark, state_dir, before_batch=2**62)
     if src is None:
-        return spark.createDataFrame([], _STATE_SCHEMA)
+        return local_df(spark, [], _STATE_SCHEMA)
     return spark.read.parquet(src[1])

@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.pipelines.sketches import kmv_sketch_rows
 from rhq_metrics_spark.streaming.heavy_hitters import _state_sources
 
@@ -72,7 +74,7 @@ def process_kmv_batch(
     base = (
         spark.read.parquet(base_src[1])
         if base_src
-        else spark.createDataFrame([], _STATE_SCHEMA)
+        else local_df(spark, [], _STATE_SCHEMA)
     )
     batch_sk = kmv_sketch_rows(
         batch_df.select(
@@ -140,5 +142,5 @@ def read_kmv_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     sketch if none committed yet)."""
     src = _state_sources(spark, state_dir, 1 << 62)
     if not src:
-        return spark.createDataFrame([], _STATE_SCHEMA)
+        return local_df(spark, [], _STATE_SCHEMA)
     return spark.read.parquet(src[1])

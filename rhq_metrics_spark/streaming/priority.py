@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.pipelines.sampling import priority_q
 from rhq_metrics_spark.streaming.heavy_hitters import _state_sources
 
@@ -76,7 +78,7 @@ def process_priority_batch(
     base = (
         spark.read.parquet(base_src[1])
         if base_src
-        else spark.createDataFrame([], _STATE_SCHEMA)
+        else local_df(spark, [], _STATE_SCHEMA)
     )
     grp = (
         F.col(group_col).cast("string")
@@ -151,7 +153,7 @@ def read_priority_sample(spark: SparkSession, state_dir: str, k: int) -> DataFra
     state = (
         spark.read.parquet(src[1])
         if src
-        else spark.createDataFrame([], _STATE_SCHEMA)
+        else local_df(spark, [], _STATE_SCHEMA)
     )
     wdw = Window.partitionBy("grp").orderBy(F.col("q").desc(), F.col("id").asc())
     gw = Window.partitionBy("grp")

@@ -39,6 +39,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.pipelines.retrieval import (
     _commit_pieces,
     _read_stats_multi,
@@ -250,7 +252,8 @@ def bm25_consolidate(spark, index_dir: str) -> dict:
         )
     else:
         dfreq.limit(0).write.mode("overwrite").parquet(f"{dest}/dfreq")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(n_total), int(s_total), n_buckets)],
         "n long, s long, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{dest}/stats")

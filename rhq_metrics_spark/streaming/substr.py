@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rhq_metrics_spark.localrel import local_df
+
 from rhq_metrics_spark.streaming.dedup import _index_sources
 
 
@@ -84,7 +86,7 @@ def process_substr_batch(
             .agg(F.sum("n_docs").alias("n_docs"))
         )
     else:
-        index = spark.createDataFrame([], "h string, n_docs long")
+        index = local_df(spark, [], "h string, n_docs long")
     decisions = substring_dups_against_index(
         batch_df, index, id_col, text_col, window, min_docs
     ).withColumn("_batch_id", F.lit(batch_id))
