@@ -53,6 +53,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Bounded serve-path collects (`limit(cap).collect()` guards on
+        # query batches) otherwise scan 1, 4, 16, ... partitions in
+        # SERIALIZED job waves (spark.sql.limit.scaleUpFactor) — 4 jobs
+        # of scheduling latency to fetch a 10-row batch.  Start the
+        # take at one core-count-wide wave (scale-adaptive: derived
+        # from the same dial as shuffle_partitions, not a local[32]
+        # constant).  (r17 opt, guide §5 — the driver should not wait
+        # on job waves for bounded metadata.)
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
+        # Partitioned index components (IVF cells, BM25 postings/dfreq)
+        # use bounded fan-outs (64-1024 dirs); the default threshold
+        # (32) turns every such read's file listing into a
+        # dir-count-task Spark job.  Listing ≤ 128 dirs driver-side is
+        # microseconds on a posix store; genuinely wide tables (beyond
+        # 128 partition dirs) still get the parallel listing job.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         # Arrow for every pandas_udf / applyInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small dims (nation/region/metric definitions) broadcast freely.
