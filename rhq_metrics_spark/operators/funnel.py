@@ -48,10 +48,20 @@ def funnel_steps(
     Output: ``(step_idx, step, users, conversion_ppm)`` with
     ``conversion_ppm`` floor-relative to step-1 users.
 
-    100 TB shape: per step one pushed-down type filter + one per-user
-    min agg + one co-partitioned inner join on the user key; anchors
-    are #users rows.  No windows over raw events, no self-join of the
-    event table with itself.
+    100 TB shape (ADVICE r16 — docstring matches the r16 one-pass
+    form): ONE user-partitioned window pass over the STEP-TYPED events
+    (the type filter pushes down, so the windowed rows are funnel
+    events only, not the raw stream), chained window minimums for
+    every stage sharing that single partitioning, then one user-keyed
+    agg (reusing the window's exchange) and one global count row.  No
+    self-join of the event table with itself.  Skew note: a hot user's
+    step-typed events must buffer in one window task — the chained
+    stage conditions reference previous stage columns per row, which a
+    pre-aggregation cannot reproduce, so partial aggregation is
+    structurally unavailable; the exposure is bounded by the type
+    filter (funnel steps, not all traffic) and a pathological user can
+    be split only by losing first-touch exactness.  If per-user event
+    volume is unbounded, pre-filter or cap upstream.
     """
     if not steps:
         raise ValueError("steps must be non-empty")

@@ -648,6 +648,22 @@ def ivf_rebuild(
     return ivf_index_stats(spark, path)
 
 
+def _delete_kept(spark: SparkSession, path: str, ids: Sequence[int]) -> DataFrame:
+    """The surviving cell rows of an :func:`ivf_delete` — mirrors the
+    BM25 tombstone discipline (``_drop_tombstoned``): a literal
+    ``NOT IN`` beyond ~64 ids costs seconds of Catalyst analysis per
+    10k-literal predicate, so large takedown lists broadcast anti-join
+    on a driver-bounded LocalRelation id frame instead (VERDICT r16
+    item 5; plan-pinned in tests)."""
+    resident = _read_index_component(spark, path, "cells")
+    if len(ids) <= 64:
+        kept = resident.filter(~F.col("vec_id").isin(list(ids)))
+    else:
+        ids_df = local_df(spark, [(int(i),) for i in ids], "vec_id long")
+        kept = resident.join(F.broadcast(ids_df), "vec_id", "left_anti")
+    return kept.select("vec_id", "vec", "cell")
+
+
 def ivf_delete(
     spark: SparkSession, path: str, vec_ids: Sequence[int]
 ) -> dict:
@@ -657,8 +673,10 @@ def ivf_delete(
     for a drift-dial rebuild.
 
     Mechanics: the resident cell table minus the ids (a pushed
-    ``NOT IN`` filter — the takedown list is broadcast-bounded by
-    contract) rewrites into a staging dir and republishes via the same
+    ``NOT IN`` filter up to 64 ids; a broadcast anti-join on a
+    LocalRelation id frame beyond that — a 10k-literal predicate costs
+    seconds of Catalyst analysis, the ``_drop_tombstoned`` lesson)
+    rewrites into a staging dir and republishes via the same
     two-rename committed-dir swap as :func:`ivf_rebuild`; centroids are
     untouched (deletes shift occupancy, not the quantizer — the
     :func:`ivf_retrain_recommended` dial covers accumulated skew, and
@@ -684,11 +702,7 @@ def ivf_delete(
     def _local(p: str) -> str:
         return p[len("file:"):] if p.startswith("file:") else p
 
-    kept = (
-        _read_index_component(spark, path, "cells")
-        .filter(~F.col("vec_id").isin(ids))
-        .select("vec_id", "vec", "cell")
-    )
+    kept = _delete_kept(spark, path, ids)
     staging = f"{path}/_delete-{uuid.uuid4().hex}"
     kept.write.mode("overwrite").partitionBy("cell").parquet(
         f"{staging}/cells"
