@@ -8326,73 +8326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale); the r10- and r11-sampled windows rotate to the back.
     # tools/verify_all.py checks ALL keys locally regardless of order.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- r16 driver window (50 keys): the 4 NEW r16 keys first
-        # ---- (hybrid_served_rrf, text_bm25_retract,
-        # ---- hybrid_multiquery_rrf_partial, embed_ivf_delete —
-        # ---- VERDICT r15 items 1/2/4), then the FULL 30-key
-        # ---- r12-last-sampled block (text_decontaminate ..
-        # ---- dedup_segments — the stalest in the registry; staleness
-        # ---- recomputed from CORRECTNESS_r*.json this round), then
-        # ---- the first 16 of the r13-stale block
-        # ---- (graph_pagerank_weighted .. pipe_ngram_diversity).
-        # ---- The r15-sampled 50 rotate to the back.
-        "hybrid_served_rrf": q_hybrid_served_rrf,
-        "text_bm25_retract": q_text_bm25_retract,
-        "hybrid_multiquery_rrf_partial": q_hybrid_multiquery_rrf_partial,
-        "embed_ivf_delete": q_embed_ivf_delete,
-        "text_decontaminate": q_text_decontaminate,
-        "pipe_token_mixture": q_pipe_token_mixture,
-        "substr_dups_incremental": q_substr_dups_incremental,
-        "w5_rolling_zscore": q_w5_rolling_zscore,
-        "o4_topk_per_group": q_o4_topk_per_group,
-        "b11_rollup_serving": q_b11_rollup_serving,
-        "w8_rolling_median": q_w8_rolling_median,
-        "w9_increase_hybrid": q_w9_increase_hybrid,
-        "a2_availability_hybrid": q_a2_availability_hybrid,
-        "b15_hybrid_serving": q_b15_hybrid_serving,
-        "b16_hybrid_production": q_b16_hybrid_production,
-        "embed_contamination": q_embed_contamination,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_lsh_recall": q_embed_lsh_recall,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "embed_near_dup": q_embed_near_dup,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
-        "url_domains": q_url_domains,
-        "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,
-        "mm_real_roundtrip": q_mm_real_roundtrip,
-        "sample_mixture": q_sample_mixture,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25": q_text_bm25,
-        "text_classify": q_text_classify,
-        "chunk_docs": q_chunk_docs,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pack_chunks": q_pack_chunks,
-        "dedup_segments": q_dedup_segments,
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "pipe_curation_v2": q_pipe_curation_v2,
-        "text_lang_confusion": q_text_lang_confusion,
-        "er_field_weights": q_er_field_weights,
-        "pipe_length_histogram": q_pipe_length_histogram,
-        "w20_attribution": q_w20_attribution,
-        "w18_active_users_hll": q_w18_active_users_hll,
-        "text_collocations": q_text_collocations,
-        "graph_canonical": q_graph_canonical,
-        "w18_active_users": q_w18_active_users,
-        "w19_frequent_paths": q_w19_frequent_paths,
-        "w15_step_latency": q_w15_step_latency,
-        "embed_hard_negatives": q_embed_hard_negatives,
-        "text_kn_score": q_text_kn_score,
-        "sample_priority_group": q_sample_priority_group,
-        "pipe_ngram_diversity": q_pipe_ngram_diversity,
-        # ---- 50-key driver window ends here ----
-        # (keys below are all verified by tools/verify_all.py and the
-        #  judge's oracle run each round; remainder ordered by
-        #  staleness so future rotations read off this list — the r13
-        #  remainder from w17_transitions slid past this cut and leads
-        #  the r17 window, then the r14 block, then the r15 block at
-        #  the very back.)
+        # ---- r17 driver window (50 keys): the FULL 34-key
+        # ---- r13-last-sampled block (w17_transitions ..
+        # ---- w12_changepoint — the stalest in the registry after
+        # ---- the r16 sample covered the r12 block), then the
+        # ---- first 16 of the r14-stale block (graph_communities
+        # ---- .. dedup_exact).  The r16-sampled 50 rotate to the
+        # ---- very back.
         "w17_transitions": q_w17_transitions,
         "graph_pagerank": q_graph_pagerank,
         "dedup_fuzzy_incremental": q_dedup_fuzzy_incremental,
@@ -8427,8 +8367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "embed_cosine_topk": q_embed_cosine_topk,
         "w12_changepoint": q_w12_changepoint,
-        # ---- r14-sampled window (driver-green in CORRECTNESS_r14),
-        # ---- rotated to the back — the freshest block.
         "graph_communities": q_graph_communities,
         "text_bm25_log2": q_text_bm25_log2,
         "embed_rrf_fusion": q_embed_rrf_fusion,
@@ -8445,6 +8383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substr_self_dedup": q_text_substr_self_dedup,
         "text_lm_score": q_text_lm_score,
         "dedup_exact": q_dedup_exact,
+        # ---- 50-key driver window ends here ----
+        # (keys below are all verified by tools/verify_all.py and
+        #  the judge's oracle run each round; remainder ordered by
+        #  staleness so future rotations read off this list — the
+        #  r14 remainder from dedup_ngram_jaccard slid past this cut
+        #  and leads the r18 window, then the r15 block, then the
+        #  r16-sampled block at the very back.)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -8479,8 +8424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_periods": q_w2_periods,
         "a3_stacked_stats": q_a3_stacked_stats,
         "a4_pooled_stats": q_a4_pooled_stats,
-        # ---- r15-sampled window (driver-green in CORRECTNESS_r15),
-        # ---- rotated to the back — the freshest block.
+        # ---- r15-sampled window (driver-green in CORRECTNESS_r15).
         "text_bm25_index": q_text_bm25_index,
         "hybrid_multiquery_rrf": q_hybrid_multiquery_rrf,
         "er_unsupervised_bands": q_er_unsupervised_bands,
@@ -8531,6 +8475,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "embed_semdedup": q_embed_semdedup,
         "text_substr_dups": q_text_substr_dups,
+        # ---- r16-sampled window (driver-green in CORRECTNESS_r16),
+        # ---- rotated to the back — the freshest block.
+        "hybrid_served_rrf": q_hybrid_served_rrf,
+        "text_bm25_retract": q_text_bm25_retract,
+        "hybrid_multiquery_rrf_partial": q_hybrid_multiquery_rrf_partial,
+        "embed_ivf_delete": q_embed_ivf_delete,
+        "text_decontaminate": q_text_decontaminate,
+        "pipe_token_mixture": q_pipe_token_mixture,
+        "substr_dups_incremental": q_substr_dups_incremental,
+        "w5_rolling_zscore": q_w5_rolling_zscore,
+        "o4_topk_per_group": q_o4_topk_per_group,
+        "b11_rollup_serving": q_b11_rollup_serving,
+        "w8_rolling_median": q_w8_rolling_median,
+        "w9_increase_hybrid": q_w9_increase_hybrid,
+        "a2_availability_hybrid": q_a2_availability_hybrid,
+        "b15_hybrid_serving": q_b15_hybrid_serving,
+        "b16_hybrid_production": q_b16_hybrid_production,
+        "embed_contamination": q_embed_contamination,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_recall": q_embed_lsh_recall,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
+        "url_domains": q_url_domains,
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
+        "mm_real_roundtrip": q_mm_real_roundtrip,
+        "sample_mixture": q_sample_mixture,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
+        "text_classify": q_text_classify,
+        "chunk_docs": q_chunk_docs,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pack_chunks": q_pack_chunks,
+        "dedup_segments": q_dedup_segments,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "pipe_curation_v2": q_pipe_curation_v2,
+        "text_lang_confusion": q_text_lang_confusion,
+        "er_field_weights": q_er_field_weights,
+        "pipe_length_histogram": q_pipe_length_histogram,
+        "w20_attribution": q_w20_attribution,
+        "w18_active_users_hll": q_w18_active_users_hll,
+        "text_collocations": q_text_collocations,
+        "graph_canonical": q_graph_canonical,
+        "w18_active_users": q_w18_active_users,
+        "w19_frequent_paths": q_w19_frequent_paths,
+        "w15_step_latency": q_w15_step_latency,
+        "embed_hard_negatives": q_embed_hard_negatives,
+        "text_kn_score": q_text_kn_score,
+        "sample_priority_group": q_sample_priority_group,
+        "pipe_ngram_diversity": q_pipe_ngram_diversity,
     }
     return qs
 
