@@ -879,3 +879,58 @@ def test_ivf_delete_large_list_is_broadcast_anti_join(spark, emb, tmp_path):
         spark, path, emb.filter("vec_id < 3"), k=5, n_probe=8
     ).collect()
     assert got and all(r["neighbor_id"] not in set(victims) for r in got)
+
+
+def test_ivfpq_driver_path_matches_arrow_path(emb, tmp_path, monkeypatch):
+    """r17 opt pin: the bounded driver path (LocalRelation query frames +
+    numpy int64 ADC distance tables + zip_with lookup scoring) and the
+    distributed Arrow fallback (posexplode + (subspace, code) join +
+    per-pair agg) must produce identical rows — same fixed-point values
+    by construction, summed in a different (commutative) order."""
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfpq_twin")
+    sim.ivfpq_build_index(emb, path, n_cells=8, m=8, k_codes=16, iters=2)
+    queries = emb.filter("vec_id < 5")
+    fast = sim.ivfpq_query_index(
+        spark, path, queries, emb, k=5, m=8, n_probe=3
+    ).collect()
+    assert fast
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    slow = sim.ivfpq_query_index(
+        spark, path, queries, emb, k=5, m=8, n_probe=3
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_ivfpq_duplicate_query_ids_serve_one_ranking(emb, tmp_path, monkeypatch):
+    """ADVICE r16: a query frame carrying duplicate query_id rows must
+    serve ONE deduplicated ranking per id (duplicates would double ADC
+    sums and emit duplicate neighbors at distinct ranks) — on both the
+    driver path and the Arrow fallback."""
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivfpq_dup")
+    sim.ivfpq_build_index(emb, path, n_cells=8, m=8, k_codes=16, iters=2)
+    queries = emb.filter("vec_id < 3")
+    doubled = queries.unionByName(queries)
+    want = sorted(
+        map(tuple, sim.ivfpq_query_index(
+            spark, path, queries, emb, k=5, m=8, n_probe=3
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, sim.ivfpq_query_index(
+            spark, path, doubled, emb, k=5, m=8, n_probe=3
+        ).collect())
+    )
+    assert got == want
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    got_arrow = sorted(
+        map(tuple, sim.ivfpq_query_index(
+            spark, path, doubled, emb, k=5, m=8, n_probe=3
+        ).collect())
+    )
+    assert got_arrow == want
