@@ -58,6 +58,7 @@ def _bucket_join_pairs(
     payload: tuple[str, ...] = (),
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     label: str = "lsh",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Candidate id pairs from a ``(_id, _bucket[, _refine][, payload...])``
     frame.
@@ -116,8 +117,15 @@ def _bucket_join_pairs(
     # snapshot rows instead of recomputing the pipeline per reference.
     # Eager localCheckpoint, not persist: no cache-registry entry to
     # leak or serve stale on a later call over a grown source path.
-    buckets = buckets.localCheckpoint(eager=True)
-    plain = buckets.drop("_refine") if refined else buckets
+    # ``checkpoint=False`` is for callers whose bucket frame already
+    # derives cheaply from a materialized snapshot (the signature frame
+    # is checkpointed upstream and banding is a few md5s/bit-shifts per
+    # row): the common no-hot-bucket case then skips a whole
+    # materialization job wave, and only the degraded path — whose
+    # refinement windows reference the frame several times — pays one.
+    if checkpoint:
+        buckets = buckets.localCheckpoint(eager=True)
+        plain = buckets.drop("_refine") if refined else buckets
 
     # account for oversize buckets with ONE small aggregation (exact
     # counts for the log — "no silent truncation").  The common case —
@@ -132,6 +140,9 @@ def _bucket_join_pairs(
     )
     if not hot:
         return _all_pairs(plain).distinct()
+    if not checkpoint:  # entering the multi-reference refinement path
+        buckets = buckets.localCheckpoint(eager=True)
+        plain = buckets.drop("_refine") if refined else buckets
     _LOG.warning(
         "%s: %d band bucket(s) over max_bucket_size=%d (%d member rows) "
         "degraded from all-pairs to refined/hub pairing; raise "
@@ -457,8 +468,19 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sh = _shingle_df(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sig = sh.select("_id", "_shingles", *minhash_signature("_shingles", num_hashes))
+    # ONE materialization for the whole pipeline: the signature frame
+    # carries the shingle arrays (verify reads them) AND the num_hashes
+    # min-hashes (banding derives from them with a couple of md5s per
+    # row), so the shingle/tokenize pipeline runs exactly once and no
+    # second bucket-frame checkpoint is needed (banding recompute per
+    # reference is a few md5 calls over materialized rows — far cheaper
+    # than a second job wave + bands×N stored rows).  Eager
+    # localCheckpoint, not persist: no cache-registry entry to leak.
+    sig = (
+        _shingle_df(df, id_col, text_col, n)
+        .select("_id", "_shingles", *minhash_signature("_shingles", num_hashes))
+        .localCheckpoint(eager=True)
+    )
 
     band_exprs = [
         "md5(concat_ws('|', {})) AS band_{}".format(
@@ -481,12 +503,15 @@ def minhash_lsh_pairs(
         f"explode(array({bucket_array})) AS _bucket",
     )
     cands = _bucket_join_pairs(
-        buckets, max_bucket_size=max_bucket_size, label="minhash_lsh"
+        buckets,
+        max_bucket_size=max_bucket_size,
+        label="minhash_lsh",
+        checkpoint=False,  # buckets derive cheaply from the sig snapshot
     )
     if not verify:
         return cands.withColumn("jaccard", F.lit(None).cast("double"))
 
-    sets = sh.select(F.col("_id"), F.col("_shingles"))
+    sets = sig.select(F.col("_id"), F.col("_shingles"))
     out = (
         cands.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
         .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
@@ -612,6 +637,7 @@ def simhash_pairs(
         payload=("_sig",),
         max_bucket_size=max_bucket_size,
         label="simhash",
+        checkpoint=False,  # buckets are bit-shifts over the sigd snapshot
     )
     return (
         cands.withColumn(
