@@ -386,3 +386,21 @@ def test_kmeans_eager_matches_lazy(spark):
     ).collect()))
     assert eager2 == lazy2
     assert len(lazy) == len(lazy2)
+
+
+def test_semantic_dedup_snapshot_path_matches_recompute_path(spark, monkeypatch):
+    """semantic_dedup snapshots its working set only above
+    SEMDD_SNAPSHOT_BYTES (scale-adaptive, r17): the big-corpus snapshot
+    path and the small-corpus fused-recompute path must return
+    identical rows."""
+    import rhq_metrics_spark.pipelines.embeddings as E
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = sorted(
+        map(tuple, E.semantic_dedup(emb, k=4, iters=1, threshold=0.9).collect())
+    )
+    monkeypatch.setattr(E, "SEMDD_SNAPSHOT_BYTES", 1)
+    snap = sorted(
+        map(tuple, E.semantic_dedup(emb, k=4, iters=1, threshold=0.9).collect())
+    )
+    assert small == snap
