@@ -176,6 +176,21 @@ def _cell_assignment_udf(centroids: np.ndarray, top: int):
 DRIVER_QUERY_CAP = 4096
 
 
+def _driver_query_rows(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Collect a BOUNDED query batch driver-side as ``(query_id, _qv)``
+    rows.  Returns ``(schema, rows)`` or ``None`` when the batch exceeds
+    :data:`DRIVER_QUERY_CAP` (caller falls back to the distributed
+    Arrow path, which handles unbounded query frames)."""
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    )
+    rows = q0.limit(DRIVER_QUERY_CAP + 1).collect()
+    if len(rows) > DRIVER_QUERY_CAP:
+        return None
+    return q0.schema, rows
+
+
 def _driver_query_cells(
     queries: DataFrame,
     query_id_col: str,
@@ -190,19 +205,16 @@ def _driver_query_cells(
     ``None`` when the batch exceeds :data:`DRIVER_QUERY_CAP` (caller
     falls back to the distributed Arrow path, which handles unbounded
     query frames)."""
-    q0 = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
-    )
-    rows = q0.limit(DRIVER_QUERY_CAP + 1).collect()
-    if len(rows) > DRIVER_QUERY_CAP:
+    got = _driver_query_rows(queries, query_id_col, vec_col)
+    if got is None:
         return None
+    schema, rows = got
     if rows:
         mat = np.array([r["_qv"] for r in rows], dtype=np.float64)
         cells = _assign_cells_np(mat, centroids, top)
     else:
         cells = np.empty((0, 0), dtype=np.int32)
-    return q0.schema, rows, cells
+    return schema, rows, cells
 
 
 def ivf_cosine_topk(
@@ -348,6 +360,37 @@ def md5_plane_weights(tables: int, num_planes: int, dim: int, seed: int) -> np.n
     return w
 
 
+#: md5 plane weights are seed-derived CONSTANTS (no input data in the
+#: key) — memoizing them only avoids re-hashing tables×planes×dim md5s
+#: per Arrow batch / driver call.
+_PLANE_CACHE: dict[tuple[int, int, int, int], np.ndarray] = {}
+
+
+def _cached_plane_weights(
+    tables: int, num_planes: int, dim: int, seed: int
+) -> np.ndarray:
+    key = (tables, num_planes, dim, seed)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = md5_plane_weights(tables, num_planes, dim, seed)
+    return _PLANE_CACHE[key]
+
+
+def _lsh_sigs_np(
+    mat: np.ndarray, num_planes: int, tables: int, seed: int
+) -> np.ndarray:
+    """The md5-plane sign-LSH signature arithmetic, shared VERBATIM by
+    the Arrow UDF and the driver fast path so the two are bit-identical
+    by construction (the same discipline as ``_assign_cells_np``)."""
+    planes = _cached_plane_weights(tables, num_planes, mat.shape[1], seed)
+    weights = np.arange(num_planes, dtype=np.int64)
+    ints = np.floor(mat * EMB_SCALE).astype(np.int64)
+    sigs = np.empty((len(mat), tables), dtype=np.int64)
+    for t in range(tables):
+        bits = (ints @ planes[t].T) >= 0
+        sigs[:, t] = (bits << weights).sum(axis=1)
+    return sigs
+
+
 def lsh_signatures_udf_md5(num_planes: int, tables: int, seed: int):
     """Sign-LSH signatures with **integer-exact** dots: embeddings are
     fixed-point quantized (``floor(v * 2^20)``, exact for float32 input)
@@ -355,22 +398,11 @@ def lsh_signatures_udf_md5(num_planes: int, tables: int, seed: int):
     hence every signature bit — is identical in numpy and in a SQL
     oracle, with no float-summation-order hazard.  Max |term| is
     2^21 * 2^28 = 2^49; at dim ≤ 4096 the sum stays far inside int64."""
-    weights = np.arange(num_planes, dtype=np.int64)
-    cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf("array<long>")
     def _sigs(vecs: pd.Series) -> pd.Series:
         mat = _vec_matrix(vecs)
-        dim = mat.shape[1]
-        if dim not in cache:
-            cache[dim] = md5_plane_weights(tables, num_planes, dim, seed)
-        planes = cache[dim]
-        ints = np.floor(mat * EMB_SCALE).astype(np.int64)
-        sigs = np.empty((len(mat), tables), dtype=np.int64)
-        for t in range(tables):
-            bits = (ints @ planes[t].T) >= 0
-            sigs[:, t] = (bits << weights).sum(axis=1)
-        return pd.Series(list(sigs))
+        return pd.Series(list(_lsh_sigs_np(mat, num_planes, tables, seed)))
 
     return _sigs
 
@@ -428,12 +460,47 @@ def lsh_cosine_topk(
         )
 
     cb = bucketed(corpus, "neighbor_id", id_col)
-    qb = bucketed(queries, "query_id", query_id_col)
+    # Bounded query batches (the serve shape) compute their signatures
+    # DRIVER-side through the same _lsh_sigs_np arithmetic the Arrow UDF
+    # runs — bit-identical by construction — and re-materialize as
+    # LocalRelations: the query-side ArrowEvalPython stage and its
+    # broadcast-build job disappear (the r16/r17 IVF discipline).
+    # Unbounded query frames keep the distributed UDF path (100 TB
+    # fallback).  Seeded float planes stay on the UDF path: only the
+    # md5 planes have the exact-integer contract.
+    qb = None
+    qvecs = None
+    if plane_gen == "md5":
+        got = _driver_query_rows(queries, query_id_col, vec_col)
+        if got is not None:
+            schema, rows = got
+            spark = queries.sparkSession
+            if rows:
+                mat = np.array([r["_qv"] for r in rows], dtype=np.float64)
+                sigs = _lsh_sigs_np(mat, num_planes, tables, seed)
+                qb_rows = [
+                    (r["query_id"], f"{t}:{sigs[i, t]}")
+                    for i, r in enumerate(rows)
+                    for t in range(tables)
+                ]
+            else:
+                qb_rows = []
+            id_type = schema["query_id"].dataType.simpleString()
+            qb = local_df(
+                spark, qb_rows, f"query_id {id_type}, _bucket string"
+            )
+            qvecs = local_df(spark, [tuple(r) for r in rows], schema)
+    if qb is None:
+        qb = bucketed(queries, "query_id", query_id_col).drop("_query_id_v")
+        qvecs = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+        )
     # dedup candidate PAIRS on ids only — shuffling the embedding arrays
     # through the distinct would move tables× more bytes for nothing
     cands = (
         cb.drop("_neighbor_id_v")
-        .join(F.broadcast(qb.drop("_query_id_v")), "_bucket")
+        .join(F.broadcast(qb), "_bucket")
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -441,9 +508,6 @@ def lsh_cosine_topk(
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
-    qvecs = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
     )
     scored = (
         cands.join(cvecs, "neighbor_id")

@@ -934,3 +934,24 @@ def test_ivfpq_duplicate_query_ids_serve_one_ranking(emb, tmp_path, monkeypatch)
         ).collect())
     )
     assert got_arrow == want
+
+
+def test_lsh_topk_driver_path_matches_arrow_path(emb, monkeypatch):
+    """r17 opt pin: bounded query batches compute LSH signatures
+    driver-side through the SAME _lsh_sigs_np arithmetic the Arrow UDF
+    runs and re-materialize as LocalRelations; the driver path and the
+    distributed Arrow fallback must return identical rows."""
+    import rhq_metrics_spark.pipelines.similarity as sim
+
+    queries = emb.filter("vec_id < 5")
+    fast = sim.lsh_cosine_topk(emb, queries, k=5, num_planes=8, tables=4)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    fast_rows = fast.collect()
+    assert fast_rows
+    # query side is a LocalRelation: exactly ONE Arrow stage (corpus)
+    assert fast_plan.split("== Initial Plan ==")[0].count("ArrowEvalPython") <= 1
+    monkeypatch.setattr(sim, "DRIVER_QUERY_CAP", 0)
+    slow = sim.lsh_cosine_topk(
+        emb, queries, k=5, num_planes=8, tables=4
+    ).collect()
+    assert sorted(map(tuple, fast_rows)) == sorted(map(tuple, slow))
