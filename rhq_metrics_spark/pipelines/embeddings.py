@@ -154,9 +154,19 @@ def synthetic_clustered_embeddings(
         (int(i), [float(x) for x in vecs[i]], int(labels[i]))
         for i in range(n)
     ]
+    # Partition count sized to the DATA (≈2k vectors / ~1 MiB per
+    # partition at dim=64), capped at defaultParallelism — not pinned to
+    # the core count: a driver-bounded fixture (megabytes) split 32 ways
+    # yields ~128 KiB tasks whose cost is pure scheduling plus a
+    # 32-wide Python-worker fork wave inside every downstream
+    # Arrow-UDF stage (measured: the fork queue + handshake was the
+    # whole cost of the clustered partial-probe KPI).  At corpus scale
+    # the same formula saturates the cluster (guide §2.5/§6: size
+    # partitions to bytes, not cores).
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 2048))
     return local_df(
         spark, rows, "vec_id long, embedding array<float>, label int"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(n_parts)
 
 
 _SM64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)

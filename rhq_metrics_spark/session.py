@@ -71,6 +71,15 @@ def get_spark(
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         # Arrow for every pandas_udf / applyInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fork Python workers from a daemon that has numpy/pandas/pyarrow
+        # preloaded (COW-inherited by every worker).  Spark kills — not
+        # pools — any worker whose stream is not fully drained (limit
+        # early-exits), so sessions re-fork whole 32-wide worker waves;
+        # each stock-daemon fork then pays the heavy imports on its
+        # first Arrow batch (measured: 5.9-12.3 s/task of "time to
+        # initialize Python workers" on post-kill 32-task stages).
+        # Per-executor daemon ⇒ cluster-correct at any core count.
+        .config("spark.python.daemon.module", "rhq_metrics_spark.pydaemon")
         # Small dims (nation/region/metric definitions) broadcast freely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Per-call Python call-site capture (PySpark 4 DataFrame
